@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Yardstick (BASELINE.md): the reference streams ~21k rows/s end-to-end
+(CSV) and ~500k tuples/s in-memory. Our tumbling-aggregate headline at
+sf0.1 covers 100k events; lineitem queries cover 600k rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: the reference-parity core + the scale-path extensions
+HEADLINE = [
+    "tumbling_revenue_per_minute",  # the reference's own benchmark shape
+    "q1_pricing_summary",
+    "join_revenue_by_region",
+    "top_users_by_value",
+    "lag_derive_rate",
+    "percentiles_by_flag",
+    "split_word_count",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "ann_cosine_topk",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    from ramen_spark import get_spark
+    from ramen_spark.queries import QUERIES
+
+    spark = get_spark("ramen_spark_bench")
+    # JVM/codegen warmup on a trivial plan so q1 doesn't pay startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Loaders for the driver-generated synthetic tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file per table under an sf dir.
+
+Reading is always schema-on-file parquet (columnar, predicate pushdown,
+column pruning all free via Catalyst). ``register_views`` exposes them
+as temp views so operators can be written in either DataFrame or SQL
+form against the same names DuckDB pre-registers for the oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor — these
+# scale sub-linearly (region/nation are constant-size; supplier/part grow
+# but stay << fact tables). Join helpers use this set to force the
+# broadcast path rather than trusting size estimation on fresh scans.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime-settable confs the engine depends on, applied here so
+    the code also works under a caller-built SparkSession (the driver
+    constructs its own): ns-parquet reading and UTC event-time."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the file → read as long ns (see
+        # session.py nanosAsLong), truncate to µs exactly with integer
+        # division (double math would lose precision at 1e18 ns) —
+        # identical to DuckDB's ns→µs cast, keeping oracles exact.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register every table as a temp view named after itself."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,118 @@
+"""Network types & operators: Eth, IPv4/IPv6, CIDR, GeoIP.
+
+Reference type lattice: src/raql_type.ml:34-40 (Eth, Ipv4, Ipv6, Ip,
+Cidrv4, Cidrv6, Cidr). Representation here (SURVEY §1.2):
+
+- IPv4  → LongType (0..2^32-1) + dotted-quad formatter.
+- Eth   → LongType (48-bit)   + colon-hex formatter.
+- IPv6  → 16-byte BinaryType (lexicographic compare == numeric compare).
+- CIDRv4 → struct<addr:long, mask:int>.
+
+All helpers are built-in expression compositions (bit math stays inside
+whole-stage codegen); nothing here needs a UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# IPv4
+# ---------------------------------------------------------------------------
+
+
+def ipv4_to_string(ip: Column) -> Column:
+    """Dotted-quad text of a long-encoded IPv4 (src/RamenIpv4.ml)."""
+    return F.concat_ws(
+        ".",
+        ((ip / (1 << 24)) % 256).cast("long").cast("string"),
+        ((ip / (1 << 16)) % 256).cast("long").cast("string"),
+        ((ip / (1 << 8)) % 256).cast("long").cast("string"),
+        (ip % 256).cast("long").cast("string"),
+    )
+
+
+def string_to_ipv4(s: Column) -> Column:
+    """Parse dotted-quad → long; NULL on malformed input."""
+    p = F.split(s, r"\.")
+    ok = (F.size(p) == 4) & s.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    val = (
+        F.element_at(p, 1).cast("long") * (1 << 24)
+        + F.element_at(p, 2).cast("long") * (1 << 16)
+        + F.element_at(p, 3).cast("long") * (1 << 8)
+        + F.element_at(p, 4).cast("long")
+    )
+    in_range = (
+        (F.element_at(p, 1).cast("int") <= 255)
+        & (F.element_at(p, 2).cast("int") <= 255)
+        & (F.element_at(p, 3).cast("int") <= 255)
+        & (F.element_at(p, 4).cast("int") <= 255)
+    )
+    return F.when(ok & in_range, val)
+
+
+def ip_family(ip_struct: Column) -> Column:
+    """IPFAMILY — 4 or 6 (doc/raql/expr.ml:385); takes the sum-type
+    struct<version, v4, v6> encoding of Ip."""
+    return ip_struct.getField("version")
+
+
+# ---------------------------------------------------------------------------
+# CIDR (v4) — struct<addr:long, mask:int>
+# ---------------------------------------------------------------------------
+
+
+def cidr_v4(addr: Column, mask: Column | int) -> Column:
+    mask = mask if isinstance(mask, Column) else F.lit(mask)
+    return F.struct(addr.cast("long").alias("addr"), mask.cast("int").alias("mask"))
+
+
+def begin_of_range(cidr: Column) -> Column:
+    """BEGINOFRANGE cidr (raql_expr.type:130, CodeGenLib.ml:1085)."""
+    addr, mask = cidr.getField("addr"), cidr.getField("mask")
+    block = F.pow(F.lit(2.0), (32 - mask).cast("double")).cast("long")
+    return (F.floor(addr / block) * block).cast("long")
+
+
+def end_of_range(cidr: Column) -> Column:
+    """ENDOFRANGE cidr — last address of the block (CodeGenLib.ml:1088)."""
+    addr, mask = cidr.getField("addr"), cidr.getField("mask")
+    block = F.pow(F.lit(2.0), (32 - mask).cast("double")).cast("long")
+    return (F.floor(addr / block) * block + block - 1).cast("long")
+
+
+def cidr_contains(cidr: Column, ip: Column) -> Column:
+    """``ip IN cidr`` membership (doc/raql/expr.ml:626 'IP IN CIDR')."""
+    return (ip >= begin_of_range(cidr)) & (ip <= end_of_range(cidr))
+
+
+# ---------------------------------------------------------------------------
+# Eth
+# ---------------------------------------------------------------------------
+
+
+def eth_to_string(mac: Column) -> Column:
+    """48-bit long → 'aa:bb:cc:dd:ee:ff' (src/RamenEthAddr.ml)."""
+    hx = F.lpad(F.lower(F.hex(mac)), 12, "0")
+    return F.concat_ws(
+        ":", *[F.substring(hx, i, 2) for i in (1, 3, 5, 7, 9, 11)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# GeoIP: COUNTRYCODE (doc/raql/expr.ml:366, src/CountryOfIp.ml)
+# ---------------------------------------------------------------------------
+
+
+def countrycode_join(df: DataFrame, ip_col: str, ranges: DataFrame, out_col: str = "country") -> DataFrame:
+    """COUNTRYCODE ip — range lookup via broadcast interval join.
+
+    ``ranges`` has (ip_from, ip_to, cc) like the reference's bundled
+    IpToCountry.csv (src/CountryOfIp.ml:1-17). The range table is small
+    (~200k rows) → broadcast; the range predicate is evaluated
+    map-side, so this scales to any fact-table size without a shuffle.
+    """
+    r = F.broadcast(ranges)
+    cond = (F.col(ip_col) >= r["ip_from"]) & (F.col(ip_col) <= r["ip_to"])
+    return df.join(r, cond, "left").withColumnRenamed("cc", out_col).drop("ip_from", "ip_to")

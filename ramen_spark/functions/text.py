@@ -1,0 +1,234 @@
+"""Text-analysis primitives for large-scale document pipelines.
+
+These are the column-level building blocks the dedup / quality /
+language-id operators (ramen_spark.operators.dedup, __spark_entry__
+queries) compose. Everything is built-in pyspark functions — the hash
+primitives intentionally use ``md5`` (available verbatim in DuckDB too)
+so every operator built on them has an exact cross-engine oracle.
+
+Scale notes: all helpers are row-local expressions → embarrassingly
+parallel, no shuffle, stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization & counting
+# ---------------------------------------------------------------------------
+
+# BPE-ish word/number/punct splitter: letters+digits runs, or single
+# non-space symbol — a reasonable proxy for subword token count.
+TOKEN_REGEX = r"[A-Za-z0-9]+|[^\sA-Za-z0-9]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace-and-punctuation tokenizer → array<string>."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (cheap, exact in SQL oracles)."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Regex token count approximating a BPE tokenizer's granularity."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring (length / punctuation / stopword ratios)
+# ---------------------------------------------------------------------------
+
+STOPWORDS_EN = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(n > 0, sw.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.octet_length(text)
+    p = F.octet_length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    return F.when(n > 0, p.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite heuristic quality in [0,1]: rewards moderate length,
+    presence of stopwords, sane word lengths; punishes punctuation
+    spam. Deterministic and SQL-expressible (oracle-checkable)."""
+    ln = F.octet_length(text).cast("double")
+    len_score = F.least(ln / F.lit(200.0), F.lit(1.0))
+    sw_score = F.least(stopword_ratio(text) * 4, F.lit(1.0))
+    wl = mean_word_length(text)
+    wl_score = F.when((wl >= 3) & (wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 3)
+    return F.round((len_score + sw_score + wl_score + punct_pen) / 4, 6)
+
+
+# ---------------------------------------------------------------------------
+# language id (n-gram / marker-word heuristic)
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS = {
+    # marker words chosen to be mutually exclusive across the langs the
+    # synthetic corpus carries (en/de/fr/es + whatever else appears).
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ein", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans", "pour"),
+    "es": ("el", "los", "las", "es", "una", "para", "con", "por"),
+    "en": ("the", "a", "and", "is", "of", "to", "in", "it"),
+}
+
+
+def lang_marker_hits(text: Column, lang: str) -> Column:
+    toks = tokens(F.lower(text))
+    return F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang])))
+
+
+def detect_language(text: Column, default: str = "en") -> Column:
+    """Pick the language whose marker set hits most; ties broken by
+    the fixed order de>fr>es>en, default when nothing hits."""
+    hits = {lang: lang_marker_hits(text, lang) for lang in LANG_MARKERS}
+    best = F.lit(default)
+    best_n = F.lit(0)
+    # evaluate in reverse priority so earlier langs win ties via >
+    for lang in reversed(list(LANG_MARKERS)):
+        cond = hits[lang] > best_n
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_n = F.when(cond, hits[lang]).otherwise(best_n)
+    return best
+
+
+# ---------------------------------------------------------------------------
+# fingerprints & hashing (md5-based → DuckDB-oracle-exact)
+# ---------------------------------------------------------------------------
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for exact/near dedup: lowercase, collapse
+    whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (hex string).
+
+    md5 (not xxhash64) so DuckDB computes the identical value — the
+    cross-engine correctness gate hashes actual values.
+    """
+    return F.md5(normalized_text(text))
+
+
+def word_shingles_of_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a token-array COLUMN.
+
+    IMPORTANT: pass a projected attribute (a column materialized by a
+    previous select), not an inline expression — the lambda below
+    references ``toks`` k times, and Catalyst inlines (re-evaluates)
+    complex argument expressions per array element. Staging the
+    tokens first makes shingle construction O(1) per shingle instead
+    of re-splitting the document (measured ~10× on sf0.1 documents).
+    """
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]))
+    return F.array_distinct(sh)
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of the normalized text → array<string>.
+    Row-local convenience form; prefer staging tokens via
+    ``word_shingles_of_tokens`` in hot paths (see its docstring)."""
+    return word_shingles_of_tokens(F.split(normalized_text(text), " "), k)
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """Distinct character n-grams → array<string>."""
+    s = normalized_text(text)
+    ln = F.length(s)
+    idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(n))))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as array<string>: element i = min over
+    shingles of md5(i || ':' || shingle).
+
+    Using the lexicographic min of salted md5 hex digests gives k
+    independent 'permutations' with the usual MinHash guarantee
+    (P[minhash_i equal] = Jaccard), while staying exactly reproducible
+    in DuckDB SQL for the oracle. Row-local → no shuffle.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Band the signature for LSH: array of 'band_idx:md5(joined rows)'
+    bucket keys. Docs sharing any bucket key are near-dup candidates."""
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.md5(F.concat_ws("|", *[F.element_at(signature, b * rows_per_band + r + 1) for r in range(rows_per_band)])),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def simhash(shingles: Column, bits: int = 48) -> Column:
+    """SimHash of a shingle/token set (default 48-bit, fits a signed
+    long exactly), via md5-derived bits.
+
+    For each bit position, count shingles whose md5 nibble has that bit
+    set; majority vote → bit set in the signature. Built entirely from
+    higher-order functions; md5 keeps it DuckDB-reproducible.
+    """
+    hexdig = "0123456789abcdef"
+
+    def bit_of(h: Column, bit: int) -> Column:
+        ch = F.substring(h, bit // 4 + 1, 1)
+        nib = F.instr(F.lit(hexdig), ch) - 1
+        return F.when(nib.bitwiseAND(F.lit(8 >> (bit % 4))) > 0, F.lit(1)).otherwise(F.lit(-1))
+
+    hashes = F.transform(shingles, lambda s: F.md5(s))
+
+    def make_merge(b: int):
+        return lambda a, h: a + bit_of(h, b)
+
+    acc = F.lit(0).cast("long")
+    for bit in range(bits):
+        votes = F.aggregate(hashes, F.lit(0), make_merge(bit))
+        acc = acc + F.when(votes > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+    return acc
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit values stored as longs."""
+    x = a.bitwiseXOR(b)
+    return F.bit_count(x)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two string arrays (assumed distinct)."""
+    inter = F.size(F.array_intersect(a, b))
+    un = F.size(F.array_union(a, b))
+    return F.when(un > 0, inter.cast("double") / un).otherwise(F.lit(0.0))

@@ -1,0 +1,19 @@
+"""Operator library.
+
+- ``aggregate``  : RaQL's Aggregate operation — the general
+                   COMMIT/FLUSH stateful engine + the native
+                   tumbling-window fast path (SURVEY §2.2).
+- ``windows``    : event-time tumbling/sliding windows, timeseries
+                   regular-grid bucketing, EVERY clock.
+- ``series``     : ordered stateful functions (LAG, SMOOTH, MOVEAVG,
+                   DERIVE, HYSTERESIS, ONE OUT OF, PAST, SAMPLE ...)
+                   as window expressions / grouped pandas folds.
+- ``topk``       : TOP n heavy hitters (exact + decayed) and
+                   LARGEST/SMALLEST/LATEST.
+- ``dedup``      : exact + near-duplicate detection (minhash-LSH,
+                   simhash, n-gram jaccard, embedding cosine).
+- ``similarity`` : ANN search over embedding columns (brute-force
+                   top-k baseline, LSH-bucketed scale path).
+- ``multimodal`` : binary media columns — schema, batch plumbing,
+                   stubbed decoders.
+"""

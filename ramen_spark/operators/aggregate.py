@@ -1,0 +1,153 @@
+"""RaQL's ``Aggregate`` operation, Spark-first.
+
+The reference's one-size-fits-all operation (SURVEY §2.1-2.2; runtime
+loop src/CodeGenLib_Skeletons.ml:433-960) is: per input tuple —
+where → group lookup → update group state → evaluate COMMIT condition →
+emit output tuple → FLUSH or KEEP the group.
+
+Two implementations:
+
+1. **Native fast path** (``tumbling_aggregate``): the overwhelmingly
+   common commit shape ``GROUP BY key, time//dt + COMMIT AFTER
+   in.time > out.time + slack`` is exactly a tumbling event-time
+   window. We lower it to ``groupBy(key, floor(time/dt))`` — pure
+   Catalyst: map-side partial aggregation, one shuffle on
+   (key, bucket), AQE-sized reducers. This is the plan that survives
+   100 TB; it is what bench.py measures.
+
+2. **General engine** (``commit_aggregate``): arbitrary commit
+   conditions over (current input, group state, group's previous
+   output) — semantics Catalyst can't express (emission interleaved
+   with accumulation, KEEP vs FLUSH, COMMIT BEFORE re-seeding the
+   group). Implemented as an ordered fold per group key via
+   ``applyInPandas``: one shuffle on the group key, then a sequential
+   scan within each group (this is inherent — the reference is a
+   single-threaded loop; we get distribution ACROSS groups for free).
+   ``global_last``-style cross-group state requires a single group and
+   is documented as the sequential corner.
+
+Reference parity notes:
+- COMMIT AFTER (default true → emit per input): src/RamenOperation.ml:857.
+- COMMIT BEFORE emits the pre-update aggregate, then restarts the
+  group seeded with the current tuple: src/CodeGenLib_Skeletons.ml:620-695.
+- FLUSH destroys group state after commit; KEEP retains it
+  (src/raql_flush_method.type).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# fast path: tumbling event-time window
+# ---------------------------------------------------------------------------
+
+
+def time_bucket(time_col: Column, width_seconds: float) -> Column:
+    """``time // dt`` — the reference's idiomatic window key
+    (e.g. the KSQL-benchmark query groups on
+    ``capture_begin // 60_000_000`` — site/blog/2019-02.php)."""
+    return F.floor(time_col.cast("double") / F.lit(width_seconds))
+
+
+def tumbling_aggregate(
+    df: DataFrame,
+    keys: list[str | Column],
+    time_col: str | Column,
+    width_seconds: float,
+    aggs: list[Column],
+    where: Column | None = None,
+) -> DataFrame:
+    """GROUP BY keys + time//dt — the native lowering of
+    ``COMMIT AFTER in.time > out.time + dt`` tumbling windows.
+
+    Catalyst gives partial (map-side) aggregation before the single
+    shuffle on (keys, bucket); filters passed via ``where`` are pushed
+    into the scan.
+    """
+    time_col = F.col(time_col) if isinstance(time_col, str) else time_col
+    if where is not None:
+        df = df.filter(where)
+    bucket = time_bucket(time_col, width_seconds).alias("time_bucket")
+    key_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    return df.groupBy(*key_cols, bucket).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# general engine: ordered fold with COMMIT/FLUSH semantics
+# ---------------------------------------------------------------------------
+
+State = dict[str, Any]
+Row = dict[str, Any]
+
+
+def commit_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    init_state: Callable[[], State],
+    update: Callable[[State, Row], None],
+    finalize: Callable[[State, Row, Row | None], Row],
+    commit_cond: Callable[[State, Row, Row | None], bool],
+    output_schema: str,
+    commit_before: bool = False,
+    flush: bool = True,
+) -> DataFrame:
+    """General COMMIT engine (batch).
+
+    Per group (shuffled once on ``key_cols``), rows are folded in
+    ``order_col`` order:
+
+    - AFTER (default): update state with the row, evaluate
+      ``commit_cond(state, row, previous_out)``; on True emit
+      ``finalize(state, row, previous_out)`` and (if ``flush``) reset
+      state.
+    - BEFORE: evaluate the condition first; on True emit the
+      *pre-update* aggregate, reset the group, then accumulate the
+      current row into the fresh state
+      (src/CodeGenLib_Skeletons.ml:620-646 semantics).
+
+    ``previous_out`` is the group's last committed output (RaQL's
+    ``previous`` / ``local_last`` namespace, src/raql_variable.type).
+
+    This is the slow general path by design — Python per row, but one
+    shuffle total and parallel across groups. Lower to
+    ``tumbling_aggregate`` whenever the commit shape allows.
+    """
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="stable")
+        out_rows: list[Row] = []
+        state = init_state()
+        previous: Row | None = None
+        for row in pdf.to_dict("records"):
+            if commit_before:
+                if commit_cond(state, row, previous):
+                    out = finalize(state, row, previous)
+                    out_rows.append(out)
+                    previous = out
+                    state = init_state()
+                update(state, row)
+            else:
+                update(state, row)
+                if commit_cond(state, row, previous):
+                    out = finalize(state, row, previous)
+                    out_rows.append(out)
+                    previous = out
+                    if flush:
+                        state = init_state()
+        return pd.DataFrame(out_rows) if out_rows else pd.DataFrame(
+            {f.split(" ")[0].strip(): pd.Series(dtype="object") for f in output_schema.split(",")}
+        )
+
+    if key_cols:
+        # groupBy+applyInPandas = exactly one shuffle on the key
+        return df.groupBy(*key_cols).applyInPandas(fold, schema=output_schema)
+    # single global group (reference: no GROUP BY ⇒ one group) —
+    # inherently sequential, matches the reference's execution model
+    return df.groupBy(F.lit(1).alias("_g")).applyInPandas(fold, schema=output_schema)

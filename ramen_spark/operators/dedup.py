@@ -1,0 +1,207 @@
+"""Deduplication operators for document-scale pipelines.
+
+Not in the reference's surface (closest: DISTINCT doc/raql/expr.ml:816
+and REMEMBER's bloom dedup src/RamenBloomFilter.ml) — these are the
+training-data-pipeline extensions, designed shuffle-first:
+
+- exact            : hash-groupBy on a fingerprint — 1 shuffle.
+- minhash LSH      : shingle → k minhashes → b bands → explode bands →
+                     self-join on band bucket. The join key is the LSH
+                     bucket, so candidate pairs ≈ actual near-dups, not
+                     O(N²); verified with exact Jaccard on signatures.
+- simhash          : 48-bit signature; near-dup = hamming ≤ r via
+                     banding on signature chunks (exact for r < chunks).
+- n-gram jaccard   : exact verified similarity on LSH candidates.
+- embedding cosine : see operators.similarity (shared machinery).
+
+All hash primitives are md5-based (functions.text) so DuckDB can
+reproduce every value for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ramen_spark.functions import text as Tx
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized-text fingerprint: keep the lowest-id
+    doc per fingerprint. One shuffle on the (md5) fingerprint — at
+    100 TB this is the canonical first pass; the fingerprint is 32
+    bytes regardless of document size, so shuffle volume is tiny."""
+    fp = Tx.fingerprint(F.col(text_col)).alias("fp")
+    return (
+        df.select(F.col(id_col), fp)
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """doc → array<string> MinHash signature.
+
+    Shape chosen for scale AND single-node speed: explode shingles to
+    rows, then ONE groupBy(doc) computing the k salted-md5 minima as
+    map-side partial aggregates. Each md5 is computed exactly once
+    (the naive array<higher-order-fn> form re-evaluates the shingle
+    array per hash — measured 20× slower at sf0.1), and the shuffle
+    carries only k×32 bytes per doc. Docs too short for one shingle
+    disappear at the explode (no signal; matches the set-based
+    oracle)."""
+    toks = df.select(
+        F.col(id_col), F.split(Tx.normalized_text(F.col(text_col)), " ").alias("_toks")
+    )
+    rows = toks.select(
+        F.col(id_col),
+        F.explode(Tx.word_shingles_of_tokens(F.col("_toks"), shingle_k)).alias("_s"),
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_s")))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        rows.groupBy(id_col)
+        .agg(*mins)
+        .select(F.col(id_col), F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    min_sig_agreement: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    Plan shape: row-local signature computation → explode to ``bands``
+    rows per doc → self-join on the band bucket key (equi-join, so
+    Catalyst shuffles both sides on the 32-byte bucket hash — never a
+    cartesian) → distinct pairs → verify by exact signature agreement
+    (estimate of Jaccard). Survives scale because candidate volume is
+    governed by collision probability, not N².
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, shingle_k, num_hashes)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(Tx.lsh_bands(F.col("sig"), bands, rows_per_band)).alias("bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, on="bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        pairs.withColumn("est_jaccard", agree.cast("double") / F.lit(float(num_hashes)))
+        .filter(F.col("est_jaccard") >= min_sig_agreement)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+    lsh_num_hashes: int = 16,
+    lsh_bands: int = 8,
+) -> DataFrame:
+    """Exact n-gram Jaccard over LSH-generated candidates: the LSH pass
+    prunes to near-pairs, then exact set Jaccard on the shingle arrays
+    confirms. Two shuffles total (bucket join + pair dedup); the exact
+    verify is row-local."""
+    cands = minhash_lsh_pairs(
+        df, text_col, id_col, shingle_k, lsh_num_hashes, lsh_bands, min_sig_agreement=0.0
+    ).select("id_a", "id_b")
+    sh = df.select(
+        F.col(id_col), Tx.word_shingles(F.col(text_col), shingle_k).alias("shingles")
+    )
+    out = (
+        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn("jaccard", F.round(Tx.jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 48,
+    chunks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the ``bits``-bit signature into
+    ``chunks`` chunks; any pair within hamming ≤ chunks-1 shares at
+    least one exact chunk (pigeonhole) → equi-join per chunk, then
+    exact hamming verify. Requires max_hamming < chunks for
+    completeness."""
+    sig = df.select(
+        F.col(id_col), Tx.simhash(Tx.word_shingles(F.col(text_col), 3), bits).alias("sig")
+    )
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    chunked = sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(i),
+                        F.shiftright(F.col("sig"), i * chunk_bits).bitwiseAND(F.lit(mask)).cast("string"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("chunk_key"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    pairs = (
+        a.join(b, "chunk_key")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("hamming", Tx.hamming64(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

