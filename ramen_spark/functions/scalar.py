@@ -100,8 +100,9 @@ def hash64(x: Column) -> Column:
 
     Uses xxhash64: deterministic across runs/cluster but different
     values than the reference's OCaml Hashtbl.hash (documented delta).
+    HASH NULL = NULL (doc:284; xxhash64 alone would return the seed).
     """
-    return F.xxhash64(x)
+    return F.when(x.isNull(), F.lit(None)).otherwise(F.xxhash64(x))
 
 
 def uuid_of_u128(hi: Column, lo: Column) -> Column:
@@ -131,17 +132,28 @@ def chr_(x: Column) -> Column:
 
 
 def div(a: Column, b: Column) -> Column:
-    """``/`` — always float; 0/0 → NULL (doc/raql/expr.ml:464)."""
+    """``/`` — always float; 0/0 → NULL, x/0 → ±Inf
+    (doc/raql/expr.ml:464: "84/2"→42, "1/0"→Inf, "0/0"→NULL)."""
     a = a.cast("double")
     b = b.cast("double")
-    return F.when((a == 0) & (b == 0), F.lit(None)).otherwise(
-        F.when(b == 0, F.lit(None)).otherwise(a / b)
+    return (
+        F.when((a == 0) & (b == 0), F.lit(None))
+        .when(b == 0, F.signum(a) * F.lit(float("inf")))
+        .otherwise(a / b)
     )
 
 
 def idiv(a: Column, b: Column) -> Column:
-    """``//`` — floored integer division (doc/raql/expr.ml:475)."""
+    """``//`` on floats — floored division (doc/raql/expr.ml:475
+    "10.5//3.1"→3; floats round toward −∞)."""
     return F.floor(a.cast("double") / b.cast("double"))
+
+
+def idiv_int(a: Column, b: Column) -> Column:
+    """``//`` on integers — truncates toward 0 like OCaml's ``/``
+    (doc/raql/expr.ml:475 "-10//3"→-3). Long cast of the double
+    quotient truncates toward zero (exact below 2^53)."""
+    return (a.cast("double") / b.cast("double")).cast("long")
 
 
 def mod(a: Column, b: Column) -> Column:
@@ -157,10 +169,12 @@ def truncate(x: Column, m: Column | float = 1.0) -> Column:
 
 
 def reldiff(a: Column, b: Column) -> Column:
-    """RELDIFF(a,b) — relative difference in [0,1] (doc/raql/expr.ml:511)."""
+    """RELDIFF(a,b) = |a-b| / max(|a|,|b|), 0 when both are 0
+    (src/RamenHelpersNoLog.ml:36-39; doc/raql/expr.ml:511 —
+    RELDIFF(1,-10)=1.1, so the result may exceed 1)."""
     d = F.abs(a - b)
-    mx = F.greatest(F.abs(a), F.abs(b), d)
-    return F.when(d == 0, F.lit(0.0)).otherwise(d / mx)
+    scale = F.greatest(F.abs(a), F.abs(b))
+    return F.when(scale == 0, F.lit(0.0)).otherwise(d.cast("double") / scale)
 
 
 def string_repeat(s: Column, n: Column) -> Column:
@@ -265,7 +279,7 @@ def format_time(fmt: str, t: Column) -> Column:
 def parse_time(s: Column, fmts: tuple[str, ...] = ("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd")) -> Column:
     """PARSE_TIME — string → float unix seconds, NULL if unparseable
     (doc/raql/expr.ml:291). Tries formats in order like at(1)."""
-    candidates = [F.unix_timestamp(F.to_timestamp(s, f)).cast("double") for f in fmts]
+    candidates = [F.unix_timestamp(F.try_to_timestamp(s, F.lit(f))).cast("double") for f in fmts]
     return F.coalesce(*candidates)
 
 

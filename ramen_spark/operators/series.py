@@ -77,10 +77,11 @@ def distinct_flag(col: str, keys: list[str], order_col: str) -> Column:
 def past_values(col: str, d_seconds: float, time_col: str, keys: list[str]) -> Column:
     """PAST d OF x (sliding) — array of the last d seconds' values
     (raql_expr.type:347, CodeGenLib.ml:600-679)."""
+    # rangeBetween takes integer bounds → order on integer microseconds
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(time_col).cast("double"))
-        .rangeBetween(-d_seconds, 0)
+        .orderBy((F.col(time_col).cast("double") * 1000000).cast("long"))
+        .rangeBetween(-int(d_seconds * 1000000), 0)
     )
     return F.collect_list(col).over(w)
 

@@ -1,0 +1,147 @@
+"""General COMMIT/FLUSH engine semantics (operators.aggregate) —
+parity with the reference's windowing model (SURVEY §2.2 COMMIT row;
+runtime src/CodeGenLib_Skeletons.ml:620-695):
+
+- COMMIT AFTER + FLUSH: emit when cond holds, reset group.
+- COMMIT AFTER + KEEP: emit, retain state (running totals).
+- COMMIT BEFORE: emit the PRE-update aggregate, reseed with the
+  current tuple.
+- ``previous`` (= local_last): the group's last committed output is
+  visible to conditions/finalizers.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ramen_spark.operators.aggregate import commit_aggregate, tumbling_aggregate
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    # (key, seq, x): two keys, 6 tuples each, x = seq
+    rows = [(k, i, float(i)) for k in ("a", "b") for i in range(6)]
+    return spark.createDataFrame(rows, "k string, seq long, x double")
+
+
+def _run(stream, **kw):
+    base = dict(
+        key_cols=["k"],
+        order_col="seq",
+        init_state=lambda: {"n": 0, "sum": 0.0},
+        output_schema="k string, n long, sum double",
+    )
+    base.update(kw)
+
+    def update(st, row):
+        st["n"] += 1
+        st["sum"] += row["x"]
+
+    base.setdefault("update", update)
+    base.setdefault(
+        "finalize", lambda st, row, prev: {"k": row["k"], "n": st["n"], "sum": st["sum"]}
+    )
+    return commit_aggregate(stream, **base)
+
+
+def test_commit_after_every_3_flush(stream):
+    # commit when the group holds 3 tuples, flush → 2 windows per key
+    out = _run(stream, commit_cond=lambda st, row, prev: st["n"] >= 3)
+    rows = {(r["k"], r["sum"]) for r in out.collect()}
+    # windows: seq 0,1,2 (sum 3) and 3,4,5 (sum 12) per key
+    assert rows == {("a", 3.0), ("a", 12.0), ("b", 3.0), ("b", 12.0)}
+
+
+def test_commit_after_keep_running_totals(stream):
+    # KEEP: state never reset → running totals at every 2nd tuple
+    out = _run(stream, commit_cond=lambda st, row, prev: st["n"] % 2 == 0, flush=False)
+    a = sorted(r["sum"] for r in out.collect() if r["k"] == "a")
+    # after seq1: 0+1=1; seq3: +2+3=6; seq5: +4+5=15
+    assert a == [1.0, 6.0, 15.0]
+
+
+def test_commit_before_emits_pre_update(stream):
+    # BEFORE with cond 'group full (3)' → emits the 3-tuple aggregate
+    # when the 4th arrives, group reseeded with the 4th
+    out = _run(
+        stream,
+        commit_before=True,
+        commit_cond=lambda st, row, prev: st["n"] >= 3,
+    )
+    a = sorted(r["sum"] for r in out.collect() if r["k"] == "a")
+    # first emit on arrival of seq3: sum(0,1,2)=3; then seq 3,4,5
+    # accumulate; no further arrival → window (3,4,5) never emits
+    assert a == [3.0]
+
+
+def test_previous_visible_to_condition(stream):
+    # commit when sum exceeds previous committed sum by > 5 (previous
+    # starts NULL → treat as 0)
+    def cond(st, row, prev):
+        prev_sum = prev["sum"] if prev else 0.0
+        return st["sum"] - prev_sum > 5
+
+    out = _run(stream, commit_cond=cond, flush=False)
+    a = [r["sum"] for r in sorted(out.collect(), key=lambda r: r["sum"]) if r["k"] == "a"]
+    # running sums: 0,1,3,6,10,15 → emit at 6 (Δ6>5) then 15 (Δ9>5)
+    assert a == [6.0, 15.0]
+
+
+def test_single_global_group(spark):
+    rows = [(i, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "seq long, x double")
+    out = commit_aggregate(
+        df,
+        key_cols=[],
+        order_col="seq",
+        init_state=lambda: {"n": 0, "sum": 0.0},
+        update=lambda st, row: (st.__setitem__("n", st["n"] + 1), st.__setitem__("sum", st["sum"] + row["x"]))[0],
+        finalize=lambda st, row, prev: {"n": st["n"], "sum": st["sum"]},
+        commit_cond=lambda st, row, prev: st["n"] >= 10,
+        output_schema="n long, sum double",
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["sum"] == 45.0
+
+
+def test_tumbling_fast_path_equals_general_engine(spark):
+    """The native tumbling lowering and the general COMMIT engine agree
+    on 'GROUP BY k, t//10 with full windows' — the lowering contract
+    of SURVEY §4 (custom work item 3)."""
+    rows = [(("a", "b")[i % 2], float(i), 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, t double, v double")
+
+    fast = tumbling_aggregate(
+        df, ["k"], "t", 10.0, [F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")]
+    )
+    fast_rows = {(r["k"], r["time_bucket"], r["s"], r["n"]) for r in fast.collect()}
+
+    def update(st, row):
+        st.setdefault("rows", []).append(row)
+
+    def fin(st, row, prev):
+        b = int(st["rows"][0]["t"] // 10)
+        return {"k": row["k"], "time_bucket": b, "s": sum(r["v"] for r in st["rows"]),
+                "n": len(st["rows"])}
+
+    # emit when the next tuple crosses the bucket boundary (COMMIT
+    # BEFORE in.t >= bucket_end) — plus drain-at-end for the last open
+    # window, which the general engine models as end-of-stream flush:
+    # here every bucket fills completely so BEFORE-at-boundary covers
+    # all but the final bucket per key; assert containment.
+    gen = commit_aggregate(
+        df,
+        key_cols=["k"],
+        order_col="t",
+        init_state=dict,
+        update=update,
+        finalize=fin,
+        commit_cond=lambda st, row, prev: bool(st.get("rows")) and row["t"] // 10 > st["rows"][0]["t"] // 10,
+        commit_before=True,
+        output_schema="k string, time_bucket long, s double, n long",
+    )
+    gen_rows = {(r["k"], r["time_bucket"], r["s"], r["n"]) for r in gen.collect()}
+    assert gen_rows <= fast_rows
+    # everything except the last open window per key is emitted
+    assert len(gen_rows) == len(fast_rows) - 2

@@ -1,0 +1,143 @@
+"""Stateful series operators (operators.series) — semantics pinned
+against hand-computed expectations mirroring the reference's
+definitions (doc/raql/expr.ml sections 05/07)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ramen_spark.operators import series as Ser
+from ramen_spark.operators import topk as TopK
+
+
+@pytest.fixture(scope="module")
+def ts(spark):
+    rows = [("a", float(i), v) for i, v in enumerate([10.0, 20.0, 30.0, 40.0, 50.0])]
+    rows += [("b", float(i), v) for i, v in enumerate([5.0, 5.0, 5.0])]
+    return spark.createDataFrame(rows, "k string, t double, v double")
+
+
+def test_lag(ts):
+    out = ts.select("k", "t", Ser.lag("v", 1, ["k"], "t").alias("l")).collect()
+    m = {(r["k"], r["t"]): r["l"] for r in out}
+    assert m[("a", 0.0)] is None and m[("a", 1.0)] == 10.0 and m[("a", 4.0)] == 40.0
+
+
+def test_moveavg(ts):
+    out = ts.select("k", "t", Ser.moveavg("v", 3, ["k"], "t").alias("ma")).collect()
+    m = {(r["k"], r["t"]): r["ma"] for r in out}
+    assert m[("a", 0.0)] == 10.0  # partial window
+    assert m[("a", 2.0)] == 20.0
+    assert m[("a", 4.0)] == 40.0
+
+
+def test_derive(ts):
+    out = ts.select("k", "t", Ser.derive("v", "t", ["k"], "t").alias("d")).collect()
+    m = {(r["k"], r["t"]): r["d"] for r in out}
+    assert m[("a", 0.0)] is None and m[("a", 1.0)] == 10.0
+
+
+def test_season_moveavg(spark):
+    # SEASON-MOVEAVG(2,2): mean of v(t-2), v(t-4) — tests/func/season.ramen shape
+    rows = [("a", float(i), float(i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "k string, t double, v double")
+    out = df.select("t", Ser.season_moveavg("v", 2, 2, ["k"], "t").alias("s")).collect()
+    m = {r["t"]: r["s"] for r in out}
+    assert m[0.0] is None  # no lags yet
+    assert m[2.0] == 0.0  # only lag(2)=v0
+    assert m[4.0] == 1.0  # mean(v2, v0) = (2+0)/2
+    assert m[5.0] == 2.0  # mean(v3, v1)
+
+
+def test_one_out_of(ts):
+    out = ts.select("k", "t", Ser.one_out_of("v", 2, ["k"], "t").alias("o")).collect()
+    a = [r["o"] for r in sorted(out, key=lambda r: (r["k"], r["t"])) if r["k"] == "a"]
+    assert a == [10.0, None, 30.0, None, 50.0]
+
+
+def test_distinct_flag(spark):
+    rows = [("a", 0.0, "x"), ("a", 1.0, "y"), ("a", 2.0, "x"), ("a", 3.0, "z")]
+    df = spark.createDataFrame(rows, "k string, t double, s string")
+    out = df.select("t", Ser.distinct_flag("s", ["k"], "t").alias("d")).collect()
+    m = {r["t"]: r["d"] for r in out}
+    assert m == {0.0: True, 1.0: True, 2.0: False, 3.0: True}
+
+
+def test_smooth_ewma(spark, ts):
+    out = Ser.smooth(ts, "v", 0.5, ["k"], "t").collect()
+    a = [r["smoothed"] for r in sorted(out, key=lambda r: (r["k"], r["t"])) if r["k"] == "a"]
+    # s0=10; s1=.5*20+.5*10=15; s2=.5*30+.5*15=22.5 ...
+    assert a[:3] == [10.0, 15.0, 22.5]
+
+
+def test_hysteresis(spark):
+    # accept=5, max=10 (rising): ok until v>10, back when v<=5
+    rows = [("a", float(i), v) for i, v in enumerate([3.0, 11.0, 7.0, 4.0, 8.0])]
+    df = spark.createDataFrame(rows, "k string, t double, v double")
+    out = Ser.hysteresis(df, "v", accept=5.0, maximum=10.0, keys=["k"], order_col="t").collect()
+    flags = [r["in_range"] for r in sorted(out, key=lambda r: r["t"])]
+    assert flags == [True, False, False, True, True]
+
+
+def test_remember_refresh_vs_recall(spark):
+    # value 'x' at t=0, 5, 9 with duration 6:
+    # REMEMBER (refresh): t5 seen (5-0<=6), t9 seen (9-5<=6)
+    # RECALL (no refresh): t5 seen, t9 NOT seen (9-0>6)
+    rows = [("a", 0.0, "x"), ("a", 5.0, "x"), ("a", 9.0, "x")]
+    df = spark.createDataFrame(rows, "k string, t double, s string")
+    rem = Ser.remember(df, "s", "t", 6.0, ["k"], refresh=True).collect()
+    rec = Ser.remember(df, "s", "t", 6.0, ["k"], refresh=False).collect()
+    rem_flags = [r["seen_before"] for r in sorted(rem, key=lambda r: r["t"])]
+    rec_flags = [r["seen_before"] for r in sorted(rec, key=lambda r: r["t"])]
+    assert rem_flags == [False, True, True]
+    assert rec_flags == [False, True, False]
+
+
+def test_reservoir_sample_size_and_determinism(spark):
+    rows = [("a", i) for i in range(100)] + [("b", i) for i in range(3)]
+    df = spark.createDataFrame(rows, "k string, i long")
+    s1 = {(r["k"], r["i"]) for r in Ser.reservoir_sample(df, 10, ["k"]).collect()}
+    s2 = {(r["k"], r["i"]) for r in Ser.reservoir_sample(df, 10, ["k"]).collect()}
+    assert s1 == s2  # deterministic
+    assert sum(1 for k, _ in s1 if k == "a") == 10
+    assert sum(1 for k, _ in s1 if k == "b") == 3  # group smaller than n
+
+
+def test_past_values(spark):
+    rows = [("a", float(t), float(t)) for t in [0, 1, 2, 5, 6]]
+    df = spark.createDataFrame(rows, "k string, t double, v double")
+    out = df.select("t", Ser.past_values("v", 2.0, "t", ["k"]).alias("p")).collect()
+    m = {r["t"]: sorted(r["p"]) for r in out}
+    assert m[2.0] == [0.0, 1.0, 2.0]
+    assert m[5.0] == [5.0]
+    assert m[6.0] == [5.0, 6.0]
+
+
+def test_damped_holt_runs(spark, ts):
+    out = Ser.damped_holt(ts, "v", 0.5, 0.3, 0.9, ["k"], "t")
+    assert out.count() == 8 and "holt" in out.columns
+
+
+def test_largest(spark):
+    rows = [("a", i, float(100 - i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, i long, w double")
+    top = TopK.largest(df, 3, by=["w"], keys=["k"])
+    assert sorted(r["i"] for r in top.collect()) == [0, 1, 2]
+    bottom = TopK.largest(df, 2, by=["w"], keys=["k"], smallest=True)
+    assert sorted(r["i"] for r in bottom.collect()) == [8, 9]
+    but = TopK.largest(df, 2, by=["w"], keys=["k"], but=1)
+    assert sorted(r["i"] for r in but.collect()) == [1, 2]
+
+
+def test_top_list_and_rank(spark):
+    rows = [("u%d" % (i % 3), 1.0) for i in range(12)]  # u0 x4, u1 x4, u2 x4
+    rows += [("u0", 5.0)]  # u0 pulls ahead
+    df = spark.createDataFrame(rows, "item string, w double")
+    top = TopK.top_list(df, ["item"], 2, weight=F.col("w"))
+    got = [(r["item"], r["weight"], r["rank"]) for r in top.orderBy("rank").collect()]
+    assert got[0] == ("u0", 9.0, 1)
+    assert got[1][2] == 2
+    ranked = TopK.rank_in_top(df, ["item"], 1, weight=F.col("w"))
+    m = {r["item"]: r["top_rank"] for r in ranked.collect()}
+    assert m["u0"] == 1 and m["u1"] is None
