@@ -62,6 +62,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming read of a testdata table (file-stream source): the
+    source needs a directory + glob (not a bare file), and the schema
+    must match the RAW file (events.ts is ns-long there), so the µs
+    normalization is re-applied after the scan."""
+    _ensure_session_confs(spark)
+    raw_schema = spark.read.parquet(table_path(sf_dir, name)).schema
+    df = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -1,0 +1,84 @@
+"""Archival & replay — the archivist/replayer surfaces (SURVEY §3.3).
+
+The reference archives worker output in ORC/ringbuf files with an
+SMT-solved storage budget (src/RamenArchivist.ml) and replays history
+by re-running the dataflow over the archived slice
+(src/RamenReplay.ml). Spark-first equivalents:
+
+- archive: Parquet partitioned by a coarse event-time bucket column
+  (``dt``) plus declared FACTORS — partition pruning then makes both
+  retention enforcement and replay a metadata operation, at any scale.
+- retention (PERSIST FOR d, src/retention.type:1-8): drop expired dt
+  partitions — file-level deletes, no rewrite.
+- replay: read the archive with a time-range filter; the filter hits
+  the dt partition column and min/max parquet stats, so a replay of
+  1 day over a year of archive reads ~1/365 of the bytes.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DT_SECONDS = 86400  # one partition per day of event time
+
+
+def archive(
+    df: DataFrame,
+    path: str,
+    time_col: str = "start",
+    factors: list[str] | None = None,
+    mode: str = "append",
+) -> None:
+    """Write a function's output to its Parquet archive, partitioned
+    by day-bucket + FACTORS (low-cardinality dims,
+    src/raql_operation.type:50-52)."""
+    out = df.withColumn(
+        "dt", F.floor(F.col(time_col).cast("double") / DT_SECONDS).cast("long")
+    )
+    out.write.mode(mode).partitionBy("dt", *(factors or [])).parquet(path)
+
+
+def enforce_retention(path: str, persist_for_seconds: float, now_seconds: float) -> list[str]:
+    """PERSIST FOR d: delete dt partitions wholly older than the
+    horizon. Returns removed partition dirs. (On object storage this
+    is a lifecycle rule; locally, directory removals.)"""
+    horizon_dt = int((now_seconds - persist_for_seconds) // DT_SECONDS)
+    removed = []
+    root = Path(path)
+    if not root.exists():
+        return removed
+    for p in root.glob("dt=*"):
+        try:
+            dt_val = int(p.name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if dt_val < horizon_dt:
+            shutil.rmtree(p)
+            removed.append(str(p))
+    return removed
+
+
+def replay(
+    spark: SparkSession,
+    path: str,
+    since_seconds: float,
+    until_seconds: float,
+    time_col: str = "start",
+) -> DataFrame:
+    """ramen replay --since --until: time-sliced read of the archive.
+    The dt predicate prunes partitions; the fine predicate uses
+    parquet min/max stats. Channel isolation (src/RamenChannel.ml) is
+    unnecessary — every replay is its own DataFrame."""
+    lo_dt = int(since_seconds // DT_SECONDS)
+    hi_dt = int(until_seconds // DT_SECONDS)
+    df = spark.read.parquet(path)
+    return df.filter(
+        (F.col("dt") >= lo_dt)
+        & (F.col("dt") <= hi_dt)
+        & (F.col(time_col).cast("double") >= since_seconds)
+        & (F.col(time_col).cast("double") < until_seconds)
+    )

@@ -1,0 +1,60 @@
+"""READ FROM FILES ... AS CSV — the reference's CSV option surface
+(src/raql_operation.type:54-138: separator, null string, quoting,
+escaping, skip-first-lines, clickhouse syntax) mapped onto Spark's
+CSV datasource (distributed, splittable scan; schema mandatory like
+the reference's declared fields — no inference in production paths).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    separator: str = ",",
+    null_str: str = "",
+    may_quote: bool = False,
+    escape_seq: str | None = None,
+    skip_first: int = 0,
+    clickhouse_syntax: bool = False,
+) -> DataFrame:
+    """Batch CSV read with RaQL defaults (separator=',', NULLs as
+    empty string, no quoting unless ``may_quote``).
+
+    ``clickhouse_syntax`` enables ClickHouse-style array cells
+    ('[1,2,3]') — declare those fields as StringType and post-parse
+    with ``parse_clickhouse_array``. Array cells must not contain the
+    separator (ClickHouse exports these as TSV; use separator='\\t').
+    """
+    reader = (
+        spark.read.schema(schema)
+        .option("sep", separator)
+        .option("nullValue", null_str)
+        .option("header", "false")
+        .option("mode", "PERMISSIVE")
+    )
+    if may_quote:
+        reader = reader.option("quote", '"')
+    else:
+        reader = reader.option("quote", "")  # empty quote char disables quoting
+    if escape_seq:
+        reader = reader.option("escape", escape_seq)
+    if skip_first:
+        reader = reader.option("skipLines", str(skip_first))
+    return reader.csv(path)
+
+
+def parse_clickhouse_array(col, element_type: str = "long"):
+    """ClickHouse-syntax array cell '[1,2,3]' → array<element_type>
+    (the reference decodes these via dessser; here: split built-ins)."""
+    inner = F.regexp_replace(col, r"^\[|\]$", "")
+    return F.when(
+        F.length(F.trim(inner)) == 0, F.array().cast(f"array<{element_type}>")
+    ).otherwise(
+        F.transform(F.split(inner, ","), lambda x: F.trim(x).cast(element_type))
+    )

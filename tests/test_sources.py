@@ -1,0 +1,67 @@
+"""CSV option surface + archive/replay/retention round-trips."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from ramen_spark.sources.archive import archive, enforce_retention, replay
+from ramen_spark.sources.csv import parse_clickhouse_array, read_csv
+
+
+def test_read_csv_raql_defaults(spark, tmp_path):
+    # RaQL defaults: comma sep, empty string = NULL, no quoting
+    p = tmp_path / "in.csv"
+    p.write_text('1,alice,3.5\n2,,4.25\n3,"quoted",0\n')
+    df = read_csv(spark, str(p), "id long, name string, score double")
+    rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
+    assert rows[1] == ("alice", 3.5)
+    assert rows[2] == (None, 4.25)  # empty → NULL
+    assert rows[3][0] == '"quoted"'  # quoting off by default
+
+
+def test_read_csv_custom_separator_and_quotes(spark, tmp_path):
+    p = tmp_path / "in.tsv"
+    p.write_text('1\t"a\tb"\n2\tplain\n')
+    df = read_csv(spark, str(p), "id long, s string", separator="\t", may_quote=True)
+    rows = {r["id"]: r["s"] for r in df.collect()}
+    assert rows[1] == "a\tb" and rows[2] == "plain"
+
+
+def test_clickhouse_array_cells(spark, tmp_path):
+    # ClickHouse emits arrays in TSV (bracket cells would collide with
+    # a comma separator)
+    p = tmp_path / "arr.tsv"
+    p.write_text("1\t[1,2,3]\n2\t[]\n")
+    df = read_csv(spark, str(p), "id long, xs string", separator="\t", clickhouse_syntax=True)
+    out = df.select("id", parse_clickhouse_array(F.col("xs")).alias("xs")).collect()
+    m = {r["id"]: r["xs"] for r in out}
+    assert m[1] == [1, 2, 3] and m[2] == []
+
+
+def test_archive_replay_retention(spark, tmp_path):
+    path = str(tmp_path / "arch")
+    # 10 days of hourly events
+    df = spark.range(240).select(
+        (F.col("id") * 3600.0).alias("start"),
+        (F.col("id") % 3).cast("string").alias("factor"),
+        F.col("id").cast("double").alias("v"),
+    )
+    archive(df, path, time_col="start", factors=["factor"])
+
+    # replay a 1-day slice
+    sl = replay(spark, path, 86400.0, 2 * 86400.0, time_col="start")
+    assert sl.count() == 24
+    assert sl.agg(F.min("start")).collect()[0][0] == 86400.0
+
+    # partition pruning visible in the plan
+    plan = sl._jdf.queryExecution().executedPlan().toString()
+    assert "dt" in plan
+
+    # retention: keep last 3 days from t=10d
+    removed = enforce_retention(path, 3 * 86400, 10 * 86400.0)
+    assert len(removed) == 7
+    left = spark.read.parquet(path)
+    assert left.agg(F.min("dt")).collect()[0][0] == 7

@@ -1,0 +1,104 @@
+"""Streaming twins: batch results are the oracle (SURVEY §7 —
+'define batch semantics as the oracle, document streaming
+equivalence')."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ramen_spark.catalog import load_table
+from ramen_spark.streaming.commit import streaming_commit_aggregate
+from ramen_spark.streaming.windows import dedup_within_watermark, run_to_memory, tumbling_stream
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    from ramen_spark.catalog import load_stream
+
+    batch = load_table(spark, SF_SMALL, "events")
+    return load_stream(spark, SF_SMALL, "events"), batch
+
+
+def test_tumbling_stream_matches_batch(spark, events_stream):
+    stream, batch = events_stream
+    aggs = [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("s")]
+
+    out = run_to_memory(
+        tumbling_stream(stream, "ts", "10 minutes", "1 minute", ["event_type"], aggs),
+        "tumbling_out",
+    )
+    got = {
+        (r["event_type"], r["window"]["start"], r["n"], r["s"]) for r in out.collect()
+    }
+
+    exp_df = batch.groupBy(F.window("ts", "10 minutes"), "event_type").agg(*aggs)
+    exp_all = {
+        (r["event_type"], r["window"]["start"], r["window"]["end"], r["n"], r["s"])
+        for r in exp_df.collect()
+    }
+    # append mode emits only windows the watermark closed: end <= max_ts - delay
+    import datetime as dt
+
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - dt.timedelta(minutes=1)
+    exp_closed = {(t, s, n, v) for (t, s, e, n, v) in exp_all if e <= horizon}
+    got_keys = got
+    assert exp_closed <= got_keys <= {(t, s, n, v) for (t, s, e, n, v) in exp_all}
+    assert len(exp_closed) > 0
+
+
+def test_streaming_commit_matches_batch_engine(spark, events_stream):
+    stream, batch = events_stream
+    cb = dict(
+        key_cols=["event_type"],
+        order_col="event_id",
+        init_state=lambda: {"n": 0, "sum": 0.0},
+        output_schema="event_type string, n long, sum_value double",
+    )
+
+    def update(st, row):
+        st["n"] += 1
+        st["sum"] += row["value"]
+
+    def fin(st, row, prev):
+        return {"event_type": row["event_type"], "n": st["n"], "sum_value": round(st["sum"], 6)}
+
+    def cond(st, row, prev):
+        return st["n"] >= 50
+
+    sel = ["event_id", "event_type", "value"]
+    s_out = run_to_memory(
+        streaming_commit_aggregate(
+            stream.select(*sel), update=update, finalize=fin, commit_cond=cond, **cb
+        ),
+        "commit_out",
+    )
+    got = {(r["event_type"], r["sum_value"]) for r in s_out.collect()}
+
+    from ramen_spark.operators.aggregate import commit_aggregate
+
+    b_out = commit_aggregate(
+        batch.select(*sel), update=update, finalize=fin, commit_cond=cond, **cb
+    )
+    exp = {(r["event_type"], r["sum_value"]) for r in b_out.collect()}
+    assert got == exp and len(got) > 0
+
+
+def test_dedup_within_watermark(spark, events_stream):
+    stream, batch = events_stream
+    out = run_to_memory(
+        dedup_within_watermark(stream, ["user_id", "event_type"], "ts", "10 minutes"),
+        "dedup_out",
+    )
+    n_distinct = batch.select("user_id", "event_type").distinct().count()
+    # watermark dedup keeps ≥ distinct-forever count (re-emits after horizon)
+    assert n_distinct <= out.count() <= batch.count()
+
+
+def test_rate_clock_shape(spark):
+    from ramen_spark.streaming.sources import rate_clock
+
+    df = rate_clock(spark, 0.5)
+    assert df.isStreaming and set(df.columns) == {"t", "tick"}
