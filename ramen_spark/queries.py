@@ -1014,3 +1014,303 @@ def commit_after_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         commit_cond=cond,
         output_schema="event_type string, n long, sum_value double",
     )
+
+
+# ===========================================================================
+# 6. Second-wave operators (windows over time ranges, seasonality, network
+#    ops, set ops, ordered limits, 2-D time grids)
+# ===========================================================================
+
+
+@register(
+    "season_moveavg_10",
+    """
+    SELECT event_id,
+           round(CASE WHEN ((l1 IS NOT NULL)::INT + (l2 IS NOT NULL)::INT + (l3 IS NOT NULL)::INT) > 0
+                 THEN (coalesce(l1, 0) + coalesce(l2, 0) + coalesce(l3, 0))
+                      / ((l1 IS NOT NULL)::INT + (l2 IS NOT NULL)::INT + (l3 IS NOT NULL)::INT)
+                 END, 6) AS season_ma
+    FROM (
+      SELECT event_id,
+             lag(value, 10) OVER w AS l1,
+             lag(value, 20) OVER w AS l2,
+             lag(value, 30) OVER w AS l3
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ) t
+    """,
+)
+def season_moveavg_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASON-MOVEAVG(10,3) — mean of v(t-10), v(t-20), v(t-30),
+    ignoring not-yet-available lags (raql_expr.type:263-272,
+    tests/func/season.ramen)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lags = [F.lag("value", 10 * i).over(w) for i in (1, 2, 3)]
+    nvalid = sum(L.isNotNull().cast("int") for L in lags)
+    total = sum(F.coalesce(L, F.lit(0)) for L in lags)
+    season = F.when(nvalid > 0, total / nvalid)
+    return ev.select("event_id", F.round(season, 6).alias("season_ma"))
+
+
+@register(
+    "past_range_window",
+    """
+    SELECT event_id,
+           count(*) OVER w            AS past_n,
+           round(sum(value) OVER w, 6) AS past_sum
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def past_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAST 600s OF x (sliding, raql_expr.type:347-355) in aggregate
+    form: count/sum over the last 10 minutes per event_type — a range
+    window over integer microseconds."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600 * 1000000, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("past_n"),
+        F.round(F.sum("value").over(w), 6).alias("past_sum"),
+    )
+
+
+@register(
+    "ip_cidr_membership",
+    """
+    SELECT user_id,
+           ((ip // 16777216) % 256)::VARCHAR || '.' || ((ip // 65536) % 256)::VARCHAR || '.'
+             || ((ip // 256) % 256)::VARCHAR || '.' || (ip % 256)::VARCHAR AS ip_str,
+           ip BETWEEN 167772160 AND 167776255 AS in_subnet
+    FROM (SELECT DISTINCT user_id, 167772160 + (user_id * 7919) % 65536 AS ip FROM events) t
+    """,
+)
+def ip_cidr_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 formatting + IP IN CIDR membership (src/raql_type.ml:34-40,
+    doc/raql/expr.ml:626 'IP IN CIDR'): synthetic per-user IPs in
+    10.0.0.0/16, membership test against 10.0.0.0/20."""
+    from ramen_spark.functions import network as N
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    ip = (F.lit(167772160) + (F.col("user_id") * 7919) % 65536).alias("ip")
+    t = users.select("user_id", ip)
+    cidr = N.cidr_v4(F.lit(167772160), 20)  # 10.0.0.0/20
+    return t.select(
+        "user_id",
+        N.ipv4_to_string(F.col("ip")).alias("ip_str"),
+        N.cidr_contains(cidr, F.col("ip")).alias("in_subnet"),
+    )
+
+
+@register(
+    "format_time_daily",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+           round(sum(value), 6) AS sum_value
+    FROM events
+    GROUP BY day
+    """,
+)
+def format_time_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORMAT_TIME (doc/raql/expr.ml:640) as a grouping label: daily
+    rollup keyed by the formatted day string (UTC both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    return ev.groupBy(day).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+
+
+@register(
+    "string_ops_profile",
+    """
+    SELECT doc_id,
+           string_split(text, ' ')[1]                AS first_word,
+           contains(text, 'spark')                   AS has_spark,
+           upper(substr(text, 1, 10))                AS head10,
+           length(text)                              AS n_bytes
+    FROM documents
+    """,
+)
+def string_ops_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String operator bundle: split-index (GET), substring, LIKE-class
+    containment, upper, length (doc/raql/expr.ml string section)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.element_at(F.split("text", " "), 1).alias("first_word"),
+        F.col("text").contains("spark").alias("has_spark"),
+        F.upper(F.substring("text", 1, 10)).alias("head10"),
+        F.octet_length("text").alias("n_bytes"),
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS ≡ left-anti join (extension; reference has no joins).
+    Anti joins at scale: broadcast the smaller side or rely on AQE."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "active_high_value_users",
+    """
+    SELECT DISTINCT user_id FROM events WHERE value > 190
+    """,
+)
+def active_high_value_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS ≡ left-semi/distinct-filter."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("value") > 190).select("user_id").distinct()
+
+
+@register(
+    "multi_percentiles_by_type",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def multi_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[25;50;75] PERCENTILE v — the vector form (doc/raql/expr.ml:681),
+    flattened to one column per requested percentile."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile("value", F.lit(p / 100)), 6).alias(f"p{p}")
+            for p in (25, 50, 75)
+        ]
+    )
+
+
+@register(
+    "top20_orders_global",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def top20_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT with a total order — Spark's sort-limit
+    is a per-partition top-k + tiny final merge (TakeOrderedAndProject),
+    no full sort at scale."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .limit(20)
+    )
+
+
+@register(
+    "sources_per_lang",
+    """
+    SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+           count(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def sources_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP x in its string-rendered form: sorted distinct collection
+    per group (doc/raql/expr.ml:800 GROUP → array; rendered to a
+    deterministic comma-joined string)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "dow_hour_heatmap",
+    """
+    SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+           (epoch_us(ts) // 3600000000) % 24       AS hour,
+           count(*)                                AS n
+    FROM events
+    GROUP BY dow, hour
+    """,
+)
+def dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D event-time grid (day-of-week × hour) via pure integer µs
+    arithmetic (engine-independent: 1970-01-01 = Thursday = 4)."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    return ev.groupBy(
+        ((F.floor(us / F.lit(86400000000)) + 4) % 7).alias("dow"),
+        (F.floor(us / F.lit(3600000000)) % 24).alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "dedup_keep_longest",
+    f"""
+    SELECT fp, doc_id AS keep_id, n_copies FROM (
+      SELECT md5({_NORM_SQL}) AS fp, doc_id, n_chars,
+             count(*) OVER (PARTITION BY md5({_NORM_SQL})) AS n_copies,
+             row_number() OVER (PARTITION BY md5({_NORM_SQL})
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents
+    ) t WHERE rn = 1
+    """,
+)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a quality-keeper policy: keep the longest doc
+    per fingerprint (rank within fingerprint) — the 'keep best, not
+    first' variant of dedup_exact."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = Tx.fingerprint(F.col("text")).alias("fp")
+    t = docs.select(fp, "doc_id", "n_chars")
+    w = Window.partitionBy("fp")
+    wr = w.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        t.withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("fp", F.col("doc_id").alias("keep_id"), "n_copies")
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    """
+    SELECT label,
+           count(*) AS n,
+           round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector math profile: average L2 norm per label (JVM-side
+    zip_with/aggregate — functions.vectors)."""
+    from ramen_spark.functions import vectors as V
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(V.norm2(F.col("embedding"))), 6).alias("avg_norm"),
+    )
