@@ -1,0 +1,107 @@
+"""Physical-plan audits — the 100 TB design gates.
+
+Correctness tests prove the small-SF answer; these prove the PLAN is
+the one that survives scale: filters reach the parquet scan, scans
+are column-pruned, dimension joins broadcast, aggregates partial-
+aggregate before the shuffle, and sort+limit lowers to top-k.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ramen_spark.queries import QUERIES
+from tests.conftest import SF_ORACLE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    df = QUERIES["where_select_projection"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "PushedFilters:" in plan
+    # both predicates pushed
+    assert "l_quantity" in plan.split("PushedFilters:")[1][:300]
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:300]
+
+
+def test_column_pruning(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF_ORACLE)
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1][:400]
+    # 6 needed columns read, the rest pruned
+    assert "l_quantity" in read_schema and "l_extendedprice" in read_schema
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+
+
+def test_dimension_joins_broadcast(spark):
+    df = QUERIES["join_revenue_by_region"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert "SortMergeJoin" not in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    df = QUERIES["tumbling_revenue_per_minute"](spark, SF_ORACLE)
+    plan = _plan(df)
+    # HashAggregate(partial) below the exchange, final above
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_sort_limit_is_topk(spark):
+    df = QUERIES["top20_orders_global"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan  # not a global Sort
+
+
+def test_whole_stage_codegen_hot_path(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF_ORACLE)
+    df.collect()  # AQE shows codegen spans only in the finalized plan
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "WholeStageCodegen" in plan
+
+
+def test_lsh_join_is_equijoin_not_cartesian(spark):
+    """The dedup/LSH self-joins must hash-join on the bucket key —
+    a cartesian/BNLJ here would be O(N²) at scale."""
+    from ramen_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    df = minhash_lsh_pairs(docs)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_queries_broadcast(spark):
+    from ramen_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    df = brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_replay_partition_pruning(spark, tmp_path):
+    from ramen_spark.sources.archive import archive, replay
+
+    path = str(tmp_path / "arch")
+    df = spark.range(1000).select(
+        (F.col("id") * 3600.0).alias("start"), F.col("id").cast("double").alias("v")
+    )
+    archive(df, path, time_col="start")
+    sl = replay(spark, path, 0.0, 86400.0)
+    plan = _plan(sl)
+    # dt partition filter present in the scan's partition filters
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters:")[1][:200]
+    assert "dt" in seg
