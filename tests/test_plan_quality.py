@@ -67,7 +67,8 @@ def test_whole_stage_codegen_hot_path(spark):
     df.collect()  # AQE shows codegen spans only in the finalized plan
     plan = _plan(df)
     assert "isFinalPlan=true" in plan
-    assert "WholeStageCodegen" in plan
+    # '*(n)' prefixes mark whole-stage-codegen spans in plan toString
+    assert "*(1)" in plan and "*(2)" in plan
 
 
 def test_lsh_join_is_equijoin_not_cartesian(spark):
