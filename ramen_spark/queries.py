@@ -1314,3 +1314,31 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(V.norm2(F.col("embedding"))), 6).alias("avg_norm"),
     )
+
+
+@register(
+    "raql_frontend_minute_agg",
+    """
+    SELECT event_type,
+           epoch_us(ts) // 60000000 AS minute,
+           round(sum(value), 6)     AS s,
+           count(*)                 AS n
+    FROM events
+    GROUP BY event_type, minute
+    """,
+)
+def raql_frontend_minute_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RaQL text → plan (plans.raql): the reference's
+    benchmark query shape parsed from the actual language surface and
+    compiled onto the events table. Proves the front-end emits the
+    same Catalyst plan the hand-built queries use."""
+    from ramen_spark.plans.raql import compile_operation
+
+    ev = _t(spark, sf_dir, "events").withColumn("t_us", F.unix_micros("ts"))
+    out = compile_operation(
+        "SELECT event_type, t_us // 60000000 AS minute, SUM value AS s, COUNT(1) AS n "
+        "GROUP BY event_type, t_us // 60000000 "
+        "COMMIT AFTER in.t_us > out.minute * 60000000 + 120000000",
+        ev,
+    )
+    return out.select("event_type", F.col("minute").cast("long").alias("minute"), F.round("s", 6).alias("s"), "n")

@@ -1,0 +1,159 @@
+"""RaQL front-end: expression corpus evaluated from RaQL TEXT (the
+same documented examples as test_scalar_semantics, now through the
+parser), plus SELECT-operation compilation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ramen_spark.catalog import load_table
+from ramen_spark.plans.raql import compile_expr, compile_operation, parse_operation
+from tests.conftest import SF_SMALL
+
+# (raql text, expected) — doc/raql/expr.ml examples through the parser
+EXPR_CASES = [
+    ("27 + 15", 42),
+    ("1.5 + 1", 2.5),
+    ("6 * 7", 42),
+    ("84/2", 42.0),
+    ("0/0", None),
+    ("10//3", 3),
+    ("3 % 2", 1),
+    ("-3 % 2", -1),
+    ("2 ^ 3", 8.0),
+    ("2 ^ 3 ^ 2", 512.0),  # right-assoc
+    ("TRUNCATE(153.6, 10)", 150.0),
+    ("RELDIFF(10, 9)", 0.1),
+    ("ABS(-1.2)", 1.2),
+    ("MIN(1, 2, 3)", 1),
+    ("MAX(1, 2, 3)", 3),
+    ("COALESCE(NULL, 1)", 1),
+    ("NOT TRUE", False),
+    ("NOT (0 > 1)", True),
+    ("FALSE OR TRUE", True),
+    ("TRUE AND FALSE", False),
+    ("1 >= 0", True),
+    ('"foo" = "FOO"', False),
+    ('"foo" || "bar"', "foobar"),
+    ('"foobar" LIKE "foo%"', True),
+    ('"foobar" NOT LIKE "foo"', True),
+    ('"foobar" STARTS WITH "foo"', True),
+    ('"foobar" ENDS WITH "bar"', True),
+    ("NULL IS NULL", True),
+    ("NULL IS NOT NULL", False),
+    ("LENGTH \"foo\"", 3),
+    ("LOWER \"Foo\"", "foo"),
+    ("SQRT 16", 4.0),
+    ("SQRT(-1)", None),
+    ("LOG 1", 0.0),
+    ("EXP 0", 1.0),
+    ("SQ 4", 16),
+    ("CEIL 41.2", 42),
+    ("FLOOR(-42.7)", -43),
+    ("IF 1 > 0 THEN 10 ELSE 20", 10),
+    ("CASE WHEN 1 > 2 THEN 1 WHEN 2 > 1 THEN 2 ELSE 3 END", 2),
+    ("90 PERCENTILE [1; 2; 3; 4; 5; 6; 7; 8; 9; 10]", 9),
+    ("2 IN (1, 2, 3)", True),
+    ("5 NOT IN (1, 2, 3)", True),
+    ("[10; 20; 30][1]", 20),  # 0-based indexing
+    ("1k + 1", 1001),
+    ("1Ki", 1024),
+    ("0x10", 16),
+    ("2 * 3 + 4", 10),  # precedence
+    ("2 + 3 * 4", 14),
+    ("(2 + 3) * 4", 20),
+]
+
+
+@pytest.mark.parametrize("text,expected", EXPR_CASES, ids=[c[0][:30] for c in EXPR_CASES])
+def test_expr_through_parser(spark, text, expected):
+    got = spark.range(1).select(compile_expr(text).alias("v")).collect()[0]["v"]
+    if expected is None:
+        assert got is None
+    elif isinstance(expected, float):
+        assert got == pytest.approx(expected, rel=1e-9)
+    else:
+        assert got == expected
+
+
+def test_param_reference(spark):
+    got = (
+        spark.range(1)
+        .select(compile_expr("param.threshold * 2", {"threshold": 21}).alias("v"))
+        .collect()[0]["v"]
+    )
+    assert got == 42
+
+
+def test_operation_parse_shape():
+    op = parse_operation(
+        "SELECT MIN x AS mn, MAX x AS mx FROM tbl WHERE x > 0 "
+        "GROUP BY k COMMIT AFTER SUM 1 >= 10"
+    )
+    assert [f.alias for f in op.fields] == ["mn", "mx"]
+    assert op.source == "tbl" and op.where is not None
+    assert len(op.group_by) == 1 and op.commit_after is not None
+
+
+def test_compile_simple_projection(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = compile_operation(
+        'SELECT event_id, value * 2 AS v2 WHERE event_type = "click"', ev
+    )
+    rows = out.collect()
+    exp = ev.filter(F.col("event_type") == "click").count()
+    assert len(rows) == exp
+    assert set(out.columns) == {"event_id", "v2"}
+
+
+def test_compile_group_aggregate(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = compile_operation(
+        "SELECT event_type, COUNT(1) AS n, SUM value AS total, "
+        "MIN value AS mn, MAX value AS mx GROUP BY event_type",
+        ev,
+    )
+    got = {r["event_type"]: (r["n"], round(r["total"], 6)) for r in out.collect()}
+    exp_df = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("t")
+    )
+    exp = {r["event_type"]: (r["n"], r["t"]) for r in exp_df.collect()}
+    assert {k: (v[0], round(v[1], 6)) for k, v in got.items()} == exp
+
+
+def test_compile_global_group(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = compile_operation("SELECT COUNT(1) AS n, AVG value AS m", ev).collect()
+    assert out[0]["n"] == ev.count()
+
+
+def test_compile_tumbling_shape(spark):
+    """The reference's benchmark query shape, from RaQL text
+    (site/blog/2019-02.php) — time bucket in GROUP BY, per-minute
+    aggregate; batch ignores the already-satisfied COMMIT clause."""
+    ev = load_table(spark, SF_SMALL, "events").withColumn(
+        "t_us", F.unix_micros("ts")
+    )
+    out = compile_operation(
+        "SELECT event_type, t_us // 60000000 AS minute, SUM value AS s, COUNT(1) AS n "
+        "GROUP BY event_type, t_us // 60000000 "
+        "COMMIT AFTER in.t_us > out.minute * 60000000 + 120000000",
+        ev,
+    )
+    exp = ev.groupBy("event_type", F.expr("t_us div 60000000")).count().count()
+    assert out.count() == exp
+    assert set(out.columns) == {"event_type", "minute", "s", "n"}
+
+
+def test_private_fields_dropped(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = compile_operation("SELECT value * 2 AS _hidden, event_id", ev)
+    assert out.columns == ["event_id"]
+
+
+def test_unknown_function_rejected():
+    with pytest.raises(ValueError, match="unknown RaQL function"):
+        compile_expr("FROBNICATE(1)")
