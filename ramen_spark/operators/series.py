@@ -245,3 +245,76 @@ def reservoir_sample(
     order = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
     w = Window.partitionBy(*keys).orderBy(order)
     return df.withColumn("_rs", F.row_number().over(w)).filter(F.col("_rs") <= n).drop("_rs")
+
+
+def damped_holt_winters(
+    df: DataFrame,
+    value_col: str,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    phi: float,
+    period: int,
+    keys: list[str],
+    order_col: str,
+    out_col: str = "hw",
+) -> DataFrame:
+    """DAMPEDHOLTWINTER(α,β,γ,φ,p) x — damped additive-seasonal
+    Holt-Winters (raql_expr.type:315-316, CodeGenLib.ml:360-382):
+    level/trend as damped Holt plus a seasonal component of the given
+    period. Grouped Arrow fold; one shuffle on keys."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="stable")
+        v = pdf[value_col].to_numpy(dtype=float)
+        n = len(v)
+        out = np.empty(n)
+        season = np.zeros(period)
+        level, trend = (v[0] if n else 0.0), 0.0
+        for i, x in enumerate(v):
+            s_idx = i % period
+            prev_level = level
+            level = alpha * (x - season[s_idx]) + (1 - alpha) * (level + phi * trend)
+            trend = beta * (level - prev_level) + (1 - beta) * phi * trend
+            season[s_idx] = gamma * (x - level) + (1 - gamma) * season[s_idx]
+            out[i] = level + phi * trend + season[(i + 1) % period]
+        pdf[out_col] = out
+        return pdf
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema += f", {out_col} double"
+    gb = df.groupBy(*keys) if keys else df.groupBy(F.lit(1))
+    return gb.applyInPandas(fold, schema=schema)
+
+
+def fit_predict(
+    df: DataFrame,
+    obs_col: str,
+    pred_cols: list[str],
+    keys: list[str],
+    order_col: str,
+    out_col: str = "fitted",
+) -> DataFrame:
+    """FIT / MULTILINREG (doc/raql/expr.ml:341, CodeGenLib.ml:946-1083):
+    least-squares fit of obs ~ preds (+ intercept) over the group's
+    rows, evaluated per row (the reference predicts the last
+    observation of the window from the others). numpy lstsq per group —
+    vectorized, one shuffle."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="stable")
+        y = pdf[obs_col].to_numpy(dtype=float)
+        X = np.column_stack(
+            [pdf[c].to_numpy(dtype=float) for c in pred_cols] + [np.ones(len(pdf))]
+        )
+        if len(pdf) >= X.shape[1]:
+            coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+            pdf[out_col] = X @ coef
+        else:
+            pdf[out_col] = np.nan
+        return pdf
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema += f", {out_col} double"
+    gb = df.groupBy(*keys) if keys else df.groupBy(F.lit(1))
+    return gb.applyInPandas(fold, schema=schema)

@@ -1342,3 +1342,106 @@ def raql_frontend_minute_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
     )
     return out.select("event_type", F.col("minute").cast("long").alias("minute"), F.round("s", 6).alias("s"), "n")
+
+
+@register(
+    "bool_bit_aggregates",
+    """
+    SELECT event_type,
+           bool_and(value > 1)            AS all_above1,
+           bool_or(value > 190)           AS any_above190,
+           bit_and(user_id)               AS band,
+           bit_or(user_id)                AS bor,
+           bit_xor(user_id)               AS bxor
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def bool_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND/OR and BITAND/BITOR/BITXOR aggregate folds
+    (raql_expr.type:230-234, CodeGenLib.ml:65-75)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bool_and(F.col("value") > 1).alias("all_above1"),
+        F.bool_or(F.col("value") > 190).alias("any_above190"),
+        F.bit_and("user_id").alias("band"),
+        F.bit_or("user_id").alias("bor"),
+        F.bit_xor("user_id").alias("bxor"),
+    )
+
+
+@register(
+    "once_every_10min",
+    """
+    SELECT event_id, event_type
+    FROM (
+      SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type, epoch_us(ts) // 600000000
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1
+    """,
+)
+def once_every_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVERY 10min TUMBLING x (OnceEvery, doc/raql/expr.ml:908,
+    CodeGenLib.ml:1112-1143): the first value per 10-minute bucket."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.expr("unix_micros(ts) div 600000000")
+    w = Window.partitionBy("event_type", bucket).orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "event_type")
+    )
+
+
+@register(
+    "linear_fit_per_type",
+    """
+    SELECT event_type,
+           round(regr_slope(value, ((epoch_us(ts) - 1704067200000000) / 86400000000.0)), 6) AS slope_per_day,
+           round(regr_intercept(value, ((epoch_us(ts) - 1704067200000000) / 86400000000.0)), 6) AS intercept,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def linear_fit_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIT (simple linear case, doc/raql/expr.ml:341) via the native
+    regression aggregates: value ~ days-since-2024-01-01. The general
+    multi-predictor FIT is operators.series.fit_predict."""
+    ev = _t(spark, sf_dir, "events")
+    x = ((F.unix_micros("ts") - F.lit(1704067200000000)) / F.lit(86400000000.0))
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope(F.col("value"), x), 6).alias("slope_per_day"),
+        F.round(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register("multilinreg_fit")  # rows-only: numpy lstsq fold
+def multilinreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTILINREG / FIT with several predictors
+    (CodeGenLib.ml:946-1083): value ~ time + user_id per event_type,
+    fitted values per row (operators.series.fit_predict)."""
+    from ramen_spark.operators.series import fit_predict
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("t_day", (F.unix_micros("ts") - F.lit(1704067200000000)) / F.lit(86400000000.0))
+        .select("event_id", "event_type", "t_day", "user_id", "value")
+    )
+    out = fit_predict(ev, "value", ["t_day", "user_id"], ["event_type"], "t_day")
+    return out.select("event_id", F.round("fitted", 6).alias("fitted"))
+
+
+@register("holt_winters_smoothing")  # rows-only: sequential recurrence
+def holt_winters_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAMPEDHOLTWINTER(0.5, 0.3, 0.2, 0.9, p=24) over hourly-ish
+    event values per type (raql_expr.type:315-316)."""
+    from ramen_spark.operators.series import damped_holt_winters
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    out = damped_holt_winters(ev, "value", 0.5, 0.3, 0.2, 0.9, 24, ["event_type"], "ts")
+    return out.select("event_id", F.round("hw", 6).alias("hw"))
