@@ -106,16 +106,15 @@ def sample_frames(df: DataFrame, every_s: float = 1.0, strict: bool = False) -> 
     offsets, and only then decode the needed frames in mapInPandas —
     so the expensive decode fan-out happens AFTER the cheap row
     explosion, partition-parallel."""
+    # sequence() is integral-only: generate frame indices, scale to
+    # seconds afterwards. dur=4s, every=1s → indices 0..3.
+    n_frames = F.greatest(
+        F.ceil(F.coalesce(F.col("meta.duration_s"), F.lit(0.0)) / F.lit(float(every_s))),
+        F.lit(1),
+    ).cast("long")
     with_n = df.withColumn(
-        "frame_offset",
-        F.explode(
-            F.sequence(
-                F.lit(0.0),
-                F.greatest(F.coalesce(F.col("meta.duration_s"), F.lit(0.0)) - 1e-9, F.lit(0.0)),
-                F.lit(float(every_s)),
-            )
-        ),
-    )
+        "_frame_idx", F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1))
+    ).withColumn("frame_offset", F.col("_frame_idx") * F.lit(float(every_s)))
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
