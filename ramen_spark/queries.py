@@ -1445,3 +1445,169 @@ def holt_winters_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
     out = damped_holt_winters(ev, "value", 0.5, 0.3, 0.2, 0.9, 24, ["event_type"], "ts")
     return out.select("event_id", F.round("hw", 6).alias("hw"))
+
+
+# ===========================================================================
+# 7. Third wave: as-of join, enrichment lookup, sampling, ordered limits
+# ===========================================================================
+
+
+@register(
+    "asof_last_purchase",
+    """
+    SELECT e.event_id,
+           round(p.value, 6)                  AS purchase_value,
+           epoch_us(e.ts) - epoch_us(p.ts)    AS gap_us
+    FROM events e
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (extension): each event annotated with the same
+    user's most recent purchase value and the elapsed µs since it.
+    Union-trick implementation (operators.asof.asof_join): ONE
+    shuffle+sort over |L|+|R|, no range probe — the 100 TB shape."""
+    from ramen_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+        F.unix_micros("ts").alias("purchase_us"),
+    )
+    joined = asof_join(
+        ev, purchases, ["user_id"], "ts", "ts", ["purchase_value", "purchase_us"]
+    )
+    return joined.select(
+        "event_id",
+        F.round("purchase_value", 6).alias("purchase_value"),
+        (F.unix_micros("ts") - F.col("purchase_us")).alias("gap_us"),
+    )
+
+
+_CC_BASE = 167772160  # 10.0.0.0
+_CC_WIDTH = 8192
+_CC_LIST = ["US", "DE", "FR", "JP", "BR", "IN", "AU", "ZA"]
+
+
+@register(
+    "countrycode_enrich",
+    f"""
+    WITH t AS (SELECT DISTINCT user_id, {_CC_BASE} + (user_id * 7919) % 65536 AS ip FROM events),
+    r(ip_from, ip_to, cc) AS (VALUES {", ".join(
+        f"({_CC_BASE + i * _CC_WIDTH}, {_CC_BASE + (i + 1) * _CC_WIDTH - 1}, '{cc}')"
+        for i, cc in enumerate(_CC_LIST)
+    )})
+    SELECT t.user_id, t.ip, r.cc AS country
+    FROM t LEFT JOIN r ON t.ip BETWEEN r.ip_from AND r.ip_to
+    """,
+)
+def countrycode_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNTRYCODE ip (doc/raql/expr.ml:366, src/CountryOfIp.ml):
+    broadcast interval join against a (ip_from, ip_to, cc) range table
+    — here a synthetic 8-slice carve of 10.0.0.0/16. The real
+    IpToCountry table (~200k rows) uses the identical plan: range
+    table broadcast, predicate evaluated map-side, fact table never
+    shuffles (functions.network.countrycode_join)."""
+    from ramen_spark.functions.network import countrycode_join
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    t = users.select(
+        "user_id", (F.lit(_CC_BASE) + (F.col("user_id") * 7919) % 65536).alias("ip")
+    )
+    ranges = spark.createDataFrame(
+        [
+            (_CC_BASE + i * _CC_WIDTH, _CC_BASE + (i + 1) * _CC_WIDTH - 1, cc)
+            for i, cc in enumerate(_CC_LIST)
+        ],
+        "ip_from long, ip_to long, cc string",
+    )
+    return countrycode_join(t, "ip", ranges)
+
+
+@register(
+    "deterministic_sample",
+    """
+    SELECT event_id, event_type FROM (
+      SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY md5(event_id::VARCHAR), event_id) AS rn
+      FROM events
+    ) t WHERE rn <= 5
+    """,
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE 5 x per group (doc/raql/expr.ml:860, RamenSampling.ml) —
+    hash-ranked deterministic reservoir: rank rows by md5(id) and keep
+    the first 5 per group. Statistically uniform like the reference's
+    reservoir but reproducible across engines and retries (the
+    property a 100 TB pipeline actually wants); the seeded-random
+    variant is operators.series.reservoir_sample."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("event_id", "event_type")
+    )
+
+
+@register(
+    "latest_events_per_user",
+    """
+    SELECT user_id, event_id, rank FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rank
+      FROM events
+    ) t WHERE rank <= 5
+    """,
+)
+def latest_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATEST 5 x per group (raql_expr.type:302-314 LATEST/OLDEST):
+    last-5-by-arrival, event-time order standing in for arrival."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("user_id", "event_id", "rank")
+    )
+
+
+@register(
+    "scalar_math_profile",
+    """
+    SELECT event_id,
+           floor(value / 5.0) * 5.0 AS trunc5,
+           round(CASE WHEN greatest(abs(value), 100.0) = 0 THEN 0.0
+                      ELSE abs(value - 100.0) / greatest(abs(value), 100.0) END, 6) AS rd100,
+           CAST(floor(value / 7.0) AS BIGINT)  AS idiv7,
+           CAST(user_id % 7 AS BIGINT)         AS mod7,
+           CASE WHEN length(event_type) <= 2 THEN ''
+                ELSE substring(event_type, 2, length(event_type) - 2) END AS mid_type,
+           CASE WHEN strpos(reverse(event_type), 'e') = 0 THEN -1
+                ELSE length(event_type) - strpos(reverse(event_type), 'e') END AS last_e
+    FROM events
+    """,
+)
+def scalar_math_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-operator bundle with reference semantics: TRUNCATE(x,5),
+    RELDIFF(x,100), float ``//``, ``%``, SUBSTRING with a negative
+    stop, INDEX FROM END (doc/raql/expr.ml:500,511,475,485,702,666).
+    All compile to builtin JVM expressions — one codegen stage, no
+    shuffle, no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        S.truncate(F.col("value"), 5.0).alias("trunc5"),
+        F.round(S.reldiff(F.col("value"), F.lit(100.0)), 6).alias("rd100"),
+        S.idiv(F.col("value"), F.lit(7.0)).cast("long").alias("idiv7"),
+        S.mod(F.col("user_id"), F.lit(7)).cast("long").alias("mod7"),
+        S.substring(F.col("event_type"), 1, -1).alias("mid_type"),
+        S.index_of(F.col("event_type"), "e", from_end=True).alias("last_e"),
+    )
