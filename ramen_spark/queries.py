@@ -830,14 +830,20 @@ _SHINGLES_SQL = f"""
       SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
       FROM words, unnest(generate_series(1, greatest(nw - 2, 0))) AS u(i)
     ),
+    hs AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(s), 1, 12))::BIGINT  AS h1,
+             ('0x' || substring(md5(s), 21, 12))::BIGINT AS h2
+      FROM sh
+    ),
     mh AS (
-      SELECT doc_id, k, min(md5(k || ':' || s)) AS h
-      FROM sh, unnest(generate_series(0, 15)) AS g(k)
+      SELECT doc_id, k, min(h1 + k * h2) AS h
+      FROM hs, unnest(generate_series(0, 15)) AS g(k)
       GROUP BY doc_id, k
     ),
     bands AS (
       SELECT m0.doc_id,
-             g.b::VARCHAR || ':' || md5(m0.h || '|' || m1.h) AS bucket
+             g.b::VARCHAR || ':' || md5(m0.h::VARCHAR || '|' || m1.h::VARCHAR) AS bucket
       FROM unnest(generate_series(0, 7)) AS g(b), mh m0, mh m1
       WHERE m1.doc_id = m0.doc_id AND m0.k = g.b * 2 AND m1.k = g.b * 2 + 1
     ),
