@@ -15,11 +15,17 @@ Round-1 subset (widened per round):
   NULL``, ``IF c THEN a [ELSE b]``, ``CASE WHEN … END``, function
   calls (stateless library + aggregates), ``p PERCENTILE x``,
   unary aggregate keywords (``SUM x``, ``MIN x`` …).
-- operations: ``SELECT e [AS n], … [FROM f] [WHERE c] [GROUP BY k,…]
-  [COMMIT AFTER c]``. Batch compilation: full-window semantics — the
-  COMMIT condition selects the windowing shape; the canonical
-  ``in.t > out.t + d`` tumbling pattern is a no-op in batch (groups
-  run to completion) and becomes watermark+window in streaming.
+- operations: ``SELECT e [AS n] | * [- f]…, … [FROM f1, f2…]
+  [WHERE c] [GROUP BY k,…] [COMMIT AFTER c]``. Star expands to all
+  input fields not already named; later select fields may reference
+  earlier out-fields (``out.x`` or bare alias). Batch compilation:
+  full-window semantics — the COMMIT condition selects the windowing
+  shape; the canonical ``in.t > out.t + d`` tumbling pattern is a
+  no-op in batch (groups run to completion) and becomes
+  watermark+window in streaming.
+- programs: ``PARAMETERS p DEFAULTS TO v, …; DEFINE [LAZY] f
+  [PERSIST FOR d] AS SELECT …;`` → plans.program.Program DAG
+  (compile_program); multi-parent FROM = unionByName.
 
 Null-semantics, / vs //, etc. delegate to functions.scalar so parser
 output and hand-built plans share one implementation.
@@ -29,7 +35,7 @@ from __future__ import annotations
 
 import math
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -64,6 +70,7 @@ _KEYWORDS = {
     "before", "flush", "keep", "and", "or", "not", "in", "like", "is",
     "null", "true", "false", "if", "then", "else", "end", "case", "as",
     "percentile", "starts", "ends", "with", "distinct", "globally",
+    "define", "parameters", "defaults", "to", "persist", "for", "lazy",
 }
 
 
@@ -568,6 +575,15 @@ def compile_expr(text: str, params: dict[str, Any] | None = None) -> Column:
 
 
 @dataclass
+class Star:
+    """``*`` in a select list — all input fields not already named —
+    optionally minus explicit exclusions: ``* - f1 - f2``
+    (src/raql_operation.type:9-10, parser RamenOperation.ml:1254-1271)."""
+
+    exclude: list[str]
+
+
+@dataclass
 class SelectField:
     expr: Any
     alias: str | None
@@ -576,7 +592,7 @@ class SelectField:
 @dataclass
 class Operation:
     fields: list[SelectField]
-    source: str | None
+    sources: list[str]
     where: Any | None
     group_by: list
     commit_after: Any | None
@@ -584,21 +600,28 @@ class Operation:
     flush: bool = True
 
 
-def parse_operation(text: str) -> Operation:
-    p = Parser(tokenize(text))
+def _parse_operation_body(p: Parser) -> Operation:
     p.expect("kw", "select")
     fields = []
     while True:
-        e = p.parse_expr()
-        alias = None
-        if p.accept("kw", "as"):
-            alias = p.expect("name").value
-        fields.append(SelectField(e, alias))
+        if p.accept("op", "*"):
+            exclude: list[str] = []
+            while p.accept("op", "-"):
+                exclude.append(p.expect("name").value)
+            fields.append(SelectField(Star(exclude), None))
+        else:
+            e = p.parse_expr()
+            alias = None
+            if p.accept("kw", "as"):
+                alias = p.expect("name").value
+            fields.append(SelectField(e, alias))
         if not p.accept("op", ","):
             break
-    source = None
+    sources: list[str] = []
     if p.accept("kw", "from"):
-        source = p.expect("name").value
+        sources.append(p.expect("name").value)
+        while p.accept("op", ","):
+            sources.append(p.expect("name").value)
     where = None
     if p.accept("kw", "where") or p.accept("kw", "when"):
         where = p.parse_expr()
@@ -621,8 +644,14 @@ def parse_operation(text: str) -> Operation:
         else:
             p.expect("kw", "after")
         commit_after = p.parse_expr()
+    return Operation(fields, sources, where, group_by, commit_after, commit_before, flush)
+
+
+def parse_operation(text: str) -> Operation:
+    p = Parser(tokenize(text))
+    op = _parse_operation_body(p)
     p.expect("eof")
-    return Operation(fields, source, where, group_by, commit_after, commit_before, flush)
+    return op
 
 
 def _default_name(node, i: int) -> str:
@@ -648,7 +677,6 @@ def compile_operation(
     """
     if isinstance(op, str):
         op = parse_operation(op)
-    c = Compiler(params)
 
     df = source_df
     if op.where is not None:
@@ -658,11 +686,28 @@ def compile_operation(
             raise NotImplementedError("stateful WHERE needs the general COMMIT engine")
         df = df.filter(cond)
 
+    # star expansion: `*` = all input fields not already named by the
+    # select list (reference star rules, RamenOperation.ml:1254-1271)
+    named = {
+        f_.alias or _default_name(f_.expr, i)
+        for i, f_ in enumerate(op.fields)
+        if not isinstance(f_.expr, Star)
+    }
+    fields: list[SelectField] = []
+    for f_ in op.fields:
+        if isinstance(f_.expr, Star):
+            skip = named | set(f_.expr.exclude)
+            fields.extend(
+                SelectField(Field(c_), c_) for c_ in df.columns if c_ not in skip
+            )
+        else:
+            fields.append(f_)
+
     # private fields (leading underscore) are dropped from the output
     out_names: list[str] = []
     cols: list[Column] = []
     agg_flags: list[bool] = []
-    for i, f_ in enumerate(op.fields):
+    for i, f_ in enumerate(fields):
         sub = Compiler(params)
         col = sub.col(f_.expr)
         name = f_.alias or _default_name(f_.expr, i)
@@ -670,6 +715,7 @@ def compile_operation(
         cols.append(col.alias(name))
         agg_flags.append(sub.has_aggregate)
 
+    op = replace(op, fields=fields)
     if op.group_by or any(agg_flags):
         keys = [Compiler(params).col(k) for k in op.group_by]
         key_aliases = [k.alias(f"_k{i}") for i, k in enumerate(keys)]
@@ -698,7 +744,113 @@ def compile_operation(
         res = res.drop(*drop)
         out = res
     else:
-        out = df.select(*cols)
+        # chained withColumn so later select fields may reference
+        # earlier out-fields by alias (`out.total / out.duration`,
+        # SURVEY §2.2 SELECT semantics) — Catalyst collapses the chain
+        # into a single Project, so this costs nothing physically
+        out = df
+        for name, col in zip(out_names, cols):
+            out = out.withColumn(name, col)
 
     public = [n for n in out_names if not n.startswith("_")]
     return out.select(*public)
+
+
+# ---------------------------------------------------------------------------
+# program: PARAMETERS …; DEFINE f AS SELECT …; DEFINE g AS … FROM f;
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DefineStmt:
+    name: str
+    op: Operation
+    lazy: bool = False
+    persist_for: float | None = None
+
+
+@dataclass
+class ProgramAST:
+    parameters: dict[str, Any]
+    defines: list[DefineStmt]
+
+
+def parse_program(text: str) -> ProgramAST:
+    """Parse a full RaQL program (SURVEY §3.1 entry point A):
+
+        PARAMETERS p DEFAULTS TO 10, q DEFAULTS TO "x";
+        DEFINE [LAZY] f [PERSIST FOR 3600] AS SELECT … FROM src;
+        DEFINE g AS SELECT … FROM f;
+
+    Statements separated by ``;`` (trailing ``;`` optional). Grammar
+    per src/RamenProgram.ml:29-120 (structure only — fresh parser)."""
+    p = Parser(tokenize(text))
+    parameters: dict[str, Any] = {}
+    defines: list[DefineStmt] = []
+    while p.peek().kind != "eof":
+        if p.accept("kw", "parameters"):
+            while True:
+                pname = p.expect("name").value
+                p.expect("kw", "defaults")
+                p.expect("kw", "to")
+                t = p.next()
+                if t.kind not in ("num", "str") and not (
+                    t.kind == "kw" and t.value in ("true", "false", "null")
+                ):
+                    raise SyntaxError(f"RaQL: parameter default must be a literal, got {t.value!r}")
+                parameters[pname] = (
+                    {"true": True, "false": False, "null": None}[t.value]
+                    if t.kind == "kw"
+                    else t.value
+                )
+                if not p.accept("op", ","):
+                    break
+        elif p.accept("kw", "define"):
+            lazy = bool(p.accept("kw", "lazy"))
+            fname = p.expect("name").value
+            persist: float | None = None
+            if p.accept("kw", "persist"):
+                p.expect("kw", "for")
+                persist = float(p.expect("num").value)
+            p.expect("kw", "as")
+            defines.append(DefineStmt(fname, _parse_operation_body(p), lazy, persist))
+        else:
+            got = p.peek()
+            raise SyntaxError(f"RaQL: expected DEFINE or PARAMETERS, got {got.value!r} at {got.pos}")
+        if not p.accept("op", ";"):
+            break
+    p.expect("eof")
+    return ProgramAST(parameters, defines)
+
+
+def compile_program(text: str, name: str = "raql"):
+    """RaQL program text → plans.program.Program with one Function per
+    DEFINE, parents wired from the FROM clauses. Multi-parent FROM =
+    unionByName (the reference's interleaved-stream model,
+    src/RingBuf.ml:4-6). Materialize with externals supplying the
+    source tables:
+
+        prog = compile_program(txt)
+        dfs = prog.materialize(spark, externals={"events": ev_df})
+    """
+    from ramen_spark.plans.program import Program
+
+    ast = parse_program(text)
+    prog = Program(name, parameters=ast.parameters)
+
+    def make_body(op: Operation):
+        def body(spark, params, *parent_dfs):
+            if not parent_dfs:
+                raise ValueError("RaQL function needs at least one FROM parent")
+            src = parent_dfs[0]
+            for extra in parent_dfs[1:]:
+                src = src.unionByName(extra)
+            return compile_operation(op, src, params)
+
+        return body
+
+    for d in ast.defines:
+        prog.define(d.name, parents=list(d.op.sources), persist_for=d.persist_for)(
+            make_body(d.op)
+        )
+    return prog

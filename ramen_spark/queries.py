@@ -1351,6 +1351,40 @@ def raql_frontend_minute_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "raql_program_pipeline",
+    """
+    SELECT event_type,
+           round(sum(value * 2), 6) AS s,
+           count(*)                 AS n
+    FROM events
+    WHERE value >= 100
+    GROUP BY event_type
+    """,
+)
+def raql_program_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full RaQL program text → DAG → result (SURVEY §3.1 entry point
+    A): a private filter/projection stage feeding a public aggregate,
+    parameters bound at materialize. Catalyst collapses both DEFINEs
+    into one scan+filter+partial-agg plan — the program layer adds no
+    physical cost."""
+    from ramen_spark.plans.raql import compile_program
+
+    ev = _t(spark, sf_dir, "events")
+    prog = compile_program(
+        """
+        PARAMETERS lo DEFAULTS TO 100;
+        DEFINE _doubled AS SELECT event_type, value * 2 AS dbl
+          FROM events WHERE value >= param.lo;
+        DEFINE per_type AS SELECT event_type, ROUND(SUM dbl, 6) AS s, COUNT(1) AS n
+          FROM _doubled GROUP BY event_type
+        """,
+        name="pipeline",
+    )
+    dfs = prog.materialize(spark, externals={"events": ev}, register_views=False)
+    return dfs["per_type"]
+
+
+@register(
     "bool_bit_aggregates",
     """
     SELECT event_type,

@@ -94,7 +94,7 @@ def test_operation_parse_shape():
         "GROUP BY k COMMIT AFTER SUM 1 >= 10"
     )
     assert [f.alias for f in op.fields] == ["mn", "mx"]
-    assert op.source == "tbl" and op.where is not None
+    assert op.sources == ["tbl"] and op.where is not None
     assert len(op.group_by) == 1 and op.commit_after is not None
 
 
@@ -157,3 +157,87 @@ def test_private_fields_dropped(spark):
 def test_unknown_function_rejected():
     with pytest.raises(ValueError, match="unknown RaQL function"):
         compile_expr("FROBNICATE(1)")
+
+
+# ---------------------------------------------------------------------------
+# star expansion, out-field chaining, multi-parent FROM, programs
+# ---------------------------------------------------------------------------
+
+
+def test_star_expansion(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = compile_operation("SELECT * FROM events", ev)
+    assert out.columns == ev.columns
+    assert out.count() == ev.count()
+
+
+def test_star_minus_and_named(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = compile_operation("SELECT * - props - ts, value * 2 AS dbl FROM events", ev)
+    assert "props" not in out.columns and "ts" not in out.columns
+    # value still present (named fields excluded only when re-aliased)
+    assert "dbl" in out.columns and "value" in out.columns
+
+
+def test_out_field_reference_chain(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = compile_operation(
+        "SELECT value + 1 AS v1, out.v1 * 10 AS v10, v10 + v1 AS v11 FROM events", ev
+    )
+    row = out.select("v1", "v10", "v11").first()
+    assert row["v10"] == row["v1"] * 10
+    assert row["v11"] == row["v10"] + row["v1"]
+
+
+def test_program_two_stage_pipeline(spark):
+    from ramen_spark.plans.raql import compile_program
+
+    ev = load_table(spark, SF_SMALL, "events")
+    prog = compile_program(
+        """
+        PARAMETERS thresh DEFAULTS TO 0;
+        DEFINE _flt AS SELECT event_type, value FROM events WHERE value > param.thresh;
+        DEFINE per_type AS SELECT event_type, SUM value AS s, COUNT(1) AS n
+          FROM _flt GROUP BY event_type
+        """,
+        name="p",
+    )
+    dfs = prog.materialize(spark, externals={"events": ev}, register_views=False)
+    assert set(dfs) == {"_flt", "per_type"}
+    exp = (
+        ev.filter(F.col("value") > 0)
+        .groupBy("event_type")
+        .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    got = {r["event_type"]: r["n"] for r in dfs["per_type"].collect()}
+    want = {r["event_type"]: r["n"] for r in exp.collect()}
+    assert got == want
+
+
+def test_program_param_override(spark):
+    from ramen_spark.plans.raql import compile_program
+
+    ev = load_table(spark, SF_SMALL, "events")
+    prog = compile_program(
+        "DEFINE f AS SELECT COUNT(1) AS n FROM events WHERE value > param.lo;"
+        "PARAMETERS lo DEFAULTS TO 0",
+        name="p2",
+    )
+    n_all = prog.materialize(spark, externals={"events": ev}, register_views=False)["f"].first()["n"]
+    n_hi = prog.materialize(
+        spark, params={"lo": 150}, externals={"events": ev}, register_views=False
+    )["f"].first()["n"]
+    assert n_hi < n_all
+
+
+def test_program_multi_parent_union(spark):
+    from ramen_spark.plans.raql import compile_program
+
+    ev = load_table(spark, SF_SMALL, "events")
+    a = ev.filter(F.col("value") < 50)
+    b = ev.filter(F.col("value") >= 50)
+    prog = compile_program(
+        "DEFINE merged AS SELECT COUNT(1) AS n FROM a, b", name="p3"
+    )
+    got = prog.materialize(spark, externals={"a": a, "b": b}, register_views=False)
+    assert got["merged"].first()["n"] == ev.count()
