@@ -16,4 +16,8 @@
                    top-k baseline, LSH-bucketed scale path).
 - ``multimodal`` : binary media columns — schema, batch plumbing,
                    stubbed decoders.
+- ``asof``       : point-in-time (as-of) join via the union+window
+                   trick — one shuffle, no range probe.
+- ``sortbuf``    : SORT LAST n bounded reorder buffer
+                   (src/RamenSortBuf.ml semantics).
 """
