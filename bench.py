@@ -49,8 +49,18 @@ def main() -> None:
     from ramen_spark.queries import QUERIES
 
     spark = get_spark("ramen_spark_bench")
-    # JVM/codegen warmup on a trivial plan so q1 doesn't pay startup
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # JVM warmup: touch the code paths the headline queries compile to
+    # (parquet scan, hash agg, window, higher-order array fns) on the
+    # tiniest SF so first-query wall time measures the query, not
+    # first-use JIT/codegen of those operator classes
+    from ramen_spark.catalog import load_table
+
+    warm = load_table(spark, "/root/testdata/sf0.001", "events")
+    warm.groupBy("event_type").agg({"value": "sum"}).collect()
+    spark.sql(
+        "SELECT aggregate(sequence(1, 8), 0L, (a, x) -> a + x) v, "
+        "row_number() OVER (ORDER BY 1) rn"
+    ).collect()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -42,13 +42,18 @@ def brute_force_topk(
     so results are reproducible across engines and runs.
     """
     q = F.broadcast(
-        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec"))
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            _as_double(vec_col).alias("_qvec"),
+        ).withColumn("_qnorm", V.norm2(F.col("_qvec")))
     )
-    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("_cvec")
+    ).withColumn("_cnorm", V.norm2(F.col("_cvec")))
     scored = (
         c.crossJoin(q)
         .filter(F.col("corpus_id") != F.col(query_id_col))
-        .withColumn("sim", F.round(V.cosine(F.col("_qvec"), F.col("_cvec")), 6))
+        .withColumn("sim", F.round(_sim_prenorm("_qvec", "_cvec", "_qnorm", "_cnorm"), 6))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col("corpus_id").asc())
     return (
@@ -56,6 +61,22 @@ def brute_force_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "corpus_id", "sim", "rank")
     )
+
+
+def _as_double(vec_col: str):
+    """Cast array<float> → array<double> ONCE per row per side, so the
+    per-pair dot product runs cast-free (the cast inside zip_with would
+    otherwise execute per pair — N×k times instead of N+k)."""
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def _sim_prenorm(av: str, bv: str, an: str, bn: str):
+    """Cosine from precomputed norms: per-pair work = 1 dot + 1 divide
+    (the norms would otherwise be recomputed per pair — 3 array
+    traversals instead of 1). Same expression shape as the oracle's
+    ``dot/(sqrt(dot)*sqrt(dot))`` → bit-identical doubles."""
+    d = F.col(an) * F.col(bn)
+    return F.when(d > 0, V.dot(F.col(av), F.col(bv)) / d)
 
 
 def make_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -88,20 +109,20 @@ def lsh_topk(
     planes = make_hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
-        F.col(vec_col).alias("_cvec"),
+        _as_double(vec_col).alias("_cvec"),
         V.lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).withColumn("_cnorm", V.norm2(F.col("_cvec")))
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias(query_id_col),
-            F.col(vec_col).alias("_qvec"),
+            _as_double(vec_col).alias("_qvec"),
             V.lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-        )
+        ).withColumn("_qnorm", V.norm2(F.col("_qvec")))
     )
     scored = (
         c.join(q, "bucket")
         .filter(F.col("corpus_id") != F.col(query_id_col))
-        .withColumn("sim", F.round(V.cosine(F.col("_qvec"), F.col("_cvec")), 6))
+        .withColumn("sim", F.round(_sim_prenorm("_qvec", "_cvec", "_qnorm", "_cnorm"), 6))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col("corpus_id").asc())
     return (
@@ -127,14 +148,14 @@ def pairwise_near_dups(
     planes = make_hyperplanes(dim, n_planes, seed)
     b = df.select(
         F.col(id_col),
-        F.col(vec_col).alias("_v"),
+        _as_double(vec_col).alias("_v"),
         V.lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).withColumn("_n", V.norm2(F.col("_v")))
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(r, "bucket")
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .withColumn("sim", F.round(V.cosine(F.col("l._v"), F.col("r._v")), 6))
+        .withColumn("sim", F.round(_sim_prenorm("l._v", "r._v", "l._n", "r._n"), 6))
         .filter(F.col("sim") >= threshold)
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
