@@ -1493,6 +1493,58 @@ def holt_winters_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "network_binary_profile",
+    """
+    WITH t AS (
+      SELECT DISTINCT user_id,
+             lpad(lower(hex(user_id * 110011)), 12, '0')  AS machex,
+             167772160 + (user_id * 7919) % 65536          AS ip,
+             lpad(hex(user_id), 16, '0') || lpad(hex(user_id * 7919), 16, '0') AS uhex,
+             chr((65 + user_id % 26)::INT)                 AS tag
+      FROM events)
+    SELECT user_id,
+           substring(machex,1,2) || ':' || substring(machex,3,2) || ':' ||
+           substring(machex,5,2) || ':' || substring(machex,7,2) || ':' ||
+           substring(machex,9,2) || ':' || substring(machex,11,2)   AS mac,
+           (ip // 4096) * 4096                                      AS cidr_begin,
+           (ip // 4096) * 4096 + 4095                               AS cidr_end,
+           tag,
+           lower(substring(uhex,1,8) || '-' || substring(uhex,9,4) || '-' ||
+                 substring(uhex,13,4) || '-' || substring(uhex,17,4) || '-' ||
+                 substring(uhex,21,12))                              AS uuid,
+           ascii(substring(rpad(tag, 4, 'x'),1,1))
+             + ascii(substring(rpad(tag, 4, 'x'),2,1)) * 256
+             + ascii(substring(rpad(tag, 4, 'x'),3,1)) * 65536
+             + ascii(substring(rpad(tag, 4, 'x'),4,1)) * 16777216    AS peeked
+    FROM t
+    """,
+)
+def network_binary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Network/binary operator bundle with reference semantics: Eth
+    formatting (src/RamenEthAddr.ml), BEGINOFRANGE/ENDOFRANGE on a /20
+    (CodeGenLib.ml:1085-1088), CHR (doc:303), UUID_OF_U128 (doc:145),
+    PEEK U32 LITTLE ENDIAN (doc:94). All builtin expressions — one
+    codegen stage after the distinct."""
+    from ramen_spark.functions import network as N
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    ip = (F.lit(_CC_BASE) + (F.col("user_id") * 7919) % 65536).alias("ip")
+    tag = S.chr_(F.lit(65) + F.col("user_id") % 26)
+    t = users.select("user_id", ip, tag.alias("tag"))
+    cidr = N.cidr_v4(F.col("ip"), 20)
+    return t.select(
+        "user_id",
+        N.eth_to_string(F.col("user_id") * 110011).alias("mac"),
+        N.begin_of_range(cidr).alias("cidr_begin"),
+        N.end_of_range(cidr).alias("cidr_end"),
+        "tag",
+        S.uuid_of_u128(F.col("user_id"), F.col("user_id") * 7919).alias("uuid"),
+        S.peek_u32_le(F.rpad(F.col("tag"), 4, "x")).alias("peeked"),
+    )
+
+
+@register(
     "asof_last_purchase",
     """
     SELECT e.event_id,
