@@ -1493,6 +1493,43 @@ def holt_winters_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_skew_aggregate",
+    """
+    SELECT event_type,
+           count(*)                                       AS n,
+           sum((round(value * 100, 0))::BIGINT)           AS sum_cents,
+           min(value)                                     AS min_value,
+           max(value)                                     AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation (operators.skew.salted_aggregate): 5 hot
+    keys over all rows is the worst-case key histogram — the salt
+    spreads each key over 32 reducers, then combines 5×32 partial
+    rows. Values are identical to the plain groupBy (integer-cent sums
+    are associative under regrouping), which is exactly what the
+    oracle checks."""
+    from ramen_spark.operators.skew import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": (F.lit(1), "count"),
+            "sum_cents": (cents, "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+        n_salts=32,
+        salt_from="event_id",
+    )
+
+
+@register(
     "network_binary_profile",
     """
     WITH t AS (

@@ -106,3 +106,25 @@ def test_replay_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters:")[1][:200]
     assert "dt" in seg
+
+
+def test_salted_aggregate_two_stage_shape(spark):
+    """The salted aggregate must be exactly two hash-partitionings:
+    (key, salt) then (key) — and the values must equal the plain
+    groupBy (algebraic decomposition)."""
+    from ramen_spark.operators.skew import salted_aggregate
+    from ramen_spark.catalog import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    out = salted_aggregate(
+        ev, ["event_type"], {"n": (F.lit(1), "count"), "mx": ("value", "max")},
+        n_salts=8, salt_from="event_id",
+    )
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 2
+    got = {r["event_type"]: (r["n"], r["mx"]) for r in out.collect()}
+    exp_df = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.max("value").alias("mx")
+    )
+    exp = {r["event_type"]: (r["n"], r["mx"]) for r in exp_df.collect()}
+    assert got == exp
