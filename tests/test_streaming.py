@@ -102,3 +102,28 @@ def test_rate_clock_shape(spark):
 
     df = rate_clock(spark, 0.5)
     assert df.isStreaming and set(df.columns) == {"t", "tick"}
+
+
+def test_streaming_notify_sink(spark, events_stream):
+    """NOTIFY over a stream: template-expanded notifications delivered
+    through foreachBatch; batch build over the same data is the
+    oracle for count and names."""
+    from ramen_spark.streaming.sinks import build_notifications, notify_sink
+
+    stream, batch = events_stream
+    notifs = build_notifications(
+        stream,
+        "spike on ${event_type}",
+        when=F.col("value") > 195,
+        param_cols=["event_id"],
+    )
+    got: list[tuple[str, dict]] = []
+    q = notify_sink(notifs, lambda name, params: got.append((name, params)))
+    q.processAllAvailable()
+    q.stop()
+
+    exp = build_notifications(
+        batch, "spike on ${event_type}", when=F.col("value") > 195, param_cols=["event_id"]
+    )
+    assert len(got) == exp.count()
+    assert {n for n, _ in got} == {r["notification"] for r in exp.collect()}
