@@ -128,3 +128,39 @@ def test_salted_aggregate_two_stage_shape(spark):
     )
     exp = {r["event_type"]: (r["n"], r["mx"]) for r in exp_df.collect()}
     assert got == exp
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts
+    must join with ZERO Exchange operators (the write-time shuffle is
+    the only one that ever happens)."""
+    from ramen_spark.catalog import load_table
+    from ramen_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    orders = load_table(spark, SF_ORACLE, "orders")
+    write_bucketed(ev.select("user_id", "value"), "b_events", ["user_id"], 8)
+    write_bucketed(
+        orders.select(F.col("o_custkey").alias("user_id"), "o_totalprice"),
+        "b_orders",
+        ["user_id"],
+        8,
+    )
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = read_bucketed(spark, "b_events")
+            b = read_bucketed(spark, "b_orders")
+            joined = a.join(b, "user_id")
+            plan = _plan(joined)
+            assert "Exchange" not in plan, plan
+            assert joined.count() > 0
+            # groupBy on the bucket key is also exchange-free
+            agg = a.groupBy("user_id").count()
+            assert "Exchange" not in _plan(agg)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_events")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
