@@ -1493,6 +1493,58 @@ def holt_winters_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "supplier_balance_by_nation",
+    """
+    SELECT n_name,
+           count(*)                       AS n_suppliers,
+           round(sum(s_acctbal), 2)       AS total_bal,
+           round(avg(s_acctbal), 6)       AS avg_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-to-dimension enrichment over the supplier table
+    (broadcast nation; completes coverage of every testdata table)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+            F.round(F.avg("s_acctbal"), 6).alias("avg_bal"),
+        )
+    )
+
+
+@register(
+    "part_size_histogram",
+    """
+    SELECT p_brand,
+           CASE WHEN p_size < 0 THEN 0
+                WHEN p_size >= 50 THEN 11
+                ELSE CAST(floor((p_size - 0) / 5.0) AS INT) + 1 END AS size_bucket,
+           count(*)                        AS n,
+           round(avg(p_retailprice), 6)    AS avg_price
+    FROM part
+    GROUP BY p_brand, size_bucket
+    """,
+)
+def part_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM(p_size, 0, 50, 10) per brand over the part table —
+    the 2-D (factor × bucket) breakdown shape of `ramen timeseries`
+    FACTORS output."""
+    p = _t(spark, sf_dir, "part")
+    bucket = S.histogram(F.col("p_size"), 0.0, 50.0, 10).alias("size_bucket")
+    return p.groupBy("p_brand", bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+    )
+
+
+@register(
     "salted_skew_aggregate",
     """
     SELECT event_type,
