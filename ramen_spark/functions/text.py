@@ -227,6 +227,12 @@ def simhash(shingles: Column, bits: int = 48) -> Column:
     For each bit position, count shingles whose md5 nibble has that bit
     set; majority vote → bit set in the signature. Built entirely from
     higher-order functions; md5 keeps it DuckDB-reproducible.
+
+    NOTE: convenience/reference form only — Catalyst re-evaluates the
+    md5 array once per bit here (48×). Hot paths must use the
+    row-based pipeline in operators.dedup.simhash_near_dups (explode →
+    one md5 per shingle → per-bit sums), which computes the identical
+    signature ~80× faster.
     """
     hexdig = "0123456789abcdef"
 

@@ -168,10 +168,45 @@ def simhash_near_dups(
     ``chunks`` chunks; any pair within hamming ≤ chunks-1 shares at
     least one exact chunk (pigeonhole) → equi-join per chunk, then
     exact hamming verify. Requires max_hamming < chunks for
-    completeness."""
-    sig = df.select(
-        F.col(id_col), Tx.simhash(Tx.word_shingles(F.col(text_col), 3), bits).alias("sig")
+    completeness.
+
+    Signature computation is row-based like minhash_signatures:
+    explode shingles, ONE md5 per shingle, 12 nibble extractions per
+    row, then groupBy(doc) with one tiny sum per bit (map-side
+    partial) and a final bit-assembly expression. The array-expression
+    form (48 × aggregate() over a transform(md5) array) re-evaluates
+    the md5 array per bit — measured 80× slower at sf0.01."""
+    hexdig = "0123456789abcdef"
+    toks = df.select(
+        F.col(id_col), F.split(Tx.normalized_text(F.col(text_col)), " ").alias("_toks")
     )
+    rows = toks.select(
+        F.col(id_col),
+        F.explode(Tx.word_shingles_of_tokens(F.col("_toks"), 3)).alias("_s"),
+    ).select(F.col(id_col), F.md5(F.col("_s")).alias("_h"))
+    n_nibbles = bits // 4
+    nibs = rows.select(
+        F.col(id_col),
+        *[
+            (F.instr(F.lit(hexdig), F.substring(F.col("_h"), j + 1, 1)) - 1).alias(f"_n{j}")
+            for j in range(n_nibbles)
+        ],
+    )
+    votes = nibs.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col(f"_n{b // 4}").bitwiseAND(F.lit(8 >> (b % 4))) > 0, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"_v{b}")
+            for b in range(bits)
+        ]
+    )
+    sig_expr = None
+    for b in range(bits):
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sig = votes.select(F.col(id_col), sig_expr.alias("sig"))
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
     chunked = sig.select(

@@ -937,10 +937,44 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=10)
 
 
-@register("simhash_near_dups")  # rows-only: 48-bit bit-vote loop not mirrored in SQL
+@register(
+    "simhash_near_dups",
+    f"""
+    WITH words AS ({_SHINGLES_SQL}),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM words, unnest(generate_series(1, greatest(nw - 2, 0))) AS u(i)
+    ),
+    hx AS (SELECT doc_id, md5(s) AS h FROM sh),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN ((strpos('0123456789abcdef', substring(h, b // 4 + 1, 1)) - 1)
+                            & (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) > 0
+                      THEN 1 ELSE -1 END) AS vote
+      FROM hx, unnest(generate_series(0, 47)) AS g(b)
+      GROUP BY doc_id, b
+    ),
+    sig AS (
+      SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
+      FROM bits GROUP BY doc_id
+    ),
+    ck AS (
+      SELECT doc_id, sig, i::VARCHAR || ':' || ((sig >> (i * 12)) & 4095)::VARCHAR AS chunk_key
+      FROM sig, unnest(generate_series(0, 3)) AS c(i)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+      FROM ck a JOIN ck b ON a.chunk_key = b.chunk_key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+    FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3 over 48-bit signatures,
-    4-chunk pigeonhole banding) — operators.dedup.simhash_near_dups."""
+    4-chunk pigeonhole banding) — operators.dedup.simhash_near_dups.
+    The md5-nibble bit votes are mirrored bit-for-bit by the oracle
+    (value-exact, not rows-only)."""
     return D.simhash_near_dups(_t(spark, sf_dir, "documents"))
 
 
