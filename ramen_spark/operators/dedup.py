@@ -133,27 +133,49 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.6,
-    lsh_num_hashes: int = 16,
-    lsh_bands: int = 8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over LSH-generated candidates: the LSH pass
-    prunes to near-pairs, then exact set Jaccard on the shingle arrays
-    confirms. Two shuffles total (bucket join + pair dedup); the exact
-    verify is row-local."""
-    cands = minhash_lsh_pairs(
-        df, text_col, id_col, shingle_k, lsh_num_hashes, lsh_bands, min_sig_agreement=0.0
-    ).select("id_a", "id_b")
-    sh = df.select(
-        F.col(id_col), Tx.word_shingles(F.col(text_col), shingle_k).alias("shingles")
+    """EXACT n-gram Jaccard similarity join — no cross product.
+
+    Any pair with Jaccard > 0 shares at least one shingle, so the
+    candidate set is exactly the equi-join of the exploded
+    (doc, shingle) relation with itself: intersection sizes fall out
+    of a groupBy over the join, and |union| = |A| + |B| − |A∩B| from
+    per-doc shingle counts. Shuffle volume scales with shingle
+    postings (Σ df²  per shingle for the join), not N² — the standard
+    scalable exact-similarity-join; a common-shingle frequency cutoff
+    or the minhash-LSH pass can pre-prune when postings get hot."""
+    toks = df.select(
+        F.col(id_col), F.split(Tx.normalized_text(F.col(text_col)), " ").alias("_toks")
     )
-    out = (
-        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
-        .withColumn("jaccard", F.round(Tx.jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+    sh = toks.select(
+        F.col(id_col), Tx.word_shingles_of_tokens(F.col("_toks"), shingle_k).alias("_sh")
+    )
+    sizes = sh.select(F.col(id_col), F.size("_sh").alias("_n"))
+    rows = sh.select(F.col(id_col), F.explode("_sh").alias("_s"))
+    a = rows.select(F.col(id_col).alias("id_a"), F.col("_s"))
+    b = rows.select(F.col(id_col).alias("id_b"), F.col("_s"))
+    inter = (
+        a.join(b, "_s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+                6,
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def simhash_near_dups(

@@ -891,23 +891,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-word-shingle Jaccard over all pairs ≥ 0.4 — the exact
-    ground truth the LSH pipeline approximates. All-pairs is fine at
-    sf0.01 (500 docs); at scale use minhash_lsh_pairs → verify, same
-    final expression (operators.dedup.ngram_jaccard_pairs)."""
-    docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", Tx.word_shingles(F.col("text"), 3).alias("shingles")
-    )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    jac = F.round(Tx.jaccard(F.col("a.shingles"), F.col("b.shingles")), 6)
-    return (
-        a.crossJoin(b)
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.4)
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"), "jaccard")
+    """Exact 3-word-shingle Jaccard pairs ≥ 0.4 — the exact ground
+    truth the LSH pipeline approximates, via the shared-shingle
+    similarity join (operators.dedup.ngram_jaccard_pairs): no cross
+    product, candidates = pairs that share a shingle (a superset of
+    every pair with jaccard > 0, so still exact). The oracle states
+    the all-pairs definition; the engine plan scales."""
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.4
     )
 
 
