@@ -42,6 +42,31 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Below this size a table is join-dimension-sized; parallelizing its scan
+# costs more than it buys.
+_REBALANCE_MIN_BYTES = 256 * 1024
+
+# Tables whose pipelines are dominated by per-row narrow compute (shingle
+# hashing, vector arithmetic) rather than scan→shuffle-agg. For these an
+# up-front round-robin repartition pays for itself; for scan→agg tables
+# the map-side partial aggregate is already the cheap part and the extra
+# shuffle only adds latency (measured at sf0.1: q1 +0.7s, minhash −2.2s).
+NARROW_HEAVY = frozenset({"documents", "embeddings"})
+
+
+def _path_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Runtime-settable confs the engine depends on, applied here so
     the code also works under a caller-built SparkSession (the driver
@@ -50,15 +75,32 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, rebalance: bool = True
+) -> DataFrame:
     _ensure_session_confs(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    df = spark.read.parquet(path)
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the file → read as long ns (see
         # session.py nanosAsLong), truncate to µs exactly with integer
         # division (double math would lose precision at 1e18 ns) —
         # identical to DuckDB's ns→µs cast, keeping oracles exact.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if rebalance and name in NARROW_HEAVY:
+        # Un-splittable inputs (single-row-group parquet, gz CSV…)
+        # serialize every narrow stage onto one core. When the scan
+        # can't produce ≥ parallelism splits, round-robin repartition
+        # once so shingling / hashing / projection run wide. Filters and
+        # pruning still push through Repartition, and at real scale
+        # (files ≫ maxPartitionBytes × cores) this is a no-op.
+        size = _path_bytes(path)
+        max_split = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+        )
+        target = spark.sparkContext.defaultParallelism
+        if size >= _REBALANCE_MIN_BYTES and size < max_split * target:
+            df = df.repartition(target)
     return df
 
 
