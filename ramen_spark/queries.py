@@ -1817,3 +1817,81 @@ def scalar_math_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.substring(F.col("event_type"), 1, -1).alias("mid_type"),
         S.index_of(F.col("event_type"), "e", from_end=True).alias("last_e"),
     )
+
+
+# ===========================================================================
+# 10. Binary wire formats (SURVEY §2.1 ReadExternal/ListenFor decode kernels)
+# ===========================================================================
+
+
+@register(
+    "rowbinary_roundtrip",
+    """
+    SELECT l_returnflag,
+           count(*)                              AS n_rows,
+           round(sum(l_quantity), 2)             AS sum_qty,
+           CAST(sum(l_orderkey) AS BIGINT)       AS sum_orderkey
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def rowbinary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READ ... AS ROWBINARY, proven end-to-end: lineitem → ClickHouse
+    RowBinary blobs (one per partition, sources.binary encoder) → the
+    mapInPandas decoder → aggregate. The oracle aggregates the raw
+    table, so any byte-level defect in either kernel breaks parity.
+    Decode is per-blob row-local — parallelism = input partitions, no
+    shuffle until the final aggregate."""
+    from ramen_spark.sources.binary import decode_rowbinary, encode_rowbinary_df
+
+    spec = [
+        ("l_orderkey", "int64"),
+        ("l_quantity", "float64"),
+        ("l_returnflag", "Nullable(String)"),
+    ]
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    decoded = decode_rowbinary(encode_rowbinary_df(li, spec), spec)
+    return decoded.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.sum("l_orderkey").alias("sum_orderkey"),
+    )
+
+
+@register(
+    "netflow_decode_profile",
+    """
+    SELECT event_id % 256                        AS ip_proto,
+           count(*)                              AS n_flows,
+           CAST(sum(event_id % 100000) AS BIGINT)   AS sum_bytes,
+           CAST(sum(user_id % 1000 + 1) AS BIGINT)  AS sum_packets
+    FROM events
+    GROUP BY 1
+    """,
+)
+def netflow_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTEN FOR netflow, proven end-to-end on synthetic flows:
+    events rows → NetFlow v5 packets (30 records/packet, the real
+    24+48-byte big-endian layout) → the mapInPandas packet decoder →
+    per-protocol rollup. The oracle computes the same rollup from the
+    pre-encode field mapping, so header/record offsets, endianness and
+    unsigned widths are all on the hook. Mirrors the reference's
+    src/RamenNetflow.ml:14-142 surface."""
+    from ramen_spark.sources.binary import decode_netflow_v5, encode_netflow_v5_df
+
+    ev = _t(spark, sf_dir, "events")
+    flows = ev.select(
+        (F.col("user_id") % 4294967296).alias("src"),
+        (F.col("event_id") % 65536).cast("int").alias("src_port"),
+        (F.col("event_id") % 100000).alias("bytes"),
+        (F.col("user_id") % 1000 + 1).alias("packets"),
+        (F.col("event_id") % 256).cast("int").alias("ip_proto"),
+    )
+    decoded = decode_netflow_v5(encode_netflow_v5_df(flows))
+    return decoded.groupBy(F.col("ip_proto").cast("long").alias("ip_proto")).agg(
+        F.count(F.lit(1)).alias("n_flows"),
+        F.sum("bytes").alias("sum_bytes"),
+        F.sum("packets").alias("sum_packets"),
+    )

@@ -1,0 +1,149 @@
+"""NetFlow v5 and ClickHouse RowBinary wire-format kernels
+(sources/binary.py ↔ reference src/RamenNetflow.ml:14-142 and
+READ ... AS ROWBINARY, src/raql_operation.type:54-138)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ramen_spark.sources.binary import (
+    NETFLOW_V5_DECODED_SCHEMA,
+    decode_netflow_v5,
+    decode_netflow_v5_packet,
+    decode_rowbinary,
+    decode_rowbinary_blob,
+    encode_netflow_v5,
+    encode_rowbinary,
+    encode_rowbinary_df,
+    rowbinary_spark_schema,
+)
+
+FLOW_A = {
+    "src": 0x0A000001,  # 10.0.0.1
+    "dst": 0xC0A80002,  # 192.168.0.2
+    "next_hop": 0,
+    "in_iface": 3,
+    "out_iface": 7,
+    "packets": 100,
+    "bytes": 123456,
+    "first": 1_000,  # uptime ms
+    "last": 2_500,
+    "src_port": 443,
+    "dst_port": 51514,
+    "tcp_flags": 0x18,
+    "ip_proto": 6,
+    "ip_tos": 0,
+    "src_as": 64512,
+    "dst_as": 65000,
+    "src_mask": 24,
+    "dst_mask": 16,
+}
+FLOW_B = {"src": 0xFFFFFFFF, "dst": 1, "packets": 1, "bytes": 40, "first": 0, "last": 0}
+
+
+def test_netflow_roundtrip_values():
+    pkt = encode_netflow_v5(
+        [FLOW_A, FLOW_B],
+        sys_uptime_ms=10_000,
+        unix_secs=1_700_000_100,
+        unix_nsecs=500_000_000,
+        flow_sequence=42,
+        engine_type=1,
+        engine_id=2,
+        sampling=(0x1 << 14) | 100,  # mode 1, rate 100
+    )
+    rows = decode_netflow_v5_packet(pkt)
+    assert len(rows) == 2
+    a = dict(zip(NETFLOW_V5_DECODED_SCHEMA.names, rows[0]))
+    assert a["src"] == 0x0A000001 and a["dst"] == 0xC0A80002
+    assert a["src_port"] == 443 and a["dst_port"] == 51514
+    assert a["packets"] == 100 and a["bytes"] == 123456
+    assert a["seqnum"] == 42 and a["engine_type"] == 1 and a["engine_id"] == 2
+    assert a["sampling_type"] == 1 and a["sampling_rate"] == 100
+    assert a["src_as"] == 64512 and a["src_mask"] == 24
+    # boot = secs + nsecs/1e9 − uptime/1e3; start = boot + first/1e3
+    boot = 1_700_000_100 + 0.5 - 10.0
+    assert rows[0][0] == pytest.approx(boot + 1.0, abs=1e-6)
+    assert rows[0][1] == pytest.approx(boot + 2.5, abs=1e-6)
+    # u32 max survives (no sign wrap)
+    b = dict(zip(NETFLOW_V5_DECODED_SCHEMA.names, rows[1]))
+    assert b["src"] == 0xFFFFFFFF
+
+
+def test_netflow_rejects_wrong_version():
+    pkt = bytearray(encode_netflow_v5([FLOW_B]))
+    pkt[0:2] = (9).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="version=9"):
+        decode_netflow_v5_packet(bytes(pkt))
+
+
+def test_netflow_mapinpandas(spark):
+    pkts = [
+        encode_netflow_v5([FLOW_A] * 30, flow_sequence=i) for i in range(4)
+    ] + [encode_netflow_v5([FLOW_B], flow_sequence=99)]
+    df = spark.createDataFrame(
+        [(p,) for p in pkts], T.StructType([T.StructField("packet", T.BinaryType())])
+    )
+    out = decode_netflow_v5(df)
+    assert out.count() == 4 * 30 + 1
+    agg = out.agg(
+        F.sum("bytes").alias("b"), F.countDistinct("seqnum").alias("s")
+    ).first()
+    assert agg["b"] == 120 * 123456 + 40 and agg["s"] == 5
+
+
+RB_SPEC = [
+    ("id", "uint32"),
+    ("flag", "int8"),
+    ("qty", "float64"),
+    ("name", "Nullable(String)"),
+    ("tag", "string"),
+]
+
+
+def test_rowbinary_roundtrip_blob():
+    rows = [
+        (1, -5, 3.25, "alice", "x"),
+        (4_000_000_000, 127, -0.0, None, ""),  # u32 > i32 range, NULL, empty str
+        (7, 0, 1e300, "émoji ✓", "y" * 200),  # utf-8 multibyte, len > 127 (LEB128 2 bytes)
+    ]
+    blob = encode_rowbinary(rows, RB_SPEC)
+    back = decode_rowbinary_blob(blob, RB_SPEC)
+    assert back == rows
+
+
+def test_rowbinary_null_in_non_nullable_raises():
+    with pytest.raises(ValueError, match="non-nullable"):
+        encode_rowbinary([(None, 1, 1.0, None, "t")], RB_SPEC)
+
+
+def test_rowbinary_spark_schema_types():
+    sch = rowbinary_spark_schema(RB_SPEC)
+    assert [f.dataType.simpleString() for f in sch.fields] == [
+        "bigint",  # uint32 needs the >2^31 headroom
+        "int",
+        "double",
+        "string",
+        "string",
+    ]
+    assert [f.nullable for f in sch.fields] == [False, False, False, True, False]
+
+
+def test_rowbinary_df_roundtrip(spark):
+    spec = [("k", "int64"), ("v", "float64"), ("s", "Nullable(String)")]
+    src = spark.range(0, 1000, numPartitions=4).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+        F.when(F.col("id") % 3 == 0, F.concat(F.lit("s"), F.col("id"))).alias("s"),
+    )
+    blobs = encode_rowbinary_df(src, spec)
+    assert blobs.count() == 4  # one blob per partition
+    back = decode_rowbinary(blobs, spec)
+    assert back.count() == 1000
+    chk = back.agg(
+        F.sum("k").alias("sk"), F.sum("v").alias("sv"), F.count("s").alias("cs")
+    ).first()
+    assert chk["sk"] == 499500 and chk["sv"] == 499500 * 1.5
+    assert chk["cs"] == 334
