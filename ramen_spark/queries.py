@@ -1895,3 +1895,38 @@ def netflow_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bytes").alias("sum_bytes"),
         F.sum("packets").alias("sum_packets"),
     )
+
+
+@register(
+    "collectd_decode_profile",
+    """
+    SELECT 'h' || CAST(user_id % 20 AS VARCHAR)  AS host,
+           event_type                            AS plugin,
+           count(*)                              AS n_samples,
+           round(sum(value), 2)                  AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def collectd_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTEN FOR collectd, proven end-to-end: events rows → collectd
+    binary packets (part state machine, context dedup, little-endian
+    gauge doubles inside a big-endian envelope) → the mapInPandas
+    packet decoder → per host/plugin rollup, oracled against the
+    pre-encode mapping. Reference surface: src/RamenCollectd.ml:24-90."""
+    from ramen_spark.sources.binary import decode_collectd, encode_collectd_df
+
+    ev = _t(spark, sf_dir, "events")
+    samples = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("host"),
+        (F.unix_micros(F.col("ts")) / 1e6).alias("time"),
+        F.col("event_type").alias("plugin"),
+        F.array(F.col("value")).alias("values"),
+    )
+    decoded = decode_collectd(encode_collectd_df(samples))
+    return decoded.groupBy(
+        F.col("host"), F.col("plugin").alias("plugin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

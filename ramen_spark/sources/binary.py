@@ -1,9 +1,10 @@
-"""Binary wire-format kernels: NetFlow v5 and ClickHouse RowBinary.
+"""Binary wire-format kernels: NetFlow v5, ClickHouse RowBinary, collectd.
 
 The reference decodes these natively — NetFlow v5 in
 src/RamenNetflow.ml:14-142 (packet layout + start/stop derivation),
-ClickHouse RowBinary via dessser for READ ... AS ROWBINARY
-(src/raql_operation.type:54-138). Here both are Arrow-batched
+collectd parts in src/RamenCollectd.ml:24-90, ClickHouse RowBinary via
+dessser for READ ... AS ROWBINARY
+(src/raql_operation.type:54-138). Here all are Arrow-batched
 ``mapInPandas`` kernels over a ``binary`` column: one input row = one
 packet/blob, output = the decoded typed rows. The layouts are the
 public wire formats (NetFlow v5 per Cisco's spec; RowBinary per
@@ -373,4 +374,197 @@ def encode_rowbinary_df(
 
     return df.mapInPandas(
         _encode, schema=T.StructType([T.StructField(blob_col, T.BinaryType(), False)])
+    )
+
+
+# ------------------------------------------------------------------ collectd
+
+# Binary network-protocol part types (public collectd protocol; the
+# reference decodes the same parts in src/RamenCollectd.ml:24-90).
+_CD_HOST = 0x0000
+_CD_TIME = 0x0001
+_CD_TIME_HR = 0x0008
+_CD_PLUGIN = 0x0002
+_CD_PLUGIN_INSTANCE = 0x0003
+_CD_TYPE = 0x0004
+_CD_TYPE_INSTANCE = 0x0005
+_CD_VALUES = 0x0006
+_CD_INTERVAL = 0x0007
+_CD_INTERVAL_HR = 0x0009
+
+# value-part value types
+_CD_COUNTER = 0  # u64 big-endian
+_CD_GAUGE = 1  # f64 LITTLE-endian (the protocol's one LE field)
+_CD_DERIVE = 2  # i64 big-endian
+_CD_ABSOLUTE = 3  # u64 big-endian
+
+# Decoded schema = streaming.sources.COLLECTD_SCHEMA minus the
+# socket-provided `host` ordering; value2..5 nullable like the
+# reference (≤5 values per list retained).
+COLLECTD_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("start", T.DoubleType(), False),
+        T.StructField("plugin", T.StringType(), True),
+        T.StructField("plugin_instance", T.StringType(), True),
+        T.StructField("type_name", T.StringType(), True),
+        T.StructField("type_instance", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("value2", T.DoubleType(), True),
+        T.StructField("value3", T.DoubleType(), True),
+        T.StructField("value4", T.DoubleType(), True),
+        T.StructField("value5", T.DoubleType(), True),
+    ]
+)
+
+
+def _cd_string_part(ptype: int, s: str) -> bytes:
+    raw = s.encode("utf-8") + b"\0"
+    return struct.pack(">HH", ptype, 4 + len(raw)) + raw
+
+
+def _cd_num_part(ptype: int, v: int) -> bytes:
+    return struct.pack(">HHQ", ptype, 12, v)
+
+
+def encode_collectd(
+    rows: Sequence[dict],
+    value_types: Sequence[int] | None = None,
+) -> bytes:
+    """Rows (keys: host, time, plugin, plugin_instance, type_name,
+    type_instance, values: list[float|int]) → one collectd binary
+    packet. Context parts are emitted only when they change, like the
+    real client. ``value_types`` applies per value position (default
+    all GAUGE)."""
+    out = bytearray()
+    ctx: dict[int, str] = {}
+    last_time = None
+    for row in rows:
+        for ptype, key in (
+            (_CD_HOST, "host"),
+            (_CD_PLUGIN, "plugin"),
+            (_CD_PLUGIN_INSTANCE, "plugin_instance"),
+            (_CD_TYPE, "type_name"),
+            (_CD_TYPE_INSTANCE, "type_instance"),
+        ):
+            val = row.get(key)
+            if val is not None and ctx.get(ptype) != val:
+                out += _cd_string_part(ptype, val)
+                ctx[ptype] = val
+        t = row.get("time")
+        if t is not None and t != last_time:
+            # high-res part: 2^-30 s units
+            out += _cd_num_part(_CD_TIME_HR, int(round(t * (1 << 30))))
+            last_time = t
+        values = row["values"]
+        vtypes = list(value_types or [_CD_GAUGE] * len(values))
+        body = bytearray(struct.pack(">H", len(values)))
+        body += bytes(vtypes)
+        for vt, v in zip(vtypes, values):
+            if vt == _CD_GAUGE:
+                body += struct.pack("<d", float(v))
+            elif vt == _CD_DERIVE:
+                body += struct.pack(">q", int(v))
+            else:  # counter / absolute
+                body += struct.pack(">Q", int(v))
+        out += struct.pack(">HH", _CD_VALUES, 4 + len(body)) + bytes(body)
+    return bytes(out)
+
+
+def decode_collectd_packet(packet: bytes) -> list[tuple]:
+    """One packet → COLLECTD_DECODED_SCHEMA tuples. Parts form a state
+    machine: string/time parts set context, each values part emits one
+    row (first ≤5 values kept, like the reference schema)."""
+    pos = 0
+    n = len(packet)
+    host = ""
+    start = 0.0
+    sctx: dict[int, str | None] = {
+        _CD_PLUGIN: None,
+        _CD_PLUGIN_INSTANCE: None,
+        _CD_TYPE: None,
+        _CD_TYPE_INSTANCE: None,
+    }
+    rows = []
+    while pos + 4 <= n:
+        ptype, plen = struct.unpack_from(">HH", packet, pos)
+        if plen < 4 or pos + plen > n:
+            raise ValueError(f"malformed collectd part at offset {pos}")
+        payload = packet[pos + 4 : pos + plen]
+        pos += plen
+        if ptype == _CD_HOST:
+            host = payload.rstrip(b"\0").decode("utf-8")
+        elif ptype in sctx:
+            sctx[ptype] = payload.rstrip(b"\0").decode("utf-8")
+        elif ptype == _CD_TIME:
+            start = float(struct.unpack(">Q", payload)[0])
+        elif ptype == _CD_TIME_HR:
+            start = struct.unpack(">Q", payload)[0] / float(1 << 30)
+        elif ptype == _CD_VALUES:
+            (count,) = struct.unpack_from(">H", payload, 0)
+            vtypes = payload[2 : 2 + count]
+            vals = []
+            vpos = 2 + count
+            for vt in vtypes:
+                if vt == _CD_GAUGE:
+                    vals.append(struct.unpack_from("<d", payload, vpos)[0])
+                elif vt == _CD_DERIVE:
+                    vals.append(float(struct.unpack_from(">q", payload, vpos)[0]))
+                else:
+                    vals.append(float(struct.unpack_from(">Q", payload, vpos)[0]))
+                vpos += 8
+            vals = vals[:5] + [None] * max(0, 5 - len(vals))
+            rows.append(
+                (
+                    host,
+                    start,
+                    sctx[_CD_PLUGIN],
+                    sctx[_CD_PLUGIN_INSTANCE],
+                    sctx[_CD_TYPE],
+                    sctx[_CD_TYPE_INSTANCE],
+                    vals[0],
+                    vals[1],
+                    vals[2],
+                    vals[3],
+                    vals[4],
+                )
+            )
+        # interval / unknown parts: context we don't surface; skip
+    return rows
+
+
+def decode_collectd(df: DataFrame, packet_col: str = "packet") -> DataFrame:
+    """DataFrame[packet: binary] → decoded collectd value lists.
+    Row-local per Arrow batch like the other kernels."""
+    cols = COLLECTD_DECODED_SCHEMA.names
+
+    def _decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for packet in pdf[packet_col]:
+                rows.extend(decode_collectd_packet(bytes(packet)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(_decode, schema=COLLECTD_DECODED_SCHEMA)
+
+
+def encode_collectd_df(
+    df: DataFrame, packet_col: str = "packet", max_per_packet: int = 32
+) -> DataFrame:
+    """Pack rows (host/time/plugin/…/values columns) into collectd
+    packets, ≤max_per_packet value lists each."""
+
+    def _encode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = pdf.to_dict("records")
+            pkts = [
+                encode_collectd(recs[i : i + max_per_packet])
+                for i in range(0, len(recs), max_per_packet)
+            ]
+            if pkts:
+                yield pd.DataFrame({packet_col: pkts})
+
+    return df.mapInPandas(
+        _encode,
+        schema=T.StructType([T.StructField(packet_col, T.BinaryType(), False)]),
     )

@@ -123,12 +123,16 @@ NETFLOW_V5_SCHEMA = T.StructType(
 def listen_for(spark: SparkSession, protocol: str, host: str, port: int) -> DataFrame:
     """LISTEN FOR collectd|netflow — socket source + binary decode.
 
-    The socket text source delivers lines; real collectd/netflow are
-    binary UDP — decoding needs a custom receiver. Stubbed: raises
-    with the schema users would get, so programs type-check end-to-end.
+    The wire-format decoders are real (sources.binary:
+    decode_netflow_v5 / decode_collectd — mapInPandas over a binary
+    packet column); what this container lacks is a binary UDP
+    *receiver* (Spark's socket source is text-only). Stubbed here:
+    feed packets from any binary-column stream (file, Kafka value)
+    through those decoders instead.
     """
     raise NotImplementedError(
-        f"LISTEN FOR {protocol}: binary UDP decode not available in this "
-        "container; feed the equivalent fixed schema "
-        "(COLLECTD_SCHEMA / NETFLOW_V5_SCHEMA) from files or kafka instead"
+        f"LISTEN FOR {protocol}: no binary UDP receiver in this container; "
+        "route packets from a file/kafka binary column through "
+        "sources.binary.decode_netflow_v5 / decode_collectd (schemas: "
+        "NETFLOW_V5_SCHEMA / COLLECTD_SCHEMA)"
     )

@@ -147,3 +147,92 @@ def test_rowbinary_df_roundtrip(spark):
     ).first()
     assert chk["sk"] == 499500 and chk["sv"] == 499500 * 1.5
     assert chk["cs"] == 334
+
+
+# ------------------------------------------------------------------ collectd
+
+from ramen_spark.sources.binary import (  # noqa: E402
+    decode_collectd,
+    decode_collectd_packet,
+    encode_collectd,
+    encode_collectd_df,
+)
+
+
+def test_collectd_roundtrip_state_machine():
+    rows = [
+        {
+            "host": "web1",
+            "time": 1_700_000_000.25,
+            "plugin": "cpu",
+            "plugin_instance": "0",
+            "type_name": "cpu",
+            "type_instance": "idle",
+            "values": [97.5],
+        },
+        # same context except type_instance; values mixed types
+        {
+            "host": "web1",
+            "time": 1_700_000_000.25,
+            "plugin": "cpu",
+            "plugin_instance": "0",
+            "type_name": "cpu",
+            "type_instance": "user",
+            "values": [1.5, 42, -7],
+        },
+        {"host": "db1", "time": 1_700_000_010.0, "plugin": "load", "values": [0.5]},
+    ]
+    pkt = encode_collectd(rows, value_types=None)
+    out = decode_collectd_packet(pkt)
+    assert len(out) == 3
+    r0 = dict(zip([f.name for f in __import__("ramen_spark.sources.binary", fromlist=["x"]).COLLECTD_DECODED_SCHEMA.fields], out[0]))
+    assert r0["host"] == "web1" and r0["plugin"] == "cpu"
+    assert r0["type_instance"] == "idle" and r0["value"] == 97.5
+    assert r0["start"] == pytest.approx(1_700_000_000.25, abs=1e-6)
+    # second row: context carries over, 3 values padded to 5
+    assert out[1][5] == "user" and out[1][6:9] == (1.5, 42.0, -7.0)
+    assert out[1][9] is None and out[1][10] is None
+    # third row: host switch, plugin context updated
+    assert out[2][0] == "db1" and out[2][2] == "load"
+
+
+def test_collectd_value_type_encodings():
+    from ramen_spark.sources.binary import _CD_COUNTER, _CD_DERIVE, _CD_GAUGE
+
+    rows = [{"host": "h", "time": 10.0, "plugin": "p", "values": [2.5, 2**40, -5]}]
+    pkt = encode_collectd(rows, value_types=[_CD_GAUGE, _CD_COUNTER, _CD_DERIVE])
+    out = decode_collectd_packet(pkt)
+    assert out[0][6:9] == (2.5, float(2**40), -5.0)
+
+
+def test_collectd_malformed_raises():
+    with pytest.raises(ValueError, match="malformed"):
+        decode_collectd_packet(b"\x00\x06\x00\x02")  # part len < 4
+
+
+def test_collectd_mapinpandas(spark):
+    rows = [
+        {"host": f"h{i%3}", "time": 100.0 + i, "plugin": "cpu", "values": [float(i)]}
+        for i in range(100)
+    ]
+    pkts = [encode_collectd(rows[i : i + 32]) for i in range(0, 100, 32)]
+    df = spark.createDataFrame(
+        [(p,) for p in pkts], T.StructType([T.StructField("packet", T.BinaryType())])
+    )
+    out = decode_collectd(df)
+    assert out.count() == 100
+    s = out.agg(F.sum("value").alias("s"), F.countDistinct("host").alias("h")).first()
+    assert s["s"] == sum(range(100)) and s["h"] == 3
+
+
+def test_collectd_df_roundtrip(spark):
+    src = spark.range(0, 200, numPartitions=3).select(
+        F.concat(F.lit("host"), (F.col("id") % 5).cast("string")).alias("host"),
+        (F.lit(1000.0) + F.col("id")).alias("time"),
+        F.lit("mem").alias("plugin"),
+        F.array((F.col("id") * 2.0)).alias("values"),
+    )
+    back = decode_collectd(encode_collectd_df(src))
+    assert back.count() == 200
+    chk = back.agg(F.sum("value").alias("sv")).first()
+    assert chk["sv"] == sum(i * 2.0 for i in range(200))
