@@ -164,3 +164,134 @@ def pairwise_near_dups(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ------------------------------------------------------------------- IVF
+
+def _centroid_literal(centroids: list[list[float]]):
+    """Bake the (tiny) centroid table into the plan as a literal
+    array<array<double>> — evaluated JVM-side, no UDF, no join."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+
+
+def _nearest_cell(vec_col, centroids: list[list[float]]):
+    """argmax_i <unit-centroid_i, vec> as a builtin expression (cosine
+    order needs no vec normalization: norm is constant per row)."""
+    cents = _centroid_literal(centroids)
+    scores = F.transform(cents, lambda c: V.dot(c, vec_col))
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    n_cells: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic spherical k-means for the IVF coarse quantizer.
+
+    Seeds = the n_cells corpus vectors with the smallest md5(id) (a
+    deterministic pseudo-random draw); each Lloyd iteration is one
+    Spark job: assign rows to the nearest unit centroid (literal
+    expression, no shuffle) → per-cell per-dimension means via
+    posexplode + groupBy (one shuffle of n_cells×dim partials) →
+    re-normalize driver-side. Only n_cells×dim doubles ever reach the
+    driver — at 100 TB you fit on a sample (df.sample) with identical
+    code."""
+    unit = F.transform(
+        _as_double(vec_col), lambda x: x / F.nullif(V.norm2(F.col(vec_col)), F.lit(0.0))
+    )
+    base = df.select(F.col(id_col).alias("_id"), unit.alias("_v")).filter(
+        ~F.exists(F.col("_v"), lambda x: x.isNull())
+    )
+    seeds = (
+        base.select("_v", F.md5(F.col("_id").cast("string")).alias("_h"))
+        .orderBy("_h")
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [list(r["_v"]) for r in seeds]
+
+    def _renorm(v: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else v
+
+    for _ in range(iters):
+        assigned = base.select(
+            _nearest_cell(F.col("_v"), centroids).alias("_cell"), F.col("_v")
+        )
+        sums = (
+            assigned.select("_cell", F.posexplode(F.col("_v")).alias("_pos", "_x"))
+            .groupBy("_cell", "_pos")
+            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cell.setdefault(r["_cell"], {})[r["_pos"]] = r["_s"] / r["_n"]
+        centroids = [
+            _renorm([by_cell[c][p] for p in sorted(by_cell[c])])
+            if c in by_cell
+            else centroids[c]  # empty cell keeps its centroid
+            for c in range(len(centroids))
+        ]
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows live in their nearest-centroid
+    cell; each query probes its ``n_probe`` closest cells and
+    exact-scores only those rows.
+
+    Scan fraction ≈ n_probe/n_cells (vs 1.0 brute force). The cell id
+    is a pure expression over the stored vector, so at rest the corpus
+    would be partitioned/bucketed by cell → the probe join prunes
+    partitions and shuffles nothing on the corpus side; recall tunes
+    with n_probe without touching stored data."""
+    cents = _centroid_literal(centroids)
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        _as_double(vec_col).alias("_cvec"),
+        _nearest_cell(_as_double(vec_col), centroids).alias("_cell"),
+    ).withColumn("_cnorm", V.norm2(F.col("_cvec")))
+    probe_cells = F.slice(
+        F.array_sort(
+            F.zip_with(
+                F.transform(cents, lambda cc: -V.dot(cc, F.col("_qvec"))),
+                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                lambda s, i: F.struct(s.alias("neg"), i.alias("cell")),
+            )
+        ),
+        1,
+        n_probe,
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col), _as_double(vec_col).alias("_qvec")
+        )
+        .withColumn("_qnorm", V.norm2(F.col("_qvec")))
+        .withColumn("_probe", F.explode(F.transform(probe_cells, lambda s: s.cell)))
+    )
+    scored = (
+        c.join(q, c["_cell"] == q["_probe"])
+        .filter(F.col("corpus_id") != F.col(query_id_col))
+        .withColumn("sim", F.round(_sim_prenorm("_qvec", "_cvec", "_qnorm", "_cnorm"), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col("corpus_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "corpus_id", "sim", "rank")
+    )

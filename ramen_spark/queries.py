@@ -985,6 +985,20 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Sim.lsh_topk(emb, emb.filter(F.col("vec_id") < 20), dim=64, k=10, n_planes=6)
 
 
+@register("ivf_ann_topk")  # rows-only: iterative k-means fit is not SQL
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic spherical k-means coarse
+    quantizer (md5-seeded, 2 Lloyd jobs) + n_probe-cell probing — the
+    partition-pruning ANN tier (operators.similarity.ivf_topk). With
+    the corpus stored bucketed by cell id, a probe touches
+    n_probe/n_cells of the data and shuffles none of it."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = Sim.kmeans_fit(emb, n_cells=8, iters=2)
+    return Sim.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), cents, k=10, n_probe=3
+    )
+
+
 # ===========================================================================
 # 5. Sequential stateful ops (rows-only oracles — SURVEY §2.4 hard cases)
 # ===========================================================================

@@ -141,3 +141,42 @@ def test_top_list_and_rank(spark):
     ranked = TopK.rank_in_top(df, ["item"], 1, weight=F.col("w"))
     m = {r["item"]: r["top_rank"] for r in ranked.collect()}
     assert m["u0"] == 1 and m["u1"] is None
+
+
+def test_ivf_topk_exact_when_probing_all_cells(spark):
+    """n_probe = n_cells ⇒ every pair is scored ⇒ IVF must equal the
+    brute-force result exactly (same rounding + tie-break)."""
+    from ramen_spark.catalog import load_table
+    from ramen_spark.operators import similarity as Sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    cents = Sim.kmeans_fit(emb, n_cells=4, iters=1)
+    ivf = Sim.ivf_topk(emb, q, cents, k=5, n_probe=4)
+    bf = Sim.brute_force_topk(emb, q, k=5)
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, ivf.collect()), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, bf.collect()), key=lambda t: (t[0], t[3])
+    )
+
+
+def test_ivf_topk_recall_and_pruning(spark):
+    from ramen_spark.catalog import load_table
+    from ramen_spark.operators import similarity as Sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    cents = Sim.kmeans_fit(emb, n_cells=8, iters=2)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    # centroids are unit vectors
+    for c in cents:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+    ivf = Sim.ivf_topk(emb, q, cents, k=5, n_probe=4)
+    bf = Sim.brute_force_topk(emb, q, k=5)
+    got = {(r["query_id"], r["corpus_id"]) for r in ivf.collect()}
+    want = {(r["query_id"], r["corpus_id"]) for r in bf.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.6, f"recall {recall} too low for half-corpus probe"
+    # scale shape: the probe join is an equi-join, never a cartesian
+    plan = ivf._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
