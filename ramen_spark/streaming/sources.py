@@ -1,13 +1,14 @@
 """Streaming sources mirroring the reference's three operation kinds
 (SURVEY §2.1): EVERY-clock, file tail, Kafka, LISTEN protocols.
 
-The fixed protocol schemas (collectd / netflow v5) are engine-level
-schemas here — the reference decodes binary wire formats in C/OCaml
-(src/RamenCollectd.ml:24-90, src/RamenNetflow.ml:14-142); on Spark the
-decode step is a mapInPandas kernel over a socket/kafka byte stream.
-The schemas and plumbing are real; the binary decoders are stubbed
-pending the wire-format kernels (this container has no packet libs,
-and the testdata carries no binary captures).
+The fixed protocol schemas (collectd / netflow v5 / graphite) are
+engine-level schemas here — the reference decodes the wire formats in
+C/OCaml (src/RamenCollectd.ml:24-90, src/RamenNetflow.ml:14-142,
+src/RamenGraphiteSink.ml). The binary decode kernels live in
+ramen_spark.sources.binary (mapInPandas over a packet byte column);
+graphite's text protocol parses right here with builtin expressions.
+Only the binary UDP *receiver* is out of scope in this container —
+packets route in via any file/Kafka binary column.
 """
 
 from __future__ import annotations
@@ -135,4 +136,28 @@ def listen_for(spark: SparkSession, protocol: str, host: str, port: int) -> Data
         "route packets from a file/kafka binary column through "
         "sources.binary.decode_netflow_v5 / decode_collectd (schemas: "
         "NETFLOW_V5_SCHEMA / COLLECTD_SCHEMA)"
+    )
+
+
+GRAPHITE_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("start", T.DoubleType(), True),
+    ]
+)
+
+
+def parse_graphite(df: DataFrame, line_col: str = "value") -> DataFrame:
+    """LISTEN FOR graphite (src/RamenGraphiteSink.ml): plaintext
+    ``metric.path value timestamp`` lines → typed rows. Pure builtin
+    split/cast expressions, so it composes with the text socket source
+    (``spark.readStream.format("socket")``) or any line stream;
+    malformed lines surface as NULL value/start rather than dropping
+    (the filter is the caller's policy decision)."""
+    parts = F.split(F.trim(F.col(line_col)), r"\s+")
+    return df.select(
+        F.try_element_at(parts, F.lit(1)).alias("metric"),
+        F.try_element_at(parts, F.lit(2)).cast("double").alias("value"),
+        F.try_element_at(parts, F.lit(3)).cast("double").alias("start"),
     )

@@ -127,3 +127,18 @@ def test_streaming_notify_sink(spark, events_stream):
     )
     assert len(got) == exp.count()
     assert {n for n, _ in got} == {r["notification"] for r in exp.collect()}
+
+
+def test_parse_graphite_lines(spark):
+    from ramen_spark.streaming.sources import parse_graphite
+
+    lines = [
+        ("servers.web1.cpu.idle 97.5 1700000000",),
+        ("  a.b -3 1700000001  ",),  # leading/trailing space, negative
+        ("bad-line-no-fields",),
+    ]
+    df = spark.createDataFrame(lines, "value string")
+    rows = {r["metric"]: (r["value"], r["start"]) for r in parse_graphite(df).collect()}
+    assert rows["servers.web1.cpu.idle"] == (97.5, 1700000000.0)
+    assert rows["a.b"] == (-3.0, 1700000001.0)
+    assert rows["bad-line-no-fields"] == (None, None)
