@@ -131,3 +131,15 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[st
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def widen(df: DataFrame) -> DataFrame:
+    """Repartition an under-partitioned DataFrame up to core count for
+    narrow compute-heavy stages (Python codec kernels, hashing). Only
+    ever *raises* parallelism — on a wide scan (the 100 TB case) it is
+    a metadata check and no shuffle."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

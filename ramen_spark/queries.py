@@ -1863,6 +1863,9 @@ def rowbinary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("l_quantity", "float64"),
         ("l_returnflag", "Nullable(String)"),
     ]
+    # no widen() here: measured at sf0.1 the repartition shuffle of
+    # 600k rows costs more than the parallel decode saves (the blob
+    # codec is ~250k rows/s/core; events-based codecs below do win)
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_returnflag"
     )
@@ -1895,7 +1898,9 @@ def netflow_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/RamenNetflow.ml:14-142 surface."""
     from ramen_spark.sources.binary import decode_netflow_v5, encode_netflow_v5_df
 
-    ev = _t(spark, sf_dir, "events")
+    from ramen_spark.catalog import widen
+
+    ev = widen(_t(spark, sf_dir, "events"))
     flows = ev.select(
         (F.col("user_id") % 4294967296).alias("src"),
         (F.col("event_id") % 65536).cast("int").alias("src_port"),
@@ -1930,7 +1935,9 @@ def collectd_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-encode mapping. Reference surface: src/RamenCollectd.ml:24-90."""
     from ramen_spark.sources.binary import decode_collectd, encode_collectd_df
 
-    ev = _t(spark, sf_dir, "events")
+    from ramen_spark.catalog import widen
+
+    ev = widen(_t(spark, sf_dir, "events"))
     samples = ev.select(
         F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("host"),
         (F.unix_micros(F.col("ts")) / 1e6).alias("time"),
