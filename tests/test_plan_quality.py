@@ -164,3 +164,26 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_events")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_ngram_jaccard_no_cartesian(spark):
+    """The exact similarity join must be a shingle equi-join, never an
+    all-pairs cross product (the N² shape dies at scale)."""
+    df = QUERIES["ngram_jaccard_pairs"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_codec_queries_are_arrow_batched(spark):
+    """Packet/blob codecs must run as Arrow-batched python (MapInPandas
+    / ArrowEvalPython), never row-at-a-time BatchEvalPython."""
+    for q in ("rowbinary_roundtrip", "netflow_decode_profile", "collectd_decode_profile"):
+        plan = _plan(QUERIES[q](spark, SF_ORACLE))
+        assert "MapInPandas" in plan, q
+        assert "BatchEvalPython" not in plan, q
+
+
+def test_ivf_probe_is_equijoin(spark):
+    df = QUERIES["ivf_ann_topk"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

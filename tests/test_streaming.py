@@ -142,3 +142,43 @@ def test_parse_graphite_lines(spark):
     assert rows["servers.web1.cpu.idle"] == (97.5, 1700000000.0)
     assert rows["a.b"] == (-3.0, 1700000001.0)
     assert rows["bad-line-no-fields"] == (None, None)
+
+
+def test_streaming_netflow_decode_e2e(spark, tmp_path):
+    """LISTEN FOR netflow, streaming composition: packets land as a
+    binary column in parquet files, a file stream tails them, the
+    decode kernel runs inside the stream, and a foreachBatch sink
+    aggregates — proving the decoder composes with Structured
+    Streaming, not just batch."""
+    from pyspark.sql import types as T
+
+    from ramen_spark.sources.binary import decode_netflow_v5, encode_netflow_v5
+
+    flows = [
+        {"src": i, "bytes": 10 * i, "packets": 1, "ip_proto": i % 3} for i in range(90)
+    ]
+    pkts = [encode_netflow_v5(flows[i : i + 30], flow_sequence=i) for i in range(0, 90, 30)]
+    schema = T.StructType([T.StructField("packet", T.BinaryType())])
+    src_dir = tmp_path / "pkts"
+    src_dir.mkdir()
+    spark.createDataFrame([(p,) for p in pkts], schema).write.parquet(
+        str(src_dir / "batch0")
+    )
+
+    stream = spark.readStream.schema(schema).option(
+        "pathGlobFilter", "*.parquet"
+    ).parquet(str(src_dir) + "/*")
+    decoded = decode_netflow_v5(stream)
+
+    got: dict[int, int] = {}
+
+    def sink(batch_df, _epoch):
+        for r in batch_df.groupBy("ip_proto").agg(F.sum("bytes").alias("b")).collect():
+            got[r["ip_proto"]] = got.get(r["ip_proto"], 0) + r["b"]
+
+    q = decoded.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    want: dict[int, int] = {}
+    for f in flows:
+        want[f["ip_proto"]] = want.get(f["ip_proto"], 0) + f["bytes"]
+    assert got == want
