@@ -89,7 +89,7 @@ Row = dict[str, Any]
 def commit_aggregate(
     df: DataFrame,
     key_cols: list[str],
-    order_col: str,
+    order_col: str | list[str],
     init_state: Callable[[], State],
     update: Callable[[State, Row], None],
     finalize: Callable[[State, Row, Row | None], Row],
@@ -121,7 +121,7 @@ def commit_aggregate(
     """
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col, kind="stable")
+        pdf = pdf.sort_values(order_col, kind="stable")  # str or list of cols
         out_rows: list[Row] = []
         state = init_state()
         previous: Row | None = None

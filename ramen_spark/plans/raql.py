@@ -677,6 +677,13 @@ def compile_operation(
     """
     if isinstance(op, str):
         op = parse_operation(op)
+    if op.commit_after is not None and _commit_needs_engine(op.commit_after):
+        raise NotImplementedError(
+            "general COMMIT clause (references aggregates or previous): "
+            "use compile_commit_operation. The batch fast path subsumes "
+            "only event-time conditions over in/out fields, which "
+            "run-to-completion grouping already satisfies"
+        )
 
     df = source_df
     if op.where is not None:
@@ -854,3 +861,271 @@ def compile_program(text: str, name: str = "raql"):
             make_body(d.op)
         )
     return prog
+
+
+# ---------------------------------------------------------------------------
+# general COMMIT compilation: RaQL AST → Python fold callbacks
+# ---------------------------------------------------------------------------
+
+# Python-side twins of the stateless registry, for per-row evaluation
+# inside the general COMMIT engine (only what the fold needs — the
+# batch fast path keeps using Spark Columns).
+_PY_FNS: dict[str, Any] = {
+    "abs": abs,
+    "floor": lambda x: math.floor(x) if x is not None else None,
+    "ceil": lambda x: math.ceil(x) if x is not None else None,
+    "round": lambda x, n=0: round(x, int(n)) if x is not None else None,
+    "sqrt": lambda x: math.sqrt(x) if x is not None and x >= 0 else None,
+    "length": lambda s: len(s) if s is not None else None,
+    "lower": lambda s: s.lower() if s is not None else None,
+    "upper": lambda s: s.upper() if s is not None else None,
+    "coalesce": lambda *a: next((x for x in a if x is not None), None),
+}
+
+
+def _agg_nodes(node, acc: dict[str, Any]) -> None:
+    """Collect aggregate Call sub-nodes (unary keyword aggregates),
+    keyed by their structural repr — shared sub-expressions share one
+    accumulator."""
+    if isinstance(node, Call):
+        if node.fn in AGGS and len(node.args) == 1:
+            acc.setdefault(repr(node), node)
+            return  # aggregate args are over `in` only; no nesting
+        for a in node.args:
+            _agg_nodes(a, acc)
+    elif isinstance(node, Unop):
+        _agg_nodes(node.e, acc)
+    elif isinstance(node, Binop):
+        _agg_nodes(node.a, acc)
+        _agg_nodes(node.b, acc)
+    elif isinstance(node, CaseWhen):
+        for c, v in node.branches:
+            _agg_nodes(c, acc)
+            _agg_nodes(v, acc)
+        if node.otherwise is not None:
+            _agg_nodes(node.otherwise, acc)
+
+
+class _Fold:
+    """Per-row evaluator with the reference's namespaces
+    (src/raql_variable.type): ``in`` = current input row, ``out`` =
+    candidate output being built, ``previous``/``local_last`` = the
+    group's last committed output, aggregates = group accumulators."""
+
+    def __init__(self, op: "Operation", params: dict[str, Any] | None):
+        self.op = op
+        self.params = params or {}
+        aggs: dict[str, Any] = {}
+        for f_ in op.fields:
+            _agg_nodes(f_.expr, aggs)
+        if op.commit_after is not None:
+            _agg_nodes(op.commit_after, aggs)
+        self.agg_keys = list(aggs)
+        self.agg_defs = aggs
+        self.out_names = [
+            f_.alias or _default_name(f_.expr, i) for i, f_ in enumerate(op.fields)
+        ]
+
+    # -- state ------------------------------------------------------------
+    def init_state(self) -> dict:
+        return {k: None for k in self.agg_keys} | {"__n": 0}
+
+    def update(self, state: dict, row: dict) -> None:
+        state["__n"] += 1
+        for k in self.agg_keys:
+            node = self.agg_defs[k]
+            arg = self._eval(node.args[0], row, None, None, None)
+            cur = state[k]
+            fn = node.fn
+            if fn == "count":
+                inc = int(bool(arg)) if isinstance(arg, bool) else (0 if arg is None else 1)
+                state[k] = (cur or 0) + inc
+            elif arg is None:
+                continue  # SKIP NULLS default (SURVEY §2.4)
+            elif fn == "sum":
+                state[k] = arg if cur is None else cur + arg
+            elif fn == "min":
+                state[k] = arg if cur is None or arg < cur else cur
+            elif fn == "max":
+                state[k] = arg if cur is None or arg > cur else cur
+            elif fn == "first":
+                state[k] = arg if cur is None else cur
+            elif fn == "last":
+                state[k] = arg
+            elif fn == "avg":
+                s, n = cur or (0.0, 0)
+                state[k] = (s + arg, n + 1)
+            elif fn == "group":
+                state[k] = (cur or []) + [arg]
+            else:
+                raise NotImplementedError(f"aggregate {fn} in COMMIT fold")
+
+    def _agg_value(self, state: dict, key: str):
+        v = state[key]
+        if self.agg_defs[key].fn == "avg" and v is not None:
+            s, n = v
+            return s / n if n else None
+        if self.agg_defs[key].fn == "count" and v is None:
+            return 0
+        return v
+
+    # -- expression evaluation --------------------------------------------
+    def _eval(self, node, row, state, previous, out_partial):
+        if isinstance(node, Lit):
+            return node.value
+        if isinstance(node, Field):
+            path = node.path
+            if path.startswith("param."):
+                return self.params[path[len("param."):]]
+            if path.startswith(("out.",)):
+                name = path[4:]
+                if out_partial is not None and name in out_partial:
+                    return out_partial[name]
+                raise KeyError(f"out.{name} referenced before it is built")
+            if path.startswith(("previous.", "local_last.")):
+                name = path.split(".", 1)[1]
+                return previous.get(name) if previous is not None else None
+            return row[_strip_ns(path)]
+        if state is not None and isinstance(node, Call) and repr(node) in self.agg_defs:
+            return self._agg_value(state, repr(node))
+        if isinstance(node, Unop):
+            v = self._eval(node.e, row, state, previous, out_partial)
+            if node.op == "not":
+                return None if v is None else (not v)
+            if node.op == "-":
+                return None if v is None else -v
+            raise NotImplementedError(f"unop {node.op}")
+        if isinstance(node, Binop):
+            if node.op in ("and", "or"):
+                a = self._eval(node.a, row, state, previous, out_partial)
+                b = self._eval(node.b, row, state, previous, out_partial)
+                if node.op == "and":
+                    return False if (a is False or b is False) else (None if None in (a, b) else (a and b))
+                return True if (a is True or b is True) else (None if None in (a, b) else (a or b))
+            a = self._eval(node.a, row, state, previous, out_partial)
+            b = self._eval(node.b, row, state, previous, out_partial)
+            if a is None or b is None:
+                return None
+            return {
+                "+": lambda: a + b, "-": lambda: a - b, "*": lambda: a * b,
+                "/": lambda: None if b == 0 else a / b,
+                "//": lambda: math.floor(a / b) if b else None,
+                # dividend-sign mod (reference doc/raql/expr.ml:485)
+                "%": lambda: None if b == 0 else (
+                    int(math.fmod(a, b))
+                    if isinstance(a, int) and isinstance(b, int)
+                    else math.fmod(a, b)
+                ),
+                "^": lambda: a ** b,
+                ">": lambda: a > b, ">=": lambda: a >= b,
+                "<": lambda: a < b, "<=": lambda: a <= b,
+                "=": lambda: a == b, "!=": lambda: a != b, "<>": lambda: a != b,
+                "||": lambda: str(a) + str(b),
+            }[node.op]()
+        if isinstance(node, CaseWhen):
+            for c, v in node.branches:
+                if self._eval(c, row, state, previous, out_partial) is True:
+                    return self._eval(v, row, state, previous, out_partial)
+            return (
+                self._eval(node.otherwise, row, state, previous, out_partial)
+                if node.otherwise is not None
+                else None
+            )
+        if isinstance(node, Call):
+            fn = _PY_FNS.get(node.fn)
+            if fn is None:
+                raise NotImplementedError(f"stateless fn {node.fn} in COMMIT fold")
+            return fn(*[self._eval(a, row, state, previous, out_partial) for a in node.args])
+        raise NotImplementedError(f"node {type(node).__name__}")
+
+    # -- engine callbacks --------------------------------------------------
+    def finalize(self, state, row, previous):
+        out: dict[str, Any] = {}
+        for name, f_ in zip(self.out_names, self.op.fields):
+            out[name] = self._eval(f_.expr, row, state, previous, out)
+        return {k: v for k, v in out.items() if not k.startswith("_")}
+
+    def commit_cond(self, state, row, previous):
+        out = self.finalize(state, row, previous)
+        return self._eval(self.op.commit_after, row, state, previous, out) is True
+
+
+def compile_commit_operation(
+    op: Operation | str,
+    source_df: DataFrame,
+    output_schema: str,
+    params: dict[str, Any] | None = None,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Compile a RaQL operation WITH a general COMMIT clause onto the
+    commit engine (operators.aggregate.commit_aggregate): one shuffle
+    on the GROUP BY key, ordered Python fold within each group —
+    RaQL's windowing-beyond-SQL semantics (SURVEY §2.2 COMMIT row),
+    including KEEP/FLUSH and COMMIT BEFORE re-seeding.
+
+    GROUP BY must be plain field refs here (the key must survive as a
+    column for the shuffle); ``output_schema`` is the Spark DDL of the
+    select list (explicit — per-row Python evaluation cannot infer
+    types the way Catalyst does). Rows fold in ``ts``-column order if
+    present, else input order column ``_rowid``."""
+    from ramen_spark.operators.aggregate import commit_aggregate
+
+    if isinstance(op, str):
+        op = parse_operation(op)
+    if op.commit_after is None:
+        raise ValueError("no COMMIT clause; use compile_operation")
+    keys = []
+    for k in op.group_by:
+        if not isinstance(k, Field):
+            raise NotImplementedError("general COMMIT needs plain-field GROUP BY keys")
+        keys.append(_strip_ns(k.path))
+
+    df = source_df
+    if op.where is not None:
+        df = df.filter(Compiler(params).col(op.where))
+    if order_cols:
+        order_col: str | list[str] = order_cols
+    elif "ts" in df.columns:
+        order_col = "ts"
+    else:
+        df = df.withColumn("_rowid", F.monotonically_increasing_id())
+        order_col = "_rowid"
+
+    fold = _Fold(op, params)
+    return commit_aggregate(
+        df,
+        key_cols=keys,
+        order_col=order_col,
+        init_state=fold.init_state,
+        update=fold.update,
+        finalize=fold.finalize,
+        commit_cond=fold.commit_cond,
+        output_schema=output_schema,
+        commit_before=op.commit_before,
+        flush=op.flush,
+    )
+
+
+def _commit_needs_engine(node) -> bool:
+    """A COMMIT condition needs the general engine iff it references
+    group aggregates or the previous/local_last namespace — those
+    change WHICH rows commit. Conditions over in/out fields only are
+    emission *timing* (the tumbling `in.t > out.t + d` pattern), which
+    batch run-to-completion grouping already satisfies."""
+    if isinstance(node, Field):
+        return node.path.startswith(("previous.", "local_last."))
+    if isinstance(node, Call):
+        if node.fn in AGGS and len(node.args) == 1:
+            return True
+        return any(_commit_needs_engine(a) for a in node.args)
+    if isinstance(node, Unop):
+        return _commit_needs_engine(node.e)
+    if isinstance(node, Binop):
+        return _commit_needs_engine(node.a) or _commit_needs_engine(node.b)
+    if isinstance(node, CaseWhen):
+        return any(
+            _commit_needs_engine(x)
+            for c, v in node.branches
+            for x in (c, v)
+        ) or (node.otherwise is not None and _commit_needs_engine(node.otherwise))
+    return False

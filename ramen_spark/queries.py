@@ -1951,3 +1951,38 @@ def collectd_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_samples"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "raql_commit_batches",
+    """
+    WITH t AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT event_type,
+           round(sum(value), 2) AS s,
+           count(*)             AS n
+    FROM (SELECT event_type, value, (rn - 1) // 50 AS g FROM t)
+    GROUP BY event_type, g
+    HAVING count(*) = 50
+    """,
+)
+def raql_commit_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The general COMMIT engine driven from RaQL text: per event_type,
+    COMMIT AFTER count >= 50 AND FLUSH emits one row per 50-event
+    window in event-time order (trailing partials never commit) —
+    count-based windowing SQL can only mimic with row_number math.
+    One shuffle on the group key, ordered Arrow fold within
+    (plans.raql.compile_commit_operation → commit_aggregate)."""
+    from ramen_spark.plans.raql import compile_commit_operation
+
+    ev = _t(spark, sf_dir, "events")
+    return compile_commit_operation(
+        "select event_type, round(sum value, 2) as s, count value as n "
+        "group by event_type commit after count value >= 50",
+        ev,
+        output_schema="event_type string, s double, n long",
+        order_cols=["ts", "event_id"],
+    )

@@ -241,3 +241,86 @@ def test_program_multi_parent_union(spark):
     )
     got = prog.materialize(spark, externals={"a": a, "b": b}, register_views=False)
     assert got["merged"].first()["n"] == ev.count()
+
+
+# ------------------------------------------------- general COMMIT front-end
+
+
+def test_commit_clause_rejected_by_fast_path(spark):
+    from ramen_spark.plans.raql import compile_operation
+
+    df = spark.range(5).select(F.col("id").alias("v"))
+    with pytest.raises(NotImplementedError, match="compile_commit_operation"):
+        compile_operation("select sum v as s commit after sum v >= 3", df)
+
+
+def test_commit_after_count_batches(spark):
+    """COMMIT AFTER count >= 3 AND FLUSH: every 3rd row per key emits
+    the partial sum and the group resets — the RaQL count-window."""
+    from ramen_spark.plans.raql import compile_commit_operation
+
+    rows = [
+        (k, i, float(10 * i + ki))
+        for ki, k in enumerate(("a", "b"))
+        for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, "k string, seq int, v double")
+    out = compile_commit_operation(
+        "select k, sum v as s, count v as n from x group by k commit after count v >= 3",
+        df.withColumn("ts", F.col("seq")),
+        output_schema="k string, s double, n long",
+    )
+    got = {(r["k"], r["n"], r["s"]) for r in out.collect()}
+    # per key: rows v = 10i+k for i in 0..6; windows [0,1,2] and [3,4,5]
+    want = set()
+    for ki, k in ((0, "a"), (1, "b")):
+        vs = [10 * i + ki for i in range(7)]
+        want.add((k, 3, float(sum(vs[0:3]))))
+        want.add((k, 3, float(sum(vs[3:6]))))
+    assert got == want  # trailing partial group (i=6) never commits
+
+
+def test_commit_before_reseeds_group(spark):
+    """COMMIT BEFORE emits the PRE-update aggregate then restarts the
+    group seeded with the current row (CodeGenLib_Skeletons.ml:620-646)."""
+    from ramen_spark.plans.raql import compile_commit_operation
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)], "seq int, v double"
+    )
+    out = compile_commit_operation(
+        "select sum v as s commit before sum v + v > 4",
+        df.withColumn("ts", F.col("seq")),
+        output_schema="s double",
+    )
+    # fold: s=1, s=3; row v=3 → cand pre-update s=3, cond 3+3>4 → emit 3,
+    # reseed with 3; row v=4: cond 3+4>4 → emit 3 (pre-update), reseed 4
+    assert [r["s"] for r in out.orderBy("s").collect()] == [3.0, 3.0]
+
+
+def test_commit_keep_retains_state(spark):
+    """KEEP: group state survives the commit → running (cumulative)
+    emission instead of windowed."""
+    from ramen_spark.plans.raql import compile_commit_operation
+
+    df = spark.createDataFrame([(i, 1.0) for i in range(4)], "seq int, v double")
+    out = compile_commit_operation(
+        "select sum v as s commit keep after true",
+        df.withColumn("ts", F.col("seq")),
+        output_schema="s double",
+    )
+    assert sorted(r["s"] for r in out.collect()) == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_commit_previous_namespace(spark):
+    """previous.s = the group's last committed output: emit only when
+    the sum has grown by ≥ 2 since the last commit."""
+    from ramen_spark.plans.raql import compile_commit_operation
+
+    df = spark.createDataFrame([(i, 1.0) for i in range(6)], "seq int, v double")
+    out = compile_commit_operation(
+        "select sum v as s commit keep after coalesce(previous.s, 0) + 2 <= sum v",
+        df.withColumn("ts", F.col("seq")),
+        output_schema="s double",
+    )
+    assert sorted(r["s"] for r in out.collect()) == [2.0, 4.0, 6.0]
