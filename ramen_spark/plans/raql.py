@@ -67,6 +67,7 @@ _TOKEN_RE = re.compile(
 
 _KEYWORDS = {
     "select", "from", "where", "when", "group", "by", "commit", "after",
+    "sort", "notify",
     "before", "flush", "keep", "and", "or", "not", "in", "like", "is",
     "null", "true", "false", "if", "then", "else", "end", "case", "as",
     "percentile", "starts", "ends", "with", "distinct", "globally",
@@ -598,6 +599,13 @@ class Operation:
     commit_after: Any | None
     commit_before: bool = False
     flush: bool = True
+    # SORT LAST n [BY e…] — bounded input re-order (reference
+    # RamenOperation.ml:1278-1293); batch compiles to an exact sort of
+    # the fold order (the bounded buffer is a streaming approximation)
+    sort_last: tuple[int, list] | None = None
+    # NOTIFY "name" [WHEN already folded into where] — notification
+    # sink template (RamenOperation.ml:1311-1317)
+    notify: str | None = None
 
 
 def _parse_operation_body(p: Parser) -> Operation:
@@ -622,6 +630,18 @@ def _parse_operation_body(p: Parser) -> Operation:
         sources.append(p.expect("name").value)
         while p.accept("op", ","):
             sources.append(p.expect("name").value)
+    sort_last = None
+    if p.accept("kw", "sort"):
+        t = p.expect("name")
+        if t.value.lower() != "last":
+            raise SyntaxError("SORT must be followed by LAST")
+        n = p.expect("num").value
+        by: list = []
+        if p.accept("kw", "by"):
+            by.append(p.parse_expr())
+            while p.accept("op", ","):
+                by.append(p.parse_expr())
+        sort_last = (int(n), by)
     where = None
     if p.accept("kw", "where") or p.accept("kw", "when"):
         where = p.parse_expr()
@@ -644,7 +664,13 @@ def _parse_operation_body(p: Parser) -> Operation:
         else:
             p.expect("kw", "after")
         commit_after = p.parse_expr()
-    return Operation(fields, sources, where, group_by, commit_after, commit_before, flush)
+    notify = None
+    if p.accept("kw", "notify"):
+        notify = p.expect("str").value
+    return Operation(
+        fields, sources, where, group_by, commit_after, commit_before, flush,
+        sort_last, notify,
+    )
 
 
 def parse_operation(text: str) -> Operation:
@@ -1083,6 +1109,15 @@ def compile_commit_operation(
     df = source_df
     if op.where is not None:
         df = df.filter(Compiler(params).col(op.where))
+    if order_cols is None and op.sort_last is not None:
+        # SORT LAST n BY e: the fold consumes input in BY order (batch
+        # = exact sort; the bounded n-buffer is the streaming repair)
+        by_names = []
+        for e in op.sort_last[1]:
+            if not isinstance(e, Field):
+                raise NotImplementedError("SORT BY needs plain field refs here")
+            by_names.append(_strip_ns(e.path))
+        order_cols = by_names or None
     if order_cols:
         order_col: str | list[str] = order_cols
     elif "ts" in df.columns:

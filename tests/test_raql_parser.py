@@ -324,3 +324,45 @@ def test_commit_previous_namespace(spark):
         output_schema="s double",
     )
     assert sorted(r["s"] for r in out.collect()) == [2.0, 4.0, 6.0]
+
+
+def test_parse_sort_last_and_notify():
+    from ramen_spark.plans.raql import Field, parse_operation
+
+    op = parse_operation(
+        'select v, sum v as s from x sort last 10 by ts, seq '
+        'group by k commit after sum v >= 5 notify "high ${s}"'
+    )
+    n, by = op.sort_last
+    assert n == 10 and [f.path for f in by] == ["ts", "seq"]
+    assert op.notify == "high ${s}"
+
+
+def test_sort_last_drives_commit_fold_order(spark):
+    """SORT LAST … BY seq: the commit fold consumes rows in seq order
+    even when the frame arrives shuffled."""
+    from ramen_spark.plans.raql import compile_commit_operation
+
+    rows = [(3, 30.0), (1, 10.0), (4, 40.0), (2, 20.0)]
+    df = spark.createDataFrame(rows, "seq int, v double")
+    out = compile_commit_operation(
+        "select last v as lv, count v as n sort last 4 by seq "
+        "commit after count v >= 2",
+        df,
+        output_schema="lv double, n long",
+    )
+    # seq order 1,2,3,4 → windows (10,20) and (30,40): last v = 20, 40
+    assert sorted(r["lv"] for r in out.collect()) == [20.0, 40.0]
+
+
+def test_notify_template_builds_sink_rows(spark):
+    """NOTIFY name template feeds the notification builder
+    (streaming/sinks.py) with ${field} expansion."""
+    from ramen_spark.plans.raql import parse_operation
+    from ramen_spark.streaming.sinks import build_notifications
+
+    op = parse_operation('select user_id, v notify "hot user ${user_id}"')
+    df = spark.createDataFrame([(7, 1.0), (9, 2.0)], "user_id int, v double")
+    notes = build_notifications(df, op.notify)
+    got = sorted(r["notification"] for r in notes.collect())
+    assert got == ["hot user 7", "hot user 9"]
