@@ -355,7 +355,22 @@ def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
 
 
-@register("decayed_top_users")  # rows-only: float pow-decay accumulation differs per engine
+@register(
+    "decayed_top_users",
+    """
+    WITH t AS (
+      SELECT user_id, value, epoch_us(ts)/1000000.0 AS ts_s,
+             max(epoch_us(ts)/1000000.0) OVER () AS now_s
+      FROM events
+    ), g AS (
+      SELECT user_id, sum(value * pow(2.0, -(now_s - ts_s)/604800.0)) AS w
+      FROM t GROUP BY user_id
+    )
+    SELECT user_id, round(w, 6) AS weight,
+           row_number() OVER (ORDER BY w DESC, user_id ASC) AS rank
+    FROM g QUALIFY rank <= 10
+    """,
+)
 def decayed_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOP n ... FOR THE LAST d — exponentially-decayed heavy hitters
     (src/HeavyHitters.ml decay semantics), half-life = 7 days,
@@ -1021,7 +1036,20 @@ def hysteresis_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "in_range")
 
 
-@register("commit_after_count")  # rows-only: general COMMIT engine
+@register(
+    "commit_after_count",
+    """
+    WITH t AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn
+      FROM events
+    )
+    SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM (SELECT event_type, value, (rn - 1) // 100 AS g FROM t)
+    GROUP BY event_type, g
+    HAVING count(*) = 100
+    """,
+)
 def commit_after_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General COMMIT engine demo: per event_type, COMMIT AFTER the
     group has accumulated 100 events, FLUSH — emits one tuple per
