@@ -187,3 +187,12 @@ def test_ivf_probe_is_equijoin(spark):
     df = QUERIES["ivf_ann_topk"](spark, SF_ORACLE)
     plan = _plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_commit_engine_single_shuffle(spark):
+    """The general COMMIT fold = one Exchange on the group key, then
+    FlatMapGroupsInPandas — the shape that scales across groups."""
+    df = QUERIES["raql_commit_batches"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") == 1, plan
