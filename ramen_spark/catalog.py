@@ -54,6 +54,22 @@ _REBALANCE_MIN_BYTES = 256 * 1024
 NARROW_HEAVY = frozenset({"documents", "embeddings"})
 
 
+def _parse_bytes(s: str, default: int = 128 << 20) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '128m',
+    '134217728b', '1g') — caller-built sessions may carry any of
+    these forms; a bare int() crashed on suffixes."""
+    try:
+        s = str(s).strip().lower()
+        mult = 1
+        for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40), ("b", 1)):
+            if s.endswith(suf):
+                s, mult = s[: -len(suf)], m
+                break
+        return int(float(s)) * mult
+    except (ValueError, TypeError):
+        return default
+
+
 def _path_bytes(path: str) -> int:
     if os.path.isdir(path):
         return sum(
@@ -95,7 +111,7 @@ def load_table(
         # pruning still push through Repartition, and at real scale
         # (files ≫ maxPartitionBytes × cores) this is a no-op.
         size = _path_bytes(path)
-        max_split = int(
+        max_split = _parse_bytes(
             spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
         )
         target = spark.sparkContext.defaultParallelism

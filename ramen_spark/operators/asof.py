@@ -60,20 +60,33 @@ def asof_join(
     # left-before-right => strict (<).
     l_side, r_side = (0, 1) if strict else (1, 0)
 
-    l_tagged = left.withColumn("__ts", F.col(left_ts).cast("double")).withColumn(
-        "__side", F.lit(l_side)
+    # The payload is carried as ONE struct (not column-by-column): with
+    # per-column last(ignorenulls) a legitimately-NULL payload field
+    # would be papered over by an older right row, stitching values
+    # from different rows. The struct is tagged non-null as a whole, so
+    # every payload field comes from the same (latest) right row and
+    # real NULLs survive.
+    payload_struct = F.struct(*[F.col(c) for c in payload_cols]).alias("__payload")
+
+    l_tagged = (
+        left.withColumn("__ts", F.col(left_ts).cast("double"))
+        .withColumn("__side", F.lit(l_side))
+        .withColumn(
+            "__payload",
+            F.lit(None).cast(
+                "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in payload_cols) + ">"
+            ),
+        )
     )
-    for c in payload_cols:
-        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
 
     r_cols = [F.col(k) for k in keys] + [
         F.col(right_ts).cast("double").alias("__ts"),
         F.lit(r_side).alias("__side"),
+        payload_struct,
     ]
-    r_cols += [F.col(c) for c in payload_cols]
     r_tagged = right.select(*r_cols)
     for c in left.columns:
-        if c not in keys and c not in payload_cols:
+        if c not in keys:
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
     unioned = l_tagged.unionByName(r_tagged)
@@ -87,8 +100,10 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        *[c for c in unioned.columns if c not in payload_cols],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+        *[c for c in unioned.columns if c != "__payload"],
+        F.last("__payload", ignorenulls=True).over(w).alias("__payload"),
     )
     is_left = F.col("__side") == l_side
-    return carried.filter(is_left).drop("__ts", "__side")
+    flat = [F.col(f"__payload.{c}").alias(c) for c in payload_cols]
+    keep = [c for c in carried.columns if c not in ("__ts", "__side", "__payload")]
+    return carried.filter(is_left).select(*keep, *flat)

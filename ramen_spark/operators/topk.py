@@ -21,6 +21,23 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _rank_small(df: DataFrame, order: list[Column]) -> DataFrame:
+    """Attach ``rank`` to an already-bounded (≤ top-k sized) relation.
+
+    Uses a constant-valued partition window: on ≤n rows the single
+    partition is semantically required and costless. The partition
+    expression must be constant per row yet NOT foldable — a literal
+    would be constant-folded into an empty partition spec, putting
+    WindowExec back on its move-everything path (and warning). A
+    column-dependent zero (col*0, null-guarded) survives optimization.
+    NEVER apply to an unbounded relation — callers must limit() first.
+    """
+    first = df.columns[0]
+    const_part = F.coalesce(F.length(F.col(first).cast("string")) * F.lit(0), F.lit(0))
+    win = Window.partitionBy(const_part).orderBy(*order)
+    return df.withColumn("rank", F.row_number().over(win))
+
+
 def top_list(
     df: DataFrame,
     item_cols: list[str],
@@ -29,11 +46,20 @@ def top_list(
     by: list[str] | None = None,
 ) -> DataFrame:
     """LIST TOP n x BY w [per group ``by``] — exact: aggregate weight
-    per item, rank, keep n. Deterministic tiebreak on the item value."""
+    per item, rank, keep n. Deterministic tiebreak on the item value.
+
+    Global form (no ``by``) compiles to orderBy().limit(n) →
+    TakeOrderedAndProject: each partition keeps a local n-row heap and
+    only n rows per partition reach the driver-side merge — no global
+    sort, no single-partition shuffle of the keyset. Rank is then
+    assigned on the ≤n-row result. The grouped form stays a partitioned
+    window (parallel across groups)."""
     w = weight if weight is not None else F.lit(1)
     grouped = df.groupBy(*(by or []), *item_cols).agg(F.sum(w).alias("weight"))
     order = [F.col("weight").desc()] + [F.col(c).asc() for c in item_cols]
-    win = Window.partitionBy(*(by or [F.lit(1)])).orderBy(*order)
+    if not by:
+        return _rank_small(grouped.orderBy(*order).limit(n), order)
+    win = Window.partitionBy(*by).orderBy(*order)
     return grouped.withColumn("rank", F.row_number().over(win)).filter(F.col("rank") <= n)
 
 
@@ -80,17 +106,22 @@ def decayed_top(
     is weighted 2^(-(now - t)/half_life) (the reference decays scores
     by powers of 2 per period, src/HeavyHitters.ml 'decay').
 
-    now defaults to max(time) in the data (batch replay semantics).
+    now defaults to max(time) in the data (batch replay semantics),
+    computed as a 1-row aggregate broadcast-cross-joined back — NOT a
+    no-partition window, which would funnel the whole raw stream
+    through a single WindowExec partition. The scan stays fully
+    parallel; the broadcast is one double.
     """
     w = weight if weight is not None else F.lit(1.0)
     if now_expr is None:
-        now_expr = F.max(F.col(time_col).cast("double")).over(Window.partitionBy())
+        now_df = df.agg(F.max(F.col(time_col).cast("double")).alias("_now"))
+        df = df.crossJoin(F.broadcast(now_df))
+        now_expr = F.col("_now")
     age = now_expr - F.col(time_col).cast("double")
     decayed = w.cast("double") * F.pow(F.lit(2.0), -age / F.lit(half_life_seconds))
     grouped = df.withColumn("_dw", decayed).groupBy(*item_cols).agg(F.sum("_dw").alias("weight"))
     order = [F.col("weight").desc()] + [F.col(c).asc() for c in item_cols]
-    win = Window.partitionBy(F.lit(1)).orderBy(*order)
-    return grouped.withColumn("rank", F.row_number().over(win)).filter(F.col("rank") <= n)
+    return _rank_small(grouped.orderBy(*order).limit(n), order)
 
 
 def largest(
@@ -107,6 +138,11 @@ def largest(
         (F.col(c) if isinstance(c, str) else c).asc() if smallest else (F.col(c) if isinstance(c, str) else c).desc()
         for c in by
     ]
-    win = Window.partitionBy(*(keys or [F.lit(1)])).orderBy(*order)
+    if not keys:
+        # Global form: TakeOrderedAndProject (per-partition heaps of
+        # but+n rows), then rank only the bounded result.
+        bounded = _rank_small(df.orderBy(*order).limit(but + n), order)
+        return bounded.filter(F.col("rank") > but).drop("rank")
+    win = Window.partitionBy(*keys).orderBy(*order)
     rn = F.row_number().over(win)
     return df.withColumn("_rn", rn).filter((F.col("_rn") > but) & (F.col("_rn") <= but + n)).drop("_rn")

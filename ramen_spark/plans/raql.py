@@ -458,10 +458,22 @@ def _strip_ns(path: str) -> str:
 
 
 class Compiler:
-    def __init__(self, params: dict[str, Any] | None = None):
+    def __init__(
+        self,
+        params: dict[str, Any] | None = None,
+        in_shadow: dict[str, str] | None = None,
+        in_names: frozenset[str] | None = None,
+    ):
         self.params = params or {}
         self.fns = _fn_registry()
         self.has_aggregate = False
+        # Namespace fidelity (reference: `in.` ALWAYS means the input
+        # tuple even when a select alias shadows the input name,
+        # src/RamenExpr.ml field resolution). When an alias shadows an
+        # input column, compile_operation snapshots the input value
+        # under a private name and maps in-refs through ``in_shadow``.
+        self.in_shadow = in_shadow or {}
+        self.in_names = in_names or frozenset()
 
     def col(self, node) -> Column:
         if isinstance(node, Lit):
@@ -470,7 +482,15 @@ class Compiler:
             if node.path.startswith("param."):
                 key = node.path[len("param."):]
                 return F.lit(self.params[key])
-            return F.col(_strip_ns(node.path))
+            plain = _strip_ns(node.path)
+            # explicit out.-qualified refs read the chained value; in.-
+            # qualified OR bare refs naming an input column read the
+            # input tuple (via snapshot if shadowed)
+            if not node.path.startswith("out.") and (
+                node.path.startswith("in.") or plain in self.in_names
+            ):
+                return F.col(self.in_shadow.get(plain, plain))
+            return F.col(plain)
         if isinstance(node, Unop):
             c = self.col(node.e)
             if node.op == "not":
@@ -780,8 +800,28 @@ def compile_operation(
         # chained withColumn so later select fields may reference
         # earlier out-fields by alias (`out.total / out.duration`,
         # SURVEY §2.2 SELECT semantics) — Catalyst collapses the chain
-        # into a single Project, so this costs nothing physically
+        # into a single Project, so this costs nothing physically.
+        # When an alias SHADOWS an input column, snapshot the input
+        # value first so `in.x` (and bare refs to input names) keep
+        # reading the input tuple, as the reference requires.
+        in_names = frozenset(df.columns)
+        shadowed = {
+            n
+            for n, f_ in zip(out_names, fields)
+            if n in in_names
+            and not (isinstance(f_.expr, Field) and _strip_ns(f_.expr.path) == n)
+        }
         out = df
+        in_shadow = {}
+        for n in sorted(shadowed):
+            snap = f"_in_snapshot_{n}"
+            out = out.withColumn(snap, F.col(n))
+            in_shadow[n] = snap
+        if in_shadow:
+            cols = []
+            for f_, name in zip(fields, out_names):
+                sub = Compiler(params, in_shadow=in_shadow, in_names=in_names)
+                cols.append(sub.col(f_.expr).alias(name))
         for name, col in zip(out_names, cols):
             out = out.withColumn(name, col)
 

@@ -286,11 +286,11 @@ def cube_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_event_counts",
     """
     SELECT user_id,
-           count_if(event_type = 'click')    AS n_click,
-           count_if(event_type = 'view')     AS n_view,
-           count_if(event_type = 'purchase') AS n_purchase,
-           count_if(event_type = 'error')    AS n_error,
-           count_if(event_type = 'signup')   AS n_signup
+           CAST(count_if(event_type = 'click')    AS BIGINT) AS n_click,
+           CAST(count_if(event_type = 'view')     AS BIGINT) AS n_view,
+           CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(count_if(event_type = 'error')    AS BIGINT) AS n_error,
+           CAST(count_if(event_type = 'signup')   AS BIGINT) AS n_signup
     FROM events
     GROUP BY user_id
     """,
@@ -351,8 +351,10 @@ def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's approximation, same API surface."""
     ev = _t(spark, sf_dir, "events")
     grouped = ev.groupBy("user_id").agg(F.round(F.sum("value"), 6).alias("weight"))
-    w = Window.orderBy(F.col("weight").desc(), F.col("user_id").asc())
-    return grouped.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    order = [F.col("weight").desc(), F.col("user_id").asc()]
+    # orderBy+limit → TakeOrderedAndProject (per-partition 10-row heaps,
+    # no global sort); rank assigned on the 10-row result only.
+    return TopK._rank_small(grouped.orderBy(*order).limit(10), order)
 
 
 @register(
@@ -412,7 +414,7 @@ def largest_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id,
            round((value - lag(value) OVER w)
-                 / ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0), 6) AS rate
+                 / ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0), 6) + 0.0 AS rate
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     QUALIFY rate IS NOT NULL
@@ -428,6 +430,10 @@ def lag_derive_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") - F.lag("value").over(w)) / ((us - F.lag(us).over(w)) / F.lit(1000000.0)),
         6,
     )
+    # `+ 0.0` on BOTH sides canonicalizes IEEE -0.0 → +0.0 (DuckDB's
+    # double round emits -0.0 for tiny negatives; Spark's BigDecimal
+    # round never does — numerically equal, hash-different).
+    rate = rate + F.lit(0.0)
     return ev.select("event_id", rate.alias("rate")).filter(F.col("rate").isNotNull())
 
 
@@ -595,7 +601,7 @@ def remember_seen_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id,
            count(*) AS n_events,
-           count_if(gap_us IS NULL OR gap_us > 1800000000) AS n_sessions
+           CAST(count_if(gap_us IS NULL OR gap_us > 1800000000) AS BIGINT) AS n_sessions
     FROM (
       SELECT user_id,
              epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
@@ -713,7 +719,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT source,
            count(*) AS n_docs,
-           sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))) AS total_tokens,
+           CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
            round(avg(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))), 6) AS avg_tokens,
            round(avg(length(text)), 6) AS avg_chars
     FROM documents
@@ -1041,7 +1047,7 @@ def hysteresis_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT event_type, value,
-             row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn
+             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
       FROM events
     )
     SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
@@ -1058,7 +1064,7 @@ def commit_after_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/func/basic_aggr.ramen style)."""
     from ramen_spark.operators.aggregate import commit_aggregate
 
-    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
 
     def init():
         return {"n": 0, "sum": 0.0}
@@ -1080,7 +1086,9 @@ def commit_after_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return commit_aggregate(
         ev,
         key_cols=["event_type"],
-        order_col="ts",
+        # tie-break on event_id: duplicate (event_type, ts) would make
+        # 100-row window membership nondeterministic on both sides
+        order_col=["ts", "event_id"],
         init_state=init,
         update=update,
         finalize=fin,

@@ -20,6 +20,7 @@ exercising the decoders end-to-end without packet captures.
 
 from __future__ import annotations
 
+import math
 import struct
 from typing import Iterable, Iterator, Sequence
 
@@ -300,7 +301,9 @@ def encode_rowbinary(rows: Iterable[Sequence], spec: Sequence[tuple[str, str]]) 
     for row in rows:
         for (base, nullable), val in zip(parsed, row):
             if nullable:
-                if val is None:
+                # pandas surfaces missing numerics as NaN, not None —
+                # both mean the RowBinary NULL flag here
+                if val is None or (isinstance(val, float) and math.isnan(val)):
                     out.append(1)
                     continue
                 out.append(0)

@@ -50,6 +50,25 @@ def compare(spark_df, oracle_df: pd.DataFrame) -> list[str]:
         return errs
     if len(sp) != len(oracle_df):
         errs.append(f"row count differs: spark={len(sp)} oracle={len(oracle_df)}")
+    # Representation strictness (round-1 lesson: the driver's value-hash
+    # is repr-sensitive where numeric comparison is lenient):
+    # 1. dtype KIND must agree — DuckDB HUGEINT (count_if / sum(int))
+    #    lands as float64 in pandas while Spark gives int64: "3.0" vs
+    #    "3" hash-differs. Fix the oracle SQL with CAST(... AS BIGINT).
+    # 2. no -0.0 on either side — DuckDB round() emits -0.0, Spark's
+    #    BigDecimal round never does. Fix with `+ 0.0` on both sides.
+    import numpy as np
+
+    for c in sorted(sp.columns):
+        sk, ok_ = sp[c].dtype.kind, oracle_df[c].dtype.kind
+        if {sk, ok_} <= {"i", "u", "f"} and sk != ok_:
+            errs.append(f"col {c}: dtype kind differs spark={sp[c].dtype} oracle={oracle_df[c].dtype}")
+        for tag, s_ in (("spark", sp), ("oracle", oracle_df)):
+            if s_[c].dtype.kind == "f":
+                v = s_[c].to_numpy(dtype="float64", na_value=np.nan)
+                n0 = int(np.sum((v == 0) & np.signbit(v)))
+                if n0:
+                    errs.append(f"col {c}: {tag} side has {n0} IEEE -0.0 values")
     a, b = _normalize(sp), _normalize(oracle_df)
     if len(a) == len(b):
         for c in a.columns:

@@ -77,3 +77,17 @@ def test_single_shuffle_plan(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert bad not in plan
+
+
+def test_null_payload_field_survives(spark):
+    """A legitimately-NULL field in the latest right row must NOT be
+    papered over by an older non-NULL value — all payload fields come
+    from the same (latest) right row (struct carry, ADVICE r1)."""
+    left = spark.createDataFrame([(1, 10.0)], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, 1.0, 5.0, "old"), (1, 2.0, None, "new")],
+        "k int, rt double, a double, b string",
+    )
+    row = asof_join(left, right, ["k"], "t", "rt", ["a", "b"]).collect()[0]
+    assert row["b"] == "new"
+    assert row["a"] is None  # latest row's real NULL, not the stale 5.0

@@ -236,3 +236,23 @@ def test_collectd_df_roundtrip(spark):
     assert back.count() == 200
     chk = back.agg(F.sum("value").alias("sv")).first()
     assert chk["sv"] == sum(i * 2.0 for i in range(200))
+
+
+def test_rowbinary_nan_encodes_as_null():
+    """pandas missing numerics arrive as NaN, not None — both must hit
+    the RowBinary NULL flag for Nullable numeric columns (ADVICE r1)."""
+    spec = [("v", "Nullable(Float64)")]
+    blob = encode_rowbinary([(float("nan"),), (1.5,), (None,)], spec)
+    from ramen_spark.sources.binary import decode_rowbinary_blob
+
+    assert decode_rowbinary_blob(blob, spec) == [(None,), (1.5,), (None,)]
+
+
+def test_catalog_parse_bytes_suffixes():
+    from ramen_spark.catalog import _parse_bytes
+
+    assert _parse_bytes("134217728") == 128 << 20
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("134217728b") == 128 << 20
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes("garbage") == 128 << 20

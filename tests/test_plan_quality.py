@@ -196,3 +196,35 @@ def test_commit_engine_single_shuffle(spark):
     plan = _plan(df)
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_global_topk_is_take_ordered(spark):
+    """top_users_by_value must lower to TakeOrderedAndProject (per-
+    partition n-row heaps), never a no-partition WindowExec over the
+    aggregated keyset (single-partition sort of every distinct key at
+    scale)."""
+    df = QUERIES["top_users_by_value"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # any Window left runs over the ≤n-row limited result with a
+    # non-empty partition spec (empty spec prints as `], [], [`)
+    assert "], [], [" not in plan
+
+
+def test_decayed_top_no_global_window(spark):
+    """decayed_top computes 'now' as a broadcast 1-row aggregate, not a
+    no-partition window over the raw stream."""
+    df = QUERIES["decayed_top_users"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    # no empty-partition window spec anywhere (prints as `], [], [`)
+    assert "], [], [" not in plan
+
+
+def test_largest_global_is_take_ordered(spark):
+    from ramen_spark.operators import topk as TopK
+
+    df = spark.range(1000).withColumn("w", F.col("id") % 37)
+    plan = _plan(TopK.largest(df, 5, by=["w"]))
+    assert "TakeOrderedAndProject" in plan

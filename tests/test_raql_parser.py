@@ -366,3 +366,24 @@ def test_notify_template_builds_sink_rows(spark):
     notes = build_notifications(df, op.notify)
     got = sorted(r["notification"] for r in notes.collect())
     assert got == ["hot user 7", "hot user 9"]
+
+
+def test_alias_shadowing_preserves_input_namespace(spark):
+    """`in.x` (and bare refs to input names) must keep reading the
+    INPUT tuple even when a select alias shadows the input column
+    (reference: in. always denotes the input, src/RamenExpr.ml)."""
+    df = spark.createDataFrame([(10.0,), (20.0,)], ["value"])
+    out = compile_operation(
+        "SELECT value*2 AS value, in.value AS orig, value + 1 AS bare_plus FROM x",
+        df,
+    )
+    rows = sorted(out.collect())
+    assert [(r["value"], r["orig"], r["bare_plus"]) for r in rows] == [
+        (20.0, 10.0, 11.0),
+        (40.0, 20.0, 21.0),
+    ]
+    # out.-qualified chaining still reads the new value
+    out2 = compile_operation(
+        "SELECT value*2 AS value, out.value + 1 AS chained FROM x", df
+    )
+    assert sorted(r["chained"] for r in out2.collect()) == [21.0, 41.0]
