@@ -1624,7 +1624,7 @@ def part_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*)                                       AS n,
-           sum((round(value * 100, 0))::BIGINT)           AS sum_cents,
+           CAST(sum((round(value * 100, 0))::BIGINT) AS BIGINT) AS sum_cents,
            min(value)                                     AS min_value,
            max(value)                                     AS max_value
     FROM events
