@@ -102,16 +102,16 @@ def smooth(
     value_col: str,
     alpha: float,
     keys: list[str],
-    order_col: str,
+    order_col: str | list[str],
     out_col: str = "smoothed",
 ) -> DataFrame:
     """SMOOTH [α] x — EWMA: s = α·x + (1-α)·s_prev
     (doc/raql/expr.ml:849, CodeGenLib.ml:343-346).
 
     pandas ewm(alpha, adjust=False) IS this recurrence, vectorized in
-    C per group. One shuffle on keys.
+    C per group. One shuffle on keys. ``order_col`` may be a list so
+    callers can tie-break equal timestamps deterministically.
     """
-    cols = [c for c in df.columns]
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="stable")
@@ -131,7 +131,7 @@ def hysteresis(
     accept: float,
     maximum: float,
     keys: list[str],
-    order_col: str,
+    order_col: str | list[str],
     out_col: str = "in_range",
 ) -> DataFrame:
     """HYSTERESIS(v, accept, max) — Schmitt trigger: True while v stays

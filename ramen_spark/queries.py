@@ -990,31 +990,147 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dups(_t(spark, sf_dir, "documents"))
 
 
-@register("embedding_near_dups")  # rows-only: LSH planes are Python-seeded
+def _planes_values_sql(dim: int, n_planes: int, seed: int = 42) -> str:
+    """The LSH hyperplanes as a DuckDB VALUES relation (i, bit, p).
+
+    ``make_hyperplanes`` is seeded pure-Python, so the exact doubles the
+    Spark expression uses can be baked into the oracle as literals —
+    ``repr(float)`` round-trips IEEE doubles exactly on both engines."""
+    planes = Sim.make_hyperplanes(dim, n_planes, seed)
+    rows = ",\n      ".join(
+        f"({1 << i}, [" + ",".join(repr(x) for x in p) + "]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    return f"(VALUES {rows}) planes(bit, p)"
+
+
+# Shared oracle scaffolding: vectors cast to double + prenormed, and the
+# per-row LSH bucket — mirrors functions.vectors.dot/norm2/lsh_bucket
+# (list_dot_product is the same sequential double fold).
+_VECS_SQL = """
+    vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id,
+             sum(CASE WHEN list_dot_product(v, p) > 0 THEN bit ELSE 0 END)::BIGINT AS bucket
+      FROM vecs CROSS JOIN {planes}
+      GROUP BY vec_id
+    ),
+    c AS (SELECT vecs.vec_id, v, nrm, bucket FROM vecs JOIN b USING (vec_id))
+"""
+
+
+@register(
+    "embedding_near_dups",
+    "WITH "
+    + _VECS_SQL.format(planes=_planes_values_sql(64, 6))
+    + """
+    SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
+           round(CASE WHEN l.nrm * r.nrm > 0
+                      THEN list_dot_product(l.v, r.v) / (l.nrm * r.nrm) END, 6) AS sim
+    FROM c l JOIN c r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    WHERE round(CASE WHEN l.nrm * r.nrm > 0
+                     THEN list_dot_product(l.v, r.v) / (l.nrm * r.nrm) END, 6) >= 0.95
+    """,
+)
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via hyperplane-LSH
-    bucketing + exact verify (operators.similarity.pairwise_near_dups)."""
+    bucketing + exact verify (operators.similarity.pairwise_near_dups).
+    Value-exact oracle: the seeded hyperplanes are inlined as SQL
+    literals, so DuckDB buckets and scores the same doubles."""
     emb = _t(spark, sf_dir, "embeddings")
     return Sim.pairwise_near_dups(emb, threshold=0.95, dim=64)
 
 
-@register("lsh_ann_topk")  # rows-only: LSH planes are Python-seeded
+@register(
+    "lsh_ann_topk",
+    "WITH "
+    + _VECS_SQL.format(planes=_planes_values_sql(64, 6))
+    + """
+    , scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             round(CASE WHEN q.nrm * c.nrm > 0
+                        THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END, 6) AS sim
+      FROM c JOIN (SELECT * FROM c WHERE vec_id < 20) q ON c.bucket = q.bucket
+      WHERE c.vec_id <> q.vec_id
+    )
+    SELECT query_id, corpus_id, sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC NULLS LAST, corpus_id ASC)::INT AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (the 100 TB scale path of
-    ann_cosine_topk)."""
+    ann_cosine_topk). Value-exact oracle via inlined plane literals."""
     emb = _t(spark, sf_dir, "embeddings")
     return Sim.lsh_topk(emb, emb.filter(F.col("vec_id") < 20), dim=64, k=10, n_planes=6)
 
 
-@register("ivf_ann_topk")  # rows-only: iterative k-means fit is not SQL
+@register(
+    "ivf_ann_topk",
+    """
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell,
+             list_transform(v, x -> x / nullif(nrm, 0.0)) AS cv
+      FROM vecs
+      WHERE len(list_filter(list_transform(v, x -> x / nullif(nrm, 0.0)),
+                            x -> x IS NULL)) = 0
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
+    ),
+    ccell AS (
+      SELECT vec_id, cell FROM (
+        SELECT vecs.vec_id, cents.cell, row_number() OVER (
+          PARTITION BY vecs.vec_id
+          ORDER BY list_dot_product(cv, v) DESC NULLS LAST, cell ASC) AS rk
+        FROM vecs CROSS JOIN cents
+      ) WHERE rk = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vecs.vec_id, cents.cell, row_number() OVER (
+          PARTITION BY vecs.vec_id
+          ORDER BY list_dot_product(cv, v) DESC NULLS LAST, cell ASC) AS rk
+        FROM vecs CROSS JOIN cents WHERE vecs.vec_id < 20
+      ) WHERE rk <= 3
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS corpus_id,
+             round(CASE WHEN q.nrm * c.nrm > 0
+                        THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END, 6) AS sim
+      FROM vecs c
+      JOIN ccell ON c.vec_id = ccell.vec_id
+      JOIN qprobe p ON ccell.cell = p.cell
+      JOIN vecs q ON q.vec_id = p.query_id
+      WHERE c.vec_id <> p.query_id
+    )
+    SELECT query_id, corpus_id, sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC NULLS LAST, corpus_id ASC)::INT AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: deterministic spherical k-means coarse
-    quantizer (md5-seeded, 2 Lloyd jobs) + n_probe-cell probing — the
+    """IVF approximate top-k: deterministic md5-seeded sample quantizer
+    (k-means with 0 Lloyd refinements — exactly SQL-expressible, so the
+    oracle is value-exact) + n_probe-cell probing — the
     partition-pruning ANN tier (operators.similarity.ivf_topk). With
     the corpus stored bucketed by cell id, a probe touches
-    n_probe/n_cells of the data and shuffles none of it."""
+    n_probe/n_cells of the data and shuffles none of it. The
+    Lloyd-refined quantizer (kmeans_fit iters>0) is the production
+    tuning path, covered by the recall tests in test_plan_quality."""
     emb = _t(spark, sf_dir, "embeddings")
-    cents = Sim.kmeans_fit(emb, n_cells=8, iters=2)
+    cents = Sim.kmeans_fit(emb, n_cells=8, iters=0)
     return Sim.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 20), cents, k=10, n_probe=3
     )
@@ -1025,20 +1141,58 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@register("smooth_ewma")  # rows-only: sequential recurrence
+@register(
+    "smooth_ewma",
+    """
+    WITH RECURSIVE t AS (
+      SELECT event_id, event_type, CAST(value AS DOUBLE) AS value,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    ), r AS (
+      SELECT event_type, rn, event_id, value AS s FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.event_type, t.rn, t.event_id, 0.5 * t.value + 0.5 * r.s
+      FROM r JOIN t ON t.event_type = r.event_type AND t.rn = r.rn + 1
+    )
+    SELECT event_id, round(s, 6) AS smoothed FROM r
+    """,
+)
 def smooth_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SMOOTH 0.5 value (EWMA, doc/raql/expr.ml:849) per event_type —
-    grouped Arrow fold (operators.series.smooth)."""
+    grouped Arrow fold (operators.series.smooth). The oracle unrolls
+    the recurrence with a recursive CTE; with α=0.5 both coefficient
+    multiplies are exact halvings, so the doubles are bit-identical."""
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
-    out = Ser.smooth(ev, "value", 0.5, ["event_type"], "ts")
+    out = Ser.smooth(ev, "value", 0.5, ["event_type"], ["ts", "event_id"])
     return out.select("event_id", F.round("smoothed", 6).alias("smoothed"))
 
 
-@register("hysteresis_flags")  # rows-only: sequential recurrence
+@register(
+    "hysteresis_flags",
+    """
+    WITH RECURSIVE t AS (
+      SELECT event_id, event_type, CAST(value AS DOUBLE) AS value,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    ), r AS (
+      SELECT event_type, rn, event_id, (value <= 100.0) AS ok FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.event_type, t.rn, t.event_id,
+             CASE WHEN r.ok THEN t.value <= 100.0 ELSE t.value <= 50.0 END
+      FROM r JOIN t ON t.event_type = r.event_type AND t.rn = r.rn + 1
+    )
+    SELECT event_id, ok AS in_range FROM r
+    """,
+)
 def hysteresis_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HYSTERESIS(value, 50, 100) per event_type (doc/raql/expr.ml:894)."""
+    """HYSTERESIS(value, 50, 100) per event_type (doc/raql/expr.ml:894).
+    Schmitt-trigger recurrence; oracle = recursive CTE over the same
+    (ts, event_id) order."""
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
-    out = Ser.hysteresis(ev, "value", accept=50.0, maximum=100.0, keys=["event_type"], order_col="ts")
+    out = Ser.hysteresis(
+        ev, "value", accept=50.0, maximum=100.0, keys=["event_type"],
+        order_col=["ts", "event_id"],
+    )
     return out.select("event_id", "in_range")
 
 
