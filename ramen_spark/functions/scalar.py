@@ -242,41 +242,62 @@ def max_of(*cols: Column) -> Column:
 # time formatting (doc/raql/expr.ml:291,640)
 # ---------------------------------------------------------------------------
 
-_STRFTIME_MAP = [
-    ("%Y", "yyyy"),
-    ("%m", "MM"),
-    ("%d", "dd"),
-    ("%H", "HH"),
-    ("%M", "mm"),
-    ("%S", "ss"),
-    ("%j", "DDD"),
-    ("%u", "u"),
-]
+_STRFTIME_DIRECTIVES = {
+    "Y": "yyyy", "m": "MM", "d": "dd", "H": "HH", "M": "mm", "S": "ss",
+    "j": "DDD", "y": "yy", "e": "d", "p": "a",
+}
 
 
 def format_time(fmt: str, t: Column) -> Column:
     """FORMAT_TIME(fmt, t) — strftime-style template over a float
-    unix-seconds value (doc/raql/expr.ml:640). ``%s`` = raw seconds."""
+    unix-seconds value (doc/raql/expr.ml:640). ``%s`` = raw epoch
+    seconds; ``%u`` = day of week with Sunday = 0 (reference example
+    doc:662 prints 0 for a Sunday). Literal text is emitted verbatim
+    (never fed to the Java pattern engine, where letters are pattern
+    directives)."""
     ts = F.timestamp_seconds(t.cast("double"))
-    if fmt == "%s":
-        return t.cast("long").cast("string")
-    java_fmt = fmt
-    for a, b in _STRFTIME_MAP:
-        java_fmt = java_fmt.replace(a, b)
-    if "%s" in java_fmt:
-        # mixed template: substitute epoch seconds textually
-        parts = java_fmt.split("%s")
-        cols = []
-        for i, p in enumerate(parts):
-            if p:
-                cols.append(F.date_format(ts, p))
-            if i < len(parts) - 1:
-                cols.append(t.cast("long").cast("string"))
-        return F.concat(*cols)
-    return F.date_format(ts, java_fmt)
+    pieces: list[Column] = []
+    buf = ""
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%" and i + 1 < len(fmt):
+            d = fmt[i + 1]
+            i += 2
+            if d == "%":
+                buf += "%"
+                continue
+            if buf:
+                pieces.append(F.lit(buf))
+                buf = ""
+            if d == "s":
+                pieces.append(t.cast("long").cast("string"))
+            elif d == "u":
+                pieces.append((F.dayofweek(ts) - 1).cast("string"))
+            elif d in _STRFTIME_DIRECTIVES:
+                pieces.append(F.date_format(ts, _STRFTIME_DIRECTIVES[d]))
+            else:
+                buf += "%" + d
+        else:
+            buf += ch
+            i += 1
+    if buf:
+        pieces.append(F.lit(buf))
+    if not pieces:
+        return F.lit("")
+    return F.concat(*pieces) if len(pieces) > 1 else pieces[0].cast("string")
 
 
-def parse_time(s: Column, fmts: tuple[str, ...] = ("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd")) -> Column:
+_PARSE_TIME_FMTS = (
+    "yyyy-MM-dd HH:mm:ss.S",
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd",
+    "M/d/yyyy",
+)
+
+
+def parse_time(s: Column, fmts: tuple[str, ...] = _PARSE_TIME_FMTS) -> Column:
     """PARSE_TIME — string → float unix seconds, NULL if unparseable
     (doc/raql/expr.ml:291). Tries formats in order like at(1)."""
     candidates = [F.unix_timestamp(F.try_to_timestamp(s, F.lit(f))).cast("double") for f in fmts]

@@ -52,16 +52,27 @@ _SCALES = {
     "Ki": 2**10, "Mi": 2**20, "Gi": 2**30, "Ti": 2**40, "Pi": 2**50,
 }
 
+# duration suffixes → seconds (site/language_reference.php "Units")
+_DURATIONS = {"ms": 1e-3, "s": 1.0, "min": 60.0, "h": 3600.0, "d": 86400.0, "w": 604800.0}
+
+_NUM_SUF = (
+    r"(?:[ui](?:8|16|24|32|40|48|56|64|128))"
+    r"|Ki|Mi|Gi|Ti|Pi|ms|min|th|[kMGTPshdw]"
+)
+
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
   | (?P<comment>--[^\n]*)
-  | (?P<float>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
-  | (?P<int>0x[0-9a-fA-F]+|\d+)(?P<intsuf>(?:[ui](?:8|16|24|32|40|48|56|64|128))|Ki|Mi|Gi|Ti|Pi|[kMGTP])?
+  | (?P<char>\#\\.)
+  | (?P<ip6>[0-9a-fA-F]{1,4}:[0-9a-fA-F]{0,4}:[0-9a-fA-F:.]*(?:/\d{1,3})?)
+  | (?P<ip4>\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}(?:/\d{1,2})?)
+  | (?P<float>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)(?P<floatsuf>NUMSUF)?
+  | (?P<int>0x[0-9a-fA-F]+|\d+)(?P<intsuf>NUMSUF)?
   | (?P<string>"(?:\\.|[^"\\])*")
-  | (?P<op><=|>=|<>|!=|\|\||//|[-+*/%^=<>(),;\[\]])
+  | (?P<op><=|>=|<>|!=|\|\||\|\?|<<|>>|//|[-+*/%^=<>(),;?\[\]&|\#])
   | (?P<name>[A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*)*)
-    """,
+    """.replace("NUMSUF", _NUM_SUF),
     re.VERBOSE,
 )
 
@@ -82,6 +93,22 @@ class Tok:
     pos: int
 
 
+def _apply_suffix(val: float | int, suf: str | None) -> float | int:
+    """Scale (k/M/Ki…), duration (s/min/h…), ordinal (th) and
+    int-width (u8/i32…) suffixes on numeric literals
+    (site/language_reference.php "Scales", "Units"; width suffixes
+    src/raql_type.ml:16-33 — widths don't change the value)."""
+    if not suf or suf == "th" or suf[0] in "ui":
+        return val
+    if suf in _SCALES:
+        scaled = val * _SCALES[suf]
+        return int(scaled) if float(scaled).is_integer() else scaled
+    if suf in _DURATIONS:
+        scaled = val * _DURATIONS[suf]
+        return int(scaled) if float(scaled).is_integer() else scaled
+    raise SyntaxError(f"RaQL: unknown numeric suffix {suf!r}")
+
+
 def tokenize(text: str) -> list[Tok]:
     out: list[Tok] = []
     i = 0
@@ -90,21 +117,21 @@ def tokenize(text: str) -> list[Tok]:
         if not m:
             raise SyntaxError(f"RaQL: cannot tokenize at {text[i:i+20]!r}")
         i = m.end()
-        if m.lastgroup in ("ws", "comment") or (m.lastgroup == "intsuf"):
-            if m.group("int"):
-                pass  # handled below
-            else:
-                continue
-        if m.group("float"):
-            out.append(Tok("num", float(m.group("float")), m.start()))
+        if m.lastgroup in ("ws", "comment"):
+            continue
+        if m.group("char"):
+            out.append(Tok("str", m.group("char")[-1], m.start()))
+        elif m.group("ip6"):
+            out.append(Tok("net", m.group("ip6"), m.start()))
+        elif m.group("ip4"):
+            out.append(Tok("net", m.group("ip4"), m.start()))
+        elif m.group("float"):
+            val = _apply_suffix(float(m.group("float")), m.group("floatsuf"))
+            out.append(Tok("num", val, m.start()))
         elif m.group("int"):
             raw = m.group("int")
-            val: float | int = int(raw, 16) if raw.startswith("0x") else int(raw)
-            suf = m.group("intsuf")
-            if suf in _SCALES:
-                scaled = val * _SCALES[suf]
-                val = int(scaled) if float(scaled).is_integer() else scaled
-            out.append(Tok("num", val, m.start()))
+            ival: float | int = int(raw, 16) if raw.startswith("0x") else int(raw)
+            out.append(Tok("num", _apply_suffix(ival, m.group("intsuf")), m.start()))
         elif m.group("string"):
             body = m.group("string")[1:-1]
             body = body.encode().decode("unicode_escape")
@@ -154,6 +181,7 @@ class Binop:
 class Call:
     fn: str
     args: list
+    opts: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -162,11 +190,63 @@ class CaseWhen:
     otherwise: Any | None
 
 
+@dataclass
+class NetLit:
+    """IP / CIDR / Eth literal (src/raql_type.ml:34-40 user types).
+    kind: 'ip4' | 'ip6' | 'cidr4' | 'cidr6' | 'eth'; value: int address
+    (or (addr, mask) for CIDRs)."""
+
+    kind: str
+    value: Any
+
+
+@dataclass
+class TypeSpec:
+    """Type name in CAST / type-call syntax (src/raql_type.ml:10-46)."""
+
+    name: str  # lowercase: u8..u128, i8.., float, string, bool, char
+    nullable: bool = False
+    vec_dim: int | None = None  # CAST(x AS U8[4]) / U8[]
+    is_arr: bool = False
+
+
+_INT_TYPES = {f"{s}{w}" for s in "ui" for w in (8, 16, 24, 32, 40, 48, 56, 64, 128)}
+_TYPE_NAMES = _INT_TYPES | {"float", "string", "bool", "boolean", "char"}
+
+
+def _v4_int(s: str) -> int:
+    """Dotted-quad → int, tolerating leading zeros (the reference's
+    parser accepts 192.168.00.0; Python's ipaddress does not)."""
+    parts = [int(p) for p in s.split(".")]
+    if len(parts) != 4 or any(p > 255 for p in parts):
+        raise SyntaxError(f"RaQL: bad IPv4 literal {s!r}")
+    return (parts[0] << 24) | (parts[1] << 16) | (parts[2] << 8) | parts[3]
+
+
+def _parse_net_literal(text: str) -> NetLit:
+    import ipaddress
+
+    if "/" in text:
+        addr_s, mask_s = text.split("/")
+        if "." in addr_s and ":" not in addr_s:
+            return NetLit("cidr4", (_v4_int(addr_s), int(mask_s)))
+        return NetLit("cidr6", (int(ipaddress.ip_address(addr_s)), int(mask_s)))
+    if re.fullmatch(r"(?:[0-9a-fA-F]{2}:){5}[0-9a-fA-F]{2}", text):
+        return NetLit("eth", int(text.replace(":", ""), 16))
+    if "." in text and ":" not in text:
+        return NetLit("ip4", _v4_int(text))
+    return NetLit("ip6", int(ipaddress.ip_address(text)))
+
+
 # aggregate function names (unary keyword style: `SUM x`) — stateful
 AGGS = {
     "sum", "avg", "min", "max", "count", "first", "last", "group",
     "and_all", "or_all", "count_distinct",
+    "bitand", "bitor", "bitxor", "distinct", "fit",
 }
+
+_NULLARY = {"now", "random", "pi"}
+
 
 # stateless functions by name → Column builder
 def _fn_registry() -> dict[str, Any]:
@@ -195,6 +275,19 @@ def _fn_registry() -> dict[str, Any]:
         "now": S.now,
         "random": S.random,
         "pi": S.pi,
+        "force": lambda a: S.force(a),
+        "chr": lambda a: S.chr_(a),
+        "sparkline": lambda a: S.sparkline(a),
+        "parse_time": lambda a: S.parse_time(a),
+        "index": lambda s, c: S.index_of(s, c),
+        # intercepted in Compiler.call before builder lookup (need the
+        # AST node, not compiled columns) — registered for the parser's
+        # unary-application check only:
+        "ipfamily": None,
+        "uuid_of_u128": None,
+        "countrycode": None,
+        "peek": None,
+        "histogram": None,
         "format_time": None,  # handled specially (const fmt)
         "min": lambda *a: S.min_of(*a),  # variadic stateless form
         "max": lambda *a: S.max_of(*a),
@@ -255,11 +348,11 @@ class Parser:
         return self.parse_cmp()
 
     def parse_cmp(self) -> Any:
-        e = self.parse_concat()
+        e = self.parse_bitor()
         t = self.peek()
         if t.kind == "op" and t.value in ("=", "<>", "!=", "<", "<=", ">", ">="):
             self.next()
-            return Binop(t.value, e, self.parse_concat())
+            return Binop(t.value, e, self.parse_bitor())
         if t.kind == "kw" and t.value == "like":
             self.next()
             pat = self.expect("str")
@@ -272,11 +365,11 @@ class Parser:
                 pat = self.expect("str")
                 return Unop("not", Binop("like", e, Lit(pat.value)))
             if self.accept("kw", "in"):
-                return Unop("not", Binop("in", e, self.parse_in_list()))
+                return Unop("not", Binop("in", e, self.parse_in_operand()))
             self.i = save
         if t.kind == "kw" and t.value == "in":
             self.next()
-            return Binop("in", e, self.parse_in_list())
+            return Binop("in", e, self.parse_in_operand())
         if t.kind == "kw" and t.value == "is":
             self.next()
             neg = bool(self.accept("kw", "not"))
@@ -286,24 +379,72 @@ class Parser:
         if t.kind == "kw" and t.value == "starts":
             self.next()
             self.expect("kw", "with")
-            return Binop("starts_with", e, self.parse_concat())
+            return Binop("starts_with", e, self.parse_bitor())
         if t.kind == "kw" and t.value == "ends":
             self.next()
             self.expect("kw", "with")
-            return Binop("ends_with", e, self.parse_concat())
+            return Binop("ends_with", e, self.parse_bitor())
         if t.kind == "kw" and t.value == "percentile":
-            # `p PERCENTILE v` — e is the percentile value
+            # `p PERCENTILE v` / `[p1; p2] PERCENTILE v` (doc:681)
             self.next()
-            return Call("percentile_of", [e, self.parse_concat()])
+            return Call("percentile_of", [e, self.parse_bitor()])
         return e
 
-    def parse_in_list(self) -> Any:
-        self.expect("op", "(")
-        items = [self.parse_expr()]
-        while self.accept("op", ","):
-            items.append(self.parse_expr())
-        self.expect("op", ")")
-        return Call("_list", items)
+    def parse_in_operand(self) -> Any:
+        """RHS of ``x IN s``: a parenthesized list, or any expression
+        (array/vector, string for substring search, CIDR literal —
+        doc/raql/expr.ml:626)."""
+        if self.peek().kind == "op" and self.peek().value == "(":
+            self.expect("op", "(")
+            items = [self.parse_expr()]
+            while self.accept("op", ","):
+                items.append(self.parse_expr())
+            self.expect("op", ")")
+            return Call("_list", items) if len(items) > 1 else items[0]
+        return self.parse_bitor()
+
+    # bit-wise tier (doc/raql/expr.ml:596-625): | and # loosest, then
+    # &, then shifts — all tighter than comparisons, looser than ||
+    def parse_bitor(self) -> Any:
+        e = self.parse_bitand()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.value in ("|", "#"):
+                self.next()
+                e = Binop(t.value, e, self.parse_bitand())
+            else:
+                return e
+
+    def parse_bitand(self) -> Any:
+        e = self.parse_shift()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.value == "&":
+                self.next()
+                e = Binop("&", e, self.parse_shift())
+            else:
+                return e
+
+    def parse_shift(self) -> Any:
+        e = self.parse_coalesce()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.value in ("<<", ">>"):
+                self.next()
+                e = Binop(t.value, e, self.parse_coalesce())
+            else:
+                return e
+
+    def parse_coalesce(self) -> Any:
+        # `a |? b` — first non-null (doc/raql/expr.ml:424)
+        e = self.parse_concat()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.value == "|?":
+                self.next()
+                e = Call("coalesce", [e, self.parse_concat()])
+            else:
+                return e
 
     def parse_concat(self) -> Any:
         e = self.parse_add()
@@ -347,7 +488,10 @@ class Parser:
         t = self.peek()
         if t.kind == "op" and t.value == "-":
             self.next()
-            return Unop("neg", self.parse_unary())
+            e = self.parse_unary()
+            if isinstance(e, Lit) and isinstance(e.value, int | float) and not isinstance(e.value, bool):
+                return Lit(-e.value)  # negative literal (keeps // int semantics)
+            return Unop("neg", e)
         return self.parse_postfix()
 
     def parse_postfix(self) -> Any:
@@ -360,12 +504,71 @@ class Parser:
             else:
                 return e
 
+    def _parse_nulls_opt(self) -> bool | None:
+        """Optional ``SKIP NULLS`` / ``KEEP NULLS`` after a stateful
+        function name (src/raql_expr.type:46-52). Returns keep_nulls
+        or None (default = skip)."""
+        save = self.i
+        t = self.peek()
+        word = None
+        if t.kind == "kw" and t.value == "keep":
+            word = "keep"
+        elif t.kind == "name" and t.value.lower() == "skip":
+            word = "skip"
+        if word:
+            self.next()
+            nt = self.peek()
+            if nt.kind == "name" and nt.value.lower() == "nulls":
+                self.next()
+                return word == "keep"
+            self.i = save
+        return None
+
+    def _starts_operand(self) -> bool:
+        nxt = self.peek()
+        return (
+            nxt.kind in ("name", "num", "str", "net")
+            or (nxt.kind == "op" and nxt.value in ("(", "[", "-"))
+            or (nxt.kind == "kw" and nxt.value in ("true", "false", "null", "if", "case"))
+        )
+
+    def _parse_type_spec(self) -> TypeSpec:
+        t = self.expect("name")
+        name = t.value.lower()
+        if name not in _TYPE_NAMES:
+            raise SyntaxError(f"RaQL: unknown type {t.value!r} at {t.pos}")
+        nullable = bool(self.accept("op", "?"))
+        vec_dim = None
+        is_arr = False
+        if self.accept("op", "["):
+            if self.peek().kind == "num":
+                vec_dim = int(self.next().value)
+            else:
+                is_arr = True
+            self.expect("op", "]")
+        return TypeSpec(name, nullable, vec_dim, is_arr)
+
+    def _parse_agg_call(self, low: str) -> Any | None:
+        """Unary stateful-function application: ``SUM x``, ``MIN SKIP
+        NULLS [..]``, ``COUNT DISTINCT x`` — returns None if the next
+        tokens don't start an operand."""
+        keep = self._parse_nulls_opt()
+        if low == "count" and self.accept("kw", "distinct"):
+            inner = Call("distinct", [self.parse_unary()])
+            return Call("count", [inner], opts={"keep_nulls": keep})
+        if not self._starts_operand():
+            return None
+        opts = {} if keep is None else {"keep_nulls": keep}
+        return Call(low, [self.parse_unary()], opts=opts)
+
     def parse_atom(self) -> Any:
         t = self.next()
         if t.kind == "num":
             return Lit(t.value)
         if t.kind == "str":
             return Lit(t.value)
+        if t.kind == "net":
+            return _parse_net_literal(t.value)
         if t.kind == "kw":
             if t.value == "true":
                 return Lit(True)
@@ -390,8 +593,17 @@ class Parser:
                 self.expect("kw", "end")
                 return CaseWhen(branches, els)
             if t.value == "distinct":
-                # COUNT-DISTINCT-ish: `DISTINCT x` as aggregate
-                return Call("count_distinct", [self.parse_unary()])
+                # DISTINCT x — novelty flag (doc/raql/expr.ml:816)
+                return Call("distinct", [self.parse_unary()])
+            if t.value in ("and", "or", "group"):
+                # aggregate forms in operand position: AND [..] /
+                # OR KEEP NULLS [..] / GROUP x (doc:748-755, 800) — no
+                # ambiguity with the binary keyword / GROUP BY clause
+                fn = {"and": "and_all", "or": "or_all", "group": "group"}[t.value]
+                agg = self._parse_agg_call(fn)
+                if agg is not None:
+                    return agg
+                raise SyntaxError(f"RaQL: unexpected keyword {t.value!r} at {t.pos}")
             raise SyntaxError(f"RaQL: unexpected keyword {t.value!r} at {t.pos}")
         if t.kind == "op" and t.value == "(":
             e = self.parse_expr()
@@ -415,26 +627,66 @@ class Parser:
         if t.kind == "name":
             name = t.value
             low = name.lower()
+            # PEEK type [[BIG|LITTLE] ENDIAN] operand (doc:94)
+            if low == "peek":
+                ts = self._parse_type_spec()
+                endian = "little"
+                nxt = self.peek()
+                if nxt.kind == "name" and nxt.value.lower() in ("big", "little"):
+                    endian = self.next().value.lower()
+                    en = self.expect("name")
+                    if en.value.lower() != "endian":
+                        raise SyntaxError("PEEK: expected ENDIAN")
+                return Call("peek", [self.parse_unary()], opts={"type": ts, "endian": endian})
+            # INDEX [FROM START|END](s, c) (doc:666)
+            if low == "index" and self.peek().kind == "kw" and self.peek().value == "from":
+                self.next()
+                dt = self.next()  # START is a name, END is a keyword
+                d = str(dt.value).lower()
+                if d not in ("start", "end"):
+                    raise SyntaxError("INDEX FROM: expected START or END")
+                args = self._parse_call_args()
+                return Call("index", args, opts={"from_end": d == "end"})
+            # type-call casts: U8(x), u32?(3) (doc:73 `…type…(…expr…)`)
+            if low in _TYPE_NAMES:
+                save = self.i
+                nullable = bool(self.accept("op", "?"))
+                if self.peek().kind == "op" and self.peek().value == "(":
+                    args = self._parse_call_args()
+                    return Call(
+                        "cast", args, opts={"to": TypeSpec(low, nullable)}
+                    )
+                self.i = save
             # function call with parens
             if self.peek().kind == "op" and self.peek().value == "(":
-                self.next()
-                args = []
-                if not (self.peek().kind == "op" and self.peek().value == ")"):
-                    args.append(self.parse_expr())
-                    while self.accept("op", ","):
-                        args.append(self.parse_expr())
-                self.expect("op", ")")
+                if low == "cast":
+                    # CAST(e AS type)
+                    self.expect("op", "(")
+                    e = self.parse_expr()
+                    self.expect("kw", "as")
+                    ts = self._parse_type_spec()
+                    self.expect("op", ")")
+                    return Call("cast", [e], opts={"to": ts})
+                args = self._parse_call_args()
                 return Call(low, args)
-            # unary keyword aggregates / functions: `SUM x`, `ABS y`
-            if low in AGGS or low in _fn_registry():
-                nxt = self.peek()
-                if nxt.kind in ("name", "num", "str") or (
-                    nxt.kind == "op" and nxt.value in ("(", "[", "-")
-                ):
-                    # greedy unary application at tightest precedence
-                    return Call(low, [self.parse_unary()])
+            # unary keyword aggregates / functions: `SUM x`, `ABS y` —
+            # but nullary builtins (NOW/RANDOM/PI) never take operands
+            if low not in _NULLARY and (low in AGGS or low in _fn_registry()):
+                agg = self._parse_agg_call(low)
+                if agg is not None:
+                    return agg
             return Field(name)
         raise SyntaxError(f"RaQL: unexpected token {t.value!r} at {t.pos}")
+
+    def _parse_call_args(self) -> list:
+        self.expect("op", "(")
+        args = []
+        if not (self.peek().kind == "op" and self.peek().value == ")"):
+            args.append(self.parse_expr())
+            while self.accept("op", ","):
+                args.append(self.parse_expr())
+        self.expect("op", ")")
+        return args
 
 
 def parse_expr(text: str):
@@ -447,6 +699,44 @@ def parse_expr(text: str):
 # ---------------------------------------------------------------------------
 # AST → Column
 # ---------------------------------------------------------------------------
+
+
+def _is_array_node(node) -> bool:
+    """Syntactic check: does this expression produce an array/vector?
+    Drives the Immediate-lifespan aggregate forms (raql_expr.type:220)."""
+    if isinstance(node, Call):
+        if node.fn == "_array":
+            return True
+        if node.fn == "cast":
+            ts = node.opts.get("to")
+            return ts is not None and (ts.vec_dim is not None or ts.is_arr)
+        if node.fn in ("group", "sample"):
+            return True
+    return False
+
+
+def _is_string_node(node) -> bool:
+    if isinstance(node, Lit):
+        return isinstance(node.value, str)
+    if isinstance(node, Binop) and node.op == "||":
+        return True
+    if isinstance(node, Call) and node.fn in ("lower", "upper", "substring"):
+        return True
+    return False
+
+
+def _is_bool_array_node(node) -> bool:
+    return (
+        isinstance(node, Call)
+        and node.fn == "_array"
+        and all(isinstance(e, Lit) and isinstance(e.value, bool) for e in node.args)
+    )
+
+
+def _is_immediate_bool_node(node) -> bool:
+    if isinstance(node, Lit):
+        return isinstance(node.value, bool)
+    return isinstance(node, Call) and node.fn == "distinct" and bool(node.args) and _is_array_node(node.args[0])
 
 
 def _strip_ns(path: str) -> str:
@@ -477,7 +767,16 @@ class Compiler:
 
     def col(self, node) -> Column:
         if isinstance(node, Lit):
+            if isinstance(node.value, int) and not isinstance(node.value, bool) and (
+                node.value >= 2**63 or node.value < -(2**63)
+            ):
+                # wide int literal (u64/u128 range) → decimal
+                from decimal import Decimal
+
+                return F.lit(Decimal(node.value))
             return F.lit(node.value)
+        if isinstance(node, NetLit):
+            return self._net_lit(node)
         if isinstance(node, Field):
             if node.path.startswith("param."):
                 key = node.path[len("param."):]
@@ -490,6 +789,15 @@ class Compiler:
                 node.path.startswith("in.") or plain in self.in_names
             ):
                 return F.col(self.in_shadow.get(plain, plain))
+            # nullary builtins usable bare (NOW, RANDOM, PI) — columns
+            # of the same name win via the in_names check above
+            low = plain.lower()
+            if low == "pi":
+                return S.pi()
+            if low == "now":
+                return S.now()
+            if low == "random":
+                return S.random()
             return F.col(plain)
         if isinstance(node, Unop):
             c = self.col(node.e)
@@ -504,17 +812,30 @@ class Compiler:
             if node.op == "like":
                 return self.col(node.a).like(node.b.value)
             if node.op == "in":
-                items = [self.col(x) for x in node.b.args]
-                return self.col(node.a).isin(*items)
+                return self._compile_in(node.a, node.b)
             if node.op == "index":
                 return F.element_at(self.col(node.a), self.col(node.b) + 1)
+            # `int * string` repeats the string (doc:455) — resolved
+            # syntactically on the literal-string side
+            if node.op == "*":
+                if _is_string_node(node.a):
+                    return S.string_repeat(self.col(node.a), self.col(node.b))
+                if _is_string_node(node.b):
+                    return S.string_repeat(self.col(node.b), self.col(node.a))
+            if node.op in ("<<", ">>"):
+                a = self.col(node.a)
+                if not isinstance(node.b, Lit):
+                    raise ValueError("shift amount must be a constant")
+                n = int(node.b.value)
+                # sign-extending shifts (doc:596-625)
+                return F.shiftleft(a, n) if node.op == "<<" else F.shiftright(a, n)
             a, b = self.col(node.a), self.col(node.b)
             return {
                 "+": lambda: a + b,
                 "-": lambda: a - b,
                 "*": lambda: a * b,
                 "/": lambda: S.div(a, b),
-                "//": lambda: S.idiv(a, b),
+                "//": lambda: self._idiv(node, a, b),
                 "%": lambda: S.mod(a, b),
                 "^": lambda: F.pow(a, b),
                 "=": lambda: a == b,
@@ -527,6 +848,9 @@ class Compiler:
                 "and": lambda: a & b,
                 "or": lambda: a | b,
                 "||": lambda: F.concat(a, b),
+                "&": lambda: a.bitwiseAND(b),
+                "|": lambda: a.bitwiseOR(b),
+                "#": lambda: a.bitwiseXOR(b),
                 "starts_with": lambda: a.startswith(b),
                 "ends_with": lambda: a.endswith(b),
             }[node.op]()
@@ -540,22 +864,301 @@ class Compiler:
             return self.call(node)
         raise ValueError(f"unknown node {node!r}")
 
+    # -- helpers ----------------------------------------------------------
+
+    def _net_lit(self, node: NetLit) -> Column:
+        """User network types (src/raql_type.ml:34-40): v4 → long,
+        v6 → 16-byte binary, eth → long, cidr → struct<addr, mask>."""
+        from ramen_spark.functions import network as N
+
+        if node.kind in ("ip4", "eth"):
+            return F.lit(node.value)
+        if node.kind == "ip6":
+            return F.lit(node.value.to_bytes(16, "big"))
+        if node.kind == "cidr4":
+            addr, mask = node.value
+            return N.cidr_v4(F.lit(addr), mask)
+        addr, mask = node.value
+        return F.struct(
+            F.lit(addr.to_bytes(16, "big")).alias("addr"), F.lit(mask).alias("mask")
+        )
+
+    def _idiv(self, node: Binop, a: Column, b: Column) -> Column:
+        # `//`: ints truncate toward 0, floats floor (doc:475)
+        if all(
+            isinstance(x, Lit) and isinstance(x.value, int) and not isinstance(x.value, bool)
+            for x in (node.a, node.b)
+        ):
+            return S.idiv_int(a, b)
+        return S.idiv(a, b)
+
+    def _compile_in(self, a_node, b_node) -> Column:
+        """``x IN s``: explicit list, array/vector membership, substring
+        search, or IP-in-CIDR (doc:626)."""
+        from ramen_spark.functions import network as N
+
+        if isinstance(b_node, Call) and b_node.fn == "_list":
+            return self.col(a_node).isin(*[self.col(x) for x in b_node.args])
+        if isinstance(b_node, NetLit) and b_node.kind in ("cidr4", "cidr6"):
+            if b_node.kind == "cidr6":
+                raise NotImplementedError("IP IN cidr6 not implemented")
+            return N.cidr_contains(self._net_lit(b_node), self.col(a_node))
+        if _is_string_node(b_node):
+            return self.col(b_node).contains(self.col(a_node))
+        if _is_array_node(b_node):
+            return F.array_contains(self.col(b_node), self.col(a_node))
+        # default: array membership on a column-valued container
+        return F.array_contains(self.col(b_node), self.col(a_node))
+
+    def _compile_cast(self, c: Column, ts: TypeSpec) -> Column:
+        if ts.vec_dim is not None or ts.is_arr:
+            elem = TypeSpec(ts.name, ts.nullable)
+            return F.transform(c, lambda x: self._compile_cast(x, elem))
+        n = ts.name
+        if n in _INT_TYPES:
+            signed = n.startswith("i")
+            bits = int(n[1:])
+            if bits > 64:
+                return c.cast("decimal(38,0)")
+            if signed:
+                t = {8: "tinyint", 16: "smallint", 24: "int", 32: "int"}.get(bits, "long")
+                return c.cast("long").cast(t) if t != "long" else c.cast("long")
+            # unsigned: wrap into [0, 2^bits) (2-complement wraparound,
+            # site/language_reference.php "Integers")
+            if bits >= 64:
+                return c.cast("decimal(38,0)")
+            return F.pmod(c.cast("long"), F.lit(1 << bits))
+        if n == "float":
+            return c.cast("double")
+        if n == "string":
+            return c.cast("string")
+        if n in ("bool", "boolean"):
+            return c.cast("boolean")
+        if n == "char":
+            return c.cast("string")
+        raise ValueError(f"unknown cast target {n!r}")
+
+    def _compile_peek(self, node: Call) -> Column:
+        """PEEK type [endian] over a byte-string or int-vector
+        (doc/raql/expr.ml:94, CodeGenLib.ml:1145 IntOfArray)."""
+        ts: TypeSpec = node.opts["type"]
+        endian = node.opts["endian"]
+        if ts.name not in _INT_TYPES:
+            raise ValueError("PEEK needs an integer type")
+        bits = int(ts.name[1:])
+        if bits > 64:
+            raise NotImplementedError("PEEK beyond 64-bit not implemented")
+        w = bits // 8
+        operand = node.args[0]
+        if _is_array_node(operand):
+            arr = self.col(operand)
+            byte = lambda i: F.element_at(arr, i).cast("long")  # noqa: E731
+            n_ok = F.size(arr) >= w
+        else:
+            s = self.col(operand)
+            byte = lambda i: F.ascii(F.substring(s, i, 1)).cast("long")  # noqa: E731
+            n_ok = F.octet_length(s) >= w
+        total = F.lit(0).cast("long")
+        for i in range(1, w + 1):
+            shift = (i - 1) if endian == "little" else (w - i)
+            total = total + byte(i) * F.lit(1 << (8 * shift))
+        if ts.name.startswith("i") and bits < 64:
+            total = F.when(
+                total >= F.lit(1 << (bits - 1)), total - F.lit(1 << bits)
+            ).otherwise(total)
+        return F.when(n_ok, total)
+
+    # immediate (array-operand) stateful functions: "every aggregation
+    # function must also accept lists" (tests/func/basic_aggr.ramen:12,
+    # lifespan Immediate src/raql_expr.type:220)
+    _IMMEDIATE = {
+        "min", "max", "sum", "avg", "and_all", "or_all", "bitand", "bitor",
+        "bitxor", "first", "last", "count", "distinct", "group", "fit",
+    }
+
+    def _immediate(self, node: Call) -> Column:
+        fn = node.fn
+        arr = self.col(node.args[0])
+        keep_nulls = node.opts.get("keep_nulls") or False
+        valid = F.filter(arr, lambda x: x.isNotNull())
+        out: Column
+        if fn == "min":
+            out = F.array_min(arr)
+        elif fn == "max":
+            out = F.array_max(arr)
+        elif fn == "sum":
+            out = F.aggregate(valid, F.lit(0.0), lambda a, x: a + x.cast("double"))
+        elif fn == "avg":
+            out = F.when(
+                F.size(valid) > 0,
+                F.aggregate(valid, F.lit(0.0), lambda a, x: a + x.cast("double"))
+                / F.size(valid),
+            )
+        elif fn == "and_all":
+            out = F.forall(valid, lambda x: x)
+        elif fn == "or_all":
+            out = F.exists(valid, lambda x: x)
+        elif fn in ("bitand", "bitor", "bitxor"):
+            init = F.lit(-1 if fn == "bitand" else 0).cast("long")
+            op = {
+                "bitand": lambda a, x: a.bitwiseAND(x.cast("long")),
+                "bitor": lambda a, x: a.bitwiseOR(x.cast("long")),
+                "bitxor": lambda a, x: a.bitwiseXOR(x.cast("long")),
+            }[fn]
+            out = F.aggregate(valid, init, op)
+        elif fn == "first":
+            out = F.element_at(valid, 1)
+        elif fn == "last":
+            out = F.element_at(valid, -1)
+        elif fn == "count":
+            # bool vector → count of trues; else count of values
+            # (doc:808 COUNT [TRUE;FALSE;TRUE] = 2)
+            if _is_bool_array_node(node.args[0]):
+                out = F.size(F.filter(valid, lambda x: x))
+            else:
+                out = F.size(valid)
+        elif fn == "distinct":
+            # novelty of the LAST value: was it seen earlier? (doc:816)
+            last = F.element_at(arr, -1)
+            prefix = F.slice(arr, 1, F.size(arr) - 1)
+            out = F.when(F.size(arr) > 0, ~F.array_contains(prefix, last))
+        elif fn == "group":
+            out = arr
+        elif fn == "fit":
+            return self._immediate_fit(node, arr)
+        else:  # pragma: no cover
+            raise ValueError(fn)
+        if keep_nulls and fn in (
+            "min", "max", "sum", "avg", "and_all", "or_all", "first", "last"
+        ):
+            return F.when(F.exists(arr, lambda x: x.isNull()), F.lit(None)).otherwise(out)
+        return out
+
+    def _immediate_fit(self, node: Call, arr: Column) -> Column:
+        """FIT obs — the reference's linear-regression step forecast
+        (doc:341, CodeGenLib.ml:946-1010 ``LinReg``), NOT textbook OLS
+        extrapolation:
+
+        - scalars (``one_dimension``): regress the observations BEFORE
+          the last one against x = 0,1,2…, then predict
+          ``last_fitted_value + slope`` (one slope-step past the last
+          observation; verified against tests/func/season.test:
+          fit [16;19;12;19] = 12 + (-2) = 10).
+        - (y; x) tuples: origin-shift everything to the FIRST
+          observation, through-origin least squares on the deltas,
+          predict ``y0 + slope·(x_last − x0)`` (the last observation
+          supplies only its predictor).
+        """
+        sum_ = lambda a: F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731
+        n = F.size(arr) - 1  # observations used for the fit
+        is_tuples = isinstance(node.args[0], Call) and node.args[0].fn == "_array" and any(
+            isinstance(e, Call) and e.fn == "_tuple" for e in node.args[0].args
+        )
+        if is_tuples:
+            dims = {len(e.args) for e in node.args[0].args if isinstance(e, Call)}
+            if dims != {2}:
+                raise NotImplementedError("FIT with >1 predictor not implemented")
+            y0 = F.element_at(arr, 1).getField("_0").cast("double")
+            x0 = F.element_at(arr, 1).getField("_1").cast("double")
+            rest = F.slice(arr, 2, n - 1)  # obs after origin, before last
+            ys = F.transform(rest, lambda t: t.getField("_0").cast("double") - y0)
+            xs = F.transform(rest, lambda t: t.getField("_1").cast("double") - x0)
+            sxy = sum_(F.zip_with(xs, ys, lambda x, y: x * y))
+            sxx = sum_(F.transform(xs, lambda x: x * x))
+            slope = F.when(sxx != 0, sxy / sxx).otherwise(F.lit(0.0))
+            x_pred = F.element_at(arr, -1).getField("_1").cast("double")
+            return F.when(F.size(arr) < 1, F.lit(None)).otherwise(
+                F.when(F.size(arr) == 1, y0).otherwise(y0 + slope * (x_pred - x0))
+            )
+        ys = F.transform(F.slice(arr, 1, n), lambda y: y.cast("double"))
+        xs = F.transform(F.sequence(F.lit(0), n - 1), lambda i: i.cast("double"))
+        x_avg = (n - 1).cast("double") / F.lit(2.0)
+        b1n = sum_(F.zip_with(xs, ys, lambda x, y: (x - x_avg) * y))
+        b1d = sum_(F.transform(xs, lambda x: (x - x_avg) * (x - x_avg)))
+        last = F.element_at(ys, -1)
+        return (
+            F.when(n < 1, F.lit(None))
+            .when(n == 1, last)
+            .otherwise(last + b1n / b1d)
+        )
+
     def call(self, node: Call) -> Column:
         fn = node.fn
         if fn == "_array":
             return F.array(*[self.col(a) for a in node.args])
         if fn == "_tuple":
-            return F.struct(*[self.col(a) for a in node.args])
+            return F.struct(
+                *[self.col(a).alias(f"_{i}") for i, a in enumerate(node.args)]
+            )
+        if fn == "cast":
+            return self._compile_cast(self.col(node.args[0]), node.opts["to"])
+        if fn == "peek":
+            return self._compile_peek(node)
         if fn == "percentile_of":
             p_node, arr = node.args
-            if not isinstance(p_node, Lit):
-                raise ValueError("PERCENTILE requires a constant percentile")
-            return S.percentile_of_array(self.col(arr), float(p_node.value))
+            arr_c = self.col(arr)
+            if isinstance(p_node, Lit):
+                return S.percentile_of_array(arr_c, float(p_node.value))
+            if isinstance(p_node, Call) and p_node.fn == "_array":
+                ps = [float(p.value) for p in p_node.args if isinstance(p, Lit)]
+                if len(ps) == len(p_node.args):
+                    return F.array(*[S.percentile_of_array(arr_c, p) for p in ps])
+            raise ValueError("PERCENTILE requires constant percentile(s)")
+        if fn == "index":
+            s, c = (self.col(a) for a in node.args)
+            return S.index_of(s, c, from_end=node.opts.get("from_end", False))
+        if fn == "length" and node.args and _is_array_node(node.args[0]):
+            return F.size(self.col(node.args[0]))  # array length (doc:122)
+        if fn == "ipfamily":
+            a = node.args[0]
+            if isinstance(a, NetLit):
+                return F.lit(4 if a.kind == "ip4" else 6)
+            from ramen_spark.functions import network as N
+
+            return N.ip_family(self.col(a))
+        if fn == "uuid_of_u128":
+            a = node.args[0]
+            if len(node.args) == 2:
+                return S.uuid_of_u128(self.col(node.args[0]), self.col(node.args[1]))
+            if isinstance(a, Lit) and isinstance(a.value, int):
+                v = a.value
+                lo = v & ((1 << 64) - 1)
+                lo_signed = lo - (1 << 64) if lo >= (1 << 63) else lo
+                return S.uuid_of_u128(F.lit(v >> 64), F.lit(lo_signed))
+            raise NotImplementedError("UUID_OF_U128 needs a literal or (hi, lo)")
+        if fn == "countrycode":
+            raise NotImplementedError(
+                "COUNTRYCODE needs a GeoIP ranges table: use "
+                "functions.network.countrycode_join (no database is bundled)"
+            )
+        if fn == "histogram" and len(node.args) == 4 and _is_array_node(node.args[0]):
+            # immediate HISTOGRAM over a vector → u32[n+2] counts
+            # (doc:784: [underflow, b1..bn, overflow])
+            arr = self.col(node.args[0])
+            lo, hi, nb = (float(a.value) for a in node.args[1:])
+            nb = int(nb)
+            bucket = lambda x: S.histogram(x, lo, hi, nb)  # noqa: E731
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(nb + 1)),
+                lambda i: F.size(F.filter(arr, lambda x: bucket(x) == i)),
+            )
         # MIN/MAX: ≥2 args = stateless least/greatest (doc:404-423);
         # 1 arg = the aggregate — resolve before the generic AGGS path
         if fn in ("min", "max") and len(node.args) >= 2:
             args = [self.col(a) for a in node.args]
             return S.min_of(*args) if fn == "min" else S.max_of(*args)
+        if fn in self._IMMEDIATE and node.args and _is_array_node(node.args[0]):
+            return self._immediate(node)
+        if fn in ("distinct", "fit"):
+            raise NotImplementedError(
+                f"{fn.upper()} over a stream needs the series operators "
+                "(operators.series.distinct_flag / multilinreg); only the "
+                "immediate (array-operand) form compiles to an expression"
+            )
+        if fn == "count" and node.args and _is_immediate_bool_node(node.args[0]):
+            # COUNT of an immediate bool (e.g. COUNT DISTINCT [..]):
+            # bool → count-true ⇒ 0 or 1 (doc:836 COUNT DISTINCT [1;2;1]=0)
+            return self.col(node.args[0]).cast("int")
         if fn in AGGS:
             self.has_aggregate = True
             arg = self.col(node.args[0]) if node.args else None
@@ -569,6 +1172,9 @@ class Compiler:
                 "last": lambda: F.last(arg),
                 "group": lambda: F.collect_list(arg),
                 "count_distinct": lambda: F.countDistinct(arg),
+                "bitand": lambda: F.bit_and(arg),
+                "bitor": lambda: F.bit_or(arg),
+                "bitxor": lambda: F.bit_xor(arg),
             }[fn]()
         if fn == "format_time":
             fmt = node.args[0]
