@@ -97,6 +97,8 @@ def commit_aggregate(
     output_schema: str,
     commit_before: bool = False,
     flush: bool = True,
+    where: Callable[[State, Row, Row | None], bool] | None = None,
+    triggers: list | None = None,
 ) -> DataFrame:
     """General COMMIT engine (batch).
 
@@ -115,17 +117,52 @@ def commit_aggregate(
     ``previous_out`` is the group's last committed output (RaQL's
     ``previous`` / ``local_last`` namespace, src/raql_variable.type).
 
+    ``where``: stateful filter evaluated per row INSIDE the fold (RaQL
+    allows stateful functions in WHERE — tests/func/basic_aggr.ramen
+    f2); rows it rejects advance WHERE state but neither update the
+    group nor trigger commits.
+
+    ``triggers``: sorted GLOBAL order-values at which EVERY live group
+    commits (and flushes) — the reference's ``check_commit_for_all``
+    path for commit conditions referencing the input tuple
+    (src/CodeGen_Helpers.ml:52, src/CodeGenLib_Skeletons.ml:810-868).
+    The reference documents this as the slow path users should reserve
+    for few-group aggregations; the trigger list is correspondingly
+    expected to be small (it is broadcast into every fold task).
+
     This is the slow general path by design — Python per row, but one
     shuffle total and parallel across groups. Lower to
     ``tumbling_aggregate`` whenever the commit shape allows.
     """
+    first_order = order_col if isinstance(order_col, str) else order_col[0]
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="stable")  # str or list of cols
+        # NULLs surface as NaN in float columns after Arrow transfer;
+        # the fold's SKIP/KEEP NULLS semantics need real None
+        pdf = pdf.astype(object).where(pdf.notna(), None)
         out_rows: list[Row] = []
         state = init_state()
         previous: Row | None = None
+
+        def emit(row):
+            nonlocal state, previous
+            out = finalize(state, row, previous)
+            out_rows.append(out)
+            previous = out
+            if flush:
+                state = init_state()
+
+        ti = 0
+        trigs = triggers or []
         for row in pdf.to_dict("records"):
+            # fire earlier global triggers (rows of OTHER groups)
+            while ti < len(trigs) and trigs[ti] < row[first_order]:
+                ti += 1
+                if state.get("__n", 0) > 0:
+                    emit(state.get("__last_row", row))
+            if where is not None and not where(state, row, previous):
+                continue
             if commit_before:
                 if commit_cond(state, row, previous):
                     out = finalize(state, row, previous)
@@ -135,12 +172,17 @@ def commit_aggregate(
                 update(state, row)
             else:
                 update(state, row)
-                if commit_cond(state, row, previous):
-                    out = finalize(state, row, previous)
-                    out_rows.append(out)
-                    previous = out
-                    if flush:
-                        state = init_state()
+                if trigs:
+                    # trigger mode: this row may itself be the trigger
+                    if ti < len(trigs) and trigs[ti] == row[first_order]:
+                        ti += 1
+                        emit(row)
+                elif commit_cond(state, row, previous):
+                    emit(row)
+        while ti < len(trigs):
+            ti += 1
+            if state.get("__n", 0) > 0:
+                emit(state.get("__last_row"))
         return pd.DataFrame(out_rows) if out_rows else pd.DataFrame(
             {f.split(" ")[0].strip(): pd.Series(dtype="object") for f in output_schema.split(",")}
         )

@@ -70,7 +70,7 @@ _TOKEN_RE = re.compile(
   | (?P<float>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)(?P<floatsuf>NUMSUF)?
   | (?P<int>0x[0-9a-fA-F]+|\d+)(?P<intsuf>NUMSUF)?
   | (?P<string>"(?:\\.|[^"\\])*")
-  | (?P<op><=|>=|<>|!=|\|\||\|\?|<<|>>|//|[-+*/%^=<>(),;?\[\]&|\#])
+  | (?P<op><=|>=|<>|!=|\|\||\|\?|<<|>>|//|[-+*/%^=<>(),;?\[\]{}&|\#])
   | (?P<name>[A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*)*)
     """.replace("NUMSUF", _NUM_SUF),
     re.VERBOSE,
@@ -243,6 +243,14 @@ AGGS = {
     "sum", "avg", "min", "max", "count", "first", "last", "group",
     "and_all", "or_all", "count_distinct",
     "bitand", "bitor", "bitxor", "distinct", "fit",
+}
+
+# per-row stateful functions (one output per input row, state scoped to
+# the group — src/raql_expr.type:252-314); the general COMMIT engine
+# folds these, the Column compiler routes them to operators.series
+ROW_STATEFUL = {
+    "lag", "latest", "oldest", "moveavg", "season_moveavg", "smooth",
+    "distinct", "derive", "hysteresis", "remember", "sample",
 }
 
 _NULLARY = {"now", "random", "pi"}
@@ -518,7 +526,9 @@ class Parser:
         if word:
             self.next()
             nt = self.peek()
-            if nt.kind == "name" and nt.value.lower() == "nulls":
+            if (nt.kind == "name" and nt.value.lower() == "nulls") or (
+                nt.kind == "kw" and nt.value == "null"
+            ):
                 self.next()
                 return word == "keep"
             self.i = save
@@ -529,7 +539,12 @@ class Parser:
         return (
             nxt.kind in ("name", "num", "str", "net")
             or (nxt.kind == "op" and nxt.value in ("(", "[", "-"))
-            or (nxt.kind == "kw" and nxt.value in ("true", "false", "null", "if", "case"))
+            or (
+                nxt.kind == "kw"
+                and nxt.value
+                in ("true", "false", "null", "if", "case", "group", "and", "or",
+                    "not", "distinct")
+            )
         )
 
     def _parse_type_spec(self) -> TypeSpec:
@@ -647,6 +662,20 @@ class Parser:
                     raise SyntaxError("INDEX FROM: expected START or END")
                 args = self._parse_call_args()
                 return Call("index", args, opts={"from_end": d == "end"})
+            # row-stateful functions, keyword form with 1-3 operands:
+            # `lag n`, `lag 2 n`, `latest 2 n`, `season_moveavg p k x`
+            # (src/raql_expr.type:252-314; paren form goes through the
+            # generic call path below)
+            if low in ROW_STATEFUL and not (
+                self.peek().kind == "op" and self.peek().value == "("
+            ):
+                keep = self._parse_nulls_opt()
+                ops: list = []
+                while self._starts_operand() and len(ops) < 3:
+                    ops.append(self.parse_unary())
+                if ops:
+                    o = {} if keep is None else {"keep_nulls": keep}
+                    return Call(low, ops, opts=o)
             # type-call casts: U8(x), u32?(3) (doc:73 `…type…(…expr…)`)
             if low in _TYPE_NAMES:
                 save = self.i
@@ -1109,6 +1138,13 @@ class Compiler:
             return S.index_of(s, c, from_end=node.opts.get("from_end", False))
         if fn == "length" and node.args and _is_array_node(node.args[0]):
             return F.size(self.col(node.args[0]))  # array length (doc:122)
+        if fn == "split":
+            # SPLIT(sep, s) — generator: one output row per part
+            # (doc:1028; codegen generate_tuples CodeGenLib_Skeletons.ml:442)
+            sep, s = node.args
+            if not isinstance(sep, Lit):
+                raise ValueError("SPLIT requires a constant separator")
+            return F.explode(F.split(self.col(s), re.escape(sep.value)))
         if fn == "ipfamily":
             a = node.args[0]
             if isinstance(a, NetLit):
@@ -1217,9 +1253,20 @@ class SelectField:
 
 
 @dataclass
+class ReadCsv:
+    """READ FROM FILE "…" AS CSV [SEPARATOR "…"] [NULL "…"] (fields)
+    — the ReadExternal operation (src/raql_operation.type:54-138)."""
+
+    path: str
+    fields: list[tuple[str, TypeSpec]]
+    separator: str = ","
+    null_str: str = ""
+
+
+@dataclass
 class Operation:
     fields: list[SelectField]
-    sources: list[str]
+    sources: list  # str paths | nested Operation | ReadCsv
     where: Any | None
     group_by: list
     commit_after: Any | None
@@ -1234,65 +1281,156 @@ class Operation:
     notify: str | None = None
 
 
-def _parse_operation_body(p: Parser) -> Operation:
-    p.expect("kw", "select")
-    fields = []
+def _parse_read_csv(p: Parser) -> ReadCsv:
+    """READ FROM FILE "path" AS CSV [SEPARATOR "c"] [NULL "s"]
+    (name type[?] [{units}], …) — grammar per
+    src/raql_operation.type:54-138 (fresh parser)."""
+    # 'READ' consumed by caller
+    p.expect("kw", "from")
+    kw = p.expect("name")
+    if kw.value.lower() != "file":
+        raise NotImplementedError(f"READ FROM {kw.value}: only FILE is supported")
+    path = p.expect("str").value
+    p.expect("kw", "as")
+    fmt = p.expect("name")
+    if fmt.value.lower() != "csv":
+        raise NotImplementedError(f"AS {fmt.value}: only CSV is supported")
+    separator = ","
+    null_str = ""
     while True:
-        if p.accept("op", "*"):
-            exclude: list[str] = []
-            while p.accept("op", "-"):
-                exclude.append(p.expect("name").value)
-            fields.append(SelectField(Star(exclude), None))
+        t = p.peek()
+        if t.kind == "name" and t.value.lower() == "separator":
+            p.next()
+            separator = p.expect("str").value
+        elif t.kind == "kw" and t.value == "null":
+            p.next()
+            null_str = p.expect("str").value
         else:
-            e = p.parse_expr()
-            alias = None
-            if p.accept("kw", "as"):
-                alias = p.expect("name").value
-            fields.append(SelectField(e, alias))
+            break
+    p.expect("op", "(")
+    fields: list[tuple[str, TypeSpec]] = []
+    while True:
+        fname = p.expect("name").value
+        ts = p._parse_type_spec()
+        if p.accept("op", "{"):  # units metadata — skipped
+            depth = 1
+            while depth:
+                t = p.next()
+                if t.kind == "op" and t.value == "{":
+                    depth += 1
+                elif t.kind == "op" and t.value == "}":
+                    depth -= 1
+                elif t.kind == "eof":
+                    raise SyntaxError("unterminated units annotation")
+        fields.append((fname, ts))
         if not p.accept("op", ","):
             break
-    sources: list[str] = []
-    if p.accept("kw", "from"):
-        sources.append(p.expect("name").value)
-        while p.accept("op", ","):
-            sources.append(p.expect("name").value)
-    sort_last = None
-    if p.accept("kw", "sort"):
-        t = p.expect("name")
-        if t.value.lower() != "last":
-            raise SyntaxError("SORT must be followed by LAST")
-        n = p.expect("num").value
-        by: list = []
-        if p.accept("kw", "by"):
-            by.append(p.parse_expr())
-            while p.accept("op", ","):
-                by.append(p.parse_expr())
-        sort_last = (int(n), by)
+    p.expect("op", ")")
+    return ReadCsv(path, fields, separator, null_str)
+
+
+def _parse_source(p: Parser):
+    """One FROM parent: 'prog/func' path, or a parenthesized
+    sub-query (src/raql_operation.type:35-46)."""
+    if p.accept("op", "("):
+        sub = _parse_operation_body(p)
+        p.expect("op", ")")
+        return sub
+    parts = [p.expect("name").value]
+    while p.accept("op", "/"):
+        parts.append(p.expect("name").value)
+    return "/".join(parts)
+
+
+def _parse_operation_body(p: Parser):
+    """Aggregate or ReadExternal operation; clauses accepted in any
+    order (the reference's grammar is clause-order-free,
+    src/RamenOperation.ml:1264-1349)."""
+    fields: list[SelectField] = []
+    sources: list = []
     where = None
-    if p.accept("kw", "where") or p.accept("kw", "when"):
-        where = p.parse_expr()
     group_by: list = []
-    if p.accept("kw", "group"):
-        p.expect("kw", "by")
-        group_by.append(p.parse_expr())
-        while p.accept("op", ","):
-            group_by.append(p.parse_expr())
     commit_after = None
     commit_before = False
     flush = True
-    if p.accept("kw", "commit"):
-        if p.accept("kw", "keep"):
-            flush = False
-        elif p.accept("kw", "flush"):
-            flush = True
-        if p.accept("kw", "before"):
-            commit_before = True
-        else:
-            p.expect("kw", "after")
-        commit_after = p.parse_expr()
+    sort_last = None
     notify = None
-    if p.accept("kw", "notify"):
-        notify = p.expect("str").value
+    seen_any = False
+    while True:
+        t = p.peek()
+        if t.kind == "name" and t.value.lower() == "read" and not seen_any:
+            p.next()
+            return _parse_read_csv(p)
+        if t.kind != "kw":
+            break
+        if t.value == "select":
+            p.next()
+            while True:
+                if p.accept("op", "*"):
+                    exclude: list[str] = []
+                    while p.accept("op", "-"):
+                        exclude.append(p.expect("name").value)
+                    fields.append(SelectField(Star(exclude), None))
+                else:
+                    e = p.parse_expr()
+                    alias = None
+                    if p.accept("kw", "as"):
+                        alias = p.expect("name").value
+                    fields.append(SelectField(e, alias))
+                if not p.accept("op", ","):
+                    break
+        elif t.value == "from":
+            p.next()
+            sources.append(_parse_source(p))
+            while p.accept("op", ","):
+                sources.append(_parse_source(p))
+        elif t.value == "sort":
+            p.next()
+            tl = p.expect("name")
+            if tl.value.lower() != "last":
+                raise SyntaxError("SORT must be followed by LAST")
+            n = p.expect("num").value
+            by: list = []
+            if p.accept("kw", "by"):
+                by.append(p.parse_expr())
+                while p.accept("op", ","):
+                    by.append(p.parse_expr())
+            sort_last = (int(n), by)
+        elif t.value in ("where", "when"):
+            p.next()
+            where = p.parse_expr()
+        elif t.value == "group":
+            p.next()
+            p.expect("kw", "by")
+            group_by.append(p.parse_expr())
+            while p.accept("op", ","):
+                group_by.append(p.parse_expr())
+        elif t.value == "commit":
+            p.next()
+            # COMMIT [AND (FLUSH | KEEP [ALL])] (AFTER|BEFORE) cond
+            p.accept("kw", "and")
+            if p.accept("kw", "keep"):
+                flush = False
+                if p.peek().kind == "name" and p.peek().value.lower() == "all":
+                    p.next()
+            elif p.accept("kw", "flush"):
+                flush = True
+            if p.accept("kw", "before"):
+                commit_before = True
+            else:
+                p.expect("kw", "after")
+            commit_after = p.parse_expr()
+        elif t.value == "notify":
+            p.next()
+            notify = p.expect("str").value
+        else:
+            break
+        seen_any = True
+    if not seen_any:
+        got = p.peek()
+        raise SyntaxError(f"RaQL: expected an operation clause, got {got.value!r} at {got.pos}")
+    if not fields:
+        fields = [SelectField(Star([]), None)]
     return Operation(
         fields, sources, where, group_by, commit_after, commit_before, flush,
         sort_last, notify,
@@ -1307,10 +1445,19 @@ def parse_operation(text: str) -> Operation:
 
 
 def _default_name(node, i: int) -> str:
+    """Output-field naming convention of the reference
+    (src/RamenOperation.ml select-field naming: ``min horsepower`` →
+    ``min_horsepower``; casts are transparent: ``sum u32(h)`` →
+    ``sum_h``)."""
     if isinstance(node, Field):
         return _strip_ns(node.path)
-    if isinstance(node, Call) and node.args and isinstance(node.args[0], Field):
-        return f"{node.fn}_{_strip_ns(node.args[0].path)}"
+    if isinstance(node, Call) and node.args:
+        a = node.args[-1] if node.fn in ROW_STATEFUL else node.args[0]
+        while isinstance(a, Call) and a.fn == "cast":
+            a = a.args[0]
+        if isinstance(a, Field):
+            fn = {"and_all": "and", "or_all": "or"}.get(node.fn, node.fn)
+            return f"{fn}_{_strip_ns(a.path)}"
     return f"_{i}"
 
 
@@ -1502,12 +1649,87 @@ def parse_program(text: str) -> ProgramAST:
     return ProgramAST(parameters, defines)
 
 
-def compile_program(text: str, name: str = "raql"):
+def _compile_read_csv(spark, rc: ReadCsv, base_dir: str | None):
+    """ReadCsv → sources.csv.read_csv with the declared schema."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from ramen_spark.sources.csv import read_csv
+
+    def spark_type(ts: TypeSpec) -> T.DataType:
+        n = ts.name
+        if n in _INT_TYPES:
+            bits = int(n[1:])
+            base: T.DataType
+            if bits <= 8:
+                base = T.ByteType() if n.startswith("i") else T.ShortType()
+            elif bits <= 16:
+                base = T.ShortType() if n.startswith("i") else T.IntegerType()
+            elif bits <= 32:
+                base = T.IntegerType() if n.startswith("i") else T.LongType()
+            else:
+                base = T.LongType()
+        elif n == "float":
+            base = T.DoubleType()
+        elif n in ("bool", "boolean"):
+            base = T.BooleanType()
+        else:
+            base = T.StringType()
+        if ts.vec_dim is not None or ts.is_arr:
+            base = T.ArrayType(base)
+        return base
+
+    schema = T.StructType(
+        [T.StructField(fname, spark_type(ts), True) for fname, ts in rc.fields]
+    )
+    path = rc.path if os.path.isabs(rc.path) or base_dir is None else os.path.join(base_dir, rc.path)
+    return read_csv(
+        spark, path, schema, separator=rc.separator, null_str=rc.null_str,
+        may_quote=True,
+    )
+
+
+def _needs_fold_engine(op: Operation) -> bool:
+    """Route an operation to the general COMMIT engine when the batch
+    fast path can't express it: row-stateful select/where functions,
+    commit conditions over group state, check-all-groups commits, or
+    KEEP (non-flushing) windows."""
+    exprs = [f_.expr for f_ in op.fields if not isinstance(f_.expr, Star)]
+    if op.where is not None:
+        exprs.append(op.where)
+    for e in exprs:
+        for n in _walk(e):
+            if isinstance(n, Call) and n.fn in ROW_STATEFUL and not (
+                n.args and _is_array_node(n.args[0])
+            ):
+                return True
+    if op.commit_after is not None:
+        if _commit_needs_engine(op.commit_after):
+            return True
+        if isinstance(op.commit_after, Lit) or not op.flush:
+            return True  # COMMIT AFTER true / KEEP → per-row emission
+        refs_out = any(
+            isinstance(n, Field)
+            and n.path.startswith(("out.", "previous.", "local_last."))
+            for n in _walk(op.commit_after)
+        )
+        if check_commit_for_all(op.commit_after) and not refs_out:
+            return True  # pure-`in` trigger → check-all-groups engine
+        # in/out mixed (the tumbling `in.t > out.t + d` shape) stays on
+        # the fast path: run-to-completion grouping subsumes it
+    return False
+
+
+def compile_program(text: str, name: str = "raql", base_dir: str | None = None):
     """RaQL program text → plans.program.Program with one Function per
     DEFINE, parents wired from the FROM clauses. Multi-parent FROM =
     unionByName (the reference's interleaved-stream model,
-    src/RingBuf.ml:4-6). Materialize with externals supplying the
-    source tables:
+    src/RingBuf.ml:4-6). Each function auto-routes to the Catalyst
+    fast path (compile_operation) or the general COMMIT fold engine
+    (compile_commit_operation). ``base_dir`` resolves relative READ
+    FROM FILE paths. Materialize with externals supplying any source
+    tables:
 
         prog = compile_program(txt)
         dfs = prog.materialize(spark, externals={"events": ev_df})
@@ -1517,20 +1739,47 @@ def compile_program(text: str, name: str = "raql"):
     ast = parse_program(text)
     prog = Program(name, parameters=ast.parameters)
 
-    def make_body(op: Operation):
+    def make_body(op):
+        if isinstance(op, ReadCsv):
+            def read_body(spark, params, *parent_dfs):
+                return _compile_read_csv(spark, op, base_dir)
+
+            return read_body
+
         def body(spark, params, *parent_dfs):
             if not parent_dfs:
                 raise ValueError("RaQL function needs at least one FROM parent")
             src = parent_dfs[0]
             for extra in parent_dfs[1:]:
                 src = src.unionByName(extra)
+            if _needs_fold_engine(op):
+                return compile_commit_operation(op, src, params=params)
             return compile_operation(op, src, params)
 
         return body
 
+    sub_n = 0
     for d in ast.defines:
-        prog.define(d.name, parents=list(d.op.sources), persist_for=d.persist_for)(
-            make_body(d.op)
+        op = d.op
+        parents: list[str] = []
+        if isinstance(op, Operation):
+            resolved_sources: list[str] = []
+            for s in op.sources:
+                if isinstance(s, str):
+                    resolved_sources.append(s)
+                else:
+                    # anonymous sub-query source → private function
+                    sub_n += 1
+                    sub_name = f"_sub{sub_n}"
+                    prog.define(
+                        sub_name,
+                        parents=[x for x in (s.sources if isinstance(s, Operation) else []) if isinstance(x, str)],
+                    )(make_body(s))
+                    resolved_sources.append(sub_name)
+            op = replace(op, sources=resolved_sources)
+            parents = resolved_sources
+        prog.define(d.name, parents=parents, persist_for=d.persist_for)(
+            make_body(op)
         )
     return prog
 
@@ -1555,60 +1804,320 @@ _PY_FNS: dict[str, Any] = {
 }
 
 
-def _agg_nodes(node, acc: dict[str, Any]) -> None:
-    """Collect aggregate Call sub-nodes (unary keyword aggregates),
-    keyed by their structural repr — shared sub-expressions share one
-    accumulator."""
+def _children(node) -> list:
     if isinstance(node, Call):
-        if node.fn in AGGS and len(node.args) == 1:
-            acc.setdefault(repr(node), node)
-            return  # aggregate args are over `in` only; no nesting
-        for a in node.args:
-            _agg_nodes(a, acc)
-    elif isinstance(node, Unop):
-        _agg_nodes(node.e, acc)
-    elif isinstance(node, Binop):
-        _agg_nodes(node.a, acc)
-        _agg_nodes(node.b, acc)
-    elif isinstance(node, CaseWhen):
-        for c, v in node.branches:
-            _agg_nodes(c, acc)
-            _agg_nodes(v, acc)
+        return list(node.args)
+    if isinstance(node, Unop):
+        return [node.e]
+    if isinstance(node, Binop):
+        return [node.a, node.b]
+    if isinstance(node, CaseWhen):
+        out = [x for c, v in node.branches for x in (c, v)]
         if node.otherwise is not None:
-            _agg_nodes(node.otherwise, acc)
+            out.append(node.otherwise)
+        return out
+    return []
+
+
+def _walk(node):
+    yield node
+    for c in _children(node):
+        yield from _walk(c)
+
+
+def _contains(node, fns: set[str]) -> bool:
+    return any(isinstance(n, Call) and n.fn in fns for n in _walk(node))
+
+
+def _agg_nodes(node, acc: dict[str, Any], row: dict[str, Any]) -> None:
+    """Classify stateful Call sub-nodes, keyed by structural repr
+    (shared sub-expressions share one state):
+
+    - ``row``: per-row stateful functions (lag, distinct, latest…) —
+      updated once per input row, their current value is readable by
+      anything downstream;
+    - ``acc``: accumulators (SUM, MIN, GROUP…) whose args contain no
+      other accumulator — updated per row after the row-stateful pass.
+
+    An aggregate whose arg CONTAINS an accumulator (``sum group x``,
+    ``95th percentile (group h)``, ``fit (latest 2 n)``) is *not*
+    registered: it evaluates at finalize time as an Immediate over the
+    inner's materialized value (the reference's Immediate lifespan,
+    src/raql_expr.type:220)."""
+    if isinstance(node, Call):
+        if node.fn in ROW_STATEFUL and node.fn != "distinct":
+            row.setdefault(repr(node), node)
+            for a in node.args:
+                _agg_nodes(a, acc, row)
+            return
+        if node.fn == "distinct" and node.args and not _is_array_node(node.args[0]):
+            row.setdefault(repr(node), node)
+            return
+        accumulators = AGGS - {"distinct", "fit"}
+        if node.fn in accumulators and len(node.args) == 1:
+            if not any(_contains(a, accumulators) for a in node.args):
+                acc.setdefault(repr(node), node)
+                # args may still use row-stateful values
+                for a in node.args:
+                    _agg_nodes(a, acc, row)
+                return
+    for a in _children(node):
+        _agg_nodes(a, acc, row)
+
+
+_POISON = object()  # KEEP NULLS: a NULL arg poisons the accumulator
+
+
+def _py_immediate(fn: str, vals, keep_nulls: bool = False):
+    """Immediate (list-operand) aggregation, Python side — the fold
+    twin of Compiler._immediate."""
+    if vals is None:
+        return None
+    vals = list(vals)
+    if keep_nulls and any(v is None for v in vals):
+        return None
+    vv = [v for v in vals if v is not None]
+    if fn == "group":
+        return vals
+    if fn == "count":
+        if vv and all(isinstance(v, bool) for v in vv):
+            return sum(1 for v in vv if v)
+        return len(vv)
+    if not vv:
+        return None
+    if fn == "sum":
+        return sum(vv)
+    if fn == "avg":
+        return sum(vv) / len(vv)
+    if fn == "min":
+        return min(vv)
+    if fn == "max":
+        return max(vv)
+    if fn == "first":
+        return vv[0]
+    if fn == "last":
+        return vv[-1]
+    if fn == "and_all":
+        return all(vv)
+    if fn == "or_all":
+        return any(vv)
+    if fn == "bitand":
+        r = -1
+        for v in vv:
+            r &= int(v)
+        return r
+    if fn == "bitor":
+        r = 0
+        for v in vv:
+            r |= int(v)
+        return r
+    if fn == "bitxor":
+        r = 0
+        for v in vv:
+            r ^= int(v)
+        return r
+    if fn == "count_distinct":
+        return len(set(vv))
+    raise NotImplementedError(f"immediate {fn}")
+
+
+def _py_percentile(vals, p):
+    """Nearest-rank percentile (CodeGenLib.ml:158-297: index =
+    round((n-1)·p/100) of the sorted list)."""
+    vv = sorted(v for v in vals if v is not None)
+    if not vv:
+        return None
+    if isinstance(p, list):
+        return [_py_percentile(vals, q) for q in p]
+    # OCaml round() = round-half-away-from-zero
+    idx = int(math.floor((len(vv) - 1) * (float(p) / 100.0) + 0.5))
+    return vv[min(idx, len(vv) - 1)]
+
+
+def _py_fit(obs):
+    """FIT step forecast — reference semantics (CodeGenLib.ml:946-1010
+    LinReg; see Compiler._immediate_fit for the derivation)."""
+    if obs is None:
+        return None
+    obs = [o for o in obs if o is not None]
+    if isinstance(obs[0] if obs else None, (tuple, list)):
+        if len(obs) < 1:
+            return None
+        y0, x0 = float(obs[0][0]), float(obs[0][1])
+        if len(obs) == 1:
+            return y0
+        body = obs[1:-1]
+        sxy = sum((float(y) - y0) * (float(x) - x0) for y, x in body)
+        sxx = sum((float(x) - x0) ** 2 for _, x in body)
+        slope = sxy / sxx if sxx else 0.0
+        x_pred = float(obs[-1][1])
+        return y0 + slope * (x_pred - x0)
+    ys = [float(v) for v in obs[:-1]]
+    m = len(ys)
+    if m < 1:
+        return None
+    if m == 1:
+        return ys[0]
+    x_avg = (m - 1) / 2.0
+    b1n = sum(y * (i - x_avg) for i, y in enumerate(ys))
+    b1d = sum((i - x_avg) ** 2 for i in range(m))
+    return ys[-1] + b1n / b1d
+
+
+def _py_cast(v, ts: "TypeSpec"):
+    if v is None:
+        return None
+    if ts.vec_dim is not None or ts.is_arr:
+        elem = TypeSpec(ts.name, ts.nullable)
+        return [_py_cast(x, elem) for x in v]
+    n = ts.name
+    if n in _INT_TYPES:
+        bits = int(n[1:])
+        i = int(v)
+        i %= 1 << bits
+        if n.startswith("i") and i >= 1 << (bits - 1):
+            i -= 1 << bits
+        return i
+    if n == "float":
+        return float(v)
+    if n == "string":
+        return str(v)
+    if n in ("bool", "boolean"):
+        return bool(v)
+    if n == "char":
+        return str(v)[:1]
+    raise ValueError(n)
 
 
 class _Fold:
     """Per-row evaluator with the reference's namespaces
     (src/raql_variable.type): ``in`` = current input row, ``out`` =
     candidate output being built, ``previous``/``local_last`` = the
-    group's last committed output, aggregates = group accumulators."""
+    group's last committed output; plus the group's accumulators and
+    row-stateful function states (lag/latest/distinct/…)."""
 
     def __init__(self, op: "Operation", params: dict[str, Any] | None):
         self.op = op
         self.params = params or {}
         aggs: dict[str, Any] = {}
+        rows: dict[str, Any] = {}
         for f_ in op.fields:
-            _agg_nodes(f_.expr, aggs)
+            if not isinstance(f_.expr, Star):
+                _agg_nodes(f_.expr, aggs, rows)
         if op.commit_after is not None:
-            _agg_nodes(op.commit_after, aggs)
+            _agg_nodes(op.commit_after, aggs, rows)
+        # WHERE row-stateful states update for EVERY input row (before
+        # the filter decides); select-field states update only for
+        # passing rows (reference aggregate_one order,
+        # src/CodeGenLib_Skeletons.ml:612-760)
+        self.where_rows: dict[str, Any] = {}
+        if op.where is not None:
+            _agg_nodes(op.where, {}, self.where_rows)
         self.agg_keys = list(aggs)
         self.agg_defs = aggs
+        self.row_defs = rows
         self.out_names = [
             f_.alias or _default_name(f_.expr, i) for i, f_ in enumerate(op.fields)
         ]
 
     # -- state ------------------------------------------------------------
     def init_state(self) -> dict:
-        return {k: None for k in self.agg_keys} | {"__n": 0}
+        return (
+            {k: None for k in self.agg_keys}
+            | {"__n": 0, "__rs": {}, "__rv": {}}
+        )
+
+    # row-stateful update: compute this row's value, advance the state
+    def _row_step(self, node: Call, rs: dict, row, state, previous) -> Any:
+        key = repr(node)
+        fn = node.fn
+        ev = lambda a: self._eval(a, row, state, previous, None)  # noqa: E731
+        if fn == "lag":
+            k = int(ev(node.args[0])) if len(node.args) == 2 else 1
+            x = ev(node.args[-1])
+            buf = rs.setdefault(key, [])
+            val = buf[0] if len(buf) == k else None
+            buf.append(x)
+            if len(buf) > k:
+                buf.pop(0)
+            return val
+        if fn == "distinct":
+            x = ev(node.args[0])
+            seen = rs.setdefault(key, set())
+            novel = x not in seen
+            seen.add(x)
+            return novel
+        if fn in ("latest", "oldest"):
+            n = int(ev(node.args[0]))
+            x = ev(node.args[-1])
+            buf = rs.setdefault(key, [])
+            if fn == "latest":
+                buf.append(x)
+                if len(buf) > n:
+                    buf.pop(0)
+            elif len(buf) < n:
+                buf.append(x)
+            return list(buf)
+        if fn == "moveavg":
+            k = int(ev(node.args[0])) if len(node.args) == 2 else 1
+            x = ev(node.args[-1])
+            buf = rs.setdefault(key, [])
+            buf.append(x)
+            if len(buf) > k:
+                buf.pop(0)
+            vv = [v for v in buf if v is not None]
+            return sum(vv) / len(vv) if vv else None
+        if fn == "season_moveavg":
+            p = int(ev(node.args[0]))
+            k = int(ev(node.args[1]))
+            x = ev(node.args[2])
+            hist = rs.setdefault(key, [])
+            picks = [hist[-p * i] for i in range(1, k + 1) if p * i <= len(hist)]
+            picks = [v for v in picks if v is not None]
+            val = sum(picks) / len(picks) if picks else None
+            hist.append(x)
+            if len(hist) > p * k:
+                hist.pop(0)
+            return val
+        if fn == "smooth":
+            alpha = float(ev(node.args[0])) if len(node.args) == 2 else 0.5
+            x = ev(node.args[-1])
+            prev = rs.get(key)
+            val = x if prev is None else (alpha * x + (1 - alpha) * prev)
+            rs[key] = val
+            return val
+        raise NotImplementedError(
+            f"row-stateful {fn} in the COMMIT fold (see operators.series)"
+        )
+
+    def update_where(self, state: dict, row: dict, previous) -> bool:
+        """Advance WHERE-clause stateful functions and evaluate the
+        filter; runs for every input row."""
+        rs = state["__rs"]
+        rv = state["__rv"]
+        for key, node in self.where_rows.items():
+            rv[key] = self._row_step(node, rs, row, state, previous)
+        if self.op.where is None:
+            return True
+        return self._eval(self.op.where, row, state, previous, None) is True
 
     def update(self, state: dict, row: dict) -> None:
         state["__n"] += 1
+        state["__last_row"] = row
+        rs = state["__rs"]
+        rv = state["__rv"]
+        for key, node in self.row_defs.items():
+            rv[key] = self._row_step(node, rs, row, state, None)
         for k in self.agg_keys:
             node = self.agg_defs[k]
-            arg = self._eval(node.args[0], row, None, None, None)
             cur = state[k]
+            if cur is _POISON:
+                continue
+            arg = self._eval(node.args[0], row, state, None, None)
             fn = node.fn
+            if node.opts.get("keep_nulls") and arg is None and fn != "count":
+                state[k] = _POISON
+                continue
             if fn == "count":
                 inc = int(bool(arg)) if isinstance(arg, bool) else (0 if arg is None else 1)
                 state[k] = (cur or 0) + inc
@@ -1629,16 +2138,35 @@ class _Fold:
                 state[k] = (s + arg, n + 1)
             elif fn == "group":
                 state[k] = (cur or []) + [arg]
+            elif fn == "and_all":
+                state[k] = bool(arg) if cur is None else (cur and bool(arg))
+            elif fn == "or_all":
+                state[k] = bool(arg) if cur is None else (cur or bool(arg))
+            elif fn == "bitand":
+                state[k] = int(arg) if cur is None else cur & int(arg)
+            elif fn == "bitor":
+                state[k] = int(arg) if cur is None else cur | int(arg)
+            elif fn == "bitxor":
+                state[k] = int(arg) if cur is None else cur ^ int(arg)
+            elif fn == "count_distinct":
+                s = cur if isinstance(cur, set) else set()
+                s.add(arg)
+                state[k] = s
             else:
                 raise NotImplementedError(f"aggregate {fn} in COMMIT fold")
 
     def _agg_value(self, state: dict, key: str):
         v = state[key]
-        if self.agg_defs[key].fn == "avg" and v is not None:
+        if v is _POISON:
+            return None
+        fn = self.agg_defs[key].fn
+        if fn == "avg" and v is not None:
             s, n = v
             return s / n if n else None
-        if self.agg_defs[key].fn == "count" and v is None:
+        if fn == "count" and v is None:
             return 0
+        if fn == "count_distinct":
+            return len(v) if isinstance(v, set) else 0
         return v
 
     # -- expression evaluation --------------------------------------------
@@ -1649,6 +2177,7 @@ class _Fold:
             path = node.path
             if path.startswith("param."):
                 return self.params[path[len("param."):]]
+            low = _strip_ns(path).lower()
             if path.startswith(("out.",)):
                 name = path[4:]
                 if out_partial is not None and name in out_partial:
@@ -1657,15 +2186,25 @@ class _Fold:
             if path.startswith(("previous.", "local_last.")):
                 name = path.split(".", 1)[1]
                 return previous.get(name) if previous is not None else None
-            return row[_strip_ns(path)]
-        if state is not None and isinstance(node, Call) and repr(node) in self.agg_defs:
-            return self._agg_value(state, repr(node))
+            if row is not None and _strip_ns(path) in row:
+                return row[_strip_ns(path)]
+            if low == "pi":
+                return math.pi
+            raise KeyError(f"unknown field {path!r} in COMMIT fold")
+        if isinstance(node, Call) and state is not None:
+            key = repr(node)
+            if key in self.agg_defs:
+                return self._agg_value(state, key)
+            if key in self.row_defs or key in self.where_rows:
+                return state["__rv"].get(key)
         if isinstance(node, Unop):
             v = self._eval(node.e, row, state, previous, out_partial)
             if node.op == "not":
                 return None if v is None else (not v)
-            if node.op == "-":
+            if node.op in ("-", "neg"):
                 return None if v is None else -v
+            if node.op == "is_null":
+                return v is None
             raise NotImplementedError(f"unop {node.op}")
         if isinstance(node, Binop):
             if node.op in ("and", "or"):
@@ -1704,10 +2243,33 @@ class _Fold:
                 else None
             )
         if isinstance(node, Call):
+            ev = lambda a: self._eval(a, row, state, previous, out_partial)  # noqa: E731
+            if node.fn == "_array":
+                return [ev(a) for a in node.args]
+            if node.fn == "_tuple":
+                return tuple(ev(a) for a in node.args)
+            if node.fn == "cast":
+                return _py_cast(ev(node.args[0]), node.opts["to"])
+            if node.fn == "percentile_of":
+                p = ev(node.args[0])
+                return _py_percentile(ev(node.args[1]) or [], p)
+            if node.fn == "fit":
+                return _py_fit(ev(node.args[0]))
+            if node.fn in AGGS and len(node.args) == 1:
+                # Immediate aggregate over a materialized list
+                # (``sum group x``, ``avg (latest 2 n)``…)
+                return _py_immediate(
+                    node.fn, ev(node.args[0]), node.opts.get("keep_nulls", False)
+                )
+            if node.fn in ("min", "max") and len(node.args) > 1:
+                vals = [ev(a) for a in node.args]
+                if any(v is None for v in vals):
+                    return None
+                return min(vals) if node.fn == "min" else max(vals)
             fn = _PY_FNS.get(node.fn)
             if fn is None:
                 raise NotImplementedError(f"stateless fn {node.fn} in COMMIT fold")
-            return fn(*[self._eval(a, row, state, previous, out_partial) for a in node.args])
+            return fn(*[ev(a) for a in node.args])
         raise NotImplementedError(f"node {type(node).__name__}")
 
     # -- engine callbacks --------------------------------------------------
@@ -1718,14 +2280,150 @@ class _Fold:
         return {k: v for k, v in out.items() if not k.startswith("_")}
 
     def commit_cond(self, state, row, previous):
-        out = self.finalize(state, row, previous)
+        # only build the candidate output when the condition reads it
+        if not hasattr(self, "_refs_out"):
+            self._refs_out = any(
+                isinstance(n, Field) and n.path.startswith("out.")
+                for n in _walk(self.op.commit_after)
+            )
+        out = self.finalize(state, row, previous) if self._refs_out else None
         return self._eval(self.op.commit_after, row, state, previous, out) is True
+
+
+def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> str:
+    """Infer the Spark DDL type of a select expression for the fold
+    engine's output schema (the reference runs a full SMT typer,
+    src/RamenTyping.ml — here: syntax-directed rules sufficient for
+    the operation surface the fold supports)."""
+    INT = "bigint"
+
+    def rec(n):
+        return _infer_ddl(n, src, out, params)
+
+    if isinstance(node, Lit):
+        v = node.value
+        if isinstance(v, bool):
+            return "boolean"
+        if isinstance(v, int):
+            return INT
+        if isinstance(v, float):
+            return "double"
+        if isinstance(v, str):
+            return "string"
+        return "double"
+    if isinstance(node, Field):
+        p = node.path
+        if p.startswith("param."):
+            v = params.get(p[6:])
+            return "double" if isinstance(v, float) else (
+                "boolean" if isinstance(v, bool) else (
+                    INT if isinstance(v, int) else "string"))
+        name = _strip_ns(p)
+        if p.startswith(("out.", "previous.", "local_last.")) and name in out:
+            return out[name]
+        if name in src:
+            return src[name]
+        if name in out:
+            return out[name]
+        raise KeyError(f"cannot infer type of field {p!r}")
+    if isinstance(node, Unop):
+        if node.op in ("not", "is_null"):
+            return "boolean"
+        return rec(node.e)
+    if isinstance(node, Binop):
+        o = node.op
+        if o in ("=", "<>", "!=", "<", "<=", ">", ">=", "and", "or", "like",
+                 "in", "starts_with", "ends_with"):
+            return "boolean"
+        if o == "||":
+            return "string"
+        if o == "/":
+            return "double"
+        if o == "//":
+            return INT
+        if o in ("+", "-", "*", "%", "^"):
+            a, b = rec(node.a), rec(node.b)
+            if "string" in (a, b):
+                return "string"
+            return "double" if "double" in (a, b) or o == "^" else INT
+        return "double"
+    if isinstance(node, CaseWhen):
+        return rec(node.branches[0][1])
+    if isinstance(node, Call):
+        fn = node.fn
+        if fn == "cast":
+            ts: TypeSpec = node.opts["to"]
+            if ts.vec_dim is not None or ts.is_arr:
+                return f"array<{_infer_ddl(Call('cast', node.args, opts={'to': TypeSpec(ts.name)}), src, out, params)}>"
+            if ts.name in _INT_TYPES:
+                return INT
+            return {"float": "double", "string": "string", "bool": "boolean",
+                    "boolean": "boolean", "char": "string"}[ts.name]
+        if fn in ("count", "count_distinct", "bitand", "bitor", "bitxor", "peek"):
+            return INT
+        if fn in ("and_all", "or_all", "distinct", "is_null", "remember"):
+            return "boolean"
+        if fn in ("avg", "smooth", "season_moveavg", "moveavg", "fit", "derive",
+                  "reldiff", "random", "now", "age", "sq", "sqrt", "exp", "log",
+                  "log10", "round", "truncate", "parse_time"):
+            return "double"
+        if fn in ("lower", "upper", "substring", "basename", "format_time",
+                  "sparkline", "chr", "uuid_of_u128", "split"):
+            return "string"
+        if fn in ("length", "index", "hash"):
+            return INT
+        if fn == "sum":
+            a = rec(node.args[0])
+            return "double" if a == "double" else INT
+        if fn in ("min", "max", "first", "last", "lag", "coalesce", "force", "abs"):
+            ts_ = [rec(a) for a in node.args]
+            return ts_[-1]
+        if fn in ("group", "latest", "oldest", "sample", "_array"):
+            return f"array<{rec(node.args[-1])}>"
+        if fn == "percentile_of":
+            elem = rec(node.args[1])
+            elem = elem[6:-1] if elem.startswith("array<") else elem
+            if isinstance(node.args[0], Call) and node.args[0].fn == "_array":
+                return f"array<{elem}>"
+            return elem
+        if fn in ("floor", "ceil"):
+            return INT
+    raise NotImplementedError(f"cannot infer type of {node!r}")
+
+
+def infer_output_schema(op: Operation, src_schema, params: dict[str, Any] | None = None) -> str:
+    """DDL schema of an operation's public select fields, given the
+    parent DataFrame's schema."""
+    src = {f.name: f.dataType.simpleString() for f in src_schema.fields}
+    out: dict[str, str] = {}
+    parts = []
+    for i, f_ in enumerate(op.fields):
+        if isinstance(f_.expr, Star):
+            raise NotImplementedError("schema inference with * select")
+        name = f_.alias or _default_name(f_.expr, i)
+        ddl = _infer_ddl(f_.expr, src, out, params or {})
+        out[name] = ddl
+        if not name.startswith("_"):
+            parts.append(f"{name} {ddl}")
+    return ", ".join(parts)
+
+
+def check_commit_for_all(node) -> bool:
+    """True when the commit condition references the input tuple — the
+    reference then re-checks EVERY group after each input
+    (src/CodeGen_Helpers.ml:52: any Variable In / Path reference)."""
+    for n in _walk(node):
+        if isinstance(n, Field) and not n.path.startswith(
+            ("out.", "previous.", "local_last.", "param.", "env.")
+        ):
+            return True
+    return False
 
 
 def compile_commit_operation(
     op: Operation | str,
     source_df: DataFrame,
-    output_schema: str,
+    output_schema: str | None = None,
     params: dict[str, Any] | None = None,
     order_cols: list[str] | None = None,
 ) -> DataFrame:
@@ -1735,26 +2433,54 @@ def compile_commit_operation(
     RaQL's windowing-beyond-SQL semantics (SURVEY §2.2 COMMIT row),
     including KEEP/FLUSH and COMMIT BEFORE re-seeding.
 
-    GROUP BY must be plain field refs here (the key must survive as a
-    column for the shuffle); ``output_schema`` is the Spark DDL of the
-    select list (explicit — per-row Python evaluation cannot infer
-    types the way Catalyst does). Rows fold in ``ts``-column order if
-    present, else input order column ``_rowid``."""
+    GROUP BY keys may be arbitrary expressions (materialized as
+    computed columns so they survive the shuffle). ``output_schema``
+    is the Spark DDL of the select list; omitted → inferred from the
+    source schema (infer_output_schema). Rows fold in ``ts``-column
+    order if present, else input order column ``_rowid``.
+
+    Commit conditions referencing the input tuple put the engine in
+    the reference's check-all-groups mode (check_commit_for_all):
+    the trigger rows are precomputed with a stateless filter and every
+    live group commits at each trigger point."""
     from ramen_spark.operators.aggregate import commit_aggregate
 
     if isinstance(op, str):
         op = parse_operation(op)
+    flush = op.flush
     if op.commit_after is None:
-        raise ValueError("no COMMIT clause; use compile_operation")
-    keys = []
-    for k in op.group_by:
-        if not isinstance(k, Field):
-            raise NotImplementedError("general COMMIT needs plain-field GROUP BY keys")
-        keys.append(_strip_ns(k.path))
+        # default COMMIT AFTER true; with no GROUP BY this is the
+        # reference's trivial case where stateful functions get
+        # GLOBAL lifespan — state survives the per-row flush
+        # (src/RamenOperation.ml:859-875 set_default_lifespans)
+        op = replace(op, commit_after=Lit(True))
+        if not op.group_by:
+            flush = False
 
     df = source_df
+    keys = []
+    for i, k in enumerate(op.group_by):
+        if isinstance(k, Field):
+            keys.append(_strip_ns(k.path))
+        else:
+            kc = f"_gk{i}"
+            df = df.withColumn(kc, Compiler(params).col(k))
+            keys.append(kc)
+
+    # WHERE: stateless → Catalyst filter before the shuffle (the
+    # reference's where_fast); stateful → evaluated inside the fold
+    where_fn = None
+    fold_where = None
     if op.where is not None:
-        df = df.filter(Compiler(params).col(op.where))
+        if any(
+            isinstance(n, Call) and (n.fn in ROW_STATEFUL or n.fn in AGGS)
+            for n in _walk(op.where)
+        ):
+            fold_where = op.where
+        else:
+            df = df.filter(Compiler(params).col(op.where))
+            op = replace(op, where=None)
+
     if order_cols is None and op.sort_last is not None:
         # SORT LAST n BY e: the fold consumes input in BY order (batch
         # = exact sort; the bounded n-buffer is the streaming repair)
@@ -1772,6 +2498,26 @@ def compile_commit_operation(
         df = df.withColumn("_rowid", F.monotonically_increasing_id())
         order_col = "_rowid"
 
+    # check-all-groups commit (condition references `in`): precompute
+    # the global trigger positions with a stateless filter
+    triggers = None
+    refs_beyond_in = _commit_needs_engine(op.commit_after) or any(
+        isinstance(n, Field)
+        and n.path.startswith(("out.", "previous.", "local_last."))
+        for n in _walk(op.commit_after)
+    )
+    if (
+        not isinstance(op.commit_after, Lit)
+        and check_commit_for_all(op.commit_after)
+        and not refs_beyond_in
+    ):
+        first_order = order_col if isinstance(order_col, str) else order_col[0]
+        trig_rows = df.filter(Compiler(params).col(op.commit_after)).select(first_order).collect()
+        triggers = sorted(r[0] for r in trig_rows)
+
+    if output_schema is None:
+        output_schema = infer_output_schema(op, df.schema, params)
+
     fold = _Fold(op, params)
     return commit_aggregate(
         df,
@@ -1783,7 +2529,9 @@ def compile_commit_operation(
         commit_cond=fold.commit_cond,
         output_schema=output_schema,
         commit_before=op.commit_before,
-        flush=op.flush,
+        flush=flush,
+        where=fold.update_where if fold_where is not None else None,
+        triggers=triggers,
     )
 
 
