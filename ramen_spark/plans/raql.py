@@ -494,6 +494,17 @@ class Parser:
 
     def parse_unary(self) -> Any:
         t = self.peek()
+        # #start / #stop event-time virtual fields (src/RamenExpr.ml:1371
+        # SL0 EventStart/EventStop). In operand position a '#' can only
+        # start one of these — binary xor '#' is consumed by parse_bin.
+        if t.kind == "op" and t.value == "#":
+            save = self.i
+            self.next()
+            nt = self.peek()
+            if nt.kind == "name" and nt.value.lower() in ("start", "stop"):
+                self.next()
+                return Field("#" + nt.value.lower())
+            self.i = save
         if t.kind == "op" and t.value == "-":
             self.next()
             e = self.parse_unary()
@@ -782,10 +793,15 @@ class Compiler:
         params: dict[str, Any] | None = None,
         in_shadow: dict[str, str] | None = None,
         in_names: frozenset[str] | None = None,
+        window=None,
     ):
         self.params = params or {}
         self.fns = _fn_registry()
         self.has_aggregate = False
+        # window mode: aggregate calls compile to window aggregates over
+        # this pyspark WindowSpec (the Catalyst-lowered COMMIT path) with
+        # the fold's skip-nulls first/last semantics
+        self.window = window
         # Namespace fidelity (reference: `in.` ALWAYS means the input
         # tuple even when a select alias shadows the input name,
         # src/RamenExpr.ml field resolution). When an alias shadows an
@@ -814,6 +830,10 @@ class Compiler:
             # explicit out.-qualified refs read the chained value; in.-
             # qualified OR bare refs naming an input column read the
             # input tuple (via snapshot if shadowed)
+            if node.path in ("#start", "#stop"):
+                # no EVENT clause resolved these (see _rewrite_event_time)
+                # → the start/stop column convention
+                return F.col(node.path[1:])
             if not node.path.startswith("out.") and (
                 node.path.startswith("in.") or plain in self.in_names
             ):
@@ -1198,7 +1218,17 @@ class Compiler:
         if fn in AGGS:
             self.has_aggregate = True
             arg = self.col(node.args[0]) if node.args else None
-            return {
+            if self.window is not None and fn in ("first", "last"):
+                # fold parity: FIRST/LAST skip NULLs by default
+                # (SURVEY §2.4 SKIP NULLS; _Fold.update first/last)
+                ign = not node.opts.get("keep_nulls", False)
+                built = (
+                    F.first(arg, ignorenulls=ign)
+                    if fn == "first"
+                    else F.last(arg, ignorenulls=ign)
+                )
+                return built.over(self.window)
+            built = {
                 "sum": lambda: F.sum(arg),
                 "avg": lambda: F.avg(arg),
                 "min": lambda: F.min(arg),
@@ -1212,6 +1242,9 @@ class Compiler:
                 "bitor": lambda: F.bit_or(arg),
                 "bitxor": lambda: F.bit_xor(arg),
             }[fn]()
+            if self.window is not None:
+                built = built.over(self.window)
+            return built
         if fn == "format_time":
             fmt = node.args[0]
             if not isinstance(fmt, Lit):
@@ -1224,7 +1257,8 @@ class Compiler:
         # MIN/MAX: 1 arg = aggregate, ≥2 args = stateless least/greatest
         if fn in ("min", "max") and len(args) == 1:
             self.has_aggregate = True
-            return F.min(args[0]) if fn == "min" else F.max(args[0])
+            built = F.min(args[0]) if fn == "min" else F.max(args[0])
+            return built.over(self.window) if self.window is not None else built
         return builder(*args)
 
 
@@ -1272,13 +1306,20 @@ class Operation:
     commit_after: Any | None
     commit_before: bool = False
     flush: bool = True
-    # SORT LAST n [BY e…] — bounded input re-order (reference
-    # RamenOperation.ml:1278-1293); batch compiles to an exact sort of
-    # the fold order (the bounded buffer is a streaming approximation)
-    sort_last: tuple[int, list] | None = None
+    # SORT LAST n [OR UNTIL cond] [BY e…] — bounded input re-order
+    # (reference RamenOperation.ml:1278-1293, buffer RamenSortBuf.ml);
+    # stored as (n, by_exprs, until_expr|None)
+    sort_last: tuple[int, list, Any] | None = None
     # NOTIFY "name" [WHEN already folded into where] — notification
     # sink template (RamenOperation.ml:1311-1317)
     notify: str | None = None
+    # EVENT STARTING AT f [*s] [AND DURATION d | AND STOPPING AT f [*s]]
+    # (reference src/RamenOperation.ml:1230-1248, src/event_time.type):
+    # ((start_field, scale), dur) with dur one of ("const", secs) /
+    # ("field", name, scale) / ("stop", name, scale). Metadata — the
+    # output tuple is unchanged; it feeds #start/#stop and the
+    # timeseries start/stop convention (with_event_time).
+    event_time: tuple | None = None
 
 
 def _parse_read_csv(p: Parser) -> ReadCsv:
@@ -1342,6 +1383,68 @@ def _parse_source(p: Parser):
     return "/".join(parts)
 
 
+_DURATION_UNITS = {
+    "ms": 0.001, "msec": 0.001, "msecs": 0.001,
+    "s": 1.0, "sec": 1.0, "secs": 1.0, "second": 1.0, "seconds": 1.0,
+    "min": 60.0, "mins": 60.0, "minute": 60.0, "minutes": 60.0,
+    "h": 3600.0, "hour": 3600.0, "hours": 3600.0,
+    "d": 86400.0, "day": 86400.0, "days": 86400.0,
+}
+
+
+def _parse_event_clause(p: Parser) -> tuple:
+    """EVENT (STARTING|STARTS) AT f [*s] [(AND|WITH) DURATION (d | f [*s])
+    | AND (STOPS|STOPPING|ENDS|ENDING) AT f [*s]]
+    (src/RamenOperation.ml:1230-1248 event_time_clause; duration units
+    per RamenParsing duration, e.g. ``0.1s``)."""
+    t = p.next()  # 'event' consumed by caller
+    if str(t.value).lower() not in ("starting", "starts"):
+        raise SyntaxError("EVENT: expected STARTING/STARTS")
+    at = p.next()
+    if str(at.value).lower() != "at":
+        raise SyntaxError("EVENT STARTING: expected AT")
+
+    def field_scale() -> tuple[str, float]:
+        name = p.expect("name").value
+        scale = 1.0
+        if p.accept("op", "*"):
+            scale = float(p.expect("num").value)
+        return name, scale
+
+    def duration_const() -> float:
+        v = float(p.expect("num").value)
+        nt = p.peek()
+        if nt.kind == "name" and nt.value.lower() in _DURATION_UNITS:
+            v *= _DURATION_UNITS[p.next().value.lower()]
+        return v
+
+    start = field_scale()
+    dur: tuple = ("const", 0.0)
+    nxt = p.peek()
+    linked = nxt.kind == "kw" and nxt.value in ("and", "with")
+    if linked:
+        p.next()
+        nxt = p.peek()
+    word = str(nxt.value).lower() if nxt.kind in ("kw", "name") else ""
+    if word == "duration":
+        p.next()
+        if p.peek().kind == "num":
+            dur = ("const", duration_const())
+        else:
+            n, s = field_scale()
+            dur = ("field", n, s)
+    elif linked and word in ("stops", "stopping", "ends", "ending"):
+        p.next()
+        at2 = p.next()
+        if str(at2.value).lower() != "at":
+            raise SyntaxError("EVENT … STOPPING: expected AT")
+        n, s = field_scale()
+        dur = ("stop", n, s)
+    elif linked:
+        raise SyntaxError("EVENT: expected DURATION or STOPPING AT")
+    return start, dur
+
+
 def _parse_operation_body(p: Parser):
     """Aggregate or ReadExternal operation; clauses accepted in any
     order (the reference's grammar is clause-order-free,
@@ -1355,12 +1458,18 @@ def _parse_operation_body(p: Parser):
     flush = True
     sort_last = None
     notify = None
+    event_time = None
     seen_any = False
     while True:
         t = p.peek()
         if t.kind == "name" and t.value.lower() == "read" and not seen_any:
             p.next()
             return _parse_read_csv(p)
+        if t.kind == "name" and t.value.lower() == "event":
+            p.next()
+            event_time = _parse_event_clause(p)
+            seen_any = True
+            continue
         if t.kind != "kw":
             break
         if t.value == "select":
@@ -1390,12 +1499,18 @@ def _parse_operation_body(p: Parser):
             if tl.value.lower() != "last":
                 raise SyntaxError("SORT must be followed by LAST")
             n = p.expect("num").value
+            until = None
+            if p.accept("kw", "or"):
+                ut = p.expect("name")
+                if ut.value.lower() != "until":
+                    raise SyntaxError("SORT LAST n OR must be followed by UNTIL")
+                until = p.parse_expr()
             by: list = []
             if p.accept("kw", "by"):
                 by.append(p.parse_expr())
                 while p.accept("op", ","):
                     by.append(p.parse_expr())
-            sort_last = (int(n), by)
+            sort_last = (int(n), by, until)
         elif t.value in ("where", "when"):
             p.next()
             where = p.parse_expr()
@@ -1433,7 +1548,7 @@ def _parse_operation_body(p: Parser):
         fields = [SelectField(Star([]), None)]
     return Operation(
         fields, sources, where, group_by, commit_after, commit_before, flush,
-        sort_last, notify,
+        sort_last, notify, event_time,
     )
 
 
@@ -1461,6 +1576,125 @@ def _default_name(node, i: int) -> str:
     return f"_{i}"
 
 
+def _event_time_nodes(event_time: tuple) -> tuple[Any, Any]:
+    """#start / #stop ASTs from the EVENT annotation. Fields are
+    output-field refs (src/event_time.type Field.OutputField)."""
+    (sf, ss), dur = event_time
+
+    def scaled(name: str, s: float):
+        f = Field("out." + name)
+        return f if s == 1.0 else Binop("*", f, Lit(s))
+
+    start = scaled(sf, ss)
+    if dur[0] == "const":
+        stop = start if dur[1] == 0.0 else Binop("+", start, Lit(dur[1]))
+    elif dur[0] == "field":
+        stop = Binop("+", start, scaled(dur[1], dur[2]))
+    else:  # ("stop", name, scale)
+        stop = scaled(dur[1], dur[2])
+    return start, stop
+
+
+def _subst_event_fields(node, start_node, stop_node):
+    """Replace #start/#stop virtual fields with the EVENT-derived
+    expressions (reference resolves SL0 EventStart against the
+    operation's event-time annotation)."""
+    sub = lambda n: _subst_event_fields(n, start_node, stop_node)  # noqa: E731
+    if isinstance(node, Field):
+        if node.path == "#start":
+            return start_node
+        if node.path == "#stop":
+            return stop_node
+        return node
+    if isinstance(node, Unop):
+        return Unop(node.op, sub(node.e))
+    if isinstance(node, Binop):
+        return Binop(node.op, sub(node.a), sub(node.b))
+    if isinstance(node, Call):
+        return Call(node.fn, [sub(a) for a in node.args], node.opts)
+    if isinstance(node, CaseWhen):
+        return CaseWhen(
+            [(sub(c), sub(v)) for c, v in node.branches],
+            sub(node.otherwise) if node.otherwise is not None else None,
+        )
+    return node
+
+
+def _rewrite_event_time(op: Operation) -> Operation:
+    """Resolve #start/#stop across the operation's expressions using
+    its EVENT clause (no-op without one — the Compiler then falls back
+    to the start/stop column convention)."""
+    if op.event_time is None:
+        return op
+    start_n, stop_n = _event_time_nodes(op.event_time)
+    sub = lambda n: _subst_event_fields(n, start_n, stop_n)  # noqa: E731
+    return replace(
+        op,
+        fields=[
+            SelectField(f_.expr if isinstance(f_.expr, Star) else sub(f_.expr), f_.alias)
+            for f_ in op.fields
+        ],
+        where=sub(op.where) if op.where is not None else None,
+        commit_after=sub(op.commit_after) if op.commit_after is not None else None,
+        group_by=[sub(k) for k in op.group_by],
+    )
+
+
+def with_event_time(df: DataFrame, op: Operation | str) -> DataFrame:
+    """Materialize the EVENT annotation as ``start``/``stop`` double
+    columns — the convention operators/windows.py consumes (timeseries
+    bucketing). The reference keeps event time as side metadata
+    (src/event_time.type); this bridge is how batch consumers read it.
+    Narrow projection — no shuffle."""
+    if isinstance(op, str):
+        op = parse_operation(op)
+    if op.event_time is None:
+        return df
+    (sf, ss), dur = op.event_time
+    start = F.col(sf).cast("double") * F.lit(float(ss))
+    if dur[0] == "const":
+        stop = start + F.lit(float(dur[1]))
+    elif dur[0] == "field":
+        stop = start + F.col(dur[1]).cast("double") * F.lit(float(dur[2]))
+    else:
+        stop = F.col(dur[1]).cast("double") * F.lit(float(dur[2]))
+    return df.withColumn("start", start).withColumn("stop", stop)
+
+
+def _apply_sort_last(df: DataFrame, op: Operation, params: dict[str, Any] | None) -> DataFrame:
+    """Apply the SORT LAST bounded reorder buffer to the input stream
+    (operators.sortbuf). BY defaults to the event-time start column
+    (reference RamenOperation.ml:1290 event_time_start). The UNTIL
+    condition may read the ``sort`` namespace (sort.count,
+    sort.first/smallest/greatest.field — src/RamenSortBuf.ml)."""
+    from ramen_spark.operators.sortbuf import sort_last as _sort_last_op
+
+    n, by_nodes, until_node = op.sort_last
+    comp = Compiler(params)
+    if by_nodes:
+        by_cols = [comp.col(b) for b in by_nodes]
+    elif "start" in df.columns:
+        by_cols = [F.col("start")]
+    elif "ts" in df.columns:
+        by_cols = [F.col("ts")]
+    else:
+        raise ValueError("SORT LAST needs BY exprs or a start/ts column")
+    until_fn = None
+    if until_node is not None:
+        pseudo = Operation([], [], None, [], None)
+        ev = _Fold(pseudo, params)
+
+        def until_fn(in_row, sv):  # noqa: F811
+            row = dict(in_row)
+            row["sort.count"] = sv["count"]
+            for nm in ("first", "smallest", "greatest"):
+                for k, v in sv[nm].items():
+                    row[f"sort.{nm}.{k}"] = v
+            return ev._eval(until_node, row, None, None, None) is True
+
+    return _sort_last_op(df, n, by_cols, until=until_fn)
+
+
 def compile_operation(
     op: Operation | str,
     source_df: DataFrame,
@@ -1476,6 +1710,7 @@ def compile_operation(
     """
     if isinstance(op, str):
         op = parse_operation(op)
+    op = _rewrite_event_time(op)
     if op.commit_after is not None and _commit_needs_engine(op.commit_after):
         raise NotImplementedError(
             "general COMMIT clause (references aggregates or previous): "
@@ -1485,6 +1720,8 @@ def compile_operation(
         )
 
     df = source_df
+    if op.sort_last is not None:
+        df = _apply_sort_last(df, op, params)
     if op.where is not None:
         where_c = Compiler(params)
         cond = where_c.col(op.where)
@@ -2178,6 +2415,10 @@ class _Fold:
             if path.startswith("param."):
                 return self.params[path[len("param."):]]
             low = _strip_ns(path).lower()
+            if path in ("#start", "#stop"):
+                # unresolved virtual event-time field (no EVENT clause):
+                # start/stop column convention
+                return row.get(path[1:]) if row is not None else None
             if path.startswith(("out.",)):
                 name = path[4:]
                 if out_partial is not None and name in out_partial:
@@ -2447,6 +2688,7 @@ def compile_commit_operation(
 
     if isinstance(op, str):
         op = parse_operation(op)
+    op = _rewrite_event_time(op)
     flush = op.flush
     if op.commit_after is None:
         # default COMMIT AFTER true; with no GROUP BY this is the
@@ -2482,14 +2724,33 @@ def compile_commit_operation(
             op = replace(op, where=None)
 
     if order_cols is None and op.sort_last is not None:
-        # SORT LAST n BY e: the fold consumes input in BY order (batch
-        # = exact sort; the bounded n-buffer is the streaming repair)
-        by_names = []
-        for e in op.sort_last[1]:
-            if not isinstance(e, Field):
-                raise NotImplementedError("SORT BY needs plain field refs here")
-            by_names.append(_strip_ns(e.path))
-        order_cols = by_names or None
+        n_buf, by_nodes, until_node = op.sort_last
+        if until_node is None:
+            # SORT LAST n BY e (no UNTIL): in batch the bounded buffer's
+            # fixed point is a full sort by the keys — lower to Catalyst
+            # sort columns (scale-safe: sorted inside the fold's group
+            # partitions, no sequential pass).
+            comp = Compiler(params)
+            key_names = []
+            for i, e in enumerate(by_nodes):
+                if isinstance(e, Field):
+                    key_names.append(_strip_ns(e.path))
+                else:
+                    kc = f"_sortby{i}"
+                    df = df.withColumn(kc, comp.col(e))
+                    key_names.append(kc)
+            order_cols = key_names or None
+        else:
+            # OR UNTIL: emission order depends on buffer state, so run
+            # the exact sequential buffer (reference RamenSortBuf is a
+            # single-stream operator) in arrival order, then fold in its
+            # emission order. Inherently one-stream — documented exact
+            # mode, not the scale path.
+            df = df.withColumn("_arr", F.monotonically_increasing_id())
+            df = df.repartition(1).sortWithinPartitions("_arr").drop("_arr")
+            df = _apply_sort_last(df, op, params)
+            df = df.withColumn("_rowid", F.monotonically_increasing_id())
+            order_cols = ["_rowid"]
     if order_cols:
         order_col: str | list[str] = order_cols
     elif "ts" in df.columns:

@@ -333,9 +333,21 @@ def test_parse_sort_last_and_notify():
         'select v, sum v as s from x sort last 10 by ts, seq '
         'group by k commit after sum v >= 5 notify "high ${s}"'
     )
-    n, by = op.sort_last
+    n, by, until = op.sort_last
     assert n == 10 and [f.path for f in by] == ["ts", "seq"]
+    assert until is None
     assert op.notify == "high ${s}"
+
+
+def test_parse_sort_last_or_until():
+    from ramen_spark.plans.raql import Binop, parse_operation
+
+    op = parse_operation(
+        "select v from x sort last 10 or until sort.count >= 3 by ts"
+    )
+    n, by, until = op.sort_last
+    assert n == 10 and len(by) == 1
+    assert isinstance(until, Binop) and until.op == ">="
 
 
 def test_sort_last_drives_commit_fold_order(spark):
@@ -387,3 +399,70 @@ def test_alias_shadowing_preserves_input_namespace(spark):
         "SELECT value*2 AS value, out.value + 1 AS chained FROM x", df
     )
     assert sorted(r["chained"] for r in out2.collect()) == [21.0, 41.0]
+
+
+def test_parse_event_clause_forms():
+    """EVENT clause grammar (src/RamenOperation.ml:1230-1248): scale,
+    duration units, STOPS AT, bare DURATION, and the STARTS kw form."""
+    from ramen_spark.plans.raql import parse_operation
+
+    op = parse_operation(
+        "select n from x event starts at n*10 with duration 0.1s"
+    )
+    assert op.event_time == (("n", 10.0), ("const", 0.1))
+
+    op = parse_operation(
+        "select first, last from x event starts at first and stops at last"
+    )
+    assert op.event_time == (("first", 1.0), ("stop", "last", 1.0))
+
+    op = parse_operation(
+        "select t, d from x event starting at t*0.001 and duration d*60"
+    )
+    assert op.event_time == (("t", 0.001), ("field", "d", 60.0))
+
+    op = parse_operation("select t from x event starting at t duration 2 minutes")
+    assert op.event_time == (("t", 1.0), ("const", 120.0))
+
+    # clause-order-free: EVENT before WHERE with a top-level AND
+    op = parse_operation(
+        "select t from x event starting at t where t > 1 and t < 5"
+    )
+    assert op.event_time == (("t", 1.0), ("const", 0.0))
+    assert op.where is not None
+
+
+def test_event_time_resolves_hash_start_stop(spark):
+    """#start/#stop virtual fields compile against the EVENT clause
+    (event_time.ramen: `#stop AS m EVENT STARTS AT n*10 WITH DURATION
+    0.1s` → m = n*10 + 0.1)."""
+    df = spark.createDataFrame([(5,)], "v int")
+    out = compile_operation(
+        "select v as n, #stop as m, #start as s from x "
+        "event starts at n*10 with duration 0.1s",
+        df,
+    )
+    r = out.collect()[0]
+    assert (r["n"], r["m"], r["s"]) == (5, 50.1, 50.0)
+
+
+def test_hash_start_falls_back_to_column_convention(spark):
+    """Without an EVENT clause, #start/#stop read the start/stop
+    columns (the repo's timeseries convention)."""
+    df = spark.createDataFrame([(1.0, 2.0)], "start double, stop double")
+    out = compile_operation("select #stop - #start as dur from x", df)
+    assert out.collect()[0]["dur"] == 1.0
+
+
+def test_with_event_time_bridge(spark):
+    """with_event_time materializes the annotation as start/stop double
+    columns for operators/windows.py consumers (port_scan.ramen:29
+    EVENT STARTS AT first AND STOPS AT last)."""
+    from ramen_spark.plans.raql import parse_operation, with_event_time
+
+    op = parse_operation(
+        "select f as first, l as last from x event starts at first and stops at last"
+    )
+    df = spark.createDataFrame([(10.0, 12.5)], "first double, last double")
+    r = with_event_time(df, op).collect()[0]
+    assert (r["start"], r["stop"]) == (10.0, 12.5)
