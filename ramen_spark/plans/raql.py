@@ -2661,6 +2661,144 @@ def check_commit_for_all(node) -> bool:
     return False
 
 
+_LOWERABLE_AGGS = {
+    "sum", "avg", "min", "max", "count", "first", "last", "group",
+    "bitand", "bitor", "bitxor",
+}
+
+
+def _count_commit_shape(cond) -> tuple[Any, int] | None:
+    """Match ``COMMIT AFTER (sum 1 | count x) (>=|=|>) N`` — the
+    count-window shape that lowers to Catalyst (VERDICT r1 #9; the
+    raql_commit_batches oracle proves it is row_number math). Returns
+    (count_operand_node | None for sum-1, window_size) or None."""
+    if not (isinstance(cond, Binop) and cond.op in (">=", "=", ">")):
+        return None
+    lhs, rhs = cond.a, cond.b
+    if not (
+        isinstance(rhs, Lit)
+        and isinstance(rhs.value, int)
+        and not isinstance(rhs.value, bool)
+        and rhs.value >= 1
+    ):
+        return None
+    if not (isinstance(lhs, Call) and len(lhs.args) == 1) or lhs.opts.get("keep_nulls"):
+        return None
+    n = int(rhs.value) + (1 if cond.op == ">" else 0)
+    if lhs.fn == "sum" and isinstance(lhs.args[0], Lit) and lhs.args[0].value == 1:
+        return (None, n)
+    if lhs.fn == "count":
+        return (lhs.args[0], n)
+    return None
+
+
+def _lowerable_select(op: Operation) -> bool:
+    """Every select field must compile to window aggregates + stateless
+    exprs of the committing row — no row-stateful functions, no
+    previous/out namespaces, no nested or poison-semantics (KEEP NULLS)
+    aggregates."""
+    for f_ in op.fields:
+        if isinstance(f_.expr, Star):
+            return False
+        for nd in _walk(f_.expr):
+            if isinstance(nd, Field) and (
+                nd.path.startswith(("previous.", "local_last.", "out."))
+                or nd.path in ("#start", "#stop")
+            ):
+                return False
+            if isinstance(nd, Call):
+                if nd.fn in ROW_STATEFUL:
+                    return False
+                if nd.fn in AGGS and len(nd.args) == 1 and not _is_array_node(nd.args[0]):
+                    if nd.fn not in _LOWERABLE_AGGS or nd.opts.get("keep_nulls"):
+                        return False
+                    # nested stateful (sum group x) needs the fold
+                    if any(
+                        isinstance(x, Call) and (x.fn in AGGS or x.fn in ROW_STATEFUL)
+                        for a in nd.args
+                        for x in _walk(a)
+                    ):
+                        return False
+    return True
+
+
+def _try_lower_count_commit(
+    df: DataFrame,
+    op: Operation,
+    keys: list[str],
+    order_col: str | list[str],
+    params: dict[str, Any] | None,
+    output_schema: str | None,
+) -> DataFrame | None:
+    """Lower a count-based COMMIT window to native Catalyst: one
+    Exchange on the group keys, a running-count WindowExec assigns each
+    row a window id (``wid = floor(count_so_far / N)``), unbounded-frame
+    window aggregates over (keys, wid) compute the select list, and the
+    Nth row of each window emits. HashPartitioning(keys) satisfies the
+    (keys, wid) clustering, so the second WindowExec adds only a local
+    sort — no second shuffle, fully parallel across groups (the Python
+    fold this replaces moved every row through Arrow into one Python
+    worker per group).
+
+    NULL fold parity: ``count x`` advances only on non-null x, so rows
+    with null x never fire a commit and window boundaries track the
+    running non-null count, exactly like the fold's state counter.
+    """
+    from pyspark.sql.types import BooleanType, _parse_datatype_string
+    from pyspark.sql.window import Window
+
+    shape = _count_commit_shape(op.commit_after)
+    if shape is None or not keys or not _lowerable_select(op):
+        return None
+    cnt_node, n = shape
+    carg = F.lit(1) if cnt_node is None else Compiler(params).col(cnt_node)
+    try:
+        # fold counts TRUEs for bool operands; F.count counts non-null —
+        # don't lower bool-counted windows
+        if isinstance(df.select(carg.alias("_c")).schema[0].dataType, BooleanType):
+            return None
+    except Exception:
+        return None
+    order_list = [order_col] if isinstance(order_col, str) else list(order_col)
+    ocols = [F.col(c) for c in order_list]
+    w1 = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*ocols)
+    nn = F.when(carg.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    cnt = F.count(carg).over(w1)  # running non-null count incl. current
+    df2 = df.withColumn("_wid", F.floor((cnt - nn) / F.lit(n)).cast("long")).withColumn(
+        "_fire", carg.isNotNull() & (cnt % n == 0)
+    )
+    w2 = (
+        Window.partitionBy(*([F.col(k) for k in keys] + [F.col("_wid")]))
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    out_names: list[str] = []
+    out_cols: list[Column] = []
+    for i, f_ in enumerate(op.fields):
+        sub = Compiler(params, window=w2)
+        name = f_.alias or _default_name(f_.expr, i)
+        out_names.append(name)
+        out_cols.append(sub.col(f_.expr).alias(name))
+    public = [nm for nm in out_names if not nm.startswith("_")]
+    res = (
+        df2.select(*out_cols, F.col("_fire"))
+        .filter(F.col("_fire"))
+        .select(*public)
+    )
+    if output_schema:
+        types = {
+            fld.name: fld.dataType
+            for fld in _parse_datatype_string(output_schema).fields
+        }
+        res = res.select(
+            *[
+                F.col(nm).cast(types[nm]).alias(nm) if nm in types else F.col(nm)
+                for nm in public
+            ]
+        )
+    return res
+
+
 def compile_commit_operation(
     op: Operation | str,
     source_df: DataFrame,
@@ -2779,6 +2917,21 @@ def compile_commit_operation(
     if output_schema is None:
         output_schema = infer_output_schema(op, df.schema, params)
 
+    # count-window fast path: AFTER-mode, FLUSH, stateless-where-only
+    # shapes lower to native window aggregates (no Python fold)
+    if (
+        not op.commit_before
+        and flush
+        and fold_where is None
+        and triggers is None
+        and (op.sort_last is None or op.sort_last[2] is None)
+    ):
+        lowered = _try_lower_count_commit(
+            df, op, keys, order_col, params, output_schema
+        )
+        if lowered is not None:
+            return lowered
+
     fold = _Fold(op, params)
     return commit_aggregate(
         df,
@@ -2793,6 +2946,99 @@ def compile_commit_operation(
         flush=flush,
         where=fold.update_where if fold_where is not None else None,
         triggers=triggers,
+    )
+
+
+def compile_commit_streaming(
+    op: Operation | str,
+    stream_df: DataFrame,
+    output_schema: str | None = None,
+    params: dict[str, Any] | None = None,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming twin of compile_commit_operation: the same parsed
+    Operation and _Fold callbacks run incrementally under
+    ``applyInPandasWithState`` (streaming.commit), state per group key
+    in the state store — the reference's long-lived worker loop
+    (src/CodeGenLib_Skeletons.ml:717-760) mapped onto Structured
+    Streaming. Batch compile_commit_operation is the semantic oracle;
+    ordering holds within a micro-batch (see streaming.commit caveat).
+
+    Not supported here (batch-only): check-all-groups commit
+    conditions (they need cross-group coordination per micro-batch)
+    and SORT LAST (reorder repair belongs to the watermark in
+    streaming)."""
+    from ramen_spark.streaming.commit import streaming_commit_aggregate
+
+    if isinstance(op, str):
+        op = parse_operation(op)
+    op = _rewrite_event_time(op)
+    if op.sort_last is not None:
+        raise NotImplementedError("SORT LAST in streaming: use the watermark")
+    flush = op.flush
+    if op.commit_after is None:
+        # default COMMIT AFTER true (global-lifespan state when
+        # ungrouped — src/RamenOperation.ml:859-875)
+        op = replace(op, commit_after=Lit(True))
+        if not op.group_by:
+            flush = False
+
+    df = stream_df
+    keys = []
+    for i, k in enumerate(op.group_by):
+        if isinstance(k, Field):
+            keys.append(_strip_ns(k.path))
+        else:
+            kc = f"_gk{i}"
+            df = df.withColumn(kc, Compiler(params).col(k))
+            keys.append(kc)
+
+    fold_where = None
+    if op.where is not None:
+        if any(
+            isinstance(n, Call) and (n.fn in ROW_STATEFUL or n.fn in AGGS)
+            for n in _walk(op.where)
+        ):
+            fold_where = op.where
+        else:
+            df = df.filter(Compiler(params).col(op.where))
+            op = replace(op, where=None)
+
+    if not isinstance(op.commit_after, Lit) and check_commit_for_all(op.commit_after):
+        refs_beyond_in = _commit_needs_engine(op.commit_after) or any(
+            isinstance(n, Field)
+            and n.path.startswith(("out.", "previous.", "local_last."))
+            for n in _walk(op.commit_after)
+        )
+        if not refs_beyond_in:
+            raise NotImplementedError(
+                "check-all-groups commit condition in streaming"
+            )
+
+    if order_cols:
+        order_col: str | list[str] = order_cols
+    elif "ts" in df.columns:
+        order_col = "ts"
+    else:
+        raise ValueError("streaming commit needs order_cols or a ts column")
+
+    if output_schema is None:
+        output_schema = infer_output_schema(op, df.schema, params)
+
+    fold = _Fold(op, params)
+    if fold_where is not None:
+        raise NotImplementedError("stateful WHERE in streaming commit")
+    return streaming_commit_aggregate(
+        df,
+        key_cols=keys,
+        order_col=order_col,
+        init_state=fold.init_state,
+        update=fold.update,
+        finalize=fold.finalize,
+        commit_cond=fold.commit_cond,
+        output_schema=output_schema,
+        commit_before=op.commit_before,
+        flush=flush,
     )
 
 

@@ -18,7 +18,8 @@ semantic oracle (SURVEY §7 'hard parts').
 
 from __future__ import annotations
 
-import json
+import base64
+import pickle
 from collections.abc import Callable, Iterable
 from typing import Any
 
@@ -33,7 +34,7 @@ Row = dict[str, Any]
 def streaming_commit_aggregate(
     df: DataFrame,
     key_cols: list[str],
-    order_col: str,
+    order_col: str | list[str],
     init_state: Callable[[], State],
     update: Callable[[State, Row], None],
     finalize: Callable[[State, Row, Row | None], Row],
@@ -44,19 +45,26 @@ def streaming_commit_aggregate(
 ) -> DataFrame:
     """Streaming twin of commit_aggregate with identical callbacks.
 
-    State is JSON-encoded (state schema: one string column) so
-    arbitrary Python aggregate state survives micro-batches without a
-    fixed struct schema; swap for a typed state schema when the state
-    shape is static and hot.
+    State is pickled (base64 in a string state column) so ANY Python
+    fold state — including plans.raql._Fold's accumulator/row-state
+    dicts — survives micro-batches without a fixed struct schema; swap
+    for a typed state schema when the state shape is static and hot.
     """
+    order_list = [order_col] if isinstance(order_col, str) else list(order_col)
+
+    def _enc(obj) -> str:
+        return base64.b64encode(pickle.dumps(obj)).decode("ascii")
+
+    def _dec(raw: str):
+        return pickle.loads(base64.b64decode(raw))
 
     def process(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         if state.exists:
             st_raw, prev_raw = state.get
-            st = json.loads(st_raw)
-            previous = json.loads(prev_raw) if prev_raw else None
+            st = _dec(st_raw)
+            previous = _dec(prev_raw) if prev_raw else None
         else:
             st, previous = init_state(), None
 
@@ -64,7 +72,7 @@ def streaming_commit_aggregate(
         rows: list[Row] = []
         for pdf in pdfs:
             rows.extend(pdf.to_dict("records"))
-        rows.sort(key=lambda r: r[order_col])
+        rows.sort(key=lambda r: tuple(r[c] for c in order_list))
 
         for row in rows:
             if commit_before:
@@ -83,7 +91,7 @@ def streaming_commit_aggregate(
                     if flush:
                         st = init_state()
 
-        state.update((json.dumps(st), json.dumps(previous) if previous else None))
+        state.update((_enc(st), _enc(previous) if previous else None))
         if out_rows:
             yield pd.DataFrame(out_rows)
 

@@ -145,3 +145,77 @@ def test_tumbling_fast_path_equals_general_engine(spark):
     assert gen_rows <= fast_rows
     # everything except the last open window per key is emitted
     assert len(gen_rows) == len(fast_rows) - 2
+
+
+def test_count_commit_lowers_and_matches_fold(spark):
+    """The count-window Catalyst lowering (plans.raql
+    _try_lower_count_commit) must emit exactly the tuples the Python
+    fold emits, for `count x`, `sum 1`, and `>` boundary forms —
+    including null counted operands (nulls never advance the window)."""
+    from ramen_spark.plans.raql import compile_commit_operation
+
+    rows = []
+    for k in ("a", "b"):
+        for i in range(7):
+            # v null on every 3rd row for key 'a': count v skips those
+            v = None if (k == "a" and i % 3 == 2) else float(i)
+            rows.append((k, i, v))
+    df = spark.createDataFrame(rows, "k string, seq int, v double")
+
+    def run(text, schema):
+        out = compile_commit_operation(text, df, output_schema=schema,
+                                       order_cols=["seq"])
+        return sorted(
+            tuple(r[c] for c in out.columns) for r in out.collect()
+        ), out
+
+    # count v >= 2: key a has 5 non-null v (windows of 2 → 2 complete),
+    # key b has 7 (3 complete windows)
+    got, out = run(
+        "select k, sum v as s, count v as n group by k commit after count v >= 2",
+        "k string, s double, n long",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan  # lowered
+    # fold by hand: a non-null v = [0,1,3,4,6] → (0+1),(3+4); b = 0..6 →
+    # (0+1),(2+3),(4+5)
+    assert got == [("a", 1.0, 2), ("a", 7.0, 2), ("b", 1.0, 2),
+                   ("b", 5.0, 2), ("b", 9.0, 2)]
+
+    # sum 1 >= 3 counts every row incl. null-v ones
+    got, _ = run(
+        "select k, count v as n, last seq as lseq group by k "
+        "commit after sum 1 >= 3",
+        "k string, n long, lseq int",
+    )
+    # a: rows 0-2 (v null at 2 → n=2), rows 3-5 (null at 5 → n=2);
+    # b: 0-2, 3-5 all non-null
+    assert got == [("a", 2, 2), ("a", 2, 5), ("b", 3, 2), ("b", 3, 5)]
+
+    # `>` boundary: commit after sum 1 > 2 == windows of 3
+    got3, _ = run(
+        "select k, count v as n group by k commit after sum 1 > 2",
+        "k string, n long",
+    )
+    assert got3 == [("a", 2, ), ("a", 2,), ("b", 3,), ("b", 3,)]
+
+
+def test_count_commit_ineligible_falls_back(spark):
+    """Shapes the lowering can't express (previous-namespace refs,
+    KEEP, row-stateful selects) still run on the general fold."""
+    from ramen_spark.plans.raql import compile_commit_operation
+
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(6)], "k string, seq int, v double"
+    )
+    out = compile_commit_operation(
+        "select k, lag 1 v as pv, sum v as s group by k "
+        "commit after count v >= 3",
+        df,
+        output_schema="k string, pv double, s double",
+        order_cols=["seq"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan  # fold, not lowered
+    got = sorted((r["pv"], r["s"]) for r in out.collect())
+    assert got == [(1.0, 3.0), (4.0, 12.0)]

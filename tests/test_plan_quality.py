@@ -190,9 +190,19 @@ def test_ivf_probe_is_equijoin(spark):
 
 
 def test_commit_engine_single_shuffle(spark):
-    """The general COMMIT fold = one Exchange on the group key, then
-    FlatMapGroupsInPandas — the shape that scales across groups."""
+    """Count-based COMMIT windows lower to native WindowExec (no
+    Python fold): one Exchange on the group key; the (keys, wid)
+    window adds only a local sort (HashPartitioning(keys) satisfies
+    the clustering). The general fold keeps its one-Exchange +
+    FlatMapGroupsInPandas shape."""
     df = QUERIES["raql_commit_batches"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert "Window" in plan
+    assert plan.count("Exchange") == 1, plan
+
+    # the engine-API query still exercises the general fold
+    df = QUERIES["commit_after_count"](spark, SF_ORACLE)
     plan = _plan(df)
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange") == 1, plan

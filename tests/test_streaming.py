@@ -182,3 +182,93 @@ def test_streaming_netflow_decode_e2e(spark, tmp_path):
     for f in flows:
         want[f["ip_proto"]] = want.get(f["ip_proto"], 0) + f["bytes"]
     assert got == want
+
+
+def test_raql_commit_streaming_matches_batch(spark, events_stream):
+    """compile_commit_streaming runs the SAME parsed Operation + _Fold
+    through applyInPandasWithState and must emit the batch compiler's
+    tuples (which for this count-window shape take the Catalyst-lowered
+    path — fold-vs-lowered cross-validation for free)."""
+    from ramen_spark.plans.raql import (
+        compile_commit_operation,
+        compile_commit_streaming,
+    )
+
+    stream, batch = events_stream
+    text = (
+        "select event_type, round(sum value, 2) as s, count value as n "
+        "group by event_type commit after count value >= 50"
+    )
+    schema = "event_type string, s double, n long"
+    sel = ["event_id", "event_type", "value"]
+    s_out = run_to_memory(
+        compile_commit_streaming(
+            text, stream.select(*sel), output_schema=schema, order_cols=["event_id"]
+        ),
+        "raql_commit_stream",
+    )
+    got = sorted((r["event_type"], r["s"], r["n"]) for r in s_out.collect())
+    b_out = compile_commit_operation(
+        text, batch.select(*sel), output_schema=schema, order_cols=["event_id"]
+    )
+    exp = sorted((r["event_type"], r["s"], r["n"]) for r in b_out.collect())
+    assert got == exp and len(got) > 0
+
+
+def test_raql_commit_streaming_keep_running_count(spark, events_stream):
+    """word_count counter1 shape: COMMIT AND KEEP ALL AFTER true —
+    running per-key count emitted on every input row, state never
+    flushed (tests/func/word_count.ramen)."""
+    from ramen_spark.plans.raql import (
+        compile_commit_operation,
+        compile_commit_streaming,
+    )
+
+    stream, batch = events_stream
+    text = (
+        "select event_type, sum 1 as n group by event_type "
+        "commit and keep all after true"
+    )
+    schema = "event_type string, n long"
+    sel = ["event_id", "event_type"]
+    s_out = run_to_memory(
+        compile_commit_streaming(
+            text, stream.select(*sel), output_schema=schema, order_cols=["event_id"]
+        ),
+        "raql_keep_stream",
+    )
+    got = sorted((r["event_type"], r["n"]) for r in s_out.collect())
+    b_out = compile_commit_operation(
+        text, batch.select(*sel), output_schema=schema, order_cols=["event_id"]
+    )
+    exp = sorted((r["event_type"], r["n"]) for r in b_out.collect())
+    assert got == exp and len(got) > 0
+
+
+def test_raql_commit_streaming_row_stateful(spark, events_stream):
+    """LAG inside the streaming fold: _Fold row-state (arbitrary Python
+    objects) must survive the pickle state round-trip."""
+    from ramen_spark.plans.raql import (
+        compile_commit_operation,
+        compile_commit_streaming,
+    )
+
+    stream, batch = events_stream
+    text = (
+        "select event_type, lag 1 value as pv, round(sum value, 2) as s "
+        "group by event_type commit after count value >= 100"
+    )
+    schema = "event_type string, pv double, s double"
+    sel = ["event_id", "event_type", "value"]
+    s_out = run_to_memory(
+        compile_commit_streaming(
+            text, stream.select(*sel), output_schema=schema, order_cols=["event_id"]
+        ),
+        "raql_lag_stream",
+    )
+    got = sorted((r["event_type"], r["pv"], r["s"]) for r in s_out.collect())
+    b_out = compile_commit_operation(
+        text, batch.select(*sel), output_schema=schema, order_cols=["event_id"]
+    )
+    exp = sorted((r["event_type"], r["pv"], r["s"]) for r in b_out.collect())
+    assert got == exp and len(got) > 0
