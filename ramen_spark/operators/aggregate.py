@@ -99,6 +99,7 @@ def commit_aggregate(
     flush: bool = True,
     where: Callable[[State, Row, Row | None], bool] | None = None,
     triggers: list | None = None,
+    trigger_rows: list | None = None,
 ) -> DataFrame:
     """General COMMIT engine (batch).
 
@@ -130,6 +131,15 @@ def commit_aggregate(
     for few-group aggregations; the trigger list is correspondingly
     expected to be small (it is broadcast into every fold task).
 
+    ``trigger_rows``: sorted GLOBAL (order-value, in-row) pairs for
+    check-all-groups conditions that ALSO reference out/previous
+    (``COMMIT AFTER in.m <> out.m``, count.ramen / tumbling.ramen):
+    every input row is a potential trigger, and each group evaluates
+    ``commit_cond(state, trigger_row, previous)`` against its own
+    candidate. The full (projected) input is broadcast into every fold
+    task — the reference's explicitly-slow path; fine for few-group
+    aggregations, unusable for high-cardinality keys (documented).
+
     This is the slow general path by design — Python per row, but one
     shuffle total and parallel across groups. Lower to
     ``tumbling_aggregate`` whenever the commit shape allows.
@@ -155,24 +165,64 @@ def commit_aggregate(
 
         ti = 0
         trigs = triggers or []
+        trows = trigger_rows or []
+        tri = 0
+
+        def fire_conditional_triggers(upto, inclusive: bool) -> None:
+            # check-all-with-out mode: evaluate the commit condition
+            # for THIS group against each global input row in order.
+            # state['__trig'] marks cross-group evaluation: the
+            # candidate must build from the group's own last row
+            nonlocal tri
+            while tri < len(trows) and (
+                trows[tri][0] <= upto if inclusive else trows[tri][0] < upto
+            ):
+                trow = trows[tri][1]
+                tri += 1
+                if state.get("__n", 0) > 0:
+                    state["__trig"] = True
+                    try:
+                        fire = commit_cond(state, trow, previous)
+                    finally:
+                        state.pop("__trig", None)
+                    if fire:
+                        emit(state.get("__last_row"))
+
         for row in pdf.to_dict("records"):
+            state["__prev_out"] = previous  # previous namespace for update
             # fire earlier global triggers (rows of OTHER groups)
             while ti < len(trigs) and trigs[ti] < row[first_order]:
                 ti += 1
                 if state.get("__n", 0) > 0:
                     emit(state.get("__last_row", row))
+            if trows:
+                fire_conditional_triggers(row[first_order], inclusive=False)
             if where is not None and not where(state, row, previous):
                 continue
             if commit_before:
+                if trows:
+                    # the self trigger is evaluated right here (BEFORE
+                    # semantics); consume its global entry silently
+                    while tri < len(trows) and trows[tri][0] <= row[first_order]:
+                        tri += 1
                 if commit_cond(state, row, previous):
-                    out = finalize(state, row, previous)
+                    # the emitted candidate predates the incoming row:
+                    # its non-aggregate fields read the LAST aggregated
+                    # row (reference commit-before, commit_before.ramen)
+                    fin_row = state.get("__last_row", row)
+                    out = finalize(state, fin_row, previous)
                     out_rows.append(out)
                     previous = out
                     state = init_state()
+                    state["__prev_out"] = previous
                 update(state, row)
             else:
                 update(state, row)
-                if trigs:
+                if trows:
+                    # the group's own row is also a global trigger,
+                    # checked post-update (reference aggregate_one order)
+                    fire_conditional_triggers(row[first_order], inclusive=True)
+                elif trigs:
                     # trigger mode: this row may itself be the trigger
                     if ti < len(trigs) and trigs[ti] == row[first_order]:
                         ti += 1
@@ -183,8 +233,10 @@ def commit_aggregate(
             ti += 1
             if state.get("__n", 0) > 0:
                 emit(state.get("__last_row"))
+        if trows:
+            fire_conditional_triggers(float("inf"), inclusive=True)
         return pd.DataFrame(out_rows) if out_rows else pd.DataFrame(
-            {f.split(" ")[0].strip(): pd.Series(dtype="object") for f in output_schema.split(",")}
+            {f.strip().split(" ")[0]: pd.Series(dtype="object") for f in output_schema.split(",")}
         )
 
     if key_cols:

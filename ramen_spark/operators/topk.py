@@ -38,15 +38,45 @@ def _rank_small(df: DataFrame, order: list[Column]) -> DataFrame:
     return df.withColumn("rank", F.row_number().over(win))
 
 
+def _sigma_filter(grouped: DataFrame, by: list[str] | None, sigmas: float) -> DataFrame:
+    """TOP ... ABOVE s SIGMAS noise filter (raql_expr.type:328-346,
+    src/HeavyHitters.ml:193-210 fold_top cutoff): keep only entries
+    whose weight exceeds mean + s·stddev of the weights. The reference
+    computes the stats inside its decayed sketch over per-insertion
+    weights; with exact per-item aggregation the natural (and noise-
+    filtering-equivalent) population is the per-item total weights —
+    documented delta, same intent: drop the undistinguished mass.
+
+    Shape at scale: stats are a 1-row aggregate over the already-
+    aggregated (one row per distinct item) relation, broadcast back —
+    or an unordered per-group window for the grouped form. No
+    single-partition funnels."""
+    thresh = F.col("_mw") + F.lit(float(sigmas)) * F.coalesce(F.col("_sw"), F.lit(0.0))
+    if not by:
+        stats = grouped.agg(
+            F.avg("weight").alias("_mw"), F.stddev_pop("weight").alias("_sw")
+        )
+        grouped = grouped.crossJoin(F.broadcast(stats))
+    else:
+        sw = Window.partitionBy(*by)
+        grouped = grouped.withColumn("_mw", F.avg("weight").over(sw)).withColumn(
+            "_sw", F.stddev_pop("weight").over(sw)
+        )
+    return grouped.filter(F.col("weight") >= thresh).drop("_mw", "_sw")
+
+
 def top_list(
     df: DataFrame,
     item_cols: list[str],
     n: int,
     weight: Column | None = None,
     by: list[str] | None = None,
+    sigmas: float = 0.0,
 ) -> DataFrame:
-    """LIST TOP n x BY w [per group ``by``] — exact: aggregate weight
-    per item, rank, keep n. Deterministic tiebreak on the item value.
+    """LIST TOP n x BY w [per group ``by``] [ABOVE s SIGMAS] — exact:
+    aggregate weight per item, optionally drop statistical noise
+    (_sigma_filter), rank, keep n. Deterministic tiebreak on the item
+    value.
 
     Global form (no ``by``) compiles to orderBy().limit(n) →
     TakeOrderedAndProject: each partition keeps a local n-row heap and
@@ -56,6 +86,8 @@ def top_list(
     window (parallel across groups)."""
     w = weight if weight is not None else F.lit(1)
     grouped = df.groupBy(*(by or []), *item_cols).agg(F.sum(w).alias("weight"))
+    if sigmas > 0:
+        grouped = _sigma_filter(grouped, by, sigmas)
     order = [F.col("weight").desc()] + [F.col(c).asc() for c in item_cols]
     if not by:
         return _rank_small(grouped.orderBy(*order).limit(n), order)
@@ -101,6 +133,7 @@ def decayed_top(
     half_life_seconds: float,
     weight: Column | None = None,
     now_expr: Column | None = None,
+    sigmas: float = 0.0,
 ) -> DataFrame:
     """TOP n ... FOR THE LAST d — exponential decay: each contribution
     is weighted 2^(-(now - t)/half_life) (the reference decays scores
@@ -120,6 +153,8 @@ def decayed_top(
     age = now_expr - F.col(time_col).cast("double")
     decayed = w.cast("double") * F.pow(F.lit(2.0), -age / F.lit(half_life_seconds))
     grouped = df.withColumn("_dw", decayed).groupBy(*item_cols).agg(F.sum("_dw").alias("weight"))
+    if sigmas > 0:
+        grouped = _sigma_filter(grouped, None, sigmas)
     order = [F.col("weight").desc()] + [F.col(c).asc() for c in item_cols]
     return _rank_small(grouped.orderBy(*order).limit(n), order)
 

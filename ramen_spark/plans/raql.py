@@ -91,6 +91,9 @@ class Tok:
     kind: str  # 'num' 'str' 'name' 'kw' 'op' 'eof'
     value: Any
     pos: int
+    # declared int width for suffixed numeric literals (`3u16` → "u16",
+    # src/raql_type.ml:16-33) — PEEK reads unit widths from it
+    suffix_type: str | None = None
 
 
 def _apply_suffix(val: float | int, suf: str | None) -> float | int:
@@ -126,12 +129,16 @@ def tokenize(text: str) -> list[Tok]:
         elif m.group("ip4"):
             out.append(Tok("net", m.group("ip4"), m.start()))
         elif m.group("float"):
-            val = _apply_suffix(float(m.group("float")), m.group("floatsuf"))
-            out.append(Tok("num", val, m.start()))
+            suf = m.group("floatsuf")
+            val = _apply_suffix(float(m.group("float")), suf)
+            st = suf if suf and suf[0] in "ui" else None
+            out.append(Tok("num", val, m.start(), st))
         elif m.group("int"):
             raw = m.group("int")
+            suf = m.group("intsuf")
             ival: float | int = int(raw, 16) if raw.startswith("0x") else int(raw)
-            out.append(Tok("num", _apply_suffix(ival, m.group("intsuf")), m.start()))
+            st = suf if suf and suf[0] in "ui" else None
+            out.append(Tok("num", _apply_suffix(ival, suf), m.start(), st))
         elif m.group("string"):
             body = m.group("string")[1:-1]
             body = body.encode().decode("unicode_escape")
@@ -211,6 +218,7 @@ class TypeSpec:
 
 
 _INT_TYPES = {f"{s}{w}" for s in "ui" for w in (8, 16, 24, 32, 40, 48, 56, 64, 128)}
+_NET_TYPE_CALLS = {"ip", "ip4", "ip6", "cidr", "cidr4", "cidr6", "eth"}
 _TYPE_NAMES = _INT_TYPES | {"float", "string", "bool", "boolean", "char"}
 
 
@@ -243,6 +251,10 @@ AGGS = {
     "sum", "avg", "min", "max", "count", "first", "last", "group",
     "and_all", "or_all", "count_distinct",
     "bitand", "bitor", "bitxor", "distinct", "fit",
+    # TOP family list-output + LARGEST/SMALLEST (raql_expr.type:317-346,
+    # 311-314) — engine-only accumulators (operators.topk is the
+    # Catalyst batch form)
+    "top", "largest", "histogram",
 }
 
 # per-row stateful functions (one output per input row, state scoped to
@@ -251,6 +263,12 @@ AGGS = {
 ROW_STATEFUL = {
     "lag", "latest", "oldest", "moveavg", "season_moveavg", "smooth",
     "distinct", "derive", "hysteresis", "remember", "sample",
+    # IS x IN TOP / RANK OF x IN TOP — per-row membership/rank against
+    # the running top state (raql_expr.type:319-323)
+    "is_in_top", "rank_in_top",
+    # ONE OUT OF / ONCE EVERY / PAST — sampling & time-window groups
+    # (doc:879-930, 1007)
+    "one_out_of", "once_every", "past",
 }
 
 _NULLARY = {"now", "random", "pi"}
@@ -365,6 +383,18 @@ class Parser:
             self.next()
             pat = self.expect("str")
             return Binop("like", e, Lit(pat.value))
+        if t.kind == "kw" and t.value == "case":
+            # x CASE SENSITIVE LIKE "p" (patterns.ramen:11; plain LIKE
+            # is case-insensitive per the reference's Globs default)
+            save = self.i
+            self.next()
+            nt = self.peek()
+            if nt.kind == "name" and nt.value.lower() == "sensitive":
+                self.next()
+                self.expect("kw", "like")
+                pat = self.expect("str")
+                return Binop("like_cs", e, Lit(pat.value))
+            self.i = save
         if t.kind == "kw" and t.value == "not":
             # NOT LIKE / NOT IN
             save = self.i
@@ -505,6 +535,20 @@ class Parser:
                 self.next()
                 return Field("#" + nt.value.lower())
             self.i = save
+        # IS x IN TOP n … (doc:997) — the only prefix use of IS
+        if t.kind == "kw" and t.value == "is":
+            save = self.i
+            self.next()
+            try:
+                x = self.parse_unary()
+                self.expect("kw", "in")
+                tt = self.expect("name")
+                if tt.value.lower() != "top":
+                    raise SyntaxError("IS … IN: expected TOP")
+                opts = self._parse_top_size()
+                return Call("is_in_top", [x], opts=self._parse_top_clauses(opts))
+            except SyntaxError:
+                self.i = save
         if t.kind == "op" and t.value == "-":
             self.next()
             e = self.parse_unary()
@@ -520,8 +564,55 @@ class Parser:
                 idx = self.parse_expr()
                 self.expect("op", "]")
                 e = Binop("index", e, idx)
+            elif (
+                isinstance(e, Lit)
+                and self.peek().kind == "op"
+                and self.peek().value == "?"
+            ):
+                # nullable-typed literal `1u8?` (src/raql_type.ml:16-33):
+                # the annotation doesn't change the value
+                self.next()
             else:
                 return e
+
+    def _parse_top_size(self) -> dict:
+        """``n [OVER m]`` after TOP — m (tracked size) is an accuracy
+        knob of the reference's bounded sketch (raql_expr.type:329
+        max_size); the exact engine consumes and ignores it."""
+        n = int(self.expect("num").value)
+        if self.peek().kind == "name" and self.peek().value.lower() == "over":
+            self.next()
+            self.expect("num")
+        return {"n": n}
+
+    def _parse_top_clauses(self, opts: dict) -> dict:
+        """Trailing TOP clauses: [BY w] [FOR THE LAST d] [ABOVE s
+        SIGMAS] (doc:975-1006)."""
+        while True:
+            t = self.peek()
+            if t.kind == "kw" and t.value == "by":
+                self.next()
+                opts["by"] = self.parse_expr()
+            elif t.kind == "kw" and t.value == "for":
+                self.next()
+                for w in ("the", "last"):
+                    tk = self.expect("name")
+                    if tk.value.lower() != w:
+                        raise SyntaxError("TOP: expected FOR THE LAST")
+                d = float(self.expect("num").value)
+                nt = self.peek()
+                if nt.kind == "name" and nt.value.lower() in _DURATION_UNITS:
+                    d *= _DURATION_UNITS[self.next().value.lower()]
+                opts["duration"] = d
+            elif t.kind == "name" and t.value.lower() == "above":
+                self.next()
+                s = float(self.expect("num").value)
+                u = self.expect("name")
+                if u.value.lower() != "sigmas":
+                    raise SyntaxError("TOP: expected SIGMAS")
+                opts["sigmas"] = s
+            else:
+                return opts
 
     def _parse_nulls_opt(self) -> bool | None:
         """Optional ``SKIP NULLS`` / ``KEEP NULLS`` after a stateful
@@ -558,7 +649,7 @@ class Parser:
             )
         )
 
-    def _parse_type_spec(self) -> TypeSpec:
+    def _parse_type_spec(self, allow_vec: bool = True) -> TypeSpec:
         t = self.expect("name")
         name = t.value.lower()
         if name not in _TYPE_NAMES:
@@ -566,7 +657,7 @@ class Parser:
         nullable = bool(self.accept("op", "?"))
         vec_dim = None
         is_arr = False
-        if self.accept("op", "["):
+        if allow_vec and self.accept("op", "["):
             if self.peek().kind == "num":
                 vec_dim = int(self.next().value)
             else:
@@ -578,18 +669,38 @@ class Parser:
         """Unary stateful-function application: ``SUM x``, ``MIN SKIP
         NULLS [..]``, ``COUNT DISTINCT x`` — returns None if the next
         tokens don't start an operand."""
+        lifespan = None
+        if self.accept("kw", "globally"):
+            # GLOBALLY lifespan (src/raql_expr.type:46-52). The fold's
+            # state is group-scoped; for ungrouped operations (the
+            # corpus uses SUM GLOBALLY on global streams) the two
+            # coincide — the grouped delta is documented in COVERAGE.
+            lifespan = "global"
+        elif self.peek().kind == "name" and self.peek().value.lower() == "locally":
+            self.next()
+            lifespan = "local"
         keep = self._parse_nulls_opt()
         if low == "count" and self.accept("kw", "distinct"):
             inner = Call("distinct", [self.parse_unary()])
             return Call("count", [inner], opts={"keep_nulls": keep})
         if not self._starts_operand():
             return None
-        opts = {} if keep is None else {"keep_nulls": keep}
+        opts: dict = {} if keep is None else {"keep_nulls": keep}
+        if lifespan is not None:
+            opts["lifespan"] = lifespan
         return Call(low, [self.parse_unary()], opts=opts)
 
     def parse_atom(self) -> Any:
         t = self.next()
         if t.kind == "num":
+            if t.suffix_type:
+                # width-suffixed literal keeps its declared type (PEEK
+                # unit widths, peek_array.ramen); optional trailing `?`
+                nullable = bool(self.accept("op", "?"))
+                return Call(
+                    "cast", [Lit(t.value)],
+                    opts={"to": TypeSpec(t.suffix_type, nullable)},
+                )
             return Lit(t.value)
         if t.kind == "str":
             return Lit(t.value)
@@ -603,7 +714,17 @@ class Parser:
             if t.value == "null":
                 return Lit(None)
             if t.value == "if":
-                cond = self.parse_expr()
+                # IF c THEN a [ELSE b] | IF(c, a[, b]) (doc:862-870)
+                if self.accept("op", "("):
+                    cond = self.parse_expr()
+                    if self.accept("op", ","):
+                        then = self.parse_expr()
+                        els = self.parse_expr() if self.accept("op", ",") else None
+                        self.expect("op", ")")
+                        return CaseWhen([(cond, then)], els)
+                    self.expect("op", ")")
+                else:
+                    cond = self.parse_expr()
                 self.expect("kw", "then")
                 then = self.parse_expr()
                 els = self.parse_expr() if self.accept("kw", "else") else None
@@ -653,9 +774,11 @@ class Parser:
         if t.kind == "name":
             name = t.value
             low = name.lower()
-            # PEEK type [[BIG|LITTLE] ENDIAN] operand (doc:94)
+            # PEEK type [[BIG|LITTLE] ENDIAN] operand (doc:94) — the
+            # type takes no vector suffix (a following `[` is the
+            # int-vector operand, peek_array.ramen:6)
             if low == "peek":
-                ts = self._parse_type_spec()
+                ts = self._parse_type_spec(allow_vec=False)
                 endian = "little"
                 nxt = self.peek()
                 if nxt.kind == "name" and nxt.value.lower() in ("big", "little"):
@@ -664,6 +787,130 @@ class Parser:
                     if en.value.lower() != "endian":
                         raise SyntaxError("PEEK: expected ENDIAN")
                 return Call("peek", [self.parse_unary()], opts={"type": ts, "endian": endian})
+            # TOP family (doc:975-1006, raql_expr.type:317-346):
+            # [LIST] TOP n [OVER m] x [BY w] [ABOVE s SIGMAS] and
+            # RANK OF x IN TOP n …; IS x IN TOP n … parses in
+            # parse_unary (prefix keyword IS)
+            if low == "list":
+                nxt = self.peek()
+                if nxt.kind == "name" and nxt.value.lower() == "top":
+                    self.next()
+                    low = "top"
+            if low == "top" and self.peek().kind == "num":
+                opts = self._parse_top_size()
+                x = self.parse_unary()
+                return Call("top", [x], opts=self._parse_top_clauses(opts))
+            if low == "rank":
+                nxt = self.peek()
+                if nxt.kind == "name" and nxt.value.lower() == "of":
+                    self.next()
+                    x = self.parse_unary()
+                    self.expect("kw", "in")
+                    tt = self.expect("name")
+                    if tt.value.lower() != "top":
+                        raise SyntaxError("RANK OF … IN: expected TOP")
+                    opts = self._parse_top_size()
+                    return Call(
+                        "rank_in_top", [x], opts=self._parse_top_clauses(opts)
+                    )
+            # [LARGEST|SMALLEST] [BUT b] [UP TO] n x [BY w, …]
+            # (doc:950-967; LATEST/OLDEST keyword forms go through the
+            # ROW_STATEFUL path below)
+            if low in ("largest", "smallest") and self.peek().kind in ("num", "name"):
+                inv = low == "smallest"
+                but = 0
+                up_to = False
+                t2 = self.peek()
+                if t2.kind == "name" and t2.value.lower() == "but":
+                    self.next()
+                    but = int(self.expect("num").value)
+                    t2 = self.peek()
+                if t2.kind == "name" and t2.value.lower() == "up":
+                    self.next()
+                    self.expect("kw", "to")
+                    up_to = True
+                    t2 = self.peek()
+                if t2.kind == "num":
+                    n = int(self.expect("num").value)
+                    x = self.parse_unary()
+                    by: list = []
+                    if self.accept("kw", "by"):
+                        by.append(self.parse_expr())
+                        while self.accept("op", ","):
+                            by.append(self.parse_expr())
+                    return Call(
+                        "largest", [x],
+                        opts={"n": n, "but": but, "by": by,
+                              "smallest": inv, "up_to": up_to},
+                    )
+            # CHANGED f — sugar for `not (f = previous.f)` against the
+            # last committed output (RamenExpr.ml:1570-1596)
+            if low == "changed" and (
+                self._starts_operand()
+                or (self.peek().kind == "op" and self.peek().value == "(")
+            ):
+                f = self.parse_unary()
+                if not isinstance(f, Field):
+                    raise SyntaxError("CHANGED is only valid for fields")
+                prev = Field("previous." + _strip_ns(f.path))
+                return Unop("not", Binop("=", f, prev))
+            # ONE OUT OF n x — nullify all but every nth value (doc:879)
+            if low == "one":
+                save = self.i
+                nt = self.peek()
+                if nt.kind == "name" and nt.value.lower() == "out":
+                    self.next()
+                    of = self.expect("name")
+                    if of.value.lower() != "of":
+                        self.i = save
+                    else:
+                        n_e = self.parse_unary()
+                        x = self.parse_unary()
+                        return Call("one_out_of", [n_e, x])
+            # ONCE EVERY d [TUMBLING|SLIDING] x — time-based ONE OUT OF
+            # (doc:908, RamenExpr.ml:1645; time = #start)
+            if low == "once":
+                nt = self.peek()
+                if nt.kind == "name" and nt.value.lower() == "every":
+                    self.next()
+                    d = float(self.expect("num").value)
+                    tumbling = False
+                    nt = self.peek()
+                    if nt.kind == "name" and nt.value.lower() in ("tumbling", "sliding"):
+                        tumbling = self.next().value.lower() == "tumbling"
+                    keep = self._parse_nulls_opt()
+                    x = self.parse_unary()
+                    o: dict = {"d": d, "tumbling": tumbling}
+                    if keep is not None:
+                        o["keep_nulls"] = keep
+                    return Call("once_every", [x], opts=o)
+            # [SAMPLE s] PAST d [TUMBLING] [OF] x [AT TIME t] (doc:1007,
+            # RamenExpr.ml past) — values of x within the last d seconds
+            if low == "past" and self._starts_operand():
+                d = float(self.expect("num").value)
+                tumbling = False
+                nt = self.peek()
+                if nt.kind == "name" and nt.value.lower() in ("tumbling", "sliding"):
+                    tumbling = self.next().value.lower() == "tumbling"
+                keep = self._parse_nulls_opt()
+                nt = self.peek()
+                if nt.kind == "name" and nt.value.lower() == "of":
+                    self.next()
+                x = self.parse_unary()
+                time_node = None
+                nt = self.peek()
+                if nt.kind == "name" and nt.value.lower() == "at":
+                    self.next()
+                    tm = self.expect("name")
+                    if tm.value.lower() != "time":
+                        raise SyntaxError("PAST: expected AT TIME")
+                    time_node = self.parse_unary()
+                o = {"d": d, "tumbling": tumbling}
+                if keep is not None:
+                    o["keep_nulls"] = keep
+                if time_node is not None:
+                    o["time"] = time_node
+                return Call("past", [x], opts=o)
             # INDEX [FROM START|END](s, c) (doc:666)
             if low == "index" and self.peek().kind == "kw" and self.peek().value == "from":
                 self.next()
@@ -680,13 +927,39 @@ class Parser:
             if low in ROW_STATEFUL and not (
                 self.peek().kind == "op" and self.peek().value == "("
             ):
+                # optional lifespan marker: REMEMBER GLOBALLY (…)
+                # (local_state_in_where_slow.ramen:5)
+                if self.accept("kw", "globally"):
+                    pass
+                elif self.peek().kind == "name" and self.peek().value.lower() == "locally":
+                    self.next()
                 keep = self._parse_nulls_opt()
+                if self.peek().kind == "op" and self.peek().value == "(":
+                    # `sample skip nulls (10, x)` — nulls opt before the
+                    # paren form (groups.ramen:20)
+                    args = self._parse_call_args()
+                    o = {} if keep is None else {"keep_nulls": keep}
+                    return Call(low, args, opts=o)
                 ops: list = []
                 while self._starts_operand() and len(ops) < 3:
                     ops.append(self.parse_unary())
+                    if keep is None:
+                        # `latest 10 skip nulls x` — opt between count
+                        # and operand (groups.ramen:15)
+                        keep = self._parse_nulls_opt()
                 if ops:
                     o = {} if keep is None else {"keep_nulls": keep}
                     return Call(low, ops, opts=o)
+            # net type-calls: ip(x)/ip4(x)/ip6(x)… keep the operand's
+            # numeric value (engine representation; the reference's
+            # typed TIp only changes printing, peek.ramen:7)
+            if low in _NET_TYPE_CALLS:
+                save = self.i
+                nullable = bool(self.accept("op", "?"))
+                if self.peek().kind == "op" and self.peek().value == "(":
+                    args = self._parse_call_args()
+                    return Call("net_cast", args, opts={"kind": low, "nullable": nullable})
+                self.i = save
             # type-call casts: U8(x), u32?(3) (doc:73 `…type…(…expr…)`)
             if low in _TYPE_NAMES:
                 save = self.i
@@ -765,6 +1038,23 @@ def _is_string_node(node) -> bool:
     return False
 
 
+def _is_bool_expr_node(node) -> bool:
+    """Syntactically-boolean expression (drives COUNT's count-true
+    semantics in the Catalyst fast path)."""
+    if isinstance(node, Lit):
+        return isinstance(node.value, bool)
+    if isinstance(node, Binop):
+        return node.op in (
+            "=", "<>", "!=", "<", "<=", ">", ">=", "and", "or",
+            "like", "like_cs", "in", "starts_with", "ends_with",
+        )
+    if isinstance(node, Unop):
+        return node.op in ("not", "is_null")
+    if isinstance(node, Call):
+        return node.fn in ("is_in_top", "remember", "distinct", "hysteresis")
+    return False
+
+
 def _is_bool_array_node(node) -> bool:
     return (
         isinstance(node, Call)
@@ -794,10 +1084,15 @@ class Compiler:
         in_shadow: dict[str, str] | None = None,
         in_names: frozenset[str] | None = None,
         window=None,
+        src_arrays: frozenset[str] | None = None,
     ):
         self.params = params or {}
         self.fns = _fn_registry()
         self.has_aggregate = False
+        # input columns of array type — `SUM f` over an array field is
+        # the Immediate (list-operand) form (kahan_sum.ramen:8), which
+        # the syntactic _is_array_node check alone can't see
+        self.src_arrays = src_arrays or frozenset()
         # window mode: aggregate calls compile to window aggregates over
         # this pyspark WindowSpec (the Catalyst-lowered COMMIT path) with
         # the fold's skip-nulls first/last semantics
@@ -838,6 +1133,17 @@ class Compiler:
                 node.path.startswith("in.") or plain in self.in_names
             ):
                 return F.col(self.in_shadow.get(plain, plain))
+            # bare parameter reference (params.ramen: input columns
+            # win via the in_names check above)
+            if plain in self.params:
+                v = self.params[plain]
+                if isinstance(v, int) and not isinstance(v, bool) and (
+                    v >= 2**63 or v < -(2**63)
+                ):
+                    from decimal import Decimal
+
+                    return F.lit(Decimal(v))
+                return F.lit(v)
             # nullary builtins usable bare (NOW, RANDOM, PI) — columns
             # of the same name win via the in_names check above
             low = plain.lower()
@@ -859,11 +1165,16 @@ class Compiler:
             raise ValueError(f"unknown unop {node.op}")
         if isinstance(node, Binop):
             if node.op == "like":
+                # reference default: case-INSENSITIVE (RamenExpr.ml:1061
+                # case_sensitive ~def:false; Globs.ml:142 lowercase cmp)
+                return self.col(node.a).ilike(node.b.value)
+            if node.op == "like_cs":
                 return self.col(node.a).like(node.b.value)
             if node.op == "in":
                 return self._compile_in(node.a, node.b)
             if node.op == "index":
-                return F.element_at(self.col(node.a), self.col(node.b) + 1)
+                # out-of-range GET is NULL (gets.ramen), hence try_
+                return F.try_element_at(self.col(node.a), self.col(node.b) + 1)
             # `int * string` repeats the string (doc:455) — resolved
             # syntactically on the literal-string side
             if node.op == "*":
@@ -946,6 +1257,10 @@ class Compiler:
         search, or IP-in-CIDR (doc:626)."""
         from ramen_spark.functions import network as N
 
+        if isinstance(a_node, Lit) and a_node.value is None:
+            # NULL IN s is NULL (doc:626 null propagation); Spark's
+            # array_contains rejects the untyped NULL needle
+            return F.lit(None).cast("boolean")
         if isinstance(b_node, Call) and b_node.fn == "_list":
             return self.col(a_node).isin(*[self.col(x) for x in b_node.args])
         if isinstance(b_node, NetLit) and b_node.kind in ("cidr4", "cidr6"):
@@ -960,6 +1275,9 @@ class Compiler:
         return F.array_contains(self.col(b_node), self.col(a_node))
 
     def _compile_cast(self, c: Column, ts: TypeSpec) -> Column:
+        # try_cast throughout: a failed conversion is NULL, not an
+        # error (reference cast semantics, casts.ramen "forty two";
+        # Spark 4 ANSI mode would otherwise raise)
         if ts.vec_dim is not None or ts.is_arr:
             elem = TypeSpec(ts.name, ts.nullable)
             return F.transform(c, lambda x: self._compile_cast(x, elem))
@@ -968,24 +1286,30 @@ class Compiler:
             signed = n.startswith("i")
             bits = int(n[1:])
             if bits > 64:
-                return c.cast("decimal(38,0)")
+                return c.try_cast("decimal(38,0)")
             if signed:
                 t = {8: "tinyint", 16: "smallint", 24: "int", 32: "int"}.get(bits, "long")
-                return c.cast("long").cast(t) if t != "long" else c.cast("long")
+                lc = c.try_cast("long")
+                return lc.try_cast(t) if t != "long" else lc
             # unsigned: wrap into [0, 2^bits) (2-complement wraparound,
             # site/language_reference.php "Integers")
             if bits >= 64:
-                return c.cast("decimal(38,0)")
-            return F.pmod(c.cast("long"), F.lit(1 << bits))
+                return c.try_cast("decimal(38,0)")
+            return F.pmod(c.try_cast("long"), F.lit(1 << bits))
         if n == "float":
-            return c.cast("double")
+            return c.try_cast("double")
         if n == "string":
             return c.cast("string")
         if n in ("bool", "boolean"):
-            return c.cast("boolean")
+            return c.try_cast("boolean")
         if n == "char":
             return c.cast("string")
         raise ValueError(f"unknown cast target {n!r}")
+
+    def _is_arrayish(self, node) -> bool:
+        return _is_array_node(node) or (
+            isinstance(node, Field) and _strip_ns(node.path) in self.src_arrays
+        )
 
     def _compile_peek(self, node: Call) -> Column:
         """PEEK type [endian] over a byte-string or int-vector
@@ -995,22 +1319,59 @@ class Compiler:
         if ts.name not in _INT_TYPES:
             raise ValueError("PEEK needs an integer type")
         bits = int(ts.name[1:])
-        if bits > 64:
-            raise NotImplementedError("PEEK beyond 64-bit not implemented")
         w = bits // 8
         operand = node.args[0]
-        if _is_array_node(operand):
+        # Unit width for int-vector operands comes from the items'
+        # declared type (peek_array.ramen: PEEK U64 [3u16; 2u16] reads
+        # u16 units; typed literals carry a cast from their suffix).
+        # Arrays read PARTIAL widths (t3 = PEEK U32 over 3 bytes is
+        # 0x10203, peek_array.test); strings require the full width
+        # (doc:115 PEEK U32 "\\002\\001" = NULL).
+        elem_bytes = 1
+        n_items_static = None
+        if isinstance(operand, Call) and operand.fn == "_array" and operand.args:
+            n_items_static = len(operand.args)
+            first = operand.args[0]
+            if (
+                isinstance(first, Call)
+                and first.fn == "cast"
+                and first.opts["to"].name in _INT_TYPES
+            ):
+                elem_bytes = int(first.opts["to"].name[1:]) // 8
+        elif (
+            isinstance(operand, Call)
+            and operand.fn == "cast"
+            and operand.opts["to"].name in _INT_TYPES
+        ):
+            o_ts: TypeSpec = operand.opts["to"]
+            elem_bytes = int(o_ts.name[1:]) // 8
+            n_items_static = o_ts.vec_dim
+        acc_t = "decimal(38,0)" if bits > 64 else "long"
+        if self._is_arrayish(operand):
             arr = self.col(operand)
-            byte = lambda i: F.element_at(arr, i).cast("long")  # noqa: E731
-            n_ok = F.size(arr) >= w
+            unit_scale = 8 * elem_bytes
+            nmax = max(w // elem_bytes, 1)
+            if n_items_static is not None:
+                n_units = min(n_items_static, nmax)
+                n_ok = F.size(arr) >= n_units
+            else:
+                n_units = nmax
+                n_ok = F.size(arr) >= n_units
+            unit = lambda i: F.element_at(arr, i).cast(acc_t)  # noqa: E731
         else:
             s = self.col(operand)
-            byte = lambda i: F.ascii(F.substring(s, i, 1)).cast("long")  # noqa: E731
+            n_units = w
+            unit_scale = 8
+            unit = lambda i: F.ascii(F.substring(s, i, 1)).cast(acc_t)  # noqa: E731
             n_ok = F.octet_length(s) >= w
-        total = F.lit(0).cast("long")
-        for i in range(1, w + 1):
-            shift = (i - 1) if endian == "little" else (w - i)
-            total = total + byte(i) * F.lit(1 << (8 * shift))
+        from decimal import Decimal
+
+        total = F.lit(0).cast(acc_t)
+        for i in range(1, n_units + 1):
+            shift = (i - 1) if endian == "little" else (n_units - i)
+            p2 = 2 ** (unit_scale * shift)
+            p2lit = F.lit(Decimal(p2)) if p2 >= 2**63 else F.lit(p2).cast(acc_t)
+            total = total + unit(i) * p2lit
         if ts.name.startswith("i") and bits < 64:
             total = F.when(
                 total >= F.lit(1 << (bits - 1)), total - F.lit(1 << bits)
@@ -1025,6 +1386,26 @@ class Compiler:
         "bitxor", "first", "last", "count", "distinct", "group", "fit",
     }
 
+    @staticmethod
+    def _kahan_sum(valid: Column) -> Column:
+        """Neumaier-compensated sum over an array (the reference sums
+        floats with Kahan compensation, src/Kahan.ml — kahan_sum.ramen
+        [1; 1e100; 1; -1e100] = 2)."""
+        zero = F.struct(F.lit(0.0).alias("s"), F.lit(0.0).alias("c"))
+
+        def step(a, x):
+            xd = x.cast("double")
+            s = a.getField("s")
+            t = s + xd
+            lost = F.when(F.abs(s) >= F.abs(xd), (s - t) + xd).otherwise(
+                (xd - t) + s
+            )
+            return F.struct(t.alias("s"), (a.getField("c") + lost).alias("c"))
+
+        return F.aggregate(
+            valid, zero, step, lambda a: a.getField("s") + a.getField("c")
+        )
+
     def _immediate(self, node: Call) -> Column:
         fn = node.fn
         arr = self.col(node.args[0])
@@ -1036,13 +1417,9 @@ class Compiler:
         elif fn == "max":
             out = F.array_max(arr)
         elif fn == "sum":
-            out = F.aggregate(valid, F.lit(0.0), lambda a, x: a + x.cast("double"))
+            out = self._kahan_sum(valid)
         elif fn == "avg":
-            out = F.when(
-                F.size(valid) > 0,
-                F.aggregate(valid, F.lit(0.0), lambda a, x: a + x.cast("double"))
-                / F.size(valid),
-            )
+            out = F.when(F.size(valid) > 0, self._kahan_sum(valid) / F.size(valid))
         elif fn == "and_all":
             out = F.forall(valid, lambda x: x)
         elif fn == "or_all":
@@ -1203,7 +1580,7 @@ class Compiler:
         if fn in ("min", "max") and len(node.args) >= 2:
             args = [self.col(a) for a in node.args]
             return S.min_of(*args) if fn == "min" else S.max_of(*args)
-        if fn in self._IMMEDIATE and node.args and _is_array_node(node.args[0]):
+        if fn in self._IMMEDIATE and node.args and self._is_arrayish(node.args[0]):
             return self._immediate(node)
         if fn in ("distinct", "fit"):
             raise NotImplementedError(
@@ -1215,7 +1592,30 @@ class Compiler:
             # COUNT of an immediate bool (e.g. COUNT DISTINCT [..]):
             # bool → count-true ⇒ 0 or 1 (doc:836 COUNT DISTINCT [1;2;1]=0)
             return self.col(node.args[0]).cast("int")
+        if fn == "histogram" and len(node.args) == 4:
+            # stateful HISTOGRAM x min max n → u32[n+2] counts
+            # (doc:784; histogram.ramen) — array of count_ifs in the
+            # fast path, the fold keeps a counts vector
+            self.has_aggregate = True
+            x = self.col(node.args[0])
+            lo, hi, nb = (float(a.value) for a in node.args[1:])
+            nb = int(nb)
+            b = S.histogram(x, lo, hi, nb)
+            cols = [F.count_if(b == i) for i in range(nb + 2)]
+            if self.window is not None:
+                cols = [c_.over(self.window) for c_ in cols]
+            return F.array(*cols)
+        if fn == "count" and node.args and _is_bool_expr_node(node.args[0]):
+            # COUNT bool counts TRUEs (doc:836) — fast-path count_if
+            self.has_aggregate = True
+            built = F.count_if(self.col(node.args[0]))
+            return built.over(self.window) if self.window is not None else built
         if fn in AGGS:
+            if fn in ("top", "largest"):
+                raise NotImplementedError(
+                    "TOP/LARGEST as a Column: use the COMMIT engine "
+                    "(compile_commit_operation) or operators.topk"
+                )
             self.has_aggregate = True
             arg = self.col(node.args[0]) if node.args else None
             if self.window is not None and fn in ("first", "last"):
@@ -1245,6 +1645,20 @@ class Compiler:
             if self.window is not None:
                 built = built.over(self.window)
             return built
+        if fn == "net_cast":
+            # numeric passthrough (see parser note)
+            return self.col(node.args[0])
+        if fn == "print":
+            # PRINT logs operands worker-side and returns the first
+            # (doc: print) — a pass-through in the plan
+            return self.col(node.args[0])
+        if fn == "get":
+            # GET(n, v): 0-based vector/array access (NULL out of
+            # range); GET("name", r) record field (doc:607-network)
+            idx, v = node.args
+            if isinstance(idx, Lit) and isinstance(idx.value, str):
+                return self.col(v).getField(idx.value)
+            return F.try_element_at(self.col(v), self.col(idx) + 1)
         if fn == "format_time":
             fmt = node.args[0]
             if not isinstance(fmt, Lit):
@@ -1320,6 +1734,13 @@ class Operation:
     # output tuple is unchanged; it feeds #start/#stop and the
     # timeseries start/stop convention (with_event_time).
     event_time: tuple | None = None
+    # YIELD select-list — clock-driven source (no FROM parents,
+    # src/RamenOperation.ml yield_clause): each EVERY tick evaluates the
+    # select list once. Batch compiles against a generated tick frame.
+    is_yield: bool = False
+    # EVERY d — the emission/refresh period (seconds). Pure timing in
+    # batch (run-to-completion); streaming twins use it as the trigger.
+    every: float | None = None
 
 
 def _parse_read_csv(p: Parser) -> ReadCsv:
@@ -1459,7 +1880,26 @@ def _parse_operation_body(p: Parser):
     sort_last = None
     notify = None
     event_time = None
+    is_yield = False
+    every = None
     seen_any = False
+
+    def parse_select_list() -> None:
+        while True:
+            if p.accept("op", "*"):
+                exclude: list[str] = []
+                while p.accept("op", "-"):
+                    exclude.append(p.expect("name").value)
+                fields.append(SelectField(Star(exclude), None))
+            else:
+                e = p.parse_expr()
+                alias = None
+                if p.accept("kw", "as"):
+                    alias = p.expect("name").value
+                fields.append(SelectField(e, alias))
+            if not p.accept("op", ","):
+                break
+
     while True:
         t = p.peek()
         if t.kind == "name" and t.value.lower() == "read" and not seen_any:
@@ -1470,24 +1910,46 @@ def _parse_operation_body(p: Parser):
             event_time = _parse_event_clause(p)
             seen_any = True
             continue
+        if t.kind == "name" and t.value.lower() == "yield":
+            # YIELD <select list> — clock-driven select
+            p.next()
+            is_yield = True
+            parse_select_list()
+            seen_any = True
+            continue
+        if t.kind == "name" and t.value.lower() == "every":
+            p.next()
+            if p.peek().kind == "num":
+                every = float(p.next().value)
+                nt = p.peek()
+                if nt.kind == "name" and nt.value.lower() in _DURATION_UNITS:
+                    every *= _DURATION_UNITS[p.next().value.lower()]
+            else:
+                # EVERY <param-expr> (tumbling.ramen: EVERY gen_dt) —
+                # timing only in batch; keep the node
+                every = p.parse_unary()
+            seen_any = True
+            continue
         if t.kind != "kw":
             break
+        if t.value in ("keep", "flush"):
+            # bare KEEP [ALL] / FLUSH (AFTER|BEFORE) cond — COMMIT
+            # elided (flappy.ramen: KEEP AFTER …)
+            p.next()
+            if t.value == "keep":
+                flush = False
+                if p.peek().kind == "name" and p.peek().value.lower() == "all":
+                    p.next()
+            if p.accept("kw", "before"):
+                commit_before = True
+            else:
+                p.expect("kw", "after")
+            commit_after = p.parse_expr()
+            seen_any = True
+            continue
         if t.value == "select":
             p.next()
-            while True:
-                if p.accept("op", "*"):
-                    exclude: list[str] = []
-                    while p.accept("op", "-"):
-                        exclude.append(p.expect("name").value)
-                    fields.append(SelectField(Star(exclude), None))
-                else:
-                    e = p.parse_expr()
-                    alias = None
-                    if p.accept("kw", "as"):
-                        alias = p.expect("name").value
-                    fields.append(SelectField(e, alias))
-                if not p.accept("op", ","):
-                    break
+            parse_select_list()
         elif t.value == "from":
             p.next()
             sources.append(_parse_source(p))
@@ -1548,7 +2010,7 @@ def _parse_operation_body(p: Parser):
         fields = [SelectField(Star([]), None)]
     return Operation(
         fields, sources, where, group_by, commit_after, commit_before, flush,
-        sort_last, notify, event_time,
+        sort_last, notify, event_time, is_yield, every,
     )
 
 
@@ -1567,6 +2029,8 @@ def _default_name(node, i: int) -> str:
     if isinstance(node, Field):
         return _strip_ns(node.path)
     if isinstance(node, Call) and node.args:
+        if node.fn == "histogram" and isinstance(node.args[0], Field):
+            return f"{_strip_ns(node.args[0].path)}_histogram"
         a = node.args[-1] if node.fn in ROW_STATEFUL else node.args[0]
         while isinstance(a, Call) and a.fn == "cast":
             a = a.args[0]
@@ -1622,10 +2086,21 @@ def _subst_event_fields(node, start_node, stop_node):
 
 def _rewrite_event_time(op: Operation) -> Operation:
     """Resolve #start/#stop across the operation's expressions using
-    its EVENT clause (no-op without one — the Compiler then falls back
-    to the start/stop column convention)."""
+    its EVENT clause. Without one, an output field named ``start``
+    (and ``stop``) is the reference's DEFAULT event time
+    (src/RamenEventTime.ml default); otherwise the Compiler falls back
+    to the start/stop column convention."""
     if op.event_time is None:
-        return op
+        names = {
+            f_.alias or _default_name(f_.expr, i)
+            for i, f_ in enumerate(op.fields)
+            if not isinstance(f_.expr, Star)
+        }
+        if "start" in names:
+            dur = ("stop", "stop", 1.0) if "stop" in names else ("const", 0.0)
+            op = replace(op, event_time=(("start", 1.0), dur))
+        else:
+            return op
     start_n, stop_n = _event_time_nodes(op.event_time)
     sub = lambda n: _subst_event_fields(n, start_n, stop_n)  # noqa: E731
     return replace(
@@ -1720,10 +2195,15 @@ def compile_operation(
         )
 
     df = source_df
+    from pyspark.sql.types import ArrayType
+
+    src_arrays = frozenset(
+        f_.name for f_ in df.schema.fields if isinstance(f_.dataType, ArrayType)
+    )
     if op.sort_last is not None:
         df = _apply_sort_last(df, op, params)
     if op.where is not None:
-        where_c = Compiler(params)
+        where_c = Compiler(params, src_arrays=src_arrays)
         cond = where_c.col(op.where)
         if where_c.has_aggregate:
             raise NotImplementedError("stateful WHERE needs the general COMMIT engine")
@@ -1751,7 +2231,7 @@ def compile_operation(
     cols: list[Column] = []
     agg_flags: list[bool] = []
     for i, f_ in enumerate(fields):
-        sub = Compiler(params)
+        sub = Compiler(params, src_arrays=src_arrays)
         col = sub.col(f_.expr)
         name = f_.alias or _default_name(f_.expr, i)
         out_names.append(name)
@@ -1810,7 +2290,10 @@ def compile_operation(
         if in_shadow:
             cols = []
             for f_, name in zip(fields, out_names):
-                sub = Compiler(params, in_shadow=in_shadow, in_names=in_names)
+                sub = Compiler(
+                    params, in_shadow=in_shadow, in_names=in_names,
+                    src_arrays=src_arrays,
+                )
                 cols.append(sub.col(f_.expr).alias(name))
         for name, col in zip(out_names, cols):
             out = out.withColumn(name, col)
@@ -1850,22 +2333,61 @@ def parse_program(text: str) -> ProgramAST:
     p = Parser(tokenize(text))
     parameters: dict[str, Any] = {}
     defines: list[DefineStmt] = []
+
+    def parse_param_default():
+        if p.accept("op", "["):
+            items = []
+            if not p.accept("op", "]"):
+                items.append(parse_param_default())
+                while p.accept("op", ";"):
+                    items.append(parse_param_default())
+                p.expect("op", "]")
+            return items
+        t = p.next()
+        if t.kind not in ("num", "str") and not (
+            t.kind == "kw" and t.value in ("true", "false", "null")
+        ):
+            raise SyntaxError(
+                f"RaQL: parameter default must be a literal, got {t.value!r}"
+            )
+        return (
+            {"true": True, "false": False, "null": None}[t.value]
+            if t.kind == "kw"
+            else t.value
+        )
+
+    def skip_param_type() -> None:
+        # optional type annotation: U16, I8?, U16[] (params.ramen),
+        # plus a units blob `{seconds}` (past.ramen)
+        t = p.peek()
+        if t.kind == "name" and t.value.lower() in _TYPE_NAMES:
+            p.next()
+            p.accept("op", "?")
+            if p.accept("op", "["):
+                p.expect("op", "]")
+                p.accept("op", "?")
+        if p.accept("op", "{"):
+            while not p.accept("op", "}"):
+                p.next()
+
     while p.peek().kind != "eof":
-        if p.accept("kw", "parameters"):
+        is_plural = p.peek().kind == "kw" and p.peek().value == "parameters"
+        is_singular = p.peek().kind == "name" and p.peek().value.lower() == "parameter"
+        if is_plural or is_singular:
+            p.next()
             while True:
                 pname = p.expect("name").value
-                p.expect("kw", "defaults")
-                p.expect("kw", "to")
-                t = p.next()
-                if t.kind not in ("num", "str") and not (
-                    t.kind == "kw" and t.value in ("true", "false", "null")
-                ):
-                    raise SyntaxError(f"RaQL: parameter default must be a literal, got {t.value!r}")
-                parameters[pname] = (
-                    {"true": True, "false": False, "null": None}[t.value]
-                    if t.kind == "kw"
-                    else t.value
+                skip_param_type()
+                has_default = p.accept("kw", "defaults") or (
+                    p.peek().kind == "name"
+                    and p.peek().value.lower() == "default"
+                    and p.next() is not None
                 )
+                if has_default:
+                    p.expect("kw", "to")
+                    parameters[pname] = parse_param_default()
+                else:
+                    parameters[pname] = None
                 if not p.accept("op", ","):
                     break
         elif p.accept("kw", "define"):
@@ -1941,6 +2463,22 @@ def _needs_fold_engine(op: Operation) -> bool:
                 n.args and _is_array_node(n.args[0])
             ):
                 return True
+            # previous/local_last namespace needs the fold's committed-
+            # output state (changed.ramen, flappy.ramen)
+            if isinstance(n, Field) and n.path.startswith(
+                ("previous.", "local_last.")
+            ):
+                return True
+    # clock-driven select (YIELD / FROM-less SELECT) with aggregates:
+    # the reference emits the running aggregate EVERY tick — per-row
+    # fold, not run-to-completion (event_time.ramen, one_out_of.ramen)
+    if (op.is_yield or not op.sources) and op.commit_after is None:
+        for e in exprs:
+            for n in _walk(e):
+                if isinstance(n, Call) and n.fn in AGGS and not (
+                    n.args and _is_array_node(n.args[0])
+                ):
+                    return True
     if op.commit_after is not None:
         if _commit_needs_engine(op.commit_after):
             return True
@@ -1956,6 +2494,11 @@ def _needs_fold_engine(op: Operation) -> bool:
         # in/out mixed (the tumbling `in.t > out.t + d` shape) stays on
         # the fast path: run-to-completion grouping subsumes it
     return False
+
+
+# batch tick count for stateful YIELD functions (enough for every
+# func-corpus `present` expectation; stateless yields use one tick)
+YIELD_TICKS = 1024
 
 
 def compile_program(text: str, name: str = "raql", base_dir: str | None = None):
@@ -1984,13 +2527,25 @@ def compile_program(text: str, name: str = "raql", base_dir: str | None = None):
             return read_body
 
         def body(spark, params, *parent_dfs):
-            if not parent_dfs:
+            if op.is_yield or not op.sources:
+                # YIELD: clock-driven select — the batch source is a
+                # generated tick frame (each row = one EVERY tick). The
+                # reference runner's `present` check tolerates any tick
+                # count ≥ what the expected tuples need; stateless
+                # yields get one tick, stateful ones YIELD_TICKS.
+                n = YIELD_TICKS if _needs_fold_engine(op) else 1
+                src = spark.range(n).withColumnRenamed("id", "_tick")
+            elif not parent_dfs:
                 raise ValueError("RaQL function needs at least one FROM parent")
-            src = parent_dfs[0]
-            for extra in parent_dfs[1:]:
-                src = src.unionByName(extra)
+            else:
+                src = parent_dfs[0]
+                for extra in parent_dfs[1:]:
+                    src = src.unionByName(extra)
             if _needs_fold_engine(op):
-                return compile_commit_operation(op, src, params=params)
+                return compile_commit_operation(
+                    op, src, params=params,
+                    order_cols=["_tick"] if "_tick" in src.columns else None,
+                )
             return compile_operation(op, src, params)
 
         return body
@@ -2029,7 +2584,7 @@ def compile_program(text: str, name: str = "raql", base_dir: str | None = None):
 # inside the general COMMIT engine (only what the fold needs — the
 # batch fast path keeps using Spark Columns).
 _PY_FNS: dict[str, Any] = {
-    "abs": abs,
+    "abs": lambda x: abs(x) if x is not None else None,
     "floor": lambda x: math.floor(x) if x is not None else None,
     "ceil": lambda x: math.ceil(x) if x is not None else None,
     "round": lambda x, n=0: round(x, int(n)) if x is not None else None,
@@ -2038,6 +2593,38 @@ _PY_FNS: dict[str, Any] = {
     "lower": lambda s: s.lower() if s is not None else None,
     "upper": lambda s: s.upper() if s is not None else None,
     "coalesce": lambda *a: next((x for x in a if x is not None), None),
+    # GET(i, v): 0-based vector access / record field (doc:607)
+    "get": lambda i, v: (
+        None
+        if v is None
+        else (
+            v.get(i)
+            if isinstance(v, dict)
+            else (
+                v[int(i)]
+                if isinstance(v, (list, tuple)) and 0 <= int(i) < len(v)
+                else None
+            )
+        )
+    ),
+    "print": lambda *a: a[0],
+    "net_cast": lambda x: x,
+    "force": lambda x: x,
+    "exp": lambda x: math.exp(x) if x is not None else None,
+    "log": lambda x: math.log(x) if x is not None and x > 0 else None,
+    "log10": lambda x: math.log10(x) if x is not None and x > 0 else None,
+    "sq": lambda x: x * x if x is not None else None,
+    "age": lambda x: (__import__("time").time() - x) if x is not None else None,
+    "basename": lambda s: s.rsplit("/", 1)[-1] if s is not None else None,
+    # RELDIFF(a,b) = |a-b| / max(|a|,|b|), 0 when both 0 (doc:511)
+    "reldiff": lambda a, b: (
+        None
+        if a is None or b is None
+        else (0.0 if a == b == 0 else abs(a - b) / max(abs(a), abs(b)))
+    ),
+    "truncate": lambda x, s=1: (
+        None if x is None else math.floor(x / s) * s
+    ),
 }
 
 
@@ -2083,21 +2670,36 @@ def _agg_nodes(node, acc: dict[str, Any], row: dict[str, Any]) -> None:
     src/raql_expr.type:220)."""
     if isinstance(node, Call):
         if node.fn in ROW_STATEFUL and node.fn != "distinct":
-            row.setdefault(repr(node), node)
+            # inner stateful args step BEFORE this node each row
             for a in node.args:
                 _agg_nodes(a, acc, row)
+            row.setdefault(repr(node), node)
             return
         if node.fn == "distinct" and node.args and not _is_array_node(node.args[0]):
             row.setdefault(repr(node), node)
             return
         accumulators = AGGS - {"distinct", "fit"}
-        if node.fn in accumulators and len(node.args) == 1:
-            if not any(_contains(a, accumulators) for a in node.args):
-                acc.setdefault(repr(node), node)
-                # args may still use row-stateful values
+        # list-VALUED stateful functions: an aggregate over their value
+        # is the Immediate form evaluated per use (sum group x, avg
+        # (latest 1 n)); scalar-valued nested accumulators BOTH
+        # accumulate per row (max(min h) = first h,
+        # fun_with_funcs.ramen:7)
+        list_valued = {"latest", "oldest", "sample", "past", "group", "top", "largest"}
+        if node.fn in accumulators and (
+            len(node.args) == 1
+            or (node.fn == "histogram" and len(node.args) == 4)
+        ):
+            if node.args and _is_array_node(node.args[0]):
+                # Immediate (array literal operand) — stateless per row
                 for a in node.args:
                     _agg_nodes(a, acc, row)
                 return
+            # inner states register (and thus update) first
+            for a in node.args:
+                _agg_nodes(a, acc, row)
+            if not any(_contains(a, list_valued) for a in node.args):
+                acc.setdefault(repr(node), node)
+            return
     for a in _children(node):
         _agg_nodes(a, acc, row)
 
@@ -2110,6 +2712,10 @@ def _py_immediate(fn: str, vals, keep_nulls: bool = False):
     twin of Compiler._immediate."""
     if vals is None:
         return None
+    if not isinstance(vals, (list, tuple)):
+        # nested aggregate over a SCALAR inner value (max(min h),
+        # fun_with_funcs.ramen:7) — aggregation of one value
+        vals = [vals]
     vals = list(vals)
     if keep_nulls and any(v is None for v in vals):
         return None
@@ -2178,17 +2784,22 @@ def _py_fit(obs):
         return None
     obs = [o for o in obs if o is not None]
     if isinstance(obs[0] if obs else None, (tuple, list)):
+        # (y, x1, …, xk) observations — multiple regression, predictors
+        # centered on the first observation (CodeGenLib.ml LinReg /
+        # MultiLinReg); predicts the LAST observation's y
         if len(obs) < 1:
             return None
-        y0, x0 = float(obs[0][0]), float(obs[0][1])
         if len(obs) == 1:
-            return y0
-        body = obs[1:-1]
-        sxy = sum((float(y) - y0) * (float(x) - x0) for y, x in body)
-        sxx = sum((float(x) - x0) ** 2 for _, x in body)
-        slope = sxy / sxx if sxx else 0.0
-        x_pred = float(obs[-1][1])
-        return y0 + slope * (x_pred - x0)
+            return float(obs[0][0])
+        import numpy as np
+
+        arr = np.array([[float(v) for v in o] for o in obs], dtype=float)
+        y0, x0 = arr[0, 0], arr[0, 1:]
+        body = arr[1:-1]
+        if body.shape[0] == 0:
+            return float(y0)
+        coef, *_ = np.linalg.lstsq(body[:, 1:] - x0, body[:, 0] - y0, rcond=None)
+        return float(y0 + (arr[-1, 1:] - x0) @ coef)
     ys = [float(v) for v in obs[:-1]]
     m = len(ys)
     if m < 1:
@@ -2256,6 +2867,33 @@ class _Fold:
         self.out_names = [
             f_.alias or _default_name(f_.expr, i) for i, f_ in enumerate(op.fields)
         ]
+        # resolved event-time start expression for DERIVE/ONCE EVERY/
+        # PAST (out-field refs inlined to their definitions so the
+        # per-row step can evaluate them against the input row)
+        self.start_node = None
+        if op.event_time is not None:
+            sn, _ = _event_time_nodes(op.event_time)
+            defs = {
+                (f_.alias or _default_name(f_.expr, i)): f_.expr
+                for i, f_ in enumerate(op.fields)
+                if not isinstance(f_.expr, Star)
+            }
+
+            def sub(n):
+                if isinstance(n, Field) and n.path.startswith("out."):
+                    nm = n.path[4:]
+                    if nm in defs:
+                        return defs[nm]
+                    return n
+                if isinstance(n, Binop):
+                    return Binop(n.op, sub(n.a), sub(n.b))
+                if isinstance(n, Unop):
+                    return Unop(n.op, sub(n.e))
+                if isinstance(n, Call):
+                    return Call(n.fn, [sub(a) for a in n.args], n.opts)
+                return n
+
+            self.start_node = sub(sn)
 
     # -- state ------------------------------------------------------------
     def init_state(self) -> dict:
@@ -2288,22 +2926,30 @@ class _Fold:
             n = int(ev(node.args[0]))
             x = ev(node.args[-1])
             buf = rs.setdefault(key, [])
-            if fn == "latest":
-                buf.append(x)
-                if len(buf) > n:
-                    buf.pop(0)
-            elif len(buf) < n:
-                buf.append(x)
+            if x is not None or node.opts.get("keep_nulls"):
+                # SKIP NULLS default: null inputs don't consume a slot
+                # (last.ramen win2, groups.ramen)
+                if fn == "latest":
+                    buf.append(x)
+                    if len(buf) > n:
+                        buf.pop(0)
+                elif len(buf) < n:
+                    buf.append(x)
             return list(buf)
         if fn == "moveavg":
+            # average of the k values BEFORE the current one
+            # (moveavg.ramen:8 'does not consider the last value';
+            # CodeGenLib seasonal note)
             k = int(ev(node.args[0])) if len(node.args) == 2 else 1
             x = ev(node.args[-1])
             buf = rs.setdefault(key, [])
-            buf.append(x)
-            if len(buf) > k:
-                buf.pop(0)
             vv = [v for v in buf if v is not None]
-            return sum(vv) / len(vv) if vv else None
+            val = sum(vv) / len(vv) if vv else None
+            if x is not None or node.opts.get("keep_nulls"):
+                buf.append(x)
+                if len(buf) > k:
+                    buf.pop(0)
+            return val
         if fn == "season_moveavg":
             p = int(ev(node.args[0]))
             k = int(ev(node.args[1]))
@@ -2323,9 +2969,113 @@ class _Fold:
             val = x if prev is None else (alpha * x + (1 - alpha) * prev)
             rs[key] = val
             return val
+        if fn == "sample":
+            # SAMPLE (n, x) — reservoir of the last-committed window
+            # (doc:870; reference uses its RNG — any uniform reservoir
+            # satisfies the contract, seeded for determinism)
+            import random as _random
+
+            n = int(ev(node.args[0]))
+            x = ev(node.args[-1])
+            st_ = rs.setdefault(key, {"buf": [], "seen": 0, "rng": _random.Random(0x5A17)})
+            keep = node.opts.get("keep_nulls", False)
+            if x is not None or keep:
+                st_["seen"] += 1
+                if len(st_["buf"]) < n:
+                    st_["buf"].append(x)
+                else:
+                    j = st_["rng"].randrange(st_["seen"])
+                    if j < n:
+                        st_["buf"][j] = x
+            # an empty reservoir is NULL, not [] (sample.ramen:7)
+            return list(st_["buf"]) if st_["buf"] else None
+        if fn == "derive":
+            # DERIVE x — dx/dt against event time #start (doc: derive;
+            # derive.ramen dx = 3 for start += 1, x = 3*start)
+            t = self._event_start(row, state, previous)
+            x = ev(node.args[-1])
+            prev = rs.get(key)
+            val = None
+            if x is None and node.opts.get("keep_nulls"):
+                rs[key] = None  # poison the pair — next point restarts
+                return None
+            if x is not None and t is not None:
+                if prev is not None and t != prev[0]:
+                    val = (x - prev[1]) / (t - prev[0])
+                rs[key] = (t, x)
+            return val
+        if fn == "one_out_of":
+            # value every nth input, NULL otherwise (doc:879)
+            n = int(ev(node.args[0]))
+            i = rs.get(key, 0)
+            rs[key] = i + 1
+            return ev(node.args[1]) if i % n == 0 else None
+        if fn == "once_every":
+            # time-based ONE OUT OF on #start (doc:908): tumbling =
+            # aligned windows, sliding = at least d since last emission
+            d = float(node.opts["d"])
+            t = self._event_start(row, state, previous)
+            if t is None:
+                return None
+            last = rs.get(key)
+            if node.opts.get("tumbling"):
+                fire = last is None or int(t // d) != int(last // d)
+            else:
+                fire = last is None or t - last >= d
+            if fire:
+                rs[key] = t
+                return ev(node.args[0])
+            return None
+        if fn == "past":
+            # values of x whose time is within the last d seconds
+            # (raql_expr.type Past; sliding unless TUMBLING)
+            d = float(node.opts["d"])
+            tnode = node.opts.get("time")
+            t = (
+                ev(tnode)
+                if tnode is not None
+                else self._event_start(row, state, previous)
+            )
+            x = ev(node.args[0])
+            buf = rs.setdefault(key, [])
+            buf.append((t, x))
+            if node.opts.get("tumbling"):
+                lo = (t // d) * d if t is not None else None
+                buf[:] = [e_ for e_ in buf if e_[0] is not None and e_[0] >= lo]
+            elif t is not None:
+                buf[:] = [e_ for e_ in buf if e_[0] is not None and e_[0] > t - d]
+            return [v for _, v in buf]
+        if fn in ("is_in_top", "rank_in_top"):
+            # per-row: insert x into the running top state, then test
+            # membership / rank (raql_expr.type:319-323; exact weights,
+            # not the bounded sketch)
+            if node.opts.get("duration") is not None:
+                raise NotImplementedError(
+                    "IS IN TOP … FOR THE LAST d in the fold: use "
+                    "operators.topk.decayed_top"
+                )
+            x = ev(node.args[0])
+            wnode = node.opts.get("by")
+            w = 1 if wnode is None else ev(wnode)
+            d = rs.setdefault(key, {})
+            if x is not None and w is not None:
+                d[x] = d.get(x, 0) + w
+            top = _Fold._top_entries(
+                d, int(node.opts["n"]), float(node.opts.get("sigmas", 0) or 0)
+            )
+            if fn == "is_in_top":
+                return x in top
+            # rank: 1-based, heaviest first (operators.topk convention;
+            # the reference's HeavyHitters.rank counts lightest-first —
+            # an iteration-order quirk no test pins down)
+            return top.index(x) + 1 if x in top else None
         raise NotImplementedError(
             f"row-stateful {fn} in the COMMIT fold (see operators.series)"
         )
+
+    def _event_start(self, row, state, previous):
+        node = self.start_node if self.start_node is not None else Field("#start")
+        return self._eval(node, row, state, previous, None)
 
     def update_where(self, state: dict, row: dict, previous) -> bool:
         """Advance WHERE-clause stateful functions and evaluate the
@@ -2343,16 +3093,23 @@ class _Fold:
         state["__last_row"] = row
         rs = state["__rs"]
         rv = state["__rv"]
+        # the engine stashes the group's last committed output here so
+        # per-row steps can read the previous/local_last namespace
+        # (derive.ramen: previous.start inside DERIVE's argument)
+        prev = state.get("__prev_out")
         for key, node in self.row_defs.items():
-            rv[key] = self._row_step(node, rs, row, state, None)
+            rv[key] = self._row_step(node, rs, row, state, prev)
         for k in self.agg_keys:
             node = self.agg_defs[k]
             cur = state[k]
             if cur is _POISON:
                 continue
-            arg = self._eval(node.args[0], row, state, None, None)
+            arg = self._eval(node.args[0], row, state, prev, None)
             fn = node.fn
-            if node.opts.get("keep_nulls") and arg is None and fn != "count":
+            if node.opts.get("keep_nulls") and arg is None:
+                # KEEP NULLS: a NULL argument nullifies the aggregate —
+                # including COUNT (count.test: num_eco_cars_nullable
+                # NULL when any CO2 is NULL)
                 state[k] = _POISON
                 continue
             if fn == "count":
@@ -2389,8 +3146,57 @@ class _Fold:
                 s = cur if isinstance(cur, set) else set()
                 s.add(arg)
                 state[k] = s
+            elif fn == "top":
+                # running weights per contributor (HeavyHitters.ml add;
+                # exact, not the bounded sketch). Decayed form is
+                # operators.topk.decayed_top — not a batch fold
+                if node.opts.get("duration") is not None:
+                    raise NotImplementedError(
+                        "TOP … FOR THE LAST d in the COMMIT fold: use "
+                        "operators.topk.decayed_top"
+                    )
+                wnode = node.opts.get("by")
+                w = 1 if wnode is None else self._eval(wnode, row, state, prev, None)
+                if w is not None:
+                    d = cur if isinstance(cur, dict) else {}
+                    d[arg] = d.get(arg, 0) + w
+                    state[k] = d
+            elif fn == "histogram":
+                lo, hi, nb = (float(a.value) for a in node.args[1:])
+                nb = int(nb)
+                counts = cur if isinstance(cur, list) else [0] * (nb + 2)
+                v_ = float(arg)
+                if v_ < lo:
+                    i_ = 0
+                elif v_ >= hi:
+                    i_ = nb + 1
+                else:
+                    i_ = int((v_ - lo) / ((hi - lo) / nb)) + 1
+                counts[i_] += 1
+                state[k] = counts
+            elif fn == "largest":
+                lst = cur if isinstance(cur, list) else []
+                by_nodes = node.opts.get("by") or []
+                by_vals = tuple(
+                    self._eval(b, row, state, prev, None) for b in by_nodes
+                )
+                lst.append((by_vals, state["__n"], arg))
+                state[k] = lst
             else:
                 raise NotImplementedError(f"aggregate {fn} in COMMIT fold")
+
+    @staticmethod
+    def _top_entries(d: dict, n: int, sigmas: float) -> list:
+        """Contributors by weight desc (stable → first-seen order on
+        ties), noise-filtered per ABOVE s SIGMAS
+        (HeavyHitters.ml:193-210 cutoff: w ≥ mean + s·σ of weights)."""
+        items = sorted(d.items(), key=lambda kv: -kv[1])
+        if sigmas > 0 and d:
+            ws = list(d.values())
+            mean = sum(ws) / len(ws)
+            sd = max(sum(w * w for w in ws) / len(ws) - mean * mean, 0.0) ** 0.5
+            items = [(x, w) for x, w in items if w >= mean + sigmas * sd]
+        return [x for x, _ in items[:n]]
 
     def _agg_value(self, state: dict, key: str):
         v = state[key]
@@ -2402,6 +3208,33 @@ class _Fold:
             return s / n if n else None
         if fn == "count" and v is None:
             return 0
+        if fn == "histogram" and v is None:
+            node = self.agg_defs[key]
+            return [0] * (int(node.args[3].value) + 2)
+        if fn == "top":
+            node = self.agg_defs[key]
+            if not isinstance(v, dict):
+                return []
+            return self._top_entries(
+                v, int(node.opts["n"]), float(node.opts.get("sigmas", 0) or 0)
+            )
+        if fn == "largest":
+            node = self.agg_defs[key]
+            if not isinstance(v, list):
+                return None if not node.opts.get("up_to") else []
+            n = int(node.opts["n"])
+            but = int(node.opts.get("but", 0))
+            inv = bool(node.opts.get("smallest"))
+            if node.opts.get("by"):
+                ordered = sorted(v, key=lambda t: t[0], reverse=not inv)
+            else:
+                # arrival order: LARGEST = most recent first,
+                # SMALLEST = oldest first (GREATEST BY SUM GLOBALLY 1)
+                ordered = sorted(v, key=lambda t: t[1], reverse=not inv)
+            picked = [x for _, _, x in ordered[but:but + n]]
+            if len(picked) < n and not node.opts.get("up_to"):
+                return None  # strict form: NULL until n entries exist
+            return picked
         if fn == "count_distinct":
             return len(v) if isinstance(v, set) else 0
         return v
@@ -2431,7 +3264,20 @@ class _Fold:
                 return row[_strip_ns(path)]
             if low == "pi":
                 return math.pi
-            raise KeyError(f"unknown field {path!r} in COMMIT fold")
+            if low == "random":
+                import random as _random
+
+                return _random.random()
+            if low == "now":
+                import time as _time
+
+                return _time.time()
+            if _strip_ns(path) in self.params:
+                return self.params[_strip_ns(path)]
+            raise KeyError(
+                f"unknown field {path!r} in COMMIT fold "
+                f"(row keys: {sorted(row) if row is not None else None})"
+            )
         if isinstance(node, Call) and state is not None:
             key = repr(node)
             if key in self.agg_defs:
@@ -2458,6 +3304,9 @@ class _Fold:
             b = self._eval(node.b, row, state, previous, out_partial)
             if a is None or b is None:
                 return None
+            if node.op == "index":
+                i_ = int(b)
+                return a[i_] if isinstance(a, (list, tuple)) and 0 <= i_ < len(a) else None
             return {
                 "+": lambda: a + b, "-": lambda: a - b, "*": lambda: a * b,
                 "/": lambda: None if b == 0 else a / b,
@@ -2469,6 +3318,11 @@ class _Fold:
                     else math.fmod(a, b)
                 ),
                 "^": lambda: a ** b,
+                "&": lambda: int(a) & int(b),
+                "|": lambda: int(a) | int(b),
+                "#": lambda: int(a) ^ int(b),
+                "<<": lambda: int(a) << int(b),
+                ">>": lambda: int(a) >> int(b),
                 ">": lambda: a > b, ">=": lambda: a >= b,
                 "<": lambda: a < b, "<=": lambda: a <= b,
                 "=": lambda: a == b, "!=": lambda: a != b, "<>": lambda: a != b,
@@ -2515,10 +3369,20 @@ class _Fold:
 
     # -- engine callbacks --------------------------------------------------
     def finalize(self, state, row, previous):
+        # the candidate output is built ONCE per input row (reference
+        # updates minimal_out in the group state): commit_cond and the
+        # engine's emission must see the SAME tuple even when fields
+        # are volatile (RANDOM in changed.ramen/min_max.ramen)
+        memo = state.get("__fin")
+        mkey = (state.get("__n"), id(row))
+        if memo is not None and memo[0] == mkey:
+            return memo[1]
         out: dict[str, Any] = {}
         for name, f_ in zip(self.out_names, self.op.fields):
             out[name] = self._eval(f_.expr, row, state, previous, out)
-        return {k: v for k, v in out.items() if not k.startswith("_")}
+        res = {k: v for k, v in out.items() if not k.startswith("_")}
+        state["__fin"] = (mkey, res)
+        return res
 
     def commit_cond(self, state, row, previous):
         # only build the candidate output when the condition reads it
@@ -2527,7 +3391,15 @@ class _Fold:
                 isinstance(n, Field) and n.path.startswith("out.")
                 for n in _walk(self.op.commit_after)
             )
-        out = self.finalize(state, row, previous) if self._refs_out else None
+        out = None
+        if self._refs_out:
+            # AFTER mode and cross-group triggers build the candidate
+            # from the group's last aggregated row; BEFORE mode on the
+            # group's own incoming row (pre-update state,
+            # commit_before.ramen LAG semantics)
+            own_before = self.op.commit_before and not state.get("__trig")
+            fin_row = row if own_before else state.get("__last_row", row)
+            out = self.finalize(state, fin_row, previous)
         return self._eval(self.op.commit_after, row, state, previous, out) is True
 
 
@@ -2543,6 +3415,8 @@ def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> 
 
     if isinstance(node, Lit):
         v = node.value
+        if v is None:
+            return None  # untyped NULL — surrounding expr decides
         if isinstance(v, bool):
             return "boolean"
         if isinstance(v, int):
@@ -2552,20 +3426,42 @@ def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> 
         if isinstance(v, str):
             return "string"
         return "double"
+    def _param_ddl(v):
+        if isinstance(v, float):
+            return "double"
+        if isinstance(v, bool):
+            return "boolean"
+        if isinstance(v, int):
+            return INT
+        if isinstance(v, list):
+            inner = _param_ddl(v[0]) if v else "double"
+            return f"array<{inner}>"
+        return "string"
+
     if isinstance(node, Field):
         p = node.path
         if p.startswith("param."):
-            v = params.get(p[6:])
-            return "double" if isinstance(v, float) else (
-                "boolean" if isinstance(v, bool) else (
-                    INT if isinstance(v, int) else "string"))
+            return _param_ddl(params.get(p[6:]))
         name = _strip_ns(p)
+        if p.startswith(("out.", "previous.", "local_last.")):
+            name = p.split(".", 1)[1]
         if p.startswith(("out.", "previous.", "local_last.")) and name in out:
             return out[name]
+        if p.startswith(("previous.", "local_last.")):
+            # self-referential previous.X (YIELD 1 + (previous.count |?
+            # -1) AS count): the type isn't known yet — unknown sentinel,
+            # resolved by the surrounding expression (coalesce/arith)
+            return None
+        if p in ("#start", "#stop"):
+            return "double"
+        if name.lower() in ("random", "now", "pi"):
+            return "double"
         if name in src:
             return src[name]
         if name in out:
             return out[name]
+        if name in params:
+            return _param_ddl(params.get(name))
         raise KeyError(f"cannot infer type of field {p!r}")
     if isinstance(node, Unop):
         if node.op in ("not", "is_null"):
@@ -2574,22 +3470,33 @@ def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> 
     if isinstance(node, Binop):
         o = node.op
         if o in ("=", "<>", "!=", "<", "<=", ">", ">=", "and", "or", "like",
-                 "in", "starts_with", "ends_with"):
+                 "like_cs", "in", "starts_with", "ends_with"):
             return "boolean"
         if o == "||":
             return "string"
         if o == "/":
             return "double"
         if o == "//":
-            return INT
+            a, b = rec(node.a), rec(node.b)
+            return "double" if "double" in (a, b) else INT
         if o in ("+", "-", "*", "%", "^"):
             a, b = rec(node.a), rec(node.b)
+            if a is None:
+                a = b
+            if b is None:
+                b = a
+            if a is None:
+                return None
             if "string" in (a, b):
                 return "string"
             return "double" if "double" in (a, b) or o == "^" else INT
         return "double"
     if isinstance(node, CaseWhen):
-        return rec(node.branches[0][1])
+        cands = [rec(v) for _, v in node.branches]
+        if node.otherwise is not None:
+            cands.append(rec(node.otherwise))
+        known = [t_ for t_ in cands if t_ is not None]
+        return known[0] if known else None
     if isinstance(node, Call):
         fn = node.fn
         if fn == "cast":
@@ -2616,11 +3523,32 @@ def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> 
         if fn == "sum":
             a = rec(node.args[0])
             return "double" if a == "double" else INT
-        if fn in ("min", "max", "first", "last", "lag", "coalesce", "force", "abs"):
+        if fn in ("coalesce", "force", "abs"):
             ts_ = [rec(a) for a in node.args]
-            return ts_[-1]
-        if fn in ("group", "latest", "oldest", "sample", "_array"):
+            known = [t_ for t_ in ts_ if t_ is not None]
+            return known[0] if known else None
+        if fn in ("min", "max", "first", "last", "lag"):
+            ts_ = [rec(a) for a in node.args]
+            known = [t_ for t_ in ts_ if t_ is not None]
+            return known[-1] if known else None
+        if fn in ("group", "latest", "oldest", "sample", "_array", "top",
+                  "largest", "past"):
             return f"array<{rec(node.args[-1])}>"
+        if fn == "is_in_top":
+            return "boolean"
+        if fn == "rank_in_top":
+            return INT
+        if fn == "net_cast":
+            return rec(node.args[0])
+        if fn in ("one_out_of", "once_every", "print", "force"):
+            return rec(node.args[-1])
+        if fn == "histogram":
+            return "array<bigint>"
+        if fn == "get":
+            inner = rec(node.args[1])
+            return inner[6:-1] if inner.startswith("array<") else inner
+        if fn == "split":
+            return "string"
         if fn == "percentile_of":
             elem = rec(node.args[1])
             elem = elem[6:-1] if elem.startswith("array<") else elem
@@ -2642,7 +3570,7 @@ def infer_output_schema(op: Operation, src_schema, params: dict[str, Any] | None
         if isinstance(f_.expr, Star):
             raise NotImplementedError("schema inference with * select")
         name = f_.alias or _default_name(f_.expr, i)
-        ddl = _infer_ddl(f_.expr, src, out, params or {})
+        ddl = _infer_ddl(f_.expr, src, out, params or {}) or "double"
         out[name] = ddl
         if not name.startswith("_"):
             parts.append(f"{name} {ddl}")
@@ -2659,6 +3587,112 @@ def check_commit_for_all(node) -> bool:
         ):
             return True
     return False
+
+
+def _expand_star(op: Operation, df: DataFrame) -> Operation:
+    """Expand ``*`` select fields against the input columns (reference
+    star rules, RamenOperation.ml:1254-1271) — shared by the COMMIT
+    engine paths; compile_operation has its own inline copy."""
+    if not any(isinstance(f_.expr, Star) for f_ in op.fields):
+        return op
+    named = {
+        f_.alias or _default_name(f_.expr, i)
+        for i, f_ in enumerate(op.fields)
+        if not isinstance(f_.expr, Star)
+    }
+    fields: list[SelectField] = []
+    for f_ in op.fields:
+        if isinstance(f_.expr, Star):
+            skip = named | set(f_.expr.exclude)
+            fields.extend(
+                SelectField(Field(c), c) for c in df.columns if c not in skip
+            )
+        else:
+            fields.append(f_)
+    return replace(op, fields=fields)
+
+
+def _inline_select_refs(op: Operation, in_cols: set[str]) -> Operation:
+    """Inline references to EARLIER select fields (bare or ``out.``)
+    into later field expressions, for the COMMIT engine: aggregates
+    like ``COUNT _low_emit`` (count.ramen:15) must see the referenced
+    field's per-row DEFINITION during state update, before any output
+    tuple exists. Bare names prefer the input tuple (reference
+    resolution order); shared sub-expressions still share one fold
+    state because states are keyed by structural repr. WHERE and
+    COMMIT clauses are untouched — ``out.`` there means the candidate
+    output tuple, not the defining expression."""
+    defs: dict[str, Any] = {}
+
+    def subst(node):
+        if isinstance(node, Field):
+            nm = _strip_ns(node.path)
+            if node.path.startswith("out.") and nm in defs:
+                return defs[nm]
+            if (
+                "." not in node.path
+                and not node.path.startswith("#")
+                and nm in defs
+            ):
+                # bare ref to an EARLIER select field resolves to OUT
+                # even when an input column shares the name
+                # (RamenOperation.ml:770-775; tumbling.ramen stop)
+                return defs[nm]
+            return node
+        if isinstance(node, Unop):
+            return Unop(node.op, subst(node.e))
+        if isinstance(node, Binop):
+            return Binop(node.op, subst(node.a), subst(node.b))
+        if isinstance(node, Call):
+            return Call(node.fn, [subst(a) for a in node.args], node.opts)
+        if isinstance(node, CaseWhen):
+            return CaseWhen(
+                [(subst(c), subst(v)) for c, v in node.branches],
+                subst(node.otherwise) if node.otherwise is not None else None,
+            )
+        return node
+
+    fields = []
+    for i, f_ in enumerate(op.fields):
+        name = f_.alias or _default_name(f_.expr, i)
+        expr = f_.expr if isinstance(f_.expr, Star) else subst(f_.expr)
+        fields.append(SelectField(expr, f_.alias))
+        defs[name] = expr
+
+    # in WHERE/COMMIT, bare names that name a select field (and not an
+    # input column) denote the candidate OUTPUT tuple (changed.ramen:
+    # COMMIT AFTER CHANGED answer) — qualify them so the fold resolves
+    # them against out/previous state
+    def qualify(node):
+        if isinstance(node, Field):
+            nm = _strip_ns(node.path)
+            if "." not in node.path and nm in defs:
+                # commit_cond: any select alias resolves to OUT
+                # (prefix_smart with allow_out, RamenOperation.ml:795)
+                return Field("out." + nm)
+            return node
+        if isinstance(node, Unop):
+            return Unop(node.op, qualify(node.e))
+        if isinstance(node, Binop):
+            return Binop(node.op, qualify(node.a), qualify(node.b))
+        if isinstance(node, Call):
+            return Call(node.fn, [qualify(a) for a in node.args], node.opts)
+        if isinstance(node, CaseWhen):
+            return CaseWhen(
+                [(qualify(c), qualify(v)) for c, v in node.branches],
+                qualify(node.otherwise) if node.otherwise is not None else None,
+            )
+        return node
+
+    # WHERE resolves bare names to the INPUT only (prefix_smart
+    # ~allow_out:false, RamenOperation.ml:793); COMMIT sees out
+    return replace(
+        op,
+        fields=fields,
+        commit_after=(
+            qualify(op.commit_after) if op.commit_after is not None else None
+        ),
+    )
 
 
 _LOWERABLE_AGGS = {
@@ -2838,6 +3872,8 @@ def compile_commit_operation(
             flush = False
 
     df = source_df
+    op = _expand_star(op, df)
+    op = _inline_select_refs(op, set(df.columns))
     keys = []
     for i, k in enumerate(op.group_by):
         if isinstance(k, Field):
@@ -2905,14 +3941,36 @@ def compile_commit_operation(
         and n.path.startswith(("out.", "previous.", "local_last."))
         for n in _walk(op.commit_after)
     )
-    if (
-        not isinstance(op.commit_after, Lit)
-        and check_commit_for_all(op.commit_after)
-        and not refs_beyond_in
-    ):
+    trigger_rows = None
+    if not isinstance(op.commit_after, Lit) and check_commit_for_all(op.commit_after):
         first_order = order_col if isinstance(order_col, str) else order_col[0]
-        trig_rows = df.filter(Compiler(params).col(op.commit_after)).select(first_order).collect()
-        triggers = sorted(r[0] for r in trig_rows)
+        if not refs_beyond_in:
+            trig_rows = df.filter(Compiler(params).col(op.commit_after)).select(first_order).collect()
+            triggers = sorted(r[0] for r in trig_rows)
+        elif not any(
+            isinstance(n, Call) and n.fn in ROW_STATEFUL
+            for n in _walk(op.commit_after)
+        ):
+            # in+out mixed condition (COMMIT AFTER in.start > out.stop):
+            # collect the in-referenced columns of EVERY row as global
+            # conditional triggers (the reference's explicitly-slow
+            # check-all path, src/CodeGenLib_Skeletons.ml:810-868)
+            in_cols = sorted(
+                {
+                    _strip_ns(n.path)
+                    for n in _walk(op.commit_after)
+                    if isinstance(n, Field)
+                    and not n.path.startswith(
+                        ("out.", "previous.", "local_last.", "param.", "#")
+                    )
+                    and _strip_ns(n.path) in df.columns
+                }
+            )
+            proj = df.select(first_order, *in_cols).collect()
+            trigger_rows = sorted(
+                ((r[0], {c: r[c] for c in in_cols}) for r in proj),
+                key=lambda t_: t_[0],
+            )
 
     if output_schema is None:
         output_schema = infer_output_schema(op, df.schema, params)
@@ -2946,6 +4004,7 @@ def compile_commit_operation(
         flush=flush,
         where=fold.update_where if fold_where is not None else None,
         triggers=triggers,
+        trigger_rows=trigger_rows,
     )
 
 
@@ -2984,6 +4043,8 @@ def compile_commit_streaming(
             flush = False
 
     df = stream_df
+    op = _expand_star(op, df)
+    op = _inline_select_refs(op, set(df.columns))
     keys = []
     for i, k in enumerate(op.group_by):
         if isinstance(k, Field):
@@ -3051,7 +4112,10 @@ def _commit_needs_engine(node) -> bool:
     if isinstance(node, Field):
         return node.path.startswith(("previous.", "local_last."))
     if isinstance(node, Call):
-        if node.fn in AGGS and len(node.args) == 1:
+        if node.fn in AGGS and (
+            len(node.args) == 1
+            or (node.fn == "histogram" and len(node.args) == 4)
+        ):
             return True
         return any(_commit_needs_engine(a) for a in node.args)
     if isinstance(node, Unop):

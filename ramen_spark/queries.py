@@ -358,6 +358,36 @@ def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "top_users_above_sigmas",
+    """
+    WITH g AS (
+      SELECT user_id, sum(value) AS w FROM events GROUP BY user_id
+    ), s AS (
+      SELECT avg(w) AS mw, stddev_pop(w) AS sw FROM g
+    )
+    SELECT user_id, round(w, 6) AS weight,
+           row_number() OVER (ORDER BY w DESC, user_id ASC) AS rank
+    FROM g, s
+    WHERE w >= mw + 1.0 * coalesce(sw, 0)
+    QUALIFY rank <= 10
+    """,
+)
+def top_users_above_sigmas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP n x BY w ABOVE s SIGMAS (raql_expr.type:328-346,
+    HeavyHitters.ml:193-210): drop contributors whose weight is within
+    s stddevs of the mean before ranking — the reference's noise
+    filter, exact. Stats are a broadcast 1-row aggregate over the
+    already-aggregated keyset (operators.topk._sigma_filter); rounding
+    applied after the filter so the threshold compares unrounded sums
+    on both sides."""
+    ev = _t(spark, sf_dir, "events")
+    top = TopK.top_list(ev, ["user_id"], 10, weight=F.col("value"), sigmas=1.0)
+    return top.select(
+        "user_id", F.round(F.col("weight"), 6).alias("weight"), "rank"
+    )
+
+
+@register(
     "decayed_top_users",
     """
     WITH t AS (

@@ -75,12 +75,16 @@ def streaming_commit_aggregate(
         rows.sort(key=lambda r: tuple(r[c] for c in order_list))
 
         for row in rows:
+            if isinstance(st, dict):
+                st["__prev_out"] = previous  # previous namespace for update
             if commit_before:
                 if commit_cond(st, row, previous):
                     out = finalize(st, row, previous)
                     out_rows.append(out)
                     previous = out
                     st = init_state()
+                    if isinstance(st, dict):
+                        st["__prev_out"] = previous
                 update(st, row)
             else:
                 update(st, row)

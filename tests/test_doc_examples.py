@@ -63,7 +63,12 @@ def parse_expected(s: str):
         return [parse_expected(x) for x in body.split(";")] if body else []
     if re.fullmatch(r"-?\d+", s):
         return int(s)
-    return float(s)
+    if re.fullmatch(r"-?0x[0-9a-fA-F]+", s):
+        return int(s, 16)
+    try:
+        return float(s)
+    except ValueError:
+        return s  # opaque repr (IPs, tuples) — callers may normalize
 
 
 def values_equal(got, want) -> bool:

@@ -209,3 +209,25 @@ def test_season_program(spark):
         ],
         "season/f",
     )
+
+
+# -- top_expr (top_expr.ramen / top_expr.test) -----------------------------
+
+
+def test_top_expr_program(spark):
+    """TOP family from original RaQL text (top_expr.ramen): IS x IN
+    TOP n inside IF (per-row membership against running top state) and
+    LIST TOP n x (group-lifespan contributor list). The reference runs
+    a bounded heavy-hitter sketch (HeavyHitters.ml); the engine
+    computes exact weights, which can only improve the top estimate —
+    the .test tuples hold for both."""
+    ext = {"fixtures/cars/csv": _fixture(spark, "cars")}
+    prog = _program(spark, "top_expr.ramen", externals=ext)
+
+    # f1: IS IN TOP 2 routes manufacturers to themselves or "other"
+    f1 = {r["approx_manufacturer"] for r in prog["f1"].collect()}
+    assert {"BMW", "Toyota", "other"} <= f1
+
+    # f2: LIST TOP 3 — the exact top-3 manufacturers by car count
+    rows = prog["f2"].collect()
+    assert [r["top_manufacturers"] for r in rows] == [["BMW", "Toyota", "GM"]]

@@ -466,3 +466,52 @@ def test_with_event_time_bridge(spark):
     df = spark.createDataFrame([(10.0, 12.5)], "first double, last double")
     r = with_event_time(df, op).collect()[0]
     assert (r["start"], r["stop"]) == (10.0, 12.5)
+
+
+def test_parse_top_family():
+    """TOP grammar forms (doc:975-1006): LIST TOP, IS IN TOP with BY /
+    OVER / ABOVE SIGMAS, RANK OF … IN TOP, LARGEST/SMALLEST BUT/UP TO."""
+    from ramen_spark.plans.raql import Call, parse_expr
+
+    e = parse_expr("list top 3 manufacturer")
+    assert isinstance(e, Call) and e.fn == "top" and e.opts["n"] == 3
+
+    e = parse_expr("top 5 user_id by value above 2 sigmas")
+    assert e.fn == "top" and e.opts["sigmas"] == 2.0 and e.opts["by"] is not None
+
+    e = parse_expr("is manufacturer in top 2 over 20")
+    assert e.fn == "is_in_top" and e.opts["n"] == 2
+
+    e = parse_expr("rank of user_id in top 10 by value")
+    assert e.fn == "rank_in_top" and e.opts["n"] == 10
+
+    e = parse_expr("largest but 1 up to 3 v by w")
+    assert e.fn == "largest" and e.opts == {
+        "n": 3, "but": 1, "by": e.opts["by"], "smallest": False, "up_to": True
+    } and len(e.opts["by"]) == 1
+
+    e = parse_expr("smallest 2 v")
+    assert e.fn == "largest" and e.opts["smallest"] and e.opts["by"] == []
+
+
+def test_top_and_largest_in_commit_fold(spark):
+    """LIST TOP / RANK OF / LARGEST evaluate in the COMMIT engine with
+    exact weights (top_expr.ramen semantics)."""
+    from ramen_spark.plans.raql import compile_commit_operation
+
+    rows = [("x", 1.0)] * 5 + [("z", 1.0)] * 1 + [("y", 1.0)] * 3
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "seq int, item string, w double"
+    )
+    out = compile_commit_operation(
+        "select top 2 item as t2, largest up to 2 seq as l2, "
+        "rank of item in top 2 as rk "
+        "commit after sum 1 >= 9",
+        df,
+        output_schema="t2 array<string>, l2 array<int>, rk bigint",
+        order_cols=["seq"],
+    )
+    r = out.collect()[0]
+    assert r["t2"] == ["x", "y"]        # exact counts 5, 3
+    assert r["l2"] == [8, 7]            # arrival order: most recent first
+    assert r["rk"] == 2                 # last row's item = y → rank 2

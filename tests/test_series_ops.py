@@ -180,3 +180,29 @@ def test_ivf_topk_recall_and_pruning(spark):
     # scale shape: the probe join is an equi-join, never a cartesian
     plan = ivf._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_top_above_sigmas_filters_noise(spark):
+    """TOP … ABOVE s SIGMAS (raql_expr.type:328-346): entries whose
+    aggregated weight is within s stddevs of the mean are dropped even
+    when n would admit them; sigmas=0 keeps everything."""
+    # 20 noise items of weight ~1, one heavy hitter of weight 50
+    rows = [(f"n{i}", 1.0) for i in range(20)] + [("hot", 50.0)]
+    df = spark.createDataFrame(rows, "item string, w double")
+
+    noisy = TopK.top_list(df, ["item"], 5, weight=F.col("w"))
+    assert noisy.count() == 5  # no filter: noise fills the top
+
+    clean = TopK.top_list(df, ["item"], 5, weight=F.col("w"), sigmas=2.0)
+    got = [(r["item"], r["rank"]) for r in clean.collect()]
+    assert got == [("hot", 1)]  # only the >2σ outlier survives
+
+    # grouped form: per-key stats, parallel window (no global funnel)
+    rows2 = [("a", f"n{i}", 1.0) for i in range(20)] + [("a", "hot", 50.0)]
+    rows2 += [("b", f"m{i}", 1.0) for i in range(10)]  # b: all noise, σ=0
+    df2 = spark.createDataFrame(rows2, "k string, item string, w double")
+    g = TopK.top_list(df2, ["item"], 5, weight=F.col("w"), by=["k"], sigmas=2.0)
+    by_k = {(r["k"], r["item"]) for r in g.collect()}
+    assert ("a", "hot") in by_k and not any(k == "a" and i != "hot" for k, i in by_k)
+    # σ=0 group: threshold = mean, all-equal weights survive (w >= mean)
+    assert sum(1 for k, _ in by_k if k == "b") == 5
