@@ -57,8 +57,12 @@ _DURATIONS = {"ms": 1e-3, "s": 1.0, "min": 60.0, "h": 3600.0, "d": 86400.0, "w":
 
 _NUM_SUF = (
     r"(?:[ui](?:8|16|24|32|40|48|56|64|128))"
-    r"|Ki|Mi|Gi|Ti|Pi|ms|min|th|[kMGTPshdw]"
+    r"|Ki|Mi|Gi|Ti|Pi|ms|min|st|nd|rd|th|[kMGTPshdw]"
 )
+
+# ordinal literal suffixes — `1st x` is GET(0, x), `90th percentile`
+# keeps the numeric value (site/language_reference.php "Ordinals")
+_ORDINALS = ("st", "nd", "rd", "th")
 
 _TOKEN_RE = re.compile(
     r"""
@@ -70,7 +74,7 @@ _TOKEN_RE = re.compile(
   | (?P<float>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)(?P<floatsuf>NUMSUF)?
   | (?P<int>0x[0-9a-fA-F]+|\d+)(?P<intsuf>NUMSUF)?
   | (?P<string>"(?:\\.|[^"\\])*")
-  | (?P<op><=|>=|<>|!=|\|\||\|\?|<<|>>|//|[-+*/%^=<>(),;?\[\]{}&|\#])
+  | (?P<op><=|>=|<>|!=|\|\||\|\?|<<|>>|//|[-+*/%^=<>(),;?:\[\]{}&|\#])
   | (?P<name>[A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*)*)
     """.replace("NUMSUF", _NUM_SUF),
     re.VERBOSE,
@@ -101,7 +105,7 @@ def _apply_suffix(val: float | int, suf: str | None) -> float | int:
     int-width (u8/i32…) suffixes on numeric literals
     (site/language_reference.php "Scales", "Units"; width suffixes
     src/raql_type.ml:16-33 — widths don't change the value)."""
-    if not suf or suf == "th" or suf[0] in "ui":
+    if not suf or suf in _ORDINALS or suf[0] in "ui":
         return val
     if suf in _SCALES:
         scaled = val * _SCALES[suf]
@@ -131,13 +135,17 @@ def tokenize(text: str) -> list[Tok]:
         elif m.group("float"):
             suf = m.group("floatsuf")
             val = _apply_suffix(float(m.group("float")), suf)
-            st = suf if suf and suf[0] in "ui" else None
+            st = suf if suf and suf[0] in "ui" else (
+                "ord" if suf in _ORDINALS else None
+            )
             out.append(Tok("num", val, m.start(), st))
         elif m.group("int"):
             raw = m.group("int")
             suf = m.group("intsuf")
             ival: float | int = int(raw, 16) if raw.startswith("0x") else int(raw)
-            st = suf if suf and suf[0] in "ui" else None
+            st = suf if suf and suf[0] in "ui" else (
+                "ord" if suf in _ORDINALS else None
+            )
             out.append(Tok("num", _apply_suffix(ival, suf), m.start(), st))
         elif m.group("string"):
             body = m.group("string")[1:-1]
@@ -269,6 +277,9 @@ ROW_STATEFUL = {
     # ONE OUT OF / ONCE EVERY / PAST — sampling & time-window groups
     # (doc:879-930, 1007)
     "one_out_of", "once_every", "past",
+    # FIT_MULTI (n, y, x1…) = MultiLinReg over the last n observations
+    # (RamenExpr.ml:1452-1453)
+    "fit_multi",
 }
 
 _NULLARY = {"now", "random", "pi"}
@@ -594,16 +605,22 @@ class Parser:
                 self.next()
                 opts["by"] = self.parse_expr()
             elif t.kind == "kw" and t.value == "for":
+                # FOR [THE LAST] d — decay duration
+                # (local_state_in_where_slow.ramen: `for 1`)
                 self.next()
-                for w in ("the", "last"):
+                if self.peek().kind == "name" and self.peek().value.lower() == "the":
+                    self.next()
                     tk = self.expect("name")
-                    if tk.value.lower() != w:
+                    if tk.value.lower() != "last":
                         raise SyntaxError("TOP: expected FOR THE LAST")
-                d = float(self.expect("num").value)
-                nt = self.peek()
-                if nt.kind == "name" and nt.value.lower() in _DURATION_UNITS:
-                    d *= _DURATION_UNITS[self.next().value.lower()]
-                opts["duration"] = d
+                opts["duration"] = self._parse_duration()
+            elif t.kind == "name" and t.value.lower() == "at":
+                # AT TIME t — decay clock (raql_expr.type:336 time)
+                self.next()
+                tm = self.expect("name")
+                if tm.value.lower() != "time":
+                    raise SyntaxError("TOP: expected AT TIME")
+                opts["time"] = self.parse_unary()
             elif t.kind == "name" and t.value.lower() == "above":
                 self.next()
                 s = float(self.expect("num").value)
@@ -613,6 +630,48 @@ class Parser:
                 opts["sigmas"] = s
             else:
                 return opts
+
+    def _parse_duration(self):
+        """Duration operand: numeric literal (suffix already applied by
+        the tokenizer) with an optional unit word, or a field/param
+        name resolved at compile time (past.ramen `past three_years`)."""
+        if self.peek().kind == "num":
+            d = float(self.next().value)
+            nt = self.peek()
+            if nt.kind == "name" and nt.value.lower() in _DURATION_UNITS:
+                d *= _DURATION_UNITS[self.next().value.lower()]
+            return d
+        return Field(self.expect("name").value)
+
+    def _parse_past(self, sample_n: int | None = None):
+        """PAST d [TUMBLING|SLIDING] [OF] x [AT TIME t] — 'PAST'
+        already consumed (doc:1007, RamenExpr.ml Past)."""
+        d = self._parse_duration()
+        tumbling = False
+        nt = self.peek()
+        if nt.kind == "name" and nt.value.lower() in ("tumbling", "sliding"):
+            tumbling = self.next().value.lower() == "tumbling"
+        keep = self._parse_nulls_opt()
+        nt = self.peek()
+        if nt.kind == "name" and nt.value.lower() == "of":
+            self.next()
+        x = self.parse_unary()
+        time_node = None
+        nt = self.peek()
+        if nt.kind == "name" and nt.value.lower() == "at":
+            self.next()
+            tm = self.expect("name")
+            if tm.value.lower() != "time":
+                raise SyntaxError("PAST: expected AT TIME")
+            time_node = self.parse_unary()
+        o: dict = {"d": d, "tumbling": tumbling}
+        if sample_n is not None:
+            o["sample"] = sample_n
+        if keep is not None:
+            o["keep_nulls"] = keep
+        if time_node is not None:
+            o["time"] = time_node
+        return Call("past", [x], opts=o)
 
     def _parse_nulls_opt(self) -> bool | None:
         """Optional ``SKIP NULLS`` / ``KEEP NULLS`` after a stateful
@@ -693,6 +752,19 @@ class Parser:
     def parse_atom(self) -> Any:
         t = self.next()
         if t.kind == "num":
+            if t.suffix_type == "ord":
+                # ordinal accessor `1st some_tup` = GET(0, …) on a
+                # tuple/vector (constructed_types.ramen:5); before
+                # PERCENTILE it's the plain number (`90th percentile`)
+                nt = self.peek()
+                if nt.kind == "kw" and nt.value == "percentile":
+                    return Lit(t.value)
+                if self._starts_operand() or (
+                    nt.kind == "op" and nt.value == "("
+                ):
+                    operand = self.parse_unary()
+                    return Call("get_ord", [operand], opts={"i": int(t.value)})
+                return Lit(t.value)
             if t.suffix_type:
                 # width-suffixed literal keeps its declared type (PEEK
                 # unit widths, peek_array.ramen); optional trailing `?`
@@ -742,6 +814,10 @@ class Parser:
             if t.value == "distinct":
                 # DISTINCT x — novelty flag (doc/raql/expr.ml:816)
                 return Call("distinct", [self.parse_unary()])
+            if t.value == "in":
+                # whole-input-tuple ref, e.g. GET("f", in)
+                # (constructed_types.ramen:28)
+                return Field("in")
             if t.value in ("and", "or", "group"):
                 # aggregate forms in operand position: AND [..] /
                 # OR KEEP NULLS [..] / GROUP x (doc:748-755, 800) — no
@@ -771,6 +847,23 @@ class Parser:
                     items.append(self.parse_expr())
                 self.expect("op", "]")
             return Call("_array", items)
+        if t.kind == "op" and t.value == "{":
+            # record literal { k : v ; … } (constructed_types.ramen:9);
+            # later fields may reference earlier ones by name — resolve
+            # those intra-record refs at parse time
+            names: list[str] = []
+            items = []
+            while True:
+                k = self.expect("name").value
+                self.expect("op", ":")
+                v = self.parse_expr()
+                v = _subst_fields(v, dict(zip(names, items)))
+                names.append(k)
+                items.append(v)
+                if not self.accept("op", ";"):
+                    break
+            self.expect("op", "}")
+            return Call("_record", items, opts={"names": names})
         if t.kind == "name":
             name = t.value
             low = name.lower()
@@ -873,7 +966,7 @@ class Parser:
                 nt = self.peek()
                 if nt.kind == "name" and nt.value.lower() == "every":
                     self.next()
-                    d = float(self.expect("num").value)
+                    d = self._parse_duration()
                     tumbling = False
                     nt = self.peek()
                     if nt.kind == "name" and nt.value.lower() in ("tumbling", "sliding"):
@@ -884,33 +977,43 @@ class Parser:
                     if keep is not None:
                         o["keep_nulls"] = keep
                     return Call("once_every", [x], opts=o)
+            # SAMPLE [OF SIZE] n [OF THE] PAST d … — reservoir-bounded
+            # PAST window (RamenExpr.ml past sample_size;
+            # baseline.ramen:16, past.ramen:29). Plain SAMPLE(n, x) /
+            # SAMPLE n x fall through to the ROW_STATEFUL path.
+            if low == "sample":
+                save = self.i
+                try:
+                    if self.peek().kind == "name" and self.peek().value.lower() == "of":
+                        self.next()
+                        if not (
+                            self.peek().kind == "name"
+                            and self.peek().value.lower() == "size"
+                        ):
+                            raise SyntaxError("sample: not the PAST form")
+                        self.next()
+                    if self.peek().kind != "num":
+                        raise SyntaxError("sample: not the PAST form")
+                    n = int(self.next().value)
+                    for w in ("of", "the"):
+                        if (
+                            self.peek().kind == "name"
+                            and self.peek().value.lower() == w
+                        ):
+                            self.next()
+                    if not (
+                        self.peek().kind == "name"
+                        and self.peek().value.lower() == "past"
+                    ):
+                        raise SyntaxError("sample: not the PAST form")
+                    self.next()
+                    return self._parse_past(sample_n=n)
+                except SyntaxError:
+                    self.i = save
             # [SAMPLE s] PAST d [TUMBLING] [OF] x [AT TIME t] (doc:1007,
             # RamenExpr.ml past) — values of x within the last d seconds
             if low == "past" and self._starts_operand():
-                d = float(self.expect("num").value)
-                tumbling = False
-                nt = self.peek()
-                if nt.kind == "name" and nt.value.lower() in ("tumbling", "sliding"):
-                    tumbling = self.next().value.lower() == "tumbling"
-                keep = self._parse_nulls_opt()
-                nt = self.peek()
-                if nt.kind == "name" and nt.value.lower() == "of":
-                    self.next()
-                x = self.parse_unary()
-                time_node = None
-                nt = self.peek()
-                if nt.kind == "name" and nt.value.lower() == "at":
-                    self.next()
-                    tm = self.expect("name")
-                    if tm.value.lower() != "time":
-                        raise SyntaxError("PAST: expected AT TIME")
-                    time_node = self.parse_unary()
-                o = {"d": d, "tumbling": tumbling}
-                if keep is not None:
-                    o["keep_nulls"] = keep
-                if time_node is not None:
-                    o["time"] = time_node
-                return Call("past", [x], opts=o)
+                return self._parse_past()
             # INDEX [FROM START|END](s, c) (doc:666)
             if low == "index" and self.peek().kind == "kw" and self.peek().value == "from":
                 self.next()
@@ -1075,6 +1178,36 @@ def _strip_ns(path: str) -> str:
         if path.startswith(ns):
             return path[len(ns):]
     return path
+
+
+def _subst_fields(node, mapping: dict[str, Any]):
+    """Replace plain Field refs by AST nodes (record literals' intra-
+    record references, generator hoisting)."""
+    if not mapping:
+        return node
+    if isinstance(node, Field):
+        return mapping.get(_strip_ns(node.path), node)
+    if isinstance(node, Unop):
+        return Unop(node.op, _subst_fields(node.e, mapping))
+    if isinstance(node, Binop):
+        return Binop(
+            node.op, _subst_fields(node.a, mapping), _subst_fields(node.b, mapping)
+        )
+    if isinstance(node, Call):
+        return Call(
+            node.fn, [_subst_fields(a, mapping) for a in node.args], opts=node.opts
+        )
+    if isinstance(node, CaseWhen):
+        return CaseWhen(
+            [
+                (_subst_fields(c, mapping), _subst_fields(v, mapping))
+                for c, v in node.branches
+            ],
+            _subst_fields(node.otherwise, mapping)
+            if node.otherwise is not None
+            else None,
+        )
+    return node
 
 
 class Compiler:
@@ -1516,6 +1649,23 @@ class Compiler:
             return F.struct(
                 *[self.col(a).alias(f"_{i}") for i, a in enumerate(node.args)]
             )
+        if fn == "_record":
+            # record literal { k : v ; … } → named struct
+            # (constructed_types.ramen:9, src/raql_type.ml TRec)
+            return F.struct(
+                *[
+                    self.col(a).alias(n)
+                    for n, a in zip(node.opts["names"], node.args)
+                ]
+            )
+        if fn == "get_ord":
+            # `1st t` / `2nd t` — positional GET on a tuple (struct
+            # field _k) or vector (constructed_types.ramen:5)
+            i = int(node.opts["i"])
+            base = self.col(node.args[0])
+            if self._is_arrayish(node.args[0]):
+                return F.try_element_at(base, F.lit(i))
+            return base.getField(f"_{i - 1}")
         if fn == "cast":
             return self._compile_cast(self.col(node.args[0]), node.opts["to"])
         if fn == "peek":
@@ -1657,6 +1807,10 @@ class Compiler:
             # range); GET("name", r) record field (doc:607-network)
             idx, v = node.args
             if isinstance(idx, Lit) and isinstance(idx.value, str):
+                if isinstance(v, Field) and v.path in ("in", "out"):
+                    # GET("f", in) — field of the whole input tuple
+                    # (constructed_types.ramen:28)
+                    return self.col(Field(v.path + "." + idx.value))
                 return self.col(v).getField(idx.value)
             return F.try_element_at(self.col(v), self.col(idx) + 1)
         if fn == "format_time":
@@ -1893,6 +2047,18 @@ def _parse_operation_body(p: Parser):
                 fields.append(SelectField(Star(exclude), None))
             else:
                 e = p.parse_expr()
+                # units annotation `{seconds(rel)}` — metadata only
+                # (past.ramen:11, src/RamenUnits.ml)
+                if p.accept("op", "{"):
+                    depth = 1
+                    while depth:
+                        tk = p.next()
+                        if tk.kind == "op" and tk.value == "{":
+                            depth += 1
+                        elif tk.kind == "op" and tk.value == "}":
+                            depth -= 1
+                        elif tk.kind == "eof":
+                            raise SyntaxError("unterminated units annotation")
                 alias = None
                 if p.accept("kw", "as"):
                     alias = p.expect("name").value
@@ -1942,9 +2108,13 @@ def _parse_operation_body(p: Parser):
                     p.next()
             if p.accept("kw", "before"):
                 commit_before = True
+                commit_after = p.parse_expr()
+            elif p.accept("kw", "after"):
+                commit_after = p.parse_expr()
             else:
-                p.expect("kw", "after")
-            commit_after = p.parse_expr()
+                # bare KEEP — the commit condition defaults to true
+                # (baseline.ramen:29; RamenOperation default commit)
+                commit_after = Lit(True)
             seen_any = True
             continue
         if t.value == "select":
@@ -2463,10 +2633,11 @@ def _needs_fold_engine(op: Operation) -> bool:
                 n.args and _is_array_node(n.args[0])
             ):
                 return True
-            # previous/local_last namespace needs the fold's committed-
-            # output state (changed.ramen, flappy.ramen)
+            # previous/local_last/global_last namespaces need the
+            # fold's committed-output state (changed.ramen,
+            # flappy.ramen, previous.ramen)
             if isinstance(n, Field) and n.path.startswith(
-                ("previous.", "local_last.")
+                ("previous.", "local_last.", "local_last_out.", "global_last")
             ):
                 return True
     # clock-driven select (YIELD / FROM-less SELECT) with aggregates:
@@ -2486,7 +2657,7 @@ def _needs_fold_engine(op: Operation) -> bool:
             return True  # COMMIT AFTER true / KEEP → per-row emission
         refs_out = any(
             isinstance(n, Field)
-            and n.path.startswith(("out.", "previous.", "local_last."))
+            and n.path.startswith(("out.", "previous.", "local_last.", "local_last_out.", "global_last"))
             for n in _walk(op.commit_after)
         )
         if check_commit_for_all(op.commit_after) and not refs_out:
@@ -2527,21 +2698,51 @@ def compile_program(text: str, name: str = "raql", base_dir: str | None = None):
             return read_body
 
         def body(spark, params, *parent_dfs):
+            use_fold = _needs_fold_engine(op)
             if op.is_yield or not op.sources:
                 # YIELD: clock-driven select — the batch source is a
                 # generated tick frame (each row = one EVERY tick). The
                 # reference runner's `present` check tolerates any tick
                 # count ≥ what the expected tuples need; stateless
                 # yields get one tick, stateful ones YIELD_TICKS.
-                n = YIELD_TICKS if _needs_fold_engine(op) else 1
-                src = spark.range(n).withColumnRenamed("id", "_tick")
+                # NOW must advance by EVERY per tick (the reference's
+                # wall clock — once_every.ramen f1 feeds time-windowed
+                # children), so now-referencing yields run the fold
+                # with a virtual `_now` clock column.
+                exprs = [
+                    f_.expr for f_ in op.fields if not isinstance(f_.expr, Star)
+                ]
+                uses_now = any(
+                    isinstance(nd, Field) and _strip_ns(nd.path).lower() == "now"
+                    for e in exprs
+                    for nd in _walk(e)
+                )
+                if uses_now:
+                    use_fold = True
+                n = YIELD_TICKS if use_fold else 1
+                period = op.every
+                if period is not None and not isinstance(period, (int, float)):
+                    period = params.get(_strip_ns(period.path)) if isinstance(
+                        period, Field
+                    ) else None
+                period = float(period) if period else 1.0
+                import time as _time
+
+                t0 = _time.time()
+                src = (
+                    spark.range(n)
+                    .withColumnRenamed("id", "_tick")
+                    .withColumn(
+                        "_now", F.lit(t0) + F.col("_tick") * F.lit(period)
+                    )
+                )
             elif not parent_dfs:
                 raise ValueError("RaQL function needs at least one FROM parent")
             else:
                 src = parent_dfs[0]
                 for extra in parent_dfs[1:]:
                     src = src.unionByName(extra)
-            if _needs_fold_engine(op):
+            if use_fold:
                 return compile_commit_operation(
                     op, src, params=params,
                     order_cols=["_tick"] if "_tick" in src.columns else None,
@@ -2844,9 +3045,24 @@ class _Fold:
     group's last committed output; plus the group's accumulators and
     row-stateful function states (lag/latest/distinct/…)."""
 
-    def __init__(self, op: "Operation", params: dict[str, Any] | None):
+    def __init__(
+        self,
+        op: "Operation",
+        params: dict[str, Any] | None,
+        sequential: bool = False,
+    ):
         self.op = op
         self.params = params or {}
+        # sequential mode: the whole stream folds as ONE ordered group
+        # (the reference's single worker loop) because some expression
+        # reads global_last_out — cross-group state. Group-scoped
+        # namespaces (previous/local_last_out) and row-states are then
+        # keyed internally by the GROUP BY value; `previous` becomes
+        # the global last output. Explicitly the non-distributed slow
+        # path (previous.ramen is its spec).
+        self.sequential = sequential
+        self.group_nodes = list(op.group_by) if sequential else []
+        self._seq_prev: dict = {}
         aggs: dict[str, Any] = {}
         rows: dict[str, Any] = {}
         for f_ in op.fields:
@@ -2902,9 +3118,17 @@ class _Fold:
             | {"__n": 0, "__rs": {}, "__rv": {}}
         )
 
+    def _gkey(self, row):
+        return tuple(
+            self._eval(k, row, None, None, None) for k in self.group_nodes
+        )
+
     # row-stateful update: compute this row's value, advance the state
     def _row_step(self, node: Call, rs: dict, row, state, previous) -> Any:
         key = repr(node)
+        if self.sequential and node.opts.get("lifespan") != "global":
+            # group-scoped state inside the single sequential fold
+            key = (key, self._gkey(row))
         fn = node.fn
         ev = lambda a: self._eval(a, row, state, previous, None)  # noqa: E731
         if fn == "lag":
@@ -2966,6 +3190,10 @@ class _Fold:
             alpha = float(ev(node.args[0])) if len(node.args) == 2 else 0.5
             x = ev(node.args[-1])
             prev = rs.get(key)
+            if x is None and not node.opts.get("keep_nulls"):
+                # skip-nulls default: state unchanged, emit current
+                # (baseline.ramen: SMOOTH over a mostly-NULL percentile)
+                return prev
             val = x if prev is None else (alpha * x + (1 - alpha) * prev)
             rs[key] = val
             return val
@@ -3013,7 +3241,8 @@ class _Fold:
         if fn == "once_every":
             # time-based ONE OUT OF on #start (doc:908): tumbling =
             # aligned windows, sliding = at least d since last emission
-            d = float(node.opts["d"])
+            d = node.opts["d"]
+            d = float(d) if isinstance(d, (int, float)) else float(ev(d))
             t = self._event_start(row, state, previous)
             if t is None:
                 return None
@@ -3028,8 +3257,10 @@ class _Fold:
             return None
         if fn == "past":
             # values of x whose time is within the last d seconds
-            # (raql_expr.type Past; sliding unless TUMBLING)
-            d = float(node.opts["d"])
+            # (raql_expr.type Past; sliding unless TUMBLING); SAMPLE n
+            # bounds the buffer with a seeded reservoir (sample_size)
+            d = node.opts["d"]
+            d = float(d) if isinstance(d, (int, float)) else float(ev(d))
             tnode = node.opts.get("time")
             t = (
                 ev(tnode)
@@ -3037,27 +3268,78 @@ class _Fold:
                 else self._event_start(row, state, previous)
             )
             x = ev(node.args[0])
+            keep = node.opts.get("keep_nulls", False)
             buf = rs.setdefault(key, [])
-            buf.append((t, x))
+            if x is not None or keep:
+                buf.append((t, x))
             if node.opts.get("tumbling"):
                 lo = (t // d) * d if t is not None else None
                 buf[:] = [e_ for e_ in buf if e_[0] is not None and e_[0] >= lo]
             elif t is not None:
                 buf[:] = [e_ for e_ in buf if e_[0] is not None and e_[0] > t - d]
+            n_samp = node.opts.get("sample")
+            if n_samp is not None and len(buf) > n_samp:
+                import random as _random
+
+                idx = sorted(
+                    _random.Random(0x5A17 ^ len(buf)).sample(range(len(buf)), n_samp)
+                )
+                return [buf[i][1] for i in idx]
             return [v for _, v in buf]
+        if fn == "fit_multi":
+            # FIT_MULTI (n, y, x1…) — multiple regression over the last
+            # n observations, predicting the current y
+            # (RamenExpr.ml:1452 MultiLinReg; fold twin of _py_fit)
+            n = int(ev(node.args[0]))
+            vals = [ev(a) for a in node.args[1:]]
+            obs = (
+                tuple(float(v) for v in vals)
+                if all(v is not None for v in vals)
+                else None
+            )
+            buf = rs.setdefault(key, [])
+            buf.append(obs)
+            if len(buf) > n:
+                buf.pop(0)
+            return _py_fit(buf)
         if fn in ("is_in_top", "rank_in_top"):
             # per-row: insert x into the running top state, then test
             # membership / rank (raql_expr.type:319-323; exact weights,
             # not the bounded sketch)
-            if node.opts.get("duration") is not None:
-                raise NotImplementedError(
-                    "IS IN TOP … FOR THE LAST d in the fold: use "
-                    "operators.topk.decayed_top"
-                )
             x = ev(node.args[0])
             wnode = node.opts.get("by")
             w = 1 if wnode is None else ev(wnode)
             d = rs.setdefault(key, {})
+            dur = node.opts.get("duration")
+            if dur is not None:
+                # FOR [THE LAST] dur: exponential decay with half-life
+                # dur against the AT TIME clock (HeavyHitters.ml decay;
+                # exact per-item weights, not the bounded sketch)
+                dur = float(dur) if isinstance(dur, (int, float)) else float(ev(dur))
+                tnode = node.opts.get("time")
+                t = (
+                    ev(tnode)
+                    if tnode is not None
+                    else self._event_start(row, state, previous)
+                )
+                if t is not None and x is not None and w is not None:
+                    prev_w, prev_t = d.get(x, (0.0, t))
+                    decayed = prev_w * 2.0 ** (-(t - prev_t) / dur)
+                    d[x] = (decayed + w, t)
+                # decay every entry to 'now' for comparable weights
+                if t is not None:
+                    d2 = {
+                        k_: v_[0] * 2.0 ** (-(t - v_[1]) / dur)
+                        for k_, v_ in d.items()
+                    }
+                else:
+                    d2 = {k_: v_[0] for k_, v_ in d.items()}
+                top = _Fold._top_entries(
+                    d2, int(node.opts["n"]), float(node.opts.get("sigmas", 0) or 0)
+                )
+                if fn == "is_in_top":
+                    return x in top
+                return top.index(x) + 1 if x in top else None
             if x is not None and w is not None:
                 d[x] = d.get(x, 0) + w
             top = _Fold._top_entries(
@@ -3257,7 +3539,19 @@ class _Fold:
                 if out_partial is not None and name in out_partial:
                     return out_partial[name]
                 raise KeyError(f"out.{name} referenced before it is built")
-            if path.startswith(("previous.", "local_last.")):
+            if path.startswith(
+                ("previous.", "local_last_out.", "local_last.")
+            ):
+                name = path.split(".", 1)[1]
+                if self.sequential:
+                    g = self._seq_prev.get(self._gkey(row))
+                    return g.get(name) if g is not None else None
+                return previous.get(name) if previous is not None else None
+            if path.startswith(("global_last_out.", "global_last.")):
+                # last output of ANY group (RamenVariable.ml:39
+                # GlobalLastOut) — in sequential mode `previous` is
+                # exactly that; grouped folds only see it when there is
+                # a single group (compile forces sequential otherwise)
                 name = path.split(".", 1)[1]
                 return previous.get(name) if previous is not None else None
             if row is not None and _strip_ns(path) in row:
@@ -3269,6 +3563,10 @@ class _Fold:
 
                 return _random.random()
             if low == "now":
+                # YIELD frames carry a virtual clock advancing EVERY
+                # seconds per tick (see compile_program tick frame)
+                if row is not None and row.get("_now") is not None:
+                    return row["_now"]
                 import time as _time
 
                 return _time.time()
@@ -3343,6 +3641,16 @@ class _Fold:
                 return [ev(a) for a in node.args]
             if node.fn == "_tuple":
                 return tuple(ev(a) for a in node.args)
+            if node.fn == "_record":
+                return dict(zip(node.opts["names"], (ev(a) for a in node.args)))
+            if node.fn == "get_ord":
+                v = ev(node.args[0])
+                if v is None:
+                    return None
+                i = int(node.opts["i"]) - 1
+                if isinstance(v, dict):
+                    v = list(v.values())
+                return v[i] if 0 <= i < len(v) else None
             if node.fn == "cast":
                 return _py_cast(ev(node.args[0]), node.opts["to"])
             if node.fn == "percentile_of":
@@ -3382,6 +3690,9 @@ class _Fold:
             out[name] = self._eval(f_.expr, row, state, previous, out)
         res = {k: v for k, v in out.items() if not k.startswith("_")}
         state["__fin"] = (mkey, res)
+        if self.sequential:
+            # record per-group last output (local_last_out namespace)
+            self._seq_prev[self._gkey(row)] = res
         return res
 
     def commit_cond(self, state, row, previous):
@@ -3443,11 +3754,13 @@ def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> 
         if p.startswith("param."):
             return _param_ddl(params.get(p[6:]))
         name = _strip_ns(p)
-        if p.startswith(("out.", "previous.", "local_last.")):
+        if p.startswith(("out.", "previous.", "local_last.", "local_last_out.", "global_last")):
             name = p.split(".", 1)[1]
-        if p.startswith(("out.", "previous.", "local_last.")) and name in out:
+        if p.startswith(("out.", "previous.", "local_last.", "local_last_out.", "global_last")) and name in out:
             return out[name]
-        if p.startswith(("previous.", "local_last.")):
+        if p.startswith(
+            ("previous.", "local_last.", "local_last_out.", "global_last")
+        ):
             # self-referential previous.X (YIELD 1 + (previous.count |?
             # -1) AS count): the type isn't known yet — unknown sentinel,
             # resolved by the surrounding expression (coalesce/arith)
@@ -3513,7 +3826,7 @@ def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> 
             return "boolean"
         if fn in ("avg", "smooth", "season_moveavg", "moveavg", "fit", "derive",
                   "reldiff", "random", "now", "age", "sq", "sqrt", "exp", "log",
-                  "log10", "round", "truncate", "parse_time"):
+                  "log10", "round", "truncate", "parse_time", "fit_multi"):
             return "double"
         if fn in ("lower", "upper", "substring", "basename", "format_time",
                   "sparkline", "chr", "uuid_of_u128", "split"):
@@ -3545,8 +3858,43 @@ def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> 
         if fn == "histogram":
             return "array<bigint>"
         if fn == "get":
+            idx = node.args[0]
+            if (
+                isinstance(node.args[1], Field)
+                and node.args[1].path in ("in", "out")
+                and isinstance(idx, Lit)
+                and isinstance(idx.value, str)
+            ):
+                tbl = src if node.args[1].path == "in" else out
+                return tbl.get(idx.value)
             inner = rec(node.args[1])
+            if inner and inner.startswith("struct<") and isinstance(idx, Lit):
+                for part in inner[7:-1].split(","):
+                    k, _, t_ = part.partition(":")
+                    if k == idx.value:
+                        return t_
             return inner[6:-1] if inner.startswith("array<") else inner
+        if fn == "_tuple":
+            inner = ",".join(
+                f"_{i}:{rec(a) or 'double'}" for i, a in enumerate(node.args)
+            )
+            return f"struct<{inner}>"
+        if fn == "_record":
+            inner = ",".join(
+                f"{n_}:{rec(a) or 'double'}"
+                for n_, a in zip(node.opts["names"], node.args)
+            )
+            return f"struct<{inner}>"
+        if fn == "get_ord":
+            inner = rec(node.args[0])
+            if inner and inner.startswith("array<"):
+                return inner[6:-1]
+            if inner and inner.startswith("struct<"):
+                fields = inner[7:-1].split(",")
+                i = int(node.opts["i"]) - 1
+                if 0 <= i < len(fields):
+                    return fields[i].split(":", 1)[1]
+            return None
         if fn == "split":
             return "string"
         if fn == "percentile_of":
@@ -3583,7 +3931,7 @@ def check_commit_for_all(node) -> bool:
     (src/CodeGen_Helpers.ml:52: any Variable In / Path reference)."""
     for n in _walk(node):
         if isinstance(n, Field) and not n.path.startswith(
-            ("out.", "previous.", "local_last.", "param.", "env.")
+            ("out.", "previous.", "local_last.", "local_last_out.", "global_last", "param.", "env.")
         ):
             return True
     return False
@@ -3736,7 +4084,7 @@ def _lowerable_select(op: Operation) -> bool:
             return False
         for nd in _walk(f_.expr):
             if isinstance(nd, Field) and (
-                nd.path.startswith(("previous.", "local_last.", "out."))
+                nd.path.startswith(("previous.", "local_last.", "local_last_out.", "global_last", "out."))
                 or nd.path in ("#start", "#stop")
             ):
                 return False
@@ -3874,8 +4222,21 @@ def compile_commit_operation(
     df = source_df
     op = _expand_star(op, df)
     op = _inline_select_refs(op, set(df.columns))
+    # global_last_out reads cross-group state: fold the whole stream
+    # as ONE ordered group (the reference's sequential worker loop)
+    # with group-scoped namespaces handled inside _Fold
+    seq_exprs = [f_.expr for f_ in op.fields if not isinstance(f_.expr, Star)]
+    if op.where is not None:
+        seq_exprs.append(op.where)
+    if op.commit_after is not None:
+        seq_exprs.append(op.commit_after)
+    sequential = any(
+        isinstance(n, Field) and n.path.startswith("global_last")
+        for e in seq_exprs
+        for n in _walk(e)
+    )
     keys = []
-    for i, k in enumerate(op.group_by):
+    for i, k in enumerate([] if sequential else op.group_by):
         if isinstance(k, Field):
             keys.append(_strip_ns(k.path))
         else:
@@ -3938,7 +4299,7 @@ def compile_commit_operation(
     triggers = None
     refs_beyond_in = _commit_needs_engine(op.commit_after) or any(
         isinstance(n, Field)
-        and n.path.startswith(("out.", "previous.", "local_last."))
+        and n.path.startswith(("out.", "previous.", "local_last.", "local_last_out.", "global_last"))
         for n in _walk(op.commit_after)
     )
     trigger_rows = None
@@ -3961,7 +4322,7 @@ def compile_commit_operation(
                     for n in _walk(op.commit_after)
                     if isinstance(n, Field)
                     and not n.path.startswith(
-                        ("out.", "previous.", "local_last.", "param.", "#")
+                        ("out.", "previous.", "local_last.", "local_last_out.", "global_last", "param.", "#")
                     )
                     and _strip_ns(n.path) in df.columns
                 }
@@ -3990,7 +4351,7 @@ def compile_commit_operation(
         if lowered is not None:
             return lowered
 
-    fold = _Fold(op, params)
+    fold = _Fold(op, params, sequential=sequential)
     return commit_aggregate(
         df,
         key_cols=keys,
@@ -4068,7 +4429,7 @@ def compile_commit_streaming(
     if not isinstance(op.commit_after, Lit) and check_commit_for_all(op.commit_after):
         refs_beyond_in = _commit_needs_engine(op.commit_after) or any(
             isinstance(n, Field)
-            and n.path.startswith(("out.", "previous.", "local_last."))
+            and n.path.startswith(("out.", "previous.", "local_last.", "local_last_out.", "global_last"))
             for n in _walk(op.commit_after)
         )
         if not refs_beyond_in:
@@ -4110,7 +4471,9 @@ def _commit_needs_engine(node) -> bool:
     emission *timing* (the tumbling `in.t > out.t + d` pattern), which
     batch run-to-completion grouping already satisfies."""
     if isinstance(node, Field):
-        return node.path.startswith(("previous.", "local_last."))
+        return node.path.startswith(
+            ("previous.", "local_last.", "local_last_out.", "global_last")
+        )
     if isinstance(node, Call):
         if node.fn in AGGS and (
             len(node.args) == 1
