@@ -231,3 +231,65 @@ def test_top_expr_program(spark):
     # f2: LIST TOP 3 — the exact top-3 manufacturers by car count
     rows = prog["f2"].collect()
     assert [r["top_manufacturers"] for r in rows] == [["BMW", "Toyota", "GM"]]
+
+
+# -- full spec sweep --------------------------------------------------------
+#
+# Every tests/func/*.test spec, end-to-end: compile each listed program
+# from its original RaQL text, materialize in dependency order, check
+# the spec's present/absent tuples (reference runner semantics,
+# src/RamenTests.ml:347-630). Specs the engine cannot yet satisfy are
+# strict-xfail: fixing one forces removing it from KNOWN_FAIL, so the
+# pass-count only ratchets up.
+
+import glob
+
+from func_spec import run_spec, FUNC_DIR as _FUNC_DIR
+from test_doc_examples import parse_expected as _doc_parse, values_equal as _doc_eq
+
+KNOWN_FAIL = {
+    "any_ext": "../prog#_/func path refs not tokenized",
+    "array_of_strings": "backtick-quoted identifiers in CSV schema",
+    "case": "value mismatch (u64 literal)",
+    "char": "nullable cast syntax char?(x)",
+    "constructed_types": "aggregate without GROUP BY compile path",
+    "fit_multi": "fit window semantics",
+    "from": "multi-parent column resolution",
+    "generated": "program-generator (.ramen file absent)",
+    "globals_function": "DECLARE globals / MAPADD",
+    "globals_program": "DECLARE globals / MAPADD",
+    "ip": "ip type in CSV schema",
+    "local_state_in_where_slow": "python worker crash",
+    "past": "past window value mismatch",
+    "patterns": "0 rows",
+    "port_scan": "ip4 type",
+    "rowbinary": "backtick-quoted identifiers",
+    "simplest": "ipv6 repr",
+    "stress": "NetLit ip4 inference",
+    "strings": "one check fails",
+    "time": "parse_time format",
+    "tuples": "compound cast syntax",
+    "word_split": "generator nested in expression",
+}
+
+_ALL_SPECS = sorted(
+    os.path.basename(f).removesuffix(".test")
+    for f in glob.glob(os.path.join(_FUNC_DIR, "*.test"))
+) if os.path.isdir(_FUNC_DIR) else []
+
+
+@pytest.mark.parametrize(
+    "spec_name",
+    [
+        pytest.param(
+            n,
+            marks=pytest.mark.xfail(strict=True, reason=KNOWN_FAIL[n])
+            if n in KNOWN_FAIL
+            else (),
+        )
+        for n in _ALL_SPECS
+    ],
+)
+def test_spec_sweep(spark, spec_name):
+    fails = run_spec(spark, spec_name, _doc_parse, _doc_eq)
+    assert not fails, f"{spec_name}: {fails[:3]}"
