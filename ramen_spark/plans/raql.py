@@ -1626,8 +1626,13 @@ class Compiler:
             sxx = sum_(F.transform(xs, lambda x: x * x))
             slope = F.when(sxx != 0, sxy / sxx).otherwise(F.lit(0.0))
             x_pred = F.element_at(arr, -1).getField("_1").cast("double")
+            # size 2 → no regression rows (origin + current only): the
+            # reference's gels raises on the 0-row system → NULL
+            # (CodeGenLib.ml:1043-1060)
             return F.when(F.size(arr) < 1, F.lit(None)).otherwise(
-                F.when(F.size(arr) == 1, y0).otherwise(y0 + slope * (x_pred - x0))
+                F.when(F.size(arr) == 1, y0)
+                .when(F.size(arr) == 2, F.lit(None).cast("double"))
+                .otherwise(y0 + slope * (x_pred - x0))
             )
         ys = F.transform(F.slice(arr, 1, n), lambda y: y.cast("double"))
         xs = F.transform(F.sequence(F.lit(0), n - 1), lambda i: i.cast("double"))
@@ -2997,8 +3002,13 @@ def _py_fit(obs):
         arr = np.array([[float(v) for v in o] for o in obs], dtype=float)
         y0, x0 = arr[0, 0], arr[0, 1:]
         body = arr[1:-1]
-        if body.shape[0] == 0:
-            return float(y0)
+        # Underdetermined window (regression rows < predictors): the
+        # reference's LAPACK gels call raises (the n-value solution
+        # cannot fit in the m-row RHS, CodeGenLib.ml:1043-1060) and
+        # LinReg.fit maps that to Null — small windows yield NULL, not
+        # a wild extrapolation. Mirror that exactly.
+        if body.shape[0] < arr.shape[1] - 1:
+            return None
         coef, *_ = np.linalg.lstsq(body[:, 1:] - x0, body[:, 0] - y0, rcond=None)
         return float(y0 + (arr[-1, 1:] - x0) @ coef)
     ys = [float(v) for v in obs[:-1]]
@@ -3063,6 +3073,13 @@ class _Fold:
         self.sequential = sequential
         self.group_nodes = list(op.group_by) if sequential else []
         self._seq_prev: dict = {}
+        # RANDOM draws come from one per-run stream so program output is
+        # reproducible (the reference draws from the worker's own PRNG;
+        # any uniform stream satisfies the spec — a fixed seed makes the
+        # func-corpus specs deterministic instead of coin-flips)
+        import random as _random
+
+        self._rng = _random.Random(0x5A17)
         aggs: dict[str, Any] = {}
         rows: dict[str, Any] = {}
         for f_ in op.fields:
@@ -3362,6 +3379,8 @@ class _Fold:
     def update_where(self, state: dict, row: dict, previous) -> bool:
         """Advance WHERE-clause stateful functions and evaluate the
         filter; runs for every input row."""
+        state["__vmemo"] = {}  # new row → fresh volatile (RANDOM) draws
+        state["__vw"] = True
         rs = state["__rs"]
         rv = state["__rv"]
         for key, node in self.where_rows.items():
@@ -3371,6 +3390,10 @@ class _Fold:
         return self._eval(self.op.where, row, state, previous, None) is True
 
     def update(self, state: dict, row: dict) -> None:
+        if not state.pop("__vw", False):
+            # no WHERE ran for this row — start its volatile-draw memo
+            # here (see the RANDOM case in _eval)
+            state["__vmemo"] = {}
         state["__n"] += 1
         state["__last_row"] = row
         rs = state["__rs"]
@@ -3559,9 +3582,20 @@ class _Fold:
             if low == "pi":
                 return math.pi
             if low == "random":
-                import random as _random
-
-                return _random.random()
+                # One draw per RANDOM occurrence per input row: after
+                # _inline_select_refs the SAME node object appears both
+                # in a stateful argument (stepped during update) and in
+                # the select field (evaluated at finalize) — the
+                # reference builds the output tuple once, so state and
+                # output must see the SAME value (fit.ramen f2: the
+                # LATEST buffer must hold the emitted z/preds).
+                vm = state.get("__vmemo") if state is not None else None
+                if vm is None:
+                    return self._rng.random()
+                key = id(node)
+                if key not in vm:
+                    vm[key] = self._rng.random()
+                return vm[key]
             if low == "now":
                 # YIELD frames carry a virtual clock advancing EVERY
                 # seconds per tick (see compile_program tick frame)
