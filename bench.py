@@ -59,7 +59,7 @@ def main() -> None:
     warm.groupBy("event_type").agg({"value": "sum"}).collect()
     spark.sql(
         "SELECT aggregate(sequence(1, 8), 0L, (a, x) -> a + x) v, "
-        "row_number() OVER (ORDER BY 1) rn"
+        "row_number() OVER (PARTITION BY 1 ORDER BY 1) rn"
     ).collect()
 
     timings: dict[str, float] = {}

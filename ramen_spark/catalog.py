@@ -91,6 +91,26 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """events.ts is TIMESTAMP(NANOS) in the file; Spark has no ns
+    timestamp. Depending on the Spark build the scan surfaces it as
+    either a raw ns long (legacy nanosAsLong conf honored) or a
+    µs-truncated TIMESTAMP_NTZ (native nanos read). Normalize both to
+    the engine's TimestampType contract with exact ns→µs truncation —
+    identical to DuckDB's ns→µs cast, keeping oracles value-exact
+    (verified against epoch_us on the same file)."""
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":
+        # integer division, not double math: 1e18-scale ns would lose
+        # precision through a double
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if t == "timestamp_ntz":
+        # already µs-truncated by the scan; UTC session makes the
+        # NTZ→LTZ cast instant-preserving
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, rebalance: bool = True
 ) -> DataFrame:
@@ -98,11 +118,7 @@ def load_table(
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file → read as long ns (see
-        # session.py nanosAsLong), truncate to µs exactly with integer
-        # division (double math would lose precision at 1e18 ns) —
-        # identical to DuckDB's ns→µs cast, keeping oracles exact.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = _normalize_event_ts(df)
     if rebalance and name in NARROW_HEAVY:
         # Un-splittable inputs (single-row-group parquet, gz CSV…)
         # serialize every narrow stage onto one core. When the scan
@@ -133,7 +149,7 @@ def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = _normalize_event_ts(df)
     return df
 
 

@@ -274,6 +274,23 @@ def format_time(fmt: str, t: Column) -> Column:
                 pieces.append(t.cast("long").cast("string"))
             elif d == "u":
                 pieces.append((F.dayofweek(ts) - 1).cast("string"))
+            elif d == "S":
+                # reference strftime prints seconds+fraction as %05.2f
+                # (CodeGenLib.ml:698: "00.00" for exact minutes)
+                tf = t.cast("double")
+                pieces.append(
+                    F.format_string(
+                        "%05.2f",
+                        F.date_format(ts, "ss").cast("double") + (tf - F.floor(tf)),
+                    )
+                )
+            elif d == "j":
+                # reference: string_of_int tm_yday — 0-based, unpadded
+                pieces.append((F.dayofyear(ts) - 1).cast("string"))
+            elif d == "n":
+                pieces.append(F.lit("\n"))
+            elif d == "t":
+                pieces.append(F.lit("\t"))
             elif d in _STRFTIME_DIRECTIVES:
                 pieces.append(F.date_format(ts, _STRFTIME_DIRECTIVES[d]))
             else:
@@ -288,19 +305,43 @@ def format_time(fmt: str, t: Column) -> Column:
     return F.concat(*pieces) if len(pieces) > 1 else pieces[0].cast("string")
 
 
+# second-resolution formats (truncate); the reference's
+# time_of_abstime grammar (RamenHelpersNoLog.ml:1067-1135)
 _PARSE_TIME_FMTS = (
-    "yyyy-MM-dd HH:mm:ss.S",
     "yyyy-MM-dd HH:mm:ss",
     "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd HH:mm",
+    "yyyy-MM-dd'T'HH:mm",
     "yyyy-MM-dd",
+    "dd.MM.yyyy",
+    "MM/dd/yyyy",
     "M/d/yyyy",
+)
+# fractional-second formats: the reference scans %f seconds and sets
+# tm_sec = round_to_int s — the fraction ROUNDS to the nearest second,
+# half away from zero ("...T18:20:00.9" == "... 18:20:01", time.test)
+_PARSE_TIME_FRAC_FMTS = (
+    "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
 )
 
 
 def parse_time(s: Column, fmts: tuple[str, ...] = _PARSE_TIME_FMTS) -> Column:
     """PARSE_TIME — string → float unix seconds, NULL if unparseable
-    (doc/raql/expr.ml:291). Tries formats in order like at(1)."""
-    candidates = [F.unix_timestamp(F.try_to_timestamp(s, F.lit(f))).cast("double") for f in fmts]
+    (doc/raql/expr.ml:291, RamenHelpersNoLog.ml:1067 time_of_abstime).
+    Candidate order mirrors the reference: raw epoch float first, then
+    the at(1)-style date forms."""
+    candidates = [s.try_cast("double")]
+    candidates += [
+        F.round(
+            F.unix_micros(F.try_to_timestamp(s, F.lit(f))) / F.lit(1000000.0)
+        ).cast("double")
+        for f in _PARSE_TIME_FRAC_FMTS
+    ]
+    candidates += [
+        F.unix_timestamp(F.try_to_timestamp(s, F.lit(f))).cast("double")
+        for f in fmts
+    ]
     return F.coalesce(*candidates)
 
 

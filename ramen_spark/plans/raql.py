@@ -74,6 +74,7 @@ _TOKEN_RE = re.compile(
   | (?P<float>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)(?P<floatsuf>NUMSUF)?
   | (?P<int>0x[0-9a-fA-F]+|\d+)(?P<intsuf>NUMSUF)?
   | (?P<string>"(?:\\.|[^"\\])*")
+  | (?P<bq>`[^`]*`)
   | (?P<op><=|>=|<>|!=|\|\||\|\?|<<|>>|//|[-+*/%^=<>(),;?:\[\]{}&|\#])
   | (?P<name>[A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*)*)
     """.replace("NUMSUF", _NUM_SUF),
@@ -151,6 +152,10 @@ def tokenize(text: str) -> list[Tok]:
             body = m.group("string")[1:-1]
             body = body.encode().decode("unicode_escape")
             out.append(Tok("str", body, m.start()))
+        elif m.group("bq"):
+            # backtick-quoted identifier (ClickHouse schema blocks,
+            # fixtures/email.ramen `from`): always a name, never a kw
+            out.append(Tok("name", m.group("bq")[1:-1], m.start()))
         elif m.group("op"):
             out.append(Tok("op", m.group("op"), m.start()))
         elif m.group("name"):
@@ -1348,11 +1353,25 @@ class Compiler:
                 "ends_with": lambda: a.endswith(b),
             }[node.op]()
         if isinstance(node, CaseWhen):
-            c = None
-            for cond, val in node.branches:
-                w = F.when(self.col(cond), self.col(val))
-                c = w if c is None else c.when(self.col(cond), self.col(val))
-            return c.otherwise(self.col(node.otherwise)) if node.otherwise is not None else c
+            # Reference CASE null_maps each condition (CodeGen_RaQL2DIL.
+            # ml:813-824): a NULL condition makes the WHOLE case NULL —
+            # it does NOT fall through to later branches or ELSE (case.
+            # test: some_nullable_thing is NULL when name is NULL).
+            # Spark's native CASE treats NULL conditions as false, so
+            # guard each condition with an explicit isNull arm.
+            out = (
+                self.col(node.otherwise)
+                if node.otherwise is not None
+                else F.lit(None)
+            )
+            for cond, val in reversed(node.branches):
+                c = self.col(cond)
+                out = (
+                    F.when(c.isNull(), F.lit(None))
+                    .when(c, self.col(val))
+                    .otherwise(out)
+                )
+            return out
         if isinstance(node, Call):
             return self.call(node)
         raise ValueError(f"unknown node {node!r}")
@@ -1868,6 +1887,13 @@ class ReadCsv:
     fields: list[tuple[str, TypeSpec]]
     separator: str = ","
     null_str: str = ""
+    fmt: str = "csv"  # "csv" | "rowbinary"
+    may_quote: bool = True  # NO QUOTES clears (raql_operation.type:70)
+    escape_seq: str | None = None  # ESCAPE WITH "\\"
+    clickhouse_syntax: bool = False  # array cells as ['a', 'b']
+    # original ClickHouse type strings (rowbinary decode spec); parallel
+    # to ``fields`` when the schema came from a ClickHouse block
+    ch_types: list[str] | None = None
 
 
 @dataclass
@@ -1913,26 +1939,73 @@ def _parse_read_csv(p: Parser) -> ReadCsv:
         raise NotImplementedError(f"READ FROM {kw.value}: only FILE is supported")
     path = p.expect("str").value
     p.expect("kw", "as")
-    fmt = p.expect("name")
-    if fmt.value.lower() != "csv":
-        raise NotImplementedError(f"AS {fmt.value}: only CSV is supported")
+    fmt_t = p.expect("name")
+    fmt = fmt_t.value.lower()
+    if fmt not in ("csv", "rowbinary"):
+        raise NotImplementedError(f"AS {fmt_t.value}: only CSV/ROWBINARY")
     separator = ","
     null_str = ""
+    may_quote = True
+    escape_seq: str | None = None
+    clickhouse = fmt == "rowbinary"
     while True:
         t = p.peek()
-        if t.kind == "name" and t.value.lower() == "separator":
+        tv = str(t.value).lower() if t.kind in ("name", "kw") else ""
+        if t.kind == "name" and tv == "separator":
             p.next()
             separator = p.expect("str").value
         elif t.kind == "kw" and t.value == "null":
             p.next()
             null_str = p.expect("str").value
+        elif t.kind == "name" and tv == "no":
+            p.next()
+            nxt = p.expect("name")
+            if nxt.value.lower() != "quotes":
+                raise SyntaxError(f"READ: NO {nxt.value}?")
+            may_quote = False
+        elif t.kind == "name" and tv == "quotes":
+            p.next()
+            may_quote = True
+        elif t.kind == "name" and tv == "escape":
+            p.next()
+            w = p.peek()
+            if w.kind in ("name", "kw") and str(w.value).lower() == "with":
+                p.next()
+            escape_seq = p.expect("str").value
+        elif t.kind == "name" and tv == "clickhouse":
+            p.next()
+            nxt = p.expect("name")
+            if nxt.value.lower() != "syntax":
+                raise SyntaxError(f"READ: CLICKHOUSE {nxt.value}?")
+            clickhouse = True
         else:
             break
     p.expect("op", "(")
-    fields: list[tuple[str, TypeSpec]] = []
+    if (
+        p.peek().kind == "name"
+        and str(p.peek().value).lower() == "columns"
+    ):
+        fields, ch_types = _parse_clickhouse_schema(p)
+        p.expect("op", ")")
+        return ReadCsv(
+            path, fields, separator, null_str, fmt=fmt,
+            may_quote=may_quote, escape_seq=escape_seq,
+            clickhouse_syntax=clickhouse, ch_types=ch_types,
+        )
+    fields = []
     while True:
         fname = p.expect("name").value
-        ts = p._parse_type_spec()
+        nxt = p.peek()
+        if (
+            nxt.kind == "name"
+            and nxt.value.lower() in _NET_TYPE_CALLS
+        ):
+            # network column types (fixtures/port_scan.ramen src ip4):
+            # ip4/eth scan as their long encoding, ip6 as binary
+            p.next()
+            ts = TypeSpec(nxt.value.lower(), bool(p.accept("op", "?")))
+        else:
+            ts = p._parse_type_spec()
         if p.accept("op", "{"):  # units metadata — skipped
             depth = 1
             while depth:
@@ -1947,7 +2020,76 @@ def _parse_read_csv(p: Parser) -> ReadCsv:
         if not p.accept("op", ","):
             break
     p.expect("op", ")")
-    return ReadCsv(path, fields, separator, null_str)
+    return ReadCsv(
+        path, fields, separator, null_str, fmt=fmt,
+        may_quote=may_quote, escape_seq=escape_seq,
+        clickhouse_syntax=clickhouse,
+    )
+
+
+_CH_TYPE_MAP = {
+    # ClickHouse type → TypeSpec name (src/RamenClickHouse-style block,
+    # fixtures/udp.ramen, fixtures/email.ramen)
+    "string": "string",
+    "uint8": "u8", "uint16": "u16", "uint32": "u32", "uint64": "u64",
+    "int8": "i8", "int16": "i16", "int32": "i32", "int64": "i64",
+    "float32": "float", "float64": "float",
+    "uuid": "uuid", "datetime": "u32", "date": "u16",
+}
+
+
+def _parse_clickhouse_schema(p: Parser) -> tuple[list, list[str]]:
+    """ClickHouse NamesAndTypes block:
+    ``columns format version: 1`` / ``N columns:`` / `` `name` Type``…
+    (fixtures/udp.ramen, fixtures/email.ramen). Returns RaQL TypeSpecs
+    plus the raw ClickHouse type strings (the RowBinary decode spec)."""
+    p.next()  # 'columns'
+    fwd = p.expect("name")
+    if fwd.value.lower() != "format":
+        raise SyntaxError("clickhouse schema: expected 'format'")
+    ver = p.expect("name")
+    if ver.value.lower() != "version":
+        raise SyntaxError("clickhouse schema: expected 'version'")
+    p.expect("op", ":")
+    p.expect("num")
+    p.expect("num")  # column count
+    cols_kw = p.expect("name")
+    if cols_kw.value.lower() != "columns":
+        raise SyntaxError("clickhouse schema: expected 'columns:'")
+    p.expect("op", ":")
+
+    def ch_type() -> str:
+        t = p.expect("name").value
+        if p.accept("op", "("):
+            if p.peek().kind == "num":  # FixedString(16)
+                inner = str(int(p.next().value))
+            else:
+                inner = ch_type()
+            p.expect("op", ")")
+            return f"{t}({inner})"
+        return t
+
+    fields: list[tuple[str, TypeSpec]] = []
+    raw_types: list[str] = []
+    while not (p.peek().kind == "op" and p.peek().value == ")"):
+        fname = p.expect("name").value
+        raw = ch_type()
+        raw_types.append(raw)
+        low = raw.lower()
+        nullable = False
+        if low.startswith("nullable(") and low.endswith(")"):
+            low = low[9:-1]
+            nullable = True
+        is_arr = False
+        if low.startswith("array(") and low.endswith(")"):
+            low = low[6:-1]
+            is_arr = True
+        if low.startswith("fixedstring("):
+            name = "string"
+        else:
+            name = _CH_TYPE_MAP.get(low, "string")
+        fields.append((fname, TypeSpec(name, nullable, is_arr=is_arr)))
+    return fields, raw_types
 
 
 def _parse_source(p: Parser):
@@ -2075,7 +2217,14 @@ def _parse_operation_body(p: Parser):
         t = p.peek()
         if t.kind == "name" and t.value.lower() == "read" and not seen_any:
             p.next()
-            return _parse_read_csv(p)
+            rc = _parse_read_csv(p)
+            nt = p.peek()
+            if nt.kind == "name" and nt.value.lower() == "event":
+                # EVENT … on a READ source (fixtures/port_scan.ramen):
+                # event-time metadata; columns pass through unchanged
+                p.next()
+                _parse_event_clause(p)
+            return rc
         if t.kind == "name" and t.value.lower() == "event":
             p.next()
             event_time = _parse_event_clause(p)
@@ -2589,7 +2738,7 @@ def _compile_read_csv(spark, rc: ReadCsv, base_dir: str | None):
 
     from pyspark.sql import types as T
 
-    from ramen_spark.sources.csv import read_csv
+    from ramen_spark.sources.csv import parse_clickhouse_array_cell, read_csv
 
     def spark_type(ts: TypeSpec) -> T.DataType:
         n = ts.name
@@ -2608,20 +2757,60 @@ def _compile_read_csv(spark, rc: ReadCsv, base_dir: str | None):
             base = T.DoubleType()
         elif n in ("bool", "boolean"):
             base = T.BooleanType()
+        elif n in ("ip4", "eth"):
+            base = T.LongType()  # numeric encodings (SURVEY §1.2)
+        elif n == "ip6":
+            base = T.BinaryType()
         else:
             base = T.StringType()
         if ts.vec_dim is not None or ts.is_arr:
             base = T.ArrayType(base)
         return base
 
-    schema = T.StructType(
-        [T.StructField(fname, spark_type(ts), True) for fname, ts in rc.fields]
-    )
     path = rc.path if os.path.isabs(rc.path) or base_dir is None else os.path.join(base_dir, rc.path)
-    return read_csv(
-        spark, path, schema, separator=rc.separator, null_str=rc.null_str,
-        may_quote=True,
+
+    if rc.fmt == "rowbinary":
+        # whole-file binary blob → RowBinary decode kernel (the
+        # reference's ClickHouse wire reader, sources/binary.py)
+        from ramen_spark.sources.binary import decode_rowbinary
+
+        spec = [
+            (fname, raw)
+            for (fname, _ts), raw in zip(rc.fields, rc.ch_types or [])
+        ]
+        blob_df = (
+            spark.read.format("binaryFile")
+            .load(path)
+            .select(F.col("content").alias("blob"))
+        )
+        return decode_rowbinary(blob_df, spec)
+
+    # array-typed columns can't be scanned directly from CSV: read the
+    # cell as a string, then parse the ClickHouse-syntax array literal
+    arr_fields = {fname for fname, ts in rc.fields if ts.is_arr or ts.vec_dim}
+    schema = T.StructType(
+        [
+            T.StructField(
+                fname,
+                T.StringType() if fname in arr_fields else spark_type(ts),
+                True,
+            )
+            for fname, ts in rc.fields
+        ]
     )
+    df = read_csv(
+        spark, path, schema, separator=rc.separator, null_str=rc.null_str,
+        may_quote=rc.may_quote, escape_seq=rc.escape_seq,
+        clickhouse_syntax=rc.clickhouse_syntax,
+    )
+    for fname, ts in rc.fields:
+        if fname not in arr_fields:
+            continue
+        elem = spark_type(TypeSpec(ts.name, ts.nullable)).simpleString()
+        df = df.withColumn(
+            fname, parse_clickhouse_array_cell(F.col(fname), elem)
+        )
+    return df
 
 
 def _needs_fold_engine(op: Operation) -> bool:
@@ -3662,7 +3851,12 @@ class _Fold:
             }[node.op]()
         if isinstance(node, CaseWhen):
             for c, v in node.branches:
-                if self._eval(c, row, state, previous, out_partial) is True:
+                cv = self._eval(c, row, state, previous, out_partial)
+                if cv is None:
+                    # NULL condition → NULL case (reference null_map,
+                    # CodeGen_RaQL2DIL.ml:813-824), no ELSE fallthrough
+                    return None
+                if cv is True:
                     return self._eval(v, row, state, previous, out_partial)
             return (
                 self._eval(node.otherwise, row, state, previous, out_partial)
@@ -3771,6 +3965,13 @@ def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> 
         if isinstance(v, str):
             return "string"
         return "double"
+    if isinstance(node, NetLit):
+        # numeric encodings per SURVEY §1.2 / functions.network
+        return {
+            "ip4": INT, "eth": INT, "ip6": "binary",
+            "cidr4": "struct<addr:bigint,mask:int>",
+            "cidr6": "struct<addr:binary,mask:int>",
+        }[node.kind]
     def _param_ddl(v):
         if isinstance(v, float):
             return "double"
@@ -4280,6 +4481,12 @@ def compile_commit_operation(
 
     # WHERE: stateless → Catalyst filter before the shuffle (the
     # reference's where_fast); stateful → evaluated inside the fold
+    commit_for_all = (
+        op.commit_after is not None
+        and not isinstance(op.commit_after, Lit)
+        and check_commit_for_all(op.commit_after)
+    )
+    df_pre = None  # pre-WHERE relation for the check-all trigger scan
     where_fn = None
     fold_where = None
     if op.where is not None:
@@ -4289,6 +4496,19 @@ def compile_commit_operation(
         ):
             fold_where = op.where
         else:
+            if commit_for_all and op.sort_last is None:
+                # check_commit_for_all runs for EVERY input tuple,
+                # including ones failing WHERE (CodeGenLib_Skeletons.
+                # ml:808-812 runs after the `None -> ()` where-fail
+                # branch; patterns.test commits on a Volvo row the
+                # WHERE rejects). Keep the pre-filter relation for the
+                # trigger scan, assigning the shared order column
+                # BEFORE the filter so positions align.
+                if order_cols is None and "ts" not in df.columns:
+                    df = df.withColumn(
+                        "_rowid", F.monotonically_increasing_id()
+                    )
+                df_pre = df
             df = df.filter(Compiler(params).col(op.where))
             op = replace(op, where=None)
 
@@ -4324,6 +4544,8 @@ def compile_commit_operation(
         order_col: str | list[str] = order_cols
     elif "ts" in df.columns:
         order_col = "ts"
+    elif "_rowid" in df.columns:
+        order_col = "_rowid"  # assigned pre-WHERE for the trigger scan
     else:
         df = df.withColumn("_rowid", F.monotonically_increasing_id())
         order_col = "_rowid"
@@ -4339,8 +4561,9 @@ def compile_commit_operation(
     trigger_rows = None
     if not isinstance(op.commit_after, Lit) and check_commit_for_all(op.commit_after):
         first_order = order_col if isinstance(order_col, str) else order_col[0]
+        trig_src = df_pre if df_pre is not None else df
         if not refs_beyond_in:
-            trig_rows = df.filter(Compiler(params).col(op.commit_after)).select(first_order).collect()
+            trig_rows = trig_src.filter(Compiler(params).col(op.commit_after)).select(first_order).collect()
             triggers = sorted(r[0] for r in trig_rows)
         elif not any(
             isinstance(n, Call) and n.fn in ROW_STATEFUL
@@ -4361,7 +4584,7 @@ def compile_commit_operation(
                     and _strip_ns(n.path) in df.columns
                 }
             )
-            proj = df.select(first_order, *in_cols).collect()
+            proj = trig_src.select(first_order, *in_cols).collect()
             trigger_rows = sorted(
                 ((r[0], {c: r[c] for c in in_cols}) for r in proj),
                 key=lambda t_: t_[0],

@@ -284,11 +284,19 @@ def _parse_rb_type(name: str) -> tuple[str, bool]:
     return name, False
 
 
+def _rb_spark_type(base: str) -> T.DataType:
+    if base.startswith("fixedstring("):
+        return T.BinaryType()
+    if base == "uuid":
+        return T.StringType()
+    return _RB_SPARK_TYPES[base]
+
+
 def rowbinary_spark_schema(spec: Sequence[tuple[str, str]]) -> T.StructType:
     fields = []
     for col, tname in spec:
         base, nullable = _parse_rb_type(tname)
-        fields.append(T.StructField(col, _RB_SPARK_TYPES[base], nullable))
+        fields.append(T.StructField(col, _rb_spark_type(base), nullable))
     return T.StructType(fields)
 
 
@@ -335,6 +343,17 @@ def decode_rowbinary_blob(blob: bytes, spec: Sequence[tuple[str, str]]) -> list[
                 ln, pos = _leb128_decode(blob, pos)
                 row.append(blob[pos : pos + ln].decode("utf-8"))
                 pos += ln
+            elif base.startswith("fixedstring("):
+                ln = int(base[len("fixedstring(") : -1])
+                row.append(blob[pos : pos + ln])
+                pos += ln
+            elif base == "uuid":
+                # ClickHouse RowBinary UUID: two little-endian u64s
+                hi, lo = struct.unpack_from("<QQ", blob, pos)
+                pos += 16
+                u = (hi << 64) | lo
+                h = f"{u:032x}"
+                row.append(f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}")
             else:
                 fmt = _RB_FIXED[base]
                 row.append(struct.unpack_from(fmt, blob, pos)[0])

@@ -58,3 +58,24 @@ def parse_clickhouse_array(col, element_type: str = "long"):
     ).otherwise(
         F.transform(F.split(inner, ","), lambda x: F.trim(x).cast(element_type))
     )
+
+
+def parse_clickhouse_array_cell(col, element_type: str = "string"):
+    """Array cell in ClickHouse export syntax with optionally
+    single-quoted string elements: ``['a', 'b']`` / ``[1,2]`` / ``[]``
+    (fixtures/email.csv). Splits on ', ' boundaries between quoted
+    items, strips the quotes, casts elements. NULL cell stays NULL."""
+    inner = F.regexp_replace(col, r"^\[|\]$", "")
+    if element_type == "string":
+        # split on the quote-comma-quote boundary, then strip the
+        # remaining outer quotes of the first/last elements
+        parts = F.split(inner, r"',\s*'")
+        stripped = F.transform(
+            parts, lambda x: F.regexp_replace(x, r"^\s*'|'\s*$", "")
+        )
+        return F.when(col.isNull(), F.lit(None).cast("array<string>")).when(
+            F.length(F.trim(inner)) == 0, F.array().cast("array<string>")
+        ).otherwise(stripped)
+    return F.when(col.isNull(), F.lit(None).cast(f"array<{element_type}>")).otherwise(
+        parse_clickhouse_array(col, element_type)
+    )

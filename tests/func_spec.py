@@ -33,7 +33,15 @@ def _tokens(text: str) -> list[str]:
             raise SyntaxError(f"spec: cannot tokenize at {text[i:i+20]!r}")
         i = m.end()
         if m.group("str") is not None:
-            out.append(("str", m.group("str")[1:-1].replace('\\"', '"')))
+            raw = m.group("str")[1:-1]
+            # config-level unescaping: \\ and \" (value-level escapes
+            # like \n are resolved later by parse_expected)
+            raw = (
+                raw.replace("\\\\", "\x00")
+                .replace('\\"', '"')
+                .replace("\x00", "\\")
+            )
+            out.append(("str", raw))
         elif m.group("arrow"):
             out.append(("op", "=>"))
         elif m.group("op"):
@@ -146,6 +154,8 @@ def run_spec(spark, test_name: str, parse_expected, values_equal):
         def _ref_repr(v) -> str:
             # reference text repr for constructed values (RamenTypes
             # printing): tuples "(a;b)", vectors "[a;b]", chars #\c
+            if hasattr(v, "asDict"):  # Row is a tuple subclass: first
+                v = v.asDict()
             if isinstance(v, dict):
                 return "(" + ";".join(_ref_repr(x) for x in v.values()) + ")"
             if isinstance(v, (list, tuple)):

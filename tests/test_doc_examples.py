@@ -55,7 +55,17 @@ def parse_expected(s: str):
     if s == "-Inf":
         return float("-inf")
     if s.startswith('"') and s.endswith('"'):
-        return s[1:-1]
+        # RamenTypes printing escapes control chars (strings.test t4:
+        # "multi\nline" denotes a real newline)
+        return (
+            s[1:-1]
+            .replace("\\\\", "\x00")
+            .replace("\\n", "\n")
+            .replace("\\t", "\t")
+            .replace("\\r", "\r")
+            .replace('\\"', '"')
+            .replace("\x00", "\\")
+        )
     if s.startswith("#\\"):
         return s[2:]
     if s.startswith("[") and s.endswith("]"):

@@ -249,8 +249,6 @@ from test_doc_examples import parse_expected as _doc_parse, values_equal as _doc
 
 KNOWN_FAIL = {
     "any_ext": "../prog#_/func path refs not tokenized",
-    "array_of_strings": "backtick-quoted identifiers in CSV schema",
-    "case": "value mismatch (u64 literal)",
     "char": "nullable cast syntax char?(x)",
     "constructed_types": "aggregate without GROUP BY compile path",
     "fit_multi": "fit window semantics",
@@ -261,13 +259,8 @@ KNOWN_FAIL = {
     "ip": "ip type in CSV schema",
     "local_state_in_where_slow": "python worker crash",
     "past": "past window value mismatch",
-    "patterns": "0 rows",
     "port_scan": "ip4 type",
-    "rowbinary": "backtick-quoted identifiers",
-    "simplest": "ipv6 repr",
     "stress": "NetLit ip4 inference",
-    "strings": "one check fails",
-    "time": "parse_time format",
     "tuples": "compound cast syntax",
     "word_split": "generator nested in expression",
 }
