@@ -52,6 +52,39 @@ def string_to_ipv4(s: Column) -> Column:
     return F.when(ok & in_range, val)
 
 
+def ip_in_cidr_generic(ip: Column, cidr: Column) -> Column:
+    """Generic ``ip IN cidr`` over the sum structs
+    (ip<version,v4,v6>, cidr<version,addr4,addr6,mask>) with a DYNAMIC
+    mask column (ip.ramen f5). Built-ins only:
+
+    - v4: numeric range around the masked base (dynamic shift via
+      pow/floor — shiftleft needs a literal).
+    - v6: hex-prefix compare at nibble granularity, remainder nibble
+      via conv(); unsigned lexicographic binary semantics.
+    """
+    ver_ok = ip.getField("version") == cidr.getField("version")
+    mask = cidr.getField("mask")
+
+    p4 = F.pow(F.lit(2.0), (32 - mask).cast("double")).cast("long")
+    base = (F.floor(cidr.getField("addr4") / p4) * p4).cast("long")
+    v4 = ip.getField("v4")
+    v4_ok = (v4 >= base) & (v4 < base + p4)
+
+    iph = F.hex(ip.getField("v6"))
+    nh = F.hex(cidr.getField("addr6"))
+    fnib = F.floor(mask / 4).cast("int")  # full hex nibbles in prefix
+    rem = (mask % 4).cast("int")  # leftover bits inside the next nibble
+    pre_ok = F.substring(iph, F.lit(1), fnib) == F.substring(nh, F.lit(1), fnib)
+    nib = lambda h: F.conv(F.substring(h, fnib + 1, F.lit(1)), 16, 10).cast("int")  # noqa: E731
+    shift = F.pow(F.lit(2.0), (4 - rem).cast("double"))
+    rem_ok = F.when(rem == 0, F.lit(True)).otherwise(
+        F.floor(nib(iph) / shift) == F.floor(nib(nh) / shift)
+    )
+    v6_ok = pre_ok & rem_ok
+
+    return ver_ok & F.when(ip.getField("version") == 4, v4_ok).otherwise(v6_ok)
+
+
 def ip_family(ip_struct: Column) -> Column:
     """IPFAMILY — 4 or 6 (doc/raql/expr.ml:385); takes the sum-type
     struct<version, v4, v6> encoding of Ip."""

@@ -34,6 +34,9 @@ class Function:
     parents: list[str] = field(default_factory=list)
     persist_for: float | None = None
     doc: str = ""
+    # ordering-only dependencies (no DataFrame passed): global-map
+    # readers run after the writers that fill the map
+    after: list[str] = field(default_factory=list)
 
     @property
     def is_private(self) -> bool:
@@ -49,11 +52,15 @@ class Program:
         name: str,
         parameters: dict[str, Any] | None = None,
         run_if: Callable[[dict[str, Any]], bool] | None = None,
+        global_names: list[str] | None = None,
     ):
         self.name = name
         self.defaults = dict(parameters or {})
         self.run_if = run_if
         self.functions: dict[str, Function] = {}
+        # DECLARE'd global map variables (program scope); materialize
+        # instantiates one shared dict per run under params __globals
+        self.global_names = list(global_names or [])
 
     # -- definition ------------------------------------------------------
 
@@ -63,6 +70,7 @@ class Program:
         parents: list[str] | None = None,
         persist_for: float | None = None,
         doc: str = "",
+        after: list[str] | None = None,
     ) -> Callable[[Body], Body]:
         """Decorator: ``@prog.define("f", parents=["raw"])`` over a
         body ``(spark, params, *parent_dfs) -> DataFrame``."""
@@ -70,7 +78,10 @@ class Program:
         def deco(body: Body) -> Body:
             if name in self.functions:
                 raise ValueError(f"function {name!r} already defined in {self.name!r}")
-            self.functions[name] = Function(name, body, list(parents or []), persist_for, doc)
+            self.functions[name] = Function(
+                name, body, list(parents or []), persist_for, doc,
+                list(after or []),
+            )
             return body
 
         return deco
@@ -92,6 +103,9 @@ class Program:
                 raise KeyError(f"unknown parent {n!r} in program {self.name!r}")
             for p in fn.parents:
                 if p in self.functions:  # external refs resolve at materialize
+                    visit(p)
+            for p in fn.after:
+                if p in self.functions:
                     visit(p)
             state[n] = 2
             order.append(n)
@@ -118,6 +132,7 @@ class Program:
             raise ValueError(f"unknown parameters {sorted(unknown)} for program {self.name!r}")
         if self.run_if is not None and not self.run_if(p):
             return {}
+        p["__globals"] = {n: {} for n in self.global_names}
 
         ext = dict(externals or {})
         out: dict[str, DataFrame] = {}
@@ -125,14 +140,42 @@ class Program:
             fn = self.functions[name]
             parent_dfs = []
             for parent in fn.parents:
-                if parent in out:
-                    parent_dfs.append(out[parent])
-                elif parent in ext:
-                    parent_dfs.append(ext[parent])
-                else:
+                candidates = [parent]
+                if parent.startswith(".."):
+                    # relative to this program's path (reference
+                    # program-path resolution, any_ext_child.ramen)
+                    import posixpath
+
+                    candidates.append(
+                        posixpath.normpath(posixpath.join(self.name, parent))
+                    )
+                resolved: list[DataFrame] | None = None
+                for c in candidates:
+                    if c in out:
+                        resolved = [out[c]]
+                        break
+                    if c in ext:
+                        resolved = [ext[c]]
+                        break
+                if resolved is None:
+                    # `prog#_/func` — every instance of the program
+                    for c in candidates:
+                        if "#_" not in c:
+                            continue
+                        pre, post = c.split("#_", 1)
+                        matches = [
+                            v
+                            for k, v in ext.items()
+                            if k.startswith(pre + "#") and k.endswith(post)
+                        ]
+                        if matches:
+                            resolved = matches
+                            break
+                if resolved is None:
                     raise KeyError(
                         f"parent {parent!r} of {name!r} not defined nor provided externally"
                     )
+                parent_dfs.extend(resolved)
             df = fn.body(spark, p, *parent_dfs)
             out[name] = df
             if register_views and not fn.is_private:

@@ -75,7 +75,7 @@ _TOKEN_RE = re.compile(
   | (?P<int>0x[0-9a-fA-F]+|\d+)(?P<intsuf>NUMSUF)?
   | (?P<string>"(?:\\.|[^"\\])*")
   | (?P<bq>`[^`]*`)
-  | (?P<op><=|>=|<>|!=|\|\||\|\?|<<|>>|//|[-+*/%^=<>(),;?:\[\]{}&|\#])
+  | (?P<op>\.\.|<=|>=|<>|!=|\|\||\|\?|<<|>>|//|[-+*/%^=<>(),;?:\[\]{}&|\#])
   | (?P<name>[A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*)*)
     """.replace("NUMSUF", _NUM_SUF),
     re.VERBOSE,
@@ -275,7 +275,7 @@ AGGS = {
 # folds these, the Column compiler routes them to operators.series
 ROW_STATEFUL = {
     "lag", "latest", "oldest", "moveavg", "season_moveavg", "smooth",
-    "distinct", "derive", "hysteresis", "remember", "sample",
+    "distinct", "derive", "hysteresis", "remember", "recall", "sample",
     # IS x IN TOP / RANK OF x IN TOP — per-row membership/rank against
     # the running top state (raql_expr.type:319-323)
     "is_in_top", "rank_in_top",
@@ -339,6 +339,21 @@ def _fn_registry() -> dict[str, Any]:
 # ---------------------------------------------------------------------------
 # Pratt parser
 # ---------------------------------------------------------------------------
+
+
+def _ts_ddl(ts: "TypeSpec") -> str:
+    """Spark DDL of a cast TypeSpec (typed-NULL literals)."""
+    if ts.name in _INT_TYPES:
+        base = "bigint"
+    elif ts.name == "float":
+        base = "double"
+    elif ts.name in ("bool", "boolean"):
+        base = "boolean"
+    else:
+        base = "string"
+    if ts.vec_dim is not None or ts.is_arr:
+        return f"array<{base}>"
+    return base
 
 
 class Parser:
@@ -834,6 +849,34 @@ class Parser:
                 raise SyntaxError(f"RaQL: unexpected keyword {t.value!r} at {t.pos}")
             raise SyntaxError(f"RaQL: unexpected keyword {t.value!r} at {t.pos}")
         if t.kind == "op" and t.value == "(":
+            # compound tuple-type cast: (string; u32?)( … )
+            # (tuples.ramen converts) — lookahead, rollback on mismatch
+            save = self.i
+            tspecs: list[TypeSpec] | None = []
+            while tspecs is not None:
+                nt = self.peek()
+                if nt.kind == "name" and nt.value.lower() in _TYPE_NAMES:
+                    self.next()
+                    nb = bool(self.accept("op", "?"))
+                    tspecs.append(TypeSpec(nt.value.lower(), nb))
+                    if self.accept("op", ";"):
+                        continue
+                    if self.accept("op", ")") and len(tspecs) >= 2:
+                        break
+                tspecs = None
+            if tspecs is not None:
+                nullable = bool(self.accept("op", "?"))
+                if self.peek().kind == "op" and self.peek().value == "(":
+                    self.next()
+                    args = [self.parse_expr()]
+                    while self.accept("op", ";"):
+                        args.append(self.parse_expr())
+                    self.expect("op", ")")
+                    return Call(
+                        "cast_tuple", args,
+                        opts={"types": tspecs, "nullable": nullable},
+                    )
+            self.i = save
             e = self.parse_expr()
             # tuple literal (a; b; …) → struct
             if self.accept("op", ";"):
@@ -1064,18 +1107,60 @@ class Parser:
             if low in _NET_TYPE_CALLS:
                 save = self.i
                 nullable = bool(self.accept("op", "?"))
+                vdim: int | None = None
+                v_outer_nullable = False
+                if self.accept("op", "["):
+                    # ip?[2](…) / ip[2]?(…) — vector-of-ip cast
+                    # (tuples.ramen t7/t8)
+                    if self.peek().kind == "num":
+                        vdim = int(self.next().value)
+                    if vdim is None or not self.accept("op", "]"):
+                        self.i = save
+                        nullable, vdim = False, None
+                    else:
+                        v_outer_nullable = bool(self.accept("op", "?"))
                 if self.peek().kind == "op" and self.peek().value == "(":
-                    args = self._parse_call_args()
+                    self.next()
+                    args = [self.parse_expr()]
+                    while self.accept("op", ";") or self.accept("op", ","):
+                        args.append(self.parse_expr())
+                    self.expect("op", ")")
+                    if vdim is not None:
+                        return Call(
+                            "net_cast_vec", args,
+                            opts={
+                                "kind": low,
+                                "elem_nullable": nullable,
+                                "outer_nullable": v_outer_nullable,
+                            },
+                        )
                     return Call("net_cast", args, opts={"kind": low, "nullable": nullable})
                 self.i = save
-            # type-call casts: U8(x), u32?(3) (doc:73 `…type…(…expr…)`)
+            # type-call casts: U8(x), u32?(3), char?[1]?(x), string[](t),
+            # string[2](t) (doc:73 `…type…(…expr…)`; char.ramen,
+            # tuples.ramen compound-cast forms)
             if low in _TYPE_NAMES:
                 save = self.i
                 nullable = bool(self.accept("op", "?"))
+                vec_dim: int | None = None
+                is_arr = False
+                if self.accept("op", "["):
+                    if self.peek().kind == "num":
+                        vec_dim = int(self.next().value)
+                    else:
+                        is_arr = True
+                    if not self.accept("op", "]"):
+                        self.i = save
+                        vec_dim, is_arr = None, False
+                    else:
+                        # outer '?': the vector itself is nullable —
+                        # representationally free in Spark
+                        self.accept("op", "?")
                 if self.peek().kind == "op" and self.peek().value == "(":
                     args = self._parse_call_args()
                     return Call(
-                        "cast", args, opts={"to": TypeSpec(low, nullable)}
+                        "cast", args,
+                        opts={"to": TypeSpec(low, nullable, vec_dim, is_arr)},
                     )
                 self.i = save
             # function call with parens
@@ -1131,7 +1216,9 @@ def _is_array_node(node) -> bool:
         if node.fn == "cast":
             ts = node.opts.get("to")
             return ts is not None and (ts.vec_dim is not None or ts.is_arr)
-        if node.fn in ("group", "sample"):
+        if node.fn in ("group", "sample", "past", "latest", "oldest", "largest"):
+            # vector-valued stateful windows: an enclosing aggregate
+            # takes their materialized list (min recent_n, past.ramen)
             return True
     return False
 
@@ -1223,8 +1310,12 @@ class Compiler:
         in_names: frozenset[str] | None = None,
         window=None,
         src_arrays: frozenset[str] | None = None,
+        schema: dict[str, str] | None = None,
     ):
         self.params = params or {}
+        # input column → simpleString DDL; lets comparisons see the
+        # GENERIC ip/cidr sum structs (SURVEY §1.2) behind a Field ref
+        self.schema = schema or {}
         self.fns = _fn_registry()
         self.has_aggregate = False
         # input columns of array type — `SUM f` over an array field is
@@ -1302,6 +1393,17 @@ class Compiler:
                 return c.isNull()
             raise ValueError(f"unknown unop {node.op}")
         if isinstance(node, Binop):
+            if node.op in ("=", "<>", "!="):
+                # generic-ip struct column vs address literal: compare
+                # within the matching family (src/raql_type.ml:34-40 Ip)
+                for x, y in ((node.a, node.b), (node.b, node.a)):
+                    if (
+                        isinstance(y, NetLit)
+                        and y.kind in ("ip4", "ip6")
+                        and self._is_ip_struct(x)
+                    ):
+                        eq = self._ip_struct_eq(x, y)
+                        return eq if node.op == "=" else ~eq
             if node.op == "like":
                 # reference default: case-INSENSITIVE (RamenExpr.ml:1061
                 # case_sensitive ~def:false; Globs.ml:142 lowercase cmp)
@@ -1311,8 +1413,21 @@ class Compiler:
             if node.op == "in":
                 return self._compile_in(node.a, node.b)
             if node.op == "index":
+                gm = self.params.get("__globals") or {}
+                if isinstance(node.a, Field) and _strip_ns(node.a.path) in gm:
+                    # global map read, map already materialized
+                    # driver-side (globals_program.ramen)
+                    m = gm[_strip_ns(node.a.path)]
+                    if isinstance(node.b, Lit):
+                        return F.lit(m.get(node.b.value))
+                    if m:
+                        flat = [F.lit(x) for kv in m.items() for x in kv]
+                        return F.element_at(
+                            F.create_map(*flat), self.col(node.b)
+                        )
+                    return F.lit(None).cast("string")
                 # out-of-range GET is NULL (gets.ramen), hence try_
-                return F.try_element_at(self.col(node.a), self.col(node.b) + 1)
+                return F.try_element_at(self.col(node.a), (self.col(node.b) + 1).cast("int"))
             # `int * string` repeats the string (doc:455) — resolved
             # syntactically on the literal-string side
             if node.op == "*":
@@ -1404,6 +1519,55 @@ class Compiler:
             return S.idiv_int(a, b)
         return S.idiv(a, b)
 
+    def _field_ddl(self, node) -> str | None:
+        if isinstance(node, Field) and self.schema:
+            return self.schema.get(_strip_ns(node.path))
+        return None
+
+    def _tuple_fields_of(self, node) -> list[str] | None:
+        """Struct member names of a tuple-valued operand, or None."""
+        if isinstance(node, Call) and node.fn == "_tuple":
+            return [f"_{i}" for i in range(len(node.args))]
+        if isinstance(node, Call) and node.fn == "cast_tuple":
+            return [f"_{i}" for i in range(len(node.opts["types"]))]
+        if isinstance(node, Call) and node.fn == "_record":
+            return list(node.opts["names"])
+        t = self._field_ddl(node)
+        if t and t.replace(" ", "").startswith("struct<"):
+            inner = t.replace(" ", "")[7:-1]
+            out, depth, cur = [], 0, ""
+            for ch in inner:
+                if ch == "," and depth == 0:
+                    out.append(cur)
+                    cur = ""
+                    continue
+                if ch == "<":
+                    depth += 1
+                if ch == ">":
+                    depth -= 1
+                cur += ch
+            out.append(cur)
+            return [x.split(":", 1)[0] for x in out if x]
+        return None
+
+    def _is_ip_struct(self, node) -> bool:
+        t = self._field_ddl(node)
+        return t is not None and t.replace(" ", "").startswith("struct<version:")
+
+    def _is_cidr_struct(self, node) -> bool:
+        t = self._field_ddl(node)
+        return t is not None and "addr4" in t and "mask" in t
+
+    def _ip_struct_eq(self, fld, nl: NetLit) -> Column:
+        c = self.col(fld)
+        if nl.kind == "ip4":
+            return (c.getField("version") == 4) & (
+                c.getField("v4") == F.lit(int(nl.value))
+            )
+        return (c.getField("version") == 6) & (
+            c.getField("v6") == F.lit(int(nl.value).to_bytes(16, "big"))
+        )
+
     def _compile_in(self, a_node, b_node) -> Column:
         """``x IN s``: explicit list, array/vector membership, substring
         search, or IP-in-CIDR (doc:626)."""
@@ -1416,9 +1580,29 @@ class Compiler:
         if isinstance(b_node, Call) and b_node.fn == "_list":
             return self.col(a_node).isin(*[self.col(x) for x in b_node.args])
         if isinstance(b_node, NetLit) and b_node.kind in ("cidr4", "cidr6"):
+            ip_c = self.col(a_node)
+            generic = self._is_ip_struct(a_node)
             if b_node.kind == "cidr6":
-                raise NotImplementedError("IP IN cidr6 not implemented")
-            return N.cidr_contains(self._net_lit(b_node), self.col(a_node))
+                # 16-byte v6 between network start/end bytes (binary
+                # compare in Spark is unsigned lexicographic == numeric)
+                addr, mask = b_node.value
+                lo = (int(addr) >> (128 - mask)) << (128 - mask)
+                hi = lo | ((1 << (128 - mask)) - 1)
+                v6 = ip_c.getField("v6") if generic else ip_c
+                cond = (v6 >= F.lit(lo.to_bytes(16, "big"))) & (
+                    v6 <= F.lit(hi.to_bytes(16, "big"))
+                )
+                if generic:
+                    cond = (ip_c.getField("version") == 6) & cond
+                return cond
+            v4 = ip_c.getField("v4") if generic else ip_c
+            cond = N.cidr_contains(self._net_lit(b_node), v4)
+            if generic:
+                cond = (ip_c.getField("version") == 4) & cond
+            return cond
+        if self._is_ip_struct(a_node) and self._is_cidr_struct(b_node):
+            # generic ip IN generic cidr, dynamic mask (ip.ramen f5)
+            return N.ip_in_cidr_generic(self.col(a_node), self.col(b_node))
         if _is_string_node(b_node):
             return self.col(b_node).contains(self.col(a_node))
         if _is_array_node(b_node):
@@ -1691,7 +1875,62 @@ class Compiler:
                 return F.try_element_at(base, F.lit(i))
             return base.getField(f"_{i - 1}")
         if fn == "cast":
-            return self._compile_cast(self.col(node.args[0]), node.opts["to"])
+            ts = node.opts["to"]
+            operand = node.args[0]
+            if isinstance(operand, Lit) and operand.value is None:
+                # untyped NULL: give it the cast's type directly
+                # (char[99]?(NULL), char.ramen foo_null3)
+                return F.lit(None).cast(_ts_ddl(ts))
+            tup_fields = self._tuple_fields_of(operand)
+            if (ts.vec_dim is not None or ts.is_arr) and tup_fields:
+                # tuple → vector/list cast (tuples.ramen t5/t6):
+                # cast every member to the element type
+                c = self.col(operand)
+                elem = TypeSpec(ts.name, ts.nullable)
+                return F.array(
+                    *[
+                        self._compile_cast(c.getField(f_), elem)
+                        for f_ in tup_fields
+                    ]
+                )
+            if (
+                ts.name == "string"
+                and ts.vec_dim is None
+                and not ts.is_arr
+                and _is_array_node(operand)
+            ):
+                # char/value vector → string: member concatenation with
+                # '?' for NULL chars (char.ramen foo/foo_null1); a NULL
+                # vector yields NULL, not "" (concat_ws skips nulls)
+                c = self.col(operand)
+                return F.when(
+                    c.isNotNull(),
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            c,
+                            lambda x: F.coalesce(x.cast("string"), F.lit("?")),
+                        ),
+                    ),
+                )
+            return self._compile_cast(self.col(operand), ts)
+        if fn == "cast_tuple":
+            # (t1; t2; …)(e1; e2; …) — member-wise tuple cast
+            # (tuples.ramen converts); a single NULL argument nulls the
+            # whole tuple
+            types = node.opts["types"]
+            if len(node.args) == 1 and isinstance(node.args[0], Lit) and node.args[0].value is None:
+                ddl = ",".join(
+                    f"_{i}:{'string' if t_.name == 'string' else ('double' if t_.name == 'float' else ('bigint' if t_.name in _INT_TYPES else 'string'))}"
+                    for i, t_ in enumerate(types)
+                )
+                return F.lit(None).cast(f"struct<{ddl}>")
+            return F.struct(
+                *[
+                    self._compile_cast(self.col(a), t_).alias(f"_{i}")
+                    for i, (a, t_) in enumerate(zip(node.args, types))
+                ]
+            )
         if fn == "peek":
             return self._compile_peek(node)
         if fn == "percentile_of":
@@ -1822,6 +2061,30 @@ class Compiler:
         if fn == "net_cast":
             # numeric passthrough (see parser note)
             return self.col(node.args[0])
+        if fn == "net_cast_vec":
+            # ip?[2](…) — vector of generic-ip casts from strings
+            # (tuples.ramen t7/t8): unparsable members → NULL; with
+            # non-nullable elements a NULL member nulls the vector
+            from ramen_spark.functions import network as N
+
+            def to_ip(a) -> Column:
+                c = self.col(a)
+                v4 = N.string_to_ipv4(c.cast("string"))
+                return F.when(
+                    v4.isNotNull(),
+                    F.struct(
+                        F.lit(4).alias("version"),
+                        v4.alias("v4"),
+                        F.lit(None).cast("binary").alias("v6"),
+                    ),
+                )
+
+            arr = F.array(*[to_ip(a) for a in node.args])
+            if not node.opts.get("elem_nullable"):
+                arr = F.when(
+                    ~F.exists(arr, lambda x: x.isNull()), arr
+                )
+            return arr
         if fn == "print":
             # PRINT logs operands worker-side and returns the first
             # (doc: print) — a pass-through in the plan
@@ -1836,7 +2099,7 @@ class Compiler:
                     # (constructed_types.ramen:28)
                     return self.col(Field(v.path + "." + idx.value))
                 return self.col(v).getField(idx.value)
-            return F.try_element_at(self.col(v), self.col(idx) + 1)
+            return F.try_element_at(self.col(v), (self.col(idx) + 1).cast("int"))
         if fn == "format_time":
             fmt = node.args[0]
             if not isinstance(fmt, Lit):
@@ -2093,15 +2356,28 @@ def _parse_clickhouse_schema(p: Parser) -> tuple[list, list[str]]:
 
 
 def _parse_source(p: Parser):
-    """One FROM parent: 'prog/func' path, or a parenthesized
-    sub-query (src/raql_operation.type:35-46)."""
+    """One FROM parent: 'prog/func' path — possibly relative (``../``)
+    and instance-qualified (``prog#ext``, ``#_`` = every instance,
+    any_ext_child.ramen) — or a parenthesized sub-query
+    (src/raql_operation.type:35-46)."""
     if p.accept("op", "("):
         sub = _parse_operation_body(p)
         p.expect("op", ")")
         return sub
-    parts = [p.expect("name").value]
+    parts: list[str] = []
+    while p.accept("op", ".."):
+        parts.append("..")
+        p.expect("op", "/")
+
+    def segment() -> str:
+        nm = p.expect("name").value
+        if p.accept("op", "#"):
+            nm += "#" + p.expect("name").value
+        return nm
+
+    parts.append(segment())
     while p.accept("op", "/"):
-        parts.append(p.expect("name").value)
+        parts.append(segment())
     return "/".join(parts)
 
 
@@ -2526,8 +2802,9 @@ def compile_operation(
     )
     if op.sort_last is not None:
         df = _apply_sort_last(df, op, params)
+    src_schema = {f_.name: f_.dataType.simpleString() for f_ in df.schema.fields}
     if op.where is not None:
-        where_c = Compiler(params, src_arrays=src_arrays)
+        where_c = Compiler(params, src_arrays=src_arrays, schema=src_schema)
         cond = where_c.col(op.where)
         if where_c.has_aggregate:
             raise NotImplementedError("stateful WHERE needs the general COMMIT engine")
@@ -2549,6 +2826,46 @@ def compile_operation(
             )
         else:
             fields.append(f_)
+
+    # SPLIT generators: each split value yields its OWN output row,
+    # with enclosing expressions applied per generated value (the
+    # reference's generator expansion, word_split.ramen; cartesian
+    # across multiple generators). Lower each generator subtree to an
+    # exploded column, then compile the enclosing expression against it
+    # — Catalyst's GenerateExec, fully distributed.
+    gen_cols: list[tuple[str, Any]] = []
+
+    def _lift_generators(node):
+        if isinstance(node, Call) and node.fn == "split":
+            nm = f"_gen{len(gen_cols)}"
+            gen_cols.append((nm, node))
+            return Field(nm)
+        if isinstance(node, Call):
+            return Call(node.fn, [_lift_generators(a) for a in node.args], node.opts)
+        if isinstance(node, Unop):
+            return Unop(node.op, _lift_generators(node.e))
+        if isinstance(node, Binop):
+            return Binop(node.op, _lift_generators(node.a), _lift_generators(node.b))
+        if isinstance(node, CaseWhen):
+            return CaseWhen(
+                [(_lift_generators(c), _lift_generators(v)) for c, v in node.branches],
+                _lift_generators(node.otherwise) if node.otherwise is not None else None,
+            )
+        return node
+
+    fields = [
+        f_
+        if isinstance(f_.expr, Star)
+        else SelectField(_lift_generators(f_.expr), f_.alias)
+        for f_ in fields
+    ]
+    for nm, gnode in gen_cols:
+        # Compiler.call already lowers split to explode(split(...));
+        # one generator per projection stage → cartesian across stages
+        gen = Compiler(params, src_arrays=src_arrays).col(
+            Call("split", gnode.args, gnode.opts)
+        )
+        df = df.withColumn(nm, gen)
 
     # private fields (leading underscore) are dropped from the output
     out_names: list[str] = []
@@ -2611,16 +2928,19 @@ def compile_operation(
             snap = f"_in_snapshot_{n}"
             out = out.withColumn(snap, F.col(n))
             in_shadow[n] = snap
-        if in_shadow:
-            cols = []
-            for f_, name in zip(fields, out_names):
-                sub = Compiler(
-                    params, in_shadow=in_shadow, in_names=in_names,
-                    src_arrays=src_arrays,
-                )
-                cols.append(sub.col(f_.expr).alias(name))
-        for name, col in zip(out_names, cols):
-            out = out.withColumn(name, col)
+        for f_, name in zip(fields, out_names):
+            # recompile against the evolving schema so tuple-typed
+            # out-fields are known to later casts (tuples.ramen t5:
+            # string[](t1) needs t1's struct member names)
+            sub = Compiler(
+                params, in_shadow=in_shadow, in_names=in_names,
+                src_arrays=src_arrays,
+                schema={
+                    fld.name: fld.dataType.simpleString()
+                    for fld in out.schema.fields
+                },
+            )
+            out = out.withColumn(name, sub.col(f_.expr).alias(name))
 
     public = [n for n in out_names if not n.startswith("_")]
     return out.select(*public)
@@ -2643,6 +2963,7 @@ class DefineStmt:
 class ProgramAST:
     parameters: dict[str, Any]
     defines: list[DefineStmt]
+    globals_: list[str] = field(default_factory=list)
 
 
 def parse_program(text: str) -> ProgramAST:
@@ -2657,6 +2978,7 @@ def parse_program(text: str) -> ProgramAST:
     p = Parser(tokenize(text))
     parameters: dict[str, Any] = {}
     defines: list[DefineStmt] = []
+    globals_: list[str] = []
 
     def parse_param_default():
         if p.accept("op", "["):
@@ -2714,6 +3036,26 @@ def parse_program(text: str) -> ProgramAST:
                     parameters[pname] = None
                 if not p.accept("op", ","):
                     break
+        elif p.peek().kind == "name" and p.peek().value.lower() == "declare":
+            # DECLARE [WITH <scope> SCOPE] name k_type[v_type] — a
+            # global map variable (src/RamenGlobalVariables.ml;
+            # globals_function.ramen). Scope is advisory here: every
+            # global lives at program level (the reference's
+            # program-scope LMDB map).
+            p.next()
+            if p.peek().kind in ("name", "kw") and str(p.peek().value).lower() == "with":
+                p.next()
+                p.next()  # scope kind word (PROGRAM/SITE/GLOBAL)
+                sc = p.expect("name")
+                if sc.value.lower() != "scope":
+                    raise SyntaxError("DECLARE: expected SCOPE")
+            gname = p.expect("name").value
+            # value[key] type syntax, e.g. string[string]
+            p.expect("name")  # value type
+            if p.accept("op", "["):
+                p.expect("name")
+                p.expect("op", "]")
+            globals_.append(gname)
         elif p.accept("kw", "define"):
             lazy = bool(p.accept("kw", "lazy"))
             fname = p.expect("name").value
@@ -2729,7 +3071,7 @@ def parse_program(text: str) -> ProgramAST:
         if not p.accept("op", ";"):
             break
     p.expect("eof")
-    return ProgramAST(parameters, defines)
+    return ProgramAST(parameters, defines, globals_)
 
 
 def _compile_read_csv(spark, rc: ReadCsv, base_dir: str | None):
@@ -2786,34 +3128,94 @@ def _compile_read_csv(spark, rc: ReadCsv, base_dir: str | None):
         return decode_rowbinary(blob_df, spec)
 
     # array-typed columns can't be scanned directly from CSV: read the
-    # cell as a string, then parse the ClickHouse-syntax array literal
+    # cell as a string, then parse the ClickHouse-syntax array literal.
+    # GENERIC ip/cidr sum types serialize as MULTIPLE cells (the
+    # reference's flattened sum encoding, fixtures/mixture.csv:
+    # ip = tag,value; cidr = tag,value,mask) — scan the raw cells and
+    # assemble the sum structs after the read.
     arr_fields = {fname for fname, ts in rc.fields if ts.is_arr or ts.vec_dim}
-    schema = T.StructType(
-        [
-            T.StructField(
-                fname,
-                T.StringType() if fname in arr_fields else spark_type(ts),
-                True,
+    raw_fields: list[T.StructField] = []
+    for fname, ts in rc.fields:
+        if ts.name == "ip":
+            raw_fields.append(T.StructField(f"{fname}__tag", T.IntegerType(), True))
+            raw_fields.append(T.StructField(f"{fname}__val", T.StringType(), True))
+        elif ts.name == "cidr":
+            raw_fields.append(T.StructField(f"{fname}__tag", T.IntegerType(), True))
+            raw_fields.append(T.StructField(f"{fname}__val", T.StringType(), True))
+            raw_fields.append(T.StructField(f"{fname}__mask", T.IntegerType(), True))
+        elif ts.name in ("cidr4", "cidr6"):
+            raw_fields.append(T.StructField(f"{fname}__val", T.StringType(), True))
+            raw_fields.append(T.StructField(f"{fname}__mask", T.IntegerType(), True))
+        else:
+            raw_fields.append(
+                T.StructField(
+                    fname,
+                    T.StringType() if fname in arr_fields else spark_type(ts),
+                    True,
+                )
             )
-            for fname, ts in rc.fields
-        ]
-    )
     df = read_csv(
-        spark, path, schema, separator=rc.separator, null_str=rc.null_str,
+        spark, path, T.StructType(raw_fields),
+        separator=rc.separator, null_str=rc.null_str,
         may_quote=rc.may_quote, escape_seq=rc.escape_seq,
         clickhouse_syntax=rc.clickhouse_syntax,
     )
+    from ramen_spark.sources.csv import decimal_str_to_bytes16
+
+    out_cols = []
     for fname, ts in rc.fields:
-        if fname not in arr_fields:
-            continue
-        elem = spark_type(TypeSpec(ts.name, ts.nullable)).simpleString()
-        df = df.withColumn(
-            fname, parse_clickhouse_array_cell(F.col(fname), elem)
-        )
-    return df
+        if ts.name == "ip":
+            tag, val = F.col(f"{fname}__tag"), F.col(f"{fname}__val")
+            out_cols.append(
+                F.when(
+                    val.isNotNull(),
+                    F.struct(
+                        F.when(tag == 0, F.lit(4)).otherwise(F.lit(6)).alias("version"),
+                        F.when(tag == 0, val.cast("long")).alias("v4"),
+                        F.when(tag != 0, decimal_str_to_bytes16(val)).alias("v6"),
+                    ),
+                ).alias(fname)
+            )
+        elif ts.name == "cidr":
+            tag = F.col(f"{fname}__tag")
+            val = F.col(f"{fname}__val")
+            msk = F.col(f"{fname}__mask")
+            out_cols.append(
+                F.when(
+                    val.isNotNull(),
+                    F.struct(
+                        F.when(tag == 0, F.lit(4)).otherwise(F.lit(6)).alias("version"),
+                        F.when(tag == 0, val.cast("long")).alias("addr4"),
+                        F.when(tag != 0, decimal_str_to_bytes16(val)).alias("addr6"),
+                        msk.alias("mask"),
+                    ),
+                ).alias(fname)
+            )
+        elif ts.name == "cidr4":
+            out_cols.append(
+                F.struct(
+                    F.col(f"{fname}__val").cast("long").alias("addr"),
+                    F.col(f"{fname}__mask").alias("mask"),
+                ).alias(fname)
+            )
+        elif ts.name == "cidr6":
+            out_cols.append(
+                F.struct(
+                    decimal_str_to_bytes16(F.col(f"{fname}__val")).alias("addr"),
+                    F.col(f"{fname}__mask").alias("mask"),
+                ).alias(fname)
+            )
+        elif fname in arr_fields:
+            elem = spark_type(TypeSpec(ts.name, ts.nullable)).simpleString()
+            out_cols.append(
+                parse_clickhouse_array_cell(F.col(fname), elem).alias(fname)
+            )
+        else:
+            out_cols.append(F.col(fname))
+    return df.select(*out_cols)
 
 
-def _needs_fold_engine(op: Operation) -> bool:
+def _needs_fold_engine(op: Operation, src_arrays: frozenset[str] = frozenset()) -> bool:
     """Route an operation to the general COMMIT engine when the batch
     fast path can't express it: row-stateful select/where functions,
     commit conditions over group state, check-all-groups commits, or
@@ -2823,10 +3225,18 @@ def _needs_fold_engine(op: Operation) -> bool:
         exprs.append(op.where)
     for e in exprs:
         for n in _walk(e):
+            # an array FIRST ARG means an immediate (materialized-list)
+            # form for most stateful fns — but is_in_top/rank_in_top
+            # take the ITEM there, which may be a vector key
+            # (port_scan.ramen IS [src;dst] IN TOP 2): still stateful
             if isinstance(n, Call) and n.fn in ROW_STATEFUL and not (
-                n.args and _is_array_node(n.args[0])
+                n.fn not in ("is_in_top", "rank_in_top")
+                and n.args
+                and _is_array_node(n.args[0])
             ):
                 return True
+            if isinstance(n, Call) and n.fn in ("mapadd", "mapset"):
+                return True  # global-map writes mutate shared state
             # previous/local_last/global_last namespaces need the
             # fold's committed-output state (changed.ramen,
             # flappy.ramen, previous.ramen)
@@ -2834,6 +3244,23 @@ def _needs_fold_engine(op: Operation) -> bool:
                 ("previous.", "local_last.", "local_last_out.", "global_last")
             ):
                 return True
+    # group-less aggregates without a COMMIT clause: the default commit
+    # condition is `true` (RamenOperation.ml:857,1335) — the running
+    # aggregate emits per input row (constructed_types.ramen tick)
+    if op.commit_after is None and not op.group_by and op.sources and not op.is_yield:
+        for e in exprs:
+            for n in _walk(e):
+                if isinstance(n, Call) and n.fn in AGGS and not (
+                    n.args
+                    and (
+                        _is_array_node(n.args[0])
+                        or (
+                            isinstance(n.args[0], Field)
+                            and _strip_ns(n.args[0].path) in src_arrays
+                        )
+                    )
+                ):
+                    return True
     # clock-driven select (YIELD / FROM-less SELECT) with aggregates:
     # the reference emits the running aggregate EVERY tick — per-row
     # fold, not run-to-completion (event_time.ramen, one_out_of.ramen)
@@ -2862,8 +3289,9 @@ def _needs_fold_engine(op: Operation) -> bool:
 
 
 # batch tick count for stateful YIELD functions (enough for every
-# func-corpus `present` expectation; stateless yields use one tick)
-YIELD_TICKS = 1024
+# func-corpus `present` expectation, incl. stress's count=2000;
+# stateless yields use one tick)
+YIELD_TICKS = 2048
 
 
 def compile_program(text: str, name: str = "raql", base_dir: str | None = None):
@@ -2882,7 +3310,39 @@ def compile_program(text: str, name: str = "raql", base_dir: str | None = None):
     from ramen_spark.plans.program import Program
 
     ast = parse_program(text)
-    prog = Program(name, parameters=ast.parameters)
+    prog = Program(name, parameters=ast.parameters, global_names=ast.globals_)
+
+    def _op_global_writes(op) -> set[str]:
+        if not isinstance(op, Operation):
+            return set()
+        return {
+            _strip_ns(n.args[0].path)
+            for f_ in op.fields
+            if not isinstance(f_.expr, Star)
+            for n in _walk(f_.expr)
+            if isinstance(n, Call)
+            and n.fn in ("mapadd", "mapset")
+            and isinstance(n.args[0], Field)
+            and _strip_ns(n.args[0].path) in ast.globals_
+        }
+
+    def _op_global_reads(op) -> set[str]:
+        if not isinstance(op, Operation):
+            return set()
+        exprs = [f_.expr for f_ in op.fields if not isinstance(f_.expr, Star)]
+        if op.where is not None:
+            exprs.append(op.where)
+        return {
+            _strip_ns(n.path)
+            for e in exprs
+            for n in _walk(e)
+            if isinstance(n, Field) and _strip_ns(n.path) in ast.globals_
+        } - _op_global_writes(op)
+
+    writers_of: dict[str, list[str]] = {}
+    for d in ast.defines:
+        for g in _op_global_writes(d.op):
+            writers_of.setdefault(g, []).append(d.name)
 
     def make_body(op):
         if isinstance(op, ReadCsv):
@@ -2892,7 +3352,15 @@ def compile_program(text: str, name: str = "raql", base_dir: str | None = None):
             return read_body
 
         def body(spark, params, *parent_dfs):
-            use_fold = _needs_fold_engine(op)
+            from pyspark.sql.types import ArrayType as _AT
+
+            src_arr = frozenset(
+                f_.name
+                for p_ in parent_dfs
+                for f_ in p_.schema.fields
+                if isinstance(f_.dataType, _AT)
+            )
+            use_fold = _needs_fold_engine(op, src_arr)
             if op.is_yield or not op.sources:
                 # YIELD: clock-driven select — the batch source is a
                 # generated tick frame (each row = one EVERY tick). The
@@ -2934,8 +3402,81 @@ def compile_program(text: str, name: str = "raql", base_dir: str | None = None):
                 raise ValueError("RaQL function needs at least one FROM parent")
             else:
                 src = parent_dfs[0]
-                for extra in parent_dfs[1:]:
-                    src = src.unionByName(extra)
+                if parent_dfs[1:]:
+                    # multi-parent FROM: parents may output different
+                    # field sets/orders — the merged stream carries the
+                    # fields COMMON to all parents, by name (reference
+                    # parent-type unification, RamenOperation.ml; the
+                    # from.test parents share only {one, two})
+                    common = [
+                        c
+                        for c in src.columns
+                        if all(c in p.columns for p in parent_dfs[1:])
+                    ]
+                    if any(
+                        set(p.columns) != set(src.columns)
+                        for p in parent_dfs[1:]
+                    ):
+                        src = src.select(*common)
+                        parents = [p.select(*common) for p in parent_dfs[1:]]
+                    else:
+                        parents = list(parent_dfs[1:])
+                    for extra in parents:
+                        src = src.unionByName(extra)
+            # global-map writes visible to OTHER functions: when the
+            # mapadd key/value are stateless input expressions, fill
+            # the program-scope map eagerly (last write per key in
+            # stream order — the reference's shared LMDB map semantics,
+            # globals_program.ramen). Same-function reads are served by
+            # the fold's task-local copy either way.
+            gmaps = (params or {}).get("__globals")
+            if gmaps is not None:
+                for f_ in op.fields:
+                    if isinstance(f_.expr, Star):
+                        continue
+                    for n_ in _walk(f_.expr):
+                        if not (
+                            isinstance(n_, Call)
+                            and n_.fn in ("mapadd", "mapset")
+                            and isinstance(n_.args[0], Field)
+                            and _strip_ns(n_.args[0].path) in gmaps
+                        ):
+                            continue
+                        k_n, v_n = n_.args[1], n_.args[2]
+                        stateless = all(
+                            not (
+                                isinstance(x, Call)
+                                and (x.fn in AGGS or x.fn in ROW_STATEFUL)
+                            )
+                            and not (
+                                isinstance(x, Field)
+                                and _strip_ns(x.path) not in src.columns
+                                and "." not in x.path
+                                and _strip_ns(x.path).lower()
+                                not in ("pi",)
+                            )
+                            for arg in (k_n, v_n)
+                            for x in _walk(arg)
+                        )
+                        if not stateless:
+                            continue
+                        comp = Compiler(params)
+                        pairs = (
+                            src.withColumn(
+                                "_ord", F.monotonically_increasing_id()
+                            )
+                            .select(
+                                comp.col(k_n).alias("k"),
+                                comp.col(v_n).alias("v"),
+                                "_ord",
+                            )
+                            .groupBy("k")
+                            .agg(F.max_by("v", "_ord").alias("v"))
+                            .collect()
+                        )
+                        gmaps[_strip_ns(n_.args[0].path)].update(
+                            {r["k"]: r["v"] for r in pairs}
+                        )
             if use_fold:
                 return compile_commit_operation(
                     op, src, params=params,
@@ -2965,9 +3506,17 @@ def compile_program(text: str, name: str = "raql", base_dir: str | None = None):
                     resolved_sources.append(sub_name)
             op = replace(op, sources=resolved_sources)
             parents = resolved_sources
-        prog.define(d.name, parents=parents, persist_for=d.persist_for)(
-            make_body(op)
+        after = sorted(
+            {
+                w
+                for g in _op_global_reads(d.op)
+                for w in writers_of.get(g, [])
+                if w != d.name
+            }
         )
+        prog.define(
+            d.name, parents=parents, persist_for=d.persist_for, after=after
+        )(make_body(op))
     return prog
 
 
@@ -3212,9 +3761,46 @@ def _py_fit(obs):
     return ys[-1] + b1n / b1d
 
 
+def _freeze(v):
+    """Hashable view of a fold value (DISTINCT/REMEMBER keys may be
+    struct/array-valued, e.g. DISTINCT ip over the sum struct)."""
+    if isinstance(v, dict):
+        return tuple((k, _freeze(x)) for k, x in v.items())
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze(x) for x in v)
+    return v
+
+
+def _py_net_cast(v, kind: str | None):
+    """Network type-call in the fold. The GENERIC `ip` is the sum type
+    struct<version, v4, v6> (src/raql_type.ml:34-40 Ip; SURVEY §1.2):
+    ints < 2^32 are v4, larger ints and 16-byte binaries are v6."""
+    if v is None:
+        return None
+    if kind == "ip":
+        if isinstance(v, dict):  # already generic
+            return v
+        if isinstance(v, (bytes, bytearray)):
+            return {"version": 6, "v4": None, "v6": bytes(v)}
+        iv = int(v)
+        if iv < (1 << 32):
+            return {"version": 4, "v4": iv, "v6": None}
+        return {"version": 6, "v4": None, "v6": iv.to_bytes(16, "big")}
+    if kind == "ip6":
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)
+        return int(v).to_bytes(16, "big")
+    if kind in ("ip4", "eth"):
+        return int(v)
+    return v  # cidr casts pass through their struct encodings
+
+
 def _py_cast(v, ts: "TypeSpec"):
     if v is None:
         return None
+    if isinstance(v, dict) and "version" in v:
+        # generic ip sum struct → its numeric address value
+        v = v.get("v4") if v.get("version") == 4 else int.from_bytes(v["v6"], "big")
     if ts.vec_dim is not None or ts.is_arr:
         elem = TypeSpec(ts.name, ts.nullable)
         return [_py_cast(x, elem) for x in v]
@@ -3347,11 +3933,30 @@ class _Fold:
                 buf.pop(0)
             return val
         if fn == "distinct":
-            x = ev(node.args[0])
+            x = _freeze(ev(node.args[0]))
             seen = rs.setdefault(key, set())
             novel = x not in seen
             seen.add(x)
             return novel
+        if fn in ("remember", "recall"):
+            # REMEMBER/RECALL (fpr, dur, e [, tim]) — sliding-duration
+            # membership (CodeGenLib.ml:386-423 Remember + sliced bloom
+            # filter; exact set here). REMEMBER refreshes the entry's
+            # clock on every sighting; RECALL keeps the first.
+            dur = float(ev(node.args[1]))
+            x = ev(node.args[2])
+            tim = (
+                float(ev(node.args[3]))
+                if len(node.args) > 3
+                else float(self._eval(Field("#start"), row, state, previous, None) or 0.0)
+            )
+            kx = repr(x)
+            mem = rs.setdefault(key, {})
+            t_rec = mem.get(kx)
+            present = t_rec is not None and tim - t_rec < dur
+            if fn == "remember" or not present:
+                mem[kx] = tim
+            return present
         if fn in ("latest", "oldest"):
             n = int(ev(node.args[0]))
             x = ev(node.args[-1])
@@ -3476,12 +4081,31 @@ class _Fold:
             x = ev(node.args[0])
             keep = node.opts.get("keep_nulls", False)
             buf = rs.setdefault(key, [])
+            if node.opts.get("tumbling"):
+                # Reference tumbling (CodeGenLib.ml:629-678 Past): when
+                # the incoming t falls in a different int(t/max_age)
+                # bucket than the buffer, the buffer FLUSHES and the
+                # completed window is this row's value; mid-bucket rows
+                # yield NULL. int() truncates toward zero like OCaml's
+                # int_of_float (negative pre-1970 starts, past.ramen).
+                final = None
+                if buf and t is not None:
+                    t0 = min(e_[0] for e_ in buf if e_[0] is not None)
+                    if int(t / d) != int(t0 / d):
+                        final = [
+                            v
+                            for _, v in sorted(
+                                (e_ for e_ in buf if e_[0] is not None),
+                                key=lambda e_: e_[0],
+                            )
+                        ]
+                        buf.clear()
+                if x is not None or keep:
+                    buf.append((t, x))
+                return final
             if x is not None or keep:
                 buf.append((t, x))
-            if node.opts.get("tumbling"):
-                lo = (t // d) * d if t is not None else None
-                buf[:] = [e_ for e_ in buf if e_[0] is not None and e_[0] >= lo]
-            elif t is not None:
+            if t is not None:
                 buf[:] = [e_ for e_ in buf if e_[0] is not None and e_[0] > t - d]
             n_samp = node.opts.get("sample")
             if n_samp is not None and len(buf) > n_samp:
@@ -3493,9 +4117,12 @@ class _Fold:
                 return [buf[i][1] for i in idx]
             return [v for _, v in buf]
         if fn == "fit_multi":
-            # FIT_MULTI (n, y, x1…) — multiple regression over the last
-            # n observations, predicting the current y
-            # (RamenExpr.ml:1452 MultiLinReg; fold twin of _py_fit)
+            # FIT_MULTI (n, y, x1…) — MultiLinReg (CodeGenLib.ml:
+            # 865-905): plain least squares y ≈ X·c over ALL buffered
+            # observations (current included, no origin shift, no
+            # intercept), prediction from the CURRENT row's predictors;
+            # a failed solve (fewer rows than predictors → gels raise)
+            # yields 0., not NULL.
             n = int(ev(node.args[0]))
             vals = [ev(a) for a in node.args[1:]]
             obs = (
@@ -3507,12 +4134,25 @@ class _Fold:
             buf.append(obs)
             if len(buf) > n:
                 buf.pop(0)
-            return _py_fit(buf)
+            import numpy as np
+
+            valid = [o for o in buf if o is not None]
+            if not valid or obs is None:
+                return 0.0
+            k = len(valid[0]) - 1
+            if len(valid) < k:
+                return 0.0  # underdetermined: gels raises → 0.
+            X = np.array([o[1:] for o in valid], dtype=float)
+            y = np.array([o[0] for o in valid], dtype=float)
+            coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+            return float(np.dot(np.array(obs[1:], dtype=float), coef))
         if fn in ("is_in_top", "rank_in_top"):
             # per-row: insert x into the running top state, then test
             # membership / rank (raql_expr.type:319-323; exact weights,
             # not the bounded sketch)
             x = ev(node.args[0])
+            if isinstance(x, list):
+                x = tuple(x)  # vector item key (IS [src;dst] IN TOP n)
             wnode = node.opts.get("by")
             w = 1 if wnode is None else ev(wnode)
             d = rs.setdefault(key, {})
@@ -3768,6 +4408,10 @@ class _Fold:
                 return previous.get(name) if previous is not None else None
             if row is not None and _strip_ns(path) in row:
                 return row[_strip_ns(path)]
+            gmaps = self.params.get("__globals")
+            if gmaps is not None and _strip_ns(path) in gmaps:
+                # global map variable (DECLARE …, globals_function.ramen)
+                return gmaps[_strip_ns(path)]
             if low == "pi":
                 return math.pi
             if low == "random":
@@ -3826,8 +4470,40 @@ class _Fold:
             if a is None or b is None:
                 return None
             if node.op == "index":
+                if isinstance(a, dict):
+                    # global map read: var["key"]
+                    # (src/RamenGlobalVariables.ml)
+                    return a.get(b)
                 i_ = int(b)
                 return a[i_] if isinstance(a, (list, tuple)) and 0 <= i_ < len(a) else None
+            if node.op == "in":
+                # membership: array/vector, substring, IP-in-CIDR
+                # (doc:626)
+                if isinstance(b, str):
+                    return a in b
+                if isinstance(b, (list, tuple)):
+                    return a in b
+                if isinstance(b, dict) and "mask" in b:
+                    av = a
+                    if isinstance(av, dict):
+                        av = (
+                            av.get("v4")
+                            if av.get("version") == 4
+                            else int.from_bytes(av["v6"], "big")
+                        )
+                    if isinstance(av, (bytes, bytearray)):
+                        av = int.from_bytes(av, "big")
+                    addr = b.get("addr", b.get("addr4"))
+                    bits = 32
+                    if addr is None and b.get("addr6") is not None:
+                        addr = int.from_bytes(b["addr6"], "big")
+                        bits = 128
+                    if isinstance(addr, (bytes, bytearray)):
+                        addr = int.from_bytes(addr, "big")
+                        bits = 128
+                    shift = bits - int(b["mask"])
+                    return (int(av) >> shift) == (int(addr) >> shift)
+                return None
             return {
                 "+": lambda: a + b, "-": lambda: a - b, "*": lambda: a * b,
                 "/": lambda: None if b == 0 else a / b,
@@ -3881,6 +4557,18 @@ class _Fold:
                 return v[i] if 0 <= i < len(v) else None
             if node.fn == "cast":
                 return _py_cast(ev(node.args[0]), node.opts["to"])
+            if node.fn == "net_cast":
+                return _py_net_cast(ev(node.args[0]), node.opts.get("kind"))
+            if node.fn in ("mapadd", "mapset"):
+                # MAPADD(var, k, v) — write into the shared map
+                # (CodeGenLib.ml:1195-1210; within one fold task the
+                # map is task-local, which covers same-function reads)
+                m = ev(node.args[0])
+                k = ev(node.args[1])
+                v = ev(node.args[2])
+                if isinstance(m, dict):
+                    m[k] = v
+                return v
             if node.fn == "percentile_of":
                 p = ev(node.args[0])
                 return _py_percentile(ev(node.args[1]) or [], p)
@@ -3901,6 +4589,18 @@ class _Fold:
             if fn is None:
                 raise NotImplementedError(f"stateless fn {node.fn} in COMMIT fold")
             return fn(*[ev(a) for a in node.args])
+        if isinstance(node, NetLit):
+            # numeric encodings (SURVEY §1.2): ip4/eth int, ip6 16-byte
+            # bytes, cidr (addr, mask) pair
+            if node.kind in ("ip4", "eth"):
+                return int(node.value)
+            if node.kind == "ip6":
+                return int(node.value).to_bytes(16, "big")
+            if node.kind in ("cidr4", "cidr6"):
+                addr, mask = node.value
+                if node.kind == "cidr6":
+                    return {"addr": int(addr).to_bytes(16, "big"), "mask": int(mask)}
+                return {"addr": int(addr), "mask": int(mask)}
         raise NotImplementedError(f"node {type(node).__name__}")
 
     # -- engine callbacks --------------------------------------------------
@@ -4017,6 +4717,12 @@ def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> 
         return rec(node.e)
     if isinstance(node, Binop):
         o = node.op
+        if (
+            o == "index"
+            and isinstance(node.a, Field)
+            and _strip_ns(node.a.path) in (params.get("__globals") or {})
+        ):
+            return "string"  # global map values (string[string] maps)
         if o in ("=", "<>", "!=", "<", "<=", ">", ">=", "and", "or", "like",
                  "like_cs", "in", "starts_with", "ends_with"):
             return "boolean"
@@ -4055,6 +4761,12 @@ def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> 
                 return INT
             return {"float": "double", "string": "string", "bool": "boolean",
                     "boolean": "boolean", "char": "string"}[ts.name]
+        if fn == "cast_tuple":
+            inner = ",".join(
+                f"_{i}:{_infer_ddl(Call('cast', [a], opts={'to': t_}), src, out, params)}"
+                for i, (a, t_) in enumerate(zip(node.args, node.opts["types"]))
+            )
+            return f"struct<{inner}>"
         if fn in ("count", "count_distinct", "bitand", "bitor", "bitxor", "peek"):
             return INT
         if fn in ("and_all", "or_all", "distinct", "is_null", "remember"):
@@ -4068,6 +4780,8 @@ def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> 
             return "string"
         if fn in ("length", "index", "hash"):
             return INT
+        if fn in ("mapadd", "mapset"):
+            return rec(node.args[2])  # returns the written value
         if fn == "sum":
             a = rec(node.args[0])
             return "double" if a == "double" else INT
@@ -4078,7 +4792,19 @@ def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> 
         if fn in ("min", "max", "first", "last", "lag"):
             ts_ = [rec(a) for a in node.args]
             known = [t_ for t_ in ts_ if t_ is not None]
-            return known[-1] if known else None
+            if not known:
+                return None
+            t_ = known[-1]
+            if (
+                fn in ("min", "max", "first", "last")
+                and len(node.args) == 1
+                and t_.startswith("array<")
+                and _is_array_node(node.args[0])
+            ):
+                # immediate aggregate over a list operand (min of a
+                # PAST/LATEST window) reduces to the ELEMENT type
+                return t_[6:-1]
+            return t_
         if fn in ("group", "latest", "oldest", "sample", "_array", "top",
                   "largest", "past"):
             return f"array<{rec(node.args[-1])}>"
@@ -4086,7 +4812,16 @@ def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> 
             return "boolean"
         if fn == "rank_in_top":
             return INT
+        if fn == "net_cast_vec":
+            return "array<struct<version:int,v4:bigint,v6:binary>>"
         if fn == "net_cast":
+            kind = node.opts.get("kind")
+            if kind == "ip":
+                return "struct<version:int,v4:bigint,v6:binary>"
+            if kind == "ip6":
+                return "binary"
+            if kind in ("ip4", "eth"):
+                return INT
             return rec(node.args[0])
         if fn in ("one_out_of", "once_every", "print", "force"):
             return rec(node.args[-1])
@@ -4239,7 +4974,12 @@ def _inline_select_refs(op: Operation, in_cols: set[str]) -> Operation:
     for i, f_ in enumerate(op.fields):
         name = f_.alias or _default_name(f_.expr, i)
         expr = f_.expr if isinstance(f_.expr, Star) else subst(f_.expr)
-        fields.append(SelectField(expr, f_.alias))
+        # materialize the PRE-inline default name as the alias: naming
+        # follows the source expression (``min recent_n`` →
+        # min_recent_n), not its inlined definition (past.ramen)
+        fields.append(
+            SelectField(expr, f_.alias if isinstance(f_.expr, Star) else name)
+        )
         defs[name] = expr
 
     # in WHERE/COMMIT, bare names that name a select field (and not an
@@ -4509,7 +5249,7 @@ def compile_commit_operation(
                         "_rowid", F.monotonically_increasing_id()
                     )
                 df_pre = df
-            df = df.filter(Compiler(params).col(op.where))
+            df = df.filter(Compiler(params, schema={f_.name: f_.dataType.simpleString() for f_ in df.schema.fields}).col(op.where))
             op = replace(op, where=None)
 
     if order_cols is None and op.sort_last is not None:
@@ -4563,7 +5303,7 @@ def compile_commit_operation(
         first_order = order_col if isinstance(order_col, str) else order_col[0]
         trig_src = df_pre if df_pre is not None else df
         if not refs_beyond_in:
-            trig_rows = trig_src.filter(Compiler(params).col(op.commit_after)).select(first_order).collect()
+            trig_rows = trig_src.filter(Compiler(params, schema={f_.name: f_.dataType.simpleString() for f_ in trig_src.schema.fields}).col(op.commit_after)).select(first_order).collect()
             triggers = sorted(r[0] for r in trig_rows)
         elif not any(
             isinstance(n, Call) and n.fn in ROW_STATEFUL
@@ -4680,7 +5420,7 @@ def compile_commit_streaming(
         ):
             fold_where = op.where
         else:
-            df = df.filter(Compiler(params).col(op.where))
+            df = df.filter(Compiler(params, schema={f_.name: f_.dataType.simpleString() for f_ in df.schema.fields}).col(op.where))
             op = replace(op, where=None)
 
     if not isinstance(op.commit_after, Lit) and check_commit_for_all(op.commit_after):

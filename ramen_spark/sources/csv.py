@@ -49,6 +49,18 @@ def read_csv(
     return reader.csv(path)
 
 
+@F.pandas_udf(T.BinaryType())
+def decimal_str_to_bytes16(s):
+    """Decimal-string 128-bit value → 16-byte big-endian binary (the
+    v6 half of the generic ip/cidr sum types). Python ints because the
+    value range (2^128) exceeds Decimal(38); ingest-only cold path —
+    per-batch vectorized via Arrow. (DataType instance, not DDL string:
+    the module imports before any SparkSession exists.)"""
+    return s.map(
+        lambda v: None if v is None else int(v).to_bytes(16, "big")
+    )
+
+
 def parse_clickhouse_array(col, element_type: str = "long"):
     """ClickHouse-syntax array cell '[1,2,3]' → array<element_type>
     (the reference decodes these via dessser; here: split built-ins)."""

@@ -133,6 +133,9 @@ def run_spec(spark, test_name: str, parse_expected, values_equal):
     for entry in progs:
         src = entry["src"]
         pname = src.removesuffix(".ramen")
+        if entry.get("ext"):
+            # program instance identity = src#ext (any_ext.test)
+            pname = f"{pname}#{entry['ext']}"
         path = os.path.join(FUNC_DIR, src)
         prog = compile_program(
             open(path).read(), name=pname, base_dir=os.path.dirname(path)
@@ -169,21 +172,74 @@ def run_spec(spark, test_name: str, parse_expected, values_equal):
             return str(v)
 
         def veq(got, want) -> bool:
+            if isinstance(want, tuple):
+                # tuple expected value vs Row/struct: member-wise
+                gd = got.asDict() if hasattr(got, "asDict") else got
+                if isinstance(gd, dict):
+                    vals = list(gd.values())
+                elif isinstance(gd, (list, tuple)):
+                    vals = list(gd)
+                else:
+                    return False
+                return len(vals) == len(want) and all(
+                    veq(g, w) for g, w in zip(vals, want)
+                )
+            if isinstance(want, list):
+                got_l = list(got) if got is not None else None
+                return (
+                    isinstance(got_l, list)
+                    and len(got_l) == len(want)
+                    and all(veq(g, w) for g, w in zip(got_l, want))
+                )
+            if want is None:
+                return got is None
             # IP/CIDR parity: the engine stores addresses numerically;
             # the reference prints them as text — compare numerically
             if isinstance(want, str) and got is not None and not isinstance(got, str):
                 import ipaddress
 
+                gv = got
+                gd = gv.asDict() if hasattr(gv, "asDict") else gv
+                if isinstance(gd, dict) and "mask" in gd and "/" in want:
+                    # generic/specific cidr struct vs "a.b.c.d/m" text
+                    try:
+                        net = ipaddress.ip_network(want, strict=False)
+                    except ValueError:
+                        return values_equal(got, want)
+                    addr = gd.get("addr4", gd.get("addr"))
+                    if addr is None and gd.get("addr6") is not None:
+                        addr = int.from_bytes(gd["addr6"], "big")
+                    elif isinstance(addr, (bytes, bytearray)):
+                        addr = int.from_bytes(addr, "big")
+                    return (
+                        addr == int(net.network_address)
+                        and gd.get("mask") == net.prefixlen
+                    )
+                if isinstance(gd, dict) and "version" in gd:
+                    # generic ip sum struct<version, v4, v6>
+                    gv = (
+                        gd.get("v4")
+                        if gd.get("version") == 4
+                        else gd.get("v6")
+                    )
                 try:
                     ip = ipaddress.ip_address(want)
                     g = (
-                        int.from_bytes(got, "big")
-                        if isinstance(got, (bytes, bytearray))
-                        else int(got)
+                        int.from_bytes(gv, "big")
+                        if isinstance(gv, (bytes, bytearray))
+                        else int(gv)
                     )
                     return g == int(ip)
                 except (ValueError, TypeError):
                     pass
+                # eth printed as colon-hex (70:80:90:a0:b0:c0)
+                import re as _re
+
+                if _re.fullmatch(r"(?:[0-9a-fA-F]{2}:){5}[0-9a-fA-F]{2}", want):
+                    try:
+                        return int(gv) == int(want.replace(":", ""), 16)
+                    except (ValueError, TypeError):
+                        pass
                 if isinstance(want, str) and want.startswith("("):
                     return _ref_repr(got).replace(" ", "") == want.replace(" ", "")
             return values_equal(got, want)

@@ -48,7 +48,7 @@ def parse_expected(s: str):
         return True
     if s in ("FALSE", "false"):
         return False
-    if s == "NULL":
+    if s in ("NULL", "Null"):
         return None
     if s == "Inf":
         return float("inf")
@@ -67,10 +67,29 @@ def parse_expected(s: str):
             .replace("\x00", "\\")
         )
     if s.startswith("#\\"):
-        return s[2:]
+        body = s[2:]
+        if re.fullmatch(r"\\?\d{3}", body):
+            return chr(int(body.lstrip("\\"), 8))  # octal: #\000 → NUL
+        return body
     if s.startswith("[") and s.endswith("]"):
         body = s[1:-1].strip()
         return [parse_expected(x) for x in body.split(";")] if body else []
+    if s.startswith("(") and s.endswith(")") and ";" in s:
+        # tuple repr ("1"; 2) → python tuple (depth-0 split)
+        body = s[1:-1]
+        parts, depth, cur = [], 0, ""
+        for ch in body:
+            if ch == ";" and depth == 0:
+                parts.append(cur)
+                cur = ""
+                continue
+            if ch in "([":
+                depth += 1
+            if ch in ")]":
+                depth -= 1
+            cur += ch
+        parts.append(cur)
+        return tuple(parse_expected(x) for x in parts)
     if re.fullmatch(r"-?\d+", s):
         return int(s)
     if re.fullmatch(r"-?0x[0-9a-fA-F]+", s):

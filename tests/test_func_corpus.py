@@ -248,21 +248,7 @@ from func_spec import run_spec, FUNC_DIR as _FUNC_DIR
 from test_doc_examples import parse_expected as _doc_parse, values_equal as _doc_eq
 
 KNOWN_FAIL = {
-    "any_ext": "../prog#_/func path refs not tokenized",
-    "char": "nullable cast syntax char?(x)",
-    "constructed_types": "aggregate without GROUP BY compile path",
-    "fit_multi": "fit window semantics",
-    "from": "multi-parent column resolution",
     "generated": "program-generator (.ramen file absent)",
-    "globals_function": "DECLARE globals / MAPADD",
-    "globals_program": "DECLARE globals / MAPADD",
-    "ip": "ip type in CSV schema",
-    "local_state_in_where_slow": "python worker crash",
-    "past": "past window value mismatch",
-    "port_scan": "ip4 type",
-    "stress": "NetLit ip4 inference",
-    "tuples": "compound cast syntax",
-    "word_split": "generator nested in expression",
 }
 
 _ALL_SPECS = sorted(

@@ -223,10 +223,18 @@ def test_program_param_override(spark):
         "PARAMETERS lo DEFAULTS TO 0",
         name="p2",
     )
-    n_all = prog.materialize(spark, externals={"events": ev}, register_views=False)["f"].first()["n"]
-    n_hi = prog.materialize(
-        spark, params={"lo": 150}, externals={"events": ev}, register_views=False
-    )["f"].first()["n"]
+    # no COMMIT clause → default commit cond `true`: the running COUNT
+    # emits per input row (RamenOperation.ml:857,1335); the final total
+    # is the max
+    n_all = (
+        prog.materialize(spark, externals={"events": ev}, register_views=False)
+        ["f"].agg(F.max("n").alias("n")).first()["n"]
+    )
+    n_hi = (
+        prog.materialize(
+            spark, params={"lo": 150}, externals={"events": ev}, register_views=False
+        )["f"].agg(F.max("n").alias("n")).first()["n"]
+    )
     assert n_hi < n_all
 
 
@@ -240,7 +248,8 @@ def test_program_multi_parent_union(spark):
         "DEFINE merged AS SELECT COUNT(1) AS n FROM a, b", name="p3"
     )
     got = prog.materialize(spark, externals={"a": a, "b": b}, register_views=False)
-    assert got["merged"].first()["n"] == ev.count()
+    # running COUNT (default commit `true`): final total = max
+    assert got["merged"].agg(F.max("n").alias("n")).first()["n"] == ev.count()
 
 
 # ------------------------------------------------- general COMMIT front-end
