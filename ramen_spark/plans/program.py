@@ -127,7 +127,9 @@ class Program:
         sources). Public functions are registered as temp views
         ``program/function`` → ``program_function``."""
         p = {**self.defaults, **(params or {})}
-        unknown = set(params or {}) - set(self.defaults)
+        unknown = {
+            k for k in (params or {}) if not k.startswith("__")
+        } - set(self.defaults)  # __-prefixed keys are engine-reserved
         if unknown:
             raise ValueError(f"unknown parameters {sorted(unknown)} for program {self.name!r}")
         if self.run_if is not None and not self.run_if(p):

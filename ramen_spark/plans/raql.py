@@ -2058,6 +2058,21 @@ class Compiler:
             if self.window is not None:
                 built = built.over(self.window)
             return built
+        if fn == "variant":
+            # VARIANT(exp) — the experiment variant this worker runs
+            # (src/RamenExperiments.ml, CodeGenLib.ml:59 get_variant):
+            # NULL when the experiment is unknown. The assignment table
+            # arrives via the reserved __experiments parameter.
+            exps = self.params.get("__experiments") or {}
+            a = node.args[0]
+            if isinstance(a, Lit):
+                return F.lit(exps.get(str(a.value))).cast("string")
+            if exps:
+                flat = [F.lit(x) for kv in exps.items() for x in kv]
+                return F.element_at(
+                    F.create_map(*flat), self.col(a).cast("string")
+                )
+            return F.lit(None).cast("string")
         if fn == "net_cast":
             # numeric passthrough (see parser note)
             return self.col(node.args[0])
@@ -4559,6 +4574,10 @@ class _Fold:
                 return _py_cast(ev(node.args[0]), node.opts["to"])
             if node.fn == "net_cast":
                 return _py_net_cast(ev(node.args[0]), node.opts.get("kind"))
+            if node.fn == "variant":
+                exps = self.params.get("__experiments") or {}
+                v = self._eval(node.args[0], row, state, previous, out_partial)
+                return exps.get(str(v)) if v is not None else None
             if node.fn in ("mapadd", "mapset"):
                 # MAPADD(var, k, v) — write into the shared map
                 # (CodeGenLib.ml:1195-1210; within one fold task the
@@ -4776,7 +4795,7 @@ def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> 
                   "log10", "round", "truncate", "parse_time", "fit_multi"):
             return "double"
         if fn in ("lower", "upper", "substring", "basename", "format_time",
-                  "sparkline", "chr", "uuid_of_u128", "split"):
+                  "sparkline", "chr", "uuid_of_u128", "split", "variant"):
             return "string"
         if fn in ("length", "index", "hash"):
             return INT

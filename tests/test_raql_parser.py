@@ -524,3 +524,24 @@ def test_top_and_largest_in_commit_fold(spark):
     assert r["t2"] == ["x", "y"]        # exact counts 5, 3
     assert r["l2"] == [8, 7]            # arrival order: most recent first
     assert r["rk"] == 2                 # last row's item = y → rank 2
+
+
+def test_variant_expression(spark):
+    """VARIANT(exp) — experiment variant lookup
+    (src/RamenExperiments.ml; CodeGenLib.ml:59 get_variant): the
+    assigned variant name, NULL for unknown experiments. Assignments
+    ride the reserved __experiments parameter."""
+    from ramen_spark.plans.raql import compile_program
+
+    prog = compile_program(
+        'DEFINE f AS YIELD variant("tester") AS v, variant("nope") AS w',
+        name="pvar",
+    )
+    row = prog.materialize(
+        spark,
+        params={"__experiments": {"tester": "on"}},
+        register_views=False,
+    )["f"].first()
+    assert row["v"] == "on" and row["w"] is None
+    row2 = prog.materialize(spark, register_views=False)["f"].first()
+    assert row2["v"] is None
