@@ -58,8 +58,11 @@ def main() -> None:
     warm = load_table(spark, "/root/testdata/sf0.001", "events")
     warm.groupBy("event_type").agg({"value": "sum"}).collect()
     spark.sql(
+        # PARTITION BY a real column: constants fold away and leave an
+        # empty partition spec, which logs the single-partition warning
         "SELECT aggregate(sequence(1, 8), 0L, (a, x) -> a + x) v, "
-        "row_number() OVER (PARTITION BY 1 ORDER BY 1) rn"
+        "row_number() OVER (PARTITION BY id % 2 ORDER BY id) rn "
+        "FROM range(4)"
     ).collect()
 
     timings: dict[str, float] = {}
