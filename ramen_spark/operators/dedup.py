@@ -264,3 +264,57 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS from a candidate-pair relation:
+    undirected edges (id_a, id_b) → (id, component) where component =
+    the minimum vertex id of the connected component.
+
+    Min-label propagation: every round each vertex takes the minimum
+    label over itself and its neighbours — one shuffle per round
+    (join + partial-aggregated groupBy min), converging in
+    O(component diameter) rounds. Near-dup components are shallow
+    (pairs share LSH buckets, so diameters stay single-digit), which
+    keeps the round count flat as the corpus grows; each round's
+    shuffle is keyed on the vertex id, so the work distributes across
+    executors at any scale. The per-round `.count()` convergence probe
+    doubles as the cache materialization barrier.
+
+    The pipeline shape (candidates → components → canonical doc per
+    cluster) is the standard fuzzy-dedup stage of large training-data
+    pipelines (MinHashLSH dedup as in the GPT-3/C4 data work).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("v"), F.col(id_b).alias("n"))
+        .union(pairs.select(F.col(id_b).alias("v"), F.col(id_a).alias("n")))
+        .distinct()
+    )
+    edges.cache()
+    labels = edges.select("v").distinct().withColumn("label", F.col("v"))
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.withColumnRenamed("v", "n"), "n")
+            .select("v", "label")
+        )
+        new_labels = (
+            labels.union(neigh).groupBy("v").agg(F.min("label").alias("label"))
+        )
+        new_labels.cache()
+        changed = (
+            new_labels.alias("nw")
+            .join(labels.alias("old"), "v")
+            .filter(F.col("nw.label") != F.col("old.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("v"), F.col("label").alias("component"))

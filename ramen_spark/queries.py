@@ -2206,3 +2206,47 @@ def raql_commit_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_schema="event_type string, s double, n long",
         order_cols=["ts", "event_id"],
     )
+
+
+@register(
+    "neardup_clusters",
+    None,  # oracle attached below: reuses the minhash pair SQL as a CTE
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup CLUSTERS: MinHash+LSH candidate pairs → connected
+    components (operators.dedup.connected_components, min-label
+    propagation — one vertex-keyed shuffle per round, rounds =
+    component diameter). Every document gets a cluster id (singletons
+    keep their own id) — the canonical-doc-per-cluster stage of a
+    training-data dedup pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=8, min_sig_agreement=0.5
+    )
+    cc = D.connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(cc.withColumnRenamed("v", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
+ORACLES["neardup_clusters"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLES["minhash_lsh_pairs"]}),
+    edges AS (
+      SELECT id_a AS v, id_b AS n FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT v, v FROM edges
+      UNION
+      SELECT e.v, re.r FROM edges e JOIN reach re ON re.v = e.n
+    ),
+    cc AS (SELECT v, min(r) AS component FROM reach GROUP BY v)
+    SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN cc ON cc.v = d.doc_id
+    """

@@ -206,3 +206,20 @@ def test_top_above_sigmas_filters_noise(spark):
     assert ("a", "hot") in by_k and not any(k == "a" and i != "hot" for k, i in by_k)
     # σ=0 group: threshold = mean, all-equal weights survive (w >= mean)
     assert sum(1 for k, _ in by_k if k == "b") == 5
+
+
+def test_connected_components_multihop(spark):
+    """Chains longer than one hop collapse to one component (min id),
+    disjoint edges stay separate, direction is irrelevant
+    (operators.dedup.connected_components)."""
+    from ramen_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        r["v"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
