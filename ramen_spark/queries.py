@@ -2250,3 +2250,96 @@ ORACLES["neardup_clusters"] = f"""
     SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS cluster_id
     FROM documents d LEFT JOIN cc ON cc.v = d.doc_id
     """
+
+
+@register(
+    "doc_chunks",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             g.i AS chunk_idx,
+             array_to_string(w[g.i * 40 + 1 : g.i * 40 + 50], ' ') AS chunk,
+             len(w[g.i * 40 + 1 : g.i * 40 + 50]) AS n_tok
+      FROM toks,
+           unnest(generate_series(0, (len(w) + 39) // 40 - 1)) AS g(i)
+    )
+    SELECT doc_id, chunk_idx, chunk, n_tok FROM c
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (window 50 tokens, stride 40 —
+    10-token overlap), the pre-tokenization stage of a training
+    pipeline. Pure built-ins: split → sequence → explode → slice, all
+    inside whole-stage codegen; rows fan out on the DOCUMENT's
+    partition, so chunking is embarrassingly parallel at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = ((F.size(toks) + F.lit(39)) / F.lit(40)).cast("long")
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    out = docs.select("doc_id", toks.alias("w"), idx)
+    chunk = F.slice(F.col("w"), F.col("chunk_idx") * 40 + 1, 50)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk"),
+        F.size(chunk).cast("long").alias("n_tok"),
+    )
+
+
+@register(
+    "pii_redact",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails
+    FROM documents
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: e-mail and phone-shaped spans replaced by typed
+    placeholders, with a per-doc e-mail count. Row-local
+    regexp_replace/extract_all (JVM regex, codegen) — the standard
+    pre-training redaction pass; patterns chosen to behave identically
+    under Java regex and DuckDB's RE2."""
+    docs = _t(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b"
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(email))).cast("long").alias("n_emails"),
+    )
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+          < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates
+    (en 50%, others 20%) decided by a hash bucket of the doc id — no
+    RNG, so reruns and retries keep the same rows (reproducible
+    pipeline sampling at any scale; md5 reproduced bit-for-bit by the
+    oracle). Pure filter: pushes down, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    rate = F.when(F.col("lang") == "en", 50).otherwise(20)
+    return docs.filter(bucket < rate).select("doc_id", "lang")
