@@ -238,3 +238,40 @@ def test_largest_global_is_take_ordered(spark):
     df = spark.range(1000).withColumn("w", F.col("id") % 37)
     plan = _plan(TopK.largest(df, 5, by=["w"]))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_doc_chunks_no_shuffle(spark):
+    """Chunk fan-out is map-side only: explode+slice add no Exchange
+    beyond the catalog's width repartition of the one-file input."""
+    df = QUERIES["doc_chunks"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "Generate" in plan  # explode lowered to GenerateExec
+    # no aggregation/join shuffles — at most the scan-width round robin
+    assert plan.count("Exchange") <= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_is_pushdown_filter(spark):
+    """The hash-bucket sample compiles to a plain Filter over the scan
+    (no shuffle, no window); doc_id/lang are the only columns read."""
+    df = QUERIES["stratified_sample"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "Filter" in plan
+    assert plan.count("Exchange") <= 1  # only the width repartition
+    read_schema = plan.split("ReadSchema:")[1][:200]
+    assert "text" not in read_schema
+
+
+def test_connected_components_shuffles_per_round(spark):
+    """One round of label propagation = hash joins + one partial-agg
+    min, never a cartesian/nested-loop product."""
+    from ramen_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a bigint, id_b bigint"
+    )
+    df = connected_components(pairs, max_iter=1)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan or "partial_min".upper() in plan.upper()
