@@ -2343,3 +2343,41 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long") % 100
     rate = F.when(F.col("lang") == "en", 50).otherwise(20)
     return docs.filter(bucket < rate).select("doc_id", "lang")
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    SELECT vec_id,
+           [CAST(round(x * 127.0 / mx) AS BIGINT) FOR x IN embedding] AS q,
+           round(mx, 6) AS scale
+    FROM (
+      SELECT vec_id, embedding,
+             greatest(list_max([abs(x) FOR x IN embedding]), 1e-12) AS mx
+      FROM embeddings
+    )
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    max-abs scale) — the storage/bandwidth stage before ANN serving.
+    Higher-order built-ins only (transform/aggregate): stays in the
+    JVM, row-local, no shuffle; round is half-away-from-zero on both
+    engines so the oracle is value-exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    absmax = F.greatest(
+        F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x))),
+        F.lit(1e-12),
+    ).cast("double")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 127.0 / F.col("_mx")).cast("long"),
+    )
+    return (
+        emb.withColumn("_mx", absmax)
+        .select(
+            "vec_id",
+            q.alias("q"),
+            F.round(F.col("_mx"), 6).alias("scale"),
+        )
+    )
