@@ -2381,3 +2381,43 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_mx"), 6).alias("scale"),
         )
     )
+
+
+@register(
+    "clean_corpus",
+    f"""
+    WITH q AS ({{QUALITY}}),
+    k AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5({_NORM_SQL})
+    )
+    SELECT d.doc_id, d.lang, q.quality
+    FROM documents d
+    JOIN k USING (doc_id)
+    JOIN q USING (doc_id)
+    WHERE q.quality >= 0.5 AND d.lang IN ('en', 'de', 'fr')
+    """,
+)
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning pipeline in one query: exact-dedup
+    (keep the lowest doc_id per content fingerprint) → heuristic
+    quality gate (≥ 0.5) → language whitelist. Each stage is one of
+    the already-audited building blocks; the keep-set join is a
+    doc_id semi join (broadcastable when the dedup survivors are
+    small, hash co-partitioned otherwise — AQE decides)."""
+    docs = _t(spark, sf_dir, "documents")
+    keep = D.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    q = docs.select(
+        "doc_id", "lang", Tx.quality_score(F.col("text")).alias("quality")
+    )
+    return (
+        q.join(keep, "doc_id")
+        .filter((F.col("quality") >= 0.5) & F.col("lang").isin("en", "de", "fr"))
+        .select("doc_id", "lang", "quality")
+    )
+
+
+ORACLES["clean_corpus"] = ORACLES["clean_corpus"].replace(
+    "{QUALITY}", ORACLES["quality_scores"]
+)
