@@ -65,16 +65,23 @@ def main() -> None:
         "FROM range(4)"
     ).collect()
 
+    # two measured runs per query, report the min: single runs on this
+    # shared box swing ±40% (see round-1 notes), and min-of-2 measures
+    # the plan rather than the scheduler's worst moment
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        best = None
+        for _ in range(max(1, runs)):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
+        total += best
 
     print(
         json.dumps(
@@ -82,6 +89,7 @@ def main() -> None:
                 "metric": "headline_total",
                 "value": round(total, 3),
                 "unit": "sec",
+                "runs": runs,
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
             }
