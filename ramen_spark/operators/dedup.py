@@ -96,23 +96,35 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, shingle_k, num_hashes)
+    # band join on (id, bucket) ONLY: the bucket shuffle then moves 2
+    # longs per banded row instead of dragging the full signature
+    # through it ``bands`` times; signatures re-attach afterwards via
+    # two joins on the compact sig relation (id → 16 longs), which AQE
+    # broadcasts while it fits and co-partitions beyond that.
     banded = sigs.select(
         F.col(id_col),
-        F.col("sig"),
         F.explode(Tx.lsh_bands(F.col("sig"), bands, rows_per_band)).alias("bucket"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    id_pairs = (
         a.join(b, on="bucket")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        id_pairs.join(
+            sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
     )
     agree = F.size(
         F.filter(
