@@ -71,8 +71,10 @@ _TOKEN_RE = re.compile(
   | (?P<char>\#\\.)
   | (?P<ip6>[0-9a-fA-F]{1,4}:[0-9a-fA-F]{0,4}:[0-9a-fA-F:.]*(?:/\d{1,3})?)
   | (?P<ip4>\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}(?:/\d{1,2})?)
-  | (?P<float>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)(?P<floatsuf>NUMSUF)?
-  | (?P<int>0x[0-9a-fA-F]+|\d+)(?P<intsuf>NUMSUF)?
+  | (?P<kma>\d+-(?:moveavg|ma)(?![A-Za-z0-9_]))
+  | (?P<instref>(?<=[A-Za-z0-9_])\#[A-Za-z0-9_]+)
+  | (?P<float>\d[\d_]*\.[\d_]*(?:[eE][+-]?\d+)?|\.\d[\d_]*(?:[eE][+-]?\d+)?|\d[\d_]*[eE][+-]?\d+)(?P<floatsuf>NUMSUF)?
+  | (?P<int>0x[0-9a-fA-F_]+|\d[\d_]*)(?P<intsuf>NUMSUF)?
   | (?P<string>"(?:\\.|[^"\\])*")
   | (?P<bq>`[^`]*`)
   | (?P<op>\.\.|<=|>=|<>|!=|\|\||\|\?|<<|>>|//|[-+*/%^=<>(),;?:\[\]{}&|\#])
@@ -133,15 +135,29 @@ def tokenize(text: str) -> list[Tok]:
             out.append(Tok("net", m.group("ip6"), m.start()))
         elif m.group("ip4"):
             out.append(Tok("net", m.group("ip4"), m.start()))
+        elif m.group("kma"):
+            # k-MA / k-MOVEAVG (site/language_reference: moving
+            # average; examples/monitoring/network/traffic.ramen
+            # `5-ma locally (…)`): lexes as the moveavg keyword form
+            k = int(m.group("kma").split("-", 1)[0])
+            out.append(Tok("name", "moveavg", m.start()))
+            out.append(Tok("num", k, m.start()))
+        elif m.group("instref"):
+            # program-instance suffix glued to a name (#1min, #v2 —
+            # examples/generators/network/errors.ramen): '#' op + the
+            # RAW ext text as a name (tokenizing '1min' as a number
+            # would scale it into 60)
+            out.append(Tok("op", "#", m.start()))
+            out.append(Tok("name", m.group("instref")[1:], m.start() + 1))
         elif m.group("float"):
             suf = m.group("floatsuf")
-            val = _apply_suffix(float(m.group("float")), suf)
+            val = _apply_suffix(float(m.group("float").replace("_", "")), suf)
             st = suf if suf and suf[0] in "ui" else (
                 "ord" if suf in _ORDINALS else None
             )
             out.append(Tok("num", val, m.start(), st))
         elif m.group("int"):
-            raw = m.group("int")
+            raw = m.group("int").replace("_", "")
             suf = m.group("intsuf")
             ival: float | int = int(raw, 16) if raw.startswith("0x") else int(raw)
             st = suf if suf and suf[0] in "ui" else (
@@ -2370,6 +2386,53 @@ def _parse_clickhouse_schema(p: Parser) -> tuple[list, list[str]]:
     return fields, raw_types
 
 
+def _eval_const(node, params: dict | None) -> float | None:
+    """Constant-fold a clause expression against program parameters
+    (EVERY 1 / hit_rate, examples/generators/network/logs.ramen)."""
+    params = params or {}
+    if node is None:
+        return None
+    if isinstance(node, (int, float)):
+        return float(node)
+    if isinstance(node, Lit) and isinstance(node.value, (int, float)):
+        return float(node.value)
+    if isinstance(node, Field):
+        v = params.get(_strip_ns(node.path))
+        return float(v) if isinstance(v, (int, float)) else None
+    if isinstance(node, Binop):
+        a = _eval_const(node.a, params)
+        b = _eval_const(node.b, params)
+        if a is None or b is None:
+            return None
+        return {
+            "+": a + b,
+            "-": a - b,
+            "*": a * b,
+            "/": a / b if b else None,
+        }.get(node.op)
+    return None
+
+
+def _parse_factors(p: Parser) -> list[str]:
+    """FACTORS f1[, f2 | AND f3]… (RamenOperation.ml factors clause)."""
+    names = [p.expect("name").value]
+    while True:
+        if p.accept("op", ",") or p.accept("kw", "and"):
+            names.append(p.expect("name").value)
+            continue
+        return names
+
+
+@dataclass
+class ListenFor:
+    """LISTEN FOR <proto> — socket source (raql_operation.type
+    ListenFor). The container has no UDP listener: materializes as an
+    empty stream with the protocol's decoded schema, or an injected
+    DataFrame (recorded packets through sources/binary kernels)."""
+
+    proto: str
+
+
 def _parse_source(p: Parser):
     """One FROM parent: 'prog/func' path — possibly relative (``../``)
     and instance-qualified (``prog#ext``, ``#_`` = every instance,
@@ -2500,6 +2563,21 @@ def _parse_operation_body(p: Parser):
                 alias = None
                 if p.accept("kw", "as"):
                     alias = p.expect("name").value
+                    # optional field documentation string
+                    # (examples/monitoring/network/hosts.ramen:
+                    # AVG … AS free "The amount of …")
+                    if p.peek().kind == "str":
+                        p.next()
+                    # archive re-aggregation hint: `aggregate using fn`
+                    # (examples/generators/network/errors.ramen) —
+                    # metadata for the reference's downsampler
+                    nt = p.peek()
+                    if nt.kind == "name" and nt.value.lower() == "aggregate":
+                        p.next()
+                        us = p.expect("name")
+                        if us.value.lower() != "using":
+                            raise SyntaxError("AGGREGATE: expected USING")
+                        p.next()  # the aggregate fn name
                 fields.append(SelectField(e, alias))
             if not p.accept("op", ","):
                 break
@@ -2509,16 +2587,59 @@ def _parse_operation_body(p: Parser):
         if t.kind == "name" and t.value.lower() == "read" and not seen_any:
             p.next()
             rc = _parse_read_csv(p)
-            nt = p.peek()
-            if nt.kind == "name" and nt.value.lower() == "event":
-                # EVENT … on a READ source (fixtures/port_scan.ramen):
-                # event-time metadata; columns pass through unchanged
-                p.next()
-                _parse_event_clause(p)
+            while True:
+                nt = p.peek()
+                low_nt = str(nt.value).lower() if nt.kind == "name" else ""
+                if low_nt == "event":
+                    # EVENT … on a READ source (fixtures/port_scan.
+                    # ramen): event-time metadata, columns unchanged
+                    p.next()
+                    _parse_event_clause(p)
+                elif low_nt in ("factors", "factor"):
+                    p.next()
+                    _parse_factors(p)
+                else:
+                    break
             return rc
+        if t.kind == "name" and t.value.lower() == "listen" and not seen_any:
+            # LISTEN FOR <PROTO> [FROM …] — socket source
+            # (raql_operation.type ListenFor; examples/monitoring).
+            # No UDP in this container: compiles to an EMPTY stream of
+            # the protocol's decoded schema unless materialize gets an
+            # injected DataFrame (sources/binary decoders are the real
+            # kernels for recorded packets).
+            p.next()
+            fr = p.next()
+            if str(fr.value).lower() != "for":
+                raise SyntaxError("LISTEN: expected FOR")
+            proto = p.expect("name").value.lower()
+            nt = p.peek()
+            if nt.kind == "kw" and nt.value == "from":
+                p.next()
+                # address spec: '*' or host/port tokens — skim to ';'
+                while not (
+                    p.peek().kind == "op" and p.peek().value == ";"
+                ) and p.peek().kind != "eof":
+                    p.next()
+            while True:
+                nt = p.peek()
+                if nt.kind == "name" and str(nt.value).lower() in ("factors", "factor"):
+                    p.next()
+                    _parse_factors(p)
+                    continue
+                break
+            return ListenFor(proto)
         if t.kind == "name" and t.value.lower() == "event":
             p.next()
             event_time = _parse_event_clause(p)
+            seen_any = True
+            continue
+        if t.kind == "name" and t.value.lower() in ("factors", "factor"):
+            # FACTORS f1[, f2 | AND f3]… — dimension metadata
+            # (RamenOperation.ml:487-499); recorded for the archive
+            # layer, no effect on the computed relation
+            p.next()
+            _parse_factors(p)
             seen_any = True
             continue
         if t.kind == "name" and t.value.lower() == "yield":
@@ -2535,6 +2656,12 @@ def _parse_operation_body(p: Parser):
                 nt = p.peek()
                 if nt.kind == "name" and nt.value.lower() in _DURATION_UNITS:
                     every *= _DURATION_UNITS[p.next().value.lower()]
+                if p.peek().kind == "op" and p.peek().value in ("/", "*", "+", "-"):
+                    # full period expression (logs.ramen:
+                    # EVERY 1 / hit_rate) — evaluated against params
+                    op_tok = p.next().value
+                    rhs = p.parse_unary()
+                    every = Binop(op_tok, Lit(every), rhs)
             else:
                 # EVERY <param-expr> (tumbling.ramen: EVERY gen_dt) —
                 # timing only in batch; keep the node
@@ -2551,6 +2678,13 @@ def _parse_operation_body(p: Parser):
                 flush = False
                 if p.peek().kind == "name" and p.peek().value.lower() == "all":
                     p.next()
+            if p.accept("kw", "and"):
+                # KEEP ALL AND NOTIFY "…" AFTER cond
+                # (examples/monitoring/network/hosts.ramen)
+                nt = p.next()
+                if str(nt.value).lower() != "notify":
+                    raise SyntaxError("KEEP … AND: expected NOTIFY")
+                notify = p.expect("str").value
             if p.accept("kw", "before"):
                 commit_before = True
                 commit_after = p.parse_expr()
@@ -2599,14 +2733,21 @@ def _parse_operation_body(p: Parser):
                 group_by.append(p.parse_expr())
         elif t.value == "commit":
             p.next()
-            # COMMIT [AND (FLUSH | KEEP [ALL])] (AFTER|BEFORE) cond
-            p.accept("kw", "and")
+            # COMMIT [,|AND] [FLUSH | KEEP [ALL]] [AND NOTIFY "…"]
+            # (AFTER|BEFORE) cond — the comma form appears in
+            # examples/monitoring/network/traffic.ramen
+            p.accept("kw", "and") or p.accept("op", ",")
             if p.accept("kw", "keep"):
                 flush = False
                 if p.peek().kind == "name" and p.peek().value.lower() == "all":
                     p.next()
             elif p.accept("kw", "flush"):
                 flush = True
+            if p.accept("kw", "and"):
+                nt = p.next()
+                if str(nt.value).lower() != "notify":
+                    raise SyntaxError("COMMIT … AND: expected NOTIFY")
+                notify = p.expect("str").value
             if p.accept("kw", "before"):
                 commit_before = True
             else:
@@ -3073,11 +3214,20 @@ def parse_program(text: str) -> ProgramAST:
             globals_.append(gname)
         elif p.accept("kw", "define"):
             lazy = bool(p.accept("kw", "lazy"))
-            fname = p.expect("name").value
             persist: float | None = None
-            if p.accept("kw", "persist"):
-                p.expect("kw", "for")
-                persist = float(p.expect("num").value)
+
+            def persist_clause() -> float | None:
+                if p.accept("kw", "persist"):
+                    p.expect("kw", "for")
+                    return float(p.expect("num").value)
+                return None
+
+            # PERSIST FOR d may precede OR follow the name
+            # (examples/generators/network/aggregated.ramen:
+            # DEFINE PERSIST FOR 1h http AS …)
+            persist = persist_clause()
+            fname = p.expect("name").value
+            persist = persist_clause() or persist
             p.expect("kw", "as")
             defines.append(DefineStmt(fname, _parse_operation_body(p), lazy, persist))
         else:
@@ -3087,6 +3237,44 @@ def parse_program(text: str) -> ProgramAST:
             break
     p.expect("eof")
     return ProgramAST(parameters, defines, globals_)
+
+
+def _compile_listen(spark, lf: ListenFor):
+    """LISTEN FOR <proto> without a socket: an EMPTY DataFrame with
+    the protocol's decoded schema, so downstream functions compile and
+    run (0 rows). Recorded packets go through sources/binary decoders
+    instead (netflow/collectd codecs are real kernels)."""
+    from pyspark.sql import types as T
+
+    if lf.proto == "netflow":
+        from ramen_spark.sources.binary import NETFLOW_V5_DECODED_SCHEMA
+
+        schema = T.StructType(
+            [T.StructField("source", T.StringType(), True)]
+            + list(NETFLOW_V5_DECODED_SCHEMA.fields)
+        )
+    elif lf.proto == "collectd":
+        from ramen_spark.streaming.sources import COLLECTD_SCHEMA
+
+        schema = COLLECTD_SCHEMA
+    elif lf.proto == "instrumentation":
+        # the reference's per-worker metrics tuple
+        # (examples/benchmarks/comms.ramen consumers)
+        schema = T.StructType(
+            [
+                T.StructField("worker", T.StringType(), False),
+                T.StructField("start", T.DoubleType(), False),
+                T.StructField("tuples_in", T.LongType(), True),
+                T.StructField("tuples_out", T.LongType(), True),
+                T.StructField("wait_in", T.DoubleType(), True),
+                T.StructField("wait_out", T.DoubleType(), True),
+                T.StructField("cpu", T.DoubleType(), True),
+                T.StructField("ram", T.LongType(), True),
+            ]
+        )
+    else:
+        raise NotImplementedError(f"LISTEN FOR {lf.proto}")
+    return spark.createDataFrame([], schema)
 
 
 def _compile_read_csv(spark, rc: ReadCsv, base_dir: str | None):
@@ -3366,6 +3554,12 @@ def compile_program(text: str, name: str = "raql", base_dir: str | None = None):
 
             return read_body
 
+        if isinstance(op, ListenFor):
+            def listen_body(spark, params, *parent_dfs):
+                return _compile_listen(spark, op)
+
+            return listen_body
+
         def body(spark, params, *parent_dfs):
             from pyspark.sql.types import ArrayType as _AT
 
@@ -3397,11 +3591,7 @@ def compile_program(text: str, name: str = "raql", base_dir: str | None = None):
                 if uses_now:
                     use_fold = True
                 n = YIELD_TICKS if use_fold else 1
-                period = op.every
-                if period is not None and not isinstance(period, (int, float)):
-                    period = params.get(_strip_ns(period.path)) if isinstance(
-                        period, Field
-                    ) else None
+                period = _eval_const(op.every, params)
                 period = float(period) if period else 1.0
                 import time as _time
 

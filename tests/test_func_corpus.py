@@ -272,3 +272,28 @@ _ALL_SPECS = sorted(
 def test_spec_sweep(spark, spec_name):
     fails = run_spec(spark, spec_name, _doc_parse, _doc_eq)
     assert not fails, f"{spec_name}: {fails[:3]}"
+
+
+# -- examples/ corpus: every shipped example program must compile ----------
+
+_EXAMPLES = sorted(
+    glob.glob("/root/reference/examples/**/*.ramen", recursive=True)
+)
+
+
+@pytest.mark.parametrize(
+    "path", _EXAMPLES, ids=[p.split("examples/")[-1] for p in _EXAMPLES]
+)
+def test_example_programs_compile(path):
+    """The reference's examples/ tree exercises the production grammar
+    surface the func specs don't: LISTEN FOR sources, FACTORS,
+    DEFINE PERSIST FOR 1h name, #1min instance refs, 10_000 numeric
+    underscores, k-MA, field doc strings, 'aggregate using' archive
+    hints, COMMIT, KEEP ALL AND NOTIFY, EVERY <expr>. Compile-only:
+    the sources need live sockets / generators to run."""
+    from ramen_spark.plans.raql import compile_program
+
+    name = path.rsplit("/", 1)[-1].removesuffix(".ramen")
+    compile_program(
+        open(path).read(), name=name, base_dir=path.rsplit("/", 1)[0]
+    )
