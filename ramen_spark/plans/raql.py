@@ -3760,6 +3760,15 @@ _PY_FNS: dict[str, Any] = {
     "net_cast": lambda x: x,
     "force": lambda x: x,
     "exp": lambda x: math.exp(x) if x is not None else None,
+    "sin": lambda x: math.sin(x) if x is not None else None,
+    "cos": lambda x: math.cos(x) if x is not None else None,
+    "tan": lambda x: math.tan(x) if x is not None else None,
+    "asin": lambda x: math.asin(x) if x is not None and -1 <= x <= 1 else None,
+    "acos": lambda x: math.acos(x) if x is not None and -1 <= x <= 1 else None,
+    "atan": lambda x: math.atan(x) if x is not None else None,
+    "sinh": lambda x: math.sinh(x) if x is not None else None,
+    "cosh": lambda x: math.cosh(x) if x is not None else None,
+    "tanh": lambda x: math.tanh(x) if x is not None else None,
     "log": lambda x: math.log(x) if x is not None and x > 0 else None,
     "log10": lambda x: math.log10(x) if x is not None and x > 0 else None,
     "sq": lambda x: x * x if x is not None else None,
@@ -4982,7 +4991,9 @@ def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> 
             return "boolean"
         if fn in ("avg", "smooth", "season_moveavg", "moveavg", "fit", "derive",
                   "reldiff", "random", "now", "age", "sq", "sqrt", "exp", "log",
-                  "log10", "round", "truncate", "parse_time", "fit_multi"):
+                  "log10", "round", "truncate", "parse_time", "fit_multi",
+                  "sin", "cos", "tan", "asin", "acos", "atan",
+                  "sinh", "cosh", "tanh"):
             return "double"
         if fn in ("lower", "upper", "substring", "basename", "format_time",
                   "sparkline", "chr", "uuid_of_u128", "split", "variant"):

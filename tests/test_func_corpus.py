@@ -297,3 +297,21 @@ def test_example_programs_compile(path):
     compile_program(
         open(path).read(), name=name, base_dir=path.rsplit("/", 1)[0]
     )
+
+
+def test_example_waveforms_runs(spark):
+    """examples/generators/basic.ramen MATERIALIZES, not just
+    compiles: the random-walk recurrence through previous.walker stays
+    bounded by the IF fold-back, and the square wave hits exactly
+    {-1, 1} (NOW/PI/SIN/TRUNCATE through the yield fold)."""
+    from ramen_spark.plans.raql import compile_program
+
+    p = "/root/reference/examples/generators/basic.ramen"
+    prog = compile_program(
+        open(p).read(), name="basic", base_dir=p.rsplit("/", 1)[0]
+    )
+    rows = prog.materialize(spark, register_views=False)["waveforms"].collect()
+    assert len(rows) >= 1000
+    assert all(-1.0 <= r["bounded_walker"] <= 1.0 for r in rows)
+    assert {r["square"] for r in rows} == {-1.0, 1.0}
+    assert all(-1.0 <= r["wave"] <= 1.0 for r in rows)
