@@ -140,6 +140,15 @@ class Program:
         out: dict[str, DataFrame] = {}
         for name in self._topo_order():
             fn = self.functions[name]
+            # source injection: an external keyed "<program>/<function>"
+            # replaces the function's output — the reference test
+            # runner's way of feeding LISTEN sources recorded tuples
+            inj = ext.get(f"{self.name}/{name}")
+            if inj is not None:
+                out[name] = inj
+                if register_views and not fn.is_private:
+                    inj.createOrReplaceTempView(f"{self.name}_{name}")
+                continue
             parent_dfs = []
             for parent in fn.parents:
                 candidates = [parent]

@@ -2413,6 +2413,65 @@ def _eval_const(node, params: dict | None) -> float | None:
     return None
 
 
+def _compile_grouped_with_outrefs(df, op, fields, params, src_arrays):
+    """Grouped SELECT whose fields mix aggregates with references to
+    EARLIER out-fields (traffic.ramen `sum bytes / (out.stop -
+    out.start)`): extract every aggregate subtree into a hidden
+    aggregated column, then evaluate the field expressions in order
+    over the aggregated relation — same single shuffle, one extra
+    (collapsed) projection."""
+    hidden: dict[str, str] = {}  # structural repr → hidden col name
+    hidden_cols: list[Column] = []
+
+    def lift(node):
+        if isinstance(node, Call) and node.fn in AGGS and not (
+            node.args and _is_array_node(node.args[0])
+        ):
+            key = repr(node)
+            if key not in hidden:
+                nm = f"_agg{len(hidden)}"
+                hidden[key] = nm
+                sub = Compiler(params, src_arrays=src_arrays)
+                hidden_cols.append(sub.col(node).alias(nm))
+            return Field(hidden[key])
+        if isinstance(node, Call):
+            return Call(node.fn, [lift(a) for a in node.args], node.opts)
+        if isinstance(node, Unop):
+            return Unop(node.op, lift(node.e))
+        if isinstance(node, Binop):
+            return Binop(node.op, lift(node.a), lift(node.b))
+        if isinstance(node, CaseWhen):
+            return CaseWhen(
+                [(lift(c), lift(v)) for c, v in node.branches],
+                lift(node.otherwise) if node.otherwise is not None else None,
+            )
+        return node
+
+    lifted = [
+        (f_.alias or _default_name(f_.expr, i), lift(f_.expr))
+        for i, f_ in enumerate(fields)
+        if not isinstance(f_.expr, Star)
+    ]
+    comp = Compiler(params)
+    key_cols = []
+    for i, k in enumerate(op.group_by):
+        if isinstance(k, Field):
+            key_cols.append(F.col(_strip_ns(k.path)))
+        else:
+            key_cols.append(comp.col(k).alias(f"_k{i}"))
+    gdf = df.groupBy(*key_cols) if key_cols else df.groupBy()
+    res = gdf.agg(*hidden_cols) if hidden_cols else gdf.agg(F.lit(1).alias("_one"))
+    out = res
+    for name, expr in lifted:
+        sub = Compiler(
+            params,
+            schema={f_.name: f_.dataType.simpleString() for f_ in out.schema.fields},
+        )
+        out = out.withColumn(name, sub.col(expr).alias(name))
+    public = [n for n, _ in lifted if not n.startswith("_")]
+    return out.select(*public)
+
+
 def _parse_factors(p: Parser) -> list[str]:
     """FACTORS f1[, f2 | AND f3]… (RamenOperation.ml factors clause)."""
     names = [p.expect("name").value]
@@ -3037,6 +3096,30 @@ def compile_operation(
 
     op = replace(op, fields=fields)
     if op.group_by or any(agg_flags):
+        # out-refs among grouped fields (`sum bytes / (out.stop -
+        # out.start)`, examples/monitoring/network/traffic.ramen):
+        # lower via hidden aggregate columns + a post-agg projection
+        aliases_in_order = [
+            f_.alias or _default_name(f_.expr, i)
+            for i, f_ in enumerate(fields)
+            if not isinstance(f_.expr, Star)
+        ]
+        has_out_refs = any(
+            isinstance(n, Field)
+            and (
+                n.path.startswith("out.")
+                or (
+                    "." not in n.path
+                    and _strip_ns(n.path) in aliases_in_order[:i]
+                    and _strip_ns(n.path) not in df.columns
+                )
+            )
+            for i, f_ in enumerate(fields)
+            if not isinstance(f_.expr, Star)
+            for n in _walk(f_.expr)
+        )
+        if has_out_refs:
+            return _compile_grouped_with_outrefs(df, op, fields, params, src_arrays)
         keys = [Compiler(params).col(k) for k in op.group_by]
         key_aliases = [k.alias(f"_k{i}") for i, k in enumerate(keys)]
         gdf = df.groupBy(*key_aliases) if keys else df.groupBy()

@@ -315,3 +315,34 @@ def test_example_waveforms_runs(spark):
     assert all(-1.0 <= r["bounded_walker"] <= 1.0 for r in rows)
     assert {r["square"] for r in rows} == {-1.0, 1.0}
     assert all(-1.0 <= r["wave"] <= 1.0 for r in rows)
+
+
+def test_example_traffic_materializes_with_injection(spark):
+    """examples/monitoring/network/traffic.ramen runs end-to-end when
+    recorded flows are injected for the LISTEN source (the reference
+    test-runner's feed mechanism): per-iface totals mix aggregates
+    with out-field refs (sum bytes / (out.stop - out.start)) through
+    the hidden-aggregate lowering."""
+    from pyspark.sql import Row
+    from ramen_spark.plans.raql import compile_program
+
+    p = "/root/reference/examples/monitoring/network/traffic.ramen"
+    prog = compile_program(
+        open(p).read(), name="traffic", base_dir=p.rsplit("/", 1)[0]
+    )
+    flows = spark.createDataFrame(
+        [
+            ("s1", 0.0, 60.0, 9, 1000, 500, 1, 2),
+            ("s1", 60.0, 120.0, 12, 2000, 900, 2, 1),
+        ],
+        "source string, start double, stop double, seqnum bigint, "
+        "bytes bigint, packets bigint, in_iface int, out_iface int",
+    )
+    dfs = prog.materialize(
+        spark, externals={"traffic/netflow": flows}, register_views=False
+    )
+    rows = {(r["source"], r["iface"]): r for r in dfs["total"].collect()}
+    assert set(rows) == {("s1", 1), ("s1", 2)}
+    r = rows[("s1", 1)]
+    # 3000 bytes over the [0, 120] span
+    assert r["bytes_per_secs"] == 25.0 and r["stop"] == 120.0
