@@ -86,6 +86,25 @@ State = dict[str, Any]
 Row = dict[str, Any]
 
 
+def _schema_names(ddl: str) -> list[str]:
+    """Top-level field names of a DDL schema string (commas inside
+    struct<...>/array<...> don't split)."""
+    names, depth, cur = [], 0, ""
+    for ch in ddl:
+        if ch == "," and depth == 0:
+            names.append(cur.strip().split(" ")[0].split(":")[0])
+            cur = ""
+            continue
+        if ch == "<":
+            depth += 1
+        if ch == ">":
+            depth -= 1
+        cur += ch
+    if cur.strip():
+        names.append(cur.strip().split(" ")[0].split(":")[0])
+    return names
+
+
 def commit_aggregate(
     df: DataFrame,
     key_cols: list[str],
@@ -235,9 +254,12 @@ def commit_aggregate(
                 emit(state.get("__last_row"))
         if trows:
             fire_conditional_triggers(float("inf"), inclusive=True)
-        return pd.DataFrame(out_rows) if out_rows else pd.DataFrame(
-            {f.strip().split(" ")[0]: pd.Series(dtype="object") for f in output_schema.split(",")}
-        )
+        cols = _schema_names(output_schema)
+        if out_rows:
+            # finalize keeps private (_-prefixed) fields for commit
+            # conditions / previous — project to the declared schema
+            return pd.DataFrame(out_rows).reindex(columns=cols)
+        return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
 
     if key_cols:
         # groupBy+applyInPandas = exactly one shuffle on the key

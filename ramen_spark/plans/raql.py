@@ -2423,10 +2423,47 @@ def _compile_grouped_with_outrefs(df, op, fields, params, src_arrays):
     hidden: dict[str, str] = {}  # structural repr → hidden col name
     hidden_cols: list[Column] = []
 
+    # row-level (aggregate-free) field definitions: references to them
+    # INSIDE aggregate arguments mean the per-input-row value and must
+    # inline (hosts.ramen: AVG(IF _type = "free" …) over a private
+    # COALESCE field); references to aggregate fields there are errors
+    # in the reference too (tuples.ramen commentary)
+    row_defs: dict[str, Any] = {}
+    for i, f_ in enumerate(fields):
+        if isinstance(f_.expr, Star):
+            continue
+        nm = f_.alias or _default_name(f_.expr, i)
+        if not any(
+            isinstance(n, Call) and n.fn in AGGS for n in _walk(f_.expr)
+        ):
+            row_defs[nm] = f_.expr
+
+    def subst_row_refs(node):
+        if isinstance(node, Field):
+            nm = _strip_ns(node.path)
+            if nm in row_defs and (
+                node.path.startswith("out.") or nm not in df.columns
+            ):
+                return subst_row_refs(row_defs[nm])
+            return node
+        if isinstance(node, Call):
+            return Call(node.fn, [subst_row_refs(a) for a in node.args], node.opts)
+        if isinstance(node, Unop):
+            return Unop(node.op, subst_row_refs(node.e))
+        if isinstance(node, Binop):
+            return Binop(node.op, subst_row_refs(node.a), subst_row_refs(node.b))
+        if isinstance(node, CaseWhen):
+            return CaseWhen(
+                [(subst_row_refs(c), subst_row_refs(v)) for c, v in node.branches],
+                subst_row_refs(node.otherwise) if node.otherwise is not None else None,
+            )
+        return node
+
     def lift(node):
         if isinstance(node, Call) and node.fn in AGGS and not (
             node.args and _is_array_node(node.args[0])
         ):
+            node = Call(node.fn, [subst_row_refs(a) for a in node.args], node.opts)
             key = repr(node)
             if key not in hidden:
                 nm = f"_agg{len(hidden)}"
@@ -2447,10 +2484,52 @@ def _compile_grouped_with_outrefs(df, op, fields, params, src_arrays):
             )
         return node
 
+    key_names = {
+        _strip_ns(k.path) for k in op.group_by if isinstance(k, Field)
+    }
+
+    def fix_raw_refs(node):
+        # a surviving reference to a NON-KEY input column post-agg
+        # takes the group's last input row's value (the reference
+        # builds out from g.last_in; hosts.ramen ping: instance AS
+        # target under GROUP BY host)
+        if isinstance(node, Field):
+            nm = _strip_ns(node.path)
+            if (
+                ("." not in node.path or node.path.startswith("in."))
+                and nm in df.columns
+                and nm not in key_names
+            ):
+                key = f"__last__{nm}"
+                if key not in hidden:
+                    h = f"_agg{len(hidden)}"
+                    hidden[key] = h
+                    hidden_cols.append(F.last(F.col(nm)).alias(h))
+                return Field(hidden[key])
+            return node
+        if isinstance(node, Call):
+            return Call(node.fn, [fix_raw_refs(a) for a in node.args], node.opts)
+        if isinstance(node, Unop):
+            return Unop(node.op, fix_raw_refs(node.e))
+        if isinstance(node, Binop):
+            return Binop(node.op, fix_raw_refs(node.a), fix_raw_refs(node.b))
+        if isinstance(node, CaseWhen):
+            return CaseWhen(
+                [(fix_raw_refs(c), fix_raw_refs(v)) for c, v in node.branches],
+                fix_raw_refs(node.otherwise) if node.otherwise is not None else None,
+            )
+        return node
+
     lifted = [
-        (f_.alias or _default_name(f_.expr, i), lift(f_.expr))
+        (f_.alias or _default_name(f_.expr, i), fix_raw_refs(lift(f_.expr)))
         for i, f_ in enumerate(fields)
         if not isinstance(f_.expr, Star)
+        # private row-level fields are inlining carriers only — their
+        # raw-input references don't exist post-aggregation
+        and not (
+            (f_.alias or _default_name(f_.expr, i)).startswith("_")
+            and (f_.alias or _default_name(f_.expr, i)) in row_defs
+        )
     ]
     comp = Compiler(params)
     key_cols = []
@@ -4917,7 +4996,11 @@ class _Fold:
         out: dict[str, Any] = {}
         for name, f_ in zip(self.out_names, self.op.fields):
             out[name] = self._eval(f_.expr, row, state, previous, out)
-        res = {k: v for k, v in out.items() if not k.startswith("_")}
+        # keep PRIVATE (_-prefixed) fields: commit conditions and the
+        # previous namespace read them (comms.ramen COMMIT AFTER
+        # _my_s % 10 = 0; hosts.ramen _user - previous._user) — the
+        # engine drops them at emission against the output schema
+        res = dict(out)
         state["__fin"] = (mkey, res)
         if self.sequential:
             # record per-group last output (local_last_out namespace)

@@ -428,7 +428,7 @@ COLLECTD_DECODED_SCHEMA = T.StructType(
         T.StructField("host", T.StringType(), False),
         T.StructField("start", T.DoubleType(), False),
         T.StructField("plugin", T.StringType(), True),
-        T.StructField("plugin_instance", T.StringType(), True),
+        T.StructField("instance", T.StringType(), True),
         T.StructField("type_name", T.StringType(), True),
         T.StructField("type_instance", T.StringType(), True),
         T.StructField("value", T.DoubleType(), False),
@@ -453,7 +453,7 @@ def encode_collectd(
     rows: Sequence[dict],
     value_types: Sequence[int] | None = None,
 ) -> bytes:
-    """Rows (keys: host, time, plugin, plugin_instance, type_name,
+    """Rows (keys: host, time, plugin, instance, type_name,
     type_instance, values: list[float|int]) → one collectd binary
     packet. Context parts are emitted only when they change, like the
     real client. ``value_types`` applies per value position (default
@@ -465,7 +465,7 @@ def encode_collectd(
         for ptype, key in (
             (_CD_HOST, "host"),
             (_CD_PLUGIN, "plugin"),
-            (_CD_PLUGIN_INSTANCE, "plugin_instance"),
+            (_CD_PLUGIN_INSTANCE, "instance"),
             (_CD_TYPE, "type_name"),
             (_CD_TYPE_INSTANCE, "type_instance"),
         ):

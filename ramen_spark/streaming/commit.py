@@ -97,7 +97,11 @@ def streaming_commit_aggregate(
 
         state.update((_enc(st), _enc(previous) if previous else None))
         if out_rows:
-            yield pd.DataFrame(out_rows)
+            from ramen_spark.operators.aggregate import _schema_names
+
+            yield pd.DataFrame(out_rows).reindex(
+                columns=_schema_names(output_schema)
+            )
 
     return df.groupBy(*key_cols).applyInPandasWithState(
         process,

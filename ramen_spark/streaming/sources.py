@@ -79,7 +79,7 @@ COLLECTD_SCHEMA = T.StructType(
         T.StructField("host", T.StringType(), False),
         T.StructField("start", T.DoubleType(), False),
         T.StructField("plugin", T.StringType(), True),
-        T.StructField("plugin_instance", T.StringType(), True),
+        T.StructField("instance", T.StringType(), True),
         T.StructField("type_name", T.StringType(), True),
         T.StructField("type_instance", T.StringType(), True),
         T.StructField("value", T.DoubleType(), False),

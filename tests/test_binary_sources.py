@@ -165,7 +165,7 @@ def test_collectd_roundtrip_state_machine():
             "host": "web1",
             "time": 1_700_000_000.25,
             "plugin": "cpu",
-            "plugin_instance": "0",
+            "instance": "0",
             "type_name": "cpu",
             "type_instance": "idle",
             "values": [97.5],
@@ -175,7 +175,7 @@ def test_collectd_roundtrip_state_machine():
             "host": "web1",
             "time": 1_700_000_000.25,
             "plugin": "cpu",
-            "plugin_instance": "0",
+            "instance": "0",
             "type_name": "cpu",
             "type_instance": "user",
             "values": [1.5, 42, -7],

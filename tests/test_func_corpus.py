@@ -346,3 +346,31 @@ def test_example_traffic_materializes_with_injection(spark):
     r = rows[("s1", 1)]
     # 3000 bytes over the [0, 120] span
     assert r["bytes_per_secs"] == 25.0 and r["stop"] == 120.0
+
+
+def test_example_hosts_and_comms_materialize(spark):
+    """hosts.ramen (collectd monitoring: empty LISTEN stream, private
+    aggregates read through previous._x) and comms.ramen (producer
+    fan-in with COMMIT AFTER _my_s % 10 = 0 over a PRIVATE running
+    count) build and run end-to-end — private out-fields stay visible
+    to commit conditions and the previous namespace, and are dropped
+    only at emission."""
+    from ramen_spark.plans.raql import compile_program
+
+    base = "/root/reference/examples"
+    hosts = compile_program(
+        open(f"{base}/monitoring/network/hosts.ramen").read(),
+        name="hosts", base_dir=f"{base}/monitoring/network",
+    )
+    dfs = hosts.materialize(spark, register_views=False)
+    assert dfs["memory"].count() == 0  # empty listen stream, full plan
+
+    comms = compile_program(
+        open(f"{base}/benchmarks/comms.ramen").read(),
+        name="comms", base_dir=f"{base}/benchmarks",
+    )
+    out = comms.materialize(spark, register_views=False)
+    n1 = out["consumer1"].count()
+    # 3 producers x 2048 ticks merged, committed every 10th input row
+    assert n1 == 614
+    assert set(out["sink"].columns) == {"parent", "r_range"}
