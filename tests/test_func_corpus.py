@@ -374,3 +374,28 @@ def test_example_hosts_and_comms_materialize(spark):
     # 3 producers x 2048 ticks merged, committed every 10th input row
     assert n1 == 614
     assert set(out["sink"].columns) == {"parent", "r_range"}
+
+
+def test_example_security_materializes_with_injection(spark):
+    """security.ramen (DDoS/port-scan/ip-scan detectors over netflow)
+    runs end-to-end with one injected flow — cross-program parent
+    '../traffic/netflow' resolves through the external injection key."""
+    from pyspark.sql import types as T
+    from ramen_spark.plans.raql import compile_program
+    from ramen_spark.sources.binary import NETFLOW_V5_DECODED_SCHEMA
+
+    schema = T.StructType(
+        [T.StructField("source", T.StringType(), True)]
+        + list(NETFLOW_V5_DECODED_SCHEMA.fields)
+    )
+    row = ("s1", 0.0, 60.0, 9, 0, 0, 0, 0, 1111, 2222, 0, 80, 443,
+           1, 2, 500, 1000, 2, 6, 0, 0, 0, 0, 0)
+    flows = spark.createDataFrame([row], schema)
+    p = "/root/reference/examples/monitoring/network/security.ramen"
+    prog = compile_program(
+        open(p).read(), name="security", base_dir=p.rsplit("/", 1)[0]
+    )
+    dfs = prog.materialize(
+        spark, externals={"traffic/netflow": flows}, register_views=False
+    )
+    assert dfs["port_scan_detector"].count() == 1
