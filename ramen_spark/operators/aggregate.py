@@ -117,8 +117,9 @@ def commit_aggregate(
     commit_before: bool = False,
     flush: bool = True,
     where: Callable[[State, Row, Row | None], bool] | None = None,
-    triggers: list | None = None,
-    trigger_rows: list | None = None,
+    trigger_df: DataFrame | None = None,
+    trigger_mode: str | None = None,
+    trigger_in_cols: list[str] | None = None,
 ) -> DataFrame:
     """General COMMIT engine (batch).
 
@@ -142,30 +143,37 @@ def commit_aggregate(
     f2); rows it rejects advance WHERE state but neither update the
     group nor trigger commits.
 
-    ``triggers``: sorted GLOBAL order-values at which EVERY live group
-    commits (and flushes) — the reference's ``check_commit_for_all``
-    path for commit conditions referencing the input tuple
-    (src/CodeGen_Helpers.ml:52, src/CodeGenLib_Skeletons.ml:810-868).
-    The reference documents this as the slow path users should reserve
-    for few-group aggregations; the trigger list is correspondingly
-    expected to be small (it is broadcast into every fold task).
+    ``trigger_df`` (with ``trigger_mode``): the GLOBAL trigger relation
+    for the reference's ``check_commit_for_all`` path — commit
+    conditions referencing the input tuple, at which EVERY live group
+    must (re-)evaluate its commit (src/CodeGen_Helpers.ml:52,
+    src/CodeGenLib_Skeletons.ml:810-868). Column ``__trig_ord`` holds
+    the global order value; ``trigger_mode``:
 
-    ``trigger_rows``: sorted GLOBAL (order-value, in-row) pairs for
-    check-all-groups conditions that ALSO reference out/previous
-    (``COMMIT AFTER in.m <> out.m``, count.ramen / tumbling.ramen):
-    every input row is a potential trigger, and each group evaluates
-    ``commit_cond(state, trigger_row, previous)`` against its own
-    candidate. The full (projected) input is broadcast into every fold
-    task — the reference's explicitly-slow path; fine for few-group
-    aggregations, unusable for high-cardinality keys (documented).
+    - ``"positions"``: the condition reads only ``in`` — the relation
+      is the pre-filtered trigger positions; every live group commits
+      (and flushes) at each one.
+    - ``"rows"``: the condition also reads out/previous
+      (``COMMIT AFTER in.m <> out.m``, count.ramen / tumbling.ramen) —
+      the relation carries the condition's in-columns
+      (``trigger_in_cols``) for EVERY input row, and each group
+      evaluates ``commit_cond(state, trigger_row, previous)`` against
+      its own candidate.
+
+    The trigger relation stays distributed: it is replicated per group
+    key (crossJoin with the distinct keys — the reference documents
+    check-all as the slow path meant for few-group aggregations, so the
+    fan-out is |triggers|×|groups| with both factors expected small)
+    and cogrouped into the fold, never materialized on the driver.
 
     This is the slow general path by design — Python per row, but one
     shuffle total and parallel across groups. Lower to
     ``tumbling_aggregate`` whenever the commit shape allows.
     """
     first_order = order_col if isinstance(order_col, str) else order_col[0]
+    in_cols = trigger_in_cols or []
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+    def fold_with(pdf: pd.DataFrame, trigs: list, trows: list) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="stable")  # str or list of cols
         # NULLs surface as NaN in float columns after Arrow transfer;
         # the fold's SKIP/KEEP NULLS semantics need real None
@@ -183,8 +191,6 @@ def commit_aggregate(
                 state = init_state()
 
         ti = 0
-        trigs = triggers or []
-        trows = trigger_rows or []
         tri = 0
 
         def fire_conditional_triggers(upto, inclusive: bool) -> None:
@@ -260,6 +266,44 @@ def commit_aggregate(
             # conditions / previous — project to the declared schema
             return pd.DataFrame(out_rows).reindex(columns=cols)
         return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        return fold_with(pdf, [], [])
+
+    def fold_cogrouped(pdf: pd.DataFrame, tpdf: pd.DataFrame) -> pd.DataFrame:
+        # rebuild the per-group trigger list from the cogrouped trigger
+        # relation (this group's replica of the global triggers)
+        tpdf = tpdf.astype(object).where(tpdf.notna(), None)
+        if trigger_mode == "positions":
+            trigs = sorted(tpdf["__trig_ord"].tolist())
+            trows: list = []
+        else:
+            trigs = []
+            trows = sorted(
+                (
+                    (r["__trig_ord"], {c: r[f"__tc_{c}"] for c in in_cols})
+                    for r in tpdf.to_dict("records")
+                ),
+                key=lambda t_: t_[0],
+            )
+        return fold_with(pdf, trigs, trows)
+
+    if trigger_df is not None:
+        # check-all-groups: cogroup the data with the trigger relation
+        # so every group's fold task receives the global triggers via
+        # the same shuffle — no driver-side materialization
+        if key_cols:
+            # fresh exprIds on the key projection — both cogroup sides
+            # descend from the same source relation
+            keys_df = df.select(
+                *[F.col(k).alias(k) for k in key_cols]
+            ).distinct()
+            trig = trigger_df.crossJoin(F.broadcast(keys_df))
+            grouped = df.groupBy(*key_cols).cogroup(trig.groupBy(*key_cols))
+        else:
+            g = F.lit(1).alias("_g")
+            grouped = df.groupBy(g).cogroup(trigger_df.groupBy(g))
+        return grouped.applyInPandas(fold_cogrouped, schema=output_schema)
 
     if key_cols:
         # groupBy+applyInPandas = exactly one shuffle on the key

@@ -135,6 +135,9 @@ class Program:
         if self.run_if is not None and not self.run_if(p):
             return {}
         p["__globals"] = {n: {} for n in self.global_names}
+        # per-key write relations (DataFrames) registered by writer
+        # functions; readers broadcast-join them (raql._join_global_map_reads)
+        p["__globals_rel"] = {}
 
         ext = dict(externals or {})
         out: dict[str, DataFrame] = {}

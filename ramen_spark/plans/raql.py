@@ -3659,6 +3659,81 @@ def _needs_fold_engine(op: Operation, src_arrays: frozenset[str] = frozenset()) 
 YIELD_TICKS = 2048
 
 
+def _join_global_map_reads(
+    src: DataFrame,
+    op: Operation,
+    params: dict[str, Any] | None,
+    written_here: set[str],
+):
+    """Rewrite cross-function global-map reads ``var[key]`` into LEFT
+    broadcast joins against the map's per-key write relation
+    (``params["__globals_rel"]``), so the shared map never materializes
+    on the driver (src/RamenGlobalVariables.ml semantics; the key→value
+    relation is unbounded in key cardinality). Reads of maps this
+    function itself writes keep the fold's task-local dict — that is
+    the read-your-writes path (globals_function.ramen)."""
+    grels = (params or {}).get("__globals_rel") or {}
+    if not grels:
+        return src, op
+    counter = [0]
+    joins: list[tuple[str, str, Any]] = []
+
+    def rw(node):
+        if isinstance(node, Binop):
+            if (
+                node.op == "index"
+                and isinstance(node.a, Field)
+                and _strip_ns(node.a.path) in grels
+                and _strip_ns(node.a.path) not in written_here
+            ):
+                var = _strip_ns(node.a.path)
+                counter[0] += 1
+                cname = f"__gm{counter[0]}"
+                joins.append((cname, var, rw(node.b)))
+                return Field(cname)
+            return Binop(node.op, rw(node.a), rw(node.b))
+        if isinstance(node, Unop):
+            return Unop(node.op, rw(node.e))
+        if isinstance(node, Call):
+            return Call(node.fn, [rw(a) for a in node.args], node.opts)
+        if isinstance(node, CaseWhen):
+            return CaseWhen(
+                [(rw(c), rw(v)) for c, v in node.branches],
+                rw(node.otherwise) if node.otherwise is not None else None,
+            )
+        return node
+
+    new_fields = [
+        SelectField(
+            f_.expr if isinstance(f_.expr, Star) else rw(f_.expr), f_.alias
+        )
+        for f_ in op.fields
+    ]
+    new_where = rw(op.where) if op.where is not None else None
+    new_commit = rw(op.commit_after) if op.commit_after is not None else None
+    new_group = [rw(k) for k in op.group_by]
+    if not joins:
+        return src, op
+    comp = Compiler(params)
+    for cname, var, key_node in joins:
+        rel = grels[var].select(
+            F.col("__gm_k").alias(f"{cname}_k"),
+            F.col("__gm_v").alias(cname),
+        )
+        src = src.join(
+            F.broadcast(rel),
+            comp.col(key_node).eqNullSafe(F.col(f"{cname}_k")),
+            "left",
+        ).drop(f"{cname}_k")
+    return src, replace(
+        op,
+        fields=new_fields,
+        where=new_where,
+        commit_after=new_commit,
+        group_by=new_group,
+    )
+
+
 def compile_program(text: str, name: str = "raql", base_dir: str | None = None):
     """RaQL program text → plans.program.Program with one Function per
     DEFINE, parents wired from the FROM clauses. Multi-parent FROM =
@@ -3791,13 +3866,18 @@ def compile_program(text: str, name: str = "raql", base_dir: str | None = None):
                     for extra in parents:
                         src = src.unionByName(extra)
             # global-map writes visible to OTHER functions: when the
-            # mapadd key/value are stateless input expressions, fill
-            # the program-scope map eagerly (last write per key in
-            # stream order — the reference's shared LMDB map semantics,
-            # globals_program.ramen). Same-function reads are served by
-            # the fold's task-local copy either way.
+            # mapadd key/value are stateless input expressions, the
+            # function's final map content is a per-key max_by RELATION
+            # (last write per key in stream order — the reference's
+            # shared LMDB map semantics, globals_program.ramen). The
+            # relation stays distributed; reader functions broadcast-
+            # join it at their read sites (_join_global_map_reads).
+            # Same-function reads are served by the fold's task-local
+            # copy either way.
             gmaps = (params or {}).get("__globals")
+            written_here: set[str] = set()
             if gmaps is not None:
+                grels = params.setdefault("__globals_rel", {})
                 for f_ in op.fields:
                     if isinstance(f_.expr, Star):
                         continue
@@ -3809,6 +3889,8 @@ def compile_program(text: str, name: str = "raql", base_dir: str | None = None):
                             and _strip_ns(n_.args[0].path) in gmaps
                         ):
                             continue
+                        var = _strip_ns(n_.args[0].path)
+                        written_here.add(var)
                         k_n, v_n = n_.args[1], n_.args[2]
                         stateless = all(
                             not (
@@ -3828,28 +3910,39 @@ def compile_program(text: str, name: str = "raql", base_dir: str | None = None):
                         if not stateless:
                             continue
                         comp = Compiler(params)
-                        pairs = (
+                        rel = (
                             src.withColumn(
                                 "_ord", F.monotonically_increasing_id()
                             )
                             .select(
-                                comp.col(k_n).alias("k"),
-                                comp.col(v_n).alias("v"),
+                                comp.col(k_n).alias("__gm_k"),
+                                comp.col(v_n).alias("__gm_v"),
                                 "_ord",
                             )
-                            .groupBy("k")
-                            .agg(F.max_by("v", "_ord").alias("v"))
-                            .collect()
+                            .groupBy("__gm_k")
+                            .agg(F.max_by("__gm_v", "_ord").alias("__gm_v"))
                         )
-                        gmaps[_strip_ns(n_.args[0].path)].update(
-                            {r["k"]: r["v"] for r in pairs}
-                        )
+                        prev = grels.get(var)
+                        if prev is not None:
+                            # a later writer overrides overlapping keys
+                            rel = (
+                                prev.withColumn("_pri", F.lit(0))
+                                .unionByName(rel.withColumn("_pri", F.lit(1)))
+                                .groupBy("__gm_k")
+                                .agg(F.max_by("__gm_v", F.col("_pri")).alias("__gm_v"))
+                            )
+                        grels[var] = rel
+                src, cop = _join_global_map_reads(
+                    src, op, params, written_here
+                )
+            else:
+                cop = op
             if use_fold:
                 return compile_commit_operation(
-                    op, src, params=params,
+                    cop, src, params=params,
                     order_cols=["_tick"] if "_tick" in src.columns else None,
                 )
-            return compile_operation(op, src, params)
+            return compile_operation(cop, src, params)
 
         return body
 
@@ -4213,7 +4306,11 @@ class _Fold:
         sequential: bool = False,
     ):
         self.op = op
-        self.params = params or {}
+        # __globals_rel holds driver-side DataFrames (the global-map
+        # write relations) — never ship them into the worker closure
+        self.params = {
+            k: v for k, v in (params or {}).items() if k != "__globals_rel"
+        }
         # sequential mode: the whole stream folds as ONE ordered group
         # (the reference's single worker loop) because some expression
         # reads global_last_out — cross-group state. Group-scoped
@@ -5676,30 +5773,65 @@ def compile_commit_operation(
         df = df.withColumn("_rowid", F.monotonically_increasing_id())
         order_col = "_rowid"
 
-    # check-all-groups commit (condition references `in`): precompute
-    # the global trigger positions with a stateless filter
-    triggers = None
+    # check-all-groups commit (condition references `in`): compute the
+    # global trigger relation as a DATAFRAME — it rides the shuffle
+    # into the fold (cogroup in commit_aggregate), never the driver
     refs_beyond_in = _commit_needs_engine(op.commit_after) or any(
         isinstance(n, Field)
         and n.path.startswith(("out.", "previous.", "local_last.", "local_last_out.", "global_last"))
         for n in _walk(op.commit_after)
     )
-    trigger_rows = None
+    trigger_mode = None
     if not isinstance(op.commit_after, Lit) and check_commit_for_all(op.commit_after):
-        first_order = order_col if isinstance(order_col, str) else order_col[0]
-        trig_src = df_pre if df_pre is not None else df
         if not refs_beyond_in:
-            trig_rows = trig_src.filter(Compiler(params, schema={f_.name: f_.dataType.simpleString() for f_ in trig_src.schema.fields}).col(op.commit_after)).select(first_order).collect()
-            triggers = sorted(r[0] for r in trig_rows)
+            trigger_mode = "positions"
         elif not any(
             isinstance(n, Call) and n.fn in ROW_STATEFUL
             for n in _walk(op.commit_after)
         ):
+            trigger_mode = "rows"
+
+    if output_schema is None:
+        output_schema = infer_output_schema(op, df.schema, params)
+
+    # count-window fast path: AFTER-mode, FLUSH, stateless-where-only
+    # shapes lower to native window aggregates (no Python fold). A
+    # "rows"-mode trigger shape may still lower: the count condition is
+    # per-group state only, so the check-all trigger scan is subsumed
+    # by the lowered window (each group's own rows are its triggers).
+    if (
+        not op.commit_before
+        and flush
+        and fold_where is None
+        and trigger_mode != "positions"
+        and (op.sort_last is None or op.sort_last[2] is None)
+    ):
+        lowered = _try_lower_count_commit(
+            df, op, keys, order_col, params, output_schema
+        )
+        if lowered is not None:
+            return lowered
+
+    # trigger relation built only when the fold actually runs — as a
+    # DATAFRAME that rides the shuffle (cogroup in commit_aggregate),
+    # never a driver-side collect
+    trigger_df = None
+    trigger_in_cols: list[str] = []
+    if trigger_mode is not None:
+        first_order = order_col if isinstance(order_col, str) else order_col[0]
+        trig_src = df_pre if df_pre is not None else df
+        if trigger_mode == "positions":
+            # pure-`in` condition: a stateless filter gives the global
+            # trigger positions at which every live group commits
+            trigger_df = trig_src.filter(
+                Compiler(params, schema={f_.name: f_.dataType.simpleString() for f_ in trig_src.schema.fields}).col(op.commit_after)
+            ).select(F.col(first_order).alias("__trig_ord"))
+        else:
             # in+out mixed condition (COMMIT AFTER in.start > out.stop):
-            # collect the in-referenced columns of EVERY row as global
-            # conditional triggers (the reference's explicitly-slow
-            # check-all path, src/CodeGenLib_Skeletons.ml:810-868)
-            in_cols = sorted(
+            # the in-referenced columns of EVERY row form the global
+            # conditional-trigger relation (the reference's explicitly-
+            # slow check-all path, src/CodeGenLib_Skeletons.ml:810-868)
+            trigger_in_cols = sorted(
                 {
                     _strip_ns(n.path)
                     for n in _walk(op.commit_after)
@@ -5710,29 +5842,13 @@ def compile_commit_operation(
                     and _strip_ns(n.path) in df.columns
                 }
             )
-            proj = trig_src.select(first_order, *in_cols).collect()
-            trigger_rows = sorted(
-                ((r[0], {c: r[c] for c in in_cols}) for r in proj),
-                key=lambda t_: t_[0],
+            # __tc_ prefix: fresh exprIds AND no name collision with
+            # the group keys when commit_aggregate replicates the
+            # trigger relation per key (crossJoin on the same source)
+            trigger_df = trig_src.select(
+                F.col(first_order).alias("__trig_ord"),
+                *[F.col(c).alias(f"__tc_{c}") for c in trigger_in_cols],
             )
-
-    if output_schema is None:
-        output_schema = infer_output_schema(op, df.schema, params)
-
-    # count-window fast path: AFTER-mode, FLUSH, stateless-where-only
-    # shapes lower to native window aggregates (no Python fold)
-    if (
-        not op.commit_before
-        and flush
-        and fold_where is None
-        and triggers is None
-        and (op.sort_last is None or op.sort_last[2] is None)
-    ):
-        lowered = _try_lower_count_commit(
-            df, op, keys, order_col, params, output_schema
-        )
-        if lowered is not None:
-            return lowered
 
     fold = _Fold(op, params, sequential=sequential)
     return commit_aggregate(
@@ -5747,8 +5863,9 @@ def compile_commit_operation(
         commit_before=op.commit_before,
         flush=flush,
         where=fold.update_where if fold_where is not None else None,
-        triggers=triggers,
-        trigger_rows=trigger_rows,
+        trigger_df=trigger_df,
+        trigger_mode=trigger_mode,
+        trigger_in_cols=trigger_in_cols,
     )
 
 

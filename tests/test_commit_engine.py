@@ -216,6 +216,7 @@ def test_count_commit_ineligible_falls_back(spark):
         order_cols=["seq"],
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in plan  # fold, not lowered
+    # fold (cogrouped with the distributed trigger relation), not lowered
+    assert "FlatMapCoGroupsInPandas" in plan
     got = sorted((r["pv"], r["s"]) for r in out.collect())
     assert got == [(1.0, 3.0), (4.0, 12.0)]
