@@ -52,6 +52,36 @@ def string_to_ipv4(s: Column) -> Column:
     return F.when(ok & in_range, val)
 
 
+def string_to_ipv6(s: Column) -> Column:
+    """IPv6 text → 16-byte binary (src/RamenIpv6.ml of_string): full
+    8-hextet and ``::``-compressed forms; the embedded-IPv4 dot form
+    (``::ffff:1.2.3.4``) is not parsed. Unparsable → NULL. Pure
+    expression composition — stays inside whole-stage codegen."""
+    two = F.split(s, "::", -1)
+    has_comp = F.size(two) == 2
+
+    def hextets_of(c: Column) -> Column:
+        return F.filter(F.split(c, ":"), lambda x: F.length(x) > 0)
+
+    left = hextets_of(F.element_at(two, 1))
+    right = F.when(has_comp, hextets_of(F.element_at(two, 2))).otherwise(
+        F.array().cast("array<string>")
+    )
+    nmiss = (F.lit(8) - F.size(left) - F.size(right)).cast("int")
+    hextets = F.concat(left, F.array_repeat(F.lit("0"), nmiss), right)
+    valid = (
+        (F.size(two) <= 2)
+        & ~s.contains(":::")
+        & (has_comp | (F.size(left) == 8))
+        & (F.size(hextets) == 8)
+        & F.forall(hextets, lambda x: x.rlike("^[0-9A-Fa-f]{1,4}$"))
+    )
+    packed = F.unhex(
+        F.concat_ws("", F.transform(hextets, lambda x: F.lpad(F.lower(x), 4, "0")))
+    )
+    return F.when(valid, packed).otherwise(F.lit(None).cast("binary"))
+
+
 def ip_in_cidr_generic(ip: Column, cidr: Column) -> Column:
     """Generic ``ip IN cidr`` over the sum structs
     (ip<version,v4,v6>, cidr<version,addr4,addr6,mask>) with a DYNAMIC

@@ -309,6 +309,7 @@ def connected_components(
     )
     edges.cache()
     labels = edges.select("v").distinct().withColumn("label", F.col("v"))
+    changed = -1
     for _ in range(max_iter):
         neigh = (
             edges.join(labels.withColumnRenamed("v", "n"), "n")
@@ -329,4 +330,13 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # a silent early exit would return WRONG cluster ids for any
+        # component whose diameter exceeds max_iter
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — near-dup "
+            "components are normally shallow, so this suggests a "
+            "pathological chain of LSH buckets"
+        )
     return labels.select(F.col("v"), F.col("label").alias("component"))

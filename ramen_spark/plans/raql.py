@@ -2101,12 +2101,20 @@ class Compiler:
             def to_ip(a) -> Column:
                 c = self.col(a)
                 v4 = N.string_to_ipv4(c.cast("string"))
+                v6 = N.string_to_ipv6(c.cast("string"))
                 return F.when(
                     v4.isNotNull(),
                     F.struct(
                         F.lit(4).alias("version"),
                         v4.alias("v4"),
                         F.lit(None).cast("binary").alias("v6"),
+                    ),
+                ).when(
+                    v6.isNotNull(),
+                    F.struct(
+                        F.lit(6).alias("version"),
+                        F.lit(None).cast("long").alias("v4"),
+                        v6.alias("v6"),
                     ),
                 )
 
@@ -2487,6 +2495,7 @@ def _compile_grouped_with_outrefs(df, op, fields, params, src_arrays):
     key_names = {
         _strip_ns(k.path) for k in op.group_by if isinstance(k, Field)
     }
+    need_ord = [False]  # group's-last-input-row refs need arrival order
 
     def fix_raw_refs(node):
         # a surviving reference to a NON-KEY input column post-agg
@@ -2504,7 +2513,14 @@ def _compile_grouped_with_outrefs(df, op, fields, params, src_arrays):
                 if key not in hidden:
                     h = f"_agg{len(hidden)}"
                     hidden[key] = h
-                    hidden_cols.append(F.last(F.col(nm)).alias(h))
+                    # max_by over an explicit arrival-order column:
+                    # F.last is non-deterministic across partitions /
+                    # under AQE (its result depends on which partition
+                    # the aggregation consumes last)
+                    hidden_cols.append(
+                        F.max_by(F.col(nm), F.col("__arrival_ord")).alias(h)
+                    )
+                    need_ord[0] = True
                 return Field(hidden[key])
             return node
         if isinstance(node, Call):
@@ -2538,6 +2554,10 @@ def _compile_grouped_with_outrefs(df, op, fields, params, src_arrays):
             key_cols.append(F.col(_strip_ns(k.path)))
         else:
             key_cols.append(comp.col(k).alias(f"_k{i}"))
+    if need_ord[0]:
+        # deterministic arrival order (stream order = partition-major
+        # scan order), like the global-map fill's _ord
+        df = df.withColumn("__arrival_ord", F.monotonically_increasing_id())
     gdf = df.groupBy(*key_cols) if key_cols else df.groupBy()
     res = gdf.agg(*hidden_cols) if hidden_cols else gdf.agg(F.lit(1).alias("_one"))
     out = res
@@ -3178,25 +3198,29 @@ def compile_operation(
         # out-refs among grouped fields (`sum bytes / (out.stop -
         # out.start)`, examples/monitoring/network/traffic.ramen):
         # lower via hidden aggregate columns + a post-agg projection
-        aliases_in_order = [
-            f_.alias or _default_name(f_.expr, i)
-            for i, f_ in enumerate(fields)
-            if not isinstance(f_.expr, Star)
-        ]
-        has_out_refs = any(
-            isinstance(n, Field)
-            and (
-                n.path.startswith("out.")
-                or (
-                    "." not in n.path
-                    and _strip_ns(n.path) in aliases_in_order[:i]
-                    and _strip_ns(n.path) not in df.columns
+        # (stars were expanded above, but track earlier aliases with
+        # an explicit list so a Star entry could never shift the
+        # "defined before this field" window)
+        has_out_refs = False
+        _seen_aliases: set[str] = set()
+        for i, f_ in enumerate(fields):
+            if isinstance(f_.expr, Star):
+                continue
+            if any(
+                isinstance(n, Field)
+                and (
+                    n.path.startswith("out.")
+                    or (
+                        "." not in n.path
+                        and _strip_ns(n.path) in _seen_aliases
+                        and _strip_ns(n.path) not in df.columns
+                    )
                 )
-            )
-            for i, f_ in enumerate(fields)
-            if not isinstance(f_.expr, Star)
-            for n in _walk(f_.expr)
-        )
+                for n in _walk(f_.expr)
+            ):
+                has_out_refs = True
+                break
+            _seen_aliases.add(f_.alias or _default_name(f_.expr, i))
         if has_out_refs:
             return _compile_grouped_with_outrefs(df, op, fields, params, src_arrays)
         keys = [Compiler(params).col(k) for k in op.group_by]

@@ -270,7 +270,7 @@ def test_connected_components_shuffles_per_round(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3)], "id_a bigint, id_b bigint"
     )
-    df = connected_components(pairs, max_iter=1)
+    df = connected_components(pairs, max_iter=5)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

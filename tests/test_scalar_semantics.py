@@ -278,3 +278,38 @@ def test_histogram_buckets(spark):
     row = spark.range(1).select(*cols).collect()[0]
     for i, (v, exp) in enumerate(vals):
         assert row[f"b{i}"] == exp, v
+
+
+def test_ipv6_parse(spark):
+    # full, compressed, loopback, invalid forms (src/RamenIpv6.ml)
+    full = "20010db8000000000000000000000001"
+    assert _one(
+        spark, F.hex(N.string_to_ipv6(F.lit("2001:db8::1")))
+    ).lower() == full
+    assert _one(
+        spark,
+        F.hex(N.string_to_ipv6(F.lit("2001:0db8:0000:0000:0000:0000:0000:0001"))),
+    ).lower() == full
+    assert _one(spark, F.hex(N.string_to_ipv6(F.lit("::1")))).lower() == (
+        "0" * 31 + "1"
+    )
+    assert _one(spark, F.hex(N.string_to_ipv6(F.lit("::")))) == "0" * 32
+    for bad in ("1.2.3.4", "2001:db8", "g::1", "1:::2", "1:2:3:4:5:6:7:8:9", ""):
+        assert _one(spark, N.string_to_ipv6(F.lit(bad))) is None
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A diameter deeper than max_iter must raise, never return wrong
+    cluster ids silently (ADVICE r2)."""
+    from ramen_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
+    got = {
+        (r["v"], r["component"])
+        for r in connected_components(pairs, max_iter=25).collect()
+    }
+    assert got == {(i, 1) for i in range(1, 7)}
