@@ -5778,13 +5778,25 @@ def compile_commit_operation(
             order_cols = key_names or None
         else:
             # OR UNTIL: emission order depends on buffer state, so run
-            # the exact sequential buffer (reference RamenSortBuf is a
-            # single-stream operator) in arrival order, then fold in its
-            # emission order. Inherently one-stream — documented exact
-            # mode, not the scale path.
+            # the exact sequential buffer (reference RamenSortBuf) in
+            # arrival order, then fold in its emission order. The
+            # reference's buffer is worker-LOCAL (each worker buffers
+            # its own slice of the stream, src/RamenSortBuf.ml:1-109 +
+            # CodeGenLib_Skeletons.ml:896-921), so with a GROUP BY we
+            # shard by group key: every group's rows traverse exactly
+            # one buffer in arrival order — no global single-partition
+            # funnel. Groupless (or global_last-sequential) ops keep
+            # the one-stream exact mode.
             df = df.withColumn("_arr", F.monotonically_increasing_id())
-            df = df.repartition(1).sortWithinPartitions("_arr").drop("_arr")
+            if keys:
+                df = df.repartition(*[F.col(k) for k in keys])
+            else:
+                df = df.repartition(1)
+            df = df.sortWithinPartitions("_arr").drop("_arr")
             df = _apply_sort_last(df, op, params)
+            # mapInPandas preserves intra-partition order, and each
+            # group lives wholly in one partition, so per-partition
+            # monotone ids give the fold a correct per-group order.
             df = df.withColumn("_rowid", F.monotonically_increasing_id())
             order_cols = ["_rowid"]
     if order_cols:

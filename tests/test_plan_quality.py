@@ -327,3 +327,28 @@ def test_no_driver_collect_in_plans():
         assert ".collect()" not in f.read_text(), (
             f"{f.name} materializes rows on the driver"
         )
+
+
+def test_grouped_sort_until_no_global_funnel(spark):
+    """SORT LAST … OR UNTIL with a GROUP BY shards the reorder buffer
+    by group key (reference buffers are worker-local,
+    src/RamenSortBuf.ml) — the plan must hash-partition on the key,
+    not funnel the stream through a SinglePartition exchange."""
+    from ramen_spark.plans.raql import compile_commit_operation
+
+    rows = [("a", 3, 30.0), ("a", 1, 10.0), ("b", 1, 1.0),
+            ("a", 2, 20.0), ("b", 2, 2.0), ("b", 3, 3.0)]
+    df = spark.createDataFrame(rows, "k string, seq int, v double")
+    out = compile_commit_operation(
+        "select k, last v as lv, count v as n "
+        "sort last 100 or until sort.count >= 2 by seq "
+        "group by k commit after count v >= 3",
+        df,
+        output_schema="k string, lv double, n long",
+    )
+    plan = _plan(out)
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(k" in plan, plan
+    got = {(r["k"], r["lv"], r["n"]) for r in out.collect()}
+    # per-group emission order is seq order → last v is the max-seq v
+    assert got == {("a", 30.0, 3), ("b", 3.0, 3)}
