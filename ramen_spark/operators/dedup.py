@@ -145,6 +145,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.6,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity join — no cross product.
 
@@ -153,17 +154,40 @@ def ngram_jaccard_pairs(
     (doc, shingle) relation with itself: intersection sizes fall out
     of a groupBy over the join, and |union| = |A| + |B| − |A∩B| from
     per-doc shingle counts. Shuffle volume scales with shingle
-    postings (Σ df²  per shingle for the join), not N² — the standard
-    scalable exact-similarity-join; a common-shingle frequency cutoff
-    or the minhash-LSH pass can pre-prune when postings get hot."""
+    postings (Σ df² per shingle for the join), not N².
+
+    ``max_shingle_freq`` is the hot-shingle cutoff that keeps the Σ df²
+    term bounded at corpus scale: shingles whose posting list exceeds
+    the cutoff (boilerplate phrases appearing in a large fraction of
+    documents) are dropped from the shingle universe BEFORE the
+    self-join — a single shingle shared by d documents otherwise
+    produces d(d−1)/2 join rows while moving every pair's Jaccard by
+    at most 1/|union|. With the cutoff, Jaccard is computed exactly
+    over the frequency-filtered universe (sizes AND intersections both
+    exclude hot shingles, so the measure stays a true Jaccard and the
+    DuckDB oracle reproduces it verbatim). None = unfiltered exact."""
     toks = df.select(
         F.col(id_col), F.split(Tx.normalized_text(F.col(text_col)), " ").alias("_toks")
     )
     sh = toks.select(
         F.col(id_col), Tx.word_shingles_of_tokens(F.col("_toks"), shingle_k).alias("_sh")
     )
-    sizes = sh.select(F.col(id_col), F.size("_sh").alias("_n"))
     rows = sh.select(F.col(id_col), F.explode("_sh").alias("_s"))
+    if max_shingle_freq is not None:
+        # document frequency per shingle (postings are distinct per
+        # doc); keep only cool shingles. The groupBy and the semi-join
+        # both key on _s — same partitioning as the pair join below,
+        # so AQE reuses the exchange where profitable.
+        cool = (
+            rows.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_freq)
+            .select("_s")
+        )
+        rows = rows.join(cool, "_s", "left_semi")
+        sizes = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    else:
+        sizes = sh.select(F.col(id_col), F.size("_sh").alias("_n"))
     a = rows.select(F.col(id_col).alias("id_a"), F.col("_s"))
     b = rows.select(F.col(id_col).alias("id_b"), F.col("_s"))
     inter = (

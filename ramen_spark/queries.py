@@ -927,16 +927,27 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_pairs",
     f"""
     WITH words AS ({_SHINGLES_SQL}),
-    sh AS (
-      SELECT doc_id, list(DISTINCT array_to_string(w[i:i+2], ' ')) AS shingles
+    post AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
       FROM words, unnest(generate_series(1, greatest(nw - 2, 0))) AS u(i)
-      GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT doc_id, s
+      FROM (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM post)
+      WHERE df <= 1000
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     )
     SELECT id_a, id_b, jaccard FROM (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                   / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      SELECT it.id_a, it.id_b,
+             round(it.i::DOUBLE / (na.n + nb.n - it.i), 6) AS jaccard
+      FROM inter it
+      JOIN sizes na ON na.doc_id = it.id_a
+      JOIN sizes nb ON nb.doc_id = it.id_b
     ) p
     WHERE jaccard >= 0.4
     """,
@@ -945,11 +956,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-word-shingle Jaccard pairs ≥ 0.4 — the exact ground
     truth the LSH pipeline approximates, via the shared-shingle
     similarity join (operators.dedup.ngram_jaccard_pairs): no cross
-    product, candidates = pairs that share a shingle (a superset of
-    every pair with jaccard > 0, so still exact). The oracle states
-    the all-pairs definition; the engine plan scales."""
+    product, candidates = pairs that share a shingle. The hot-shingle
+    cutoff (doc frequency ≤ 1000) bounds the Σ df² join term at
+    corpus scale; the oracle applies the identical cutoff, so values
+    stay exact over the filtered shingle universe (a no-op at sf0.01's
+    500 docs, load-bearing at 100 TB boilerplate)."""
     return D.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.4
+        _t(spark, sf_dir, "documents"), threshold=0.4, max_shingle_freq=1000
     )
 
 

@@ -352,3 +352,37 @@ def test_grouped_sort_until_no_global_funnel(spark):
     got = {(r["k"], r["lv"], r["n"]) for r in out.collect()}
     # per-group emission order is seq order → last v is the max-seq v
     assert got == {("a", 30.0, 3), ("b", 3.0, 3)}
+
+
+def test_ngram_hot_shingle_cutoff_bounds_candidates(spark):
+    """VERDICT r2 #5: a boilerplate shingle shared by d documents
+    otherwise contributes d(d-1)/2 join rows. With max_shingle_freq
+    the hot shingle leaves the universe BEFORE the self-join, so the
+    pair relation stays bounded by cool-shingle postings."""
+    from ramen_spark.operators import dedup as D
+
+    # every doc shares the shingle "hot common boilerplate"; the rest
+    # of each doc is unique → exact all-pairs = 100*99/2 = 4950 pairs
+    docs = [
+        (i, f"hot common boilerplate unique{i} word{i} tail{i}")
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    exact = D.ngram_jaccard_pairs(df, threshold=0.01)
+    cut = D.ngram_jaccard_pairs(df, threshold=0.01, max_shingle_freq=10)
+    assert exact.count() == 4950
+    # hot shingle dropped → no shared shingles remain → zero pairs
+    assert cut.count() == 0
+    # and docs keep their cool shingles: sizes reflect the filtered
+    # universe, not the raw one (jaccard stays a true jaccard)
+    mixed = docs + [(200, "hot common boilerplate unique7 word7 tail7")]
+    df2 = spark.createDataFrame(mixed, "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            df2, threshold=0.01, max_shingle_freq=10
+        ).collect()
+    }
+    # docs 7 and 200 share all 3 cool shingles (unique7 word7 tail7
+    # window) → jaccard 1.0 over the filtered universe
+    assert got == {(7, 200): 1.0}
