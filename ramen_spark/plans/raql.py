@@ -5920,11 +5920,18 @@ def compile_commit_streaming(
     Streaming. Batch compile_commit_operation is the semantic oracle;
     ordering holds within a micro-batch (see streaming.commit caveat).
 
-    Not supported here (batch-only): check-all-groups commit
-    conditions (they need cross-group coordination per micro-batch)
-    and SORT LAST (reorder repair belongs to the watermark in
+    check-all-groups commit conditions (COMMIT on ANY incoming tuple —
+    count.ramen, tumbling.ramen) route to streaming.commit's WORKER
+    mode: one state-store entry holds the whole group hashtable, the
+    reference's one-worker-per-function loop — cross-group visibility
+    is inherent to the semantics. Per-group conditions stay on the
+    per-group-partitioned scale path. Not supported here (batch-only):
+    SORT LAST (reorder repair belongs to the watermark in
     streaming)."""
-    from ramen_spark.streaming.commit import streaming_commit_aggregate
+    from ramen_spark.streaming.commit import (
+        streaming_commit_aggregate,
+        streaming_commit_worker,
+    )
 
     if isinstance(op, str):
         op = parse_operation(op)
@@ -5951,27 +5958,30 @@ def compile_commit_streaming(
             df = df.withColumn(kc, Compiler(params).col(k))
             keys.append(kc)
 
+    # worker-mode routing mirrors the batch trigger-mode decision
+    # exactly (row-stateful conditions fall back to the plain
+    # per-group fold in both engines)
+    check_all = (
+        not isinstance(op.commit_after, Lit)
+        and check_commit_for_all(op.commit_after)
+        and not any(
+            isinstance(n, Call) and n.fn in ROW_STATEFUL
+            for n in _walk(op.commit_after)
+        )
+    )
     fold_where = None
     if op.where is not None:
-        if any(
+        if check_all or any(
             isinstance(n, Call) and (n.fn in ROW_STATEFUL or n.fn in AGGS)
             for n in _walk(op.where)
         ):
+            # check-all: even WHERE-rejected rows are commit triggers
+            # (CodeGenLib_Skeletons.ml:808-812) — the filter must run
+            # inside the worker fold, not as a Catalyst pre-filter
             fold_where = op.where
         else:
             df = df.filter(Compiler(params, schema={f_.name: f_.dataType.simpleString() for f_ in df.schema.fields}).col(op.where))
             op = replace(op, where=None)
-
-    if not isinstance(op.commit_after, Lit) and check_commit_for_all(op.commit_after):
-        refs_beyond_in = _commit_needs_engine(op.commit_after) or any(
-            isinstance(n, Field)
-            and n.path.startswith(("out.", "previous.", "local_last.", "local_last_out.", "global_last"))
-            for n in _walk(op.commit_after)
-        )
-        if not refs_beyond_in:
-            raise NotImplementedError(
-                "check-all-groups commit condition in streaming"
-            )
 
     if order_cols:
         order_col: str | list[str] = order_cols
@@ -5984,8 +5994,22 @@ def compile_commit_streaming(
         output_schema = infer_output_schema(op, df.schema, params)
 
     fold = _Fold(op, params)
-    if fold_where is not None:
-        raise NotImplementedError("stateful WHERE in streaming commit")
+    where_fn = fold.update_where if fold_where is not None else None
+    if check_all:
+        return streaming_commit_worker(
+            df,
+            key_cols=keys,
+            order_col=order_col,
+            init_state=fold.init_state,
+            update=fold.update,
+            finalize=fold.finalize,
+            commit_cond=fold.commit_cond,
+            output_schema=output_schema,
+            commit_before=op.commit_before,
+            flush=flush,
+            where=where_fn,
+            check_all=True,
+        )
     return streaming_commit_aggregate(
         df,
         key_cols=keys,
@@ -5997,6 +6021,7 @@ def compile_commit_streaming(
         output_schema=output_schema,
         commit_before=op.commit_before,
         flush=flush,
+        where=where_fn,
     )
 
 

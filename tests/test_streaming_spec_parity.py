@@ -1,0 +1,139 @@
+"""Streaming parity sweep (VERDICT r2 #6): func-corpus commit shapes
+run through BOTH engines — batch ``compile_commit_operation`` (the
+semantic oracle) and ``compile_commit_streaming`` — over identical
+fixture inputs, asserting tuple parity.
+
+The check-all shapes (count.ramen ``COMMIT AFTER in.m <> out.m``,
+tumbling.ramen f2 ``COMMIT BEFORE in.start >= out.stop``) exercise the
+streaming WORKER mode (streaming.commit.streaming_commit_worker — the
+reference's one-worker-per-function loop); aggregate-condition and
+stateful-WHERE shapes exercise the per-group-partitioned scale path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ramen_spark.plans.raql import (
+    compile_commit_operation,
+    compile_commit_streaming,
+)
+from ramen_spark.streaming.windows import run_to_memory
+
+FUNC_DIR = "/root/reference/tests/func"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(FUNC_DIR), reason="reference tests/func checkout not present"
+)
+
+
+def _write_seq(df, path: str):
+    """Materialize a deterministic shared input: single partition, an
+    explicit _seq arrival-order column, parquet on disk so the SAME
+    bytes feed the batch read and the file stream."""
+    df.coalesce(1).withColumn(
+        "_seq", F.monotonically_increasing_id()
+    ).write.mode("overwrite").parquet(path)
+
+
+@pytest.fixture(scope="module")
+def cars_path(spark, tmp_path_factory):
+    from tests.test_func_corpus import _fixture
+
+    p = str(tmp_path_factory.mktemp("parity") / "cars")
+    _write_seq(_fixture(spark, "cars"), p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def n123_path(spark, tmp_path_factory):
+    from tests.test_func_corpus import _fixture
+
+    p = str(tmp_path_factory.mktemp("parity") / "n123")
+    _write_seq(_fixture(spark, "n123"), p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def ticks_path(spark, tmp_path_factory):
+    """Deterministic stand-in for tumbling.ramen f1 (which is RANDOM-
+    driven): start advances by 0.1, k cycles foo/bar/baz."""
+    p = str(tmp_path_factory.mktemp("parity") / "ticks")
+    rows = [
+        (round(i * 0.1, 1), ["foo", "bar", "baz"][i % 3]) for i in range(60)
+    ]
+    _write_seq(spark.createDataFrame(rows, "start double, k string"), p)
+    return p
+
+
+SHAPES = [
+    # (id, fixture, RaQL operation text) — each mirrors a reference
+    # tests/func spec shape (cited); schemas inferred by both engines
+    (
+        "count_checkall",  # count.ramen f: in+out mixed check-all
+        "cars_path",
+        "select manufacturer, count year as num_lines, "
+        "count distinct model as num_models "
+        "group by manufacturer "
+        "commit after in.manufacturer <> out.manufacturer",
+    ),
+    (
+        "tumbling_commit_before",  # tumbling.ramen f2: BEFORE check-all
+        "ticks_path",
+        # NB: `start + 1 as stop` out-chains onto the preceding
+        # `as start` field (min of the window), as in the reference
+        "select min (start // 1) as start, start + 1 as stop, k "
+        "group by k commit before in.start >= out.stop",
+    ),
+    (
+        "basic_aggr_window",  # basic_aggr.ramen f1: aggregate condition
+        "cars_path",
+        "select min horsepower as min_hp, avg horsepower as avg_hp, "
+        "sum 1 as n commit after sum 1 >= 1000",
+    ),
+    (
+        "basic_aggr_and",  # basic_aggr.ramen a2: AND aggregate
+        "n123_path",
+        "select and b as all_b commit after sum 1 = 2",
+    ),
+    (
+        "stateful_where",  # basic_aggr.ramen f2: lag in WHERE
+        "n123_path",
+        "select n where (lag n = 2) |? false",
+    ),
+    (
+        "keep_all_running",  # word_count.ramen counter1: KEEP ALL
+        "cars_path",
+        "select manufacturer, sum 1 as n group by manufacturer "
+        "commit and keep all after true",
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "shape", SHAPES, ids=[s[0] for s in SHAPES]
+)
+def test_streaming_spec_parity(spark, request, shape):
+    name, fixture, text = shape
+    path = request.getfixturevalue(fixture)
+    batch = spark.read.parquet(path)
+
+    b_out = compile_commit_operation(text, batch, order_cols=["_seq"])
+    exp = sorted(
+        tuple(None if v is None else v for v in r) for r in b_out.collect()
+    )
+
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    s_out = run_to_memory(
+        compile_commit_streaming(text, stream, order_cols=["_seq"]),
+        f"parity_{name}",
+    )
+    got = sorted(
+        tuple(None if v is None else v for v in r) for r in s_out.collect()
+    )
+    assert b_out.columns == s_out.columns
+    assert got == exp, f"{name}: streaming {got[:5]} != batch {exp[:5]}"
+    assert len(got) > 0
