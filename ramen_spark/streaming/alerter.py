@@ -1,0 +1,315 @@
+"""Alerter incident lifecycle — notifications → incidents → dialogs →
+messages (reference src/RamenAlerter.ml).
+
+The reference runs a dedicated alerter daemon fed by workers over a
+ringbuffer; its data model (RamenAlerter.ml:15-50 glossary):
+
+- a *notification* (NOTIFY) signals the start (firing) or end of a
+  problem, identified by name;
+- an *incident* deduplicates notifications by name: created by the
+  first firing notification of a name not already firing, ended by a
+  non-firing notification for the same name;
+- a *dialog* exists per (incident, contact) and walks the delivery
+  FSM (RamenAlerter.ml DeliveryStatus): StartToBeSent → StartSent →
+  StartAcked, with StopToBeSent/StopSent on extinguish and
+  StartToBeSentThenStopped cancelling an unsent start;
+- *messages* are sent after a *debounce* delay so flapping incidents
+  don't spam, retried every contact ``timeout`` seconds until acked.
+
+Spark-first shape: the FSM is a deterministic event-time machine
+(``Alerter``) driven by (time, notification) events — no wall clock,
+no daemon. Live mode attaches it to a notification stream via
+``foreachBatch`` (``alerter_sink``); replay mode feeds it the same
+tuples from a batch frame, producing identical journals. Contact
+delivery is a callable (the http/exec/kafka/sqlite contact surface,
+RamenAlerter.ml contacts) — tests use a log-list stand-in.
+
+Deliberate v1 cuts (documented): the false-positive-rate budget
+(pass_fpr), incident age-out (max_incident_age) and manual outage
+grouping are absent; certainty/debounce per-notification overrides
+and ack handling are implemented.
+"""
+
+from __future__ import annotations
+
+import heapq
+import itertools
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+__all__ = ["Contact", "Alerter", "alerter_sink"]
+
+# DeliveryStatus (src/ramen_sync values, RamenAlerter.ml transitions)
+START_TO_BE_SENT = "StartToBeSent"
+START_SENT = "StartSent"
+START_ACKED = "StartAcked"
+START_TO_BE_SENT_THEN_STOPPED = "StartToBeSentThenStopped"
+STOP_TO_BE_SENT = "StopToBeSent"
+STOP_SENT = "StopSent"
+
+
+@dataclass
+class Contact:
+    """A team contact. ``via`` receives (incident_id, contact_name,
+    is_start, notification_dict); ``timeout`` > 0 means the message is
+    resent every ``timeout`` seconds until acknowledged
+    (tests/alerter/retry.test), 0 means fire-and-forget
+    (tests/alerter/basic.test Ignore contact)."""
+
+    name: str
+    via: Callable[[str, str, bool, dict], None] | None = None
+    timeout: float = 0.0
+
+
+@dataclass
+class _Dialog:
+    status: str = START_TO_BE_SENT
+    attempts: int = 0
+    send_time: float | None = None
+
+
+@dataclass
+class _Incident:
+    id: str
+    name: str
+    team: str
+    first_start: dict
+    journal: list[tuple[float, str]] = field(default_factory=list)
+    dialogs: dict[str, _Dialog] = field(default_factory=dict)
+
+
+def _ordinal(n: int) -> str:
+    if 10 <= n % 100 <= 20:
+        return f"{n}th"
+    return f"{n}{ {1: 'st', 2: 'nd', 3: 'rd'}.get(n % 10, 'th') }"
+
+
+class Alerter:
+    """Deterministic event-time alerter FSM.
+
+    Drive it with ``notify(now, name, firing=…)``, ``ack(...)`` and
+    ``advance(now)`` (runs the scheduler heap up to ``now`` —
+    RamenAlerter.ml's task heap). Incidents are dedup'd by
+    notification name (``PendingMap``); team = longest team-name
+    prefix of the notification name, else the default team
+    (find_in_charge, RamenAlerter.ml:182-217).
+    """
+
+    def __init__(
+        self,
+        teams: dict[str, list[Contact]],
+        default_team: str | None = None,
+        debounce_delay: float = 30.0,
+    ):
+        if not teams:
+            raise ValueError("no teams configured, notifications would drop")
+        self.teams = teams
+        self.default_team = default_team or next(iter(teams))
+        self.debounce_delay = debounce_delay
+        self.incidents: dict[str, _Incident] = {}  # id → incident
+        self.pending: dict[str, str] = {}  # firing name → incident id
+        self._heap: list[tuple[float, int, str, str]] = []  # (t, seq, inc, dlg)
+        self._ids = itertools.count()
+        self._seq = itertools.count()
+
+    # -- helpers -----------------------------------------------------------
+
+    def _log(self, inc: _Incident, now: float, event: str) -> None:
+        inc.journal.append((now, event))
+
+    def _schedule(self, t: float, inc_id: str, dialog_id: str) -> None:
+        heapq.heappush(self._heap, (t, next(self._seq), inc_id, dialog_id))
+
+    def _find_in_charge(self, name: str) -> str:
+        best, best_len = None, -1
+        for team in self.teams:
+            if name.startswith(team) and len(team) > best_len:
+                best, best_len = team, len(team)
+        return best if best is not None else self.default_team
+
+    def _debounce_for(self, notif: dict) -> float:
+        d = notif.get("debounce")
+        return d if d is not None and d >= 0 else self.debounce_delay
+
+    # -- notification intake (set_alight / extinguish_pending) -------------
+
+    def notify(
+        self,
+        now: float,
+        name: str,
+        firing: bool = True,
+        parameters: dict | None = None,
+        debounce: float | None = None,
+        certainty: float = 1.0,
+    ) -> None:
+        notif = {
+            "name": name,
+            "parameters": dict(parameters or {}),
+            "debounce": debounce,
+            "certainty": certainty,
+            "sent_time": now,
+        }
+        if firing:
+            self._set_alight(notif, now)
+        else:
+            self._extinguish(notif, now)
+
+    def _set_alight(self, notif: dict, now: float) -> None:
+        inc_id = self.pending.get(notif["name"])
+        if inc_id is None:
+            inc_id = str(next(self._ids))
+            team = self._find_in_charge(notif["name"])
+            inc = _Incident(
+                id=inc_id, name=notif["name"], team=team, first_start=notif
+            )
+            for c in self.teams[team]:
+                inc.dialogs[c.name] = _Dialog()
+            self.incidents[inc_id] = inc
+            self.pending[notif["name"]] = inc_id
+        self._update_dialogs(self.incidents[inc_id], notif, now)
+
+    def _update_dialogs(self, inc: _Incident, notif: dict, now: float) -> None:
+        # RamenAlerter.ml:340-375 update_dialogs
+        schedule_time = now + self._debounce_for(notif)
+        for dlg_id, dlg in inc.dialogs.items():
+            if dlg.status == START_TO_BE_SENT:
+                if dlg.attempts == 0 and dlg.send_time is None:
+                    # initial_sent_schedule → journal StartEscalation
+                    dlg.send_time = schedule_time
+                    self._schedule(schedule_time, inc.id, dlg_id)
+                    self._log(inc, now, "Notified")
+                else:
+                    self._log(inc, now, "Duplicate")
+            elif dlg.status in (START_TO_BE_SENT_THEN_STOPPED, STOP_SENT):
+                # came back while stopping: revive the start
+                dlg.status = START_TO_BE_SENT
+                dlg.attempts = 0
+                dlg.send_time = schedule_time
+                self._schedule(schedule_time, inc.id, dlg_id)
+                self._log(inc, now, "Duplicate")
+            elif dlg.status == STOP_TO_BE_SENT:
+                dlg.status = START_ACKED
+                self._log(inc, now, "Duplicate")
+            else:  # StartAcked | StartSent
+                self._log(inc, now, "Duplicate")
+
+    def _extinguish(self, notif: dict, now: float) -> None:
+        inc_id = self.pending.get(notif["name"])
+        if inc_id is None:
+            return  # reference logs a warning
+        inc = self.incidents[inc_id]
+        self._log(inc, now, "Stop Notification")
+        for dlg_id, dlg in inc.dialogs.items():
+            # stop_pending (RamenAlerter.ml:514-529)
+            if dlg.status == START_TO_BE_SENT:
+                dlg.status = START_TO_BE_SENT_THEN_STOPPED
+            elif dlg.status in (START_SENT, START_ACKED):
+                dlg.status = STOP_TO_BE_SENT
+                dlg.attempts = 0
+                t = now + self._debounce_for(notif)
+                dlg.send_time = t
+                self._schedule(t, inc.id, dlg_id)
+        # incident no longer pending under its name: a new firing
+        # notification for this name opens a NEW incident
+        del self.pending[notif["name"]]
+
+    def ack(self, now: float, inc_id: str, dialog_id: str) -> None:
+        inc = self.incidents[inc_id]
+        dlg = inc.dialogs[dialog_id]
+        if dlg.status == START_SENT:
+            dlg.status = START_ACKED
+            self._log(inc, now, f"Acknowledged {dialog_id}")
+        # other statuses: late/duplicate ack, ignored (RamenAlerter.ml:679)
+
+    # -- scheduler (the reference's task heap) -----------------------------
+
+    def _contact(self, inc: _Incident, dialog_id: str) -> Contact:
+        for c in self.teams[inc.team]:
+            if c.name == dialog_id:
+                return c
+        raise KeyError(dialog_id)
+
+    def advance(self, now: float) -> None:
+        """Run all tasks scheduled at or before ``now``."""
+        while self._heap and self._heap[0][0] <= now:
+            t, _, inc_id, dlg_id = heapq.heappop(self._heap)
+            inc = self.incidents[inc_id]
+            dlg = inc.dialogs.get(dlg_id)
+            if dlg is None:
+                continue
+            contact = self._contact(inc, dlg_id)
+            if dlg.status in (START_TO_BE_SENT, STOP_TO_BE_SENT):
+                if dlg.send_time is not None and dlg.send_time > now:
+                    self._schedule(dlg.send_time, inc_id, dlg_id)
+                    continue
+                is_start = dlg.status == START_TO_BE_SENT
+                if contact.via is not None:
+                    contact.via(inc_id, dlg_id, is_start, inc.first_start)
+                dlg.attempts += 1
+                self._log(
+                    inc, t,
+                    f"Sent {_ordinal(dlg.attempts)} message via {dlg_id}",
+                )
+                dlg.status = START_SENT if is_start else STOP_SENT
+                if contact.timeout > 0:
+                    self._schedule(t + contact.timeout, inc_id, dlg_id)
+            elif dlg.status == START_SENT and contact.timeout > 0:
+                # no ack in time → resend (RamenAlerter.ml:919-937)
+                dlg.status = START_TO_BE_SENT
+                dlg.send_time = t
+                self._schedule(t, inc_id, dlg_id)
+            elif dlg.status == START_TO_BE_SENT_THEN_STOPPED:
+                # cancelled before the first send: nothing to deliver
+                pass
+            # StartAcked / StopSent: dialog settled
+
+    # -- views -------------------------------------------------------------
+
+    def journal(self, inc_id: str) -> list[tuple[float, str]]:
+        return list(self.incidents[inc_id].journal)
+
+
+def alerter_sink(
+    notifications,
+    alerter: Alerter,
+    time_col: str = "sent_time",
+    firing_col: str | None = "firing",
+    checkpoint: str | None = None,
+):
+    """Attach an ``Alerter`` to a (streaming) notification frame
+    (schema: notification, parameters[, sent_time, firing]) — the
+    NOTIFY → alerter ringbuffer of the reference, on ``foreachBatch``.
+    Rows feed the FSM in event-time order; the scheduler advances to
+    each batch's max event time. Batch frames replay identically and
+    return None."""
+
+    def deliver(batch_df, _epoch: int) -> None:
+        cols = batch_df.columns
+        rows = sorted(
+            (r.asDict() for r in batch_df.toLocalIterator()),
+            key=lambda r: r.get(time_col, 0.0) or 0.0,
+        )
+        last_t = None
+        for r in rows:
+            t = float(r.get(time_col, 0.0) or 0.0)
+            # run scheduled tasks due before this notification, so the
+            # FSM sees the same interleaving as the live daemon
+            alerter.advance(t)
+            alerter.notify(
+                t,
+                r["notification"],
+                firing=bool(r[firing_col]) if firing_col in cols else True,
+                parameters=dict(r.get("parameters") or {}),
+            )
+            last_t = t
+        if last_t is not None:
+            alerter.advance(last_t)
+
+    if not notifications.isStreaming:
+        deliver(notifications, -1)
+        return None
+    writer = notifications.writeStream.foreachBatch(deliver).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

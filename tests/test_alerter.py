@@ -1,0 +1,169 @@
+"""Alerter incident lifecycle (streaming.alerter) — e2e flows
+mirroring the reference's tests/alerter/basic.test and retry.test
+(run there against the live alerter daemon; here against the
+deterministic event-time FSM with a log-list contact standing in for
+the http/Ignore contact)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ramen_spark.streaming.alerter import Alerter, Contact, alerter_sink
+
+
+def _events(journal):
+    return [e for _, e in journal]
+
+
+def test_basic_flow_debounced_message():
+    """tests/alerter/basic.test: contact timeout=0, NOTIFY debounce=5
+    at t=1 → incident 0 on test_team, journal 'Notified' immediately,
+    'Sent 1st message via test_ctc' not before t=6."""
+    sent = []
+    a = Alerter(
+        {"test_team": [Contact("test_ctc", via=lambda *args: sent.append(args))]}
+    )
+    a.notify(1.0, "test_team: alert", debounce=5)
+    assert "0" in a.incidents
+    assert a.incidents["0"].team == "test_team"
+    assert _events(a.journal("0")) == ["Notified"]
+
+    a.advance(5.9)  # debounce not elapsed: no message yet
+    assert sent == []
+    a.advance(6.1)
+    assert _events(a.journal("0")) == [
+        "Notified",
+        "Sent 1st message via test_ctc",
+    ]
+    assert len(sent) == 1 and sent[0][2] is True  # is_start
+    a.advance(100.0)  # timeout=0 → fire-and-forget, no resend
+    assert len(sent) == 1
+
+
+def test_retry_until_ack():
+    """tests/alerter/retry.test: contact timeout=4, debounce=0 →
+    'Sent 1st message' immediately, 'Sent 2nd message' ~4s later,
+    then ack → 'Acknowledged test_ctc', no further resends."""
+    sent = []
+    a = Alerter(
+        {"test_team": [
+            Contact("test_ctc", via=lambda *args: sent.append(args), timeout=4)
+        ]}
+    )
+    a.notify(1.0, "test_team: alert", debounce=0)
+    a.advance(1.0)
+    assert _events(a.journal("0")) == [
+        "Notified",
+        "Sent 1st message via test_ctc",
+    ]
+    a.advance(5.0)  # no ack within 4s → resend
+    assert _events(a.journal("0"))[-1] == "Sent 2nd message via test_ctc"
+    a.ack(6.0, "0", "test_ctc")
+    assert _events(a.journal("0"))[-1] == "Acknowledged test_ctc"
+    a.advance(60.0)  # acked → no more resends
+    assert len(sent) == 2
+
+
+def test_dedup_same_name_one_incident():
+    """Multiple firings of one name contribute to ONE incident
+    (deduplication, RamenAlerter.ml glossary)."""
+    a = Alerter({"t": [Contact("c")]}, debounce_delay=5)
+    a.notify(1.0, "t: alert")
+    a.notify(2.0, "t: alert")
+    a.notify(3.0, "t: other")
+    assert len(a.incidents) == 2
+    assert _events(a.journal("0")) == ["Notified", "Duplicate"]
+
+
+def test_extinguish_sends_stop_and_reopens_fresh():
+    """firing=false closes the incident: a started dialog sends the
+    end-of-alert message; a later firing for the same name opens a
+    NEW incident."""
+    sent = []
+    a = Alerter(
+        {"t": [Contact("c", via=lambda *args: sent.append(args))]},
+        debounce_delay=0,
+    )
+    a.notify(1.0, "t: alert")
+    a.advance(1.0)  # start message out (StartSent)
+    a.notify(5.0, "t: alert", firing=False)
+    assert _events(a.journal("0"))[-1] == "Stop Notification"
+    a.advance(5.0)
+    assert _events(a.journal("0"))[-1] == "Sent 1st message via c"
+    assert sent[-1][2] is False  # is_start=False: the stop message
+    a.notify(9.0, "t: alert")
+    assert len(a.incidents) == 2  # new incident, not the closed one
+
+
+def test_extinguish_before_send_cancels():
+    """A stop arriving within the debounce window cancels the unsent
+    start message entirely (StartToBeSentThenStopped) — the debounce
+    exists so flapping never reaches a human."""
+    sent = []
+    a = Alerter(
+        {"t": [Contact("c", via=lambda *args: sent.append(args))]},
+        debounce_delay=10,
+    )
+    a.notify(1.0, "t: flap")
+    a.notify(2.0, "t: flap", firing=False)
+    a.advance(60.0)
+    assert sent == []
+
+
+def test_team_longest_prefix_and_fallback():
+    """find_in_charge: longest team-name prefix wins; unknown names
+    fall back to the default team (RamenAlerter.ml:182-217)."""
+    a = Alerter(
+        {"ops": [Contact("c1")], "ops/db": [Contact("c2")]},
+        default_team="ops",
+    )
+    a.notify(1.0, "ops/db: replication lag")
+    a.notify(2.0, "web: 500s")
+    assert a.incidents["0"].team == "ops/db"
+    assert a.incidents["1"].team == "ops"
+
+
+def test_alerter_sink_streaming_e2e(spark, tmp_path):
+    """NOTIFY stream → foreachBatch → incident FSM: the full pipeline
+    from a notification frame to journaled incidents, with the
+    log-list contact standing in for the http contact."""
+    rows = [
+        (1.0, "t: cpu high", True),
+        (2.0, "t: cpu high", True),  # dedup into incident 0
+        (3.0, "t: disk full", True),
+        (20.0, "t: cpu high", False),  # extinguish
+    ]
+    src = tmp_path / "notifs"
+    spark.createDataFrame(
+        rows, "sent_time double, notification string, firing boolean"
+    ).coalesce(1).write.parquet(str(src))
+
+    sent = []
+    a = Alerter(
+        {"t": [Contact("c", via=lambda *args: sent.append(args))]},
+        debounce_delay=5,
+    )
+    stream = spark.readStream.schema(
+        "sent_time double, notification string, firing boolean"
+    ).parquet(str(src))
+    q = alerter_sink(stream, a)
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(a.incidents) == 2
+    # cpu-high: notified at 1, dup at 2, start message at 6 (debounce
+    # 5), stop notification at 20 (its stop message is debounced to 25
+    # — past the last event, so still pending)
+    ev = _events(a.journal("0"))
+    assert ev == [
+        "Notified",
+        "Duplicate",
+        "Sent 1st message via c",
+        "Stop Notification",
+    ]
+    assert len(sent) == 2  # one start message per incident
+    assert _events(a.journal("1")) == ["Notified", "Sent 1st message via c"]
+    # batch replay produces the identical journals
+    b = Alerter({"t": [Contact("c")]}, debounce_delay=5)
+    alerter_sink(spark.read.parquet(str(src)), b)
+    assert _events(b.journal("0")) == ev
