@@ -62,8 +62,12 @@ def timeseries(
     dur = F.greatest(stop - start, F.lit(1e-9))
 
     first_b = F.greatest(F.floor((start - since) / bucket_seconds), F.lit(0)).cast("long")
+    # exclusive stop via ceil−1, NOT an epsilon subtraction: at epoch
+    # magnitudes a 1e-9 nudge is below double ulp (~2.4e-7 at 1.7e9),
+    # which leaked a zero-weight row into the next bucket for events
+    # ending exactly on a boundary (inflating n_events / avg)
     last_b = F.least(
-        F.floor((stop - F.lit(1e-9) - since) / bucket_seconds),
+        F.ceil((stop - since) / bucket_seconds) - 1,
         F.lit(int((until - since) / bucket_seconds) - 1),
     ).cast("long")
 
@@ -72,7 +76,10 @@ def timeseries(
     b_start = F.lit(since) + F.col("_bucket") * bucket_seconds
     b_stop = b_start + bucket_seconds
     overlap = F.least(stop, b_stop) - F.greatest(start, b_start)
-    frac = F.greatest(overlap, F.lit(0.0)) / dur
+    # a point event (stop == start) lands wholly in its one bucket
+    frac = F.when(stop <= start, F.lit(1.0)).otherwise(
+        F.greatest(overlap, F.lit(0.0)) / dur
+    )
     df = df.withColumn("_wval", F.col(value_col).cast("double") * frac)
 
     group_cols = [F.col("_bucket").alias("bucket")] + [F.col(f) for f in (factors or [])]
@@ -83,6 +90,10 @@ def timeseries(
             F.count(F.lit(1)).alias("n_events"),
             F.min(start).alias("min_start"),
             F.max(stop).alias("max_stop"),
+            # per-bucket extremes of the RAW value (consolidation
+            # min/max in the serving APIs, src/RamenTimeseries.ml)
+            F.min(F.col(value_col).cast("double")).alias("min_value"),
+            F.max(F.col(value_col).cast("double")).alias("max_value"),
         )
         .withColumn("bucket_start", F.lit(since) + F.col("bucket") * bucket_seconds)
     )

@@ -1,0 +1,171 @@
+"""Read-side serving APIs (ramen_spark.api): the Graphite
+impersonator (find-metrics + render, src/RamenGraphite.ml) and the
+JSON-RPC v1 API (src/RamenApi.ml) served from a Parquet archive
+fixture."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ramen_spark.api import ArchiveCatalog, jsonrpc_handle, metrics_find, render
+from ramen_spark.sources.archive import archive
+
+DAY0 = 1704067200.0  # 2024-01-01 UTC
+
+
+@pytest.fixture(scope="module")
+def catalog(spark, tmp_path_factory):
+    """Archive of a 'net/traffic' function: event-time intervals, one
+    factor (iface), two numeric fields (bytes, packets) — 24 hourly
+    rows per iface with value = hour index."""
+    root = tmp_path_factory.mktemp("api") / "net_traffic"
+    rows = [
+        (DAY0 + h * 3600.0, DAY0 + (h + 1) * 3600.0, iface, float(h), h)
+        for h in range(24)
+        for iface in ("eth0", "eth1")
+    ]
+    df = spark.createDataFrame(
+        rows, "start double, stop double, iface string, bytes double, packets long"
+    )
+    archive(df, str(root), time_col="start", factors=["iface"])
+    cat = ArchiveCatalog()
+    cat.register(
+        "net/traffic", str(root),
+        time_col="start", stop_col="stop", factors=["iface"],
+        doc="per-iface traffic",
+    )
+    return cat
+
+
+def test_metrics_find_walks_the_tree(spark, catalog):
+    # level 0: program component
+    got = metrics_find(spark, catalog, "*")
+    assert [(m["text"], m["leaf"], m["expandable"]) for m in got] == [
+        ("net", 0, 1)
+    ]
+    # level 1: the function, still expandable
+    got = metrics_find(spark, catalog, "net.*")
+    assert [(m["id"], m["leaf"]) for m in got] == [("net.traffic", 0)]
+    # level 2: factor values from the archive partitions
+    got = metrics_find(spark, catalog, "net.traffic.*")
+    assert [m["text"] for m in got] == ["eth0", "eth1"]
+    assert all(m["allowChildren"] == 1 for m in got)
+    # level 3: numeric data fields are the leaves (start/stop/factor
+    # columns excluded)
+    got = metrics_find(spark, catalog, "net.traffic.eth0.*")
+    assert sorted(m["text"] for m in got) == ["bytes", "packets"]
+    assert all(m["leaf"] == 1 and m["expandable"] == 0 for m in got)
+    # last component only is completed; id keeps the written prefix
+    got = metrics_find(spark, catalog, "net.*.eth0.byt*")
+    assert [m["id"] for m in got] == ["net.*.eth0.bytes"]
+
+
+def test_render_concrete_target(spark, catalog):
+    # 24 buckets over the day → one value per hour (avg consolidation
+    # of a constant-per-hour series = the hour index)
+    out = render(
+        spark, catalog, ["net.traffic.eth0.bytes"],
+        since=DAY0, until=DAY0 + 86400.0, max_data_points=24,
+    )
+    assert len(out) == 1
+    assert out[0]["target"] == "net.traffic.eth0.bytes"
+    pts = out[0]["datapoints"]
+    assert len(pts) == 24
+    # datapoints are [value, ts] pairs on the grid (value first)
+    assert [round(v, 6) for v, _ in pts] == [float(h) for h in range(24)]
+    assert pts[0][1] == DAY0 + 3600.0  # bucket end times
+
+
+def test_render_expands_factor_glob(spark, catalog):
+    out = render(
+        spark, catalog, ["net.traffic.*.bytes"],
+        since=DAY0, until=DAY0 + 86400.0, max_data_points=24,
+    )
+    assert sorted(o["target"] for o in out) == [
+        "net.traffic.eth0.bytes",
+        "net.traffic.eth1.bytes",
+    ]
+
+
+def test_render_time_slice_prunes(spark, catalog):
+    # a 6-hour slice yields only those buckets
+    out = render(
+        spark, catalog, ["net.traffic.eth0.bytes"],
+        since=DAY0 + 6 * 3600.0, until=DAY0 + 12 * 3600.0,
+        max_data_points=6,
+    )
+    assert [round(v, 6) for v, _ in out[0]["datapoints"]] == [6.0, 7.0, 8.0, 9.0, 10.0, 11.0]
+
+
+def _rpc(spark, catalog, method, params, rid=1):
+    resp = json.loads(
+        jsonrpc_handle(
+            spark, catalog,
+            json.dumps({"method": method, "params": params, "id": rid}),
+        )
+    )
+    assert resp["id"] == rid
+    return resp
+
+
+def test_jsonrpc_version_tables_columns(spark, catalog):
+    assert _rpc(spark, catalog, "version", {})["result"] == "v1"
+    tables = _rpc(spark, catalog, "get-tables", {"prefix": "net/"})["result"]
+    assert tables == {"net/traffic": "per-iface traffic"}
+    cols = _rpc(spark, catalog, "get-columns", {"tables": ["net/traffic"]})[
+        "result"
+    ]["net/traffic"]
+    assert cols["iface"]["factor"] is True
+    assert cols["bytes"] == {"type": "double", "factor": False}
+    assert "dt" not in cols  # archive partition bucket stays internal
+    bad = _rpc(spark, catalog, "no-such", {})
+    assert "unknown method" in bad["error"]
+
+
+def test_jsonrpc_get_timeseries(spark, catalog):
+    req = {
+        "since": DAY0,
+        "until": DAY0 + 4 * 3600.0,
+        "num-points": 4,
+        "consolidation": "sum",
+        "data": {
+            "net/traffic": {
+                "select": ["bytes"],
+                "where": [{"lhs": "iface", "rhs": "eth0", "op": "="}],
+                "factors": [],
+            }
+        },
+    }
+    res = _rpc(spark, catalog, "get-timeseries", req)["result"]
+    assert res["times"] == [DAY0 + (b + 1) * 3600.0 for b in range(4)]
+    tv = res["values"]["net/traffic"]
+    assert tv["column-labels"] == [[]]
+    assert [round(v, 6) for v in tv["column-values"][0][0]] == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_jsonrpc_get_timeseries_factors_and_timestep(spark, catalog):
+    req = {
+        "since": DAY0,
+        "until": DAY0 + 2 * 3600.0,
+        "time-step": 3600.0,
+        "bucket-time": "begin",
+        "data": {
+            "net/traffic": {"select": ["bytes", "packets"], "factors": ["iface"]}
+        },
+    }
+    res = _rpc(spark, catalog, "get-timeseries", req)["result"]
+    assert res["times"] == [DAY0, DAY0 + 3600.0]
+    tv = res["values"]["net/traffic"]
+    assert sorted(map(tuple, tv["column-labels"])) == [("eth0",), ("eth1",)]
+    for label_cols in tv["column-values"]:
+        assert [round(v, 6) for v in label_cols[0]] == [0.0, 1.0]  # bytes
+        assert [round(v, 6) for v in label_cols[1]] == [0.0, 1.0]  # packets
+    # validation mirrors check_get_timeseries_req
+    bad = _rpc(
+        spark, catalog, "get-timeseries",
+        {"since": DAY0, "until": DAY0 + 1, "data": {}},
+    )
+    assert "num-points" in bad["error"]
