@@ -1728,6 +1728,26 @@ class Compiler:
             total = F.when(
                 total >= F.lit(1 << (bits - 1)), total - F.lit(1 << bits)
             ).otherwise(total)
+        if bits > 64:
+            # 128-bit values live in Decimal(38,0): exact up to 10^38−1
+            # (~29% of the u128 range, documented v1 delta — SURVEY
+            # §1.2). Decimal overflow yields NULL silently; convert it
+            # to a LOUD error so no precision loss can pass unnoticed
+            # (a NULL member / short input stays a regular NULL).
+            if self._is_arrayish(operand):
+                valid_in = n_ok & ~F.exists(arr, lambda x: x.isNull())
+            else:
+                valid_in = n_ok
+            total = F.when(
+                valid_in & total.isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"PEEK {ts.name}: value exceeds Decimal(38,0) "
+                        "(10^38−1) — full 128-bit fidelity is a "
+                        "documented v1 delta (types.py)"
+                    )
+                ).cast(acc_t),
+            ).otherwise(total)
         return F.when(n_ok, total)
 
     # immediate (array-operand) stateful functions: "every aggregation

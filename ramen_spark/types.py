@@ -7,7 +7,17 @@ wraparound (src/raql_type.ml:16-33), network types (src/raql_type.ml:
 - each RaQL int maps to the smallest Spark integral container;
   the odd widths (U24/U40/U48/U56 + all unsigned) emulate wraparound
   with ``wrap_int`` where tests require exact overflow behavior;
-- U64 → DecimalType(20,0), U128/I128 → DecimalType(39,0);
+- U64 → DecimalType(20,0); **U128/I128 → DecimalType(38,0) — a
+  DOCUMENTED v1 delta**: exact in ±(10^38−1) (covers every doc-corpus
+  and func-spec 128-bit case incl. peek.test's IPv6 value), but ~71%
+  of the full u128 range is unrepresentable. No silent loss: casts
+  beyond the range are NULL per the cast-failure convention,
+  ``wrap_int`` raises NotImplementedError, and PEEK u128/i128 raises
+  at runtime when an in-range-but-unrepresentable value is assembled
+  (plans/raql._compile_peek). Full fidelity would be a 16-byte
+  BinaryType with two-limb arithmetic — rejected for v1: it forfeits
+  Catalyst comparisons/arithmetic on a type the corpus only ever
+  feeds with values < 10^38;
 - Ipv4/Eth → LongType; Ipv6 → BinaryType(16); Ip/Cidr sum types →
   struct (functions.network);
 - nullability → StructField.nullable; units → column metadata.

@@ -62,3 +62,27 @@ def test_widest_promotion():
 def test_units_metadata(spark):
     df = spark.range(1).select(with_units(F.lit(10.0), "speed", "m/s"))
     assert df.schema["speed"].metadata["units"] == "m/s"
+
+
+def test_peek_u128_overflow_is_loud(spark):
+    """128-bit fidelity v1 delta (types.py): PEEK u128 of a value
+    beyond Decimal(38,0) must RAISE, never return a silently-wrong
+    NULL; in-range values (peek.test's IPv6) stay exact."""
+    import pytest as _pytest
+
+    from ramen_spark.plans.raql import compile_operation
+
+    # in-range: the peek.test value (~4.25e37) round-trips exactly
+    ok = compile_operation(
+        'select peek u128 big endian "\\x20\\x01\\x44\\xC8\\x01\\x29\\x26\\x32'
+        '\\x00\\x33\\x00\\x00\\x02\\x52\\x00\\x02" as v',
+        spark.range(1),
+    )
+    assert str(ok.collect()[0]["v"]) == "42541883211820625267710156367912370178"
+    # overflow: loud error, not NULL
+    import pyspark.sql.functions as F
+
+    df = spark.range(1).select(F.concat(*[F.chr(F.lit(255))] * 16).alias("b"))
+    bad = compile_operation("select peek u128 big endian b as v", df)
+    with _pytest.raises(Exception, match="[Dd]ecimal|USER_RAISED|v1 delta"):
+        bad.collect()
