@@ -69,32 +69,53 @@ def main() -> None:
     # shared box swing ±40% (see round-1 notes), and min-of-2 measures
     # the plan rather than the scheduler's worst moment
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        best = None
-        for _ in range(max(1, runs)):
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
-        total += best
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "runs": runs,
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
-    )
+    def suite(sf_dir: str, n_runs: int) -> tuple[dict[str, float], float]:
+        timings: dict[str, float] = {}
+        total = 0.0
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            best = None
+            for _ in range(max(1, n_runs)):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            timings[name] = round(best, 3)
+            total += best
+        return timings, total
+
+    timings, total = suite(SF_DIR, runs)
+
+    result = {
+        "metric": "headline_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "runs": runs,
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+
+    # 10× scale tier (VERDICT r2 #10): derived from sf0.1 by
+    # tools/scale_testdata.py (key-shifted fact copies, token-salted
+    # documents, perturbed embeddings — see its docstring), generated
+    # lazily under /tmp and cached. Catches scale cliffs the small SF
+    # hides; failures here never mask the primary metric.
+    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
+        sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+        try:
+            if not os.path.isdir(sf1_dir):
+                from tools.scale_testdata import scale
+
+                scale(spark, SF_DIR, sf1_dir, factor=10)
+            t1, tot1 = suite(sf1_dir, 1)
+            result["queries_sf1"] = t1
+            result["sf1_total"] = round(tot1, 3)
+        except Exception as e:  # pragma: no cover — bench must not die
+            result["sf1_error"] = repr(e)
+
+    print(json.dumps(result))
     spark.stop()
 
 

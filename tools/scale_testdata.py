@@ -1,0 +1,112 @@
+"""Scale the driver's sf0.1 testdata to an sfN-equivalent (bench-only).
+
+TESTDATA.md's generator isn't available (testdata is read-only driver
+output), so the 10× bench tier is derived from sf0.1 with per-table
+transforms chosen to preserve each headline query's SCALE SHAPE — the
+point is catching scale cliffs (join fan-out, candidate-pair blowup,
+per-group growth), not TPC-H fidelity:
+
+- fact tables (lineitem, orders, events): N shifted copies — unique
+  keys offset per copy so key cardinality grows linearly; event
+  timestamps are kept, so time-window groups get N× rows each (a
+  higher event rate over the same wall-clock, the reference's own
+  scaling axis);
+- events.user_id shifts per copy → user cardinality (top-k keyset,
+  per-user groups) also grows linearly;
+- documents: doc_id shifts AND copies > 0 get every token suffixed
+  with a copy tag — intra-copy near-dup structure (shingle-set
+  isomorphism) is preserved exactly, while cross-copy Jaccard drops
+  to 0 so candidate pairs scale ~linearly like a real corpus (naive
+  duplication would square them);
+- embeddings: vec_id shifts and copies > 0 get a deterministic
+  per-element perturbation, so LSH/IVF buckets don't fill with exact
+  clones;
+- dimension tables (region…customer) stay single-copy: they remain
+  broadcast-sized at any realistic fact scale, which is exactly the
+  plan shape worth benching.
+
+Usage: python tools/scale_testdata.py [factor] [src] [dst]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+KEY_OFFSET = 10_000_000  # above every sf0.1 key domain
+USER_OFFSET = 1_000_000
+
+DIMS = ["region", "nation", "part", "supplier", "customer"]
+FACTS = {
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def _copy(df: DataFrame, table: str, c: int) -> DataFrame:
+    out = df
+    for k in FACTS[table]:
+        out = out.withColumn(k, F.col(k) + F.lit(c * KEY_OFFSET))
+    if c == 0:
+        return out
+    if table == "events":
+        out = out.withColumn("user_id", F.col("user_id") + F.lit(c * USER_OFFSET))
+    elif table == "documents":
+        # suffix every token: shingle sets stay isomorphic within the
+        # copy, disjoint across copies
+        out = out.withColumn(
+            "text", F.regexp_replace("text", r"(\S+)", f"$1zc{c}")
+        )
+    elif table == "embeddings":
+        out = out.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x + F.lit(0.05) * F.sin(F.col("vec_id") + i * 7 + F.lit(c * 13))
+                ).cast("float"),
+            ),
+        )
+    return out
+
+
+def scale(spark: SparkSession, src: str, dst: str, factor: int = 10) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for t in DIMS:
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+    for t in FACTS:
+        base = spark.read.parquet(f"{src}/{t}.parquet")
+        parts = [_copy(base, t, c) for c in range(factor)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    dst = sys.argv[3] if len(sys.argv) > 3 else "/tmp/spark_graft_sf1"
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .appName("scale_testdata")
+        .getOrCreate()
+    )
+    scale(spark, src, dst, factor)
+    print(f"wrote {dst} at {factor}x {src}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
