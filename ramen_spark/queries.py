@@ -703,6 +703,44 @@ def timeseries_spread_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "timeseries_minmax_hourly",
+    """
+    WITH ev AS (
+      SELECT epoch_us(ts) / 1000000.0 AS start, value
+      FROM events
+      WHERE epoch_us(ts) < 1704153600000000  -- first day only
+    )
+    SELECT CAST(floor((start - 1704067200.0) / 3600.0) AS BIGINT) AS bucket,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value,
+           count(*) AS n_events
+    FROM ev
+    GROUP BY 1
+    """,
+)
+def timeseries_minmax_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket value extremes on the regular grid — the min/max
+    consolidation tiers the serving APIs expose (api.py render /
+    get-timeseries; src/RamenTimeseries.ml consolidation). Point
+    events (stop = start) land wholly in their bucket — the oracle is
+    the plain floor-bucket grouping, proving the ceil−1 boundary
+    arithmetic agrees with it exactly at epoch magnitudes."""
+    ev = _t(spark, sf_dir, "events")
+    day0 = 1704067200.0
+    ev = ev.filter(F.unix_micros("ts") < 1704153600000000).select(
+        (F.unix_micros("ts") / F.lit(1000000.0)).alias("start"),
+        "value",
+    )
+    ts = Wn.timeseries(ev, "start", "start", "value", 3600.0, day0, day0 + 86400.0)
+    return ts.select(
+        "bucket",
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+        "n_events",
+    )
+
+
 # ===========================================================================
 # 3. Text analysis (training-pipeline extensions over `documents`)
 # ===========================================================================

@@ -7,8 +7,10 @@ C/OCaml (src/RamenCollectd.ml:24-90, src/RamenNetflow.ml:14-142,
 src/RamenGraphiteSink.ml). The binary decode kernels live in
 ramen_spark.sources.binary (mapInPandas over a packet byte column);
 graphite's text protocol parses right here with builtin expressions.
-Only the binary UDP *receiver* is out of scope in this container —
-packets route in via any file/Kafka binary column.
+The binary UDP *receiver* is ``UdpSpool``: socket thread → atomic
+parquet spool → file stream (Spark's builtin socket source is TCP
+text only); packets can equally route in via any file/Kafka binary
+column.
 """
 
 from __future__ import annotations
@@ -121,22 +123,134 @@ NETFLOW_V5_SCHEMA = T.StructType(
 )
 
 
-def listen_for(spark: SparkSession, protocol: str, host: str, port: int) -> DataFrame:
-    """LISTEN FOR collectd|netflow — socket source + binary decode.
+class UdpSpool:
+    """Binary UDP receiver → durable Parquet spool.
 
-    The wire-format decoders are real (sources.binary:
-    decode_netflow_v5 / decode_collectd — mapInPandas over a binary
-    packet column); what this container lacks is a binary UDP
-    *receiver* (Spark's socket source is text-only). Stubbed here:
-    feed packets from any binary-column stream (file, Kafka value)
-    through those decoders instead.
+    Spark has no UDP source (the builtin socket source is TCP text),
+    so the receiver is explicit: a thread binds the socket, batches
+    datagrams, and lands them atomically as parquet files of
+    (packet binary, recv_ts double, peer string) which a file stream
+    tails. This is the production shape anyway — UDP is lossy and
+    unreplayable, so the reference's workers also land packets into
+    durable ringbufs first (src/CodeGenLib_IO.ml UDP reader →
+    ringbuf); at scale you run one spool per ingest node, all writing
+    to the same object-store prefix the single stream tails.
     """
-    raise NotImplementedError(
-        f"LISTEN FOR {protocol}: no binary UDP receiver in this container; "
-        "route packets from a file/kafka binary column through "
-        "sources.binary.decode_netflow_v5 / decode_collectd (schemas: "
-        "NETFLOW_V5_SCHEMA / COLLECTD_SCHEMA)"
+
+    SCHEMA = T.StructType(
+        [
+            T.StructField("packet", T.BinaryType(), False),
+            T.StructField("recv_ts", T.DoubleType(), False),
+            T.StructField("peer", T.StringType(), True),
+        ]
     )
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        spool_dir: str,
+        flush_packets: int = 512,
+        flush_seconds: float = 1.0,
+    ):
+        import os
+        import socket
+        import threading
+
+        os.makedirs(spool_dir, exist_ok=True)
+        self.spool_dir = spool_dir
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.bind((host, port))
+        self._sock.settimeout(0.2)
+        self.port = self._sock.getsockname()[1]  # resolved ephemeral port
+        self._buf: list[tuple[bytes, float, str]] = []
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._n_files = 0
+        self._flush_packets = flush_packets
+        self._flush_seconds = flush_seconds
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self) -> None:
+        import socket
+        import time
+
+        last_flush = time.time()
+        while not self._stop.is_set():
+            try:
+                data, addr = self._sock.recvfrom(65535)
+                with self._lock:
+                    self._buf.append((data, time.time(), f"{addr[0]}:{addr[1]}"))
+            except socket.timeout:
+                pass
+            now = time.time()
+            if len(self._buf) >= self._flush_packets or (
+                self._buf and now - last_flush >= self._flush_seconds
+            ):
+                self.flush()
+                last_flush = now
+
+    def flush(self) -> None:
+        """Land buffered datagrams as one parquet file (atomic rename
+        so the tailing stream never sees a partial file)."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        with self._lock:
+            batch, self._buf = self._buf, []
+        if not batch:
+            return
+        tbl = pa.table(
+            {
+                "packet": pa.array([b for b, _, _ in batch], pa.binary()),
+                "recv_ts": pa.array([t for _, t, _ in batch], pa.float64()),
+                "peer": pa.array([p for _, _, p in batch], pa.string()),
+            }
+        )
+        tmp = os.path.join(self.spool_dir, f"._pkt_{self._n_files:08d}.tmp")
+        dst = os.path.join(self.spool_dir, f"pkt_{self._n_files:08d}.parquet")
+        pq.write_table(tbl, tmp)
+        os.rename(tmp, dst)
+        self._n_files += 1
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=2)
+        self.flush()
+        self._sock.close()
+
+
+def listen_for(
+    spark: SparkSession,
+    protocol: str,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    spool_dir: str | None = None,
+) -> tuple[DataFrame, UdpSpool]:
+    """LISTEN FOR collectd|netflow (src/raql_operation.type:139-145):
+    a real UDP receiver (``UdpSpool``) feeding the wire-format decode
+    kernels (sources.binary) through a parquet file stream. Returns
+    (decoded typed stream, spool handle) — read ``spool.port`` for the
+    resolved ephemeral port; ``spool.close()`` when done."""
+    import tempfile
+
+    from ramen_spark.sources.binary import decode_collectd, decode_netflow_v5
+
+    decoders = {"netflow": decode_netflow_v5, "collectd": decode_collectd}
+    if protocol not in decoders:
+        raise ValueError(f"LISTEN FOR {protocol!r}: supported: {sorted(decoders)}")
+    spool = UdpSpool(
+        host, port, spool_dir or tempfile.mkdtemp(prefix=f"listen_{protocol}_")
+    )
+    stream = (
+        spark.readStream.schema(UdpSpool.SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(spool.spool_dir)
+    )
+    return decoders[protocol](stream), spool
 
 
 GRAPHITE_SCHEMA = T.StructType(

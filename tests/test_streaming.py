@@ -272,3 +272,96 @@ def test_raql_commit_streaming_row_stateful(spark, events_stream):
     )
     exp = sorted((r["event_type"], r["pv"], r["s"]) for r in b_out.collect())
     assert got == exp and len(got) > 0
+
+
+def test_listen_for_netflow_real_udp(spark):
+    """LISTEN FOR netflow end-to-end over a REAL UDP socket: encoded
+    v5 packets sent as datagrams to the listener's ephemeral port land
+    in the spool, stream through the decode kernel, and aggregate to
+    the sent flow totals."""
+    import socket
+    import time
+
+    from ramen_spark.sources.binary import encode_netflow_v5
+    from ramen_spark.streaming.sources import listen_for
+
+    decoded, spool = listen_for(spark, "netflow")
+    try:
+        flows = [
+            {"src": i, "bytes": 100 + i, "packets": 1, "ip_proto": i % 2}
+            for i in range(60)
+        ]
+        c = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for i in range(0, 60, 30):
+            c.sendto(
+                encode_netflow_v5(flows[i : i + 30], flow_sequence=i),
+                ("127.0.0.1", spool.port),
+            )
+        c.close()
+        # wait for the receiver thread to drain the socket, then land;
+        # each attempt re-reads the whole (uncheckpointed) spool, so
+        # totals rebuild from scratch per attempt
+        deadline = time.time() + 10
+        got: dict[int, int] = {}
+
+        def sink(batch_df, _e):
+            for r in batch_df.groupBy("ip_proto").agg(
+                F.sum("bytes").alias("b")
+            ).collect():
+                got[r["ip_proto"]] = got.get(r["ip_proto"], 0) + r["b"]
+
+        while time.time() < deadline and sum(got.values()) < sum(
+            f["bytes"] for f in flows
+        ):
+            time.sleep(0.3)
+            spool.flush()
+            got.clear()
+            q = decoded.writeStream.foreachBatch(sink).trigger(
+                availableNow=True
+            ).start()
+            q.awaitTermination(60)
+        want: dict[int, int] = {}
+        for f in flows:
+            want[f["ip_proto"]] = want.get(f["ip_proto"], 0) + f["bytes"]
+        assert got == want
+    finally:
+        spool.close()
+
+
+def test_listen_for_collectd_real_udp(spark):
+    """LISTEN FOR collectd over a real UDP datagram."""
+    import socket
+    import time
+
+    from ramen_spark.sources.binary import encode_collectd
+    from ramen_spark.streaming.sources import listen_for
+
+    decoded, spool = listen_for(spark, "collectd")
+    try:
+        pkt = encode_collectd(
+            [
+                {"host": "web1", "time": 1.7e9, "plugin": "cpu", "values": [42.0]},
+                {"host": "web1", "time": 1.7e9, "plugin": "mem", "values": [7.0]},
+            ]
+        )
+        c = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        c.sendto(pkt, ("127.0.0.1", spool.port))
+        c.close()
+        rows = []
+        deadline = time.time() + 10
+        while time.time() < deadline and len(rows) < 2:
+            time.sleep(0.3)
+            spool.flush()
+            rows = []
+
+            def sink(batch_df, _e):
+                rows.extend(batch_df.collect())
+
+            q = decoded.writeStream.foreachBatch(sink).trigger(
+                availableNow=True
+            ).start()
+            q.awaitTermination(60)
+        got = {(r["plugin"], r["value"]) for r in rows}
+        assert got == {("cpu", 42.0), ("mem", 7.0)}
+    finally:
+        spool.close()
