@@ -82,3 +82,91 @@ def replay(
         & (F.col(time_col).cast("double") >= since_seconds)
         & (F.col(time_col).cast("double") < until_seconds)
     )
+
+
+def archive_time_range(spark: SparkSession, path: str) -> tuple[float, float] | None:
+    """Coarse time range covered by an archive, from its dt partition
+    directories (a metadata listing, no data read). None when empty.
+    Day-granular: a day with zero rows is indistinguishable from a
+    missing day (the reference keeps exact per-file ranges in runtime
+    stats, src/RamenArchivist.ml compute_archives); pass explicit
+    coverage to replay_via_recompute when that matters."""
+    import os
+
+    dts = []
+    try:
+        for p in os.listdir(path):
+            if p.startswith("dt="):
+                try:
+                    dts.append(int(p.split("=", 1)[1]))
+                except ValueError:
+                    pass
+    except FileNotFoundError:
+        return None
+    if not dts:
+        return None
+    return (min(dts) * DT_SECONDS, (max(dts) + 1) * DT_SECONDS)
+
+
+def replay_via_recompute(
+    spark: SparkSession,
+    prog,
+    target: str,
+    since_seconds: float,
+    until_seconds: float,
+    archives: dict[str, str],
+    coverage: dict[str, tuple[float, float]] | None = None,
+    params: dict | None = None,
+    externals: dict | None = None,
+    time_col: str = "start",
+) -> DataFrame:
+    """``ramen replay func --since --until`` with the MINIMAL ANCESTOR
+    SET (src/RamenReplay.ml:1-12): walk up from ``target``; a function
+    whose archive covers the range is served by a partition-pruned
+    read, everything above it is pruned from the replay; an uncovered
+    function recomputes from its (recursively replayed) parents by
+    re-running its body over the sliced inputs. Channels
+    (src/RamenChannel.ml) are unnecessary — each replay is its own
+    DataFrame graph, isolation is free.
+
+    ``archives``: function name → archive path (sources.archive
+    layout). ``coverage`` overrides the dt-listing range per function
+    (exact ranges, e.g. from the archivist's allocation).
+    """
+    cov = dict(coverage or {})
+
+    def covered(fn_name: str) -> bool:
+        path = archives.get(fn_name)
+        if path is None:
+            return False
+        rng = cov.get(fn_name) or archive_time_range(spark, path)
+        return rng is not None and rng[0] <= since_seconds and until_seconds <= rng[1]
+
+    inject: dict[str, DataFrame] = {}
+
+    def plan(fn_name: str) -> None:
+        if fn_name not in prog.functions:
+            return  # external source: caller supplies via externals
+        if covered(fn_name):
+            inject[f"{prog.name}/{fn_name}"] = replay(
+                spark, archives[fn_name], since_seconds, until_seconds,
+                time_col=time_col,
+            ).drop("dt")
+            return  # ancestors pruned from the replay
+        for parent in prog.functions[fn_name].parents:
+            plan(parent)
+
+    plan(target)
+    dfs = prog.materialize(
+        spark,
+        params=params,
+        externals={**(externals or {}), **inject},
+        register_views=False,
+    )
+    out = dfs[target]
+    if time_col in out.columns and f"{prog.name}/{target}" not in inject:
+        out = out.filter(
+            (F.col(time_col).cast("double") >= since_seconds)
+            & (F.col(time_col).cast("double") < until_seconds)
+        )
+    return out
