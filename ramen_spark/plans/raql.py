@@ -1637,16 +1637,29 @@ class Compiler:
         if n in _INT_TYPES:
             signed = n.startswith("i")
             bits = int(n[1:])
-            if bits > 64:
-                return c.try_cast("decimal(38,0)")
+            if bits > 64 or (bits >= 64 and not signed):
+                # decimal casts ROUND; reference float→int casts
+                # truncate toward zero (qps.ramen groups on u64(time):
+                # 0.5 must bucket to 0, not 1). Any double ≥ 2^53 is
+                # already an integer, so rounding can only bite below
+                # 2^53 — truncate there via the long path, keep the
+                # full-range decimal cast above it (exact for
+                # long/decimal/int-string inputs too).
+                d = c.try_cast("double")
+                trunc = (
+                    F.when(d >= 0, F.floor(d))
+                    .otherwise(F.ceil(d))
+                    .cast("decimal(38,0)")
+                )
+                return F.when(
+                    F.abs(d) < F.lit(9007199254740992.0), trunc
+                ).otherwise(c.try_cast("decimal(38,0)"))
             if signed:
                 t = {8: "tinyint", 16: "smallint", 24: "int", 32: "int"}.get(bits, "long")
                 lc = c.try_cast("long")
                 return lc.try_cast(t) if t != "long" else lc
             # unsigned: wrap into [0, 2^bits) (2-complement wraparound,
             # site/language_reference.php "Integers")
-            if bits >= 64:
-                return c.try_cast("decimal(38,0)")
             return F.pmod(c.try_cast("long"), F.lit(1 << bits))
         if n == "float":
             return c.try_cast("double")
@@ -3871,7 +3884,14 @@ def compile_program(text: str, name: str = "raql", base_dir: str | None = None):
                 )
                 if uses_now:
                     use_fold = True
-                n = YIELD_TICKS if use_fold else 1
+                # __yield_ticks: engine-reserved materialize override —
+                # applies even to stateless yields, whose downstream
+                # consumers may need a long clock (central_limit:
+                # stateless `YIELD random` feeding 6×1000 windows)
+                if params and "__yield_ticks" in params:
+                    n = int(params["__yield_ticks"])
+                else:
+                    n = YIELD_TICKS if use_fold else 1
                 period = _eval_const(op.every, params)
                 period = float(period) if period else 1.0
                 import time as _time

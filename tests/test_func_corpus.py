@@ -399,3 +399,94 @@ def test_example_security_materializes_with_injection(spark):
         spark, externals={"traffic/netflow": flows}, register_views=False
     )
     assert dfs["port_scan_detector"].count() == 1
+
+
+# -- examples/tests/* programs: materialize, not just compile --------------
+
+_EX = "/root/reference/examples"
+
+
+def _ex_program(spark, rel, externals=None, name=None):
+    path = f"{_EX}/{rel}.ramen"
+    prog = compile_program(
+        open(path).read(),
+        name=name or rel,
+        base_dir=path.rsplit("/", 1)[0],
+    )
+    return prog.materialize(spark, externals=externals or {}, register_views=False)
+
+
+def test_example_simplest_materializes(spark):
+    """examples/tests/simplest.ramen: yield 1 as one."""
+    rows = _ex_program(spark, "tests/simplest")["f"].collect()
+    assert len(rows) >= 1 and all(r["one"] == 1 for r in rows)
+
+
+def test_example_seq_materializes(spark):
+    """examples/tests/seq.ramen: 1 + COALESCE(previous.x, 0) — the
+    canonical previous-chain; ticks yield 1, 2, 3, …"""
+    rows = _ex_program(spark, "tests/seq")["gen"].collect()
+    xs = sorted(r["x"] for r in rows)
+    assert xs[:5] == [1, 2, 3, 4, 5] and len(xs) >= 100
+
+
+def test_example_noise_materializes(spark):
+    """examples/tests/noise.ramen: clock (SUM GLOBALLY 1 EVERY 1s) →
+    random_walk via previous.x + (random*2-1): per-step increments
+    bounded by 1, event time threads through EVENT STARTS AT."""
+    dfs = _ex_program(spark, "tests/noise")
+    clock = sorted(r["seq"] for r in dfs["clock"].collect())
+    assert clock[:3] == [1, 2, 3]
+    walk = [r["x"] for r in dfs["random_walk"].collect()]
+    assert len(walk) >= 100
+    steps = [abs(b - a) for a, b in zip(walk, walk[1:])]
+    assert max(steps) <= 1.0 + 1e-9
+
+
+def test_example_qps_materializes_with_injection(spark):
+    """examples/tests/qps.ramen run as examples/tests/qps.test does:
+    inject the csv tuples (10 queries in [0.1, 0.5] on h1, then a
+    t=9 tuple that fires the check-all commit in.time > out.time + 2)
+    and expect the qps row {time 0.1, qps 10} plus the alert
+    notification for it."""
+    rows = [
+        ("h1", t, 16909060, "q", 0.05)
+        for t in (0.1, 0.1, 0.2, 0.2, 0.3, 0.3, 0.4, 0.4, 0.5, 0.5)
+    ] + [("h1", 9.0, 16909060, "q", 0.05)]
+    csv = spark.createDataFrame(
+        rows,
+        "host string, time double, ip_client long, query string, response_time double",
+    )
+    dfs = _ex_program(
+        spark, "tests/qps", externals={"tests/qps/csv": csv}, name="tests/qps"
+    )
+    qps = {(r["time"], r["qps"]) for r in dfs["qps"].collect()}
+    assert (0.1, 10) in qps
+    alerts = dfs["alert"].collect()
+    assert any(r["time"] == 0.1 and r["qps"] == 10 for r in alerts)
+
+
+def test_example_central_limit_materializes(spark):
+    """examples/tests/central_limit.ramen: avg of n uniform draws →
+    histogram(0,1,79) over 1000 windows → SPARKLINE. The central
+    limit theorem is visible in the output: mass concentrates in the
+    middle of the distribution (and the sparkline is a real bar
+    string)."""
+    path = f"{_EX}/tests/central_limit.ramen"
+    prog = compile_program(
+        open(path).read(), name="tests/central_limit",
+        base_dir=path.rsplit("/", 1)[0],
+    )
+    # distrib needs 1000 committed windows of n=6 draws → 6000+ ticks
+    dfs = prog.materialize(
+        spark, params={"__yield_ticks": 8192}, register_views=False
+    )
+    hist_rows = dfs["distrib"].collect()
+    assert len(hist_rows) >= 1
+    hist = hist_rows[0]["avg_rand_histogram"]
+    assert len(hist) == 81  # 79 buckets + under/overflow
+    mid = sum(hist[25:55])
+    tails = sum(hist[:15]) + sum(hist[-15:])
+    assert mid > tails  # CLT: peaked around 0.5
+    spark_line = dfs["display"].collect()[0]["avg_random_distrib"]
+    assert isinstance(spark_line, str) and len(spark_line) >= 79
