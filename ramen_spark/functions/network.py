@@ -179,3 +179,59 @@ def countrycode_join(df: DataFrame, ip_col: str, ranges: DataFrame, out_col: str
     r = F.broadcast(ranges)
     cond = (F.col(ip_col) >= r["ip_from"]) & (F.col(ip_col) <= r["ip_to"])
     return df.join(r, cond, "left").withColumnRenamed("cc", out_col).drop("ip_from", "ip_to")
+
+
+def load_ip_to_country(path: str) -> list[tuple[int, int, str]]:
+    """Parse the public Webnet77/software77 IpToCountry.csv[.gz] the
+    reference bundles (src/CountryOfIp.ml loads the same file):
+    quoted rows "ip_from","ip_to","registry","assigned","ctry",….
+    Returns sorted (ip_from, ip_to, cc) tuples for COUNTRYCODE."""
+    import csv
+    import gzip
+    import io
+
+    opener = gzip.open if path.endswith(".gz") else open
+    out: list[tuple[int, int, str]] = []
+    with opener(path, "rb") as fh:
+        text = io.TextIOWrapper(fh, encoding="utf-8", errors="replace")
+        for row in csv.reader(text):
+            if not row or row[0].lstrip().startswith("#"):
+                continue
+            try:
+                out.append((int(row[0]), int(row[1]), row[4]))
+            except (ValueError, IndexError):
+                continue
+    out.sort()
+    return out
+
+
+def countrycode_expr(ip: Column, ranges: list[tuple[int, int, str]]) -> Column:
+    """COUNTRYCODE as a COLUMN: Arrow-batched binary search over the
+    (sorted) ranges, broadcast to executors in the UDF closure —
+    NULL outside every range (reference behavior for unknown IPs).
+    For relational pipelines prefer ``countrycode_join`` (broadcast
+    interval join, no Python); this form exists for the RaQL
+    expression position where COUNTRYCODE composes with arbitrary
+    scalar expressions."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rs = sorted(ranges)
+    fr = np.array([r[0] for r in rs], dtype=np.float64)
+    to = np.array([r[1] for r in rs], dtype=np.float64)
+    cc = np.array([r[2] for r in rs], dtype=object)
+
+    # NB: no type hints — `from __future__ import annotations` turns
+    # them into strings pandas_udf can't resolve from this scope
+    def _lookup(v):
+        x = v.to_numpy(dtype="float64", na_value=np.nan)
+        idx = np.searchsorted(fr, x, side="right") - 1
+        ok = (idx >= 0) & ~np.isnan(x)
+        idx = np.clip(idx, 0, len(fr) - 1)
+        ok &= x <= to[idx]
+        res = np.where(ok, cc[idx], None)
+        return pd.Series(res, dtype=object)
+
+    _lookup.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_lookup, "string")(ip.cast("double"))

@@ -2022,10 +2022,41 @@ class Compiler:
                 return S.uuid_of_u128(F.lit(v >> 64), F.lit(lo_signed))
             raise NotImplementedError("UUID_OF_U128 needs a literal or (hi, lo)")
         if fn == "countrycode":
-            raise NotImplementedError(
-                "COUNTRYCODE needs a GeoIP ranges table: use "
-                "functions.network.countrycode_join (no database is bundled)"
+            # COUNTRYCODE ip (doc/raql/expr.ml:366, src/CountryOfIp.ml):
+            # binary search over the IpToCountry ranges. The table
+            # arrives via the engine-reserved __geoip_ranges param
+            # (list[(ip_from, ip_to, cc)] — the reference bundles the
+            # same public Webnet77 CSV, loadable with
+            # functions.network.load_ip_to_country). Arrow-batched
+            # lookup against broadcast numpy arrays — the relational
+            # scale path is functions.network.countrycode_join.
+            ranges = (self.params or {}).get("__geoip_ranges")
+            if not ranges:
+                raise NotImplementedError(
+                    "COUNTRYCODE needs a GeoIP ranges table: pass "
+                    "params['__geoip_ranges'] (see functions.network."
+                    "load_ip_to_country) or use countrycode_join "
+                    "(no database is bundled)"
+                )
+            from ramen_spark.functions.network import countrycode_expr
+
+            ipc = self.col(node.args[0])
+            # generic ip sum struct → its v4 lane (v6 ranges live in a
+            # separate table in the reference too; documented delta)
+            arg = node.args[0]
+            is_struct = (
+                isinstance(arg, Call)
+                and arg.fn == "cast"
+                and getattr(arg.opts.get("to"), "name", None) == "ip"
+            ) or (
+                isinstance(arg, Field)
+                and (self.schema or {}).get(_strip_ns(arg.path), "").startswith("struct<version")
             )
+            if is_struct:
+                ipc = F.when(
+                    ipc.getField("version") == 4, ipc.getField("v4")
+                )
+            return countrycode_expr(ipc, ranges)
         if fn == "histogram" and len(node.args) == 4 and _is_array_node(node.args[0]):
             # immediate HISTOGRAM over a vector → u32[n+2] counts
             # (doc:784: [underflow, b1..bn, overflow])
@@ -3256,7 +3287,8 @@ def compile_operation(
             _seen_aliases.add(f_.alias or _default_name(f_.expr, i))
         if has_out_refs:
             return _compile_grouped_with_outrefs(df, op, fields, params, src_arrays)
-        keys = [Compiler(params).col(k) for k in op.group_by]
+        _sch = {f_.name: f_.dataType.simpleString() for f_ in df.schema.fields}
+        keys = [Compiler(params, schema=_sch).col(k) for k in op.group_by]
         key_aliases = [k.alias(f"_k{i}") for i, k in enumerate(keys)]
         gdf = df.groupBy(*key_aliases) if keys else df.groupBy()
         agg_cols = [c_ for c_, is_a in zip(cols, agg_flags) if is_a]
@@ -4101,6 +4133,16 @@ _PY_FNS: dict[str, Any] = {
     ),
     "truncate": lambda x, s=1: (
         None if x is None else math.floor(x / s) * s
+    ),
+    # SUBSTRING: 0-based, negatives from the end, start incl / stop
+    # excl (functions.scalar.substring parity, doc/raql/expr.ml:702)
+    "substring": lambda s, b, e: (
+        None
+        if s is None or b is None or e is None
+        else s[
+            max(len(s) + int(b), 0) if b < 0 else min(int(b), len(s)):
+            max(len(s) + int(e), 0) if e < 0 else min(int(e), len(s))
+        ]
     ),
 }
 
@@ -5113,6 +5155,25 @@ class _Fold:
             if node.fn == "percentile_of":
                 p = ev(node.args[0])
                 return _py_percentile(ev(node.args[1]) or [], p)
+            if node.fn == "countrycode":
+                ranges = (self.params or {}).get("__geoip_ranges")
+                if not ranges:
+                    raise NotImplementedError(
+                        "COUNTRYCODE in the fold needs "
+                        "params['__geoip_ranges']"
+                    )
+                v = ev(node.args[0])
+                if isinstance(v, dict):  # generic ip sum struct
+                    v = v.get("v4") if v.get("version") == 4 else None
+                if v is None:
+                    return None
+                import bisect
+
+                rs = sorted(ranges)
+                i = bisect.bisect_right([r[0] for r in rs], int(v)) - 1
+                if i >= 0 and int(v) <= rs[i][1]:
+                    return rs[i][2]
+                return None
             if node.fn == "fit":
                 return _py_fit(ev(node.args[0]))
             if node.fn in AGGS and len(node.args) == 1:
@@ -5323,7 +5384,8 @@ def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> 
                   "sinh", "cosh", "tanh"):
             return "double"
         if fn in ("lower", "upper", "substring", "basename", "format_time",
-                  "sparkline", "chr", "uuid_of_u128", "split", "variant"):
+                  "sparkline", "chr", "uuid_of_u128", "split", "variant",
+                  "countrycode"):
             return "string"
         if fn in ("length", "index", "hash"):
             return INT
@@ -5763,7 +5825,7 @@ def compile_commit_operation(
             keys.append(_strip_ns(k.path))
         else:
             kc = f"_gk{i}"
-            df = df.withColumn(kc, Compiler(params).col(k))
+            df = df.withColumn(kc, Compiler(params, schema={f_.name: f_.dataType.simpleString() for f_ in df.schema.fields}).col(k))
             keys.append(kc)
 
     # WHERE: stateless → Catalyst filter before the shuffle (the
@@ -5995,7 +6057,7 @@ def compile_commit_streaming(
             keys.append(_strip_ns(k.path))
         else:
             kc = f"_gk{i}"
-            df = df.withColumn(kc, Compiler(params).col(k))
+            df = df.withColumn(kc, Compiler(params, schema={f_.name: f_.dataType.simpleString() for f_ in df.schema.fields}).col(k))
             keys.append(kc)
 
     # worker-mode routing mirrors the batch trigger-mode decision

@@ -490,3 +490,85 @@ def test_example_central_limit_materializes(spark):
     assert mid > tails  # CLT: peaked around 0.5
     spark_line = dfs["display"].collect()[0]["avg_random_distrib"]
     assert isinstance(spark_line, str) and len(spark_line) >= 79
+
+
+def test_example_network_generator_chain_materializes(spark):
+    """examples/generators/network: the full three-program monitoring
+    chain MATERIALIZES — logs (RANDOM-driven web-shop generator, EVERY
+    1/hit_rate) → aggregated#1min (per-minute rollup w/ SAMPLE
+    LOCALLY percentiles, CountryCode factors, check-all commit with
+    clock-jitter slack) → errors (error-rate per minute, out-chained
+    sums). Cross-program parents wire through externals with the
+    `#1min` instance identity."""
+    base = f"{_EX}/generators/network"
+
+    logs = compile_program(
+        open(f"{base}/logs.ramen").read(), name="g/logs", base_dir=base
+    )
+    # hit_rate=10 → EVERY 0.1s × 2048 ticks ≈ 205 s of fake time, so
+    # aggregated's one-minute buckets actually close (commit slack is
+    # bucket end + 2×jitter + 10 s)
+    http = logs.materialize(
+        spark, params={"hit_rate": 10}, register_views=False
+    )["http"]
+    rows = http.limit(50).collect()
+    assert len(rows) == 50
+    assert all(r["method"] in {"GET", "POST", "HEAD", "OPTIONS", "PUT",
+                               "DELETE", "CONNECT", "TRACE", "PATCH"}
+               for r in rows)
+    assert all(100 <= r["code"] < 600 for r in rows)
+    assert all(r["url"].startswith("/") for r in rows)
+
+    agg = compile_program(
+        open(f"{base}/aggregated.ramen").read(),
+        name="g/aggregated#1min", base_dir=base,
+    )
+    geo = [(0, 2**31, "AA"), (2**31 + 1, 2**32 - 1, "BB")]
+    ahttp = agg.materialize(
+        spark,
+        params={"__geoip_ranges": geo},
+        externals={"g/logs/http": http},
+        register_views=False,
+    )["http"]
+    arows = ahttp.collect()
+    assert len(arows) >= 1
+    for r in arows[:20]:
+        assert r["count"] >= 1
+        assert r["min__rt"] <= r["avg__rt"] <= r["max__rt"]
+        assert r["stop"] - r["start"] == 60.0  # 1min buckets
+
+    err = compile_program(
+        open(f"{base}/errors.ramen").read(), name="g/errors", base_dir=base
+    )
+    edfs = err.materialize(
+        spark,
+        externals={"g/aggregated#1min/http": ahttp},
+        register_views=False,
+    )
+    erows = edfs["http"].collect()
+    assert len(erows) >= 1
+    for r in erows:
+        assert r["tot_count"] == r["err_count"] + r["ok_count"]
+        assert 0.0 <= r["err_ratio"] <= 1.0
+
+
+def test_example_logs_fast_materializes(spark):
+    """examples/generators/network/logs_fast.ramen: the
+    previous.start-chained fake clock — start strictly advances from
+    start_of_time by jitter+dt per row."""
+    base = f"{_EX}/generators/network"
+    prog = compile_program(
+        open(f"{base}/logs_fast.ramen").read(), name="g/logs_fast",
+        base_dir=base,
+    )
+    rows = prog.materialize(spark, register_views=False)["http"].collect()
+    assert len(rows) >= 1000
+    starts = [r["start"] for r in rows]
+    t0 = 191631600.0  # start_of_time default
+    # the fake clock is a random walk (jitter in [-5,5] dominates the
+    # 1/hit_rate step): per-row deltas bounded, all values within the
+    # walk's plausible band around start_of_time
+    n = len(starts)
+    assert all(abs(s - t0) < 5.03 * n for s in starts)
+    deltas = [b - a for a, b in zip(starts, starts[1:])]
+    assert all(-5.0 - 1e-6 <= d <= 5.0 + 2 * 0.1 + 1e-6 for d in deltas)
