@@ -11,8 +11,9 @@ Two surfaces the reference exposes for dashboards:
   (RamenGraphite.ml:336-563);
 - the **JSON-RPC v1 HTTP API** (src/RamenApi.ml:725-760 router):
   methods ``version``, ``get-tables``, ``get-columns``,
-  ``get-timeseries`` (request/response shapes
-  RamenApi.ml:436-472).
+  ``get-timeseries``/``set-alerts`` (request/response shapes
+  RamenApi.ml:436-472; set-alerts transpiles AlertInfoV1 specs into
+  RaQL alert programs via alerts.py — CodeGen_Alert2RaQL.ml).
 
 Spark-first shape: both serve from the function archives
 (sources.archive — day-partitioned Parquet with FACTORS as partition
@@ -20,8 +21,9 @@ columns), so factor enumeration is a partition listing and a render
 is a partition-pruned replay slice through operators.windows.
 timeseries (the bucket-spreading grid). No daemon: these are pure
 functions a web layer (or a test) calls with a SparkSession; the
-``set-alerts`` method writes alert configs in the reference and is a
-documented cut here (alerting lives in streaming.alerter).
+``set-alerts`` method compiles alert programs into an in-memory store
+(the reference saves them to the confserver); their NOTIFY output
+feeds streaming.alerter.
 """
 
 from __future__ import annotations
@@ -302,6 +304,52 @@ def render(
 # -- JSON-RPC v1 (RamenApi.ml) ---------------------------------------------
 
 
+def _set_alerts(
+    spark: SparkSession,
+    catalog: ArchiveCatalog,
+    params: dict,
+    table_prefix: str,
+    store: dict | None,
+) -> None:
+    """set-alerts (RamenApi.ml set_alerts): params =
+    {table: {column: [alert…]}} with the AlertInfoV1 fields
+    (threshold + recovery → hysteresis = recovery − threshold).
+    Each alert transpiles to a RaQL program (alerts.py) compiled by
+    the front-end — compile errors surface as the RPC error."""
+    from ramen_spark.alerts import AlertSpec, compile_alert
+
+    store = store if store is not None else {}
+    for tbl, columns in (params or {}).items():
+        fq = table_prefix + tbl
+        cols = catalog.columns(spark, fq)
+        for column, alerts in (columns or {}).items():
+            if column not in cols:
+                raise ValueError(f"No column {column} in table {tbl}")
+            for i, al in enumerate(alerts or []):
+                thr = float(al["threshold"])
+                spec = AlertSpec(
+                    table=fq,
+                    column=column,
+                    threshold=thr,
+                    hysteresis=float(al.get("recovery", thr)) - thr,
+                    duration=float(al.get("duration", 0.0)),
+                    ratio=float(al.get("ratio", 1.0)),
+                    time_step=float(al.get("time-step", 0.0)),
+                    where=list(al.get("where", [])),
+                    having=list(al.get("having", [])),
+                    id=str(al.get("id", "")),
+                    desc_title=str(al.get("desc-title", "")),
+                    desc_firing=str(al.get("desc-firing", "")),
+                    desc_recovery=str(al.get("desc-recovery", "")),
+                    enabled=bool(al.get("enabled", True)),
+                )
+                col_types = {n: c["type"] for n, c in cols.items()}
+                prog, text = compile_alert(
+                    spec, col_types, name=f"alert/{tbl}/{column}/{i}"
+                )
+                store[(tbl, column, i)] = (spec, prog, text)
+
+
 def _apply_simple_filters(df: DataFrame, where: list[dict]) -> DataFrame:
     """AlertInfoV1.simple_filter list: {lhs, rhs, op} with op one of
     = != < <= > >= (RamenApi.ml simple_filter)."""
@@ -327,9 +375,15 @@ def jsonrpc_handle(
     catalog: ArchiveCatalog,
     body: str,
     table_prefix: str = "",
+    alerts_store: dict | None = None,
 ) -> str:
     """The v1 JSON-RPC dispatcher (RamenApi.ml:725-760): parse
-    {method, params, id}, answer {result, id} or {error, id}."""
+    {method, params, id}, answer {result, id} or {error, id}.
+
+    ``alerts_store``: mutable dict receiving compiled alert programs
+    from ``set-alerts`` (keyed (table, column, index) →
+    (AlertSpec, Program, generated RaQL text)); the reference saves
+    the generated sources to the confserver instead."""
     req = json.loads(body)
     rid = req.get("id")
 
@@ -358,6 +412,9 @@ def jsonrpc_handle(
             return ok(out)
         if method == "get-timeseries":
             return ok(_get_timeseries(spark, catalog, params, table_prefix))
+        if method == "set-alerts":
+            _set_alerts(spark, catalog, params, table_prefix, alerts_store)
+            return ok(None)
         return err(f"unknown method {method!r}")
     except Exception as e:  # bad_request surface
         return err(repr(e))

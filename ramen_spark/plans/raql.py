@@ -77,6 +77,7 @@ _TOKEN_RE = re.compile(
   | (?P<int>0x[0-9a-fA-F_]+|\d[\d_]*)(?P<intsuf>NUMSUF)?
   | (?P<string>"(?:\\.|[^"\\])*")
   | (?P<bq>`[^`]*`)
+  | (?P<sq>'[^']*')
   | (?P<op>\.\.|<=|>=|<>|!=|\|\||\|\?|<<|>>|//|[-+*/%^=<>(),;?:\[\]{}&|\#])
   | (?P<name>[A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*)*)
     """.replace("NUMSUF", _NUM_SUF),
@@ -172,6 +173,11 @@ def tokenize(text: str) -> list[Tok]:
             # backtick-quoted identifier (ClickHouse schema blocks,
             # fixtures/email.ramen `from`): always a name, never a kw
             out.append(Tok("name", m.group("bq")[1:-1], m.start()))
+        elif m.group("sq"):
+            # single-quoted identifier (the reference's ramen_quote:
+            # field/program names with spaces, slashes or '#' —
+            # generated alert programs quote every name)
+            out.append(Tok("name", m.group("sq")[1:-1], m.start()))
         elif m.group("op"):
             out.append(Tok("op", m.group("op"), m.start()))
         elif m.group("name"):
@@ -411,9 +417,18 @@ class Parser:
 
     def parse_and(self) -> Any:
         e = self.parse_not()
-        while self.accept("kw", "and"):
+        while True:
+            t = self.peek()
+            if t.kind != "kw" or t.value != "and":
+                return e
+            # `… AND KEEP/FLUSH` terminates the expression: it is the
+            # clause-level flush method, not a conjunction
+            # (NOTIFY "x" AND KEEP — CodeGen_Alert2RaQL.ml:466)
+            nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+            if nxt is not None and nxt.kind == "kw" and nxt.value in ("keep", "flush"):
+                return e
+            self.next()
             e = Binop("and", e, self.parse_not())
-        return e
 
     def parse_not(self) -> Any:
         if self.accept("kw", "not"):
@@ -2976,8 +2991,28 @@ def _parse_operation_body(p: Parser):
                 p.expect("kw", "after")
             commit_after = p.parse_expr()
         elif t.value == "notify":
+            # NOTIFY <expr> [AND (KEEP|FLUSH)] — generated alert
+            # programs build the name by concatenation and append the
+            # flush method after it (CodeGen_Alert2RaQL.ml:441-466)
             p.next()
-            notify = p.expect("str").value
+            ne = p.parse_expr()
+            notify = ne.value if isinstance(ne, Lit) and isinstance(ne.value, str) else ne
+            if p.accept("kw", "and"):
+                ft_ = p.next()
+                if str(ft_.value).lower() == "keep":
+                    flush = False
+                    if p.peek().kind == "name" and p.peek().value.lower() == "all":
+                        p.next()
+                elif str(ft_.value).lower() == "flush":
+                    flush = True
+                else:
+                    raise SyntaxError("NOTIFY … AND: expected KEEP or FLUSH")
+        elif t.value in ("after", "before"):
+            # bare AFTER/BEFORE cond — COMMIT elided entirely
+            # (CodeGen_Alert2RaQL.ml:462 'AFTER CHANGED firing')
+            p.next()
+            commit_before = t.value == "before"
+            commit_after = p.parse_expr()
         else:
             break
         seen_any = True
@@ -4038,7 +4073,19 @@ def compile_program(text: str, name: str = "raql", base_dir: str | None = None):
                     cop, src, params=params,
                     order_cols=["_tick"] if "_tick" in src.columns else None,
                 )
-            return compile_operation(cop, src, params)
+            try:
+                return compile_operation(cop, src, params)
+            except ValueError as e:
+                if "not a GROUP BY key" not in str(e):
+                    raise
+                # a non-aggregate select field that isn't a key
+                # expression (generated alerts: `start + dt AS stop`
+                # beside GROUP BY start // dt) needs the general
+                # engine's last-row candidate semantics
+                return compile_commit_operation(
+                    cop, src, params=params,
+                    order_cols=["_tick"] if "_tick" in src.columns else None,
+                )
 
         return body
 
@@ -4776,6 +4823,24 @@ class _Fold:
             # the reference's HeavyHitters.rank counts lightest-first —
             # an iteration-order quirk no test pins down)
             return top.index(x) + 1 if x in top else None
+        if fn == "hysteresis":
+            # Schmitt trigger (doc/raql/expr.ml:894, CodeGenLib.ml:
+            # 506-513) — operands may be per-row expressions (baseline
+            # thresholds); NULLs leave the state untouched and yield
+            # NULL (generated alerts COALESCE it to healthy)
+            x = ev(node.args[0])
+            accept = ev(node.args[1])
+            maximum = ev(node.args[2])
+            ok = rs.get(key, True)
+            if x is None or accept is None or maximum is None:
+                return None
+            rising = maximum >= accept
+            if ok:
+                ok = (x <= maximum) if rising else (x >= maximum)
+            else:
+                ok = (x <= accept) if rising else (x >= accept)
+            rs[key] = bool(ok)
+            return bool(ok)
         raise NotImplementedError(
             f"row-stateful {fn} in the COMMIT fold (see operators.series)"
         )
@@ -5375,7 +5440,8 @@ def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> 
             return f"struct<{inner}>"
         if fn in ("count", "count_distinct", "bitand", "bitor", "bitxor", "peek"):
             return INT
-        if fn in ("and_all", "or_all", "distinct", "is_null", "remember"):
+        if fn in ("and_all", "or_all", "distinct", "is_null", "remember",
+                  "hysteresis", "changed", "is_in_top", "recall"):
             return "boolean"
         if fn in ("avg", "smooth", "season_moveavg", "moveavg", "fit", "derive",
                   "reldiff", "random", "now", "age", "sq", "sqrt", "exp", "log",

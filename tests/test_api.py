@@ -169,3 +169,51 @@ def test_jsonrpc_get_timeseries_factors_and_timestep(spark, catalog):
         {"since": DAY0, "until": DAY0 + 1, "data": {}},
     )
     assert "num-points" in bad["error"]
+
+
+def test_jsonrpc_set_alerts(spark, catalog):
+    """set-alerts (RamenApi.ml): AlertInfoV1 specs transpile to RaQL
+    alert programs via alerts.py, compiled by the front-end; bad
+    columns surface as RPC errors."""
+    store = {}
+    req = {
+        "net/traffic": {
+            "bytes": [
+                {
+                    "threshold": 20.0,
+                    "recovery": 15.0,
+                    "id": "high-bytes",
+                    "where": [{"lhs": "iface", "rhs": "eth0", "op": "="}],
+                }
+            ]
+        }
+    }
+    resp = json.loads(
+        jsonrpc_handle(
+            spark, catalog,
+            json.dumps({"method": "set-alerts", "params": req, "id": 9}),
+            alerts_store=store,
+        )
+    )
+    assert resp == {"result": None, "id": 9}
+    (spec, prog, text) = store[("net/traffic", "bytes", 0)]
+    assert "HYSTERESIS" in text and spec.hysteresis == -5.0
+    # the compiled program RUNS against the archived table
+    src = spark.read.parquet(catalog.get("net/traffic").path)
+    out = prog.materialize(
+        spark, externals={"net/traffic": src}, register_views=False
+    )
+    fired = [r for r in out["alert"].collect() if r["firing"]]
+    assert len(fired) >= 1  # hourly values cross 20 at hour 21+
+
+    bad = json.loads(
+        jsonrpc_handle(
+            spark, catalog,
+            json.dumps({
+                "method": "set-alerts",
+                "params": {"net/traffic": {"nope": [{"threshold": 1}]}},
+                "id": 10,
+            }),
+        )
+    )
+    assert "nope" in bad["error"]
