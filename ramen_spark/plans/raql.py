@@ -244,12 +244,19 @@ class NetLit:
 
 @dataclass
 class TypeSpec:
-    """Type name in CAST / type-call syntax (src/raql_type.ml:10-46)."""
+    """Type name in CAST / type-call syntax (src/raql_type.ml:10-46).
+
+    Compound CSV column types (tools/gen_reader_test.ml emits dessser
+    DT.print_mn syntax: tuples ``(t1; t2)``, records ``{n: t; …}``,
+    vectors of either) use the ``__tuple``/``__rec``/``__vec``
+    pseudo-names with ``items`` holding (member name | None, member
+    type); plain scalar vectors keep the classic vec_dim form."""
 
     name: str  # lowercase: u8..u128, i8.., float, string, bool, char
     nullable: bool = False
     vec_dim: int | None = None  # CAST(x AS U8[4]) / U8[]
     is_arr: bool = False
+    items: list | None = None  # compound members [(name|None, TypeSpec)]
 
 
 _INT_TYPES = {f"{s}{w}" for s in "ui" for w in (8, 16, 24, 32, 40, 48, 56, 64, 128)}
@@ -774,6 +781,52 @@ class Parser:
                 is_arr = True
             self.expect("op", "]")
         return TypeSpec(name, nullable, vec_dim, is_arr)
+
+    def _parse_csv_type(self) -> TypeSpec:
+        """Recursive CSV column type (dessser DT.print_mn syntax,
+        emitted by the reference's tools/gen_reader_test.ml):
+        scalar[?], (t1; t2)[?], {name: t; …}[?], any of them [dim][?].
+        Scalars (plus scalar vectors) reduce to the classic TypeSpec
+        so the single-cell reader paths are untouched."""
+        t = self.peek()
+        if t.kind == "op" and t.value == "(":
+            self.next()
+            items: list = [(None, self._parse_csv_type())]
+            while self.accept("op", ";") or self.accept("op", ","):
+                items.append((None, self._parse_csv_type()))
+            self.expect("op", ")")
+            ts = TypeSpec("__tuple", bool(self.accept("op", "?")), items=items)
+        elif t.kind == "op" and t.value == "{":
+            self.next()
+            items = []
+            while True:
+                nm = self.expect("name").value
+                self.expect("op", ":")
+                items.append((nm, self._parse_csv_type()))
+                if not (self.accept("op", ";") or self.accept("op", ",")):
+                    break
+            self.expect("op", "}")
+            ts = TypeSpec("__rec", bool(self.accept("op", "?")), items=items)
+        else:
+            ts = self._parse_type_spec(allow_vec=False)
+        while self.accept("op", "["):
+            if self.peek().kind == "num":
+                dim = int(self.next().value)
+                arr = False
+            else:
+                dim, arr = None, True
+            self.expect("op", "]")
+            vec_nullable = bool(self.accept("op", "?"))
+            if ts.items is None and ts.vec_dim is None and not ts.is_arr:
+                # plain scalar vector — classic form
+                ts = TypeSpec(ts.name, ts.nullable, dim, arr)
+                ts.nullable = ts.nullable or vec_nullable
+            else:
+                ts = TypeSpec(
+                    "__vec", vec_nullable, vec_dim=dim, is_arr=arr,
+                    items=[(None, ts)],
+                )
+        return ts
 
     def _parse_agg_call(self, low: str) -> Any | None:
         """Unary stateful-function application: ``SUM x``, ``MIN SKIP
@@ -2275,6 +2328,10 @@ class ReadCsv:
     # original ClickHouse type strings (rowbinary decode spec); parallel
     # to ``fields`` when the schema came from a ClickHouse block
     ch_types: list[str] | None = None
+    # VECTORS OF CHARS AS VECTOR (tools/gen_reader_test.ml readers):
+    # compound/vector columns span MULTIPLE cells (dessser csv_of_vec
+    # joins members with the separator) instead of one bracketed cell
+    multicell_vectors: bool = False
 
 
 @dataclass
@@ -2329,6 +2386,7 @@ def _parse_read_csv(p: Parser) -> ReadCsv:
     may_quote = True
     escape_seq: str | None = None
     clickhouse = fmt == "rowbinary"
+    multicell = False
     while True:
         t = p.peek()
         tv = str(t.value).lower() if t.kind in ("name", "kw") else ""
@@ -2359,6 +2417,14 @@ def _parse_read_csv(p: Parser) -> ReadCsv:
             if nxt.value.lower() != "syntax":
                 raise SyntaxError(f"READ: CLICKHOUSE {nxt.value}?")
             clickhouse = True
+        elif t.kind == "name" and tv == "vectors":
+            # VECTORS OF CHARS AS VECTOR — multi-cell compound layout
+            p.next()
+            for want in ("of", "chars", "as", "vector"):
+                got = p.next()
+                if str(got.value).lower() != want:
+                    raise SyntaxError(f"READ: VECTORS … expected {want!r}")
+            multicell = True
         else:
             break
     p.expect("op", "(")
@@ -2386,8 +2452,8 @@ def _parse_read_csv(p: Parser) -> ReadCsv:
             p.next()
             ts = TypeSpec(nxt.value.lower(), bool(p.accept("op", "?")))
         else:
-            ts = p._parse_type_spec()
-        if p.accept("op", "{"):  # units metadata — skipped
+            ts = p._parse_csv_type()
+        if ts.items is None and p.accept("op", "{"):  # units metadata — skipped
             depth = 1
             while depth:
                 t = p.next()
@@ -2404,7 +2470,7 @@ def _parse_read_csv(p: Parser) -> ReadCsv:
     return ReadCsv(
         path, fields, separator, null_str, fmt=fmt,
         may_quote=may_quote, escape_seq=escape_seq,
-        clickhouse_syntax=clickhouse,
+        clickhouse_syntax=clickhouse, multicell_vectors=multicell,
     )
 
 
@@ -3622,10 +3688,45 @@ def _compile_read_csv(spark, rc: ReadCsv, base_dir: str | None):
     # reference's flattened sum encoding, fixtures/mixture.csv:
     # ip = tag,value; cidr = tag,value,mask) — scan the raw cells and
     # assemble the sum structs after the read.
-    arr_fields = {fname for fname, ts in rc.fields if ts.is_arr or ts.vec_dim}
+    # multi-cell compound columns (VECTORS OF CHARS AS VECTOR,
+    # tools/gen_reader_test.ml): each leaf scalar is its own CSV cell
+    # (dessser csv_of_vec joins members with the separator)
+    def _mc_leaves(ts: TypeSpec) -> list[TypeSpec]:
+        if ts.is_arr:
+            raise NotImplementedError(
+                "variable-length list column in multi-cell CSV (the "
+                "length-prefixed layout has per-row arity)"
+            )
+        if ts.items is not None:
+            if ts.name == "__vec":
+                return _mc_leaves(ts.items[0][1]) * (ts.vec_dim or 0)
+            return [l for _, m in ts.items for l in _mc_leaves(m)]
+        if ts.vec_dim:
+            return [TypeSpec(ts.name, ts.nullable)] * ts.vec_dim
+        return [ts]
+
+    mc_fields = (
+        {
+            fname
+            for fname, ts in rc.fields
+            if ts.items is not None or ts.vec_dim or ts.is_arr
+        }
+        if rc.multicell_vectors
+        else set()
+    )
+    arr_fields = {
+        fname
+        for fname, ts in rc.fields
+        if (ts.is_arr or ts.vec_dim) and fname not in mc_fields
+    }
     raw_fields: list[T.StructField] = []
     for fname, ts in rc.fields:
-        if ts.name == "ip":
+        if fname in mc_fields:
+            for i, leaf in enumerate(_mc_leaves(ts)):
+                raw_fields.append(
+                    T.StructField(f"{fname}__c{i}", spark_type(leaf), True)
+                )
+        elif ts.name == "ip":
             raw_fields.append(T.StructField(f"{fname}__tag", T.IntegerType(), True))
             raw_fields.append(T.StructField(f"{fname}__val", T.StringType(), True))
         elif ts.name == "cidr":
@@ -3651,9 +3752,34 @@ def _compile_read_csv(spark, rc: ReadCsv, base_dir: str | None):
     )
     from ramen_spark.sources.csv import decimal_str_to_bytes16
 
+    def _mc_assemble(ts: TypeSpec, fname: str, idx: int):
+        if ts.items is not None and ts.name == "__vec":
+            elem = ts.items[0][1]
+            cols = []
+            for _ in range(ts.vec_dim or 0):
+                c, idx = _mc_assemble(elem, fname, idx)
+                cols.append(c)
+            return F.array(*cols), idx
+        if ts.items is not None:  # __tuple / __rec
+            cols = []
+            for j, (nm, m) in enumerate(ts.items):
+                c, idx = _mc_assemble(m, fname, idx)
+                cols.append(c.alias(nm or f"_{j + 1}"))
+            return F.struct(*cols), idx
+        if ts.vec_dim:
+            cols = []
+            for _ in range(ts.vec_dim):
+                cols.append(F.col(f"{fname}__c{idx}"))
+                idx += 1
+            return F.array(*cols), idx
+        return F.col(f"{fname}__c{idx}"), idx + 1
+
     out_cols = []
     for fname, ts in rc.fields:
-        if ts.name == "ip":
+        if fname in mc_fields:
+            col, _ = _mc_assemble(ts, fname, 0)
+            out_cols.append(col.alias(fname))
+        elif ts.name == "ip":
             tag, val = F.col(f"{fname}__tag"), F.col(f"{fname}__val")
             out_cols.append(
                 F.when(

@@ -572,3 +572,58 @@ def test_example_logs_fast_materializes(spark):
     assert all(abs(s - t0) < 5.03 * n for s in starts)
     deltas = [b - a for a, b in zip(starts, starts[1:])]
     assert all(-5.0 - 1e-6 <= d <= 5.0 + 2 * 0.1 + 1e-6 for d in deltas)
+
+
+def test_generated_spec_reconstruction(spark, tmp_path):
+    """tests/func/generated.test reconstruction: the spec's
+    .ramen/.csv pair is emitted by the reference's BUILD
+    (tools/gen_reader_test.ml — random compound type → CSV reader
+    program → 100k-row random CSV) and absent from the checkout (the
+    sweep's one xfail). We regenerate an equivalent pair
+    deterministically (tests/gen_reader.py) and run the spec's check:
+    'generated/counter' must show count = 100000."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from tests.gen_reader import generate
+
+    text, fields, first = generate(tmp_path, seed=42, rows=100_000)
+    prog = compile_program(text, name="generated", base_dir=str(tmp_path))
+    dfs = prog.materialize(spark, register_views=False)
+
+    # the spec's present-check: some counter row carries count=100000
+    assert dfs["counter"].agg(F.max("count")).collect()[0][0] == 100_000
+
+    # the generated type genuinely exercises compound decode
+    schema = dfs["reader"].schema
+    assert any(
+        isinstance(f_.dataType, (T.ArrayType, T.StructType))
+        for f_ in schema.fields
+    ), schema.simpleString()
+
+    # spot-check: the first CSV row round-trips through the
+    # flatten/assemble pair (leaves compared in declaration order)
+    def flatten(v):
+        if isinstance(v, (list, tuple)):
+            out = []
+            for x in v:
+                out.extend(flatten(x))
+            return out
+        if hasattr(v, "asDict"):
+            return flatten(list(v.asDict().values()))
+        return [v]
+
+    row0 = dfs["reader"].limit(1).collect()[0]
+    got = flatten([row0[f_.name] for f_ in schema.fields])
+    assert len(got) == len(first)
+    for g, want in zip(got, first):
+        if want == "\\N":
+            assert g is None
+        elif isinstance(g, bool):
+            assert g == (want == "true")
+        elif isinstance(g, float):
+            assert abs(g - float(want)) < 1e-6
+        elif isinstance(g, int):
+            assert g == int(want)
+        else:
+            assert str(g) == want
