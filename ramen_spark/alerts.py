@@ -70,7 +70,14 @@ class AlertSpec:
 
 
 def _q(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'" if not s.isidentifier() else s
+    """ramen_quote: single-quote names that aren't plain identifiers
+    OR collide with RaQL keywords (a column named `group`/`start` must
+    not parse as a clause)."""
+    from ramen_spark.plans.raql import _KEYWORDS
+
+    if s.isidentifier() and s.lower() not in _KEYWORDS:
+        return s
+    return "'" + s.replace("'", "''") + "'"
 
 
 def _filters_raql(filters: list[dict], col_types: dict[str, str]) -> str:
