@@ -157,6 +157,10 @@ def generate_alert_raql(
         w(f"  COMMIT AFTER in.start > out.start + 1.5 * {_nice(slack)};")
     else:
         for fn in carried:
+            if fn == "value":
+                # the `AS value` alias below IS this column (or would
+                # shadow a same-named carried field)
+                continue
             w(f"    {_q(fn)},")
         w(f"    {_q(a.column)} AS value,")
         w("    start, stop;")

@@ -1278,6 +1278,62 @@ def hysteresis_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "alert_firing_transitions",
+    """
+    WITH RECURSIVE t AS (
+      SELECT event_type, CAST(event_id AS DOUBLE) AS start,
+             CAST(value AS DOUBLE) AS value,
+             row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+      FROM events
+    ), r AS (
+      SELECT event_type, rn, start, (value <= 100.0) AS ok FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.event_type, t.rn, t.start,
+             CASE WHEN r.ok THEN t.value <= 100.0 ELSE t.value <= 50.0 END
+      FROM r JOIN t ON t.event_type = r.event_type AND t.rn = r.rn + 1
+    ), f AS (
+      SELECT event_type, rn, start, NOT ok AS firing,
+             lag(NOT ok) OVER (PARTITION BY event_type ORDER BY rn) AS prev
+      FROM r
+    )
+    SELECT event_type, start, firing
+    FROM f
+    WHERE (prev IS NULL AND firing) OR firing <> prev
+    """,
+)
+def alert_firing_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The alert→RaQL transpiler END-TO-END (alerts.py, mirroring
+    src/CodeGen_Alert2RaQL.ml): a declarative threshold alert on
+    events.value (threshold 100, recovery 50, grouped by event_type)
+    becomes the filtered→ok→alert program, compiled and materialized
+    by the in-repo front-end; the output is the firing TRANSITIONS
+    (AFTER CHANGED firing |? firing). Oracle = the hysteresis
+    recursive CTE plus a lag() transition filter. The event axis is
+    event_id (monotone, unique) so both engines fold in the same
+    order; the single sorted partition pins arrival order (hysteresis
+    is inherently sequential per group — parallelism is across
+    groups at scale)."""
+    from ramen_spark.alerts import AlertSpec, compile_alert
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").cast("double").alias("start"),
+        (F.col("event_id").cast("double") + 1.0).alias("stop"),
+        "value",
+    )
+    ev = ev.coalesce(1).sortWithinPartitions("start")
+    spec = AlertSpec(
+        table="ev", column="value", threshold=100.0, hysteresis=-50.0,
+        group_by=["event_type"],
+    )
+    cols = {"event_type": "string", "start": "float", "stop": "float",
+            "value": "float"}
+    prog, _text = compile_alert(spec, cols)
+    out = prog.materialize(spark, externals={"ev": ev}, register_views=False)
+    return out["alert"].select("event_type", "start", "firing")
+
+
+@register(
     "commit_after_count",
     """
     WITH t AS (
