@@ -165,6 +165,7 @@ class UdpSpool:
         self.port = self._sock.getsockname()[1]  # resolved ephemeral port
         self._buf: list[tuple[bytes, float, str]] = []
         self._lock = threading.Lock()
+        self._flush_lock = threading.Lock()
         self._stop = threading.Event()
         self._n_files = 0
         self._flush_packets = flush_packets
@@ -193,28 +194,30 @@ class UdpSpool:
 
     def flush(self) -> None:
         """Land buffered datagrams as one parquet file (atomic rename
-        so the tailing stream never sees a partial file)."""
+        so the tailing stream never sees a partial file). Serialized:
+        callers may flush concurrently with the receiver thread."""
         import os
 
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        with self._lock:
-            batch, self._buf = self._buf, []
-        if not batch:
-            return
-        tbl = pa.table(
-            {
-                "packet": pa.array([b for b, _, _ in batch], pa.binary()),
-                "recv_ts": pa.array([t for _, t, _ in batch], pa.float64()),
-                "peer": pa.array([p for _, _, p in batch], pa.string()),
-            }
-        )
-        tmp = os.path.join(self.spool_dir, f"._pkt_{self._n_files:08d}.tmp")
-        dst = os.path.join(self.spool_dir, f"pkt_{self._n_files:08d}.parquet")
-        pq.write_table(tbl, tmp)
-        os.rename(tmp, dst)
-        self._n_files += 1
+        with self._flush_lock:
+            with self._lock:
+                batch, self._buf = self._buf, []
+            if not batch:
+                return
+            tbl = pa.table(
+                {
+                    "packet": pa.array([b for b, _, _ in batch], pa.binary()),
+                    "recv_ts": pa.array([t for _, t, _ in batch], pa.float64()),
+                    "peer": pa.array([p for _, _, p in batch], pa.string()),
+                }
+            )
+            tmp = os.path.join(self.spool_dir, f"._pkt_{self._n_files:08d}.tmp")
+            dst = os.path.join(self.spool_dir, f"pkt_{self._n_files:08d}.parquet")
+            pq.write_table(tbl, tmp)
+            os.rename(tmp, dst)
+            self._n_files += 1
 
     def close(self) -> None:
         self._stop.set()
