@@ -278,3 +278,22 @@ def parse_graphite(df: DataFrame, line_col: str = "value") -> DataFrame:
         F.try_element_at(parts, F.lit(2)).cast("double").alias("value"),
         F.try_element_at(parts, F.lit(3)).cast("double").alias("start"),
     )
+
+
+def listen_for_graphite(
+    spark: SparkSession, host: str, port: int
+) -> DataFrame:
+    """LISTEN FOR graphite over TCP: Spark's socket source (text
+    lines) → parse_graphite typed rows. The socket source is a
+    CLIENT: point it at the host:port where the graphite feed is
+    served (carbon relay, netcat bridge). Not fault-tolerant by
+    design (Spark documents the socket source as such) — durable
+    ingestion goes file/Kafka; this is the live-tap path matching the
+    reference's plaintext listener (src/RamenGraphiteSink.ml)."""
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+    )
+    return parse_graphite(lines)

@@ -365,3 +365,58 @@ def test_listen_for_collectd_real_udp(spark):
         assert got == {("cpu", 42.0), ("mem", 7.0)}
     finally:
         spool.close()
+
+
+def test_listen_for_graphite_real_tcp(spark):
+    """LISTEN FOR graphite over a real TCP connection: a server
+    thread feeds plaintext metric lines to the socket source; the
+    parsed stream lands typed rows."""
+    import socket
+    import threading
+
+    from ramen_spark.streaming.sources import listen_for_graphite
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    lines = [
+        "servers.web1.cpu.idle 97.5 1700000000\n",
+        "servers.web1.mem.used 1234 1700000001\n",
+    ]
+
+    def serve():
+        conn, _ = srv.accept()
+        for ln in lines:
+            conn.sendall(ln.encode())
+        import time as _t
+
+        _t.sleep(3)  # keep the connection up while the batch drains
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    stream = listen_for_graphite(spark, "127.0.0.1", port)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("graphite_tcp")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 30
+    rows = []
+    while time.time() < deadline and len(rows) < 2:
+        time.sleep(0.5)
+        rows = spark.table("graphite_tcp").collect()
+    q.stop()
+    srv.close()
+    got = {r["metric"]: (r["value"], r["start"]) for r in rows}
+    assert got == {
+        "servers.web1.cpu.idle": (97.5, 1700000000.0),
+        "servers.web1.mem.used": (1234.0, 1700000001.0),
+    }
