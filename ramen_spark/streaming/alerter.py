@@ -24,16 +24,23 @@ tuples from a batch frame, producing identical journals. Contact
 delivery is a callable (the http/exec/kafka/sqlite contact surface,
 RamenAlerter.ml contacts) — tests use a log-list stand-in.
 
-Deliberate v1 cuts (documented): the false-positive-rate budget
-(pass_fpr), incident age-out (max_incident_age) and manual outage
-grouping are absent; certainty/debounce per-notification overrides
-and ack handling are implemented.
+Implemented beyond the dialog FSM: the false-positive-rate budget
+(``pass_fpr``, RamenAlerter.ml:379-425 — the exact convolution of
+Bernoulli(1−certainty) over the recent incidents, pass iff
+P(> ceil(dt·max_fpr) false positives) ≤ 0.5; event-time ``now``
+instead of the wall clock, so replays are deterministic),
+per-notification firing timeouts (an incident extinguishes after
+``timeout`` seconds without a firing — Stop Timeout), and incident
+age-out (``max_incident_age``: scheduled work for an incident whose
+first notification is too old cancels it). Deliberate v1 cut: manual
+outage grouping.
 """
 
 from __future__ import annotations
 
 import heapq
 import itertools
+import math
 from collections.abc import Callable
 from dataclasses import dataclass, field
 from typing import Any
@@ -77,12 +84,57 @@ class _Incident:
     first_start: dict
     journal: list[tuple[float, str]] = field(default_factory=list)
     dialogs: dict[str, _Dialog] = field(default_factory=dict)
+    last_firing: float = 0.0
+    timeout: float = 0.0  # auto-extinguish horizon (0 = none)
 
 
 def _ordinal(n: int) -> str:
     if 10 <= n % 100 <= 20:
         return f"{n}th"
     return f"{n}{ {1: 'st', 2: 'nd', 3: 'rd'}.get(n % 10, 'th') }"
+
+
+def pass_fpr(
+    max_fpr: float,
+    last_incidents: list[tuple[float, float]],
+    certainty: float,
+    now: float,
+) -> bool:
+    """False-positive-rate budget (RamenAlerter.ml:379-425 pass_fpr):
+    given the (time, certainty) of recently created incidents, admit a
+    new incident of the given certainty iff the probability of having
+    created more than ``ceil(dt × max_fpr)`` false positives —
+    computed by convolving Bernoulli(1−certainty) over all of them
+    plus the candidate — stays ≤ 0.5. Certainty ≥ 1 always passes;
+    the first incident ever always passes."""
+    if certainty >= 1.0:
+        return True
+    certainty = min(max(certainty, 0.0), 1.0)
+    if not last_incidents:
+        return True
+    oldest = min(t for t, _ in last_incidents)
+    dt = now - oldest
+    max_fp = math.ceil(dt * max_fpr)
+    if max_fp < 1:
+        return False  # bogus dt
+    if max_fp > 1 + len(last_incidents):
+        return True  # not enough incidents yet to exceed the budget
+    p_junks = [0.0] * (max_fp + 1)
+    p_junks[0] = 1.0
+
+    def send(c: float) -> None:
+        c = min(max(c, 0.0), 1.0)
+        p_junk = 1.0 - c
+        for i in range(len(p_junks) - 1, -1, -1):
+            p_junks[i] = p_junks[i] * c + (
+                p_junks[i - 1] * p_junk if i > 0 else 0.0
+            )
+
+    for _, c in last_incidents:
+        send(c)
+    send(certainty)
+    p_more = 1.0 - sum(p_junks)
+    return p_more <= 0.5
 
 
 class Alerter:
@@ -101,24 +153,33 @@ class Alerter:
         teams: dict[str, list[Contact]],
         default_team: str | None = None,
         debounce_delay: float = 30.0,
+        max_fpr: float | None = None,
+        max_incident_age: float | None = None,
+        max_last_incidents_kept: int = 100,
     ):
         if not teams:
             raise ValueError("no teams configured, notifications would drop")
         self.teams = teams
         self.default_team = default_team or next(iter(teams))
         self.debounce_delay = debounce_delay
+        self.max_fpr = max_fpr
+        self.max_incident_age = max_incident_age
         self.incidents: dict[str, _Incident] = {}  # id → incident
         self.pending: dict[str, str] = {}  # firing name → incident id
-        self._heap: list[tuple[float, int, str, str]] = []  # (t, seq, inc, dlg)
+        # (t, seq, inc, dlg-or-None); dlg None = incident-level task
+        self._heap: list[tuple[float, int, str, str | None]] = []
         self._ids = itertools.count()
         self._seq = itertools.count()
+        # (time, certainty) of recent creations, for pass_fpr
+        self.last_incidents: list[tuple[float, float]] = []
+        self._keep_last = max_last_incidents_kept
 
     # -- helpers -----------------------------------------------------------
 
     def _log(self, inc: _Incident, now: float, event: str) -> None:
         inc.journal.append((now, event))
 
-    def _schedule(self, t: float, inc_id: str, dialog_id: str) -> None:
+    def _schedule(self, t: float, inc_id: str, dialog_id: str | None) -> None:
         heapq.heappush(self._heap, (t, next(self._seq), inc_id, dialog_id))
 
     def _find_in_charge(self, name: str) -> str:
@@ -142,6 +203,8 @@ class Alerter:
         parameters: dict | None = None,
         debounce: float | None = None,
         certainty: float = 1.0,
+        timeout: float | None = None,
+        test: bool = False,
     ) -> None:
         notif = {
             "name": name,
@@ -149,6 +212,8 @@ class Alerter:
             "debounce": debounce,
             "certainty": certainty,
             "sent_time": now,
+            "timeout": timeout,
+            "test": test,
         }
         if firing:
             self._set_alight(notif, now)
@@ -158,6 +223,13 @@ class Alerter:
     def _set_alight(self, notif: dict, now: float) -> None:
         inc_id = self.pending.get(notif["name"])
         if inc_id is None:
+            # FPR budget gates CREATION only (RamenAlerter set_alight)
+            if not notif["test"] and self.max_fpr is not None:
+                if not pass_fpr(
+                    self.max_fpr, self.last_incidents,
+                    notif["certainty"], now,
+                ):
+                    return
             inc_id = str(next(self._ids))
             team = self._find_in_charge(notif["name"])
             inc = _Incident(
@@ -167,7 +239,16 @@ class Alerter:
                 inc.dialogs[c.name] = _Dialog()
             self.incidents[inc_id] = inc
             self.pending[notif["name"]] = inc_id
-        self._update_dialogs(self.incidents[inc_id], notif, now)
+            if not notif["test"]:
+                self.last_incidents.append((now, notif["certainty"]))
+                del self.last_incidents[: -self._keep_last]
+        inc = self.incidents[inc_id]
+        inc.last_firing = now
+        if notif["timeout"] is not None and notif["timeout"] > 0:
+            # auto-extinguish when no firing arrives for `timeout`
+            inc.timeout = float(notif["timeout"])
+            self._schedule(now + inc.timeout, inc_id, None)
+        self._update_dialogs(inc, notif, now)
 
     def _update_dialogs(self, inc: _Incident, notif: dict, now: float) -> None:
         # RamenAlerter.ml:340-375 update_dialogs
@@ -235,6 +316,36 @@ class Alerter:
         while self._heap and self._heap[0][0] <= now:
             t, _, inc_id, dlg_id = heapq.heappop(self._heap)
             inc = self.incidents[inc_id]
+            if dlg_id is None:
+                # firing-timeout probe: extinguish when no firing
+                # notification arrived within the horizon
+                # (RamenAlerter.ml Stop Timeout)
+                if (
+                    self.pending.get(inc.name) == inc_id
+                    and inc.timeout > 0
+                    and t - inc.last_firing >= inc.timeout - 1e-9
+                ):
+                    self._log(inc, t, "Stop Timeout")
+                    for d_id, d in inc.dialogs.items():
+                        if d.status == START_TO_BE_SENT:
+                            d.status = START_TO_BE_SENT_THEN_STOPPED
+                        elif d.status in (START_SENT, START_ACKED):
+                            d.status = STOP_TO_BE_SENT
+                            d.attempts = 0
+                            d.send_time = t
+                            self._schedule(t, inc.id, d_id)
+                    del self.pending[inc.name]
+                continue
+            if (
+                self.max_incident_age is not None
+                and t - inc.first_start["sent_time"] > self.max_incident_age
+            ):
+                # incident too old: cancel outstanding work
+                # (RamenAlerter.ml:873-880)
+                self._log(inc, t, "Cancelled (too old)")
+                self.pending.pop(inc.name, None)
+                inc.dialogs.pop(dlg_id, None)
+                continue
             dlg = inc.dialogs.get(dlg_id)
             if dlg is None:
                 continue

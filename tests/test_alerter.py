@@ -167,3 +167,65 @@ def test_alerter_sink_streaming_e2e(spark, tmp_path):
     b = Alerter({"t": [Contact("c")]}, debounce_delay=5)
     alerter_sink(spark.read.parquet(str(src)), b)
     assert _events(b.journal("0")) == ev
+
+
+def test_fpr_budget_suppresses_uncertain_incidents():
+    """pass_fpr (RamenAlerter.ml:379-425): a burst of low-certainty
+    notifications is throttled once the expected false-positive count
+    exceeds the budget; certainty-1 notifications always pass."""
+    a = Alerter(
+        {"t": [Contact("c")]}, debounce_delay=0, max_fpr=1.0 / 100.0
+    )
+    created = 0
+    for i in range(20):
+        a.notify(1.0 + i * 0.1, f"t: flaky {i}", certainty=0.3)
+    created = len(a.incidents)
+    assert 1 <= created < 20  # first passes, the burst is throttled
+    # a certain incident still passes
+    a.notify(5.0, "t: real", certainty=1.0)
+    assert len(a.incidents) == created + 1
+
+
+def test_notification_timeout_extinguishes():
+    """A firing notification with timeout=10: no re-firing within 10 s
+    ends the incident (Stop Timeout) and sends the stop message; a
+    later firing opens a NEW incident."""
+    sent = []
+    a = Alerter(
+        {"t": [Contact("c", via=lambda *args: sent.append(args))]},
+        debounce_delay=0,
+    )
+    a.notify(1.0, "t: alert", timeout=10.0)
+    a.advance(1.0)  # start message
+    a.advance(20.0)  # timeout probe at t=11 fires
+    ev = _events(a.journal("0"))
+    assert "Stop Timeout" in ev
+    assert ev[-1] == "Sent 1st message via c" and sent[-1][2] is False
+    a.notify(30.0, "t: alert")
+    assert len(a.incidents) == 2
+
+
+def test_refiring_defers_timeout():
+    """Re-firing within the horizon keeps the incident alive."""
+    a = Alerter({"t": [Contact("c")]}, debounce_delay=0)
+    a.notify(1.0, "t: alert", timeout=10.0)
+    a.notify(8.0, "t: alert", timeout=10.0)  # refresh
+    a.advance(12.0)  # first probe at 11: last_firing=8 → keep
+    assert "Stop Timeout" not in _events(a.journal("0"))
+    a.advance(19.0)  # second probe at 18: 18-8 >= 10 → extinguish
+    assert "Stop Timeout" in _events(a.journal("0"))
+
+
+def test_max_incident_age_cancels():
+    """Dialog work scheduled for an incident older than
+    max_incident_age cancels instead of sending."""
+    sent = []
+    a = Alerter(
+        {"t": [Contact("c", via=lambda *args: sent.append(args))]},
+        debounce_delay=100.0,  # message scheduled at t=101
+        max_incident_age=50.0,
+    )
+    a.notify(1.0, "t: alert")
+    a.advance(200.0)
+    assert sent == []
+    assert _events(a.journal("0"))[-1] == "Cancelled (too old)"
