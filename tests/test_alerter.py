@@ -229,3 +229,54 @@ def test_max_incident_age_cancels():
     a.advance(200.0)
     assert sent == []
     assert _events(a.journal("0"))[-1] == "Cancelled (too old)"
+
+
+def test_full_monitoring_loop(spark):
+    """The reference's main use case end-to-end: a metric stream runs
+    through a TRANSPILED alert program (alerts.py), its firing
+    transitions become notifications, and the alerter FSM turns them
+    into incidents with start/stop messages."""
+    from pyspark.sql import functions as F
+
+    from ramen_spark.alerts import AlertSpec, compile_alert
+
+    rows = [
+        (float(i), float(i) + 1.0, "eth0", v)
+        for i, v in enumerate([10.0, 20.0, 400.0, 420.0, 30.0, 20.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "start double, stop double, iface string, bytes double"
+    )
+    spec = AlertSpec(
+        table="t", column="bytes", threshold=300.0, id="high",
+        group_by=["iface"],
+    )
+    cols = {"start": "float", "stop": "float", "iface": "string",
+            "bytes": "float"}
+    prog, _ = compile_alert(spec, cols)
+    alert_out = prog.materialize(
+        spark, externals={"t": df}, register_views=False
+    )["alert"]
+
+    # the NOTIFY wiring: one notification per transition, named per
+    # group, firing flag carried through
+    notifs = alert_out.select(
+        F.col("start").alias("sent_time"),
+        F.concat(F.lit("t: high on "), F.col("iface")).alias("notification"),
+        F.col("firing"),
+    )
+    sent = []
+    a = Alerter(
+        {"t": [Contact("c", via=lambda *args: sent.append(args))]},
+        debounce_delay=0.5,
+    )
+    alerter_sink(notifs.coalesce(1).sortWithinPartitions("sent_time"), a)
+    a.advance(100.0)
+
+    assert len(a.incidents) == 1
+    ev = _events(a.journal("0"))
+    # fired at t=2, start message after debounce, recovered at t=4,
+    # stop message after its debounce
+    assert ev[0] == "Notified"
+    assert "Stop Notification" in ev
+    assert [s[2] for s in sent] == [True, False]  # start then stop
