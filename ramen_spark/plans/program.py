@@ -37,6 +37,8 @@ class Function:
     # ordering-only dependencies (no DataFrame passed): global-map
     # readers run after the writers that fill the map
     after: list[str] = field(default_factory=list)
+    # FACTORS — archive partition dimensions (raql Operation.factors)
+    factors: list[str] = field(default_factory=list)
 
     @property
     def is_private(self) -> bool:
@@ -71,6 +73,7 @@ class Program:
         persist_for: float | None = None,
         doc: str = "",
         after: list[str] | None = None,
+        factors: list[str] | None = None,
     ) -> Callable[[Body], Body]:
         """Decorator: ``@prog.define("f", parents=["raw"])`` over a
         body ``(spark, params, *parent_dfs) -> DataFrame``."""
@@ -80,7 +83,7 @@ class Program:
                 raise ValueError(f"function {name!r} already defined in {self.name!r}")
             self.functions[name] = Function(
                 name, body, list(parents or []), persist_for, doc,
-                list(after or []),
+                list(after or []), list(factors or []),
             )
             return body
 

@@ -2364,6 +2364,11 @@ class Operation:
     # EVERY d — the emission/refresh period (seconds). Pure timing in
     # batch (run-to-completion); streaming twins use it as the trigger.
     every: float | None = None
+    # FACTORS f1, f2 — low-cardinality dimension metadata for the
+    # archive layer (RamenOperation.ml:487-499): partition columns of
+    # the function's Parquet archive, metric-path levels in the
+    # Graphite tree. No effect on the computed relation.
+    factors: tuple[str, ...] = ()
 
 
 def _parse_read_csv(p: Parser) -> ReadCsv:
@@ -2837,6 +2842,7 @@ def _parse_operation_body(p: Parser):
     flush = True
     sort_last = None
     notify = None
+    factors_l: list[str] = []
     event_time = None
     is_yield = False
     every = None
@@ -2939,10 +2945,10 @@ def _parse_operation_body(p: Parser):
             continue
         if t.kind == "name" and t.value.lower() in ("factors", "factor"):
             # FACTORS f1[, f2 | AND f3]… — dimension metadata
-            # (RamenOperation.ml:487-499); recorded for the archive
+            # (RamenOperation.ml:487-499); retained for the archive
             # layer, no effect on the computed relation
             p.next()
-            _parse_factors(p)
+            factors_l.extend(_parse_factors(p))
             seen_any = True
             continue
         if t.kind == "name" and t.value.lower() == "yield":
@@ -3090,6 +3096,7 @@ def _parse_operation_body(p: Parser):
     return Operation(
         fields, sources, where, group_by, commit_after, commit_before, flush,
         sort_last, notify, event_time, is_yield, every,
+        factors=tuple(factors_l),
     )
 
 
@@ -4244,7 +4251,8 @@ def compile_program(text: str, name: str = "raql", base_dir: str | None = None):
             }
         )
         prog.define(
-            d.name, parents=parents, persist_for=d.persist_for, after=after
+            d.name, parents=parents, persist_for=d.persist_for, after=after,
+            factors=list(getattr(op, "factors", ()) or ()),
         )(make_body(op))
     return prog
 

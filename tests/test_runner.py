@@ -1,0 +1,76 @@
+"""deploy_program (runner.py): the `ramen run` + archivist + reader
+wiring in one call — compile a RaQL program with PERSIST FOR and
+FACTORS, deploy it, and serve it through the Graphite/JSON-RPC
+surface with retention enforced."""
+
+from __future__ import annotations
+
+import pytest
+
+from ramen_spark.api import metrics_find, render
+from ramen_spark.plans.raql import compile_program
+from ramen_spark.runner import deploy_program
+from ramen_spark.sources.archive import DT_SECONDS
+
+DAY = float(DT_SECONDS)
+DAY0 = 100 * DAY
+
+
+def test_deploy_archives_serves_and_retains(spark, tmp_path):
+    text = """
+DEFINE PERSIST FOR 5d traffic AS
+  SELECT start, stop, iface, sum bytes AS bytes
+  FROM src
+  GROUP BY iface, start // 3600
+  COMMIT AFTER in.start > out.stop
+  FACTORS iface;
+"""
+    prog = compile_program(text, name="net")
+    rows = [
+        (DAY0 + d * DAY + h * 3600.0, DAY0 + d * DAY + (h + 1) * 3600.0,
+         iface, float(100 * d + h))
+        for d in range(10)
+        for h in (0, 6)
+        for iface in ("eth0", "eth1")
+    ]
+    src = spark.createDataFrame(
+        rows, "start double, stop double, iface string, bytes double"
+    )
+    dfs, cat = deploy_program(
+        spark, prog, str(tmp_path), externals={"src": src},
+        now_seconds=DAY0 + 10 * DAY,
+    )
+
+    # archived with factor partitioning, retention drops old days:
+    # horizon = now - 5d → days 0-4 gone, 5-9 kept
+    import os
+
+    root = tmp_path / "net" / "traffic"
+    dts = sorted(p for p in os.listdir(root) if p.startswith("dt="))
+    assert len(dts) == 5
+    assert min(int(p.split("=")[1]) for p in dts) >= 105
+    assert any("iface=eth0" in str(p) for p in (root / dts[0]).iterdir())
+
+    # the serving surface picks the table up with zero extra wiring
+    assert cat.tables() == {"net/traffic": ""}
+    got = metrics_find(spark, cat, "net.traffic.*")
+    assert [m["text"] for m in got] == ["eth0", "eth1"]
+    out = render(
+        spark, cat, ["net.traffic.eth0.bytes"],
+        since=DAY0 + 5 * DAY, until=DAY0 + 6 * DAY, max_data_points=24,
+    )
+    vals = [v for v, _ in out[0]["datapoints"] if v is not None]
+    # day 5 hourly sums at h=0 and h=6: 500 and 506
+    assert vals == [500.0, 506.0]
+
+
+def test_deploy_skips_non_persistent(spark, tmp_path):
+    prog = compile_program(
+        "DEFINE f AS SELECT a, b FROM src;", name="p"
+    )
+    src = spark.createDataFrame([(1.0, 2.0)], "a double, b double")
+    dfs, cat = deploy_program(
+        spark, prog, str(tmp_path), externals={"src": src}
+    )
+    assert cat.tables() == {}
+    assert dfs["f"].count() == 1
