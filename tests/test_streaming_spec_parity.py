@@ -137,3 +137,49 @@ def test_streaming_spec_parity(spark, request, shape):
     assert b_out.columns == s_out.columns
     assert got == exp, f"{name}: streaming {got[:5]} != batch {exp[:5]}"
     assert len(got) > 0
+
+
+def test_worker_mode_state_survives_micro_batches(spark, tmp_path):
+    """The worker-mode group hashtable must round-trip the state store
+    across MICRO-BATCH boundaries: the same check-all shape fed one
+    file per trigger (3 batches) emits exactly the batch engine's
+    tuples."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        ("a", i, float(i)) for i in range(9)
+    ] + [("b", i + 9, float(i)) for i in range(9)]
+    src = tmp_path / "mb"
+    src.mkdir()
+    # three files → three micro-batches with maxFilesPerTrigger=1;
+    # each file is a CONTIGUOUS seq range (cross-batch reordering is
+    # the documented watermark trade — within-order delivery is the
+    # contract under test, cross-batch STATE is the subject)
+    df = spark.createDataFrame(rows, "k string, seq int, v double")
+    for i in range(3):
+        df.filter((F.col("seq") >= 6 * i) & (F.col("seq") < 6 * (i + 1))) \
+            .coalesce(1).write.parquet(str(src / f"part{i}"))
+    text = (
+        "select k, count v as n, sum v as s "
+        "group by k commit after in.seq % 6 = 5"
+    )
+    batch = spark.read.parquet(str(src) + "/part*")
+    from ramen_spark.plans.raql import (
+        compile_commit_operation,
+        compile_commit_streaming,
+    )
+
+    b_out = compile_commit_operation(text, batch, order_cols=["seq"])
+    exp = sorted(tuple(r) for r in b_out.collect())
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/part*")
+    )
+    s_out = run_to_memory(
+        compile_commit_streaming(text, stream, order_cols=["seq"]),
+        "worker_mb",
+    )
+    got = sorted(tuple(r) for r in s_out.collect())
+    assert got == exp and len(got) > 0
