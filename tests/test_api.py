@@ -217,3 +217,51 @@ def test_jsonrpc_set_alerts(spark, catalog):
         )
     )
     assert "nope" in bad["error"]
+
+
+def test_http_server_serves_graphite_and_rpc(spark, catalog):
+    """The live HTTP surface (httpd.serve): metrics/find + render over
+    GET, JSON-RPC over POST — what a Grafana graphite datasource
+    actually hits."""
+    import urllib.request
+
+    from ramen_spark.httpd import serve
+
+    srv = serve(spark, catalog)
+    port = srv.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/version", timeout=30) as r:
+            assert json.loads(r.read()) == "v1"
+        with urllib.request.urlopen(
+            f"{base}/metrics/find?query=net.traffic.*", timeout=60
+        ) as r:
+            got = json.loads(r.read())
+        assert [m["text"] for m in got] == ["eth0", "eth1"]
+        until = DAY0 + 4 * 3600.0
+        with urllib.request.urlopen(
+            f"{base}/render?target=net.traffic.eth0.bytes"
+            f"&from={DAY0}&until={until}&maxDataPoints=4",
+            timeout=60,
+        ) as r:
+            rend = json.loads(r.read())
+        assert rend[0]["target"] == "net.traffic.eth0.bytes"
+        assert [round(v, 6) for v, _ in rend[0]["datapoints"]] == [
+            0.0, 1.0, 2.0, 3.0,
+        ]
+        req = urllib.request.Request(
+            f"{base}/api/v1",
+            data=json.dumps(
+                {"method": "get-tables", "params": {"prefix": ""}, "id": 1}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            rpc = json.loads(r.read())
+        assert rpc["result"] == {"net/traffic": "per-iface traffic"}
+        with urllib.request.urlopen(f"{base}/nope", timeout=30) as r:
+            pass
+    except urllib.error.HTTPError as e:
+        assert e.code == 404  # the /nope probe
+    finally:
+        srv.shutdown()
