@@ -150,6 +150,32 @@ def _glob_match(pattern: str, value: str) -> bool:
     return fnmatch.fnmatchcase(value, pattern)
 
 
+def _glob_to_java_regex(pat: str) -> str:
+    """Graphite glob → anchored Java regex (rlike): * → .*, ? → .,
+    [..] passed through, everything else escaped."""
+    import re as _re
+
+    out = []
+    i = 0
+    while i < len(pat):
+        ch = pat[i]
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch == "[":
+            j = pat.find("]", i + 1)
+            if j == -1:
+                out.append(_re.escape(ch))
+            else:
+                out.append(pat[i : j + 1])
+                i = j
+        else:
+            out.append(_re.escape(ch))
+        i += 1
+    return "^" + "".join(out) + "$"
+
+
 def metrics_find(
     spark: SparkSession,
     catalog: ArchiveCatalog,
@@ -215,9 +241,9 @@ def _timeseries_for(
         if pat == "*" or any(ch in pat for ch in "*?["):
             group_facs.append(fac)
             if pat != "*":
-                df = df.filter(F.col(fac).cast("string").rlike(
-                    fnmatch.translate(pat).replace("(?s:", "(?:")
-                ))
+                df = df.filter(
+                    F.col(fac).cast("string").rlike(_glob_to_java_regex(pat))
+                )
         else:
             df = df.filter(F.col(fac).cast("string") == pat)
     stop_col = t.stop_col or t.time_col

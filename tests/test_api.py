@@ -265,3 +265,13 @@ def test_http_server_serves_graphite_and_rpc(spark, catalog):
         assert e.code == 404  # the /nope probe
     finally:
         srv.shutdown()
+
+
+def test_render_partial_factor_glob(spark, catalog):
+    """A non-* factor glob (eth[01] / eth1*) filters server-side via
+    the anchored regex translation."""
+    out = render(
+        spark, catalog, ["net.traffic.eth1*.bytes"],
+        since=DAY0, until=DAY0 + 3600.0, max_data_points=1,
+    )
+    assert [o["target"] for o in out] == ["net.traffic.eth1.bytes"]
