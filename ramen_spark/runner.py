@@ -65,7 +65,10 @@ def deploy_program(
             continue  # no event time → nothing to slice or retain
         path = f"{archive_root}/{prog.name}/{name}"
         facs = [f_ for f_ in fn.factors if f_ in df.columns]
-        archive(df, path, time_col=tcol, factors=facs)
+        # overwrite: a deploy recomputes the function's full output,
+        # so re-deploys stay idempotent (incremental appends are the
+        # streaming path's job)
+        archive(df, path, time_col=tcol, factors=facs, mode="overwrite")
         enforce_retention(path, fn.persist_for, now)
         stop = "stop" if "stop" in df.columns else None
         cat.register(
