@@ -1779,7 +1779,10 @@ class Compiler:
             o_ts: TypeSpec = operand.opts["to"]
             elem_bytes = int(o_ts.name[1:]) // 8
             n_items_static = o_ts.vec_dim
-        acc_t = "decimal(38,0)" if bits > 64 else "long"
+        # 64-bit accumulation must run in decimal too: a set top bit
+        # (0xFF…) overflows signed long under ANSI (found by
+        # tests/test_properties.py)
+        acc_t = "decimal(38,0)" if bits >= 64 else "long"
         if self._is_arrayish(operand):
             arr = self.col(operand)
             unit_scale = 8 * elem_bytes
@@ -1809,6 +1812,18 @@ class Compiler:
             total = F.when(
                 total >= F.lit(1 << (bits - 1)), total - F.lit(1 << bits)
             ).otherwise(total)
+        elif ts.name == "i64":
+            # 2-complement reinterpretation of the 64-bit pattern
+            total = (
+                F.when(
+                    total >= F.lit(Decimal(1 << 63)),
+                    total - F.lit(Decimal(1 << 64)),
+                )
+                .otherwise(total)
+                .cast("long")
+            )
+        elif ts.name == "u64":
+            total = total.cast("decimal(20,0)")
         if bits > 64:
             # 128-bit values live in Decimal(38,0): exact up to 10^38−1
             # (~29% of the u128 range, documented v1 delta — SURVEY
