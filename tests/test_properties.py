@@ -52,7 +52,7 @@ def _spark():
 
 @given(
     v=st.integers(-(1 << 40), 1 << 40),
-    bits=st.sampled_from([8, 16, 24, 32]),
+    bits=st.sampled_from([8, 16, 24, 32, 40, 48, 56, 64]),
     signed=st.booleans(),
 )
 @settings(max_examples=60, deadline=None)
