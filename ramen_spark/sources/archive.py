@@ -170,3 +170,33 @@ def replay_via_recompute(
             & (F.col(time_col).cast("double") < until_seconds)
         )
     return out
+
+
+def archive_stream(
+    df,
+    path: str,
+    checkpoint: str,
+    time_col: str = "start",
+    factors: list[str] | None = None,
+    trigger_seconds: float | None = None,
+):
+    """Streaming twin of ``archive``: continuously land a function's
+    output stream into its day+factor-partitioned Parquet archive
+    (exactly-once via the checkpoint; the reference's workers write
+    their archives incrementally the same way). Readers — replay,
+    the Graphite/JSON-RPC surface, the archivist — see the same
+    layout as batch archives; ``enforce_retention`` applies
+    unchanged. Returns the StreamingQuery."""
+    out = df.withColumn(
+        "dt", F.floor(F.col(time_col).cast("double") / DT_SECONDS).cast("long")
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("dt", *(factors or []))
+        .outputMode("append")
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

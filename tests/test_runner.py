@@ -74,3 +74,41 @@ def test_deploy_skips_non_persistent(spark, tmp_path):
     )
     assert cat.tables() == {}
     assert dfs["f"].count() == 1
+
+
+def test_archive_stream_lands_partitioned(spark, tmp_path):
+    """archive_stream: a live stream lands in the same day+factor
+    partition layout batch archives use; replay and the serving
+    surface read it unchanged."""
+    from pyspark.sql import functions as F
+
+    from ramen_spark.sources.archive import archive_stream, replay
+
+    rows = [
+        (DAY0 + d * DAY + 10.0, iface, float(d))
+        for d in range(4)
+        for iface in ("eth0", "eth1")
+    ]
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        rows, "start double, iface string, bytes double"
+    ).coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema(
+        "start double, iface string, bytes double"
+    ).parquet(str(src))
+    q = archive_stream(
+        stream, str(tmp_path / "arch"), str(tmp_path / "ckpt"),
+        time_col="start", factors=["iface"],
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    import os
+
+    root = tmp_path / "arch"
+    dts = sorted(p for p in os.listdir(root) if p.startswith("dt="))
+    assert len(dts) == 4
+    assert any("iface=eth1" in str(p) for p in (root / dts[0]).iterdir())
+    sl = replay(spark, str(root), DAY0 + DAY, DAY0 + 3 * DAY, time_col="start")
+    assert sorted(r["bytes"] for r in sl.collect()) == [1.0, 1.0, 2.0, 2.0]
