@@ -235,3 +235,61 @@ def countrycode_expr(ip: Column, ranges: list[tuple[int, int, str]]) -> Column:
 
     _lookup.__annotations__ = {"v": pd.Series, "return": pd.Series}
     return pandas_udf(_lookup, "string")(ip.cast("double"))
+
+
+def load_ip_to_country6(path: str) -> list[tuple[int, int, str]]:
+    """Parse the bundled IpToCountry.6R.csv[.gz]: rows
+    ``start_ip6-end_ip6,cc,registry,assigned`` with textual IPv6
+    bounds → sorted (start_int, end_int, cc) 128-bit ranges."""
+    import csv
+    import gzip
+    import io
+    import ipaddress
+
+    opener = gzip.open if path.endswith(".gz") else open
+    out: list[tuple[int, int, str]] = []
+    with opener(path, "rb") as fh:
+        text = io.TextIOWrapper(fh, encoding="utf-8", errors="replace")
+        for row in csv.reader(text):
+            if not row or row[0].lstrip().startswith("#") or "-" not in row[0]:
+                continue
+            try:
+                lo_s, hi_s = row[0].split("-", 1)
+                out.append(
+                    (
+                        int(ipaddress.IPv6Address(lo_s.strip())),
+                        int(ipaddress.IPv6Address(hi_s.strip())),
+                        row[1],
+                    )
+                )
+            except (ValueError, IndexError, ipaddress.AddressValueError):
+                continue
+    out.sort()
+    return out
+
+
+def countrycode_expr6(ip6: Column, ranges6: list[tuple[int, int, str]]) -> Column:
+    """COUNTRYCODE over the 16-byte IPv6 binary lane: exact 128-bit
+    bisect per value inside an Arrow-batched UDF (doubles would lose
+    precision past 2^53; the range bounds are full 128-bit)."""
+    import bisect
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rs = sorted(ranges6)
+    starts = [r[0] for r in rs]
+
+    def _lookup(v):
+        out = []
+        for b in v:
+            if b is None:
+                out.append(None)
+                continue
+            x = int.from_bytes(bytes(b), "big")
+            i = bisect.bisect_right(starts, x) - 1
+            out.append(rs[i][2] if i >= 0 and x <= rs[i][1] else None)
+        return pd.Series(out, dtype=object)
+
+    _lookup.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_lookup, "string")(ip6)

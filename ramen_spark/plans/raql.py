@@ -2121,11 +2121,13 @@ class Compiler:
                     "load_ip_to_country) or use countrycode_join "
                     "(no database is bundled)"
                 )
-            from ramen_spark.functions.network import countrycode_expr
+            from ramen_spark.functions.network import (
+                countrycode_expr,
+                countrycode_expr6,
+            )
 
             ipc = self.col(node.args[0])
-            # generic ip sum struct → its v4 lane (v6 ranges live in a
-            # separate table in the reference too; documented delta)
+            ranges6 = (self.params or {}).get("__geoip_ranges6")
             arg = node.args[0]
             is_struct = (
                 isinstance(arg, Call)
@@ -2135,10 +2137,37 @@ class Compiler:
                 isinstance(arg, Field)
                 and (self.schema or {}).get(_strip_ns(arg.path), "").startswith("struct<version")
             )
+            is_v6 = (
+                isinstance(arg, NetLit) and arg.kind == "ip6"
+            ) or (
+                isinstance(arg, Call)
+                and arg.fn in ("cast", "net_cast")
+                and getattr(arg.opts.get("to"), "name", None) == "ip6"
+            ) or (
+                isinstance(arg, Field)
+                and (self.schema or {}).get(_strip_ns(arg.path), "") == "binary"
+            )
             if is_struct:
-                ipc = F.when(
-                    ipc.getField("version") == 4, ipc.getField("v4")
+                v4cc = countrycode_expr(
+                    F.when(ipc.getField("version") == 4, ipc.getField("v4")),
+                    ranges,
                 )
+                if ranges6:
+                    v6cc = countrycode_expr6(
+                        F.when(ipc.getField("version") == 6, ipc.getField("v6")),
+                        ranges6,
+                    )
+                    return F.when(
+                        ipc.getField("version") == 4, v4cc
+                    ).otherwise(v6cc)
+                return v4cc
+            if is_v6:
+                if not ranges6:
+                    raise NotImplementedError(
+                        "COUNTRYCODE over IPv6 needs params['__geoip_ranges6'] "
+                        "(functions.network.load_ip_to_country6 — the 6R table)"
+                    )
+                return countrycode_expr6(ipc, ranges6)
             return countrycode_expr(ipc, ranges)
         if fn == "histogram" and len(node.args) == 4 and _is_array_node(node.args[0]):
             # immediate HISTOGRAM over a vector → u32[n+2] counts
@@ -5378,11 +5407,20 @@ class _Fold:
                     )
                 v = ev(node.args[0])
                 if isinstance(v, dict):  # generic ip sum struct
-                    v = v.get("v4") if v.get("version") == 4 else None
+                    v = v.get("v4") if v.get("version") == 4 else v.get("v6")
                 if v is None:
                     return None
                 import bisect
 
+                if isinstance(v, (bytes, bytearray)):  # IPv6 lane
+                    rs6 = sorted(
+                        (self.params or {}).get("__geoip_ranges6") or []
+                    )
+                    x = int.from_bytes(bytes(v), "big")
+                    i = bisect.bisect_right([r[0] for r in rs6], x) - 1
+                    if i >= 0 and x <= rs6[i][1]:
+                        return rs6[i][2]
+                    return None
                 rs = sorted(ranges)
                 i = bisect.bisect_right([r[0] for r in rs], int(v)) - 1
                 if i >= 0 and int(v) <= rs[i][1]:

@@ -11,8 +11,9 @@ Documented deltas (SKIP below, with the reason the judge can check):
   hash64 docstring);
 - float→string casts (the reference prints OCaml %.12g, Spark prints
   shortest-roundtrip — a representation, not a value, difference);
-- COUNTRYCODE (the reference bundles a GeoIP CSV database; we ship the
-  operator — functions.network.countrycode_join — but no database).
+- (COUNTRYCODE examples now RUN against the reference's bundled
+  public IpToCountry CSVs — v4 ranges and the 6R IPv6 table — via
+  functions.network.load_ip_to_country/6.)
 """
 
 from __future__ import annotations
@@ -32,9 +33,26 @@ SKIP: dict[str, str] = {
     "AGE(NOW)": "NOW is second-truncated; AGE(NOW) is 0 only mid-second",
     'CAST(PI AS STRING)': "float→string repr: OCaml %.12g vs Java shortest-roundtrip",
     'HASH ("foo"; "bar")': "hash function delta: xxhash64 vs OCaml Hashtbl.hash (documented)",
-    "COUNTRYCODE 5.182.236.0": "GeoIP database not bundled (operator exists: countrycode_join)",
-    "COUNTRYCODE 2a00:1450:400f:804::2004": "GeoIP database not bundled",
 }
+
+_GEOIP_CSV = "/root/reference/IpToCountry.csv.gz"
+_GEOIP6_CSV = "/root/reference/IpToCountry.6R.csv.gz"
+_geoip_cache: dict | None = None
+
+
+def _geoip_params():
+    global _geoip_cache
+    if _geoip_cache is None:
+        from ramen_spark.functions.network import (
+            load_ip_to_country,
+            load_ip_to_country6,
+        )
+
+        _geoip_cache = {
+            "__geoip_ranges": load_ip_to_country(_GEOIP_CSV),
+            "__geoip_ranges6": load_ip_to_country6(_GEOIP6_CSV),
+        }
+    return _geoip_cache
 
 # results whose ORDER the reference documents as undefined — compare as
 # multisets (GROUP: "order undefined", doc:800)
@@ -128,7 +146,14 @@ def values_equal(got, want) -> bool:
 def test_doc_example(spark, line, expr, expected):
     if expr in SKIP:
         pytest.skip(SKIP[expr])
-    col = compile_expr(expr)
+    params = None
+    if "COUNTRYCODE" in expr:
+        import os
+
+        if not (os.path.exists(_GEOIP_CSV) and os.path.exists(_GEOIP6_CSV)):
+            pytest.skip("reference IpToCountry CSVs not present")
+        params = _geoip_params()
+    col = compile_expr(expr, params)
     row = spark.range(1).select(col.alias("v")).collect()[0]
     got = row["v"]
     want = parse_expected(expected)
