@@ -59,84 +59,7 @@ def _geoip_params():
 UNORDERED = {"GROUP [1; 2; 3]"}
 
 
-def parse_expected(s: str):
-    """Parse the OCaml-printed expected value."""
-    s = s.strip()
-    if s in ("TRUE", "true"):
-        return True
-    if s in ("FALSE", "false"):
-        return False
-    if s in ("NULL", "Null"):
-        return None
-    if s == "Inf":
-        return float("inf")
-    if s == "-Inf":
-        return float("-inf")
-    if s.startswith('"') and s.endswith('"'):
-        # RamenTypes printing escapes control chars (strings.test t4:
-        # "multi\nline" denotes a real newline)
-        return (
-            s[1:-1]
-            .replace("\\\\", "\x00")
-            .replace("\\n", "\n")
-            .replace("\\t", "\t")
-            .replace("\\r", "\r")
-            .replace('\\"', '"')
-            .replace("\x00", "\\")
-        )
-    if s.startswith("#\\"):
-        body = s[2:]
-        if re.fullmatch(r"\\?\d{3}", body):
-            return chr(int(body.lstrip("\\"), 8))  # octal: #\000 → NUL
-        return body
-    if s.startswith("[") and s.endswith("]"):
-        body = s[1:-1].strip()
-        return [parse_expected(x) for x in body.split(";")] if body else []
-    if s.startswith("(") and s.endswith(")") and ";" in s:
-        # tuple repr ("1"; 2) → python tuple (depth-0 split)
-        body = s[1:-1]
-        parts, depth, cur = [], 0, ""
-        for ch in body:
-            if ch == ";" and depth == 0:
-                parts.append(cur)
-                cur = ""
-                continue
-            if ch in "([":
-                depth += 1
-            if ch in ")]":
-                depth -= 1
-            cur += ch
-        parts.append(cur)
-        return tuple(parse_expected(x) for x in parts)
-    if re.fullmatch(r"-?\d+", s):
-        return int(s)
-    if re.fullmatch(r"-?0x[0-9a-fA-F]+", s):
-        return int(s, 16)
-    try:
-        return float(s)
-    except ValueError:
-        return s  # opaque repr (IPs, tuples) — callers may normalize
-
-
-def values_equal(got, want) -> bool:
-    if want is None:
-        return got is None
-    if got is None:
-        return False
-    if isinstance(want, bool):
-        return got == want
-    if isinstance(want, list):
-        if not isinstance(got, list | tuple) or len(got) != len(want):
-            return False
-        return all(values_equal(g, w) for g, w in zip(got, want))
-    if isinstance(want, int | float):
-        g = float(got)
-        w = float(want)
-        if math.isinf(w) or math.isinf(g):
-            return g == w
-        # the doc prints ~12 significant digits
-        return abs(g - w) <= 1e-9 * max(1.0, abs(w))
-    return str(got) == str(want)
+from ramen_spark.testkit import parse_expected, values_equal  # noqa: E402
 
 
 @pytest.mark.parametrize(
