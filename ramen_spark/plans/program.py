@@ -39,6 +39,9 @@ class Function:
     after: list[str] = field(default_factory=list)
     # FACTORS — archive partition dimensions (raql Operation.factors)
     factors: list[str] = field(default_factory=list)
+    # the parsed RaQL Operation (attached by compile_program) — lets
+    # alternate deployments (streaming) recompile the same semantics
+    op: Any = None
 
     @property
     def is_private(self) -> bool:

@@ -4298,6 +4298,7 @@ def compile_program(text: str, name: str = "raql", base_dir: str | None = None):
             d.name, parents=parents, persist_for=d.persist_for, after=after,
             factors=list(getattr(op, "factors", ()) or ()),
         )(make_body(op))
+        prog.functions[d.name].op = op
     return prog
 
 

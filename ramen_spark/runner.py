@@ -76,3 +76,101 @@ def deploy_program(
             time_col=tcol, stop_col=stop, factors=facs, doc=fn.doc,
         )
     return dfs, cat
+
+
+def deploy_program_streaming(
+    spark: SparkSession,
+    prog,
+    work_dir: str,
+    source_streams: dict[str, DataFrame],
+    params: dict[str, Any] | None = None,
+    order_cols: dict[str, list[str]] | None = None,
+):
+    """The reference's ALWAYS-ON mode at the program level: every
+    function runs as its own Structured Streaming query, chained
+    through durable parquet spools (the Spark twin of the reference's
+    per-function ringbufs, src/RingBuf.ml — a worker's output buffer
+    IS its children's input). Spooling between stages is also what
+    makes arbitrary stateful chaining legal: each stateful operator
+    lives in its own query, exactly one per function.
+
+    ``source_streams``: name → streaming DataFrame for external
+    parents. Each function compiles from its parsed RaQL Operation —
+    the stateless shapes through the Column compiler, everything else
+    through compile_commit_streaming (per-group scale path or
+    check-all worker mode). Ordering inside micro-batches comes from
+    ``order_cols[fn]`` or the function's ts/start column.
+
+    Returns {name: (output_stream_reader, StreamingQuery, spool_dir)}:
+    drive with query.processAllAvailable() in topo order (tests) or
+    let the triggers run; read a function's live output by re-reading
+    its spool.
+    """
+    import os
+
+    from ramen_spark.plans.raql import (
+        _needs_fold_engine,
+        compile_commit_streaming,
+        compile_operation,
+    )
+
+    out: dict[str, tuple[DataFrame, Any, str]] = {}
+    order = prog._topo_order()
+    for name in order:
+        fn = prog.functions[name]
+        if fn.op is None:
+            raise NotImplementedError(
+                f"{name}: no parsed Operation attached (non-RaQL body)"
+            )
+        parents: list[DataFrame] = []
+        for parent in fn.parents:
+            if parent in out:
+                stream_df, _, spool = out[parent]
+                parents.append(
+                    spark.readStream.schema(stream_df.schema)
+                    .option("pathGlobFilter", "*.parquet")
+                    .parquet(spool)
+                )
+            elif parent in source_streams:
+                parents.append(source_streams[parent])
+            else:
+                raise KeyError(f"parent {parent!r} of {name!r} not provided")
+        src = parents[0]
+        for p_ in parents[1:]:
+            src = src.unionByName(p_)
+
+        from pyspark.sql.types import ArrayType
+
+        src_arr = frozenset(
+            f_.name for f_ in src.schema.fields
+            if isinstance(f_.dataType, ArrayType)
+        )
+        oc = (order_cols or {}).get(name)
+        if oc is None:
+            for c in ("ts", "start", "_seq"):
+                if c in src.columns:
+                    oc = [c]
+                    break
+        if _needs_fold_engine(fn.op, src_arr) or fn.op.group_by or (
+            fn.op.commit_after is not None
+        ):
+            compiled = compile_commit_streaming(
+                fn.op, src, params=params, order_cols=oc
+            )
+        else:
+            compiled = compile_operation(fn.op, src, params)
+
+        spool = os.path.join(work_dir, prog.name, name)
+        os.makedirs(spool, exist_ok=True)
+        q = (
+            compiled.writeStream.format("parquet")
+            .option("path", spool)
+            .option(
+                "checkpointLocation",
+                os.path.join(work_dir, "_ckpt", prog.name, name),
+            )
+            .outputMode("append")
+            .start()
+        )
+        out[name] = (compiled, q, spool)
+    return out

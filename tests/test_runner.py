@@ -112,3 +112,57 @@ def test_archive_stream_lands_partitioned(spark, tmp_path):
     assert any("iface=eth1" in str(p) for p in (root / dts[0]).iterdir())
     sl = replay(spark, str(root), DAY0 + DAY, DAY0 + 3 * DAY, time_col="start")
     assert sorted(r["bytes"] for r in sl.collect()) == [1.0, 1.0, 2.0, 2.0]
+
+
+def test_deploy_program_streaming_chain(spark, tmp_path):
+    """The always-on mode: a two-function RaQL program runs as chained
+    streaming queries through parquet spools (per-function queries =
+    the reference's one-worker-per-function model); results match the
+    batch materialization of the SAME program."""
+    from pyspark.sql import functions as F
+
+    from ramen_spark.runner import deploy_program_streaming
+
+    text = """
+DEFINE big AS
+  SELECT ts, user, value
+  FROM src
+  WHERE value >= 10;
+
+DEFINE per_user AS
+  SELECT user, sum value AS total, count value AS n
+  FROM big
+  GROUP BY user
+  COMMIT AFTER count value >= 3;
+"""
+    prog = compile_program(text, name="p")
+    rows = [
+        (float(i), ["u1", "u2"][i % 2], float(5 + i)) for i in range(20)
+    ]
+    src_dir = tmp_path / "srcdata"
+    src_batch = spark.createDataFrame(rows, "ts double, user string, value double")
+    src_batch.coalesce(1).write.parquet(str(src_dir))
+
+    stream = spark.readStream.schema(src_batch.schema).parquet(str(src_dir))
+    deployed = deploy_program_streaming(
+        spark, prog, str(tmp_path / "work"), {"src": stream}
+    )
+    try:
+        # drive in topo order so children see the parents' spools
+        for name in ("big", "per_user"):
+            deployed[name][1].processAllAvailable()
+        got = sorted(
+            (r["user"], r["total"], r["n"])
+            for r in spark.read.parquet(deployed["per_user"][2]).collect()
+        )
+    finally:
+        for _, q, _ in deployed.values():
+            q.stop()
+
+    exp_dfs = prog.materialize(
+        spark, externals={"src": src_batch}, register_views=False
+    )
+    exp = sorted(
+        (r["user"], r["total"], r["n"]) for r in exp_dfs["per_user"].collect()
+    )
+    assert got == exp and len(got) > 0
