@@ -3680,6 +3680,38 @@ def _compile_listen(spark, lf: ListenFor):
     return spark.createDataFrame([], schema)
 
 
+def _spark_type_of_csv_field(ts: TypeSpec):
+    """Declared CSV column type → Spark scan type (shared by the
+    batch reader and the streaming CSV tail in runner.py)."""
+    from pyspark.sql import types as T
+
+    n = ts.name
+    if n in _INT_TYPES:
+        bits = int(n[1:])
+        base: T.DataType
+        if bits <= 8:
+            base = T.ByteType() if n.startswith("i") else T.ShortType()
+        elif bits <= 16:
+            base = T.ShortType() if n.startswith("i") else T.IntegerType()
+        elif bits <= 32:
+            base = T.IntegerType() if n.startswith("i") else T.LongType()
+        else:
+            base = T.LongType()
+    elif n == "float":
+        base = T.DoubleType()
+    elif n in ("bool", "boolean"):
+        base = T.BooleanType()
+    elif n in ("ip4", "eth"):
+        base = T.LongType()  # numeric encodings (SURVEY §1.2)
+    elif n == "ip6":
+        base = T.BinaryType()
+    else:
+        base = T.StringType()
+    if ts.vec_dim is not None or ts.is_arr:
+        base = T.ArrayType(base)
+    return base
+
+
 def _compile_read_csv(spark, rc: ReadCsv, base_dir: str | None):
     """ReadCsv → sources.csv.read_csv with the declared schema."""
     import os
@@ -3688,32 +3720,7 @@ def _compile_read_csv(spark, rc: ReadCsv, base_dir: str | None):
 
     from ramen_spark.sources.csv import parse_clickhouse_array_cell, read_csv
 
-    def spark_type(ts: TypeSpec) -> T.DataType:
-        n = ts.name
-        if n in _INT_TYPES:
-            bits = int(n[1:])
-            base: T.DataType
-            if bits <= 8:
-                base = T.ByteType() if n.startswith("i") else T.ShortType()
-            elif bits <= 16:
-                base = T.ShortType() if n.startswith("i") else T.IntegerType()
-            elif bits <= 32:
-                base = T.IntegerType() if n.startswith("i") else T.LongType()
-            else:
-                base = T.LongType()
-        elif n == "float":
-            base = T.DoubleType()
-        elif n in ("bool", "boolean"):
-            base = T.BooleanType()
-        elif n in ("ip4", "eth"):
-            base = T.LongType()  # numeric encodings (SURVEY §1.2)
-        elif n == "ip6":
-            base = T.BinaryType()
-        else:
-            base = T.StringType()
-        if ts.vec_dim is not None or ts.is_arr:
-            base = T.ArrayType(base)
-        return base
+    spark_type = _spark_type_of_csv_field
 
     path = rc.path if os.path.isabs(rc.path) or base_dir is None else os.path.join(base_dir, rc.path)
 
@@ -6339,12 +6346,17 @@ def compile_commit_streaming(
             df = df.filter(Compiler(params, schema={f_.name: f_.dataType.simpleString() for f_ in df.schema.fields}).col(op.where))
             op = replace(op, where=None)
 
-    if order_cols:
-        order_col: str | list[str] = order_cols
+    if order_cols is not None:
+        # explicit [] ⇒ arrival order within each micro-batch (the
+        # reference's ringbuf consumption order)
+        order_col: str | list[str] | None = order_cols or None
     elif "ts" in df.columns:
         order_col = "ts"
     else:
-        raise ValueError("streaming commit needs order_cols or a ts column")
+        raise ValueError(
+            "streaming commit needs order_cols (pass [] for arrival "
+            "order) or a ts column"
+        )
 
     if output_schema is None:
         output_schema = infer_output_schema(op, df.schema, params)

@@ -114,10 +114,41 @@ def deploy_program_streaming(
         compile_operation,
     )
 
+    from ramen_spark.plans.raql import ReadCsv, _spark_type_of_csv_field
+
     out: dict[str, tuple[DataFrame, Any, str]] = {}
     order = prog._topo_order()
     for name in order:
         fn = prog.functions[name]
+        if isinstance(fn.op, ReadCsv):
+            # READ FROM FILE as a LIVE source: tail the file/glob as a
+            # CSV stream (scalar columns; the compound/ClickHouse cell
+            # layouts stay batch-only here)
+            from pyspark.sql import types as T
+
+            rc = fn.op
+            schema = T.StructType(
+                [
+                    T.StructField(fname, _spark_type_of_csv_field(ts), True)
+                    for fname, ts in rc.fields
+                ]
+            )
+            reader = (
+                spark.readStream.format("csv")
+                .schema(schema)
+                .option("sep", rc.separator)
+            )
+            if rc.null_str:
+                reader = reader.option("nullValue", rc.null_str)
+            load_path = rc.path
+            if os.path.isfile(load_path):
+                # file streams tail DIRECTORIES; narrow with a glob
+                reader = reader.option(
+                    "pathGlobFilter", os.path.basename(load_path)
+                )
+                load_path = os.path.dirname(load_path) or "."
+            out[name] = (reader.load(load_path), None, load_path)
+            continue
         if fn.op is None:
             raise NotImplementedError(
                 f"{name}: no parsed Operation attached (non-RaQL body)"
@@ -125,12 +156,17 @@ def deploy_program_streaming(
         parents: list[DataFrame] = []
         for parent in fn.parents:
             if parent in out:
-                stream_df, _, spool = out[parent]
-                parents.append(
-                    spark.readStream.schema(stream_df.schema)
-                    .option("pathGlobFilter", "*.parquet")
-                    .parquet(spool)
-                )
+                stream_df, pq_, spool = out[parent]
+                if pq_ is None:
+                    # source function (CSV tail): chain directly — it
+                    # is stateless, no spool needed
+                    parents.append(stream_df)
+                else:
+                    parents.append(
+                        spark.readStream.schema(stream_df.schema)
+                        .option("pathGlobFilter", "*.parquet")
+                        .parquet(spool)
+                    )
             elif parent in source_streams:
                 parents.append(source_streams[parent])
             else:

@@ -62,8 +62,14 @@ def streaming_commit_aggregate(
     ``where``: stateful filter evaluated per row inside the fold —
     rejected rows advance WHERE state but neither update the group nor
     trigger commits (batch commit_aggregate parity).
+
+    ``order_col`` None ⇒ ARRIVAL order within each micro-batch (the
+    reference's worker loop consumes its ringbuf in arrival order).
     """
-    order_list = [order_col] if isinstance(order_col, str) else list(order_col)
+    order_list = (
+        [order_col] if isinstance(order_col, str)
+        else list(order_col) if order_col else []
+    )
 
     def process(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -80,7 +86,8 @@ def streaming_commit_aggregate(
         for pdf in pdfs:
             pdf = pdf.astype(object).where(pdf.notna(), None)
             rows.extend(pdf.to_dict("records"))
-        rows.sort(key=lambda r: tuple(r[c] for c in order_list))
+        if order_list:
+            rows.sort(key=lambda r: tuple(r[c] for c in order_list))
 
         for row in rows:
             if isinstance(st, dict):
@@ -174,8 +181,13 @@ def streaming_commit_worker(
     - in AFTER mode the row's own group checks post-update via the
       same trigger path; in BEFORE mode the own check runs pre-update
       on the plain condition and the own trigger is consumed silently.
+
+    ``order_col`` None ⇒ arrival order within each micro-batch.
     """
-    order_list = [order_col] if isinstance(order_col, str) else list(order_col)
+    order_list = (
+        [order_col] if isinstance(order_col, str)
+        else list(order_col) if order_col else []
+    )
 
     def process(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -194,7 +206,8 @@ def streaming_commit_worker(
         for pdf in pdfs:
             pdf = pdf.astype(object).where(pdf.notna(), None)
             rows.extend(pdf.to_dict("records"))
-        rows.sort(key=lambda r: tuple(r[c] for c in order_list))
+        if order_list:
+            rows.sort(key=lambda r: tuple(r[c] for c in order_list))
 
         for row in rows:
             gkey = tuple(row[k] for k in key_cols)

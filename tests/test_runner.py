@@ -166,3 +166,54 @@ DEFINE per_user AS
         (r["user"], r["total"], r["n"]) for r in exp_dfs["per_user"].collect()
     )
     assert got == exp and len(got) > 0
+
+
+def test_count_spec_runs_fully_streaming(spark, tmp_path):
+    """CAPSTONE: the reference's own count.ramen — DISTINCT counting,
+    nullable predicates, check-all commit on manufacturer change —
+    deployed as LIVE STREAMS (deploy_program_streaming: CSV tail →
+    worker-mode stateful query → parquet spool), checked against the
+    count.test present tuples."""
+    import os
+
+    from ramen_spark.runner import deploy_program_streaming
+
+    FUNC = "/root/reference/tests/func"
+    if not os.path.isdir(FUNC):
+        pytest.skip("reference checkout absent")
+    from tests.test_func_corpus import _fixture
+
+    cars_schema = _fixture(spark, "cars").schema
+    cars_stream = (
+        spark.readStream.schema(cars_schema)
+        .format("csv")
+        .option("sep", ",")
+        .option("pathGlobFilter", "cars.csv")
+        .load(os.path.join(FUNC, "fixtures"))
+    )
+    prog = compile_program(
+        open(os.path.join(FUNC, "count.ramen")).read(), name="count",
+        base_dir=FUNC,
+    )
+    deployed = deploy_program_streaming(
+        spark, prog, str(tmp_path / "work"),
+        {"fixtures/cars/csv": cars_stream},
+        order_cols={"f": []},  # arrival order within the one batch
+    )
+    try:
+        deployed["f"][1].processAllAvailable()
+        rows = {
+            r["manufacturer"]: r
+            for r in spark.read.parquet(deployed["f"][2]).collect()
+        }
+    finally:
+        for _, q, _ in deployed.values():
+            if q is not None:
+                q.stop()
+
+    am = rows["aston martin"]
+    assert (am["num_lines"], am["num_models"], am["num_power_cars"],
+            am["num_eco_cars"], am["num_eco_cars_nullable"]) == (8, 3, 8, 1, 1)
+    mm = rows["Mitsubishi Motors Co"]
+    assert (mm["num_lines"], mm["num_models"], mm["num_power_cars"],
+            mm["num_eco_cars"], mm["num_eco_cars_nullable"]) == (39, 9, 0, 32, None)
