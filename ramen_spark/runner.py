@@ -149,9 +149,14 @@ def deploy_program_streaming(
                 load_path = os.path.dirname(load_path) or "."
             out[name] = (reader.load(load_path), None, load_path)
             continue
-        if fn.op is None:
+        if fn.op is None or not hasattr(fn.op, "fields"):
+            # ListenFor and other non-relational sources: wire their
+            # live streams explicitly (streaming.sources.listen_for /
+            # listen_for_graphite) via source_streams
             raise NotImplementedError(
-                f"{name}: no parsed Operation attached (non-RaQL body)"
+                f"{name}: provide this source as a stream in "
+                "source_streams (LISTEN sources: streaming.sources."
+                "listen_for / listen_for_graphite)"
             )
         parents: list[DataFrame] = []
         for parent in fn.parents:
