@@ -4028,8 +4028,14 @@ def _join_global_map_reads(
             F.col("__gm_k").alias(f"{cname}_k"),
             F.col("__gm_v").alias(cname),
         )
+        # No forced broadcast hint: the map relation is unbounded in key
+        # cardinality (the reference backs these with disk-resident LMDB,
+        # src/RamenGlobalVariables.ml), so a hot map would OOM executors
+        # under a mandatory broadcast at scale. AQE picks broadcast-hash
+        # automatically while the relation is small and falls back to a
+        # shuffled hash join once it isn't.
         src = src.join(
-            F.broadcast(rel),
+            rel,
             comp.col(key_node).eqNullSafe(F.col(f"{cname}_k")),
             "left",
         ).drop(f"{cname}_k")
@@ -6166,6 +6172,12 @@ def compile_commit_operation(
         order_col: str | list[str] = order_cols
     elif "ts" in df.columns:
         order_col = "ts"
+    elif "start" in df.columns:
+        # event-time inference by field name, as the reference's
+        # RamenEventTime does for #start: a batch fold ordered by event
+        # time is the deterministic analogue of arrival order and keeps
+        # per-group folds parallel (no global arrival funnel needed).
+        order_col = "start"
     elif "_rowid" in df.columns:
         order_col = "_rowid"  # assigned pre-WHERE for the trigger scan
     else:

@@ -1311,8 +1311,9 @@ def alert_firing_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE plus a lag() transition filter. The event axis is
     event_id (monotone, unique) so both engines fold in the same
     order; the single sorted partition pins arrival order (hysteresis
-    is inherently sequential per group — parallelism is across
-    groups at scale)."""
+    is inherently sequential per group; the fold sorts each group by
+    the event-time column `start` inside its own partition, so the
+    plan stays parallel across groups — no single-partition pin)."""
     from ramen_spark.alerts import AlertSpec, compile_alert
 
     ev = _t(spark, sf_dir, "events").select(
@@ -1321,7 +1322,6 @@ def alert_firing_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id").cast("double") + 1.0).alias("stop"),
         "value",
     )
-    ev = ev.coalesce(1).sortWithinPartitions("start")
     spec = AlertSpec(
         table="ev", column="value", threshold=100.0, hysteresis=-50.0,
         group_by=["event_type"],
