@@ -101,12 +101,20 @@ def deploy_program_streaming(
     check-all worker mode). Ordering inside micro-batches comes from
     ``order_cols[fn]`` or the function's ts/start column.
 
+    ``source_streams`` keys are resolved two ways: a key matching a
+    FUNCTION NAME injects that stream as the function's output (the
+    reference test-runner's feed mechanism, src/RamenTests.ml — used
+    for YIELD clocks and LISTEN sources whose recorded tuples are
+    replayed); any other key serves as an external parent (cross-
+    program references, including ``../prog/fn`` relative paths).
+
     Returns {name: (output_stream_reader, StreamingQuery, spool_dir)}:
     drive with query.processAllAvailable() in topo order (tests) or
     let the triggers run; read a function's live output by re-reading
     its spool.
     """
     import os
+    import posixpath
 
     from ramen_spark.plans.raql import (
         _needs_fold_engine,
@@ -120,6 +128,12 @@ def deploy_program_streaming(
     order = prog._topo_order()
     for name in order:
         fn = prog.functions[name]
+        if name in source_streams:
+            # function-output injection: the provided stream IS this
+            # function's output (no query of its own — children chain
+            # on the durable stream directly)
+            out[name] = (source_streams[name], None, None)
+            continue
         if isinstance(fn.op, ReadCsv):
             # READ FROM FILE as a LIVE source: tail the file/glob as a
             # CSV stream (scalar columns; the compound/ClickHouse cell
@@ -160,22 +174,34 @@ def deploy_program_streaming(
             )
         parents: list[DataFrame] = []
         for parent in fn.parents:
-            if parent in out:
-                stream_df, pq_, spool = out[parent]
-                if pq_ is None:
-                    # source function (CSV tail): chain directly — it
-                    # is stateless, no spool needed
-                    parents.append(stream_df)
-                else:
-                    parents.append(
-                        spark.readStream.schema(stream_df.schema)
-                        .option("pathGlobFilter", "*.parquet")
-                        .parquet(spool)
-                    )
-            elif parent in source_streams:
-                parents.append(source_streams[parent])
-            else:
+            candidates = [parent]
+            if parent.startswith(".."):
+                # relative program path (plans.program.materialize's
+                # resolution, any_ext_child.ramen)
+                candidates.append(
+                    posixpath.normpath(posixpath.join(prog.name, parent))
+                )
+            resolved = None
+            for c in candidates:
+                if c in out:
+                    stream_df, pq_, spool = out[c]
+                    if pq_ is None:
+                        # source function (CSV tail / injected stream):
+                        # chain directly — it is durable upstream
+                        resolved = stream_df
+                    else:
+                        resolved = (
+                            spark.readStream.schema(stream_df.schema)
+                            .option("pathGlobFilter", "*.parquet")
+                            .parquet(spool)
+                        )
+                    break
+                if c in source_streams:
+                    resolved = source_streams[c]
+                    break
+            if resolved is None:
                 raise KeyError(f"parent {parent!r} of {name!r} not provided")
+            parents.append(resolved)
         src = parents[0]
         for p_ in parents[1:]:
             src = src.unionByName(p_)

@@ -32,14 +32,20 @@ def archive(
     time_col: str = "start",
     factors: list[str] | None = None,
     mode: str = "append",
+    format: str = "parquet",
 ) -> None:
-    """Write a function's output to its Parquet archive, partitioned
-    by day-bucket + FACTORS (low-cardinality dims,
-    src/raql_operation.type:50-52)."""
+    """Write a function's output to its archive, partitioned by
+    day-bucket + FACTORS (low-cardinality dims,
+    src/raql_operation.type:50-52). ``format``: "parquet" (default) or
+    "orc" — the reference's archive format (src/RamenOrc.ml); both
+    carry the same schema fidelity and partition layout, so retention
+    and replay work unchanged."""
     out = df.withColumn(
         "dt", F.floor(F.col(time_col).cast("double") / DT_SECONDS).cast("long")
     )
-    out.write.mode(mode).partitionBy("dt", *(factors or [])).parquet(path)
+    out.write.mode(mode).partitionBy("dt", *(factors or [])).format(
+        format
+    ).save(path)
 
 
 def enforce_retention(path: str, persist_for_seconds: float, now_seconds: float) -> list[str]:
@@ -62,20 +68,32 @@ def enforce_retention(path: str, persist_for_seconds: float, now_seconds: float)
     return removed
 
 
+def _detect_format(path: str) -> str:
+    """Archive format by data-file extension (first file found wins):
+    lets replay/catalog readers serve Parquet and ORC archives through
+    one code path without carrying format metadata around."""
+    root = Path(path)
+    for p in root.rglob("*.orc"):
+        return "orc"
+    return "parquet"
+
+
 def replay(
     spark: SparkSession,
     path: str,
     since_seconds: float,
     until_seconds: float,
     time_col: str = "start",
+    format: str | None = None,
 ) -> DataFrame:
     """ramen replay --since --until: time-sliced read of the archive.
     The dt predicate prunes partitions; the fine predicate uses
-    parquet min/max stats. Channel isolation (src/RamenChannel.ml) is
-    unnecessary — every replay is its own DataFrame."""
+    columnar min/max stats (parquet and ORC both carry them). Channel
+    isolation (src/RamenChannel.ml) is unnecessary — every replay is
+    its own DataFrame."""
     lo_dt = int(since_seconds // DT_SECONDS)
     hi_dt = int(until_seconds // DT_SECONDS)
-    df = spark.read.parquet(path)
+    df = spark.read.format(format or _detect_format(path)).load(path)
     return df.filter(
         (F.col("dt") >= lo_dt)
         & (F.col("dt") <= hi_dt)
@@ -179,9 +197,10 @@ def archive_stream(
     time_col: str = "start",
     factors: list[str] | None = None,
     trigger_seconds: float | None = None,
+    format: str = "parquet",
 ):
     """Streaming twin of ``archive``: continuously land a function's
-    output stream into its day+factor-partitioned Parquet archive
+    output stream into its day+factor-partitioned Parquet/ORC archive
     (exactly-once via the checkpoint; the reference's workers write
     their archives incrementally the same way). Readers — replay,
     the Graphite/JSON-RPC surface, the archivist — see the same
@@ -191,7 +210,7 @@ def archive_stream(
         "dt", F.floor(F.col(time_col).cast("double") / DT_SECONDS).cast("long")
     )
     writer = (
-        out.writeStream.format("parquet")
+        out.writeStream.format(format)
         .option("path", path)
         .option("checkpointLocation", checkpoint)
         .partitionBy("dt", *(factors or []))

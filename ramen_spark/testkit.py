@@ -237,6 +237,18 @@ def run_spec_file(spark, path: str, parse_expected=None, values_equal=None):
             ext[f"{pname}/{fn}"] = df
         outs[pname] = dfs
 
+    return check_spec_outputs(spec, outs, parse_expected, values_equal)
+
+
+def check_spec_outputs(spec: dict, outs: dict, parse_expected=None, values_equal=None):
+    """Apply a parsed spec's present/absent checks against materialized
+    function outputs ``outs[program][function]`` (DataFrames); returns
+    failure descriptions (reference check semantics,
+    src/RamenTests.ml:347-630). Shared by the batch runner
+    (run_spec_file) and the always-on runner
+    (run_spec_file_streaming)."""
+    parse_expected = parse_expected or globals()["parse_expected"]
+    values_equal = values_equal or globals()["values_equal"]
     failures = []
     for target, checks in spec.get("outputs", {}).items():
         pname, fname = target.rsplit("/", 1)
@@ -349,3 +361,137 @@ def run_spec_file(spark, path: str, parse_expected=None, values_equal=None):
             if match(exp):
                 failures.append((target, "absent", exp))
     return failures
+
+
+def run_spec_file_streaming(
+    spark,
+    path: str,
+    work_dir: str,
+    parse_expected=None,
+    values_equal=None,
+):
+    """`ramen test` in the ALWAYS-ON mode: every relational function of
+    every listed program runs as its own Structured Streaming query
+    chained through parquet spools (runner.deploy_program_streaming —
+    the reference runs *everything* streaming, one worker per function,
+    src/RamenSupervisor.ml). Source-shaped functions (YIELD clocks,
+    READ/LISTEN sources, fixture readers) are materialized once in
+    batch, written to parquet with an explicit ``_seq`` arrival column,
+    and replayed byte-identically into BOTH engines — the reference
+    test-runner's feed mechanism (src/RamenTests.ml). The spec's
+    present/absent checks then run against the STREAMING outputs.
+
+    Returns (failures, n_streamed): the check failures (empty = pass)
+    and how many functions actually ran as streaming queries — callers
+    should treat n_streamed == 0 as "spec has no streaming-runnable
+    function" (pure source specs), not as a pass.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ramen_spark.plans.raql import compile_program
+    from ramen_spark.runner import deploy_program_streaming
+
+    parse_expected = parse_expected or globals()["parse_expected"]
+    values_equal = values_equal or globals()["values_equal"]
+    FUNC_DIR = os.path.dirname(os.path.abspath(path))
+    spec = parse_spec(open(path).read())
+    progs = sorted(
+        spec.get("programs", []),
+        key=lambda p_: 0 if p_["src"].startswith("fixtures/") else 1,
+    )
+
+    ext_batch: dict = {}   # "prog/fn" -> batch DataFrame (oracle chain)
+    ext_stream: dict = {}  # "prog/fn" -> streaming reader (live chain)
+    outs: dict = {}        # prog -> {fn: DataFrame of streamed output}
+    n_streamed = 0
+    queries = []
+    try:
+        for entry in progs:
+            src = entry["src"]
+            pname = src.removesuffix(".ramen")
+            if entry.get("ext"):
+                pname = f"{pname}#{entry['ext']}"
+            ppath = os.path.join(FUNC_DIR, src)
+            prog = compile_program(
+                open(ppath).read(), name=pname,
+                base_dir=os.path.dirname(ppath),
+            )
+            params = entry.get("params") or None
+
+            # 1. Batch-materialize once to capture the SOURCE functions'
+            # tuples (clock generators may draw RANDOM — capturing to
+            # parquet pins one draw for both engines).
+            probe = prog.materialize(
+                spark, params=params, externals=ext_batch,
+                register_views=False,
+            )
+            source_fns = [
+                n for n, f_ in prog.functions.items() if not f_.parents
+            ]
+            inj_batch: dict = {}
+            inj_stream: dict = {}
+            safe = pname.replace("/", "_").replace("#", "_")
+            for n in source_fns:
+                spool = os.path.join(work_dir, "_src", safe, n)
+                probe[n].coalesce(1).withColumn(
+                    "_seq", F.monotonically_increasing_id()
+                ).write.mode("overwrite").parquet(spool)
+                bdf = spark.read.parquet(spool)
+                inj_batch[n] = bdf
+                inj_stream[n] = spark.readStream.schema(bdf.schema).parquet(
+                    spool
+                )
+
+            # 2. Batch oracle chain over the injected bytes.
+            dfs_batch = prog.materialize(
+                spark, params=params,
+                externals={
+                    **ext_batch,
+                    **{f"{pname}/{n}": d for n, d in inj_batch.items()},
+                },
+                register_views=False,
+            )
+            for n, d in dfs_batch.items():
+                ext_batch[f"{pname}/{n}"] = d
+
+            # 3. The live chain: every non-source function as its own
+            # streaming query.
+            deployed = deploy_program_streaming(
+                spark, prog, work_dir,
+                source_streams={**ext_stream, **inj_stream},
+                params=params,
+            )
+            prog_out: dict = {}
+            for n in prog._topo_order():
+                stream_df, q, spool = deployed[n]
+                if q is not None:
+                    queries.append(q)
+                    q.processAllAvailable()
+                    n_streamed += 1
+                    prog_out[n] = spark.read.schema(stream_df.schema).parquet(
+                        spool
+                    )
+                    ext_stream[f"{pname}/{n}"] = (
+                        spark.readStream.schema(stream_df.schema)
+                        .option("pathGlobFilter", "*.parquet")
+                        .parquet(spool)
+                    )
+                else:
+                    # injected source: its "streamed output" is the
+                    # replayed batch capture (minus the arrival column)
+                    prog_out[n] = inj_batch[n].drop("_seq")
+                    ext_stream[f"{pname}/{n}"] = inj_stream[n]
+            outs[pname] = prog_out
+    finally:
+        for q in queries:
+            try:
+                q.stop()
+            except Exception:
+                pass
+
+    return (
+        check_spec_outputs(spec, outs, parse_expected, values_equal),
+        n_streamed,
+    )

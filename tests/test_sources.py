@@ -65,3 +65,30 @@ def test_archive_replay_retention(spark, tmp_path):
     assert len(removed) == 7
     left = spark.read.parquet(path)
     assert left.agg(F.min("dt")).collect()[0][0] == 7
+
+
+def test_archive_orc_roundtrip(spark, tmp_path):
+    """format="orc" (src/RamenOrc.ml — the reference's archive format):
+    same partition layout, retention, replay, and schema fidelity as
+    Parquet; replay auto-detects the format from the data files."""
+    path = str(tmp_path / "arch_orc")
+    df = spark.range(240).select(
+        (F.col("id") * 3600.0).alias("start"),
+        (F.col("id") % 3).cast("string").alias("factor"),
+        F.col("id").cast("double").alias("v"),
+        F.array(F.col("id").cast("int")).alias("vec"),
+        F.struct(F.col("id").alias("a"), F.lit("s").alias("b")).alias("rec"),
+    )
+    archive(df, path, time_col="start", factors=["factor"], format="orc")
+
+    sl = replay(spark, path, 86400.0, 2 * 86400.0, time_col="start")
+    assert sl.count() == 24
+    assert sl.agg(F.min("start")).collect()[0][0] == 86400.0
+    # compound types round-trip
+    row = sl.orderBy("start").limit(1).collect()[0]
+    assert row["vec"] == [24] and row["rec"]["b"] == "s"
+
+    removed = enforce_retention(path, 3 * 86400, 10 * 86400.0)
+    assert len(removed) == 7
+    left = spark.read.orc(path)
+    assert left.agg(F.min("dt")).collect()[0][0] == 7
