@@ -3924,6 +3924,9 @@ def _needs_fold_engine(op: Operation, src_arrays: frozenset[str] = frozenset()) 
         for e in exprs:
             for n in _walk(e):
                 if isinstance(n, Call) and n.fn in AGGS and not (
+                    # variadic MIN/MAX is the stateless form
+                    n.fn in ("min", "max") and len(n.args) > 1
+                ) and not (
                     n.args
                     and (
                         _is_array_node(n.args[0])
@@ -3941,6 +3944,8 @@ def _needs_fold_engine(op: Operation, src_arrays: frozenset[str] = frozenset()) 
         for e in exprs:
             for n in _walk(e):
                 if isinstance(n, Call) and n.fn in AGGS and not (
+                    n.fn in ("min", "max") and len(n.args) > 1
+                ) and not (
                     n.args and _is_array_node(n.args[0])
                 ):
                     return True
@@ -5360,6 +5365,16 @@ class _Fold:
                 "<": lambda: a < b, "<=": lambda: a <= b,
                 "=": lambda: a == b, "!=": lambda: a != b, "<>": lambda: a != b,
                 "||": lambda: str(a) + str(b),
+                # LIKE: %/_ wildcards, \ escape; reference default is
+                # case-INSENSITIVE (RamenExpr.ml:1061, Globs.ml:142)
+                "like": lambda: re.fullmatch(
+                    _like_regex(str(b)), str(a), re.IGNORECASE | re.DOTALL
+                ) is not None,
+                "like_cs": lambda: re.fullmatch(
+                    _like_regex(str(b)), str(a), re.DOTALL
+                ) is not None,
+                "starts_with": lambda: str(a).startswith(str(b)),
+                "ends_with": lambda: str(a).endswith(str(b)),
             }[node.op]()
         if isinstance(node, CaseWhen):
             for c, v in node.branches:
@@ -5670,6 +5685,18 @@ def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> 
             known = [t_ for t_ in ts_ if t_ is not None]
             if not known:
                 return None
+            if fn in ("min", "max") and len(node.args) > 1:
+                # variadic stateless form: numeric type unification
+                # (min_max.ramen non_aggr — MIN(s, r, u8(bit)) is
+                # double when any operand is)
+                if any(t_ in ("double", "float") for t_ in known):
+                    return "double"
+                if all(
+                    t_ in ("tinyint", "smallint", "int", "bigint")
+                    for t_ in known
+                ):
+                    return INT
+                return known[0]
             t_ = known[-1]
             if (
                 fn in ("min", "max", "first", "last")
@@ -5769,6 +5796,27 @@ def infer_output_schema(op: Operation, src_schema, params: dict[str, Any] | None
         if not name.startswith("_"):
             parts.append(f"{name} {ddl}")
     return ", ".join(parts)
+
+
+def _like_regex(pattern: str) -> str:
+    """SQL LIKE pattern → regex source (%/_ wildcards, backslash
+    escape — src/Globs.ml glob compilation)."""
+    out = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return "".join(out)
 
 
 def check_commit_for_all(node) -> bool:
@@ -6324,8 +6372,21 @@ def compile_commit_streaming(
     df = stream_df
     op = _expand_star(op, df)
     op = _inline_select_refs(op, set(df.columns))
+    # global_last_out reads cross-group state: fold the whole stream
+    # as ONE ordered group, exactly as the batch engine does (the
+    # reference's sequential worker loop; previous.ramen is its spec)
+    seq_exprs = [f_.expr for f_ in op.fields if not isinstance(f_.expr, Star)]
+    if op.where is not None:
+        seq_exprs.append(op.where)
+    if op.commit_after is not None:
+        seq_exprs.append(op.commit_after)
+    sequential = any(
+        isinstance(n, Field) and n.path.startswith("global_last")
+        for e in seq_exprs
+        for n in _walk(e)
+    )
     keys = []
-    for i, k in enumerate(op.group_by):
+    for i, k in enumerate([] if sequential else op.group_by):
         if isinstance(k, Field):
             keys.append(_strip_ns(k.path))
         else:
@@ -6373,7 +6434,7 @@ def compile_commit_streaming(
     if output_schema is None:
         output_schema = infer_output_schema(op, df.schema, params)
 
-    fold = _Fold(op, params)
+    fold = _Fold(op, params, sequential=sequential)
     where_fn = fold.update_where if fold_where is not None else None
     if check_all:
         return streaming_commit_worker(

@@ -124,6 +124,14 @@ def deploy_program_streaming(
 
     from ramen_spark.plans.raql import ReadCsv, _spark_type_of_csv_field
 
+    # program parameter defaults apply exactly as in batch materialize,
+    # and program-scope global maps get their engine-reserved stores
+    # (fold-local writes; see plans.raql mapadd handling)
+    params = {**getattr(prog, "defaults", {}), **(params or {})}
+    params.setdefault(
+        "__globals", {n: {} for n in getattr(prog, "global_names", ())}
+    )
+    params.setdefault("__globals_rel", {})
     out: dict[str, tuple[DataFrame, Any, str]] = {}
     order = prog._topo_order()
     for name in order:
@@ -181,30 +189,60 @@ def deploy_program_streaming(
                 candidates.append(
                     posixpath.normpath(posixpath.join(prog.name, parent))
                 )
+            def _of(entry):
+                stream_df, pq_, spool = entry
+                if pq_ is None:
+                    # source function (CSV tail / injected stream):
+                    # chain directly — it is durable upstream
+                    return stream_df
+                return (
+                    spark.readStream.schema(stream_df.schema)
+                    .option("pathGlobFilter", "*.parquet")
+                    .parquet(spool)
+                )
+
             resolved = None
             for c in candidates:
                 if c in out:
-                    stream_df, pq_, spool = out[c]
-                    if pq_ is None:
-                        # source function (CSV tail / injected stream):
-                        # chain directly — it is durable upstream
-                        resolved = stream_df
-                    else:
-                        resolved = (
-                            spark.readStream.schema(stream_df.schema)
-                            .option("pathGlobFilter", "*.parquet")
-                            .parquet(spool)
-                        )
+                    resolved = [_of(out[c])]
                     break
                 if c in source_streams:
-                    resolved = source_streams[c]
+                    resolved = [source_streams[c]]
                     break
             if resolved is None:
+                # `prog#_/func` — every running instance of the program
+                # (plans.program.materialize's wildcard resolution)
+                for c in candidates:
+                    if "#_" not in c:
+                        continue
+                    pre, post = c.split("#_", 1)
+                    matches = [
+                        v
+                        for k, v in source_streams.items()
+                        if k.startswith(pre + "#") and k.endswith(post)
+                    ]
+                    if matches:
+                        resolved = matches
+                        break
+            if resolved is None:
                 raise KeyError(f"parent {parent!r} of {name!r} not provided")
-            parents.append(resolved)
+            parents.extend(resolved)
         src = parents[0]
-        for p_ in parents[1:]:
-            src = src.unionByName(p_)
+        if len(parents) > 1:
+            # merged stream carries the fields COMMON to all parents,
+            # by name (reference parent-type unification,
+            # RamenOperation.ml — same rule as the batch body)
+            common = [
+                c for c in src.columns
+                if all(c in p_.columns for p_ in parents[1:])
+            ]
+            if any(set(p_.columns) != set(src.columns) for p_ in parents[1:]):
+                src = src.select(*common)
+                rest = [p_.select(*common) for p_ in parents[1:]]
+            else:
+                rest = parents[1:]
+            for p_ in rest:
+                src = src.unionByName(p_)
 
         from pyspark.sql.types import ArrayType
 
@@ -218,6 +256,11 @@ def deploy_program_streaming(
                 if c in src.columns:
                     oc = [c]
                     break
+            else:
+                # no event-time or explicit sequence column: arrival
+                # order within each micro-batch — the reference's
+                # ringbuf consumption order
+                oc = []
         if _needs_fold_engine(fn.op, src_arr) or fn.op.group_by or (
             fn.op.commit_after is not None
         ):

@@ -86,6 +86,10 @@ class _Incident:
     dialogs: dict[str, _Dialog] = field(default_factory=dict)
     last_firing: float = 0.0
     timeout: float = 0.0  # auto-extinguish horizon (0 = none)
+    # outage membership (RamenAlerter.ml:41-43): every incident starts
+    # as its own outage; users group incidents to document a shared
+    # root cause (no effect on delivery)
+    outage: str = ""
 
 
 def _ordinal(n: int) -> str:
@@ -237,6 +241,7 @@ class Alerter:
             )
             for c in self.teams[team]:
                 inc.dialogs[c.name] = _Dialog()
+            inc.outage = inc_id  # own outage until grouped
             self.incidents[inc_id] = inc
             self.pending[notif["name"]] = inc_id
             if not notif["test"]:
@@ -377,6 +382,28 @@ class Alerter:
 
     # -- views -------------------------------------------------------------
 
+    def group_outage(
+        self, incident_ids: list[str], outage_id: str | None = None
+    ) -> str:
+        """Manually group incidents into one outage
+        (RamenAlerter.ml:41-43: by default every incident is its own
+        outage; grouping documents a shared root cause and has no
+        effect on delivery). Returns the outage id (defaults to the
+        first incident's)."""
+        if not incident_ids:
+            raise ValueError("group_outage: no incidents")
+        oid = outage_id or incident_ids[0]
+        for i in incident_ids:
+            self.incidents[i].outage = oid
+        return oid
+
+    def outages(self) -> dict[str, list[str]]:
+        """outage id → member incident ids."""
+        out: dict[str, list[str]] = {}
+        for i, inc in self.incidents.items():
+            out.setdefault(inc.outage or i, []).append(i)
+        return out
+
     def journal(self, inc_id: str) -> list[tuple[float, str]]:
         return list(self.incidents[inc_id].journal)
 
@@ -424,3 +451,201 @@ def alerter_sink(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Contact transports (RamenAlerter.ml:560-665 contact kinds)
+# ---------------------------------------------------------------------------
+#
+# The reference delivers messages via Ignore / Exec / SysLog / Sqlite /
+# Kafka contacts, each expanding a message template with the incident's
+# substitution dict (RamenStringExpansion.subst_dict — ``${var}`` with
+# optional |filters). The constructors below build ``Contact.via``
+# callables with the same contract; Kafka is env-gated (no client in
+# this container) and raises a pointed error when constructed strictly.
+
+
+class UndefVar(KeyError):
+    """A template referenced ``${var}`` with no binding and no null
+    default (RamenStringExpansion.UndefVar)."""
+
+
+def subst_template(text: str, dict_: dict, null: str | None = None) -> str:
+    """``${var}`` substitution with the reference's common filters
+    (RamenStringExpansion.subst_dict): ``|shell`` single-quote escape,
+    ``|sql`` quote doubling, ``|json`` string escape, ``|int``
+    truncation, ``|date`` epoch → ISO local time. Bare numeric
+    "variables" substitute themselves; an unbound variable raises
+    UndefVar unless ``null`` supplies a default."""
+    import json as _json
+    import re as _re
+    import time as _time
+
+    def repl(m: "_re.Match[str]") -> str:
+        spec = m.group(1)
+        parts = [p.strip() for p in spec.split("|")]
+        var, filters = parts[0], parts[1:]
+        if var in dict_:
+            v = dict_[var]
+            v = "" if v is None else str(v)
+        else:
+            try:
+                float(var)
+                v = var
+            except ValueError:
+                if null is None:
+                    raise UndefVar(var)
+                v = null
+        for f_ in filters:
+            if f_ == "shell":
+                v = v.replace("'", "'\\''")
+            elif f_ == "sql":
+                v = v.replace("'", "''")
+            elif f_ == "json":
+                v = _json.dumps(v)[1:-1]
+            elif f_ == "int":
+                v = str(int(float(v)))
+            elif f_ == "date":
+                v = _time.strftime(
+                    "%Y-%m-%d %H:%M:%S", _time.localtime(float(v))
+                )
+        return v
+
+    return _re.sub(r"\$\{([^}]*)\}", repl, text)
+
+
+def _subst_dict(
+    incident_id: str, is_start: bool, first_start: dict, now: float
+) -> dict:
+    """The delivery-time substitution dict (RamenAlerter.ml:724-758
+    contact_via): built-ins first, notification parameters overriding
+    them, ``timed-out`` on non-firing deliveries."""
+    import os as _os
+
+    d = {
+        "name": first_start.get("name"),
+        "incident_id": incident_id,
+        "start": first_start.get("sent_time"),
+        "now": now,
+        "site": first_start.get("site", ""),
+        "worker": first_start.get("worker", ""),
+        "test": str(bool(first_start.get("test"))).lower(),
+        "firing": str(bool(is_start)).lower(),
+        "certainty": first_start.get("certainty"),
+        "hostname": _os.environ.get("HOSTNAME", "?HOSTNAME?"),
+    }
+    if not is_start:
+        d["timed-out"] = "false"
+    d.update(first_start.get("parameters") or {})
+    return d
+
+
+def ignore_contact(name: str, timeout: float = 0.0) -> Contact:
+    """The Ignore contact kind: deliberately delivers nowhere
+    (tests/alerter/basic.test uses it to observe pure FSM flow)."""
+    return Contact(name=name, via=None, timeout=timeout)
+
+
+def exec_contact(
+    name: str, cmd_template: str, timeout: float = 0.0,
+    _runner=None,
+) -> Contact:
+    """Exec contact: expand the command template and run it through the
+    shell (RamenAlerter.execute_cmd; bounded concurrency there — here
+    the alerter FSM is single-threaded so sends are naturally serial).
+    A non-zero exit status raises, which the caller's retry/timeout
+    logic then handles exactly like any failed delivery."""
+    import subprocess
+    import time as _time
+
+    def via(incident_id, dialog_id, is_start, first_start):
+        cmd = subst_template(
+            cmd_template,
+            _subst_dict(incident_id, is_start, first_start, _time.time()),
+        )
+        run = _runner or (
+            lambda c: subprocess.run(c, shell=True, check=True)
+        )
+        run(cmd)
+
+    return Contact(name=name, via=via, timeout=timeout)
+
+
+def syslog_contact(
+    name: str, text_template: str, timeout: float = 0.0
+) -> Contact:
+    """SysLog contact (RamenAlerter.log_str, LOG_ALERT level) via the
+    platform syslog; raises on hosts without one, as the reference
+    does ("No syslog on this host")."""
+    import time as _time
+
+    def via(incident_id, dialog_id, is_start, first_start):
+        try:
+            import syslog as _syslog
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError("No syslog on this host") from e
+        msg = subst_template(
+            text_template,
+            _subst_dict(incident_id, is_start, first_start, _time.time()),
+        )
+        _syslog.syslog(_syslog.LOG_ALERT, msg)
+
+    return Contact(name=name, via=via, timeout=timeout)
+
+
+def sqlite_contact(
+    name: str,
+    file: str,
+    insert: str,
+    create: str = "",
+    timeout: float = 0.0,
+) -> Contact:
+    """Sqlite contact (RamenAlerter.sqllite_insert): expand and run the
+    INSERT with |sql-escaped values; when it fails and a CREATE
+    statement is configured, create the table then retry the insert —
+    the reference's lazy-schema flow."""
+    import sqlite3
+    import time as _time
+
+    def via(incident_id, dialog_id, is_start, first_start):
+        q = subst_template(
+            insert,
+            _subst_dict(incident_id, is_start, first_start, _time.time()),
+        )
+        con = sqlite3.connect(file)
+        try:
+            try:
+                con.execute(q)
+            except sqlite3.OperationalError:
+                if not create:
+                    raise
+                con.execute(create)
+                con.execute(q)
+            con.commit()
+        finally:
+            con.close()
+
+    return Contact(name=name, via=via, timeout=timeout)
+
+
+def kafka_contact(
+    name: str,
+    options: dict,
+    topic: str,
+    partition: int,
+    text: str,
+    timeout: float = 0.0,
+) -> Contact:
+    """Kafka contact (RamenAlerter.kafka_publish). Env-gated: no Kafka
+    client library ships in this container, so construction raises with
+    the exact dependency needed — the configuration surface and message
+    templating are the reference's."""
+    try:
+        import confluent_kafka  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "Kafka contact needs a Kafka client (confluent_kafka) in "
+            "the environment; options/topic/partition/text follow "
+            "alerting_contact.type"
+        ) from e
+    raise NotImplementedError("unreachable in this container")

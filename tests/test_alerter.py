@@ -280,3 +280,90 @@ def test_full_monitoring_loop(spark):
     assert ev[0] == "Notified"
     assert "Stop Notification" in ev
     assert [s[2] for s in sent] == [True, False]  # start then stop
+
+
+def test_exec_contact_end_to_end(tmp_path):
+    """Exec contact kind (RamenAlerter.ml:568-581 execute_cmd): the
+    command template expands the delivery dict (|shell escaping) and
+    runs through the shell — here appending to a file so the delivery
+    is observable end-to-end."""
+    from ramen_spark.streaming.alerter import exec_contact
+
+    log = tmp_path / "alerts.log"
+    c = exec_contact(
+        "exec_ctc",
+        'echo "${name|shell} firing=${firing}" >> ' + str(log),
+    )
+    a = Alerter({"t": [c]}, debounce_delay=0)
+    a.notify(1.0, "t: cpu high", parameters={"desc": "too hot"})
+    a.advance(2.0)
+    assert log.read_text().strip() == "t: cpu high firing=true"
+    a.notify(3.0, "t: cpu high", firing=False)
+    a.advance(10.0)
+    assert log.read_text().strip().splitlines()[-1] == "t: cpu high firing=false"
+
+
+def test_sqlite_contact_lazy_create_and_insert(tmp_path):
+    """Sqlite contact kind (RamenAlerter.ml:593-615 sqllite_insert):
+    first insert fails (no table) → CREATE runs → insert retried; the
+    |sql filter doubles quotes."""
+    import sqlite3
+
+    from ramen_spark.streaming.alerter import sqlite_contact
+
+    db = str(tmp_path / "alerts.db")
+    c = sqlite_contact(
+        "sql_ctc",
+        file=db,
+        insert="INSERT INTO alerts VALUES ('${name|sql}', ${certainty})",
+        create="CREATE TABLE alerts (name TEXT, certainty REAL)",
+    )
+    a = Alerter({"t": [c]}, debounce_delay=0)
+    a.notify(1.0, "t: o'brien down", certainty=0.75)
+    a.advance(2.0)
+    rows = sqlite3.connect(db).execute("SELECT * FROM alerts").fetchall()
+    assert rows == [("t: o'brien down", 0.75)]
+
+
+def test_exec_contact_failure_feeds_retry(tmp_path):
+    """A failing exec (non-zero exit) raises out of the delivery —
+    with a contact timeout the scheduler retries, mirroring the
+    reference's failed-send accounting."""
+    from ramen_spark.streaming.alerter import exec_contact
+
+    calls = []
+
+    def runner(cmd):
+        calls.append(cmd)
+
+    c = exec_contact("e", "true ${name}", timeout=10.0, _runner=runner)
+    a = Alerter({"t": [c]}, debounce_delay=0)
+    a.notify(1.0, "t: x")
+    a.advance(2.0)
+    assert len(calls) == 1
+    a.advance(13.0)  # no ack → resent after the contact timeout
+    assert len(calls) == 2
+    a.ack(13.5, "0", "e")
+    a.advance(30.0)
+    assert len(calls) == 2
+
+
+def test_kafka_contact_env_gated():
+    from ramen_spark.streaming.alerter import kafka_contact
+
+    with pytest.raises(NotImplementedError, match="Kafka client"):
+        kafka_contact("k", {}, "alerts", 0, "${name}")
+
+
+def test_outage_grouping():
+    """RamenAlerter.ml:41-43: every incident is its own outage until
+    manually grouped; grouping documents a shared cause and leaves
+    delivery untouched."""
+    a = Alerter({"t": [Contact("c")]}, debounce_delay=0)
+    a.notify(1.0, "t: a")
+    a.notify(2.0, "t: b")
+    a.notify(3.0, "t: c")
+    assert a.outages() == {"0": ["0"], "1": ["1"], "2": ["2"]}
+    oid = a.group_outage(["0", "1"])
+    assert oid == "0"
+    assert a.outages() == {"0": ["0", "1"], "2": ["2"]}
