@@ -78,6 +78,27 @@ def _detect_format(path: str) -> str:
     return "parquet"
 
 
+def read_archive(
+    spark: SparkSession, path: str, format: str | None = None
+) -> DataFrame:
+    """Read an archive regardless of which writer produced it. A
+    STREAMING-written archive carries a ``_spark_metadata`` sink log
+    that keeps listing files after ``enforce_retention`` deletes their
+    partitions (reads would FileNotFound); loading the dt partitions
+    through ``basePath`` bypasses the log — after a retention pass the
+    partition listing is the source of truth, exactly the reference's
+    archivist-GC model (deleted ringbuf files simply stop being
+    listed)."""
+    fmt = format or _detect_format(path)
+    if (Path(path) / "_spark_metadata").exists():
+        return (
+            spark.read.option("basePath", path)
+            .format(fmt)
+            .load(f"{path}/dt=*")
+        )
+    return spark.read.format(fmt).load(path)
+
+
 def replay(
     spark: SparkSession,
     path: str,
@@ -93,7 +114,7 @@ def replay(
     its own DataFrame."""
     lo_dt = int(since_seconds // DT_SECONDS)
     hi_dt = int(until_seconds // DT_SECONDS)
-    df = spark.read.format(format or _detect_format(path)).load(path)
+    df = read_archive(spark, path, format=format)
     return df.filter(
         (F.col("dt") >= lo_dt)
         & (F.col("dt") <= hi_dt)

@@ -420,3 +420,106 @@ def test_listen_for_graphite_real_tcp(spark):
         "servers.web1.cpu.idle": (97.5, 1700000000.0),
         "servers.web1.mem.used": (1234.0, 1700000001.0),
     }
+
+
+def test_streaming_soak_bounded_state_and_retention(spark, tmp_path):
+    """VERDICT r3 #10 — the always-on mode's durability story: a
+    grouped stateful query runs across MANY micro-batches on the
+    RocksDB state store; per-group state must stay bounded by the
+    group count (no leak across triggers), the spool must honor
+    retention (expired day-partitions deleted), and re-reading the
+    surviving spool must agree with the batch engine over the same
+    retained slice."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ramen_spark.plans.raql import (
+        compile_commit_operation,
+        compile_commit_streaming,
+    )
+    from ramen_spark.sources.archive import (
+        DT_SECONDS,
+        archive_stream,
+        enforce_retention,
+        read_archive,
+    )
+
+    n_groups, n_files, rows_per_file = 4, 24, 50
+    src = tmp_path / "soak_src"
+    src.mkdir()
+    all_rows = []
+    for i in range(n_files * rows_per_file):
+        # event time advances ~1 day every 2 files so retention has
+        # partitions to expire
+        all_rows.append(
+            (float(i * DT_SECONDS / (2 * rows_per_file)),
+             f"g{i % n_groups}", float(i % 7))
+        )
+    df = spark.createDataFrame(all_rows, "start double, k string, v double")
+    for i in range(n_files):
+        df.filter(
+            (F.col("start") >= all_rows[i * rows_per_file][0])
+            & (F.col("start") <= all_rows[(i + 1) * rows_per_file - 1][0])
+        ).coalesce(1).write.parquet(str(src / f"f{i:03d}"))
+
+    text = (
+        "select k, min start as start, sum v as total, count v as n "
+        "group by k commit after count v >= 25"
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/f*")
+        )
+        out = compile_commit_streaming(text, stream, order_cols=["start"])
+        spool = str(tmp_path / "soak_spool")
+        q = archive_stream(
+            out, spool, str(tmp_path / "soak_ckpt"), time_col="start"
+        )
+        try:
+            q.processAllAvailable()
+            prog = q.lastProgress
+            state_rows = sum(
+                s["numRowsTotal"] for s in prog["stateOperators"]
+            )
+            # bounded: one state entry per live group, not per trigger
+            assert 0 < state_rows <= n_groups, prog["stateOperators"]
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    # checkpoint is compacted metadata, not an unbounded row log: it
+    # must stay far smaller than the data that flowed through
+    ckpt_bytes = sum(
+        os.path.getsize(p)
+        for p in _glob.glob(str(tmp_path / "soak_ckpt") + "/**", recursive=True)
+        if os.path.isfile(p)
+    )
+    assert ckpt_bytes < 20 * 1024 * 1024
+
+    # retention: drop day-partitions past the horizon; survivors only
+    last_t = all_rows[-1][0]
+    removed = enforce_retention(spool, 3 * DT_SECONDS, last_t)
+    assert removed, "soak produced no expirable partitions"
+    kept = read_archive(spark, spool)
+    horizon_dt = int((last_t - 3 * DT_SECONDS) // DT_SECONDS)
+    assert kept.agg(F.min("dt")).collect()[0][0] >= horizon_dt
+
+    # surviving slice agrees with the batch engine over the same input
+    batch = compile_commit_operation(
+        text, spark.read.parquet(str(src) + "/f*"), order_cols=["start"]
+    ).withColumn(
+        "dt", F.floor(F.col("start") / F.lit(float(DT_SECONDS))).cast("long")
+    ).filter(F.col("dt") >= horizon_dt)
+    exp = sorted(tuple(r) for r in batch.select("k", "total", "n").collect())
+    got = sorted(tuple(r) for r in kept.select("k", "total", "n").collect())
+    assert got == exp and len(got) > 0
