@@ -115,6 +115,32 @@ def main() -> None:
         except Exception as e:  # pragma: no cover — bench must not die
             result["sf1_error"] = repr(e)
 
+    # 100× stress tier (VERDICT r3 #6): the three heaviest queries at
+    # sf10-equivalent — candidate-pair fan-out (minhash), broadcast
+    # score volume (ann), and label-propagation rounds (neardup) are
+    # where the first super-linear cliff would appear.
+    if os.environ.get("SPARK_GRAFT_BENCH_SF10", "1") != "0":
+        sf10_dir = os.environ.get(
+            "SPARK_GRAFT_SF10_DIR", "/tmp/spark_graft_sf10"
+        )
+        stress = ["minhash_lsh_pairs", "ann_cosine_topk", "neardup_clusters"]
+        try:
+            if not os.path.isdir(sf10_dir):
+                from tools.scale_testdata import scale
+
+                scale(spark, SF_DIR, sf10_dir, factor=100)
+            t10: dict[str, float] = {}
+            for name in stress:
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf10_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                t10[name] = round(time.perf_counter() - t0, 3)
+            result["queries_sf10"] = t10
+            result["sf10_total"] = round(sum(t10.values()), 3)
+        except Exception as e:  # pragma: no cover — bench must not die
+            result["sf10_error"] = repr(e)
+
     print(json.dumps(result))
     spark.stop()
 
