@@ -264,17 +264,34 @@ def test_stratified_sample_is_pushdown_filter(spark):
 
 def test_connected_components_shuffles_per_round(spark):
     """One round of label propagation = hash joins + one partial-agg
-    min, never a cartesian/nested-loop product."""
+    min, never a cartesian/nested-loop product. The loop checkpoints
+    each round (lineage truncation — see connected_components), so the
+    round SHAPE is audited on an un-truncated round built the same way
+    the operator builds it; the operator's final plan must show the
+    truncation (a plain RDD scan, not a 5-round join chain)."""
     from ramen_spark.operators.dedup import connected_components
 
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3)], "id_a bigint, id_b bigint"
     )
-    df = connected_components(pairs, max_iter=5)
-    plan = _plan(df)
+    edges = (
+        pairs.select(F.col("id_a").alias("v"), F.col("id_b").alias("n"))
+        .union(pairs.select(F.col("id_b"), F.col("id_a")))
+        .distinct()
+    )
+    labels = edges.select("v").distinct().withColumn("label", F.col("v"))
+    neigh = edges.join(labels.withColumnRenamed("v", "n"), "n").select("v", "label")
+    round_df = labels.union(neigh).groupBy("v").agg(F.min("label").alias("label"))
+    plan = _plan(round_df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "partial_min" in plan or "partial_min".upper() in plan.upper()
+    assert "partial_min" in plan.lower()
+
+    df = connected_components(pairs, max_iter=5)
+    final = _plan(df)
+    assert "ExistingRDD" in final  # per-round lineage truncation held
+    got = sorted((r["v"], r["component"]) for r in df.collect())
+    assert got == [(1, 1), (2, 1), (3, 1)]
 
 
 def test_checkall_triggers_stay_distributed(spark):
