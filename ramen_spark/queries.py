@@ -2528,3 +2528,118 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["clean_corpus"] = ORACLES["clean_corpus"].replace(
     "{QUALITY}", ORACLES["quality_scores"]
 )
+
+
+@register(
+    "gopher_quality_flags",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s3
+      FROM t, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+    ),
+    r AS (
+      SELECT doc_id, count(*) AS n3, count(DISTINCT s3) AS d3
+      FROM g GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.w) AS n_words,
+           round(list_sum(list_transform(t.w, x -> length(x)))::DOUBLE
+                 / len(t.w), 6) AS mean_word_len,
+           round(coalesce(1.0 - r.d3::DOUBLE / r.n3, 0.0), 6)
+             AS frac_dup_3gram,
+           (len(t.w) BETWEEN 50 AND 100000
+            AND (list_sum(list_transform(t.w, x -> length(x)))::DOUBLE
+                 / len(t.w)) BETWEEN 3 AND 10
+            AND coalesce(1.0 - r.d3::DOUBLE / r.n3, 0.0) < 0.2) AS keep
+    FROM t LEFT JOIN r USING (doc_id)
+    WHERE len(t.w) > 0
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-quality rules (word-statistics flags from
+    the Gopher/MassiveText data work): word count bounds, mean word
+    length in [3, 10], and the duplicate-3-gram fraction < 0.2 — the
+    repetition signal that catches boilerplate loops. All row-local
+    JVM expressions (split / transform / aggregate / array_distinct),
+    embarrassingly parallel; the oracle states the identical rules in
+    SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    # stage tokens, then RAW (non-distinct) 3-grams — the repetition
+    # signal needs duplicates, unlike the minhash shingle helper
+    t = docs.select(
+        "doc_id", Tx.tokens(F.col("text")).alias("w")
+    ).filter(F.size("w") > 0)
+    w = F.col("w")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(w, i),
+            F.element_at(w, i + 1),
+            F.element_at(w, i + 2),
+        ),
+    )
+    t = t.select("doc_id", w.alias("w"), sh.alias("sh"))
+    n_words = F.size("w")
+    mwl = (
+        F.aggregate(
+            F.transform(F.col("w"), lambda x: F.length(x)),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).cast("double")
+        / n_words
+    )
+    nsh = F.size("sh")
+    frac = F.when(
+        nsh > 0,
+        1.0 - F.size(F.array_distinct(F.col("sh"))).cast("double") / nsh,
+    ).otherwise(F.lit(0.0))
+    keep = n_words.between(50, 100000) & mwl.between(3, 10) & (frac < 0.2)
+    return t.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(frac, 6).alias("frac_dup_3gram"),
+        keep.alias("keep"),
+    )
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, (doc_id % 8)::INT AS shard,
+             len({_WORDS_SQL}) AS n_tok,
+             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+               AS rn
+      FROM documents
+    ),
+    r AS (
+      SELECT shard, rn, doc_id, n_tok, 0::BIGINT AS pack_seq, n_tok AS cum
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.shard, t.rn, t.doc_id, t.n_tok,
+             CASE WHEN r.cum + t.n_tok > 512
+                  THEN r.pack_seq + 1 ELSE r.pack_seq END,
+             CASE WHEN r.cum + t.n_tok > 512
+                  THEN t.n_tok ELSE r.cum + t.n_tok END
+      FROM r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1
+    )
+    SELECT doc_id, shard, pack_seq, n_tok FROM r
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 512-token training rows, hash-
+    sharded 8 ways (operators.packing.pack_sequences): packing is a
+    sequential recurrence, so the scale shape is shard-parallel — one
+    shuffle, one Arrow fold per shard, deterministic pack ids. The
+    oracle walks the identical greedy recurrence as a recursive CTE."""
+    from ramen_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=512, shards=8
+    )

@@ -440,3 +440,20 @@ def test_global_map_join_not_forced_broadcast(spark):
     logical = dfs["reader"]._jdf.queryExecution().logical().toString()
     assert "broadcast" not in logical.lower(), logical
     assert dfs["reader"].filter(F.col("seen").isNotNull()).count() > 0
+
+
+def test_gopher_flags_no_shuffle(spark):
+    """Quality flags are row-local expressions — the plan must be a
+    single scan with no Exchange."""
+    df = QUERIES["gopher_quality_flags"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_sequence_packing_single_shard_shuffle(spark):
+    """Packing shuffles ONCE on the shard key (the shard-parallel
+    greedy fold) — no second Exchange, no SinglePartition funnel."""
+    df = QUERIES["sequence_packing"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SinglePartition" not in plan, plan
