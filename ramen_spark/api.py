@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from ramen_spark.operators.windows import timeseries as ts_grid
 from ramen_spark.sources.archive import replay
 
-__all__ = ["ArchiveCatalog", "metrics_find", "render", "jsonrpc_handle"]
+__all__ = ["ArchiveCatalog", "metrics_find", "render", "jsonrpc_handle", "tail", "tail_follow"]
 
 API_VERSION = "v1"  # reference current_api_version accepts 1 only
 
@@ -394,6 +394,68 @@ def _apply_simple_filters(df: DataFrame, where: list[dict]) -> DataFrame:
             }[op]
         )
     return df
+
+
+def tail(
+    spark: SparkSession,
+    catalog: "ArchiveCatalog",
+    fq: str,
+    last: int = 10,
+    where: list[dict] | None = None,
+    since: float | None = None,
+    until: float | None = None,
+) -> DataFrame:
+    """``ramen tail func`` (src/RamenCliCmd.ml:1090): the function's
+    most recent ``last`` tuples, optionally time-sliced and filtered
+    (the CLI's --last/--where/--since/--until). Spark shape: the time
+    predicate prunes dt partitions, the order+limit lowers to
+    TakeOrderedAndProject (top-k, never a global sort), and rows come
+    back in event-time order like the reference's tail output."""
+    from ramen_spark.sources.archive import read_archive, replay
+
+    t = catalog.get(fq)
+    if since is not None or until is not None:
+        df = replay(
+            spark, t.path,
+            since if since is not None else float("-inf"),
+            until if until is not None else float("inf"),
+            time_col=t.time_col,
+        )
+    else:
+        df = read_archive(spark, t.path)
+    if where:
+        df = _apply_simple_filters(df, where)
+    df = df.orderBy(F.col(t.time_col).desc()).limit(last)
+    return df.orderBy(F.col(t.time_col)).drop("dt")
+
+
+def tail_follow(
+    spark: SparkSession,
+    spool: str,
+    schema,
+    callback,
+    checkpoint: str | None = None,
+):
+    """``ramen tail --follow``: stream a function's live spool (the
+    deploy_program_streaming output dir) and hand each new micro-batch
+    of tuples to ``callback(rows)``. Returns the StreamingQuery (stop()
+    to detach). The reference's follow mode subscribes to the worker's
+    output ringbuf; the spool IS that buffer here."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(spool)
+    )
+
+    def deliver(batch_df, _epoch):
+        rows = batch_df.collect()
+        if rows:
+            callback(rows)
+
+    writer = stream.writeStream.foreachBatch(deliver)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
 
 
 def jsonrpc_handle(

@@ -275,3 +275,60 @@ def test_render_partial_factor_glob(spark, catalog):
         since=DAY0, until=DAY0 + 3600.0, max_data_points=1,
     )
     assert [o["target"] for o in out] == ["net.traffic.eth1.bytes"]
+
+
+def test_tail_last_tuples(spark, tmp_path):
+    """`ramen tail` (RamenCliCmd.ml:1090): last-N tuples in event-time
+    order, --where filters, top-k plan (no global sort)."""
+    from pyspark.sql import functions as F
+
+    from ramen_spark.api import ArchiveCatalog, tail
+    from ramen_spark.sources.archive import archive
+
+    df = spark.range(100).select(
+        (F.col("id") * 60.0).alias("start"),
+        (F.col("id") % 2).cast("string").alias("k"),
+        F.col("id").cast("double").alias("v"),
+    )
+    path = str(tmp_path / "t")
+    archive(df, path, time_col="start")
+    cat = ArchiveCatalog()
+    cat.register("p/f", path, time_col="start")
+
+    out = tail(spark, cat, "p/f", last=5)
+    assert [r["v"] for r in out.collect()] == [95.0, 96.0, 97.0, 98.0, 99.0]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    filt = tail(spark, cat, "p/f", last=3, where=[{"lhs": "k", "rhs": "0", "op": "="}])
+    assert [r["v"] for r in filt.collect()] == [94.0, 96.0, 98.0]
+
+    sliced = tail(spark, cat, "p/f", last=100, since=0.0, until=300.0)
+    assert [r["v"] for r in sliced.collect()] == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_tail_follow_streams_new_tuples(spark, tmp_path):
+    """`ramen tail --follow`: new spool files reach the callback."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ramen_spark.api import tail_follow
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    df = spark.range(10).select(
+        F.col("id").cast("double").alias("start"), F.col("id").alias("v")
+    )
+    df.filter("v < 5").coalesce(1).write.mode("append").parquet(str(spool))
+
+    got = []
+    q = tail_follow(spark, str(spool), df.schema, lambda rows: got.extend(rows))
+    try:
+        q.processAllAvailable()
+        assert sorted(r["v"] for r in got) == [0, 1, 2, 3, 4]
+        df.filter("v >= 5").coalesce(1).write.mode("append").parquet(str(spool))
+        q.processAllAvailable()
+        assert sorted(r["v"] for r in got) == list(range(10))
+    finally:
+        q.stop()
