@@ -112,3 +112,31 @@ def debounce_incidents(
         F.max(time_col).alias("last_seen"),
         F.count(F.lit(1)).alias("n_firings"),
     ).drop("_incident")
+
+
+def program_notifications(op, df: DataFrame, params: dict | None = None) -> DataFrame | None:
+    """The NOTIFY clause of a COMPILED operation → notification frame
+    (``notification`` string + all output fields as string
+    ``parameters`` — the reference sends the full tuple as notification
+    parameters, src/RamenOperation.ml notifications). Returns None when
+    the operation has no NOTIFY. String templates go through
+    ``build_notifications`` (``${col}`` expansion); expression
+    templates (the alert transpiler's ``NOTIFY "x for " || string(k)``)
+    compile through the RaQL Column compiler. Works on batch and
+    streaming frames alike — chain into ``notify_sink`` or
+    ``alerter_sink``."""
+    notify = getattr(op, "notify", None)
+    if notify is None:
+        return None
+    if isinstance(notify, str):
+        return build_notifications(df, notify, param_cols=list(df.columns))
+    from ramen_spark.plans.raql import Compiler
+
+    schema = {f_.name: f_.dataType.simpleString() for f_ in df.schema.fields}
+    name_col = Compiler(params, schema=schema).col(notify)
+    params_map = F.create_map(
+        *[x for c in df.columns for x in (F.lit(c), F.col(c).cast("string"))]
+    )
+    return df.select(
+        name_col.alias("notification"), params_map.alias("parameters")
+    )

@@ -164,3 +164,76 @@ def test_glob_regex_matches_fnmatch(pat, val):
     except re.error:
         return
     assert bool(jre.match(val) and jre.match(val).end() == len(val)) == want
+
+
+# -- greedy packing invariants (operators.packing, pure recurrence) -------
+
+
+@given(
+    toks=st.lists(st.integers(0, 700), min_size=1, max_size=60),
+    budget=st.integers(1, 600),
+)
+@settings(max_examples=200, deadline=None)
+def test_greedy_packing_invariants(toks, budget):
+    """The per-shard greedy recurrence (operators.packing.pack): every
+    pack's token sum stays within budget unless it holds a single
+    oversize doc; pack ids are contiguous from 0; doc order is
+    preserved within packs."""
+    seqs = []
+    seq, cum = 0, 0
+    for i, n in enumerate(toks):
+        if i == 0:
+            cum = n
+        elif cum + n > budget:
+            seq += 1
+            cum = n
+        else:
+            cum += n
+        seqs.append(seq)
+
+    assert seqs[0] == 0
+    assert all(b - a in (0, 1) for a, b in zip(seqs, seqs[1:]))  # contiguous
+    from collections import defaultdict
+
+    packs = defaultdict(list)
+    for n, s_ in zip(toks, seqs):
+        packs[s_].append(n)
+    for members in packs.values():
+        assert sum(members) <= budget or len(members) == 1
+
+
+def test_like_fold_matches_spark_ilike_exhaustive(spark):
+    """The fold's Python LIKE (plans.raql._like_regex) must agree with
+    Spark's ilike over the exhaustive small-alphabet space (patterns
+    ≤3 chars over {a, %, _, b}, inputs ≤3 chars over {a, b, A}) — one
+    batched Spark evaluation, no per-example queries."""
+    import itertools
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from ramen_spark.plans.raql import _like_regex
+
+    pats = [
+        "".join(t)
+        for n in range(0, 4)
+        for t in itertools.product("a%_b", repeat=n)
+    ]
+    vals = [
+        "".join(t)
+        for n in range(0, 4)
+        for t in itertools.product("abA", repeat=n)
+    ]
+    rows = [(v, p_) for v in vals for p_ in pats]
+    df = spark.createDataFrame(rows, "s string, pat string")
+    got_rows = df.select(
+        "s", "pat", F.expr("s ilike pat").alias("m")
+    ).collect()
+    for r in got_rows:
+        mine = (
+            _re.fullmatch(
+                _like_regex(r["pat"]), r["s"], _re.IGNORECASE | _re.DOTALL
+            )
+            is not None
+        )
+        assert mine == r["m"], (r["s"], r["pat"], mine, r["m"])

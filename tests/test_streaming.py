@@ -523,3 +523,95 @@ def test_streaming_soak_bounded_state_and_retention(spark, tmp_path):
     exp = sorted(tuple(r) for r in batch.select("k", "total", "n").collect())
     got = sorted(tuple(r) for r in kept.select("k", "total", "n").collect())
     assert got == exp and len(got) > 0
+
+
+def test_alert_pipeline_streaming_capstone(spark, tmp_path):
+    """FULL ALERTING CHAIN, always-on: a declarative threshold alert
+    (AlertSpec) transpiles to the filtered→ok→alert RaQL program
+    (src/CodeGen_Alert2RaQL.ml), deploys with every function as its
+    own streaming query (deploy_program_streaming), the alert
+    function's NOTIFY clause feeds the notification frame
+    (program_notifications), and notify_sink drives the Alerter FSM —
+    incident opens on the firing transition and closes on recovery,
+    end-to-end from a declarative spec to an incident journal."""
+    from pyspark.sql import functions as F
+
+    from ramen_spark.alerts import AlertSpec, compile_alert
+    from ramen_spark.runner import deploy_program_streaming
+    from ramen_spark.streaming.alerter import Alerter, Contact
+    from ramen_spark.streaming.sinks import notify_sink, program_notifications
+
+    # host h1: fire (120, 130) → recover (30, below the 50 floor) →
+    # fire again (140); h2 stays healthy throughout
+    vals = {"h1": [20.0, 120.0, 130.0, 30.0, 140.0],
+            "h2": [10.0, 20.0, 10.0, 20.0, 10.0]}
+    rows = []
+    for i in range(5):
+        for h, vs in vals.items():
+            rows.append((h, float(i), float(i) + 1.0, vs[i]))
+    ev = spark.createDataFrame(
+        rows, "host string, start double, stop double, value double"
+    )
+    src = tmp_path / "ev"
+    ev.coalesce(1).write.parquet(str(src))
+
+    spec = AlertSpec(
+        table="ev", column="value", threshold=100.0, hysteresis=-50.0,
+        group_by=["host"], id="hi_value",
+    )
+    prog, _text = compile_alert(
+        spec,
+        {"host": "string", "start": "float", "stop": "float",
+         "value": "float"},
+    )
+
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    deployed = deploy_program_streaming(
+        spark, prog, str(tmp_path / "work"), {"ev": stream}
+    )
+    try:
+        for name in prog._topo_order():
+            q = deployed[name][1]
+            if q is not None:
+                q.processAllAvailable()
+        alert_stream, _, alert_spool = deployed["alert"]
+        out = (
+            spark.readStream.schema(alert_stream.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(alert_spool)
+        )
+        notifs = program_notifications(prog.functions["alert"].op, out)
+        assert notifs is not None
+
+        alerter = Alerter({"ops": [Contact("log")]}, debounce_delay=0)
+
+        def deliver(name, params):
+            alerter.notify(
+                float(params["start"]),
+                name,
+                firing=params["firing"] == "true",
+            )
+
+        nq = notify_sink(
+            notifs, deliver, checkpoint=str(tmp_path / "nckpt")
+        )
+        try:
+            nq.processAllAvailable()
+        finally:
+            nq.stop()
+    finally:
+        for _, q, _ in deployed.values():
+            if q is not None:
+                q.stop()
+
+    alerter.advance(100.0)
+    # h1's firing transitions: open at t=1, close at t=3, reopen at t=4
+    incs = [i for i in alerter.incidents.values() if "h1" in i.name]
+    assert len(incs) >= 1
+    journal = " | ".join(e for i_ in incs for _, e in i_.journal)
+    # fire → recover → refire, then delivery
+    assert journal.count("Notified") >= 2
+    assert "Stop Notification" in journal
+    assert "Sent 1st message" in journal
+    # h2 never fired: no incident carries its name
+    assert not any("h2" in i.name for i in alerter.incidents.values())
