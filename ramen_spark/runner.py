@@ -78,6 +78,31 @@ def deploy_program(
     return dfs, cat
 
 
+def _compile_fn(op, src, params, order_cols):
+    """Route one function's Operation to the streaming fold engine or
+    the stateless Column compiler (the same decision the batch body
+    makes)."""
+    from pyspark.sql.types import ArrayType
+
+    from ramen_spark.plans.raql import (
+        _needs_fold_engine,
+        compile_commit_streaming,
+        compile_operation,
+    )
+
+    src_arr = frozenset(
+        f_.name for f_ in src.schema.fields
+        if isinstance(f_.dataType, ArrayType)
+    )
+    if _needs_fold_engine(op, src_arr) or op.group_by or (
+        op.commit_after is not None
+    ):
+        return compile_commit_streaming(
+            op, src, params=params, order_cols=order_cols
+        )
+    return compile_operation(op, src, params)
+
+
 def deploy_program_streaming(
     spark: SparkSession,
     prog,
@@ -180,6 +205,37 @@ def deploy_program_streaming(
                 "source_streams (LISTEN sources: streaming.sources."
                 "listen_for / listen_for_graphite)"
             )
+        if not fn.parents and (fn.op.is_yield or not fn.op.sources):
+            # YIELD / EVERY clock as a LIVE source: the rate stream at
+            # the declared period, shaped like the batch tick frame
+            # (_tick ordinal + _now wall clock) so the same compile
+            # path applies (src/CodeGenLib_Skeletons.ml:403-431)
+            from pyspark.sql import functions as F
+
+            from ramen_spark.plans.raql import _eval_const
+            from ramen_spark.streaming.sources import rate_clock
+
+            period = _eval_const(fn.op.every, params)
+            period = float(period) if period else 1.0
+            clock = rate_clock(spark, period).select(
+                F.col("tick").alias("_tick"),
+                F.col("t").cast("double").alias("_now"),
+            )
+            compiled = _compile_fn(fn.op, clock, params, ["_tick"])
+            spool = os.path.join(work_dir, prog.name, name)
+            os.makedirs(spool, exist_ok=True)
+            q = (
+                compiled.writeStream.format("parquet")
+                .option("path", spool)
+                .option(
+                    "checkpointLocation",
+                    os.path.join(work_dir, "_ckpt", prog.name, name),
+                )
+                .outputMode("append")
+                .start()
+            )
+            out[name] = (compiled, q, spool)
+            continue
         parents: list[DataFrame] = []
         for parent in fn.parents:
             candidates = [parent]
@@ -244,12 +300,6 @@ def deploy_program_streaming(
             for p_ in rest:
                 src = src.unionByName(p_)
 
-        from pyspark.sql.types import ArrayType
-
-        src_arr = frozenset(
-            f_.name for f_ in src.schema.fields
-            if isinstance(f_.dataType, ArrayType)
-        )
         oc = (order_cols or {}).get(name)
         if oc is None:
             for c in ("ts", "start", "_seq"):
@@ -261,14 +311,7 @@ def deploy_program_streaming(
                 # order within each micro-batch — the reference's
                 # ringbuf consumption order
                 oc = []
-        if _needs_fold_engine(fn.op, src_arr) or fn.op.group_by or (
-            fn.op.commit_after is not None
-        ):
-            compiled = compile_commit_streaming(
-                fn.op, src, params=params, order_cols=oc
-            )
-        else:
-            compiled = compile_operation(fn.op, src, params)
+        compiled = _compile_fn(fn.op, src, params, oc)
 
         spool = os.path.join(work_dir, prog.name, name)
         os.makedirs(spool, exist_ok=True)

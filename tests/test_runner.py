@@ -217,3 +217,48 @@ def test_count_spec_runs_fully_streaming(spark, tmp_path):
     mm = rows["Mitsubishi Motors Co"]
     assert (mm["num_lines"], mm["num_models"], mm["num_power_cars"],
             mm["num_eco_cars"], mm["num_eco_cars_nullable"]) == (39, 9, 0, 32, None)
+
+
+def test_deploy_streaming_yield_clock_is_live(spark, tmp_path):
+    """YIELD/EVERY functions run as REAL rate streams in the always-on
+    mode (no injection needed): the clock drives the previous-chained
+    recurrence live, and a downstream function consumes the spool."""
+    import time
+
+    from ramen_spark.runner import deploy_program_streaming
+
+    text = """
+DEFINE gen AS
+  YIELD 1 + (previous.x |? 0) AS x
+  EVERY 0.05s;
+
+DEFINE doubled AS
+  SELECT x, x * 2 AS y
+  FROM gen;
+"""
+    prog = compile_program(text, name="clockp")
+    deployed = deploy_program_streaming(
+        spark, prog, str(tmp_path / "work"), {}
+    )
+    try:
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline:
+            time.sleep(2)
+            for name in ("gen", "doubled"):
+                deployed[name][1].processAllAvailable()
+            spool = deployed["doubled"][2]
+            rows = spark.read.schema(
+                deployed["doubled"][0].schema
+            ).parquet(spool).collect()
+            if len(rows) >= 5:
+                break
+        assert len(rows) >= 5
+        xs = sorted(r["x"] for r in rows)
+        # the previous-chain counts 1, 2, 3, … and y doubles it
+        assert xs[:3] == [1, 2, 3]
+        assert all(r["y"] == 2 * r["x"] for r in rows)
+    finally:
+        for _, q, _ in deployed.values():
+            if q is not None:
+                q.stop()
