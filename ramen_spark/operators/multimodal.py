@@ -162,3 +162,203 @@ def synthetic_media(spark, n: int = 100) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL decode kernels for dependency-free formats
+# ---------------------------------------------------------------------------
+#
+# WAV (stdlib `wave`) and PPM/PGM (10-line header parse + numpy) need
+# no media library, so these two lanes are REAL end-to-end: genuine
+# bytes in parquet → Arrow batch → decoded samples/pixels → stats.
+# JPEG/MP4/…, which need PIL/ffmpeg, stay behind the strict/fake gate
+# above — the honest split between what this container can and cannot
+# decode.
+
+
+def synthetic_wav_bytes(
+    seconds: float = 0.25, rate: int = 8000, freq: float = 440.0
+) -> bytes:
+    """A real RIFF/WAVE payload: 16-bit mono sine at ``freq`` Hz."""
+    import io
+    import wave
+
+    t = np.arange(int(seconds * rate)) / rate
+    samples = (np.sin(2 * np.pi * freq * t) * 32000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def synthetic_ppm_bytes(width: int = 8, height: int = 6, seed: int = 0) -> bytes:
+    """A real binary PPM (P6) payload with deterministic pixels."""
+    rng = np.random.default_rng(seed)
+    pixels = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels.tobytes()
+
+
+def _decode_wav(payload: bytes):
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+    dtype = {1: np.int8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}[width]
+    samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    peak = float(2 ** (8 * width - 1))
+    rms = float(np.sqrt(np.mean((samples / peak) ** 2))) if len(samples) else 0.0
+    return rate, n, n / rate if rate else 0.0, rms
+
+
+def audio_stats(df: DataFrame, strict: bool = False) -> DataFrame:
+    """REAL audio decode for WAV payloads → (sample_rate, n_samples,
+    duration_s, rms). Arrow-batched mapInPandas over the audio rows
+    only (filter first — the plan never drags image/video bytes
+    through the decoder). Non-WAV audio needs a codec library: strict
+    raises, lax yields nulls."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("duration_s", T.DoubleType(), True),
+            T.StructField("rms", T.DoubleType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "sample_rate": [], "n_samples": [],
+                   "duration_s": [], "rms": []}
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    rate, n, dur, rms = _decode_wav(payload)
+                except Exception:
+                    if strict:
+                        raise NotImplementedError(
+                            "non-WAV audio needs a codec library not in "
+                            "this container"
+                        )
+                    rate = n = dur = rms = None
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_s"].append(dur)
+                out["rms"].append(rms)
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter(F.col("kind") == "audio")
+        .select("media_id", "content")
+        .mapInPandas(batches, out_schema)
+    )
+
+
+def _decode_ppm(payload: bytes):
+    if not payload.startswith((b"P6", b"P5")):
+        raise ValueError("not a binary PPM/PGM")
+    parts = []
+    i = 2
+    while len(parts) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment line
+            i = payload.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        parts.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, _maxval = parts
+    ch = 3 if payload.startswith(b"P6") else 1
+    pixels = np.frombuffer(payload[i : i + w * h * ch], dtype=np.uint8)
+    pixels = pixels.reshape(h, w, ch).astype(np.float64)
+    # Rec.601 luma for color, identity for gray
+    luma = (
+        pixels[:, :, 0] * 0.299 + pixels[:, :, 1] * 0.587 + pixels[:, :, 2] * 0.114
+        if ch == 3
+        else pixels[:, :, 0]
+    )
+    return w, h, float(luma.mean())
+
+
+def image_stats(df: DataFrame, strict: bool = False) -> DataFrame:
+    """REAL image decode for PPM/PGM payloads → (width, height,
+    mean_luma); PIL-backed formats decode when PIL exists, else
+    strict raises / lax yields nulls."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("mean_luma", T.DoubleType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "width": [], "height": [], "mean_luma": []}
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    w, h, luma = _decode_ppm(payload)
+                except Exception:
+                    if HAS_PIL:
+                        import io
+
+                        import PIL.Image
+
+                        img = PIL.Image.open(io.BytesIO(payload)).convert("L")
+                        w, h = img.size
+                        luma = float(np.asarray(img).mean())
+                    elif strict:
+                        raise NotImplementedError(
+                            "non-PPM image needs PIL, not in this container"
+                        )
+                    else:
+                        w = h = luma = None
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_luma"].append(luma)
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter(F.col("kind") == "image")
+        .select("media_id", "content")
+        .mapInPandas(batches, out_schema)
+    )
+
+
+def synthetic_media_real(spark, n: int = 30) -> DataFrame:
+    """Media table whose audio rows are REAL WAVs and image rows REAL
+    PPMs (decodable in this container); video stays a fake payload
+    behind the gate."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        if kind == "audio":
+            content = synthetic_wav_bytes(
+                seconds=0.1 + (i % 3) * 0.1, rate=8000, freq=220.0 * (1 + i % 4)
+            )
+            meta = {"mime": "audio/wav", "width": None, "height": None,
+                    "duration_s": None, "sample_rate": 8000}
+        elif kind == "image":
+            content = synthetic_ppm_bytes(8 + i % 5, 6 + i % 4, seed=i)
+            meta = {"mime": "image/x-portable-pixmap",
+                    "width": 8 + i % 5, "height": 6 + i % 4,
+                    "duration_s": None, "sample_rate": None}
+        else:
+            content = bytes([(i * 7 + j) % 256 for j in range(64)])
+            meta = {"mime": "video/mp4", "width": None, "height": None,
+                    "duration_s": 4.0, "sample_rate": None}
+        rows.append((i, kind, content, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
