@@ -141,6 +141,22 @@ def main() -> None:
         except Exception as e:  # pragma: no cover — bench must not die
             result["sf10_error"] = repr(e)
 
+    # the reference's OWN published benchmark, reproduced apples-to-
+    # apples (tools/baseline_repro.py): 400k x 80-col gzip CSV through
+    # the blog's top_tcp RaQL text, end-to-end incl. parse+decompress.
+    if os.environ.get("SPARK_GRAFT_BENCH_REPRO", "1") != "0":
+        try:
+            from tools.baseline_repro import run as repro_run
+
+            result["baseline_repro"] = repro_run(
+                spark,
+                os.environ.get(
+                    "SPARK_GRAFT_REPRO_DIR", "/tmp/spark_graft_repro"
+                ),
+            )
+        except Exception as e:  # pragma: no cover
+            result["baseline_repro_error"] = repr(e)
+
     print(json.dumps(result))
     spark.stop()
 
