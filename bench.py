@@ -123,7 +123,13 @@ def main() -> None:
         sf10_dir = os.environ.get(
             "SPARK_GRAFT_SF10_DIR", "/tmp/spark_graft_sf10"
         )
-        stress = ["minhash_lsh_pairs", "ann_cosine_topk", "neardup_clusters"]
+        stress = [
+            "minhash_lsh_pairs",
+            "ann_cosine_topk",   # brute-force baseline tier
+            "lsh_ann_topk",      # sublinear tier — must beat brute here
+            "ivf_ann_topk",      # partition-pruning tier
+            "neardup_clusters",
+        ]
         try:
             if not os.path.isdir(sf10_dir):
                 from tools.scale_testdata import scale

@@ -205,41 +205,70 @@ def kmeans_fit(
     re-normalize driver-side. Only n_cells×dim doubles ever reach the
     driver — at 100 TB you fit on a sample (df.sample) with identical
     code."""
-    unit = F.transform(
-        _as_double(vec_col), lambda x: x / F.nullif(V.norm2(F.col(vec_col)), F.lit(0.0))
-    )
-    base = df.select(F.col(id_col).alias("_id"), unit.alias("_v")).filter(
-        ~F.exists(F.col("_v"), lambda x: x.isNull())
+    # Work on RAW vectors + a per-row norm SCALAR, never a computed
+    # unit-vector array: a per-element lambda that references the norm
+    # (or an exists() over the derived array) gets re-inlined by
+    # CollapseProject and re-evaluates O(dim) work per element —
+    # O(dim²) per row, measured 8–15 s of the sf10 fit vs sub-second
+    # here. Nearest-cell assignment is scale-invariant (argmax over
+    # dot(c, v)/|v| = argmax over dot(c, v) for |v| > 0), so only the
+    # n_cells seed vectors are ever normalized — driver-side.
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            _as_double(vec_col).alias("_raw"),
+            V.norm2(F.col(vec_col)).alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+        .filter(~F.exists(F.col("_raw"), lambda x: x.isNull()))
     )
     # every Lloyd job re-reads this small relation: cache it for the
-    # fit, release before returning (fit input is a sample at scale)
-    base = base.cache()
-    seeds = (
-        base.select("_v", F.md5(F.col("_id").cast("string")).alias("_h"))
-        .orderBy("_h")
-        .limit(n_cells)
-        .collect()
-    )
-    centroids = [list(r["_v"]) for r in seeds]
+    # fit, release before returning (fit input is a sample at scale);
+    # a seeds-only fit (iters=0) reads it once — nothing to cache
+    if iters > 0:
+        base = base.cache()
 
     def _renorm(v: list[float]) -> list[float]:
         n = math.sqrt(sum(x * x for x in v))
         return [x / n for x in v] if n > 0 else v
 
+    seeds = (
+        base.select(
+            "_raw", "_n", F.md5(F.col("_id").cast("string")).alias("_h")
+        )
+        .orderBy("_h")
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [[x / r["_n"] for x in r["_raw"]] for r in seeds]
+
     try:
         for _ in range(iters):
             assigned = base.select(
-                _nearest_cell(F.col("_v"), centroids).alias("_cell"), F.col("_v")
+                _nearest_cell(F.col("_raw"), centroids).alias("_cell"),
+                "_raw",
+                "_n",
             )
+            # spherical update sums UNIT vectors: x/_n is plain scalar
+            # arithmetic after the posexplode — no array lambda
             sums = (
-                assigned.select("_cell", F.posexplode(F.col("_v")).alias("_pos", "_x"))
+                assigned.select(
+                    "_cell",
+                    "_n",
+                    F.posexplode(F.col("_raw")).alias("_pos", "_x"),
+                )
                 .groupBy("_cell", "_pos")
-                .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+                .agg(
+                    F.sum(F.col("_x") / F.col("_n")).alias("_s"),
+                    F.count(F.lit(1)).alias("_cnt"),
+                )
                 .collect()
             )
             by_cell: dict[int, dict[int, float]] = {}
             for r in sums:
-                by_cell.setdefault(r["_cell"], {})[r["_pos"]] = r["_s"] / r["_n"]
+                by_cell.setdefault(r["_cell"], {})[r["_pos"]] = (
+                    r["_s"] / r["_cnt"]
+                )
             centroids = [
                 _renorm([by_cell[c][p] for p in sorted(by_cell[c])])
                 if c in by_cell
@@ -247,7 +276,8 @@ def kmeans_fit(
                 for c in range(len(centroids))
             ]
     finally:
-        base.unpersist()
+        if iters > 0:
+            base.unpersist()
     return centroids
 
 
