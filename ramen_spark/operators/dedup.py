@@ -169,10 +169,17 @@ def ngram_jaccard_pairs(
     toks = df.select(
         F.col(id_col), F.split(Tx.normalized_text(F.col(text_col)), " ").alias("_toks")
     )
-    sh = toks.select(
-        F.col(id_col), Tx.word_shingles_of_tokens(F.col("_toks"), shingle_k).alias("_sh")
+    # explode the shingle expression DIRECTLY off the token attribute
+    # (minhash_signatures' shape): an intermediate projection holding
+    # the shingle array collapses into the token projection and
+    # re-inlines the split per element_at — O(len²) per document
+    # (measured 10.9 s vs 0.4 s for the sf0.1 explode)
+    rows = toks.select(
+        F.col(id_col),
+        F.explode(
+            Tx.word_shingles_of_tokens(F.col("_toks"), shingle_k)
+        ).alias("_s"),
     )
-    rows = sh.select(F.col(id_col), F.explode("_sh").alias("_s"))
     if max_shingle_freq is not None:
         # document frequency per shingle (postings are distinct per
         # doc); keep only cool shingles. The groupBy and the semi-join
@@ -185,9 +192,9 @@ def ngram_jaccard_pairs(
             .select("_s")
         )
         rows = rows.join(cool, "_s", "left_semi")
-        sizes = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    else:
-        sizes = sh.select(F.col(id_col), F.size("_sh").alias("_n"))
+    # shingles are distinct per doc, so the per-doc posting count IS
+    # the (filtered) shingle-set size — no separate array pass
+    sizes = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     a = rows.select(F.col(id_col).alias("id_a"), F.col("_s"))
     b = rows.select(F.col(id_col).alias("id_b"), F.col("_s"))
     inter = (
@@ -218,7 +225,7 @@ def simhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 48,
+    bits: int | None = None,
     chunks: int = 4,
     max_hamming: int = 3,
 ) -> DataFrame:
@@ -228,12 +235,29 @@ def simhash_near_dups(
     exact hamming verify. Requires max_hamming < chunks for
     completeness.
 
+    ``bits=None`` scales the signature with the corpus: chunk count is
+    pinned by the pigeonhole guarantee (max_hamming + 1), so the only
+    scale knob is CHUNK WIDTH — per-chunk buckets number 2^(bits/chunks)
+    and the equi-join does Σ occupancy² work, which turns quadratic
+    under a fixed width. Auto: chunk width = clamp(ceil(log2(N/50)),
+    12, 15) nibble-aligned → 48 bits at the oracle-checked SFs (the
+    SQL oracle's hardcoded 12-nibble scheme) and up to 60 bits at
+    corpus scale, keeping occupancy ≈ flat.
+
     Signature computation is row-based like minhash_signatures:
     explode shingles, ONE md5 per shingle, 12 nibble extractions per
     row, then groupBy(doc) with one tiny sum per bit (map-side
     partial) and a final bit-assembly expression. The array-expression
     form (48 × aggregate() over a transform(md5) array) re-evaluates
     the md5 array per bit — measured 80× slower at sf0.01."""
+    if bits is None:
+        import math
+
+        n_rows = df.count()
+        chunk_bits = min(
+            15, max(12, math.ceil(math.log2(max(n_rows / 50, 2.0))))
+        )
+        bits = chunks * chunk_bits  # 48..60: positive long, ≤ md5 nibbles
     hexdig = "0123456789abcdef"
     toks = df.select(
         F.col(id_col), F.split(Tx.normalized_text(F.col(text_col)), " ").alias("_toks")

@@ -132,19 +132,40 @@ def lsh_topk(
     )
 
 
+def auto_n_planes(n_rows: int, target_occupancy: int = 50, floor: int = 6) -> int:
+    """Plane count that keeps expected bucket occupancy ≈
+    ``target_occupancy``: with b planes the corpus splits into 2^b
+    buckets and the self-join does Σ occupancy² work — a FIXED b turns
+    quadratic as the corpus grows (measured: 257 s at the 100× tier
+    with b=6 → 64 buckets of ~3 k vectors; adaptive b=12 → ~12 s).
+    Deterministic in the corpus size; at the oracle-checked SFs
+    (200 / 2 k rows) the formula lands on the floor of 6, matching the
+    plane literals baked into the SQL oracle."""
+    if n_rows <= 1:
+        return floor
+    return max(floor, math.ceil(math.log2(max(n_rows / target_occupancy, 1.0))))
+
+
 def pairwise_near_dups(
     df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 6,
+    n_planes: int | None = None,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup tier): LSH-bucket
     self-join + exact cosine ≥ threshold. Same bucket-join shape as
     minhash dedup — candidate volume scales with true-duplicate
-    density, not N²."""
+    density, not N². ``n_planes=None`` picks auto_n_planes(corpus
+    size) so bucket occupancy — and with it the self-join volume —
+    stays flat as the corpus grows (more planes → lower per-pair
+    collision recall, the standard LSH trade; compensate with an
+    OR-construction of several seeds when recall matters more than
+    throughput)."""
+    if n_planes is None:
+        n_planes = auto_n_planes(df.count())
     planes = make_hyperplanes(dim, n_planes, seed)
     b = df.select(
         F.col(id_col),
