@@ -129,6 +129,10 @@ def main() -> None:
             "lsh_ann_topk",      # sublinear tier — must beat brute here
             "ivf_ann_topk",      # partition-pruning tier
             "neardup_clusters",
+            "simhash_near_dups",     # adaptive chunk width
+            "embedding_near_dups",   # adaptive plane count
+            "ngram_jaccard_pairs",   # exact tier — inherent join volume
+            "clean_corpus",
         ]
         try:
             if not os.path.isdir(sf10_dir):
