@@ -457,3 +457,17 @@ def test_sequence_packing_single_shard_shuffle(spark):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_adaptive_lsh_knobs_preserve_oracle_constants():
+    """The corpus-size-adaptive LSH knobs must land EXACTLY on the
+    constants baked into the SQL oracles at the driver-checked scale
+    factors (200 / 2k vectors → 6 planes), and grow logarithmically
+    past them — a fixed bucket count turns the self-join quadratic."""
+    from ramen_spark.operators.similarity import auto_n_planes
+
+    assert auto_n_planes(200) == 6
+    assert auto_n_planes(2_000) == 6
+    assert auto_n_planes(200_000) == 12
+    assert auto_n_planes(20_000_000) > auto_n_planes(200_000)
+    assert auto_n_planes(0) == 6
