@@ -105,9 +105,9 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
         sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
         try:
-            if not os.path.isdir(sf1_dir):
-                from tools.scale_testdata import scale
+            from tools.scale_testdata import scale, tier_is_current
 
+            if not tier_is_current(sf1_dir):
                 scale(spark, SF_DIR, sf1_dir, factor=10)
             t1, tot1 = suite(sf1_dir, 1)
             result["queries_sf1"] = t1
@@ -135,9 +135,9 @@ def main() -> None:
             "clean_corpus",
         ]
         try:
-            if not os.path.isdir(sf10_dir):
-                from tools.scale_testdata import scale
+            from tools.scale_testdata import scale, tier_is_current
 
+            if not tier_is_current(sf10_dir):
                 scale(spark, SF_DIR, sf10_dir, factor=100)
             t10: dict[str, float] = {}
             for name in stress:

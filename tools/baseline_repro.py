@@ -64,10 +64,16 @@ DEFINE top_tcp AS
 def generate_csv(spark: SparkSession, out_dir: str) -> str:
     """Write the 400 k × 80-col gzipped CSV once (cached). Flow records
     span ~20 minutes of capture time across 1024 server ports."""
+    import hashlib
+
     os.makedirs(out_dir, exist_ok=True)
+    version = hashlib.md5(open(os.path.abspath(__file__), "rb").read()).hexdigest()
     done = os.path.join(out_dir, "_DONE")
-    if os.path.exists(done):
-        return out_dir
+    try:
+        if open(done).read() == version:
+            return out_dir
+    except OSError:
+        pass
     df = spark.range(N_ROWS).select(
         (F.lit(1_500_000_000_000_000) + F.col("id") * F.lit(3_000))
         .alias("capture_begin"),
@@ -103,7 +109,8 @@ def generate_csv(spark: SparkSession, out_dir: str) -> str:
         .option("compression", "gzip")
         .csv(os.path.join(out_dir, "tcp"))
     )
-    open(done, "w").close()
+    with open(done, "w") as fh:
+        fh.write(version)
     return out_dir
 
 

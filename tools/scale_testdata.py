@@ -76,6 +76,23 @@ def _copy(df: DataFrame, table: str, c: int) -> DataFrame:
     return out
 
 
+def _generator_version() -> str:
+    """Hash of this module's source: bench.py regenerates a cached
+    tier when the generator changed, instead of silently benching
+    against stale data."""
+    import hashlib
+
+    with open(os.path.abspath(__file__), "rb") as fh:
+        return hashlib.md5(fh.read()).hexdigest()
+
+
+def tier_is_current(dst: str) -> bool:
+    try:
+        return open(os.path.join(dst, "_VERSION")).read() == _generator_version()
+    except OSError:
+        return False
+
+
 def scale(spark: SparkSession, src: str, dst: str, factor: int = 10) -> None:
     os.makedirs(dst, exist_ok=True)
     for t in DIMS:
@@ -89,6 +106,8 @@ def scale(spark: SparkSession, src: str, dst: str, factor: int = 10) -> None:
         for p in parts[1:]:
             out = out.unionByName(p)
         out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+    with open(os.path.join(dst, "_VERSION"), "w") as fh:
+        fh.write(_generator_version())
 
 
 def main() -> None:
