@@ -277,35 +277,3 @@ def jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     un = F.size(F.array_union(a, b))
     return F.when(un > 0, inter.cast("double") / un).otherwise(F.lit(0.0))
-
-
-def with_quality(df, text_col: str = "text", out: str = "quality"):
-    """``quality_score`` with the token split STAGED (evaluated once
-    per row): the composite expression form re-evaluates the O(len)
-    split per metric (~6 passes/row — measured 29.5 s vs 3 s at the
-    100x tier). CollapseProject would re-inline a plain projection, so
-    the stage is pinned behind a Filter barrier, the same shape the
-    gopher-flags query uses. Identical values to ``quality_score``
-    (same formula over the same arrays) — the DuckDB oracle is
-    unchanged."""
-    from pyspark.sql import functions as F
-
-    staged = df.select(
-        "*",
-        tokens(F.lower(F.col(text_col))).alias("_toks_l"),
-        tokens(F.col(text_col)).alias("_toks"),
-    ).filter(F.size("_toks") >= 0)
-    tl, t = F.col("_toks_l"), F.col("_toks")
-    n = F.size(tl)
-    sw = F.size(F.filter(tl, lambda w: w.isin(*STOPWORDS_EN)))
-    sw_ratio = F.when(n > 0, sw.cast("double") / n).otherwise(F.lit(0.0))
-    ln = F.octet_length(F.col(text_col)).cast("double")
-    total = F.aggregate(t, F.lit(0), lambda acc, w: acc + F.length(w))
-    nt = F.size(t)
-    wl = F.when(nt > 0, total.cast("double") / nt).otherwise(F.lit(0.0))
-    len_score = F.least(ln / F.lit(200.0), F.lit(1.0))
-    sw_score = F.least(sw_ratio * 4, F.lit(1.0))
-    wl_score = F.when((wl >= 3) & (wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
-    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(F.col(text_col)) * 3)
-    q = F.round((len_score + sw_score + wl_score + punct_pen) / 4, 6)
-    return staged.withColumn(out, q).drop("_toks_l", "_toks")
