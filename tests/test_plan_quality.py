@@ -471,3 +471,34 @@ def test_adaptive_lsh_knobs_preserve_oracle_constants():
     assert auto_n_planes(200_000) == 12
     assert auto_n_planes(20_000_000) > auto_n_planes(200_000)
     assert auto_n_planes(0) == 6
+
+
+def test_embedding_neardup_recall_on_planted_dups(spark):
+    """Recall audit for the adaptive-plane LSH dedup: plant 100
+    near-duplicate pairs (tiny perturbations, cos ≈ 0.999) among 4k
+    random vectors; the bucket join must recover ≥ 90% of them. Pins
+    the quality side of the auto_n_planes throughput trade."""
+    import numpy as np
+
+    from ramen_spark.operators.similarity import pairwise_near_dups
+
+    rng = np.random.default_rng(7)
+    dim, n_base, n_dups = 32, 4000, 100
+    base = rng.normal(size=(n_base, dim))
+    rows = [(i, base[i].tolist()) for i in range(n_base)]
+    planted = set()
+    for j in range(n_dups):
+        src = j * 17 % n_base
+        noisy = base[src] + rng.normal(scale=0.01, size=dim)
+        rows.append((n_base + j, noisy.tolist()))
+        planted.add((src, n_base + j))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in pairwise_near_dups(
+            df, threshold=0.99, dim=dim
+        ).collect()
+    }
+    found = sum(1 for p in planted if p in got)
+    assert found / n_dups >= 0.9, f"recall {found}/{n_dups}"
