@@ -204,10 +204,28 @@ def parse_spec(text: str) -> dict:
     return _P(_tokens(text)).record()
 
 
-def run_spec_file(spark, path: str, parse_expected=None, values_equal=None):
+def _load_program_source(func_dir: str, src: str, source_provider=None):
+    """Resolve a spec's program ``src`` to (text, base_dir). When the
+    file is absent and a ``source_provider`` is given, the provider may
+    supply the source — the reference's build emits some spec programs
+    (tests/func/generated.ramen via tools/gen_reader_test.opt,
+    Makefile.in:1372) before `ramen test` runs; the provider is that
+    build step's seam."""
+    p = os.path.join(func_dir, src)
+    if not os.path.exists(p) and source_provider is not None:
+        provided = source_provider(src)
+        if provided is not None:
+            return provided
+    return open(p).read(), os.path.dirname(p)
+
+
+def run_spec_file(spark, path: str, parse_expected=None, values_equal=None,
+                  source_provider=None):
     """Run one .test spec end-to-end (`ramen test path`); returns a
     list of failure descriptions (empty = pass). Program sources
-    resolve relative to the spec file."""
+    resolve relative to the spec file; ``source_provider(src) ->
+    (text, base_dir) | None`` supplies build-generated programs the
+    checkout lacks."""
     from ramen_spark.plans.raql import compile_program
 
     parse_expected = parse_expected or globals()["parse_expected"]
@@ -225,10 +243,8 @@ def run_spec_file(spark, path: str, parse_expected=None, values_equal=None):
         if entry.get("ext"):
             # program instance identity = src#ext (any_ext.test)
             pname = f"{pname}#{entry['ext']}"
-        path = os.path.join(FUNC_DIR, src)
-        prog = compile_program(
-            open(path).read(), name=pname, base_dir=os.path.dirname(path)
-        )
+        text, base_dir = _load_program_source(FUNC_DIR, src, source_provider)
+        prog = compile_program(text, name=pname, base_dir=base_dir)
         params = entry.get("params") or None
         dfs = prog.materialize(
             spark, params=params, externals=ext, register_views=False
@@ -369,6 +385,7 @@ def run_spec_file_streaming(
     work_dir: str,
     parse_expected=None,
     values_equal=None,
+    source_provider=None,
 ):
     """`ramen test` in the ALWAYS-ON mode: every relational function of
     every listed program runs as its own Structured Streaming query
@@ -413,11 +430,10 @@ def run_spec_file_streaming(
             pname = src.removesuffix(".ramen")
             if entry.get("ext"):
                 pname = f"{pname}#{entry['ext']}"
-            ppath = os.path.join(FUNC_DIR, src)
-            prog = compile_program(
-                open(ppath).read(), name=pname,
-                base_dir=os.path.dirname(ppath),
+            text, base_dir = _load_program_source(
+                FUNC_DIR, src, source_provider
             )
+            prog = compile_program(text, name=pname, base_dir=base_dir)
             params = entry.get("params") or None
 
             # 1. Batch-materialize once to capture the SOURCE functions'

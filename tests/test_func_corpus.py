@@ -244,12 +244,18 @@ def test_top_expr_program(spark):
 
 import glob
 
-from func_spec import run_spec, FUNC_DIR as _FUNC_DIR
+from func_spec import (
+    run_spec,
+    generated_source_provider,
+    FUNC_DIR as _FUNC_DIR,
+)
 from test_doc_examples import parse_expected as _doc_parse, values_equal as _doc_eq
 
-KNOWN_FAIL = {
-    "generated": "program-generator (.ramen file absent)",
-}
+# Every reference spec now passes — including `generated`, whose
+# .ramen/.csv pair the reference emits at BUILD time
+# (tools/gen_reader_test.opt); the sweep regenerates an equivalent
+# deterministic pair (func_spec.generated_source_provider).
+KNOWN_FAIL: dict = {}
 
 _ALL_SPECS = sorted(
     os.path.basename(f).removesuffix(".test")
@@ -269,8 +275,11 @@ _ALL_SPECS = sorted(
         for n in _ALL_SPECS
     ],
 )
-def test_spec_sweep(spark, spec_name):
-    fails = run_spec(spark, spec_name, _doc_parse, _doc_eq)
+def test_spec_sweep(spark, spec_name, tmp_path):
+    fails = run_spec(
+        spark, spec_name, _doc_parse, _doc_eq,
+        source_provider=generated_source_provider(tmp_path),
+    )
     assert not fails, f"{spec_name}: {fails[:3]}"
 
 

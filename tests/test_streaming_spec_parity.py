@@ -197,9 +197,10 @@ def test_worker_mode_state_survives_micro_batches(spark, tmp_path):
 
 import glob
 
-STREAMING_KNOWN_FAIL = {
-    "generated": "program-generator (.ramen file absent)",
-}
+# `generated`'s build-emitted .ramen/.csv pair is regenerated
+# deterministically (func_spec.generated_source_provider) — no
+# remaining known-fails in either sweep.
+STREAMING_KNOWN_FAIL: dict = {}
 
 _ALL_SPECS = sorted(
     os.path.basename(f).removesuffix(".test")
@@ -224,8 +225,11 @@ _ALL_SPECS = sorted(
 def test_spec_sweep_streaming(spark, tmp_path, spec_name):
     from ramen_spark.testkit import run_spec_file_streaming
 
+    from func_spec import generated_source_provider
+
     fails, n_streamed = run_spec_file_streaming(
-        spark, os.path.join(FUNC_DIR, f"{spec_name}.test"), str(tmp_path)
+        spark, os.path.join(FUNC_DIR, f"{spec_name}.test"), str(tmp_path),
+        source_provider=generated_source_provider(tmp_path),
     )
     assert not fails, f"{spec_name} (streaming): {fails[:3]}"
     if n_streamed == 0:
