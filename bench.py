@@ -64,6 +64,13 @@ def main() -> None:
         "row_number() OVER (PARTITION BY id % 2 ORDER BY id) rn "
         "FROM range(4)"
     ).collect()
+    # …and the dedup/text path (regexp_replace, split, explode, md5 →
+    # conv, multi-min hash agg, self-join): measured ~4-9 s of one-time
+    # per-JVM classload/JIT on its first execution — without this, the
+    # first minhash run charges that warmup to the query
+    QUERIES["minhash_lsh_pairs"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     # two measured runs per query, report the min: single runs on this
     # shared box swing ±40% (see round-1 notes), and min-of-2 measures
@@ -109,7 +116,10 @@ def main() -> None:
 
             if not tier_is_current(sf1_dir):
                 scale(spark, SF_DIR, sf1_dir, factor=10)
-            t1, tot1 = suite(sf1_dir, 1)
+            # min-of-2 like the primary tier: single runs are exposed
+            # to multi-tenant load spikes (a 3 s steady-state query
+            # recorded 17.9 s once under loadavg 12)
+            t1, tot1 = suite(sf1_dir, runs)
             result["queries_sf1"] = t1
             result["sf1_total"] = round(tot1, 3)
         except Exception as e:  # pragma: no cover — bench must not die

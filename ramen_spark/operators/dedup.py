@@ -221,6 +221,74 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Train/eval DECONTAMINATION: flag training documents sharing
+    ≥ ``min_overlap`` word ``shingle_k``-grams with any eval document
+    (the GPT-3/PaLM-style n-gram scrub; production pipelines use
+    k≈8-13 — k is a knob here because the test corpus's documents are
+    short).
+
+    Per train doc: its (distinct, normalized) shingle count, how many
+    of those shingles appear anywhere in the eval corpus, the
+    contamination fraction, and the boolean flag. Docs too short for
+    one shingle keep n_shingles=0 / clean.
+
+    100 TB shape: the eval side collapses to its DISTINCT shingle set
+    — benchmarks are tiny next to a training corpus, so AQE broadcasts
+    it and the train side is a single map-side pass + one
+    groupBy(doc) partial aggregate; no shuffle ever carries document
+    text. No forced broadcast hint: an adversarially-huge eval corpus
+    degrades to a sort-merge join on the shingle key instead of
+    OOMing executors."""
+
+    def shingle_rows(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col),
+            F.split(Tx.normalized_text(F.col(text_col)), " ").alias("_toks"),
+        )
+        # explode directly off the token attribute (see
+        # ngram_jaccard_pairs: an intermediate shingle-array projection
+        # re-inlines split per element — O(len²)/doc)
+        return toks.select(
+            F.col(id_col),
+            F.explode(
+                Tx.word_shingles_of_tokens(F.col("_toks"), shingle_k)
+            ).alias("_s"),
+        )
+
+    eval_shingles = shingle_rows(eval_df).select("_s").distinct()
+    marked = shingle_rows(train_df).join(
+        eval_shingles.withColumn("_hit", F.lit(1)), "_s", "left"
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("_hit").alias("n_hit"),
+    )
+    # left join back so zero-shingle docs stay in the report
+    return (
+        train_df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("contam_frac"),
+            (F.coalesce("n_hit", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str = "text",

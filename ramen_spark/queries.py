@@ -1005,6 +1005,46 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_train",
+    f"""
+    WITH words AS ({_SHINGLES_SQL}),
+    post AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM words, unnest(generate_series(1, greatest(nw - 2, 0))) AS u(i)
+    ),
+    ev AS (SELECT DISTINCT s FROM post WHERE doc_id % 97 = 0),
+    agg AS (
+      SELECT tr.doc_id, count(*) AS n_shingles, count(ev.s) AS n_hit
+      FROM (SELECT doc_id, s FROM post WHERE doc_id % 97 <> 0) tr
+      LEFT JOIN ev ON tr.s = ev.s
+      GROUP BY tr.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n_shingles, 0) AS n_shingles,
+           coalesce(n_hit, 0)     AS n_hit,
+           round(coalesce(n_hit, 0)::DOUBLE
+                 / greatest(coalesce(n_shingles, 0), 1), 6) AS contam_frac,
+           coalesce(n_hit, 0) >= 1 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN agg ON agg.doc_id = d.doc_id
+    """,
+)
+def decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (operators.dedup.decontaminate): the
+    GPT-3/PaLM n-gram scrub — flag training docs sharing any word
+    3-gram with the (stand-in) eval slice doc_id % 97 == 0. The eval
+    side collapses to its distinct shingle set, which AQE broadcasts
+    at real train:eval ratios; no shuffle carries document text."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.decontaminate(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        shingle_k=3,
+        min_overlap=1,
+    )
+
+
+@register(
     "ann_cosine_topk",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),

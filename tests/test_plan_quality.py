@@ -502,3 +502,22 @@ def test_embedding_neardup_recall_on_planted_dups(spark):
     }
     found = sum(1 for p in planted if p in got)
     assert found / n_dups >= 0.9, f"recall {found}/{n_dups}"
+
+
+def test_decontaminate_no_cartesian_text_pruned(spark):
+    """Decontamination joins on the shingle key only: never a cross
+    product, and the shuffle/join carries shingles + ids — the raw
+    text column stays in the scan-side projection (it feeds the
+    shingle expression, then drops)."""
+    df = QUERIES["decontaminate_train"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every scan is pruned to the needed columns (doc_id and/or text):
+    # the report-side scan reads doc_id alone, the shingle scans
+    # doc_id+text — never lang/source/dt
+    schemas = [s[:200] for s in plan.split("ReadSchema:")[1:]]
+    assert schemas and all(
+        "lang" not in s and "source" not in s for s in schemas
+    ), schemas
+    assert any("text" in s for s in schemas)
