@@ -81,6 +81,44 @@ class ArchiveCatalog:
     def tables(self) -> dict[str, str]:
         return {fq: t.doc for fq, t in self._tables.items()}
 
+    # -- persistence: the confserver's config-tree role ------------------
+    # The reference's catalog lives in the confserver; here a deploy
+    # writes a manifest next to the archives so later CLI invocations
+    # (tail/timeseries/httpd in a fresh process) rediscover the tables.
+
+    def save(self, path: str) -> None:
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(
+                [
+                    {
+                        "fq": t.fq,
+                        "path": t.path,
+                        "time_col": t.time_col,
+                        "stop_col": t.stop_col,
+                        "factors": t.factors,
+                        "doc": t.doc,
+                    }
+                    for t in self._tables.values()
+                ],
+                fh,
+                indent=1,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "ArchiveCatalog":
+        cat = cls()
+        with open(path) as fh:
+            for e in json.load(fh):
+                cat.register(
+                    e["fq"], e["path"], time_col=e["time_col"],
+                    stop_col=e.get("stop_col"),
+                    factors=e.get("factors") or [], doc=e.get("doc", ""),
+                )
+        return cat
+
     def get(self, fq: str) -> _Table:
         return self._tables[fq]
 

@@ -1,0 +1,289 @@
+"""The `ramen` command-line surface (src/RamenCliCmd.ml) for the Spark
+engine, as `python -m ramen_spark <cmd>`.
+
+Subcommand parity (reference → here):
+
+- ``ramen compile prog.ramen``      → ``compile`` (parse/compile check,
+  prints each function and its clause shape)
+- ``ramen run prog.ramen``          → ``run`` (deploy: materialize, write
+  FACTORS-partitioned archives with retention, persist the catalog
+  manifest — the confserver's role — under the archive root)
+- ``ramen test spec.test``          → ``test`` (testkit.run_spec_file)
+- ``ramen tail fq``                 → ``tail`` (last-N tuples, dt-pruned
+  top-k; --where/--since/--until)
+- ``ramen replay fq``               → ``replay`` (time-sliced archive read)
+- ``ramen timeseries fq field``     → ``timeseries`` (regular grid over
+  the archive, bucket-spreading)
+- ``ramen ps``                      → ``tables`` (catalog listing)
+- ``ramen httpd``                   → ``httpd`` (Graphite impersonator +
+  JSON-RPC v1 over the archives)
+
+Every command creates (or joins) the tuned SparkSession from
+session.get_spark; state between invocations lives entirely in the
+archive root (parquet/orc + ``_catalog.json``), so each command is a
+fresh process like the reference's CLI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _parse_param(kv: str):
+    k, _, v = kv.partition("=")
+    if not _:
+        raise SystemExit(f"bad --param {kv!r}: expected name=value")
+    for conv in (int, float):
+        try:
+            return k, conv(v)
+        except ValueError:
+            pass
+    if v.lower() in ("true", "false"):
+        return k, v.lower() == "true"
+    return k, v
+
+
+def _load_catalog(archive_root: str):
+    from ramen_spark.api import ArchiveCatalog
+
+    manifest = os.path.join(archive_root, "_catalog.json")
+    if not os.path.exists(manifest):
+        raise SystemExit(
+            f"no catalog at {manifest} — `run` a program with this "
+            f"--archive-root first"
+        )
+    return ArchiveCatalog.load(manifest)
+
+
+def _compile_file(path: str):
+    from ramen_spark.plans.raql import compile_program
+
+    name = os.path.basename(path).removesuffix(".ramen")
+    return compile_program(
+        open(path).read(), name=name, base_dir=os.path.dirname(path) or "."
+    )
+
+
+def _print_rows(df, limit: int | None = None) -> None:
+    rows = df.collect() if limit is None else df.limit(limit).collect()
+    cols = df.columns
+    print("\t".join(cols))
+    for r in rows:
+        print("\t".join("\\N" if r[c] is None else str(r[c]) for c in cols))
+
+
+def cmd_compile(args) -> int:
+    rc = 0
+    for path in args.files:
+        try:
+            prog = _compile_file(path)
+        except Exception as e:
+            print(f"{path}: FAILED: {e}", file=sys.stderr)
+            rc = 1
+            continue
+        for fname, fn in prog.functions.items():
+            vis = "private" if fn.is_private else "public"
+            persist = (
+                f" persist={fn.persist_for}s" if fn.persist_for else ""
+            )
+            print(f"{prog.name}/{fname}: {vis}{persist}")
+    return rc
+
+
+def cmd_run(args) -> int:
+    from ramen_spark.runner import deploy_program
+    from ramen_spark.session import get_spark
+
+    spark = get_spark("ramen_cli")
+    params = dict(_parse_param(p) for p in args.param or [])
+    from ramen_spark.api import ArchiveCatalog
+
+    manifest = os.path.join(args.archive_root, "_catalog.json")
+    cat = (
+        ArchiveCatalog.load(manifest) if os.path.exists(manifest) else None
+    )
+    for path in args.files:
+        prog = _compile_file(path)
+        dfs, cat = deploy_program(
+            spark, prog, args.archive_root, params=params or None,
+            catalog=cat,
+        )
+        for fq in sorted(cat.tables()):
+            if fq.startswith(prog.name + "/"):
+                print(f"archived {fq}")
+    return 0
+
+
+def cmd_test(args) -> int:
+    from ramen_spark.session import get_spark
+    from ramen_spark.testkit import run_spec_file
+
+    spark = get_spark("ramen_cli")
+    rc = 0
+    for path in args.files:
+        fails = run_spec_file(spark, path)
+        if fails:
+            rc = 1
+            print(f"{path}: FAILED")
+            for f_ in fails[:10]:
+                print(f"  {f_}")
+        else:
+            print(f"{path}: ok")
+    return rc
+
+
+def cmd_tail(args) -> int:
+    from ramen_spark.api import tail
+    from ramen_spark.session import get_spark
+
+    spark = get_spark("ramen_cli")
+    cat = _load_catalog(args.archive_root)
+    where = []
+    for w in args.where or []:
+        k, eq, v = w.partition("=")
+        if not eq:
+            raise SystemExit(f"bad --where {w!r}: expected field=value")
+        where.append({"lhs": k, "op": "=", "rhs": v})
+    df = tail(
+        spark, cat, args.fq, last=args.last, where=where or None,
+        since=args.since, until=args.until,
+    )
+    _print_rows(df)
+    return 0
+
+
+def cmd_replay(args) -> int:
+    from ramen_spark.session import get_spark
+    from ramen_spark.sources.archive import replay
+
+    spark = get_spark("ramen_cli")
+    cat = _load_catalog(args.archive_root)
+    t = cat.get(args.fq)
+    df = replay(spark, t.path, args.since, args.until, time_col=t.time_col)
+    _print_rows(df.orderBy(t.time_col).drop("dt"), limit=args.limit)
+    return 0
+
+
+def cmd_timeseries(args) -> int:
+    from ramen_spark.api import _timeseries_for
+    from ramen_spark.session import get_spark
+
+    spark = get_spark("ramen_cli")
+    cat = _load_catalog(args.archive_root)
+    t = cat.get(args.fq)
+    series = _timeseries_for(
+        spark, cat, args.fq, args.field, ["*"] * len(t.factors),
+        args.since, args.until, args.num_points,
+        consolidation=args.consolidation,
+    )
+    step = (args.until - args.since) / args.num_points
+    null = "\\N"
+    for key, vals in series:
+        label = ".".join(key) if key else args.field
+        for i, v in enumerate(vals):
+            ts = args.since + i * step
+            print(f"{label}\t{ts}\t{null if v is None else v}")
+    return 0
+
+
+def cmd_tables(args) -> int:
+    cat = _load_catalog(args.archive_root)
+    for fq, doc in sorted(cat.tables().items()):
+        t = cat.get(fq)
+        facs = ",".join(t.factors) or "-"
+        print(f"{fq}\t{t.time_col}\t{facs}\t{doc or '-'}")
+    return 0
+
+
+def cmd_httpd(args) -> int:
+    from ramen_spark.httpd import serve
+    from ramen_spark.session import get_spark
+
+    spark = get_spark("ramen_cli")
+    cat = _load_catalog(args.archive_root)
+    srv = serve(spark, cat, host=args.host, port=args.port)
+    host, port = srv.server_address[:2]
+    print(f"listening on http://{host}:{port}", flush=True)
+    try:
+        import threading
+
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        srv.shutdown()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="python -m ramen_spark",
+        description="ramen CLI analogue over the Spark engine",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("compile", help="parse+compile programs")
+    p.add_argument("files", nargs="+")
+    p.set_defaults(fn=cmd_compile)
+
+    p = sub.add_parser("run", help="deploy programs: archive + catalog")
+    p.add_argument("files", nargs="+")
+    p.add_argument("--archive-root", required=True)
+    p.add_argument("-p", "--param", action="append", metavar="NAME=VALUE")
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("test", help="run .test specs")
+    p.add_argument("files", nargs="+")
+    p.set_defaults(fn=cmd_test)
+
+    p = sub.add_parser("tail", help="last tuples of a function")
+    p.add_argument("fq")
+    p.add_argument("--archive-root", required=True)
+    p.add_argument("--last", type=int, default=10)
+    p.add_argument("--since", type=float, default=None)
+    p.add_argument("--until", type=float, default=None)
+    p.add_argument("-w", "--where", action="append", metavar="FIELD=VALUE")
+    p.set_defaults(fn=cmd_tail)
+
+    p = sub.add_parser("replay", help="time-sliced archive read")
+    p.add_argument("fq")
+    p.add_argument("--archive-root", required=True)
+    p.add_argument("--since", type=float, required=True)
+    p.add_argument("--until", type=float, required=True)
+    p.add_argument("--limit", type=int, default=None)
+    p.set_defaults(fn=cmd_replay)
+
+    p = sub.add_parser("timeseries", help="regular-grid timeseries")
+    p.add_argument("fq")
+    p.add_argument("field")
+    p.add_argument("--archive-root", required=True)
+    p.add_argument("--since", type=float, required=True)
+    p.add_argument("--until", type=float, required=True)
+    p.add_argument("--num-points", type=int, default=100)
+    p.add_argument(
+        "--consolidation", choices=["avg", "sum", "min", "max"],
+        default="avg",
+    )
+    p.set_defaults(fn=cmd_timeseries)
+
+    p = sub.add_parser("tables", help="list archived functions (ps)")
+    p.add_argument("--archive-root", required=True)
+    p.set_defaults(fn=cmd_tables)
+
+    p = sub.add_parser("httpd", help="Graphite + JSON-RPC over archives")
+    p.add_argument("--archive-root", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.set_defaults(fn=cmd_httpd)
+
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

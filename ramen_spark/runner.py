@@ -75,6 +75,11 @@ def deploy_program(
             f"{prog.name}/{name}", path,
             time_col=tcol, stop_col=stop, factors=facs, doc=fn.doc,
         )
+    # persist the catalog next to the archives (the confserver's role)
+    # so fresh processes (CLI tail/timeseries/httpd) rediscover tables
+    import os as _os
+
+    cat.save(_os.path.join(archive_root, "_catalog.json"))
     return dfs, cat
 
 

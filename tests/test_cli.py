@@ -1,0 +1,125 @@
+"""`python -m ramen_spark` CLI (ramen_spark/cli.py): the reference's
+`ramen <cmd>` surface (src/RamenCliCmd.ml) driven end-to-end — compile,
+run (deploy+archive+catalog manifest), tables, tail, replay,
+timeseries, test — with state between invocations living only in the
+archive root, like the reference's separate CLI processes."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ramen_spark.cli import main
+from ramen_spark.sources.archive import DT_SECONDS
+
+DAY = float(DT_SECONDS)
+DAY0 = 100 * DAY
+
+PROGRAM = """
+DEFINE reader AS
+  READ FROM FILE "traffic.csv" AS CSV (
+    start float,
+    stop float,
+    iface string,
+    bytes float);
+
+-- 30000d: the fixture's event times sit near the epoch; anything
+-- shorter and `run`'s retention (real wall-clock now) deletes them
+DEFINE PERSIST FOR 30000d traffic AS
+  SELECT start, stop, iface, sum bytes AS bytes
+  FROM reader
+  GROUP BY iface, start // 3600
+  COMMIT AFTER in.start > out.stop
+  FACTORS iface;
+"""
+
+
+@pytest.fixture(scope="module")
+def deployed(spark, tmp_path_factory):
+    """One `run` invocation; the read commands exercise the manifest."""
+    src = tmp_path_factory.mktemp("cli_src")
+    root = str(tmp_path_factory.mktemp("cli_archive"))
+    (src / "traffic.ramen").write_text(PROGRAM)
+    rows = [
+        (DAY0 + d * DAY + h * 3600.0,
+         DAY0 + d * DAY + (h + 1) * 3600.0, iface, 100.0 * d + h)
+        for d in range(3)
+        for h in (0, 6)
+        for iface in ("eth0", "eth1")
+    ]
+    (src / "traffic.csv").write_text(
+        "\n".join(f"{a},{b},{i},{v}" for a, b, i, v in rows) + "\n"
+    )
+    assert main(["run", str(src / "traffic.ramen"),
+                 "--archive-root", root]) == 0
+    return root
+
+
+def test_cli_compile(spark, tmp_path, capsys):
+    (tmp_path / "p.ramen").write_text(PROGRAM)
+    assert main(["compile", str(tmp_path / "p.ramen")]) == 0
+    out = capsys.readouterr().out
+    assert "p/traffic: public persist=" in out
+    assert "p/reader: public" in out
+
+
+def test_cli_compile_error(tmp_path, capsys):
+    (tmp_path / "bad.ramen").write_text("DEFINE f AS FLURB;")
+    assert main(["compile", str(tmp_path / "bad.ramen")]) == 1
+
+
+def test_cli_run_writes_archive_and_manifest(deployed, capsys):
+    assert os.path.exists(os.path.join(deployed, "_catalog.json"))
+    dts = os.listdir(os.path.join(deployed, "traffic", "traffic"))
+    assert any(p.startswith("dt=") for p in dts)
+
+
+def test_cli_tables(deployed, capsys):
+    assert main(["tables", "--archive-root", deployed]) == 0
+    out = capsys.readouterr().out
+    assert "traffic/traffic" in out and "iface" in out
+
+
+def test_cli_tail(deployed, capsys):
+    assert main(["tail", "traffic/traffic", "--archive-root", deployed,
+                 "--last", "3", "--where", "iface=eth0"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    # FACTORS are partition columns, so iface reads back last
+    assert set(out[0].split("\t")) == {"start", "stop", "bytes", "iface"}
+    assert len(out) == 4  # header + 3 rows
+    assert all("eth0" in ln for ln in out[1:])
+
+
+def test_cli_replay_slices_time(deployed, capsys):
+    # day 1 only: 4 groups (2 ifaces × h0/h6)
+    assert main([
+        "replay", "traffic/traffic", "--archive-root", deployed,
+        "--since", str(DAY0 + DAY), "--until", str(DAY0 + 2 * DAY),
+    ]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 5
+    starts = [float(ln.split("\t")[0]) for ln in out[1:]]
+    assert all(DAY0 + DAY <= s < DAY0 + 2 * DAY for s in starts)
+
+
+def test_cli_timeseries(deployed, capsys):
+    assert main([
+        "timeseries", "traffic/traffic", "bytes",
+        "--archive-root", deployed,
+        "--since", str(DAY0), "--until", str(DAY0 + DAY),
+        "--num-points", "4", "--consolidation", "sum",
+    ]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    # per-iface series (factor glob *) on a 4-point grid
+    labels = {ln.split("\t")[0] for ln in out}
+    assert labels == {"eth0", "eth1"}
+    assert len(out) == 8
+
+
+def test_cli_test_spec(spark, capsys):
+    spec = "/root/reference/tests/func/basename.test"
+    if not os.path.exists(spec):
+        pytest.skip("reference checkout absent")
+    assert main(["test", spec]) == 0
+    assert ": ok" in capsys.readouterr().out
