@@ -105,12 +105,17 @@ def cmd_run(args) -> int:
     cat = (
         ArchiveCatalog.load(manifest) if os.path.exists(manifest) else None
     )
+    # cross-program parents: later programs on the command line can
+    # FROM 'prog/func' of earlier ones (the confserver's wiring role)
+    ext: dict = {}
     for path in args.files:
         prog = _compile_file(path)
         dfs, cat = deploy_program(
             spark, prog, args.archive_root, params=params or None,
-            catalog=cat,
+            externals=ext or None, catalog=cat,
         )
+        for fn_name, df in dfs.items():
+            ext[f"{prog.name}/{fn_name}"] = df
         for fq in sorted(cat.tables()):
             if fq.startswith(prog.name + "/"):
                 print(f"archived {fq}")
@@ -216,6 +221,51 @@ def cmd_httpd(args) -> int:
     return 0
 
 
+def cmd_archivist(args) -> int:
+    from ramen_spark.sources.archivist import (
+        FuncStats,
+        Retention,
+        apply_allocation,
+        solve_storage,
+    )
+
+    stats = json.load(open(args.stats))
+    funcs = {
+        fq: FuncStats(
+            fq=fq,
+            bytes_per_sec=float(s["bytes_per_sec"]),
+            cpu_per_sec=float(s.get("cpu_per_sec", 0.0)),
+            parents=list(s.get("parents", [])),
+        )
+        for fq, s in stats.items()
+    }
+    rets = {}
+    for r in args.retention or []:
+        fq, eq, spec = r.partition("=")
+        if not eq:
+            raise SystemExit(
+                f"bad --retention {r!r}: expected fq=duration[:freq]"
+            )
+        dur, _, freq = spec.partition(":")
+        rets[fq] = Retention(
+            duration=float(dur), query_freq=float(freq) if freq else 1.0
+        )
+    alloc = solve_storage(funcs, rets, args.budget)
+    print(json.dumps(alloc, indent=1))
+    if args.apply:
+        import time
+
+        cat = _load_catalog(args.archive_root)
+        paths = {
+            fq: cat.get(fq).path for fq in alloc if fq in cat.tables()
+        }
+        removed = apply_allocation(alloc, paths, time.time())
+        for fq, parts in removed.items():
+            for p in parts:
+                print(f"removed {fq}: {p}", file=sys.stderr)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="python -m ramen_spark",
@@ -270,6 +320,22 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("tables", help="list archived functions (ps)")
     p.add_argument("--archive-root", required=True)
     p.set_defaults(fn=cmd_tables)
+
+    p = sub.add_parser(
+        "archivist",
+        help="solve storage allocation under a byte budget",
+    )
+    p.add_argument("--stats", required=True,
+                   help="JSON {fq: {bytes_per_sec, cpu_per_sec, parents}}")
+    p.add_argument("--budget", type=float, required=True)
+    p.add_argument(
+        "-r", "--retention", action="append",
+        metavar="FQ=DURATION[:FREQ]",
+    )
+    p.add_argument("--apply", action="store_true",
+                   help="enforce the allocation on --archive-root")
+    p.add_argument("--archive-root")
+    p.set_defaults(fn=cmd_archivist)
 
     p = sub.add_parser("httpd", help="Graphite + JSON-RPC over archives")
     p.add_argument("--archive-root", required=True)

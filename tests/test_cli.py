@@ -123,3 +123,28 @@ def test_cli_test_spec(spark, capsys):
         pytest.skip("reference checkout absent")
     assert main(["test", spec]) == 0
     assert ": ok" in capsys.readouterr().out
+
+
+def test_cli_archivist(tmp_path, capsys):
+    """`archivist` solves the storage allocation from a stats JSON —
+    the raw→agg→report chain from test_archivist: budget fits the
+    aggregate's history, not the raw stream's."""
+    import json
+
+    stats = {
+        "p/raw": {"bytes_per_sec": 1000.0, "cpu_per_sec": 0.0},
+        "p/agg": {"bytes_per_sec": 10.0, "cpu_per_sec": 1e-4,
+                  "parents": ["p/raw"]},
+        "p/report": {"bytes_per_sec": 1.0, "cpu_per_sec": 1e-5,
+                     "parents": ["p/agg"]},
+    }
+    (tmp_path / "stats.json").write_text(json.dumps(stats))
+    assert main([
+        "archivist", "--stats", str(tmp_path / "stats.json"),
+        "--budget", "100000", "--retention", "p/report=86400",
+    ]) == 0
+    alloc = json.loads(capsys.readouterr().out)
+    # report's day of history is served by archiving report itself
+    # (1 B/s fits); raw at 1 kB/s for a day would need 86.4 MB
+    assert alloc["p/report"] == 86400.0
+    assert alloc["p/raw"] == 0.0
