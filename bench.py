@@ -55,7 +55,13 @@ def main() -> None:
     # first-use JIT/codegen of those operator classes
     from ramen_spark.catalog import load_table
 
-    warm = load_table(spark, "/root/testdata/sf0.001", "events")
+    # warmup tier: the sf0.001 sibling of the configured data dir (the
+    # warmup must not hardcode /root/testdata — SF_DIR is configurable);
+    # fall back to SF_DIR itself when no sibling exists
+    warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = SF_DIR
+    warm = load_table(spark, warm_dir, "events")
     warm.groupBy("event_type").agg({"value": "sum"}).collect()
     spark.sql(
         # PARTITION BY a real column: constants fold away and leave an
@@ -68,7 +74,7 @@ def main() -> None:
     # conv, multi-min hash agg, self-join): measured ~4-9 s of one-time
     # per-JVM classload/JIT on its first execution — without this, the
     # first minhash run charges that warmup to the query
-    QUERIES["minhash_lsh_pairs"](spark, "/root/testdata/sf0.001").write.format(
+    QUERIES["minhash_lsh_pairs"](spark, warm_dir).write.format(
         "noop"
     ).mode("overwrite").save()
 

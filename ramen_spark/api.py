@@ -110,13 +110,20 @@ class ArchiveCatalog:
     @classmethod
     def load(cls, path: str) -> "ArchiveCatalog":
         cat = cls()
-        with open(path) as fh:
-            for e in json.load(fh):
+        try:
+            with open(path) as fh:
+                entries = json.load(fh)
+            for e in entries:
                 cat.register(
                     e["fq"], e["path"], time_col=e["time_col"],
                     stop_col=e.get("stop_col"),
                     factors=e.get("factors") or [], doc=e.get("doc", ""),
                 )
+        except (json.JSONDecodeError, KeyError, TypeError) as exc:
+            raise ValueError(
+                f"corrupt archive catalog {path}: {exc!r} — re-run "
+                f"`run` to rebuild it, or fix the manifest by hand"
+            ) from exc
         return cat
 
     def get(self, fq: str) -> _Table:

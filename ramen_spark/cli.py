@@ -68,7 +68,9 @@ def _compile_file(path: str):
 
 
 def _print_rows(df, limit: int | None = None) -> None:
-    rows = df.collect() if limit is None else df.limit(limit).collect()
+    # Stream partitions through the driver instead of collect(): an
+    # unbounded replay/tail slice must not have to fit in CLI memory.
+    rows = (df.limit(limit) if limit is not None else df).toLocalIterator()
     cols = df.columns
     print("\t".join(cols))
     for r in rows:
@@ -222,6 +224,8 @@ def cmd_httpd(args) -> int:
 
 
 def cmd_archivist(args) -> int:
+    if args.apply and not args.archive_root:
+        raise SystemExit("--apply requires --archive-root")
     from ramen_spark.sources.archivist import (
         FuncStats,
         Retention,

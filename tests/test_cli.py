@@ -148,3 +148,26 @@ def test_cli_archivist(tmp_path, capsys):
     # (1 B/s fits); raw at 1 kB/s for a day would need 86.4 MB
     assert alloc["p/report"] == 86400.0
     assert alloc["p/raw"] == 0.0
+
+
+def test_cli_archivist_apply_requires_root(tmp_path):
+    """--apply without --archive-root is a clean usage error, not a
+    TypeError from os.path.join(None, ...)."""
+    import json
+
+    (tmp_path / "stats.json").write_text(json.dumps(
+        {"p/raw": {"bytes_per_sec": 1.0}}))
+    with pytest.raises(SystemExit, match="--apply requires"):
+        main(["archivist", "--stats", str(tmp_path / "stats.json"),
+              "--budget", "10", "--apply"])
+
+
+def test_catalog_load_corrupt_manifest_names_path(tmp_path):
+    """A truncated _catalog.json surfaces as a diagnosable error that
+    names the manifest, not a bare JSONDecodeError traceback."""
+    from ramen_spark.api import ArchiveCatalog
+
+    bad = tmp_path / "_catalog.json"
+    bad.write_text('[{"fq": "p/f", "path"')
+    with pytest.raises(ValueError, match=str(bad)):
+        ArchiveCatalog.load(str(bad))
