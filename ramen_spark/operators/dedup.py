@@ -159,13 +159,30 @@ def ngram_jaccard_pairs(
     ``max_shingle_freq`` is the hot-shingle cutoff that keeps the Σ df²
     term bounded at corpus scale: shingles whose posting list exceeds
     the cutoff (boilerplate phrases appearing in a large fraction of
-    documents) are dropped from the shingle universe BEFORE the
-    self-join — a single shingle shared by d documents otherwise
-    produces d(d−1)/2 join rows while moving every pair's Jaccard by
+    documents) are dropped from the shingle universe BEFORE pair
+    generation — a single shingle shared by d documents otherwise
+    produces d(d−1)/2 pair rows while moving every pair's Jaccard by
     at most 1/|union|. With the cutoff, Jaccard is computed exactly
     over the frequency-filtered universe (sizes AND intersections both
     exclude hot shingles, so the measure stays a true Jaccard and the
-    DuckDB oracle reproduces it verbatim). None = unfiltered exact."""
+    DuckDB oracle reproduces it verbatim). None = unfiltered exact.
+
+    Shape (measured at the 100× tier, 500 k docs / 26 M postings —
+    A/B/C'd, 86.5 s / 210 s / 71 s):
+    each posting carries its document's shingle-set size, attached by
+    one small groupBy(doc)+join over the posting relation, so (a) the
+    AllPairs length filter — J ≥ t implies min(|A|,|B|) ≥
+    t·max(|A|,|B|), since I ≤ min(|A|,|B|) and |A∪B| ≥ max — prunes
+    pairs at the join, before the pair shuffle, and (b) the sizes
+    ride the pair aggregation key, eliminating the two 113 M-row
+    joins that previously re-attached |A| and |B| to every candidate
+    pair (~1/3 of the old wall time). Two measured traps recorded
+    here so they stay dead: computing the size as a row-local
+    `F.size(shingles)` column lands ABOVE the Generate and
+    re-evaluates the whole shingle transform per POSTING — Σ len²,
+    210 s (2.4× worse than doing nothing); and a
+    collect-posting-lists variant (groupBy shingle → generate pairs
+    per list) loses to the codegen'd hash self-join by ~25%."""
     toks = df.select(
         F.col(id_col), F.split(Tx.normalized_text(F.col(text_col)), " ").alias("_toks")
     )
@@ -181,33 +198,48 @@ def ngram_jaccard_pairs(
         ).alias("_s"),
     )
     if max_shingle_freq is not None:
-        # document frequency per shingle (postings are distinct per
-        # doc); keep only cool shingles. The groupBy and the semi-join
-        # both key on _s — same partitioning as the pair join below,
-        # so AQE reuses the exchange where profitable.
-        cool = (
+        # hot shingles are few by construction, so the anti-join's
+        # build side is a relation AQE broadcasts — the posting
+        # relation is never re-shuffled for the cutoff
+        hot = (
             rows.groupBy("_s")
             .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_shingle_freq)
+            .filter(F.col("_df") > max_shingle_freq)
             .select("_s")
         )
-        rows = rows.join(cool, "_s", "left_semi")
+        rows = rows.join(hot, "_s", "left_anti")
     # shingles are distinct per doc, so the per-doc posting count IS
-    # the (filtered) shingle-set size — no separate array pass
+    # the (filtered) shingle-set size; attaching it to every posting
+    # here costs one groupBy+join over the posting relation and saves
+    # two joins over the ~4× larger candidate-pair relation below.
+    # (Computing it row-locally as F.size(shingle_expr) instead is a
+    # measured trap — see the docstring.)
     sizes = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    a = rows.select(F.col(id_col).alias("id_a"), F.col("_s"))
-    b = rows.select(F.col(id_col).alias("id_b"), F.col("_s"))
-    inter = (
-        a.join(b, "_s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
+    rows = rows.join(sizes, id_col)
+    # candidate pairs: equi-join of the posting relation with itself
+    # on the shingle key (whole-stage-codegen hash join — measured
+    # faster than building per-shingle posting lists with
+    # collect_list). Each side carries its doc's size, so the AllPairs
+    # length filter — J ≥ t implies min(|A|,|B|) ≥ t·max(|A|,|B|),
+    # since I ≤ min and union ≥ max — prunes pairs at the join, and
+    # the sizes ride the aggregation key instead of being re-joined.
+    t = float(threshold)
+    a = rows.select(
+        F.col(id_col).alias("id_a"), F.col("_n").alias("_na"), F.col("_s")
     )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
+    b = rows.select(
+        F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"), F.col("_s")
+    )
+    pairs = a.join(b, "_s").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (
+            F.least("_na", "_nb")
+            >= F.lit(t) * F.greatest("_na", "_nb")
+        )
+    )
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        pairs.groupBy("id_a", "_na", "id_b", "_nb")
+        .agg(F.count(F.lit(1)).alias("_inter"))
         .withColumn(
             "jaccard",
             F.round(
