@@ -497,3 +497,90 @@ def connected_components(
             "pathological chain of LSH buckets"
         )
     return labels.select(F.col("v"), F.col("label").alias("component"))
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_k: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection: per document, how
+    much of it is verbatim-repeated elsewhere in the corpus (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better" — their ~50-token duplicated-substring criterion, here on
+    rolling ``span_k``-token windows).
+
+    A span is DUPLICATED when its text occurs ≥ ``min_count`` times
+    corpus-wide (across documents or repeated within one — both are
+    memorization risks). Output per document: token count, span
+    count, duplicated-span count, and ``dup_token_frac`` — the EXACT
+    fraction of tokens covered by the union of duplicated spans,
+    computed without materializing intervals: duplicated spans sorted
+    by position are fixed-length-k intervals, so the union length is
+    k for the first plus min(k, Δpos) for each subsequent span — one
+    lag() window per document.
+
+    100 TB shape: postings are one row per token position carrying a
+    16-byte md5 of the span (never the span text — shuffle volume is
+    positions × 16 B regardless of k), the duplicate set comes from
+    one map-side-combinable count per hash, and the coverage window
+    partitions by document. No similarity joins, no candidate pairs.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), Tx.tokens(F.col(text_col)).alias("_toks")
+    )
+    k = int(span_k)
+    w = F.col("_toks")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(0)))
+    span_md5 = F.transform(
+        idx,
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)])
+        ),
+    )
+    # posexplode directly off the token attribute (the CollapseProject
+    # rule: see ngram_jaccard_pairs) — _pos is the 0-based span start
+    spans = toks.select(
+        F.col(id_col),
+        F.posexplode(span_md5).alias("_pos", "_h"),
+    )
+    dup = (
+        spans.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_h")
+    )
+    marked = spans.join(dup, "_h", "left_semi")
+    win = Window.partitionBy(id_col).orderBy("_pos")
+    prev = F.lag("_pos").over(win)
+    contrib = F.when(prev.isNull(), F.lit(k)).otherwise(
+        F.least(F.lit(k), F.col("_pos") - prev)
+    )
+    cov = (
+        marked.withColumn("_cov", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.sum("_cov").alias("_dup_tokens"),
+            F.count(F.lit(1)).alias("n_dup_spans"),
+        )
+    )
+    totals = toks.select(
+        F.col(id_col),
+        F.size("_toks").alias("n_tokens"),
+        F.greatest(F.size("_toks") - (k - 1), F.lit(0)).alias("n_spans"),
+    ).filter(F.col("n_spans") > 0)
+    return totals.join(cov, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_spans").cast("bigint").alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        F.round(
+            F.coalesce(F.col("_dup_tokens"), F.lit(0)).cast("double")
+            / F.col("n_tokens"),
+            6,
+        ).alias("dup_token_frac"),
+    )

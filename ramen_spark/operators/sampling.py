@@ -1,0 +1,88 @@
+"""Corpus-mixing samplers — the data-weighting stage of an LLM
+training pipeline.
+
+Not in the reference's surface (training-pipeline extension, like
+operators.dedup / operators.packing): a raw crawl over-represents its
+largest domains, so training mixtures re-weight groups by a
+temperature exponent before sampling (the multilingual-sampling rule
+popularized by the mBERT/XLM-R and GPT-3/The-Pile data work:
+p(group) ∝ n_group^alpha with alpha < 1 flattening the distribution).
+
+Everything here is DETERMINISTIC — selection is by md5-hash rank, not
+RNG — so reruns, retries and the DuckDB oracle reproduce the sample
+bit-for-bit. That property is what makes sampling usable inside a
+fault-tolerant pipeline: a re-executed partition must not change the
+sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-weighted mixture sampling: keep ~``target_frac`` of
+    the corpus, re-balanced across ``group_col`` by ``alpha``.
+
+    Per group g with n_g rows, the mixture weight is
+    w_g = n_g^alpha / Σ n^alpha; the per-group quota is
+    round(target_total · w_g), clamped to n_g (downsampling only — an
+    upsampled group would need row replication, which belongs in the
+    epoch schedule, not the sample; the clamp's shortfall is reported
+    in ``quota`` vs ``took``). alpha = 1 keeps natural proportions,
+    alpha = 0 gives every group the same quota.
+
+    Selection inside a group is by rank of md5(id) — a deterministic
+    uniform order, with the id as tie-break so the rank is total.
+
+    100 TB shape: group statistics are one map-side-combinable
+    count per group (a relation of |groups| rows that AQE broadcasts
+    back), and the rank is one window partitioned by group — the only
+    shuffle, on the same key the downstream mixture is consumed by.
+    The skew that motivates the temperature is carried by the window's
+    per-group partitions; a pathologically-hot group can be salted by
+    pre-splitting into shards and taking quota/shards per shard.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    tot = counts.agg(
+        F.sum("_n").alias("_total"),
+        F.sum(F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))).alias(
+            "_z"
+        ),
+    )
+    quotas = counts.crossJoin(tot).select(
+        F.col(group_col),
+        F.col("_n"),
+        F.least(
+            F.col("_n"),
+            F.round(
+                F.lit(float(target_frac))
+                * F.col("_total")
+                * F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))
+                / F.col("_z")
+            ).cast("long"),
+        ).alias("_quota"),
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = df.select(F.col(id_col), F.col(group_col)).withColumn(
+        "_rk", F.row_number().over(win)
+    )
+    return (
+        ranked.join(quotas, group_col)
+        .filter(F.col("_rk") <= F.col("_quota"))
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col("_n").cast("bigint").alias("group_total"),
+            F.col("_quota").cast("bigint").alias("quota"),
+        )
+    )

@@ -2683,3 +2683,89 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         _t(spark, sf_dir, "documents"), budget=512, shards=8
     )
+
+
+@register(
+    "duplicated_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    s AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(w[i:i+9], ' ')) AS h
+      FROM t, unnest(generate_series(1, greatest(len(w) - 9, 0))) AS u(i)
+    ),
+    dup AS (SELECT h FROM s GROUP BY h HAVING count(*) >= 2),
+    m AS (
+      SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM s WHERE h IN (SELECT h FROM dup)
+    ),
+    cov AS (
+      SELECT doc_id,
+             sum(CASE WHEN prev IS NULL THEN 10
+                      ELSE least(10, pos - prev) END) AS dup_tokens,
+             count(*) AS n_dup_spans
+      FROM m GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.w)::BIGINT AS n_tokens,
+           greatest(len(t.w) - 9, 0)::BIGINT AS n_spans,
+           coalesce(cov.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+           round(coalesce(cov.dup_tokens, 0)::DOUBLE / len(t.w), 6)
+             AS dup_token_frac
+    FROM t LEFT JOIN cov USING (doc_id)
+    WHERE greatest(len(t.w) - 9, 0) > 0
+    """,
+)
+def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span report
+    (operators.dedup.duplicated_spans): per document, the exact
+    fraction of tokens covered by 10-token windows that occur ≥ 2
+    times corpus-wide — the Lee-et-al. duplicated-substring criterion
+    as a 100 TB-shaped pipeline stage (16-byte span hashes, one
+    combinable count per hash, one lag() window per doc for the exact
+    interval-union coverage; no candidate pairs). The oracle walks the
+    identical definition, md5s and all."""
+    return D.duplicated_spans(
+        _t(spark, sf_dir, "documents"), span_k=10, min_count=2
+    )
+
+
+@register(
+    "temperature_mix_sample",
+    """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    t AS (SELECT sum(n) AS total, sum(n ** 0.5) AS z FROM c),
+    q AS (
+      SELECT lang, n,
+             least(n, round(0.5 * total * (n ** 0.5) / z)::BIGINT) AS quota
+      FROM c, t
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, q.n::BIGINT AS group_total,
+           q.quota::BIGINT AS quota
+    FROM r JOIN q USING (lang) WHERE rk <= quota
+    """,
+)
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted corpus mixing
+    (operators.sampling.temperature_mix): keep 50% of the corpus with
+    per-language quotas ∝ n^0.5 — alpha < 1 flattens the natural
+    distribution so low-resource languages survive the cut (the
+    mBERT/XLM-R/Pile sampling rule). Selection is md5-rank
+    deterministic: reruns and the oracle reproduce the sample
+    bit-for-bit."""
+    from ramen_spark.operators.sampling import temperature_mix
+
+    return temperature_mix(
+        _t(spark, sf_dir, "documents"),
+        group_col="lang",
+        alpha=0.5,
+        target_frac=0.5,
+    )
