@@ -95,6 +95,78 @@ def cmd_compile(args) -> int:
     return rc
 
 
+def cmd_info(args) -> int:
+    """`ramen info` analogue: per-function operation metadata from the
+    compiled program — parents, select fields, grouping, commit shape,
+    event time, factors, retention (the reference prints the typed
+    signature from the compiled bin; we print the compiled plan's
+    metadata without needing source data)."""
+    from ramen_spark.plans.raql import Star, _default_name
+
+    rc = 0
+    for path in args.files:
+        try:
+            prog = _compile_file(path)
+        except Exception as e:
+            print(f"{path}: FAILED: {e}", file=sys.stderr)
+            rc = 1
+            continue
+        print(f"program {prog.name}")
+        if prog.defaults:
+            pstr = ", ".join(
+                f"{k}={v!r}" for k, v in sorted(prog.defaults.items())
+            )
+            print(f"  parameters: {pstr}")
+        for fname, fn in prog.functions.items():
+            vis = "private" if fn.is_private else "public"
+            print(f"  function {fname}: {vis}")
+            if fn.doc:
+                print(f"    doc: {fn.doc}")
+            if fn.parents:
+                print(f"    from: {', '.join(fn.parents)}")
+            if fn.factors:
+                print(f"    factors: {', '.join(fn.factors)}")
+            if fn.persist_for:
+                print(f"    persist for: {fn.persist_for}s")
+            op = fn.op
+            if op is None:
+                continue
+            if not hasattr(op, "fields") or not hasattr(op, "group_by"):
+                # ListenFor / ReadCsv source ops: fixed schema, no
+                # aggregate clauses
+                print(f"    source: {type(op).__name__}")
+                continue
+            names = []
+            for i, sf in enumerate(op.fields):
+                if isinstance(sf, Star) or isinstance(sf.expr, Star):
+                    names.append("*")
+                else:
+                    names.append(sf.alias or _default_name(sf.expr, i))
+            if names:
+                print(f"    select: {', '.join(names)}")
+            if op.group_by:
+                print(f"    group by: {len(op.group_by)} expr(s)")
+            if op.commit_after is not None:
+                kind = "before" if op.commit_before else "after"
+                keep = "" if op.flush else ", keep"
+                print(f"    commit {kind} <cond>{keep}")
+            if op.sort_last is not None:
+                print(f"    sort last {op.sort_last[0]}")
+            if op.notify:
+                print(f"    notify: {op.notify}")
+            if op.every:
+                print(f"    every: {op.every}s")
+            if op.event_time is not None:
+                (start, scale), dur = op.event_time[0], op.event_time[1]
+                s = f"event starting at {start}"
+                if scale != 1.0:
+                    s += f" * {scale}"
+                if dur:
+                    s += f" with duration {dur}"
+                print(f"    {s}")
+    return rc
+
+
 def cmd_run(args) -> int:
     from ramen_spark.runner import deploy_program
     from ramen_spark.session import get_spark
@@ -290,6 +362,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("test", help="run .test specs")
     p.add_argument("files", nargs="+")
     p.set_defaults(fn=cmd_test)
+
+    p = sub.add_parser("info", help="per-function operation metadata")
+    p.add_argument("files", nargs="+")
+    p.set_defaults(fn=cmd_info)
 
     p = sub.add_parser("tail", help="last tuples of a function")
     p.add_argument("fq")

@@ -171,3 +171,26 @@ def test_catalog_load_corrupt_manifest_names_path(tmp_path):
     bad.write_text('[{"fq": "p/f", "path"')
     with pytest.raises(ValueError, match=str(bad)):
         ArchiveCatalog.load(str(bad))
+
+
+def test_cli_info(tmp_path, capsys):
+    """`info` prints per-function operation metadata (ramen info
+    analogue) from the compiled plan, no source data needed."""
+    src = tmp_path / "p.ramen"
+    src.write_text(
+        "DEFINE f PERSIST FOR 1h AS\n"
+        "  SELECT start, sum value AS total\n"
+        "  FROM other/src\n"
+        "  GROUP BY value\n"
+        "  COMMIT AFTER sum 1 >= 3\n"
+        "  FACTORS start;\n"
+    )
+    assert main(["info", str(src)]) == 0
+    out = capsys.readouterr().out
+    assert "program p" in out
+    assert "function f: public" in out
+    assert "from: other/src" in out
+    assert "factors: start" in out
+    assert "persist for: 3600.0s" in out
+    assert "select: start, total" in out
+    assert "commit after <cond>" in out
