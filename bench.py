@@ -149,6 +149,7 @@ def main() -> None:
             "embedding_near_dups",   # adaptive plane count
             "ngram_jaccard_pairs",   # exact tier — inherent join volume
             "clean_corpus",
+            "duplicated_spans",      # ExactSubstr — positions × 16 B
         ]
         try:
             from tools.scale_testdata import scale, tier_is_current

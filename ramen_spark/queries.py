@@ -2686,6 +2686,143 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "prepare_training_corpus",
+    f"""
+    WITH RECURSIVE pairs AS ({{MINHASH}}),
+    qual AS ({{QUALITY}}),
+    fp_keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM_SQL})
+    ),
+    near_drop AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+    w2 AS ({_SHINGLES_SQL}),
+    post2 AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM w2, unnest(generate_series(1, greatest(nw - 2, 0))) AS u(i)
+    ),
+    ev2 AS (SELECT DISTINCT s FROM post2 WHERE doc_id % 97 = 0),
+    contam AS (
+      SELECT DISTINCT doc_id FROM post2
+      WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM ev2)
+    ),
+    clean AS (
+      SELECT d.doc_id, d.lang
+      FROM documents d
+      JOIN fp_keep USING (doc_id)
+      JOIN qual USING (doc_id)
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM near_drop)
+        AND d.doc_id % 97 <> 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+        AND qual.quality >= 0.5
+    ),
+    c AS (SELECT lang, count(*) AS n FROM clean GROUP BY lang),
+    t2 AS (SELECT sum(n) AS total, sum(n ** 0.5) AS z FROM c),
+    qq AS (
+      SELECT lang, n,
+             least(n, round(0.5 * total * (n ** 0.5) / z)::BIGINT) AS quota
+      FROM c, t2
+    ),
+    rkd AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id
+             ) AS rk
+      FROM clean
+    ),
+    mixed AS (SELECT doc_id FROM rkd JOIN qq USING (lang) WHERE rk <= quota),
+    pt AS (
+      SELECT d.doc_id, (d.doc_id % 8)::INT AS shard,
+             len({_WORDS_SQL}) AS n_tok,
+             row_number() OVER (PARTITION BY d.doc_id % 8 ORDER BY d.doc_id)
+               AS rn
+      FROM documents d JOIN mixed USING (doc_id)
+    ),
+    packr AS (
+      SELECT shard, rn, doc_id, n_tok, 0::BIGINT AS pack_seq, n_tok AS cum
+      FROM pt WHERE rn = 1
+      UNION ALL
+      SELECT pt.shard, pt.rn, pt.doc_id, pt.n_tok,
+             CASE WHEN packr.cum + pt.n_tok > 512
+                  THEN packr.pack_seq + 1 ELSE packr.pack_seq END,
+             CASE WHEN packr.cum + pt.n_tok > 512
+                  THEN pt.n_tok ELSE packr.cum + pt.n_tok END
+      FROM packr JOIN pt ON pt.shard = packr.shard AND pt.rn = packr.rn + 1
+    )
+    SELECT doc_id, shard, pack_seq, n_tok FROM packr
+    """,
+)
+def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LLM-preprocessing pipeline as ONE composed DAG — raw
+    documents in, packed training rows out. Every stage is an
+    already-audited building block, each computed independently over
+    the corpus in a single pass and combined by id-only semi/anti
+    joins (no stage ever re-reads another stage's text):
+
+    1. exact dedup        — keep lowest doc per content fingerprint
+    2. near-dup removal   — drop the higher id of every MinHash/LSH
+                            verified pair (est_jaccard ≥ 0.5)
+    3. decontamination    — drop the eval slice (doc_id % 97 = 0) and
+                            every training doc sharing a 3-gram with it
+    4. quality gate       — heuristic score ≥ 0.5
+    5. temperature mixing — per-language quota ∝ n^0.5, md5-rank
+                            deterministic selection of half the corpus
+    6. sequence packing   — greedy 512-token rows, 8 hash shards
+
+    100 TB shape: stages 1-4 are the documented shapes of their
+    operators (fingerprint shuffle, band join, broadcast eval
+    shingles, row-local scoring); the drop-sets that gate the corpus
+    carry only doc ids. The oracle chains the identical SQL fragments
+    (minhash hash-for-hash, recursive packing CTE)."""
+    from ramen_spark.operators.packing import pack_sequences
+    from ramen_spark.operators.sampling import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    keep_fp = D.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    near_drop = (
+        D.minhash_lsh_pairs(
+            docs, num_hashes=16, bands=8, min_sig_agreement=0.5
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    contam_drop = (
+        D.decontaminate(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+        )
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+    )
+    quality_keep = (
+        docs.select(
+            "doc_id", Tx.quality_score(F.col("text")).alias("_q")
+        )
+        .filter(F.col("_q") >= 0.5)
+        .select("doc_id")
+    )
+    clean = (
+        docs.select("doc_id", "lang")
+        .join(keep_fp, "doc_id", "left_semi")
+        .join(near_drop, "doc_id", "left_anti")
+        .filter(F.col("doc_id") % 97 != 0)
+        .join(contam_drop, "doc_id", "left_anti")
+        .join(quality_keep, "doc_id", "left_semi")
+    )
+    mixed = temperature_mix(
+        clean, group_col="lang", alpha=0.5, target_frac=0.5
+    ).select("doc_id")
+    return pack_sequences(
+        docs.join(mixed, "doc_id", "left_semi"), budget=512, shards=8
+    )
+
+
+ORACLES["prepare_training_corpus"] = (
+    ORACLES["prepare_training_corpus"]
+    .replace("{MINHASH}", ORACLES["minhash_lsh_pairs"])
+    .replace("{QUALITY}", ORACLES["quality_scores"])
+)
+
+
+@register(
     "duplicated_spans",
     f"""
     WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
