@@ -241,16 +241,23 @@ DEFINE doubled AS
         spark, prog, str(tmp_path / "work"), {}
     )
     try:
-        deadline = time.time() + 30
+        # POLL the spool — never processAllAvailable() on a live rate
+        # stream: the clock produces a new tick every 0.05 s, so if a
+        # micro-batch ever takes longer than the tick interval the
+        # stream is permanently backlogged and processAllAvailable
+        # livelocks (observed: 260+ batches, test hung). The chained
+        # queries make progress on their own triggers; the spool fills
+        # without being flushed from here.
+        deadline = time.time() + 60
         rows = []
+        spool = deployed["doubled"][2]
+        schema = deployed["doubled"][0].schema
         while time.time() < deadline:
             time.sleep(2)
-            for name in ("gen", "doubled"):
-                deployed[name][1].processAllAvailable()
-            spool = deployed["doubled"][2]
-            rows = spark.read.schema(
-                deployed["doubled"][0].schema
-            ).parquet(spool).collect()
+            try:
+                rows = spark.read.schema(schema).parquet(spool).collect()
+            except Exception:
+                rows = []  # spool dir not created yet
             if len(rows) >= 5:
                 break
         assert len(rows) >= 5
