@@ -49,31 +49,54 @@ FACTS = {
 }
 
 
-def _copy(df: DataFrame, table: str, c: int) -> DataFrame:
-    out = df
+def _fan_out(df: DataFrame, table: str, factor: int) -> DataFrame:
+    """All ``factor`` key-shifted copies in ONE plan: explode a copy
+    index per row and express every per-copy transform over the ``_c``
+    column. (The previous shape — ``factor`` DataFrames chained with
+    unionByName — built an O(factor)-branch plan that OOM'd the
+    driver at factor=1000.)"""
+    out = df.select(
+        "*",
+        F.explode(
+            # long copy index: an INT _c overflows _c * KEY_OFFSET in
+            # int32 beyond factor ≈ 214
+            F.sequence(F.lit(0).cast("long"), F.lit(factor - 1).cast("long"))
+        ).alias("_c"),
+    )
     for k in FACTS[table]:
-        out = out.withColumn(k, F.col(k) + F.lit(c * KEY_OFFSET))
-    if c == 0:
-        return out
+        out = out.withColumn(k, F.col(k) + F.col("_c") * F.lit(KEY_OFFSET))
     if table == "events":
-        out = out.withColumn("user_id", F.col("user_id") + F.lit(c * USER_OFFSET))
-    elif table == "documents":
-        # suffix every token: shingle sets stay isomorphic within the
-        # copy, disjoint across copies
         out = out.withColumn(
-            "text", F.regexp_replace("text", r"(\S+)", f"$1zc{c}")
+            "user_id", F.col("user_id") + F.col("_c") * F.lit(USER_OFFSET)
+        )
+    elif table == "documents":
+        # suffix every token on copies > 0: shingle sets stay
+        # isomorphic within the copy, disjoint across copies
+        out = out.withColumn(
+            "text",
+            F.when(F.col("_c") == 0, F.col("text")).otherwise(
+                F.regexp_replace(
+                    F.col("text"),
+                    F.lit(r"(\S+)"),
+                    F.concat(F.lit("$1zc"), F.col("_c").cast("string")),
+                )
+            ),
         )
     elif table == "embeddings":
         out = out.withColumn(
             "embedding",
-            F.transform(
-                "embedding",
-                lambda x, i: (
-                    x + F.lit(0.05) * F.sin(F.col("vec_id") + i * 7 + F.lit(c * 13))
-                ).cast("float"),
+            F.when(F.col("_c") == 0, F.col("embedding")).otherwise(
+                F.transform(
+                    "embedding",
+                    lambda x, i: (
+                        x
+                        + F.lit(0.05)
+                        * F.sin(F.col("vec_id") + i * 7 + F.col("_c") * 13)
+                    ).cast("float"),
+                )
             ),
         )
-    return out
+    return out.drop("_c")
 
 
 def _generator_version() -> str:
@@ -101,10 +124,11 @@ def scale(spark: SparkSession, src: str, dst: str, factor: int = 10) -> None:
         )
     for t in FACTS:
         base = spark.read.parquet(f"{src}/{t}.parquet")
-        parts = [_copy(base, t, c) for c in range(factor)]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+        # pre-split the SMALL base so each writer's slice of the
+        # factor-times-larger generated output stays row-group sized —
+        # the repartition shuffle moves base bytes, never generated
+        n_parts = max(32, min(1024, factor))
+        out = _fan_out(base.repartition(n_parts), t, factor)
         out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
     with open(os.path.join(dst, "_VERSION"), "w") as fh:
         fh.write(_generator_version())
