@@ -522,11 +522,20 @@ def duplicated_spans(
     k for the first plus min(k, Δpos) for each subsequent span — one
     lag() window per document.
 
-    100 TB shape: postings are one row per token position carrying a
-    16-byte md5 of the span (never the span text — shuffle volume is
-    positions × 16 B regardless of k), the duplicate set comes from
-    one map-side-combinable count per hash, and the coverage window
-    partitions by document. No similarity joins, no candidate pairs.
+    100 TB shape (re-measured at the 1000× tier after the first
+    version went SUPER-linear there — 24× wall for 10× rows): postings
+    are one row per token position carrying a 60-bit integer span
+    hash — never the span text, and not the 32-char md5 hex either
+    (string keys tripled shuffle bytes and spilled three
+    posting-relation passes at 260 M positions). Duplicate marking is
+    ONE count window over the hash — a single posting shuffle —
+    instead of a groupBy + semi-join pair (span hashes are mostly
+    unique, so the groupBy's map-side combine bought nothing and the
+    semi-join re-shuffled the full relation). The coverage window then
+    partitions by document: two posting shuffles total. 60-bit
+    truncated md5 ⟹ a corpus-wide collision is ~3% likely at 260 M
+    spans and would merely mark two spans as mutual dups; both engines
+    hash identically, so the oracle stays value-exact regardless.
     """
     from pyspark.sql import Window
 
@@ -536,25 +545,31 @@ def duplicated_spans(
     k = int(span_k)
     w = F.col("_toks")
     idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(0)))
-    span_md5 = F.transform(
+    span_h = F.transform(
         idx,
-        lambda i: F.md5(
-            F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)])
-        ),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ", *[F.element_at(w, i + j) for j in range(k)]
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
     )
     # posexplode directly off the token attribute (the CollapseProject
     # rule: see ngram_jaccard_pairs) — _pos is the 0-based span start
     spans = toks.select(
         F.col(id_col),
-        F.posexplode(span_md5).alias("_pos", "_h"),
+        F.posexplode(span_h).alias("_pos", "_h"),
     )
-    dup = (
-        spans.groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") >= min_count)
-        .select("_h")
-    )
-    marked = spans.join(dup, "_h", "left_semi")
+    marked = spans.withColumn(
+        "_c", F.count(F.lit(1)).over(Window.partitionBy("_h"))
+    ).filter(F.col("_c") >= min_count)
     win = Window.partitionBy(id_col).orderBy("_pos")
     prev = F.lag("_pos").over(win)
     contrib = F.when(prev.isNull(), F.lit(k)).otherwise(

@@ -2828,7 +2828,8 @@ ORACLES["prepare_training_corpus"] = (
     WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
     s AS (
       SELECT doc_id, i - 1 AS pos,
-             md5(array_to_string(w[i:i+9], ' ')) AS h
+             ('0x' || substring(md5(array_to_string(w[i:i+9], ' ')), 1, 15)
+             )::BIGINT AS h
       FROM t, unnest(generate_series(1, greatest(len(w) - 9, 0))) AS u(i)
     ),
     dup AS (SELECT h FROM s GROUP BY h HAVING count(*) >= 2),
