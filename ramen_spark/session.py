@@ -44,6 +44,15 @@ def get_spark(
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces DOWN from the initial partition count but never
+        # expands it: with initial = core count, a 1000×-tier shuffle
+        # (260 M-row posting windows) spills at ~8 GB/partition. Start
+        # high and let AQE pick the real number per stage — measured
+        # neutral-to-faster at sf0.1 and −8% on the sf100 window query.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(256, 8 * cpus)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
