@@ -83,6 +83,19 @@ def _fan_out(df: DataFrame, table: str, factor: int) -> DataFrame:
             ),
         )
     elif table == "embeddings":
+        # hash-based iid perturbation, amplitude ±0.3. Two measured
+        # tier artifacts forced this exact form:
+        # - amplitude ±0.05 over 64 dims keeps cross-copy cosine at
+        #   ≈ 0.96, ABOVE the 0.95 near-dup threshold — every base
+        #   became a clique of `factor` mutual near-dups and pairwise
+        #   outputs grew quadratically in the factor (~10⁹ pairs at
+        #   factor=1000, which no real corpus has);
+        # - sin(vec_id + 7i + 13c) is a ONE-PARAMETER family: every
+        #   perturbation lies on a single closed curve in R^64, so all
+        #   2 M vectors concentrated in ~4.7 k of 65 k LSH buckets
+        #   (max occupancy 26 k, Σocc² = 9 G candidate pairs).
+        # xxhash64 per (vec_id, element, copy) scatters directions;
+        # ±0.3 vs unit-norm bases gives cross-copy cosine ≈ 0.6.
         out = out.withColumn(
             "embedding",
             F.when(F.col("_c") == 0, F.col("embedding")).otherwise(
@@ -90,8 +103,15 @@ def _fan_out(df: DataFrame, table: str, factor: int) -> DataFrame:
                     "embedding",
                     lambda x, i: (
                         x
-                        + F.lit(0.05)
-                        * F.sin(F.col("vec_id") + i * 7 + F.col("_c") * 13)
+                        + (
+                            F.pmod(
+                                F.xxhash64(F.col("vec_id"), i, F.col("_c")),
+                                F.lit(2001),
+                            )
+                            - 1000
+                        ).cast("double")
+                        / 1000.0
+                        * 0.3
                     ).cast("float"),
                 )
             ),
