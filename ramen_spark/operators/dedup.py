@@ -339,10 +339,17 @@ def simhash_near_dups(
     pinned by the pigeonhole guarantee (max_hamming + 1), so the only
     scale knob is CHUNK WIDTH — per-chunk buckets number 2^(bits/chunks)
     and the equi-join does Σ occupancy² work, which turns quadratic
-    under a fixed width. Auto: chunk width = clamp(ceil(log2(N/50)),
-    12, 15) nibble-aligned → 48 bits at the oracle-checked SFs (the
-    SQL oracle's hardcoded 12-nibble scheme) and up to 60 bits at
-    corpus scale, keeping occupancy ≈ flat.
+    under a fixed width. Auto: chunk width = clamp(4·⌈log2(N/10)/4⌉,
+    12, 24) nibble-aligned → 48 bits at the oracle-checked SFs (the
+    SQL oracle's hardcoded 12-nibble scheme), 64 at the 100× tier and
+    80 at the 1000× tier. The signature is carried as per-chunk LONG
+    columns, never assembled into one word — the previous single-long
+    form capped chunk width at 15 bits, which at 5 M docs meant 152
+    average occupancy and a ~3 G-pair join that OOM'd the 1000× tier;
+    widening only tightens the candidate set (pigeonhole completeness
+    holds at ANY width). Note the criterion itself is
+    ``hamming ≤ max_hamming over the adaptive width``, so more bits =
+    a stricter near-dup notion — the documented adaptive semantics.
 
     Signature computation is row-based like minhash_signatures:
     explode shingles, ONE md5 per shingle, 12 nibble extractions per
@@ -355,9 +362,13 @@ def simhash_near_dups(
 
         n_rows = df.count()
         chunk_bits = min(
-            15, max(12, math.ceil(math.log2(max(n_rows / 50, 2.0))))
+            24,
+            max(
+                12,
+                4 * math.ceil(math.log2(max(n_rows / 10, 2.0)) / 4),
+            ),
         )
-        bits = chunks * chunk_bits  # 48..60: positive long, ≤ md5 nibbles
+        bits = chunks * chunk_bits  # ≤ 96: within md5's 32 nibbles
     hexdig = "0123456789abcdef"
     toks = df.select(
         F.col(id_col), F.split(Tx.normalized_text(F.col(text_col)), " ").alias("_toks")
@@ -384,23 +395,28 @@ def simhash_near_dups(
             for b in range(bits)
         ]
     )
-    sig_expr = None
-    for b in range(bits):
-        term = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
-        sig_expr = term if sig_expr is None else sig_expr + term
-    sig = votes.select(F.col(id_col), sig_expr.alias("sig"))
     chunk_bits = bits // chunks
-    mask = (1 << chunk_bits) - 1
+    chunk_cols = []
+    for ci in range(chunks):
+        expr = None
+        for j in range(chunk_bits):
+            b = ci * chunk_bits + j
+            term = (
+                F.when(F.col(f"_v{b}") > 0, F.lit(1 << j))
+                .otherwise(F.lit(0))
+                .cast("long")
+            )
+            expr = term if expr is None else expr + term
+        chunk_cols.append(expr.alias(f"_ck{ci}"))
+    sig = votes.select(F.col(id_col), *chunk_cols)
     chunked = sig.select(
         id_col,
-        "sig",
+        F.array(*[F.col(f"_ck{i}") for i in range(chunks)]).alias("_cks"),
         F.explode(
             F.array(
                 *[
                     F.concat_ws(
-                        ":",
-                        F.lit(i),
-                        F.shiftright(F.col("sig"), i * chunk_bits).bitwiseAND(F.lit(mask)).cast("string"),
+                        ":", F.lit(i), F.col(f"_ck{i}").cast("string")
                     )
                     for i in range(chunks)
                 ]
@@ -414,13 +430,23 @@ def simhash_near_dups(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.col("a._cks").alias("_cks_a"),
+            F.col("b._cks").alias("_cks_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # hamming over the whole signature = Σ per-chunk popcount(xor)
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("_cks_a"),
+            F.col("_cks_b"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
     return (
-        pairs.withColumn("hamming", Tx.hamming64(F.col("sig_a"), F.col("sig_b")))
+        pairs.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
