@@ -83,7 +83,11 @@ def main() -> None:
     # the plan rather than the scheduler's worst moment
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
-    def suite(sf_dir: str, n_runs: int) -> tuple[dict[str, float], float]:
+    from tools.query_metrics import last_execution_metrics
+
+    def suite(
+        sf_dir: str, n_runs: int, metrics: dict | None = None
+    ) -> tuple[dict[str, float], float]:
         timings: dict[str, float] = {}
         total = 0.0
         for name in HEADLINE:
@@ -97,9 +101,14 @@ def main() -> None:
                 best = dt if best is None or dt < best else best
             timings[name] = round(best, 3)
             total += best
+            if metrics is not None:
+                m = last_execution_metrics(spark)
+                if m:
+                    metrics[name] = m
         return timings, total
 
-    timings, total = suite(SF_DIR, runs)
+    shuffle_metrics: dict[str, dict] = {}
+    timings, total = suite(SF_DIR, runs, metrics=shuffle_metrics)
 
     result = {
         "metric": "headline_total",
@@ -109,6 +118,10 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
     }
+    if shuffle_metrics:
+        # physical evidence behind each wall time: total shuffle bytes
+        # written + spill per query (tools/query_metrics)
+        result["query_metrics"] = shuffle_metrics
 
     # 10× scale tier (VERDICT r2 #10): derived from sf0.1 by
     # tools/scale_testdata.py (key-shifted fact copies, token-salted
@@ -167,6 +180,44 @@ def main() -> None:
             result["sf10_total"] = round(sum(t10.values()), 3)
         except Exception as e:  # pragma: no cover — bench must not die
             result["sf10_error"] = repr(e)
+
+    # 1000× probe (opt-in: SPARK_GRAFT_BENCH_SF100=1): 7 GB / 600 M
+    # lineitem / 5 M docs. ~3 min generation + ~10 min queries, so not
+    # part of the per-round default; the round-5 measurements live in
+    # SCALE.md §4b and this block reproduces them.
+    if os.environ.get("SPARK_GRAFT_BENCH_SF100", "0") == "1":
+        sf100_dir = os.environ.get(
+            "SPARK_GRAFT_SF100_DIR", "/tmp/spark_graft_sf100"
+        )
+        probe = [
+            "q1_pricing_summary",
+            "tumbling_revenue_per_minute",
+            "dedup_exact",
+            "minhash_lsh_pairs",
+            "duplicated_spans",
+            "simhash_near_dups",
+            "embedding_near_dups",
+            "lsh_ann_topk",
+            "neardup_clusters",
+            "clean_corpus",
+            "prepare_training_corpus",
+        ]
+        try:
+            from tools.scale_testdata import scale, tier_is_current
+
+            if not tier_is_current(sf100_dir):
+                scale(spark, SF_DIR, sf100_dir, factor=1000)
+            t100: dict[str, float] = {}
+            for name in probe:
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf100_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                t100[name] = round(time.perf_counter() - t0, 3)
+            result["queries_sf100"] = t100
+            result["sf100_total"] = round(sum(t100.values()), 3)
+        except Exception as e:  # pragma: no cover — bench must not die
+            result["sf100_error"] = repr(e)
 
     # the reference's OWN published benchmark, reproduced apples-to-
     # apples (tools/baseline_repro.py): 400k x 80-col gzip CSV through

@@ -1,0 +1,66 @@
+"""Per-query physical metrics from Spark's SQL status store.
+
+`bench.py` records wall time; this pulls the evidence BEHIND the wall
+time — total shuffle bytes written and spill size of the most recent
+SQL execution — so each benched query carries its shuffle volume in
+`BENCH_r*.json` (the "what moves when" table in SCALE.md §2, but
+measured per round instead of asserted).
+
+Implementation note: goes through the SQLAppStatusStore via py4j
+(the UI is disabled in this environment, so the REST API is not an
+option). Everything is wrapped defensively — metrics are telemetry,
+never worth failing a bench run over.
+"""
+
+from __future__ import annotations
+
+import re
+
+_UNIT = {
+    "B": 1,
+    "KiB": 1024,
+    "MiB": 1024**2,
+    "GiB": 1024**3,
+    "TiB": 1024**4,
+}
+
+_SIZE_RE = re.compile(r"([0-9.]+)\s*(B|KiB|MiB|GiB|TiB)")
+
+
+def _parse_bytes(s: str) -> int:
+    """Parse Spark's bytesToString output. Multi-task metrics are
+    formatted 'total (min, med, max (stage: task))\\n<total> (...)' —
+    the FIRST size literal in the string is always the total."""
+    m = _SIZE_RE.search(s.split("\n")[-1] if "\n" in s else s)
+    if not m:
+        return 0
+    return int(float(m.group(1)) * _UNIT[m.group(2)])
+
+
+def last_execution_metrics(spark) -> dict[str, int]:
+    """{'shuffle_bytes': n, 'spill_bytes': n} of the most recent SQL
+    execution on this session, or {} if the store is unreadable."""
+    try:
+        store = spark._jsparkSession.sharedState().statusStore()
+        execs = store.executionsList()
+        if execs.size() == 0:
+            return {}
+        e = execs.apply(execs.size() - 1)
+        names = {}
+        mit = e.metrics().iterator()
+        while mit.hasNext():
+            m = mit.next()
+            names[m.accumulatorId()] = m.name()
+        vals = store.executionMetrics(e.executionId())
+        it = vals.iterator()
+        shuffle = spill = 0
+        while it.hasNext():
+            kv = it.next()
+            nm = names.get(kv._1())
+            if nm == "shuffle bytes written":
+                shuffle += _parse_bytes(kv._2())
+            elif nm == "spill size":
+                spill += _parse_bytes(kv._2())
+        return {"shuffle_bytes": shuffle, "spill_bytes": spill}
+    except Exception:  # pragma: no cover — telemetry only
+        return {}
