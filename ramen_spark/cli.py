@@ -167,6 +167,43 @@ def cmd_info(args) -> int:
     return rc
 
 
+def cmd_notify(args) -> int:
+    """`ramen notify` analogue: inject a notification into the alerter
+    FSM and print the messages it would deliver. The reference posts
+    into the confserver for the alerter daemon; here the FSM is a
+    library, so the command runs an ephemeral alerter with a
+    stdout contact, advances past the debounce window, and shows the
+    start (and stop, with --stop) deliveries."""
+    from ramen_spark.streaming.alerter import Alerter, Contact
+
+    params = dict(_parse_param(p) for p in args.param or [])
+
+    def via(inc_id, contact, is_start, notif):
+        kind = "START" if is_start else "STOP"
+        pstr = " ".join(
+            f"{k}={v}" for k, v in sorted(notif["parameters"].items())
+        )
+        print(f"{kind} {notif['name']} via {contact}"
+              + (f" [{pstr}]" if pstr else ""))
+
+    a = Alerter(
+        teams={args.team: [Contact(name="stdout", via=via)]},
+        debounce_delay=args.debounce,
+    )
+    a.notify(0.0, args.name, firing=not args.stop, parameters=params,
+             certainty=args.certainty)
+    a.advance(args.debounce + 1.0)
+    if args.stop:
+        # a lone stop extinguishes nothing (no pending incident) —
+        # mirror the reference by saying so
+        if not a.incidents:
+            print(f"no pending incident named {args.name!r}")
+    for inc in a.incidents.values():
+        for t, event in inc.journal:
+            print(f"journal t={t:g} {event}")
+    return 0
+
+
 def cmd_run(args) -> int:
     from ramen_spark.runner import deploy_program
     from ramen_spark.session import get_spark
@@ -366,6 +403,18 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("info", help="per-function operation metadata")
     p.add_argument("files", nargs="+")
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser(
+        "notify", help="inject a notification into the alerter FSM"
+    )
+    p.add_argument("name")
+    p.add_argument("-p", "--param", action="append", metavar="NAME=VALUE")
+    p.add_argument("--stop", action="store_true",
+                   help="extinguish instead of firing")
+    p.add_argument("--team", default="ops")
+    p.add_argument("--debounce", type=float, default=30.0)
+    p.add_argument("--certainty", type=float, default=1.0)
+    p.set_defaults(fn=cmd_notify)
 
     p = sub.add_parser("tail", help="last tuples of a function")
     p.add_argument("fq")

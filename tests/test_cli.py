@@ -194,3 +194,13 @@ def test_cli_info(tmp_path, capsys):
     assert "persist for: 3600.0s" in out
     assert "select: start, total" in out
     assert "commit after <cond>" in out
+
+
+def test_cli_notify(capsys):
+    """`notify` runs the alerter FSM end-to-end: fire, debounce,
+    deliver via the stdout contact, journal."""
+    assert main(["notify", "cpu_high", "-p", "host=web1",
+                 "--debounce", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "START cpu_high via stdout [host=web1]" in out
+    assert "Sent 1st message" in out
