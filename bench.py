@@ -83,7 +83,10 @@ def main() -> None:
     # the plan rather than the scheduler's worst moment
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
-    from tools.query_metrics import last_execution_metrics
+    from tools.query_metrics import (
+        last_execution_metrics,
+        latest_execution_id,
+    )
 
     def suite(
         sf_dir: str, n_runs: int, metrics: dict | None = None
@@ -93,6 +96,7 @@ def main() -> None:
         for name in HEADLINE:
             fn = QUERIES[name]
             best = None
+            before_id = latest_execution_id(spark)
             for _ in range(max(1, n_runs)):
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
@@ -102,7 +106,7 @@ def main() -> None:
             timings[name] = round(best, 3)
             total += best
             if metrics is not None:
-                m = last_execution_metrics(spark)
+                m = last_execution_metrics(spark, after_id=before_id)
                 if m:
                     metrics[name] = m
         return timings, total
@@ -133,7 +137,7 @@ def main() -> None:
         try:
             from tools.scale_testdata import scale, tier_is_current
 
-            if not tier_is_current(sf1_dir):
+            if not tier_is_current(sf1_dir, SF_DIR, 10):
                 scale(spark, SF_DIR, sf1_dir, factor=10)
             # min-of-2 like the primary tier: single runs are exposed
             # to multi-tenant load spikes (a 3 s steady-state query
@@ -167,7 +171,7 @@ def main() -> None:
         try:
             from tools.scale_testdata import scale, tier_is_current
 
-            if not tier_is_current(sf10_dir):
+            if not tier_is_current(sf10_dir, SF_DIR, 100):
                 scale(spark, SF_DIR, sf10_dir, factor=100)
             t10: dict[str, float] = {}
             for name in stress:
@@ -205,7 +209,7 @@ def main() -> None:
         try:
             from tools.scale_testdata import scale, tier_is_current
 
-            if not tier_is_current(sf100_dir):
+            if not tier_is_current(sf100_dir, SF_DIR, 1000):
                 scale(spark, SF_DIR, sf100_dir, factor=1000)
             t100: dict[str, float] = {}
             for name in probe:

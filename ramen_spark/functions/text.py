@@ -145,6 +145,22 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized_text(text))
 
 
+def window_starts(n: Column, k: int) -> Column:
+    """1-based start indices of the k-wide rolling windows over a
+    length-``n`` sequence — EMPTY when n < k.
+
+    The naive bound ``F.sequence(1, greatest(n - k + 1, 0))`` is a
+    trap: Spark's ``sequence(1, 0)`` counts DOWN — ``[1, 0]`` — unlike
+    SQL ``generate_series``, so inputs shorter than the window both
+    diverge from the DuckDB oracles (which correctly produce no rows)
+    and crash ``element_at`` with INVALID_INDEX_OF_ZERO /
+    INVALID_ARRAY_INDEX. Found by review; every rolling-window site
+    (shingles, char n-grams, spans, raw 3-grams) goes through here."""
+    return F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.slice(F.array(F.lit(1)), 1, 0)
+    )
+
+
 def word_shingles_of_tokens(toks: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of a token-array COLUMN.
 
@@ -156,8 +172,10 @@ def word_shingles_of_tokens(toks: Column, k: int = 3) -> Column:
     of re-splitting the document (measured ~10× on sf0.1 documents).
     """
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]))
+    sh = F.transform(
+        window_starts(n, k),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )
     return F.array_distinct(sh)
 
 
@@ -172,8 +190,9 @@ def char_ngrams(text: Column, n: int = 5) -> Column:
     """Distinct character n-grams → array<string>."""
     s = normalized_text(text)
     ln = F.length(s)
-    idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(n))))
+    return F.array_distinct(
+        F.transform(window_starts(ln, n), lambda i: s.substr(i, F.lit(n)))
+    )
 
 
 def md5_hash_pair(s: Column) -> tuple[Column, Column]:
@@ -264,12 +283,6 @@ def simhash(shingles: Column, bits: int = 48) -> Column:
         votes = F.aggregate(hashes, F.lit(0), make_merge(bit))
         acc = acc + F.when(votes > 0, F.lit(1 << bit)).otherwise(F.lit(0))
     return acc
-
-
-def hamming64(a: Column, b: Column) -> Column:
-    """Hamming distance between two 64-bit values stored as longs."""
-    x = a.bitwiseXOR(b)
-    return F.bit_count(x)
 
 
 def jaccard(a: Column, b: Column) -> Column:

@@ -570,9 +570,8 @@ def duplicated_spans(
     )
     k = int(span_k)
     w = F.col("_toks")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(0)))
     span_h = F.transform(
-        idx,
+        Tx.window_starts(F.size(w), k),
         lambda i: F.conv(
             F.substring(
                 F.md5(

@@ -35,9 +35,9 @@ def temperature_mix(
     w_g = n_g^alpha / Σ n^alpha; the per-group quota is
     round(target_total · w_g), clamped to n_g (downsampling only — an
     upsampled group would need row replication, which belongs in the
-    epoch schedule, not the sample; the clamp's shortfall is reported
-    in ``quota`` vs ``took``). alpha = 1 keeps natural proportions,
-    alpha = 0 gives every group the same quota.
+    epoch schedule, not the sample; a clamped group is visible in the
+    output as ``quota == group_total``). alpha = 1 keeps natural
+    proportions, alpha = 0 gives every group the same quota.
 
     Selection inside a group is by rank of md5(id) — a deterministic
     uniform order, with the id as tie-break so the rank is total.

@@ -2613,9 +2613,8 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", Tx.tokens(F.col("text")).alias("w")
     ).filter(F.size("w") > 0)
     w = F.col("w")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(0)))
     sh = F.transform(
-        idx,
+        Tx.window_starts(F.size(w), 3),
         lambda i: F.concat_ws(
             " ",
             F.element_at(w, i),

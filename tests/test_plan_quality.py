@@ -521,3 +521,33 @@ def test_decontaminate_no_cartesian_text_pruned(spark):
         "lang" not in s and "source" not in s for s in schemas
     ), schemas
     assert any("text" in s for s in schemas)
+
+
+def test_rolling_windows_empty_on_short_docs(spark):
+    """Spark's sequence(1, 0) counts DOWN ([1, 0]), so rolling-window
+    index ranges must be when-guarded: docs shorter than the window
+    must yield NO windows (matching DuckDB generate_series) instead of
+    crashing element_at (INVALID_INDEX_OF_ZERO). Regression for a
+    review-confirmed crash in duplicated_spans; window_starts is the
+    shared guard for shingles, char n-grams, spans and raw 3-grams."""
+    from ramen_spark.operators import dedup as D
+    import ramen_spark.functions.text as Tx
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "pad " * 12), (2, "short doc"), (3, "a"), (4, "")],
+        ["doc_id", "text"],
+    )
+    spans = {r["doc_id"]: r["n_spans"]
+             for r in D.duplicated_spans(df, span_k=10).collect()}
+    assert spans == {1: 3}  # 12 tokens → 3 ten-token windows; rest: none
+    # shingle + char-ngram helpers: short inputs → empty arrays
+    out = df.select(
+        F.size(Tx.word_shingles(F.col("text"), 3)).alias("ns"),
+        F.size(Tx.char_ngrams(F.col("text"), 5)).alias("nc"),
+    ).collect()
+    assert all(r["ns"] >= 0 and r["nc"] >= 0 for r in out)
+    two = df.filter(F.col("doc_id") == 2).select(
+        Tx.word_shingles(F.col("text"), 3).alias("sh")
+    ).collect()[0]["sh"]
+    assert two == []

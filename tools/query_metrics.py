@@ -37,15 +37,44 @@ def _parse_bytes(s: str) -> int:
     return int(float(m.group(1)) * _UNIT[m.group(2)])
 
 
-def last_execution_metrics(spark) -> dict[str, int]:
-    """{'shuffle_bytes': n, 'spill_bytes': n} of the most recent SQL
-    execution on this session, or {} if the store is unreadable."""
+def latest_execution_id(spark) -> int:
+    """Most recent SQL execution id in the store, or -1."""
     try:
         store = spark._jsparkSession.sharedState().statusStore()
         execs = store.executionsList()
         if execs.size() == 0:
-            return {}
-        e = execs.apply(execs.size() - 1)
+            return -1
+        return execs.apply(execs.size() - 1).executionId()
+    except Exception:  # pragma: no cover — telemetry only
+        return -1
+
+
+def last_execution_metrics(
+    spark, after_id: int | None = None, timeout_s: float = 2.0
+) -> dict[str, int]:
+    """{'shuffle_bytes': n, 'spill_bytes': n} of the most recent SQL
+    execution on this session, or {} if the store is unreadable.
+
+    The status store is fed by the ASYNC listener bus, so "most
+    recent" can briefly still be the previous query (review finding:
+    metrics of query N−1 would be attributed to query N). Callers that
+    know the id before their query pass it as ``after_id``; we poll
+    until a newer execution appears (or the timeout passes, returning
+    {} rather than mis-attributing)."""
+    import time as _time
+
+    try:
+        store = spark._jsparkSession.sharedState().statusStore()
+        deadline = _time.monotonic() + timeout_s
+        while True:
+            execs = store.executionsList()
+            if execs.size() > 0:
+                e = execs.apply(execs.size() - 1)
+                if after_id is None or e.executionId() > after_id:
+                    break
+            if _time.monotonic() > deadline:
+                return {}
+            _time.sleep(0.05)
         names = {}
         mit = e.metrics().iterator()
         while mit.hasNext():

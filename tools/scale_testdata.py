@@ -119,19 +119,26 @@ def _fan_out(df: DataFrame, table: str, factor: int) -> DataFrame:
     return out.drop("_c")
 
 
-def _generator_version() -> str:
-    """Hash of this module's source: bench.py regenerates a cached
-    tier when the generator changed, instead of silently benching
-    against stale data."""
+def _generator_version(src: str = "", factor: int = 0) -> str:
+    """Identity of a generated tier: hash of this module's source PLUS
+    the (src, factor) pair — bench.py regenerates a cached tier when
+    the generator changed OR when the cache was built from a different
+    source dir / scale factor (review finding: a tier generated from
+    sf0.01 would otherwise be silently benched as the sf0.1-derived
+    one under the same path)."""
     import hashlib
 
     with open(os.path.abspath(__file__), "rb") as fh:
-        return hashlib.md5(fh.read()).hexdigest()
+        h = hashlib.md5(fh.read()).hexdigest()
+    return f"{h}:{os.path.abspath(src) if src else ''}:{factor}"
 
 
-def tier_is_current(dst: str) -> bool:
+def tier_is_current(dst: str, src: str = "", factor: int = 0) -> bool:
     try:
-        return open(os.path.join(dst, "_VERSION")).read() == _generator_version()
+        return (
+            open(os.path.join(dst, "_VERSION")).read()
+            == _generator_version(src, factor)
+        )
     except OSError:
         return False
 
@@ -151,7 +158,7 @@ def scale(spark: SparkSession, src: str, dst: str, factor: int = 10) -> None:
         out = _fan_out(base.repartition(n_parts), t, factor)
         out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
     with open(os.path.join(dst, "_VERSION"), "w") as fh:
-        fh.write(_generator_version())
+        fh.write(_generator_version(src, factor))
 
 
 def main() -> None:
