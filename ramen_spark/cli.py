@@ -167,6 +167,27 @@ def cmd_info(args) -> int:
     return rc
 
 
+def cmd_links(args) -> int:
+    """`ramen links` analogue: the dataflow edges of the compiled
+    programs — one `parent -> program/function` line per FROM edge
+    (the reference prints the out-ref wiring the supervisor maintains;
+    here the DAG is explicit in the compiled plan)."""
+    rc = 0
+    for path in args.files:
+        try:
+            prog = _compile_file(path)
+        except Exception as e:
+            print(f"{path}: FAILED: {e}", file=sys.stderr)
+            rc = 1
+            continue
+        for fname, fn in prog.functions.items():
+            for parent in fn.parents:
+                print(f"{parent}\t->\t{prog.name}/{fname}")
+            for dep in fn.after:
+                print(f"{dep}\t~>\t{prog.name}/{fname}\t(ordering)")
+    return rc
+
+
 def cmd_notify(args) -> int:
     """`ramen notify` analogue: inject a notification into the alerter
     FSM and print the messages it would deliver. The reference posts
@@ -403,6 +424,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("info", help="per-function operation metadata")
     p.add_argument("files", nargs="+")
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("links", help="dataflow edges of compiled programs")
+    p.add_argument("files", nargs="+")
+    p.set_defaults(fn=cmd_links)
 
     p = sub.add_parser(
         "notify", help="inject a notification into the alerter FSM"

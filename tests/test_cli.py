@@ -204,3 +204,16 @@ def test_cli_notify(capsys):
     out = capsys.readouterr().out
     assert "START cpu_high via stdout [host=web1]" in out
     assert "Sent 1st message" in out
+
+
+def test_cli_links(tmp_path, capsys):
+    """`links` prints one parent -> prog/func line per FROM edge."""
+    src = tmp_path / "p.ramen"
+    src.write_text(
+        "DEFINE a AS SELECT 1 AS x FROM other/src;\n"
+        "DEFINE b AS SELECT x FROM a;\n"
+    )
+    assert main(["links", str(src)]) == 0
+    out = capsys.readouterr().out
+    assert "other/src\t->\tp/a" in out
+    assert "a\t->\tp/b" in out

@@ -551,3 +551,25 @@ def test_rolling_windows_empty_on_short_docs(spark):
         Tx.word_shingles(F.col("text"), 3).alias("sh")
     ).collect()[0]["sh"]
     assert two == []
+
+
+def test_prepare_training_corpus_plan_shape(spark):
+    """The composed pipeline stays id-joined end to end: no cross
+    product anywhere in the six-stage DAG, document text is never a
+    join/shuffle key (scans project it only to feed fingerprint /
+    shingle / quality expressions), and the packing fold is the only
+    Python stage."""
+    df = QUERIES["prepare_training_corpus"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # exactly one nested-loop join is allowed: temperature_mix's
+    # scalar attach (|groups| rows × the 1-row total/Z aggregate) —
+    # constant-size at any corpus scale
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # hashpartitioning on text would mean a stage shuffles documents
+    # by their content — drop-set combination must key on ids/hashes
+    assert "hashpartitioning(text" not in plan
+    # exactly one Arrow fold (the per-shard greedy packer)
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan.count(
+        "FlatMapGroupsInPandas"
+    )
