@@ -166,7 +166,8 @@ def main() -> None:
             "embedding_near_dups",   # adaptive plane count
             "ngram_jaccard_pairs",   # exact tier — inherent join volume
             "clean_corpus",
-            "duplicated_spans",      # ExactSubstr — positions × 16 B
+            "duplicated_spans",      # ExactSubstr — positions × 8 B hash
+            "prepare_training_corpus",  # the composed 6-stage pipeline
         ]
         try:
             from tools.scale_testdata import scale, tier_is_current
