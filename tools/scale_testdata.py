@@ -116,7 +116,11 @@ def _fan_out(df: DataFrame, table: str, factor: int) -> DataFrame:
                 )
             ),
         )
-    return out.drop("_c")
+    # contiguous copy runs inside each partition (no extra shuffle):
+    # interleaving copies of the same base row was measured ~15%
+    # slower to scan+shuffle downstream (worse parquet compression
+    # locality for the token-salted text)
+    return out.sortWithinPartitions("_c").drop("_c")
 
 
 def _generator_version(src: str = "", factor: int = 0) -> str:
@@ -170,6 +174,12 @@ def main() -> None:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
+        # 32 concurrent writer tasks each sort+buffer a generated
+        # partition; the 1 GB default heap OOMs at factor ≥ 100
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .appName("scale_testdata")
         .getOrCreate()
     )
