@@ -624,3 +624,68 @@ def duplicated_spans(
             6,
         ).alias("dup_token_frac"),
     )
+
+
+def minhash_lsh_pairs_between(
+    df_new: DataFrame,
+    df_old: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    min_sig_agreement: float = 0.5,
+) -> DataFrame:
+    """Cross-corpus MinHash/LSH near-dup pairs: (new doc, old doc)
+    candidates from band-bucket collisions, verified by signature
+    agreement — the INCREMENTAL dedup stage (dedup a fresh crawl
+    snapshot against the retained corpus without re-pairing the old
+    corpus with itself).
+
+    Same band-join shape as minhash_lsh_pairs but new×old instead of
+    self: candidate volume scales with cross-snapshot duplication, the
+    old side's banded relation is the reusable index (at 100 TB it is
+    written once per snapshot and re-joined by every incremental
+    batch), and the new side is typically a small fraction of it —
+    AQE broadcasts the new side's buckets when it fits.
+    """
+    sig_new = minhash_signatures(df_new, text_col, id_col, shingle_k, num_hashes)
+    sig_old = minhash_signatures(df_old, text_col, id_col, shingle_k, num_hashes)
+    rows_per_band = num_hashes // bands
+
+    def banded(sigs: DataFrame, side: str) -> DataFrame:
+        return sigs.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.explode(
+                Tx.lsh_bands(F.col("sig"), bands, rows_per_band)
+            ).alias("bucket"),
+        )
+
+    id_pairs = (
+        banded(sig_new, "new")
+        .join(banded(sig_old, "old"), "bucket")
+        .select("id_new", "id_old")
+        .dropDuplicates(["id_new", "id_old"])
+    )
+    pairs = id_pairs.join(
+        sig_new.select(F.col(id_col).alias("id_new"), F.col("sig").alias("sig_new")),
+        "id_new",
+    ).join(
+        sig_old.select(F.col(id_col).alias("id_old"), F.col("sig").alias("sig_old")),
+        "id_old",
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("sig_new"), F.col("sig_old"), lambda x, y: (x == y).cast("int")
+            ),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        pairs.withColumn(
+            "est_jaccard", agree.cast("double") / F.lit(float(num_hashes))
+        )
+        .filter(F.col("est_jaccard") >= min_sig_agreement)
+        .select("id_new", "id_old", "est_jaccard")
+    )

@@ -2822,6 +2822,64 @@ ORACLES["prepare_training_corpus"] = (
 
 
 @register(
+    "cross_snapshot_dedup",
+    f"""
+    WITH words AS ({_SHINGLES_SQL}),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM words, unnest(generate_series(1, greatest(nw - 2, 0))) AS u(i)
+    ),
+    hs AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(s), 1, 12))::BIGINT  AS h1,
+             ('0x' || substring(md5(s), 21, 12))::BIGINT AS h2
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, k, min(h1 + k * h2) AS h
+      FROM hs, unnest(generate_series(0, 15)) AS g(k)
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT m0.doc_id,
+             g.b::VARCHAR || ':' || md5(m0.h::VARCHAR || '|' || m1.h::VARCHAR) AS bucket
+      FROM unnest(generate_series(0, 7)) AS g(b), mh m0, mh m1
+      WHERE m1.doc_id = m0.doc_id AND m0.k = g.b * 2 AND m1.k = g.b * 2 + 1
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_new, y.doc_id AS id_old
+      FROM bands x JOIN bands y ON x.bucket = y.bucket
+      WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+    )
+    SELECT c.id_new, c.id_old,
+           count_if(ma.h = mb.h) / 16.0 AS est_jaccard
+    FROM cand c
+    JOIN mh ma ON ma.doc_id = c.id_new
+    JOIN mh mb ON mb.doc_id = c.id_old AND mb.k = ma.k
+    GROUP BY 1, 2
+    HAVING est_jaccard >= 0.5
+    """,
+)
+def cross_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a fresh crawl snapshot against the
+    retained corpus (operators.dedup.minhash_lsh_pairs_between):
+    doc_id parity stands in for the two snapshots; every (new, old)
+    near-dup pair at signature agreement ≥ 0.5. The old side's banded
+    relation is the persistent index a real pipeline writes once per
+    snapshot; the new side joins against it without ever re-pairing
+    the old corpus with itself. Hash-for-hash the same MinHash scheme
+    as minhash_lsh_pairs, so the oracle reproduces every value."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs_between(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        num_hashes=16,
+        bands=8,
+        min_sig_agreement=0.5,
+    )
+
+
+@register(
     "duplicated_spans",
     f"""
     WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
