@@ -175,14 +175,21 @@ def main() -> None:
             if not tier_is_current(sf10_dir, SF_DIR, 100):
                 scale(spark, SF_DIR, sf10_dir, factor=100)
             t10: dict[str, float] = {}
+            m10: dict[str, dict] = {}
             for name in stress:
+                before_id = latest_execution_id(spark)
                 t0 = time.perf_counter()
                 QUERIES[name](spark, sf10_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 t10[name] = round(time.perf_counter() - t0, 3)
+                m = last_execution_metrics(spark, after_id=before_id)
+                if m:
+                    m10[name] = m
             result["queries_sf10"] = t10
             result["sf10_total"] = round(sum(t10.values()), 3)
+            if m10:
+                result["query_metrics_sf10"] = m10
         except Exception as e:  # pragma: no cover — bench must not die
             result["sf10_error"] = repr(e)
 

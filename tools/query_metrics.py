@@ -60,7 +60,11 @@ def last_execution_metrics(
     metrics of query N−1 would be attributed to query N). Callers that
     know the id before their query pass it as ``after_id``; we poll
     until a newer execution appears (or the timeout passes, returning
-    {} rather than mis-attributing)."""
+    {} rather than mis-attributing).
+
+    Iterative queries (e.g. label propagation with per-round
+    localCheckpoint) run several executions; this reports the FINAL
+    action's execution only — the per-round work is not summed."""
     import time as _time
 
     try:
