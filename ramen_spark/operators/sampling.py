@@ -42,6 +42,14 @@ def temperature_mix(
     Selection inside a group is by rank of md5(id) — a deterministic
     uniform order, with the id as tie-break so the rank is total.
 
+    Determinism caveat: the normalizer Σ n^alpha is a float sum, and
+    float addition is not associative — Spark may combine partials in
+    a different order across runs/partitionings, shifting ``_z`` by an
+    ulp. A group whose quota expression lands exactly on a .5 rounding
+    boundary can therefore flip by ±1 row between runs. Row selection
+    within the quota stays deterministic (md5 rank); only the boundary
+    quota itself carries this ulp sensitivity.
+
     100 TB shape: group statistics are one map-side-combinable
     count per group (a relation of |groups| rows that AQE broadcasts
     back), and the rank is one window partitioned by group — the only

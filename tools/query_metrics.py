@@ -28,9 +28,10 @@ _SIZE_RE = re.compile(r"([0-9.]+)\s*(B|KiB|MiB|GiB|TiB)")
 
 
 def _parse_bytes(s: str) -> int:
-    """Parse Spark's bytesToString output. Multi-task metrics are
-    formatted 'total (min, med, max (stage: task))\\n<total> (...)' —
-    the FIRST size literal in the string is always the total."""
+    """Parse Spark's bytesToString output. Multi-task metrics render
+    as 'stats...\\n<total> (min, med, max (stage: task))' — the total
+    lives on the LAST line, so take that line's first size literal
+    (single-line values have no newline and are used as-is)."""
     m = _SIZE_RE.search(s.split("\n")[-1] if "\n" in s else s)
     if not m:
         return 0
