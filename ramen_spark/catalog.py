@@ -83,6 +83,29 @@ def _path_bytes(path: str) -> int:
         return 0
 
 
+def table_num_rows(sf_dir: str, name: str) -> int | None:
+    """Row count from parquet FOOTER metadata only — no Spark job, no
+    data pages read. Operators whose plan shape depends on corpus size
+    (e.g. simhash's adaptive chunk width) take this as a hint so query
+    construction never fires an eager action; in a real deployment the
+    metastore/table stats supply the same number. Returns None when the
+    path isn't local parquet (caller falls back or counts explicitly)."""
+    path = table_path(sf_dir, name)
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                for root, _, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Runtime-settable confs the engine depends on, applied here so
     the code also works under a caller-built SparkSession (the driver

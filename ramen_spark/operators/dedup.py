@@ -321,6 +321,22 @@ def decontaminate(
     )
 
 
+def simhash_resolve_bits(n_rows: float, chunks: int = 4) -> int:
+    """Adaptive signature width for ``simhash_near_dups``: chunk width
+    = clamp(4·⌈log2(N/10)/4⌉, 12, 24) nibble-aligned, total = chunks ×
+    width (48 bits through the oracle-checked SFs, 64 at 100×, 80 at
+    1000×). Exposed so callers can resolve bits ONCE from a row-count
+    hint and pin the same width across tiers/snapshots — signatures of
+    different widths are not comparable."""
+    import math
+
+    chunk_bits = min(
+        24,
+        max(12, 4 * math.ceil(math.log2(max(n_rows / 10, 2.0)) / 4)),
+    )
+    return chunks * chunk_bits  # ≤ 96: within md5's 32 nibbles
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
@@ -328,6 +344,7 @@ def simhash_near_dups(
     bits: int | None = None,
     chunks: int = 4,
     max_hamming: int = 3,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the ``bits``-bit signature into
     ``chunks`` chunks; any pair within hamming ≤ chunks-1 shares at
@@ -339,10 +356,11 @@ def simhash_near_dups(
     pinned by the pigeonhole guarantee (max_hamming + 1), so the only
     scale knob is CHUNK WIDTH — per-chunk buckets number 2^(bits/chunks)
     and the equi-join does Σ occupancy² work, which turns quadratic
-    under a fixed width. Auto: chunk width = clamp(4·⌈log2(N/10)/4⌉,
-    12, 24) nibble-aligned → 48 bits at the oracle-checked SFs (the
-    SQL oracle's hardcoded 12-nibble scheme), 64 at the 100× tier and
-    80 at the 1000× tier. The signature is carried as per-chunk LONG
+    under a fixed width. Auto width comes from ``simhash_resolve_bits``
+    (clamp(4·⌈log2(N/10)/4⌉, 12, 24) per chunk → 48 bits at the
+    oracle-checked SFs — the SQL oracle's hardcoded 12-nibble scheme —
+    64 at the 100× tier, 80 at the 1000× tier), fed by the ``n_rows``
+    hint so construction stays job-free. The signature is carried as per-chunk LONG
     columns, never assembled into one word — the previous single-long
     form capped chunk width at 15 bits, which at 5 M docs meant 152
     average occupancy and a ~3 G-pair join that OOM'd the 1000× tier;
@@ -358,17 +376,15 @@ def simhash_near_dups(
     form (48 × aggregate() over a transform(md5) array) re-evaluates
     the md5 array per bit — measured 80× slower at sf0.01."""
     if bits is None:
-        import math
-
-        n_rows = df.count()
-        chunk_bits = min(
-            24,
-            max(
-                12,
-                4 * math.ceil(math.log2(max(n_rows / 10, 2.0)) / 4),
-            ),
-        )
-        bits = chunks * chunk_bits  # ≤ 96: within md5's 32 nibbles
+        if n_rows is None:
+            # LAST resort: an eager full action at plan-build time.
+            # Callers should pass n_rows (parquet footer stats via
+            # catalog.table_num_rows, or metastore stats) so query
+            # construction stays job-free — at 100 TB over a source
+            # without cheap stats this count is a full scan before
+            # the real job even starts.
+            n_rows = df.count()
+        bits = simhash_resolve_bits(n_rows, chunks)
     hexdig = "0123456789abcdef"
     toks = df.select(
         F.col(id_col), F.split(Tx.normalized_text(F.col(text_col)), " ").alias("_toks")

@@ -1107,8 +1107,15 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3 over 48-bit signatures,
     4-chunk pigeonhole banding) — operators.dedup.simhash_near_dups.
     The md5-nibble bit votes are mirrored bit-for-bit by the oracle
-    (value-exact, not rows-only)."""
-    return D.simhash_near_dups(_t(spark, sf_dir, "documents"))
+    (value-exact, not rows-only). The adaptive-width row count comes
+    from parquet footer stats (catalog.table_num_rows) so building
+    this query fires no Spark job."""
+    from ramen_spark.catalog import table_num_rows
+
+    return D.simhash_near_dups(
+        _t(spark, sf_dir, "documents"),
+        n_rows=table_num_rows(sf_dir, "documents"),
+    )
 
 
 def _planes_values_sql(dim: int, n_planes: int, seed: int = 42) -> str:

@@ -573,3 +573,43 @@ def test_prepare_training_corpus_plan_shape(spark):
     assert plan.count("FlatMapGroupsInPandas") == 1, plan.count(
         "FlatMapGroupsInPandas"
     )
+
+
+def test_simhash_construction_fires_no_job(spark):
+    """VERDICT r5/r6: ``bits=None`` used to run ``df.count()`` while
+    BUILDING the query — an eager full action at plan time (at 100 TB,
+    a full scan before the real job). The registry query now feeds the
+    adaptive width from parquet footer stats, so construction must not
+    register any SQL execution."""
+    from tools.query_metrics import latest_execution_id
+
+    before = latest_execution_id(spark)
+    df = QUERIES["simhash_near_dups"](spark, SF_ORACLE)
+    assert latest_execution_id(spark) == before, (
+        "building simhash_near_dups ran a Spark job"
+    )
+    assert df is not None
+
+
+def test_simhash_resolve_bits_tiers():
+    """The resolver is the cross-tier pin: callers resolve width once
+    from corpus stats and reuse it. Check the documented tier points
+    (oracle SFs → 48, 100× → 64, 1000× → 80) and the clamps."""
+    from ramen_spark.operators.dedup import simhash_resolve_bits
+
+    assert simhash_resolve_bits(1) == 48  # lower clamp
+    assert simhash_resolve_bits(6_000) == 48  # sf0.01/sf0.1 docs
+    assert simhash_resolve_bits(600_000) == 64  # 100x tier
+    assert simhash_resolve_bits(5_000_000) == 80  # 1000x tier
+    assert simhash_resolve_bits(10**12) == 96  # upper clamp: 4x24
+
+
+def test_table_num_rows_matches_scan(spark):
+    """Footer stats must agree with an actual count — they feed plan
+    shape (simhash width), not just telemetry."""
+    from ramen_spark.catalog import load_table, table_num_rows
+
+    n_meta = table_num_rows(SF_ORACLE, "documents")
+    n_scan = load_table(spark, SF_ORACLE, "documents").count()
+    assert n_meta == n_scan
+    assert table_num_rows(SF_ORACLE, "no_such_table") is None
