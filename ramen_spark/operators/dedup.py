@@ -541,6 +541,40 @@ def connected_components(
     return labels.select(F.col("v"), F.col("label").alias("component"))
 
 
+def canonicalize(
+    clusters: DataFrame,
+    docs: DataFrame,
+    by: str = "quality",
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Canonical document per near-dup cluster — the keep-set a
+    C4/RefinedWeb-style pipeline emits after fuzzy dedup: of each
+    cluster keep the best-scoring member (argmax ``by``; lowest id
+    breaks exact score ties, so selection is total and deterministic).
+
+    ``clusters`` is (id_col, cluster_col) as produced by
+    ``connected_components`` (singletons cluster with themselves);
+    ``docs`` carries id_col + the score column ``by``. Output: one row
+    per cluster — (cluster_col, id_col, by, cluster_size).
+
+    100 TB shape: one equi-join on the doc id (score attach) and one
+    groupBy on the cluster id with map-side partial max_by — no
+    window sort, no per-cluster fan-out. Near-dup clusters are small
+    (LSH-verified pairs), so cluster cardinality ≈ corpus cardinality
+    and the aggregate distributes like any keyed count."""
+    scored = clusters.join(docs.select(id_col, by), id_col)
+    # argmax via max_by over a (score, -id) struct: lexicographic
+    # struct ordering gives score-desc, id-asc in ONE partial-
+    # aggregable expression (a window would sort every partition)
+    ordkey = F.struct(F.col(by), (-F.col(id_col)).alias("_negid"))
+    return scored.groupBy(cluster_col).agg(
+        F.max_by(F.col(id_col), ordkey).alias(id_col),
+        F.max(by).alias(by),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     text_col: str = "text",

@@ -2407,6 +2407,72 @@ ORACLES["neardup_clusters"] = f"""
 
 
 @register(
+    "canonical_docs",
+    None,  # oracle attached below: reuses the minhash + quality CTEs
+)
+def canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document per near-dup cluster (the C4/RefinedWeb
+    fuzzy-dedup keep-set): MinHash+LSH pairs → connected components →
+    operators.dedup.canonicalize — per-cluster argmax quality, lowest
+    id breaking exact ties. One row per cluster with the kept doc, its
+    score, and the cluster size (singletons keep themselves with
+    cluster_size = 1)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=8, min_sig_agreement=0.5
+    )
+    cc = D.connected_components(pairs)
+    clusters = (
+        docs.select("doc_id")
+        .join(cc.withColumnRenamed("v", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    q = docs.select(
+        "doc_id", Tx.quality_score(F.col("text")).alias("quality")
+    )
+    return D.canonicalize(clusters, q, by="quality")
+
+
+ORACLES["canonical_docs"] = f"""
+    WITH RECURSIVE pairs AS ({{MINHASH}}),
+    edges AS (
+      SELECT id_a AS v, id_b AS n FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT v, v FROM edges
+      UNION
+      SELECT e.v, re.r FROM edges e JOIN reach re ON re.v = e.n
+    ),
+    cc AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+    cl AS (
+      SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cc ON cc.v = d.doc_id
+    ),
+    q AS ({{QUALITY}}),
+    j AS (
+      SELECT cl.cluster_id, cl.doc_id, q.quality,
+             count(*) OVER (PARTITION BY cl.cluster_id) AS cluster_size,
+             row_number() OVER (
+               PARTITION BY cl.cluster_id
+               ORDER BY q.quality DESC, cl.doc_id ASC
+             ) AS rn
+      FROM cl JOIN q USING (doc_id)
+    )
+    SELECT cluster_id, doc_id, quality, cluster_size FROM j WHERE rn = 1
+    """
+ORACLES["canonical_docs"] = (
+    ORACLES["canonical_docs"]
+    .replace("{MINHASH}", ORACLES["minhash_lsh_pairs"])
+    .replace("{QUALITY}", ORACLES["quality_scores"])
+)
+
+
+@register(
     "doc_chunks",
     """
     WITH toks AS (
@@ -2613,7 +2679,12 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM expressions (split / transform / aggregate / array_distinct),
     embarrassingly parallel; the oracle states the identical rules in
     SQL."""
-    docs = _t(spark, sf_dir, "documents")
+    return _gopher_flags(_t(spark, sf_dir, "documents"))
+
+
+def _gopher_flags(docs: DataFrame) -> DataFrame:
+    """The gopher rule computation, shared between the standalone
+    flags query and the composed pipeline's pluggable quality gate."""
     # stage tokens, then RAW (non-distinct) 3-grams — the repetition
     # signal needs duplicates, unlike the minhash shingle helper
     t = docs.select(
@@ -2699,7 +2770,31 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp_keep AS (
       SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM_SQL})
     ),
-    near_drop AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+    edges AS (
+      SELECT id_a AS v, id_b AS n FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT v, v FROM edges
+      UNION
+      SELECT e.v, re.r FROM edges e JOIN reach re ON re.v = e.n
+    ),
+    cc AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+    cl AS (
+      SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cc ON cc.v = d.doc_id
+    ),
+    canon AS (
+      SELECT doc_id FROM (
+        SELECT cl.doc_id,
+               row_number() OVER (
+                 PARTITION BY cl.cluster_id
+                 ORDER BY q.quality DESC, cl.doc_id ASC
+               ) AS rn
+        FROM cl JOIN qual q USING (doc_id)
+      ) WHERE rn = 1
+    ),
     w2 AS ({_SHINGLES_SQL}),
     post2 AS (
       SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
@@ -2714,11 +2809,10 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d.doc_id, d.lang
       FROM documents d
       JOIN fp_keep USING (doc_id)
-      JOIN qual USING (doc_id)
-      WHERE d.doc_id NOT IN (SELECT doc_id FROM near_drop)
-        AND d.doc_id % 97 <> 0
+      JOIN canon USING (doc_id)
+      JOIN ({{GATE}}) gate USING (doc_id)
+      WHERE d.doc_id % 97 <> 0
         AND d.doc_id NOT IN (SELECT doc_id FROM contam)
-        AND qual.quality >= 0.5
     ),
     c AS (SELECT lang, count(*) AS n FROM clean GROUP BY lang),
     t2 AS (SELECT sum(n) AS total, sum(n ** 0.5) AS z FROM c),
@@ -2763,33 +2857,59 @@ def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus in a single pass and combined by id-only semi/anti
     joins (no stage ever re-reads another stage's text):
 
-    1. exact dedup        — keep lowest doc per content fingerprint
-    2. near-dup removal   — drop the higher id of every MinHash/LSH
-                            verified pair (est_jaccard ≥ 0.5)
-    3. decontamination    — drop the eval slice (doc_id % 97 = 0) and
+    1.  exact dedup        — keep lowest doc per content fingerprint
+    2.  near-dup pairs     — MinHash/LSH verified (est_jaccard ≥ 0.5)
+    2½. canonical per      — pairs → connected components → keep each
+        cluster               cluster's argmax-quality member (what a
+                              C4/RefinedWeb pipeline emits; dedup
+                              .canonicalize, quality-ordered, id ties)
+    3.  decontamination    — drop the eval slice (doc_id % 97 = 0) and
                             every training doc sharing a 3-gram with it
-    4. quality gate       — heuristic score ≥ 0.5
-    5. temperature mixing — per-language quota ∝ n^0.5, md5-rank
+    4.  quality gate       — PLUGGABLE: heuristic score ≥ 0.5 (this
+                            query) or the gopher word-statistics rules
+                            (prepare_training_corpus_gopher)
+    5.  temperature mixing — per-language quota ∝ n^0.5, md5-rank
                             deterministic selection of half the corpus
-    6. sequence packing   — greedy 512-token rows, 8 hash shards
+    6.  sequence packing   — greedy 512-token rows, 8 hash shards
 
     100 TB shape: stages 1-4 are the documented shapes of their
-    operators (fingerprint shuffle, band join, broadcast eval
-    shingles, row-local scoring); the drop-sets that gate the corpus
-    carry only doc ids. The oracle chains the identical SQL fragments
-    (minhash hash-for-hash, recursive packing CTE)."""
+    operators (fingerprint shuffle, band join, label propagation keyed
+    on vertex ids, broadcast eval shingles, row-local scoring); the
+    drop/keep-sets that gate the corpus carry only doc ids. The oracle
+    chains the identical SQL fragments (minhash hash-for-hash,
+    reachability CTE for the clusters, recursive packing CTE)."""
+    return _prepare_corpus(spark, sf_dir, gate="score")
+
+
+def _prepare_corpus(
+    spark: SparkSession, sf_dir: str, gate: str
+) -> DataFrame:
+    """Shared builder for the composed pipeline; ``gate`` picks the
+    stage-4 quality filter: 'score' (heuristic ≥ 0.5) or 'gopher'
+    (word-count / mean-word-length / dup-3-gram rules)."""
     from ramen_spark.operators.packing import pack_sequences
     from ramen_spark.operators.sampling import temperature_mix
 
     docs = _t(spark, sf_dir, "documents")
     keep_fp = D.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
-    near_drop = (
-        D.minhash_lsh_pairs(
-            docs, num_hashes=16, bands=8, min_sig_agreement=0.5
-        )
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=8, min_sig_agreement=0.5
     )
+    cc = D.connected_components(pairs)
+    clusters = (
+        docs.select("doc_id")
+        .join(cc.withColumnRenamed("v", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    qualities = docs.select(
+        "doc_id", Tx.quality_score(F.col("text")).alias("quality")
+    )
+    canon_keep = D.canonicalize(clusters, qualities).select("doc_id")
     contam_drop = (
         D.decontaminate(
             docs.filter(F.col("doc_id") % 97 != 0),
@@ -2798,20 +2918,23 @@ def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("contaminated"))
         .select("doc_id")
     )
-    quality_keep = (
-        docs.select(
-            "doc_id", Tx.quality_score(F.col("text")).alias("_q")
+    if gate == "score":
+        gate_keep = qualities.filter(F.col("quality") >= 0.5).select(
+            "doc_id"
         )
-        .filter(F.col("_q") >= 0.5)
-        .select("doc_id")
-    )
+    elif gate == "gopher":
+        gate_keep = (
+            _gopher_flags(docs).filter(F.col("keep")).select("doc_id")
+        )
+    else:  # pragma: no cover — programming error, not data
+        raise ValueError(f"unknown quality gate {gate!r}")
     clean = (
         docs.select("doc_id", "lang")
         .join(keep_fp, "doc_id", "left_semi")
-        .join(near_drop, "doc_id", "left_anti")
+        .join(canon_keep, "doc_id", "left_semi")
         .filter(F.col("doc_id") % 97 != 0)
         .join(contam_drop, "doc_id", "left_anti")
-        .join(quality_keep, "doc_id", "left_semi")
+        .join(gate_keep, "doc_id", "left_semi")
     )
     mixed = temperature_mix(
         clean, group_col="lang", alpha=0.5, target_frac=0.5
@@ -2821,11 +2944,50 @@ def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GATE_SCORE_SQL = "SELECT doc_id FROM qual WHERE quality >= 0.5"
+
+_GATE_GOPHER_SQL = f"""
+    SELECT gt.doc_id FROM
+      (SELECT doc_id, {_WORDS_SQL} AS w FROM documents) gt
+    LEFT JOIN (
+      SELECT doc_id, count(*) AS n3, count(DISTINCT s3) AS d3
+      FROM (
+        SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s3
+        FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+             unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+      ) GROUP BY doc_id
+    ) gr USING (doc_id)
+    WHERE len(gt.w) BETWEEN 50 AND 100000
+      AND (list_sum(list_transform(gt.w, x -> length(x)))::DOUBLE
+           / len(gt.w)) BETWEEN 3 AND 10
+      AND coalesce(1.0 - gr.d3::DOUBLE / gr.n3, 0.0) < 0.2
+    """
+
 ORACLES["prepare_training_corpus"] = (
     ORACLES["prepare_training_corpus"]
     .replace("{MINHASH}", ORACLES["minhash_lsh_pairs"])
     .replace("{QUALITY}", ORACLES["quality_scores"])
 )
+
+
+@register(
+    "prepare_training_corpus_gopher",
+    ORACLES["prepare_training_corpus"].replace("{GATE}", _GATE_GOPHER_SQL),
+)
+def prepare_training_corpus_gopher(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The composed pipeline with the PLUGGABLE stage-4 gate swapped
+    to the gopher word-statistics rules (gopher_quality_flags' keep
+    criterion) — same dedup/canonical/decontamination/mixing/packing
+    stages, different quality filter. Demonstrates the gate seam a
+    production pipeline configures per corpus."""
+    return _prepare_corpus(spark, sf_dir, gate="gopher")
+
+
+ORACLES["prepare_training_corpus"] = ORACLES[
+    "prepare_training_corpus"
+].replace("{GATE}", _GATE_SCORE_SQL)
 
 
 @register(
