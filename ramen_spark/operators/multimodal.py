@@ -291,6 +291,163 @@ def _decode_ppm(payload: bytes):
     return w, h, float(luma.mean())
 
 
+def parse_image_header(payload: bytes | None):
+    """Container-format header parse — REAL geometry without any
+    imaging library, from the byte layout of the public formats:
+
+    - PNG: 8-byte signature, then the IHDR chunk (always first, RFC
+      2083 §4.1.1) carries width/height as u32be at offsets 16/20 and
+      color type at 25 (0 gray, 2 RGB, 3 palette, 4 gray+alpha,
+      6 RGBA).
+    - JPEG: walk the marker segments from SOI; any SOFn frame header
+      (0xFFC0-0xCF except DHT/DAC/RST) carries [len u16, precision u8,
+      height u16be, width u16be, n_components u8] (ITU T.81 §B.2.2).
+    - PPM/PGM: ASCII header (P6/P5, whitespace-separated w h maxval).
+
+    Returns (format, width, height, channels) or raises ValueError for
+    unrecognized/truncated payloads. Pixel DECODE still needs PIL (the
+    strict/fake gate) — this lane covers the metadata-only pipelines
+    (resolution filters, aspect-ratio buckets, thumbnail planning)
+    that never need pixels at all."""
+    import struct
+
+    if payload is None or len(payload) < 4:
+        raise ValueError("empty/truncated image payload")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) < 26 or payload[12:16] != b"IHDR":
+            raise ValueError("PNG without leading IHDR")
+        w, h = struct.unpack(">II", payload[16:24])
+        color_type = payload[25]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+        if channels is None:
+            raise ValueError(f"PNG bad color type {color_type}")
+        return "png", w, h, channels
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 4 <= len(payload):
+            if payload[i] != 0xFF:
+                raise ValueError("JPEG marker desync")
+            marker = payload[i + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI/RSTn
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 >= len(payload):
+                    raise ValueError("JPEG truncated SOF")
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return "jpeg", w, h, payload[i + 9]
+            i += 2 + seg_len
+        raise ValueError("JPEG without SOF frame header")
+    if payload[:2] in (b"P6", b"P5"):
+        w, h, _luma = _decode_ppm(payload)
+        if payload[:2] == b"P6":
+            return "ppm", w, h, 3
+        return "pgm", w, h, 1
+    raise ValueError("unrecognized image container")
+
+
+def image_headers(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Geometry for every image row from header bytes alone (PNG IHDR
+    / JPEG SOFn / PPM-PGM ASCII header — ``parse_image_header``), no
+    imaging library involved. Arrow-batched like the decode lanes;
+    strict raises on unrecognized payloads, lax yields nulls.
+
+    100 TB note: this reads the BINARY column only to slice its first
+    bytes — when media sit in parquet the payload column is still
+    fully read (parquet has no partial-value reads), so pipelines that
+    can persist geometry should do it at ingest and let Catalyst prune
+    the payload instead."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("format", T.StringType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("channels", T.IntegerType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [],
+                "format": [],
+                "width": [],
+                "height": [],
+                "channels": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    fmt, w, h, ch = parse_image_header(payload)
+                except Exception:
+                    if strict:
+                        raise
+                    fmt = w = h = ch = None
+                out["media_id"].append(mid)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter(F.col("kind") == "image")
+        .select("media_id", "content")
+        .mapInPandas(batches, out_schema)
+    )
+
+
+def synthetic_png_bytes(
+    width: int = 5, height: int = 4, seed: int = 0
+) -> bytes:
+    """A REAL, spec-valid RGB PNG built with stdlib zlib only
+    (signature + IHDR + IDAT with filter-0 scanlines + IEND, CRCs via
+    zlib.crc32) — decodable by any PNG reader, deterministic pixels."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthetic_jpeg_header_bytes(width: int = 7, height: int = 3) -> bytes:
+    """A JPEG byte PREFIX with valid marker structure through SOF0
+    (SOI + APP0/JFIF + DQT stub + SOF0) — enough for any header
+    parser; not a complete decodable image (entropy-coded data needs
+    a real encoder)."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\x00" + bytes(64)
+    sof0 = (
+        struct.pack(">BHHB", 8, height, width, 3)
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xdb" + struct.pack(">H", len(dqt) + 2) + dqt
+        + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+    )
+
+
 def image_stats(df: DataFrame, strict: bool = False) -> DataFrame:
     """REAL image decode for PPM/PGM payloads → (width, height,
     mean_luma); PIL-backed formats decode when PIL exists, else
