@@ -146,6 +146,8 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.6,
     max_shingle_freq: int | None = None,
+    shingle_key: str = "hash64",
+    join_strategy: str | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity join — no cross product.
 
@@ -176,7 +178,20 @@ def ngram_jaccard_pairs(
     pairs at the join, before the pair shuffle, and (b) the sizes
     ride the pair aggregation key, eliminating the two 113 M-row
     joins that previously re-attached |A| and |B| to every candidate
-    pair (~1/3 of the old wall time). Two measured traps recorded
+    pair (~1/3 of the old wall time).
+
+    Join-shape A/B at the 100× tier (tools/ngram_spill_experiment.py,
+    600 k docs, 2026-08-14): string-keyed sort-merge 64.5 s with
+    21 GB sort SPILL on 2.1 GB shuffle write; ``hash64`` keys 36.3 s
+    and ZERO spill (the string sort was the entire spill); the
+    shuffle-hash hint alone 36.6 s / 11.7 GB; both 26.7 s / zero
+    spill. Hence the default ``shingle_key='hash64'``; join-strategy
+    choice stays with AQE unless the caller opts into
+    ``join_strategy='shuffle_hash'`` (the benched registry query does
+    — under pathological key skew SMJ's graceful sort-spill is the
+    safer fallback, so the hint stays opt-in).
+
+    Two measured traps recorded
     here so they stay dead: computing the size as a row-local
     `F.size(shingles)` column lands ABOVE the Generate and
     re-evaluates the whole shingle transform per POSTING — Σ len²,
@@ -197,6 +212,17 @@ def ngram_jaccard_pairs(
             Tx.word_shingles_of_tokens(F.col("_toks"), shingle_k)
         ).alias("_s"),
     )
+    if shingle_key == "hash64":
+        # Re-key postings to xxhash64 longs: the shingle STRING never
+        # enters a shuffle/sort — 8-byte fixed-width keys sort and
+        # compare cheaper than 20-40-byte text (the SCALE §5 string-
+        # shuffle-key trap). Exact modulo 64-bit collisions: a
+        # collision merges two shingles corpus-wide for all docs
+        # symmetrically; expected collisions stay ≪ 1 below ~10⁹
+        # distinct shingles (birthday bound).
+        rows = rows.select(F.col(id_col), F.xxhash64("_s").alias("_s"))
+    elif shingle_key != "string":  # pragma: no cover
+        raise ValueError(f"unknown shingle_key {shingle_key!r}")
     if max_shingle_freq is not None:
         # hot shingles are few by construction, so the anti-join's
         # build side is a relation AQE broadcasts — the posting
@@ -230,6 +256,14 @@ def ngram_jaccard_pairs(
     b = rows.select(
         F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"), F.col("_s")
     )
+    if join_strategy == "shuffle_hash":
+        # sort-free self-join: per-partition hash build instead of
+        # sorting both sides (the sort buffers, not the shuffle, are
+        # what spills — see the measured A/B in SCALE §7); AQE still
+        # owns the partition count, bounding the build side
+        b = b.hint("shuffle_hash")
+    elif join_strategy is not None:  # pragma: no cover
+        raise ValueError(f"unknown join_strategy {join_strategy!r}")
     pairs = a.join(b, "_s").filter(
         (F.col("id_a") < F.col("id_b"))
         & (

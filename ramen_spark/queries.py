@@ -998,9 +998,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff (doc frequency ≤ 1000) bounds the Σ df² join term at
     corpus scale; the oracle applies the identical cutoff, so values
     stay exact over the filtered shingle universe (a no-op at sf0.01's
-    500 docs, load-bearing at 100 TB boilerplate)."""
+    500 docs, load-bearing at 100 TB boilerplate). Postings join on
+    xxhash64 longs and a shuffle-hash join (both A/B'd at the 100×
+    tier: 64.5 s / 21 GB sort spill → 26.7 s / zero spill — see the
+    operator docstring); the oracle joins the shingle STRINGS, so
+    parity also certifies the hash re-keying loses nothing."""
     return D.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.4, max_shingle_freq=1000
+        _t(spark, sf_dir, "documents"),
+        threshold=0.4,
+        max_shingle_freq=1000,
+        join_strategy="shuffle_hash",
     )
 
 

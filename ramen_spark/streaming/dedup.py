@@ -1,0 +1,206 @@
+"""Always-on incremental near-dup detection.
+
+The reference runs every operator as a long-lived worker
+(``/root/reference/src/RamenSupervisor.ml`` — programs are supervised
+processes consuming unbounded streams); this lane gives the
+MinHash/LSH dedup family the same always-on mode on Structured
+Streaming: documents arrive in micro-batches, a PERSISTED banded
+index accretes one append per batch, and every batch emits its
+near-dup pairs against everything that arrived before it (plus any
+seeded retained corpus).
+
+Exactness: per batch we append the batch's bands/signatures to the
+index FIRST, then probe the batch against the full index with
+``id_new > id_old`` — so an unordered pair (a, b), a < b, is emitted
+exactly once (when b's batch runs: a is already indexed, whether it
+came in an earlier batch or the same one). Over any batch split of a
+corpus the union of emissions therefore equals the BATCH operator
+``minhash_lsh_pairs`` on the whole corpus, hash for hash — the parity
+test (tests/test_streaming_dedup.py) checks set equality against it.
+
+100 TB shape: the index carries (bucket, doc_id) postings and
+(doc_id, sig) signatures — never text. Each probe is a band-bucket
+equi-join of the SMALL batch against the index; on a real deployment
+the index lives bucket-partitioned (or as a bucketed table,
+sources/bucketed.py) so the probe prunes to the buckets the batch
+touches instead of re-scanning the index — the append-only layout
+here keeps files immutable, so partition pruning composes with it.
+Signature re-attach joins are id-keyed; the batch side is broadcast-
+sized by construction (one micro-batch).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ramen_spark.operators.dedup import minhash_signatures
+from ramen_spark.functions import text as Tx
+
+
+def _banded(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    return sigs.select(
+        F.col(id_col),
+        F.explode(Tx.lsh_bands(F.col("sig"), bands, rows_per_band)).alias(
+            "bucket"
+        ),
+    )
+
+
+class IncrementalDedupIndex:
+    """The persisted banded index: ``<dir>/bands`` (bucket, doc_id)
+    and ``<dir>/sigs`` (doc_id, sig) as append-only parquet. Seed it
+    with a retained corpus via :meth:`append`, then let the streaming
+    lane append each micro-batch."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        shingle_k: int = 3,
+        num_hashes: int = 16,
+        bands: int = 8,
+    ) -> None:
+        if num_hashes % bands:
+            raise ValueError("bands must divide num_hashes")
+        self.spark = spark
+        self.index_dir = index_dir
+        self.text_col = text_col
+        self.id_col = id_col
+        self.shingle_k = shingle_k
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.rows_per_band = num_hashes // bands
+        self._bands_dir = os.path.join(index_dir, "bands")
+        self._sigs_dir = os.path.join(index_dir, "sigs")
+
+    def _signatures(self, docs: DataFrame) -> DataFrame:
+        return minhash_signatures(
+            docs,
+            self.text_col,
+            self.id_col,
+            self.shingle_k,
+            self.num_hashes,
+        )
+
+    def append(self, docs: DataFrame) -> DataFrame:
+        """Index ``docs`` (seed corpus or one micro-batch): append
+        their bands and signatures. Returns the batch's signature
+        relation (materialized) so the caller can reuse it for the
+        probe without recomputing shingles."""
+        # materialize ONCE: the signatures feed the bands write, the
+        # sigs write, and the caller's probe — without the checkpoint
+        # the shingle+minhash computation would run three times
+        sigs = self._signatures(docs).localCheckpoint(eager=True)
+        _banded(sigs, self.id_col, self.bands, self.rows_per_band).write.mode(
+            "append"
+        ).parquet(self._bands_dir)
+        sigs.write.mode("append").parquet(self._sigs_dir)
+        return sigs
+
+    def probe(self, batch_sigs: DataFrame, min_sig_agreement: float) -> DataFrame:
+        """Near-dup pairs of the batch against the WHOLE index (which
+        already includes the batch — ``id_new > id_old`` keeps each
+        unordered pair single-emitted and drops self-pairs)."""
+        idx_bands = self.spark.read.parquet(self._bands_dir)
+        idx_sigs = self.spark.read.parquet(self._sigs_dir)
+        batch_bands = _banded(
+            batch_sigs, self.id_col, self.bands, self.rows_per_band
+        ).select(F.col(self.id_col).alias("id_new"), "bucket")
+        cand = (
+            batch_bands.join(
+                idx_bands.select(
+                    F.col(self.id_col).alias("id_old"), "bucket"
+                ),
+                "bucket",
+            )
+            .filter(F.col("id_new") > F.col("id_old"))
+            .select("id_new", "id_old")
+            .dropDuplicates(["id_new", "id_old"])
+        )
+        pairs = cand.join(
+            batch_sigs.select(
+                F.col(self.id_col).alias("id_new"),
+                F.col("sig").alias("sig_new"),
+            ),
+            "id_new",
+        ).join(
+            idx_sigs.select(
+                F.col(self.id_col).alias("id_old"),
+                F.col("sig").alias("sig_old"),
+            ),
+            "id_old",
+        )
+        agree = F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("sig_new"),
+                    F.col("sig_old"),
+                    lambda x, y: (x == y).cast("int"),
+                ),
+                lambda v: v == 1,
+            )
+        )
+        return (
+            pairs.withColumn(
+                "est_jaccard",
+                agree.cast("double") / F.lit(float(self.num_hashes)),
+            )
+            .filter(F.col("est_jaccard") >= min_sig_agreement)
+            .select("id_new", "id_old", "est_jaccard")
+        )
+
+
+def incremental_dedup_stream(
+    doc_stream: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    min_sig_agreement: float = 0.5,
+):
+    """Run the incremental dedup always-on: each micro-batch of
+    ``doc_stream`` is indexed, probed, and its near-dup pairs appended
+    to ``pairs_dir``. Returns the started StreamingQuery.
+
+    foreachBatch rather than a stateful operator on purpose: the
+    banded index must outlive the query (it IS the product — the
+    snapshot index the batch operators join against), must be readable
+    by concurrent batch jobs, and grows unbounded — none of which fits
+    the state store. The checkpoint makes batch replays idempotent
+    only if the sink dedupes; parquet append does not, so a crashed
+    batch can re-emit its pairs on restart — downstream consumers of
+    ``pairs_dir`` should read with dropDuplicates([id_new, id_old])
+    (exactly-once needs a transactional table format underneath)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        index = IncrementalDedupIndex(
+            spark,
+            index_dir,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_k=shingle_k,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+        sigs = index.append(batch_df)  # materialized inside append
+        index.probe(sigs, min_sig_agreement).write.mode("append").parquet(
+            pairs_dir
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
