@@ -10,13 +10,16 @@ near-dup pairs against everything that arrived before it (plus any
 seeded retained corpus).
 
 Exactness: per batch we append the batch's bands/signatures to the
-index FIRST, then probe the batch against the full index with
-``id_new > id_old`` — so an unordered pair (a, b), a < b, is emitted
-exactly once (when b's batch runs: a is already indexed, whether it
-came in an earlier batch or the same one). Over any batch split of a
-corpus the union of emissions therefore equals the BATCH operator
-``minhash_lsh_pairs`` on the whole corpus, hash for hash — the parity
-test (tests/test_streaming_dedup.py) checks set equality against it.
+index FIRST, then probe the batch against the full index, keeping a
+candidate unless its partner sits in the same batch with the larger
+id (same-batch pairs emit once, pairs against anything indexed
+earlier always emit — ids carry no arrival-order guarantee). Over any
+batch split of a corpus the union of emissions equals the BATCH
+operator ``minhash_lsh_pairs`` on the whole corpus as an unordered
+pair set, hash for hash; seeded with a retained corpus, it equals
+``minhash_lsh_pairs_between(stream, seed)`` plus the stream's own
+self-pairs. The parity test (tests/test_streaming_dedup.py) checks
+both set equalities.
 
 100 TB shape: the index carries (bucket, doc_id) postings and
 (doc_id, sig) signatures — never text. Each probe is a band-bucket
@@ -106,13 +109,21 @@ class IncrementalDedupIndex:
 
     def probe(self, batch_sigs: DataFrame, min_sig_agreement: float) -> DataFrame:
         """Near-dup pairs of the batch against the WHOLE index (which
-        already includes the batch — ``id_new > id_old`` keeps each
-        unordered pair single-emitted and drops self-pairs)."""
+        already includes the batch). Single-emission rule: a candidate
+        is kept unless its partner is in the SAME batch with
+        ``id_old >= id_new`` — same-batch unordered pairs emit exactly
+        once (and self-pairs never), while pairs against earlier
+        arrivals always emit, regardless of id order (doc ids carry no
+        arrival-order guarantee — a seeded retained corpus can hold
+        ids above the stream's)."""
         idx_bands = self.spark.read.parquet(self._bands_dir)
         idx_sigs = self.spark.read.parquet(self._sigs_dir)
         batch_bands = _banded(
             batch_sigs, self.id_col, self.bands, self.rows_per_band
         ).select(F.col(self.id_col).alias("id_new"), "bucket")
+        in_batch = batch_sigs.select(
+            F.col(self.id_col).alias("id_old"), F.lit(True).alias("_in_batch")
+        )
         cand = (
             batch_bands.join(
                 idx_bands.select(
@@ -120,9 +131,16 @@ class IncrementalDedupIndex:
                 ),
                 "bucket",
             )
-            .filter(F.col("id_new") > F.col("id_old"))
             .select("id_new", "id_old")
             .dropDuplicates(["id_new", "id_old"])
+            .join(in_batch, "id_old", "left")
+            .filter(
+                ~(
+                    F.coalesce(F.col("_in_batch"), F.lit(False))
+                    & (F.col("id_old") >= F.col("id_new"))
+                )
+            )
+            .select("id_new", "id_old")
         )
         pairs = cand.join(
             batch_sigs.select(

@@ -1,0 +1,107 @@
+"""Always-on incremental dedup parity (VERDICT r5 #3 / r6 #4).
+
+The streaming lane (streaming/dedup.py) must emit, over any
+micro-batch split of a corpus, exactly the batch operator's pairs:
+
+- unseeded, whole corpus streamed → ``minhash_lsh_pairs(docs)`` as an
+  unordered pair set;
+- seeded with a retained corpus, stream = fresh snapshot →
+  ``minhash_lsh_pairs_between(new, old)`` plus the fresh snapshot's
+  own self-pairs.
+
+Both checks are value-level (est_jaccard rides along), on the sf0.001
+documents table, 4 files → 4 micro-batches via maxFilesPerTrigger=1.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+PARAMS = dict(num_hashes=16, bands=8, min_sig_agreement=0.5)
+
+
+def _unordered(df, a, b):
+    return {
+        (min(r[a], r[b]), max(r[a], r[b]), r["est_jaccard"])
+        for r in df.collect()
+    }
+
+
+def _run_stream(spark, docs, tmp_path, n_batches, seed=None):
+    from ramen_spark.streaming.dedup import (
+        IncrementalDedupIndex,
+        incremental_dedup_stream,
+    )
+
+    src = tmp_path / "stream_src"
+    for i in range(n_batches):
+        docs.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    if seed is not None:
+        IncrementalDedupIndex(spark, index_dir, **{
+            k: PARAMS[k] for k in ("num_hashes", "bands")
+        }).append(seed)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/b*")
+    )
+    q = incremental_dedup_stream(
+        stream,
+        index_dir,
+        pairs_dir,
+        str(tmp_path / "ckpt"),
+        **PARAMS,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(pairs_dir)
+
+
+def test_streaming_equals_batch_self_dedup(spark, tmp_path):
+    """4-micro-batch streaming run over the whole corpus emits
+    exactly the batch self-dedup's pairs, value for value."""
+    from ramen_spark.catalog import load_table
+    from ramen_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    got = _unordered(
+        _run_stream(spark, docs, tmp_path, n_batches=4), "id_new", "id_old"
+    )
+    exp = _unordered(minhash_lsh_pairs(docs, **PARAMS), "id_a", "id_b")
+    assert got == exp and len(exp) > 0
+
+
+def test_streaming_seeded_equals_between_plus_self(spark, tmp_path):
+    """Seeded with the retained corpus (even ids), streaming the
+    fresh snapshot (odd ids) emits exactly between(new, old) plus the
+    snapshot's own self-pairs — the incremental crawl-dedup contract.
+    Splitting new docs on doc_id % 3 misaligns batch boundaries with
+    id order, so pairs where the NEW doc has the smaller id are
+    exercised (the id-order trap a seeded index hits)."""
+    from ramen_spark.catalog import load_table
+    from ramen_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_between,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    got = _unordered(
+        _run_stream(spark, new, tmp_path, n_batches=3, seed=old),
+        "id_new",
+        "id_old",
+    )
+    exp = _unordered(
+        minhash_lsh_pairs_between(new, old, **PARAMS), "id_new", "id_old"
+    ) | _unordered(minhash_lsh_pairs(new, **PARAMS), "id_a", "id_b")
+    assert got == exp and len(exp) > 0
