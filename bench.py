@@ -193,6 +193,49 @@ def main() -> None:
         except Exception as e:  # pragma: no cover — bench must not die
             result["sf10_error"] = repr(e)
 
+    # adversarial-skew tier (VERDICT r5 #2): the 100× documents table
+    # with boilerplate headers (df ≈ 18 k shingles), a Zipf token tail
+    # (heavy-tailed df through the under-cutoff band), and a 90%-hot
+    # language group — the regimes the plain tiers' near-uniform
+    # distributions never exercised. Documents-only; the four stressed
+    # queries read nothing else.
+    if os.environ.get("SPARK_GRAFT_BENCH_SKEW", "1") != "0":
+        skew_dir = os.environ.get(
+            "SPARK_GRAFT_SKEW_DIR", "/tmp/spark_graft_sf10skew"
+        )
+        skew_queries = [
+            "ngram_jaccard_pairs",      # hot-shingle cutoff under real heat
+            "minhash_lsh_pairs",        # band-bucket occupancy skew
+            "duplicated_spans",         # span-hash count windows at df 18k
+            "temperature_mix_sample",   # one 90%-hot group window
+        ]
+        try:
+            from tools.scale_testdata import (
+                scale_skewed_documents,
+                tier_is_current,
+            )
+
+            if not tier_is_current(skew_dir, SF_DIR, 100):
+                scale_skewed_documents(spark, SF_DIR, skew_dir, factor=100)
+            tsk: dict[str, float] = {}
+            msk: dict[str, dict] = {}
+            for name in skew_queries:
+                before_id = latest_execution_id(spark)
+                t0 = time.perf_counter()
+                QUERIES[name](spark, skew_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                tsk[name] = round(time.perf_counter() - t0, 3)
+                m = last_execution_metrics(spark, after_id=before_id)
+                if m:
+                    msk[name] = m
+            result["queries_sf10_skew"] = tsk
+            result["sf10_skew_total"] = round(sum(tsk.values()), 3)
+            if msk:
+                result["query_metrics_sf10_skew"] = msk
+        except Exception as e:  # pragma: no cover — bench must not die
+            result["sf10_skew_error"] = repr(e)
+
     # 1000× probe (opt-in: SPARK_GRAFT_BENCH_SF100=1): 7 GB / 600 M
     # lineitem / 5 M docs. ~3 min generation + ~10 min queries, so not
     # part of the per-round default; the round-5 measurements live in
@@ -268,9 +311,11 @@ def main() -> None:
             "sf",
             "sf1_total",
             "sf10_total",
+            "sf10_skew_total",
             "sf100_total",
             "sf1_error",
             "sf10_error",
+            "sf10_skew_error",
             "sf100_error",
             "baseline_repro_error",
         )

@@ -187,9 +187,15 @@ def ngram_jaccard_pairs(
     shuffle-hash hint alone 36.6 s / 11.7 GB; both 26.7 s / zero
     spill. Hence the default ``shingle_key='hash64'``; join-strategy
     choice stays with AQE unless the caller opts into
-    ``join_strategy='shuffle_hash'`` (the benched registry query does
-    — under pathological key skew SMJ's graceful sort-spill is the
-    safer fallback, so the hint stays opt-in).
+    ``join_strategy='shuffle_hash'`` (the benched registry query
+    does). Same A/B on the ADVERSARIAL-SKEW tier (boilerplate df≈15 k
+    + Zipf tail, 500 k docs): shuffle-hash still wins, 36.5 s /
+    14.6 GB spill vs AQE-SMJ 64.6 s / 27.9 GB — the residual skew
+    spill is the candidate-pair AGGREGATION degrading gracefully
+    (Σdf² volume is inherent to the exact tier once the cutoff caps
+    df; a tighter cutoff of 500 did not help, 50 s). The hint stays
+    opt-in only because strategy choice belongs to AQE by default,
+    not because SMJ is safer — both regimes measured it slower.
 
     Two measured traps recorded
     here so they stay dead: computing the size as a row-local

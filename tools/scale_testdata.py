@@ -123,6 +123,80 @@ def _fan_out(df: DataFrame, table: str, factor: int) -> DataFrame:
     return out.sortWithinPartitions("_c").drop("_c")
 
 
+# --- adversarial-skew documents tier (VERDICT r5 #2 / r6 #3) -------------
+#
+# The plain tiers keep shingle doc-frequencies near-uniform (token
+# salting makes copies disjoint), so the hot-shingle cutoff, the
+# AllPairs length filter, the span-hash count windows, and the
+# temperature-mix group window were all benched in the EASY regime.
+# This tier manufactures the two skew shapes real corpora have:
+#
+# - boilerplate: ~3% of docs (doc_id % 100 < 3, stable across copies
+#   because KEY_OFFSET % 100 == 0) get an identical 12-token header
+#   prepended AFTER copy-salting — its shingles reach df ≈ 0.03·N
+#   corpus-wide (18 k at the 100× tier), far beyond any cutoff, and
+#   its 10-token spans make span-hash groups of the same size;
+# - a Zipf token tail: 20 tokens per doc drawn rank r =
+#   ⌊exp(u·ln V)⌋ with u = xxhash64(doc_id, i)/2³² uniform — p(r) ∝
+#   1/r over V = 50 k, shared across copies, so shingle df follows a
+#   heavy tail through the 100–1000 band that drives Σdf² under the
+#   cutoff (the regime SCALE §7's prefix-filter decision assumed
+#   away);
+# - language skew: 90% of docs reassigned to 'en', making the
+#   temperature-mix rank window one hot group.
+
+BOILERPLATE = (
+    "terms of service apply all rights reserved click here to "
+    "subscribe now unsubscribe"
+)
+ZIPF_VOCAB = 50_000
+ZIPF_TAIL = 20
+
+
+def _skew_documents(df: DataFrame) -> DataFrame:
+    import math
+
+    def zipf_tok(i: int):
+        u = (
+            F.pmod(
+                F.xxhash64(F.col("doc_id"), F.lit(i)), F.lit(2**32)
+            ).cast("double")
+            / float(2**32)
+        )
+        return F.concat(
+            F.lit("zw"),
+            F.floor(F.exp(u * math.log(ZIPF_VOCAB)))
+            .cast("long")
+            .cast("string"),
+        )
+
+    tail = F.concat_ws(" ", *[zipf_tok(i) for i in range(ZIPF_TAIL)])
+    text = F.concat_ws(" ", F.col("text"), tail)
+    text = F.when(
+        F.col("doc_id") % 100 < 3, F.concat_ws(" ", F.lit(BOILERPLATE), text)
+    ).otherwise(text)
+    lang = F.when(F.col("doc_id") % 10 < 9, F.lit("en")).otherwise(
+        F.col("lang")
+    )
+    return df.withColumn("text", text).withColumn("lang", lang)
+
+
+def scale_skewed_documents(
+    spark: SparkSession, src: str, dst: str, factor: int = 100
+) -> None:
+    """Documents-only skewed tier (the four text/sampling stress
+    queries read nothing else)."""
+    os.makedirs(dst, exist_ok=True)
+    base = spark.read.parquet(f"{src}/documents.parquet")
+    n_parts = max(32, min(1024, factor))
+    out = _skew_documents(
+        _fan_out(base.repartition(n_parts), "documents", factor)
+    )
+    out.write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+    with open(os.path.join(dst, "_VERSION"), "w") as fh:
+        fh.write(_generator_version(src, factor))
+
+
 def _generator_version(src: str = "", factor: int = 0) -> str:
     """Identity of a generated tier: hash of this module's source PLUS
     the (src, factor) pair — bench.py regenerates a cached tier when
