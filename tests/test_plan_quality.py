@@ -613,3 +613,17 @@ def test_table_num_rows_matches_scan(spark):
     n_scan = load_table(spark, SF_ORACLE, "documents").count()
     assert n_meta == n_scan
     assert table_num_rows(SF_ORACLE, "no_such_table") is None
+
+
+def test_canonicalize_no_window_sort(spark):
+    """Canonical-doc selection must stay a partial-aggregable max_by
+    on the cluster key — a row_number window would sort every
+    partition of the cluster relation for an argmax that one
+    aggregate expression computes."""
+    df = QUERIES["canonical_docs"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "Window" not in plan, "canonicalize regressed to a window sort"
+    # partial max_by before the exchange (map-side combine)
+    assert "partial_max_by" in plan.lower().replace(" ", "_") or (
+        "HashAggregate" in plan and "max_by" in plan
+    )
