@@ -127,6 +127,50 @@ def main() -> None:
         # written + spill per query (tools/query_metrics)
         result["query_metrics"] = shuffle_metrics
 
+    def emit() -> None:
+        """Checkpoint the bench: full result to bench_full.json, one
+        compact line to stdout. Called after EVERY tier so a bench
+        killed mid-run (timeout, OOM) still leaves the last completed
+        tier's line as the tail of stdout and a current side file —
+        rounds 5-6 lost their whole perf signal to an unparseable
+        stdout; this bounds the blast radius of anything else."""
+        with open(os.path.join(REPO, "bench_full.json"), "w") as f:
+            json.dump(result, f, indent=1)
+        compact = {
+            k: result[k]
+            for k in (
+                "metric",
+                "value",
+                "unit",
+                "runs",
+                "queries",
+                "sf",
+                "sf1_total",
+                "sf10_total",
+                "sf10_skew_total",
+                "sf100_total",
+                "sf1_error",
+                "sf10_error",
+                "sf10_skew_error",
+                "sf100_error",
+                "baseline_repro_error",
+            )
+            if k in result
+        }
+        if "baseline_repro" in result:
+            r = result["baseline_repro"]
+            compact["baseline_repro"] = {
+                k: r[k] for k in ("sec", "rows_per_sec", "ref_sec") if k in r
+            }
+        compact["full"] = "bench_full.json"
+        line = json.dumps(compact)
+        if len(line) > 1900:  # belt and braces: drop per-query detail
+            compact.pop("queries", None)
+            line = json.dumps(compact)
+        print(line, flush=True)
+
+    emit()
+
     # 10× scale tier (VERDICT r2 #10): derived from sf0.1 by
     # tools/scale_testdata.py (key-shifted fact copies, token-salted
     # documents, perturbed embeddings — see its docstring), generated
@@ -147,6 +191,7 @@ def main() -> None:
             result["sf1_total"] = round(tot1, 3)
         except Exception as e:  # pragma: no cover — bench must not die
             result["sf1_error"] = repr(e)
+        emit()
 
     # 100× stress tier (VERDICT r3 #6): the three heaviest queries at
     # sf10-equivalent — candidate-pair fan-out (minhash), broadcast
@@ -192,6 +237,7 @@ def main() -> None:
                 result["query_metrics_sf10"] = m10
         except Exception as e:  # pragma: no cover — bench must not die
             result["sf10_error"] = repr(e)
+        emit()
 
     # adversarial-skew tier (VERDICT r5 #2): the 100× documents table
     # with boilerplate headers (df ≈ 18 k shingles), a Zipf token tail
@@ -235,6 +281,7 @@ def main() -> None:
                 result["query_metrics_sf10_skew"] = msk
         except Exception as e:  # pragma: no cover — bench must not die
             result["sf10_skew_error"] = repr(e)
+        emit()
 
     # 1000× probe: 7 GB / 600 M lineitem / 5 M docs. Opt-OUT for the
     # three heaviest pipelines (VERDICT r5 #7): default runs ngram +
@@ -282,6 +329,7 @@ def main() -> None:
             result["sf100_total"] = round(sum(t100.values()), 3)
         except Exception as e:  # pragma: no cover — bench must not die
             result["sf100_error"] = repr(e)
+        emit()
 
     # the reference's OWN published benchmark, reproduced apples-to-
     # apples (tools/baseline_repro.py): 400k x 80-col gzip CSV through
@@ -299,48 +347,7 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             result["baseline_repro_error"] = repr(e)
 
-    # Full result (incl. per-query shuffle/spill metrics and all tier
-    # breakdowns) goes to a side artifact: the driver captures only the
-    # last 2000 chars of stdout, and rounds 5-6 proved the full JSON
-    # line outgrows that window, truncating away the headline numbers.
-    full_path = os.path.join(REPO, "bench_full.json")
-    with open(full_path, "w") as f:
-        json.dump(result, f, indent=1)
-
-    # Compact final stdout line: headline total + per-query timings +
-    # tier totals + repro summary. Must stay well under 2000 chars.
-    compact = {
-        k: result[k]
-        for k in (
-            "metric",
-            "value",
-            "unit",
-            "runs",
-            "queries",
-            "sf",
-            "sf1_total",
-            "sf10_total",
-            "sf10_skew_total",
-            "sf100_total",
-            "sf1_error",
-            "sf10_error",
-            "sf10_skew_error",
-            "sf100_error",
-            "baseline_repro_error",
-        )
-        if k in result
-    }
-    if "baseline_repro" in result:
-        r = result["baseline_repro"]
-        compact["baseline_repro"] = {
-            k: r[k] for k in ("sec", "rows_per_sec", "ref_sec") if k in r
-        }
-    compact["full"] = "bench_full.json"
-    line = json.dumps(compact)
-    if len(line) > 1900:  # belt and braces: drop per-query detail
-        compact.pop("queries", None)
-        line = json.dumps(compact)
-    print(line)
+    emit()
     spark.stop()
 
 
