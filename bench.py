@@ -154,6 +154,8 @@ def main() -> None:
                 "sf10_skew_error",
                 "sf100_error",
                 "baseline_repro_error",
+                "bench_vs_baseline_repro",
+                "bench_vs_baseline_normalized",
             )
             if k in result
         }
@@ -344,6 +346,23 @@ def main() -> None:
                     "SPARK_GRAFT_REPRO_DIR", "/tmp/spark_graft_repro"
                 ),
             )
+            # two STABLE ratio definitions (ADVICE r6: don't redefine
+            # the metric between rounds — emit both, names explicit):
+            # - repro: end-to-end wall of the reference's own published
+            #   benchmark on this engine / the reference's 19 s
+            # - normalized: our tumbling headline per-row time / the
+            #   reference's 21 k rows/s CSV yardstick on the same
+            #   row count (shape-normalized, excludes parse/decompress)
+            r = result["baseline_repro"]
+            result["bench_vs_baseline_repro"] = round(
+                r["sec"] / r["ref_sec"], 3
+            )
+            tumb = result["queries"].get("tumbling_revenue_per_minute")
+            if tumb:
+                n_events = 100_000 * result["sf"] / 0.1
+                result["bench_vs_baseline_normalized"] = round(
+                    tumb / (n_events / r["ref_rows_per_sec"]), 3
+                )
         except Exception as e:  # pragma: no cover
             result["baseline_repro_error"] = repr(e)
 
