@@ -175,6 +175,32 @@ class IncrementalDedupIndex:
         )
 
 
+def exact_dedup_stream(
+    doc_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Always-on EXACT dedup: first-arrival doc per content
+    fingerprint, as a native stateful streaming operator —
+    ``dropDuplicates`` on the 32-byte md5 fingerprint, backed by the
+    session's RocksDB state store (off-heap, so fingerprint state
+    survives high cardinality; the batch twin is
+    ``operators.dedup.exact_dedup``).
+
+    Semantics delta vs batch, stated: batch keeps the LOWEST id per
+    fingerprint; a stream cannot know a lower id arrives later, so
+    this keeps the FIRST ARRIVAL — identical keep-sets whenever
+    arrival order follows id order (the parity test's setup), the
+    honest streaming semantics otherwise. State grows with distinct
+    fingerprints — for bounded retention swap in
+    ``dropDuplicatesWithinWatermark`` once an event-time column and
+    dedup horizon exist; global exact dedup inherently remembers
+    everything it has kept."""
+    return doc_stream.select(
+        F.col(id_col), Tx.fingerprint(F.col(text_col)).alias("fp")
+    ).dropDuplicates(["fp"])
+
+
 def incremental_dedup_stream(
     doc_stream: DataFrame,
     index_dir: str,

@@ -105,3 +105,55 @@ def test_streaming_seeded_equals_between_plus_self(spark, tmp_path):
         minhash_lsh_pairs_between(new, old, **PARAMS), "id_new", "id_old"
     ) | _unordered(minhash_lsh_pairs(new, **PARAMS), "id_a", "id_b")
     assert got == exp and len(exp) > 0
+
+
+def test_streaming_exact_dedup_first_arrival(spark, tmp_path):
+    """State-store exact dedup: streamed in id order (3 micro-batches
+    of ascending id ranges), the kept (fp, doc_id) set equals the
+    batch operator's (fp, keep_id) exactly; a re-sent duplicate batch
+    adds nothing (cross-batch state)."""
+    from ramen_spark.catalog import load_table
+    from ramen_spark.operators.dedup import exact_dedup
+    from ramen_spark.streaming.dedup import exact_dedup_stream
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    n = docs.count()
+    src = tmp_path / "src"
+    # ascending id ranges -> arrival order == id order (parity setup);
+    # batch 3 re-sends batch 0's rows to exercise cross-batch state
+    bounds = [0, n // 3, 2 * n // 3, n]
+    ids = [r["doc_id"] for r in docs.select("doc_id").orderBy("doc_id").collect()]
+    for i in range(3):
+        lo, hi = ids[bounds[i]], ids[bounds[i + 1] - 1]
+        docs.filter(F.col("doc_id").between(lo, hi)).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    docs.filter(F.col("doc_id") <= ids[bounds[1] - 1]).coalesce(1).write.parquet(
+        str(src / "b3_resend")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/b*")
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        exact_dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["fp"], r["doc_id"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    exp = {
+        (r["fp"], r["keep_id"]) for r in exact_dedup(docs).collect()
+    }
+    assert got == exp and len(exp) > 0
