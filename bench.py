@@ -256,6 +256,8 @@ def main() -> None:
             "minhash_lsh_pairs",        # band-bucket occupancy skew
             "duplicated_spans",         # span-hash count windows at df 18k
             "temperature_mix_sample",   # one 90%-hot group window
+            "embedding_near_dups",      # clustered vectors → hot LSH buckets
+            "lsh_ann_topk",             # probe side of the same hot buckets
         ]
         try:
             from tools.scale_testdata import (

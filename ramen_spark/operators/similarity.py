@@ -154,6 +154,7 @@ def pairwise_near_dups(
     n_planes: int | None = None,
     dim: int = 64,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup tier): LSH-bucket
     self-join + exact cosine ≥ threshold. Same bucket-join shape as
@@ -165,7 +166,13 @@ def pairwise_near_dups(
     OR-construction of several seeds when recall matters more than
     throughput)."""
     if n_planes is None:
-        n_planes = auto_n_planes(df.count())
+        if n_rows is None:
+            # LAST resort: an eager action at plan-build time — pass
+            # n_rows (catalog.table_num_rows footer stats / metastore
+            # stats) so construction stays job-free, same contract as
+            # simhash_near_dups
+            n_rows = df.count()
+        n_planes = auto_n_planes(n_rows)
     planes = make_hyperplanes(dim, n_planes, seed)
     b = df.select(
         F.col(id_col),

@@ -1175,9 +1175,16 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via hyperplane-LSH
     bucketing + exact verify (operators.similarity.pairwise_near_dups).
     Value-exact oracle: the seeded hyperplanes are inlined as SQL
-    literals, so DuckDB buckets and scores the same doubles."""
+    literals, so DuckDB buckets and scores the same doubles. The
+    adaptive plane count resolves from parquet footer stats so query
+    construction fires no Spark job (same contract as simhash)."""
+    from ramen_spark.catalog import table_num_rows
+
     emb = _t(spark, sf_dir, "embeddings")
-    return Sim.pairwise_near_dups(emb, threshold=0.95, dim=64)
+    return Sim.pairwise_near_dups(
+        emb, threshold=0.95, dim=64,
+        n_rows=table_num_rows(sf_dir, "embeddings"),
+    )
 
 
 @register(

@@ -627,3 +627,27 @@ def test_canonicalize_no_window_sort(spark):
     assert "partial_max_by" in plan.lower().replace(" ", "_") or (
         "HashAggregate" in plan and "max_by" in plan
     )
+
+
+def test_ngram_join_is_hashed_shuffle_hash(spark):
+    """Ratchet the SCALE §7a adoption: the posting self-join must key
+    on xxhash64 longs (string keys spilled 21 GB of sort buffers at
+    the 100× tier) and take the shuffle-hash path the registry query
+    opts into (sort-free; measured faster in both df regimes)."""
+    df = QUERIES["ngram_jaccard_pairs"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "xxhash64" in plan, "shingle join key regressed to strings"
+    assert "ShuffledHashJoin" in plan, "self-join regressed to sort-merge"
+
+
+def test_embedding_neardup_construction_fires_no_job(spark):
+    """Same job-free-construction contract as simhash: the adaptive
+    LSH plane count resolves from footer stats, not an eager count."""
+    from tools.query_metrics import latest_execution_id
+
+    before = latest_execution_id(spark)
+    df = QUERIES["embedding_near_dups"](spark, SF_ORACLE)
+    assert latest_execution_id(spark) == before, (
+        "building embedding_near_dups ran a Spark job"
+    )
+    assert df is not None

@@ -181,18 +181,72 @@ def _skew_documents(df: DataFrame) -> DataFrame:
     return df.withColumn("text", text).withColumn("lang", lang)
 
 
+HOT_CLUSTER_FRAC_MOD = 10  # vec hot when hash % 10 < 3 (30%)
+HOT_CLUSTER_K = 4
+HOT_CLUSTER_PULL = 0.4  # additive centroid weight. Calibration note
+# (a first attempt hit the §5 generator-artifact trap): centroid
+# elements ~U(-1,1) give |c| ≈ √(64/3) ≈ 4.6 vs ~unit vectors, so a
+# convex 0.55 blend made the shared centroid DOMINATE — cluster-mate
+# cosine ≥ 0.95 and 784 k manufactured near-dup pairs (quadratic
+# cliques no real corpus has; measured 187 s). Additive x + 0.4·c
+# keeps the shared component at s·|c| ≈ 1.8 vs |x| ≈ 1-1.7 →
+# cluster-mate cosine ≈ 0.5-0.8: hot LSH buckets (the stress), few
+# above-0.95 true pairs (the realism).
+
+
+def _skew_embeddings(df: DataFrame) -> DataFrame:
+    """30% of vectors pulled toward one of 4 shared pseudo-random
+    centroids (deterministic, element-wise xxhash64): LSH bucket
+    occupancy and IVF cell sizes go heavy-tailed, the adaptive
+    n_planes / occupancy knobs' actual stress case."""
+    # key cluster membership on the BASE id (vec_id mod KEY_OFFSET):
+    # every copy of a base gets the IDENTICAL pull, so planted
+    # near-dup pairs keep their cosine (a shared additive component
+    # raises it slightly) and the detector still has true positives
+    # to find — keying on the raw vec_id instead silently broke every
+    # pair with exactly one hot member (measured: output went to 0)
+    base_id = F.pmod(F.col("vec_id"), F.lit(KEY_OFFSET))
+    k = F.pmod(F.xxhash64(base_id, F.lit("cluster")), F.lit(HOT_CLUSTER_K))
+    is_hot = (
+        F.pmod(F.xxhash64(base_id, F.lit("hot")), F.lit(HOT_CLUSTER_FRAC_MOD))
+        < 3
+    )
+    w = float(HOT_CLUSTER_PULL)
+
+    def centroid_elem(i):
+        return (
+            (F.pmod(F.xxhash64(k, i, F.lit(999)), F.lit(2001)) - 1000).cast(
+                "double"
+            )
+            / 1000.0
+        )
+
+    blended = F.transform(
+        "embedding",
+        lambda x, i: (x + centroid_elem(i) * w).cast("float"),
+    )
+    return df.withColumn(
+        "embedding", F.when(is_hot, blended).otherwise(F.col("embedding"))
+    )
+
+
 def scale_skewed_documents(
     spark: SparkSession, src: str, dst: str, factor: int = 100
 ) -> None:
-    """Documents-only skewed tier (the four text/sampling stress
-    queries read nothing else)."""
+    """Documents + embeddings skewed tier (the six stress queries
+    read nothing else)."""
     os.makedirs(dst, exist_ok=True)
-    base = spark.read.parquet(f"{src}/documents.parquet")
     n_parts = max(32, min(1024, factor))
+    base = spark.read.parquet(f"{src}/documents.parquet")
     out = _skew_documents(
         _fan_out(base.repartition(n_parts), "documents", factor)
     )
     out.write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    out_e = _skew_embeddings(
+        _fan_out(emb.repartition(n_parts), "embeddings", factor)
+    )
+    out_e.write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
     with open(os.path.join(dst, "_VERSION"), "w") as fh:
         fh.write(_generator_version(src, factor))
 
