@@ -300,6 +300,7 @@ def decontaminate(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     min_overlap: int = 1,
+    eval_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Train/eval DECONTAMINATION: flag training documents sharing
     ≥ ``min_overlap`` word ``shingle_k``-grams with any eval document
@@ -318,7 +319,11 @@ def decontaminate(
     groupBy(doc) partial aggregate; no shuffle ever carries document
     text. No forced broadcast hint: an adversarially-huge eval corpus
     degrades to a sort-merge join on the shingle key instead of
-    OOMing executors."""
+    OOMing executors. Pass a precomputed ``eval_shingles`` relation
+    (one ``_s`` column) to amortize the eval-side shingling across
+    many invocations — the always-on lane
+    (streaming/dedup.py:decontaminate_stream) computes it once per
+    query, not once per micro-batch."""
 
     def shingle_rows(df: DataFrame) -> DataFrame:
         toks = df.select(
@@ -335,7 +340,8 @@ def decontaminate(
             ).alias("_s"),
         )
 
-    eval_shingles = shingle_rows(eval_df).select("_s").distinct()
+    if eval_shingles is None:
+        eval_shingles = shingle_rows(eval_df).select("_s").distinct()
     marked = shingle_rows(train_df).join(
         eval_shingles.withColumn("_hit", F.lit(1)), "_s", "left"
     )

@@ -201,6 +201,61 @@ def exact_dedup_stream(
     ).dropDuplicates(["fp"])
 
 
+def decontaminate_stream(
+    doc_stream: DataFrame,
+    eval_df: DataFrame,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    min_overlap: int = 1,
+):
+    """Always-on train/eval decontamination: each micro-batch of
+    training documents is flagged against the eval corpus and the
+    per-doc report appended to ``pairs_dir``. The eval side's distinct
+    shingle set is computed and materialized ONCE at query start (it
+    is static), so per-batch cost is the batch's own shingling plus
+    the broadcast-able shingle join — not a re-shingle of the eval
+    corpus per trigger. Returns the started StreamingQuery.
+
+    Per-doc rows are independent, so the emission over any batch split
+    equals the batch operator row-for-row (parity test)."""
+    from ramen_spark.operators.dedup import decontaminate
+
+    # precompute once; localCheckpoint pins it on the executors for
+    # every micro-batch's join
+    toks = eval_df.select(
+        F.split(Tx.normalized_text(F.col(text_col)), " ").alias("_toks")
+    )
+    eval_shingles = (
+        toks.select(
+            F.explode(
+                Tx.word_shingles_of_tokens(F.col("_toks"), shingle_k)
+            ).alias("_s")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        decontaminate(
+            batch_df,
+            eval_df=None,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_k=shingle_k,
+            min_overlap=min_overlap,
+            eval_shingles=eval_shingles,
+        ).write.mode("append").parquet(pairs_dir)
+
+    return (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def incremental_dedup_stream(
     doc_stream: DataFrame,
     index_dir: str,

@@ -157,3 +157,37 @@ def test_streaming_exact_dedup_first_arrival(spark, tmp_path):
         (r["fp"], r["keep_id"]) for r in exact_dedup(docs).collect()
     }
     assert got == exp and len(exp) > 0
+
+
+def test_streaming_decontaminate_equals_batch(spark, tmp_path):
+    """Always-on decontamination over 3 micro-batches emits exactly
+    the batch operator's per-doc report (rows are doc-independent, so
+    the split is invisible); the eval shingle set is computed once."""
+    from ramen_spark.catalog import load_table
+    from ramen_spark.operators.dedup import decontaminate
+    from ramen_spark.streaming.dedup import decontaminate_stream
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    src = tmp_path / "src"
+    for i in range(3):
+        train.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/b*")
+    )
+    out_dir = str(tmp_path / "out")
+    q = decontaminate_stream(
+        stream, ev, out_dir, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    exp = {tuple(r) for r in decontaminate(train, ev).collect()}
+    assert got == exp and len(exp) > 0
