@@ -785,3 +785,70 @@ def minhash_lsh_pairs_between(
         .filter(F.col("est_jaccard") >= min_sig_agreement)
         .select("id_new", "id_old", "est_jaccard")
     )
+
+
+def frequent_segment_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 3,
+    max_docs: int = 5,
+) -> DataFrame:
+    """C4-style cross-document boilerplate removal, generalized from
+    "lines" to fixed-width word segments (Raffel et al. 2020 drop any
+    line occurring ≥3 times in C4; RefinedWeb does the same per line).
+    The corpus here has no line structure, so the removable unit is a
+    non-overlapping window of ``seg_words`` whitespace tokens — the
+    same operator applies verbatim to real newline-delimited text by
+    splitting on lines instead of word windows.
+
+    A segment is BOILERPLATE when it appears in more than ``max_docs``
+    distinct documents corpus-wide. Every occurrence is removed from
+    every document; the remainder is re-joined in original order.
+    Output per input document (docs whose text has ≥1 token):
+    (id_col, clean_text, n_segments, n_removed).
+
+    100 TB shape: segment construction is ROW-LOCAL (slice over the
+    token array — no explode before the segment exists); the frequency
+    count shuffles 8-byte xxhash64 keys only (segment text never rides
+    a shuffle key — SCALE §5 string-key trap); the hot set is tiny
+    (boilerplate is by definition few distinct values) so AQE
+    broadcasts the membership join; reassembly is one groupBy on the
+    doc id. Two shuffles total + one broadcast. Segment identity is
+    the 64-bit hash — at 10^12 segments the collision expectation is
+    ~0.03 false merges, acceptable for a frequency threshold.
+    """
+    toks = Tx.tokens(F.col(text_col))
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_words)).cast("int")
+    # sequence(0, -1) counts DOWN (SCALE §5) — guard the empty case
+    seg_idx = F.when(n_segs > 0, F.sequence(F.lit(0), n_segs - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    segs = F.transform(
+        seg_idx,
+        lambda i: F.array_join(F.slice(toks, i * seg_words + 1, seg_words), " "),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(segs).alias("seg", "segment")
+    ).withColumn("seg_h", F.xxhash64("segment"))
+
+    hot = (
+        exploded.groupBy("seg_h")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") > max_docs)
+        .select("seg_h", F.lit(True).alias("is_hot"))
+    )
+    marked = exploded.join(hot, "seg_h", "left")
+    kept_struct = F.when(
+        F.col("is_hot").isNull(), F.struct(F.col("seg"), F.col("segment"))
+    )  # collect_list skips NULLs -> only kept segments ride the list
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["segment"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("is_hot").isNotNull(), 1).otherwise(0)).alias("n_removed"),
+    )

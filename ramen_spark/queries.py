@@ -3147,3 +3147,45 @@ def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=0.5,
         target_frac=0.5,
     )
+
+
+@register(
+    "boilerplate_segment_removal",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    segs AS (
+      SELECT doc_id, unnest(range((len(w) + 2) // 3)) AS seg, w FROM t
+    ),
+    st AS (
+      SELECT doc_id, seg,
+             array_to_string(w[seg * 3 + 1 : seg * 3 + 3], ' ') AS segment
+      FROM segs
+    ),
+    hot AS (
+      SELECT segment FROM st GROUP BY segment
+      HAVING count(DISTINCT doc_id) > 5
+    )
+    SELECT s.doc_id,
+           coalesce(
+             string_agg(CASE WHEN h.segment IS NULL THEN s.segment END,
+                        ' ' ORDER BY s.seg), '') AS clean_text,
+           count(*)::BIGINT AS n_segments,
+           sum(CASE WHEN h.segment IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_removed
+    FROM st s LEFT JOIN hot h USING (segment)
+    GROUP BY s.doc_id
+    """,
+)
+def boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document boilerplate removal
+    (operators.dedup.frequent_segment_removal): drop every 3-word
+    segment that occurs in more than 5 distinct documents, re-join the
+    survivors in order. The C4 paper does this per LINE; the synthetic
+    corpus has no newlines, so fixed 3-word windows are the segment
+    unit (same operator, pluggable segmenter). Segment identity rides
+    a 64-bit hash on the Spark side (8-byte shuffle keys); the oracle
+    groups by the segment text itself — identical output absent hash
+    collisions (expected ~1e-10 here)."""
+    return D.frequent_segment_removal(
+        _t(spark, sf_dir, "documents"), seg_words=3, max_docs=5
+    )
