@@ -94,3 +94,80 @@ def temperature_mix(
             F.col("_quota").cast("bigint").alias("quota"),
         )
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style importance scores (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how target-like its hashed-unigram distribution is.
+    ``target_pred`` is a boolean Column marking the in-domain
+    exemplars (e.g. ``F.col("lang") == "en"``); both bucket models are
+    estimated from the corpus itself in one pass.
+
+    Per hash bucket b (md5 48-bit % n_buckets, the oracle-reproducible
+    hash of functions.text.md5_hash_pair): the target model counts
+    tokens of target docs, the raw model counts all tokens, both
+    add-one smoothed. The per-bucket log importance ratio
+    ln(p_target(b) / p_raw(b)) is FROZEN TO INTEGER MICRO-NATS
+    (round(·×1e6)) before any per-document use, so document scores are
+    integer sums — exact, order-independent, and bit-identical in the
+    DuckDB oracle regardless of how Spark combines partials (the
+    float-sum ulp caveat of temperature_mix does not apply here).
+
+    Output: (id_col, n_tokens, score_micro, avg_logratio) — one row
+    per document with ≥1 token. Selection composes downstream: rank
+    by avg_logratio with operators.topk or gate at a threshold;
+    upsampling-with-replacement belongs in the epoch schedule.
+
+    100 TB shape: one groupBy on the int bucket key (≤ n_buckets
+    groups, map-side combinable), a crossJoin with a 1-row totals
+    relation, an AQE-broadcast join of the ≤4096-row weight table back
+    onto the exploded tokens, and one groupBy on the doc id. No text
+    ever rides a shuffle key; the weight model is O(n_buckets), not
+    O(vocab)."""
+    from ramen_spark.functions.text import md5_hash_pair, tokens
+
+    B = int(n_buckets)
+    tok = docs.select(
+        F.col(id_col),
+        target_pred.cast("int").alias("_is_t"),
+        F.explode(tokens(F.col(text_col))).alias("_tok"),
+    )
+    h1, _ = md5_hash_pair(F.col("_tok"))
+    bucketed = tok.select(id_col, "_is_t", (h1 % B).alias("_bk"))
+    cnt = bucketed.groupBy("_bk").agg(
+        F.count(F.lit(1)).alias("_c_r"), F.sum("_is_t").alias("_c_t")
+    )
+    tot = cnt.agg(F.sum("_c_r").alias("_r"), F.sum("_c_t").alias("_t"))
+    weights = cnt.crossJoin(tot).select(
+        F.col("_bk"),
+        F.round(
+            F.log(
+                ((F.col("_c_t") + F.lit(1.0)) * (F.col("_r") + F.lit(B)))
+                / ((F.col("_c_r") + F.lit(1.0)) * (F.col("_t") + F.lit(B)))
+            )
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("_w"),
+    )
+    return (
+        bucketed.join(weights, "_bk")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("_w").cast("bigint").alias("score_micro"),
+        )
+        .withColumn(
+            "avg_logratio",
+            F.round(
+                F.col("score_micro").cast("double") / 1e6 / F.col("n_tokens"), 6
+            ),
+        )
+    )

@@ -3189,3 +3189,48 @@ def boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.frequent_segment_removal(
         _t(spark, sf_dir, "documents"), seg_words=3, max_docs=5
     )
+
+
+@register(
+    "dsir_importance_scores",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_WORDS_SQL}) AS tok FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+             ('0x' || substring(md5(tok), 1, 12))::BIGINT % 4096 AS bk
+      FROM toks
+    ),
+    cnt AS (
+      SELECT bk, count(*) AS c_r, sum(is_t) AS c_t FROM b GROUP BY bk
+    ),
+    tot AS (SELECT sum(c_r) AS r, sum(c_t) AS t FROM cnt),
+    w AS (
+      SELECT bk,
+             round(ln(((c_t + 1.0) * (r + 4096))
+                      / ((c_r + 1.0) * (t + 4096))) * 1e6)::BIGINT AS w
+      FROM cnt, tot
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(w)::BIGINT AS score_micro,
+           round(sum(w)::DOUBLE / 1e6 / count(*), 6) AS avg_logratio
+    FROM b JOIN w USING (bk)
+    GROUP BY doc_id
+    """,
+)
+def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-ngram importance scoring
+    (operators.sampling.dsir_importance): every document scored by
+    ln-ratio of a target hashed-unigram model (lang='en' exemplars)
+    over the raw corpus model, add-one smoothed, 4096 buckets.
+    Per-bucket ratios freeze to integer micro-nats before the
+    per-document sum, so scores are exact integers — no float-sum
+    order sensitivity between Spark and the oracle."""
+    from ramen_spark.operators.sampling import dsir_importance
+
+    return dsir_importance(
+        _t(spark, sf_dir, "documents"),
+        target_pred=F.col("lang") == "en",
+        n_buckets=4096,
+    )
