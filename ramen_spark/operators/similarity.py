@@ -363,3 +363,230 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "corpus_id", "sim", "rank")
     )
+
+
+# ------------------------------------------------------------------- IVF-PQ
+
+def _unit(vec_col: str):
+    """Unit-normalized double vector (NULL-free rows with norm > 0 are
+    the caller's responsibility — see pq_fit's base filter)."""
+    v = _as_double(vec_col)
+    n = V.norm2(F.col(vec_col))
+    return F.transform(v, lambda x: x / n)
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the unit vector
+    into ``m`` contiguous subspaces of dim/m and learn ``ks`` codewords
+    per subspace. Returns codebooks[m][ks][dim//m].
+
+    Seeding matches kmeans_fit: the ks corpus vectors with the
+    smallest md5(id) contribute their subvectors to every subspace —
+    deterministic and, at iters=0, exactly SQL-expressible for the
+    oracle. ``iters`` Lloyd rounds refine all m subspaces in ONE Spark
+    job each (subspace exploded into the rows, codeword update via a
+    groupBy of m×ks×dsub per-dimension partials — the only driver
+    collect, same footprint rationale as kmeans_fit). Codewords are
+    plain L2 means (no renormalization — PQ approximates the vector,
+    not its direction)."""
+    dsub = dim // m
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            _as_double(vec_col).alias("_raw"),
+            V.norm2(F.col(vec_col)).alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+        .filter(~F.exists(F.col("_raw"), lambda x: x.isNull()))
+    )
+    seeds = (
+        base.select("_raw", "_n", F.md5(F.col("_id").cast("string")).alias("_h"))
+        .orderBy("_h")
+        .limit(ks)
+        .collect()
+    )
+    units = [[x / r["_n"] for x in r["_raw"]] for r in seeds]
+    books = [[u[s * dsub : (s + 1) * dsub] for u in units] for s in range(m)]
+    if iters == 0:
+        return books
+
+    cb_rows = base.select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(
+                    F.transform(F.col("_raw"), lambda x: x / F.col("_n")),
+                    s * dsub + 1,
+                    dsub,
+                ),
+            )
+        ).alias("_s", "_sub")
+    )
+    if iters > 0:
+        cb_rows = cb_rows.cache()
+    try:
+        for _ in range(iters):
+            cbs = F.element_at(_pq_codebook_literal(books), F.col("_s") + 1)
+            dists = F.transform(
+                cbs, lambda cw: V.dot(cw, cw) - 2 * V.dot(cw, F.col("_sub"))
+            )
+            assigned = cb_rows.select(
+                "_s",
+                (F.array_position(dists, F.array_min(dists)) - 1)
+                .cast("int")
+                .alias("_code"),
+                "_sub",
+            )
+            sums = (
+                assigned.select(
+                    "_s", "_code", F.posexplode(F.col("_sub")).alias("_pos", "_x")
+                )
+                .groupBy("_s", "_code", "_pos")
+                .agg(F.sum("_x").alias("_sum"), F.count(F.lit(1)).alias("_cnt"))
+                .collect()
+            )
+            upd: dict[tuple[int, int], dict[int, float]] = {}
+            for r in sums:
+                upd.setdefault((r["_s"], r["_code"]), {})[r["_pos"]] = (
+                    r["_sum"] / r["_cnt"]
+                )
+            books = [
+                [
+                    [upd[(s, j)][p] for p in sorted(upd[(s, j)])]
+                    if (s, j) in upd
+                    else books[s][j]
+                    for j in range(ks)
+                ]
+                for s in range(m)
+            ]
+    finally:
+        if iters > 0:
+            cb_rows.unpersist()
+    return books
+
+
+def _pq_codebook_literal(books: list[list[list[float]]]):
+    """codebooks[m][ks][dsub] as ONE parsed literal expression (same
+    py4j-round-trip rationale as _centroid_literal)."""
+    outer = ",".join(
+        "array("
+        + ",".join("array(" + ",".join(f"{float(x)!r}D" for x in cw) + ")" for cw in cbs)
+        + ")"
+        for cbs in books
+    )
+    return F.expr(f"array({outer})")
+
+
+def _pq_codes(vec_unit, books: list[list[list[float]]]):
+    """codes array<int>, one argmin-L2 codeword per subspace, as a
+    row-local builtin expression. argmin via (|c|² − 2·<c,sub>) — the
+    |sub|² term is constant per subspace; |c|² is baked as a literal
+    (the codebook is driver-side). Ties take the first (lowest-index)
+    codeword, matching the oracle's (dist ASC, j ASC) row_number."""
+    m, dsub = len(books), len(books[0][0])
+    cols = []
+    for s, cbs in enumerate(books):
+        sub = F.slice(vec_unit, s * dsub + 1, dsub)
+        cc2 = [sum(x * x for x in cw) for cw in cbs]
+        dists = F.zip_with(
+            _centroid_literal(cbs),
+            F.array(*[F.lit(float(c)) for c in cc2]),
+            lambda cw, c2: c2 - 2 * V.dot(cw, sub),
+        )
+        cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return F.array(*cols)
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 10,
+    centroids: list[list[float]] | None = None,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: corpus vectors are m small int
+    codes; each broadcast query precomputes its m×ks lookup table once
+    (T[s][j] = <q_sub_s, codeword_j>) and every candidate costs m
+    TABLE LOOKUPS + m ADDS instead of a dim-length dot — the ADC
+    speedup, here as pure Catalyst expressions (zip_with codes against
+    T, element_at, left-fold sum: deterministic s-ascending order the
+    oracle reproduces with list(contrib ORDER BY s)).
+
+    With ``centroids`` the IVF coarse stage prunes candidates to
+    n_probe cells first (corpus stored bucketed by cell → probe joins
+    prune partitions); without, the ADC scan is corpus-wide. At rest a
+    100 TB corpus stores ONLY (id, cell, codes) — m bytes of codes per
+    vector instead of 4·dim — raw vectors stay in cold archive for
+    optional exact re-ranking of the ADC top-k."""
+    cv = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        _pq_codes(_unit(vec_col), books).alias("_codes"),
+        *(
+            [_nearest_cell(_as_double(vec_col), centroids).alias("_cell")]
+            if centroids is not None
+            else []
+        ),
+    )
+    qu = queries.select(
+        F.col(id_col).alias(query_id_col), _unit(vec_col).alias("_qu")
+    ).withColumn(
+        "_t",
+        F.transform(
+            _pq_codebook_literal(books),
+            lambda cbs, s: F.transform(
+                cbs,
+                lambda cw: V.dot(
+                    cw, F.slice(F.col("_qu"), s * len(books[0][0]) + 1, len(books[0][0]))
+                ),
+            ),
+        ),
+    )
+    if centroids is not None:
+        cents = _centroid_literal(centroids)
+        probe = F.slice(
+            F.array_sort(
+                F.zip_with(
+                    F.transform(cents, lambda cc: -V.dot(cc, F.col("_qu"))),
+                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                    lambda s, i: F.struct(s.alias("neg"), i.alias("cell")),
+                )
+            ),
+            1,
+            n_probe,
+        )
+        qu = qu.withColumn(
+            "_probe", F.explode(F.transform(probe, lambda s: s.cell))
+        )
+        scored = cv.join(F.broadcast(qu), cv["_cell"] == qu["_probe"])
+    else:
+        scored = cv.crossJoin(F.broadcast(qu))
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("_codes"), F.col("_t"), lambda cd, row: F.element_at(row, cd + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim_adc").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.filter(F.col("corpus_id") != F.col(query_id_col))
+        .withColumn("sim_adc", F.round(adc, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "corpus_id", "sim_adc", "rank")
+    )

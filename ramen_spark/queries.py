@@ -1278,6 +1278,157 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared PQ oracle CTEs (m=8 subspaces × ks=16 codewords × dsub=8 dims over
+# the 64-dim unit vectors; seeds = 16 smallest md5(id), matching pq_fit):
+# books[s][j] = subvector slice of seed j; ccodes = per-(vector, subspace)
+# argmin-L2 codeword with (dist ASC, j ASC) tie-break — the exact twin of
+# operators.similarity._pq_codes.
+_PQ_SQL = """vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    uvecs AS (
+      SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM vecs
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS j, u
+      FROM (
+        SELECT vec_id, list_transform(v, x -> x / nullif(nrm, 0.0)) AS u
+        FROM vecs
+        WHERE nrm > 0
+          AND len(list_filter(list_transform(v, x -> x / nullif(nrm, 0.0)),
+                              x -> x IS NULL)) = 0
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+      )
+    ),
+    books AS (
+      SELECT ss.s, seeds.j, list_slice(u, ss.s * 8 + 1, ss.s * 8 + 8) AS cw
+      FROM seeds CROSS JOIN (SELECT unnest(range(8)) AS s) ss
+    ),
+    ccodes AS (
+      SELECT vec_id, s, j AS code FROM (
+        SELECT uv.vec_id, b.s, b.j, row_number() OVER (
+          PARTITION BY uv.vec_id, b.s
+          ORDER BY list_dot_product(b.cw, b.cw)
+                   - 2 * list_dot_product(b.cw,
+                         list_slice(uv.u, b.s * 8 + 1, b.s * 8 + 8)) ASC,
+                   b.j ASC) AS rk
+        FROM uvecs uv CROSS JOIN books b
+      ) WHERE rk = 1
+    )"""
+
+# ADC scoring + per-query rank, shared by both PQ oracles: each candidate's
+# score is the s-ascending fold of <q_sub_s, codeword(code_s)> — the exact
+# twin of pq_adc_topk's F.aggregate over zip_with(codes, T).
+_PQ_RANK_SQL = """
+    SELECT query_id, corpus_id, round(adc, 6) AS sim_adc, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY round(adc, 6) DESC NULLS LAST, corpus_id ASC)::INT AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@register(
+    "pq_adc_ann_topk",
+    "WITH "
+    + _PQ_SQL
+    + """,
+    scored AS (
+      SELECT q.vec_id AS query_id, cc.vec_id AS corpus_id,
+             list_sum(list(
+               list_dot_product(list_slice(q.u, cc.s * 8 + 1, cc.s * 8 + 8), b.cw)
+               ORDER BY cc.s)) AS adc
+      FROM ccodes cc
+      JOIN books b ON b.s = cc.s AND b.j = cc.code
+      CROSS JOIN (SELECT vec_id, u FROM uvecs WHERE vec_id < 20) q
+      WHERE cc.vec_id <> q.vec_id
+      GROUP BY q.vec_id, cc.vec_id
+    )
+    """
+    + _PQ_RANK_SQL,
+)
+def pq_adc_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (Jégou et al. 2011): corpus
+    vectors compress to m=8 one-byte codes; each broadcast query builds
+    its m×ks lookup table once and every candidate costs 8 lookups + 8
+    adds instead of a 64-dim dot (operators.similarity.pq_adc_topk).
+    At rest a 100 TB corpus stores 8 bytes of codes per vector instead
+    of 256 bytes of floats — a 32× scan-volume cut before any pruning.
+    The iters=0 codebook fit is exactly SQL-expressible, so the oracle
+    is value-exact; Lloyd-refined codebooks (pq_fit iters>0) are the
+    production path, covered by recall tests in test_series_ops."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = Sim.pq_fit(emb, m=8, ks=16, dim=64, iters=0)
+    return Sim.pq_adc_topk(emb, emb.filter(F.col("vec_id") < 20), books, k=10)
+
+
+@register(
+    "ivf_pq_ann_topk",
+    "WITH "
+    + _PQ_SQL
+    + """,
+    cents AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell,
+             list_transform(v, x -> x / nullif(nrm, 0.0)) AS cv
+      FROM vecs
+      WHERE nrm > 0
+        AND len(list_filter(list_transform(v, x -> x / nullif(nrm, 0.0)),
+                            x -> x IS NULL)) = 0
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
+    ),
+    ccell AS (
+      SELECT vec_id, cell FROM (
+        SELECT vecs.vec_id, cents.cell, row_number() OVER (
+          PARTITION BY vecs.vec_id
+          ORDER BY list_dot_product(cv, v) DESC NULLS LAST, cell ASC) AS rk
+        FROM vecs CROSS JOIN cents
+      ) WHERE rk = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT uvecs.vec_id, cents.cell, row_number() OVER (
+          PARTITION BY uvecs.vec_id
+          ORDER BY list_dot_product(cv, u) DESC NULLS LAST, cell ASC) AS rk
+        FROM uvecs CROSS JOIN cents WHERE uvecs.vec_id < 20
+      ) WHERE rk <= 3
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, cc.vec_id AS corpus_id,
+             list_sum(list(
+               list_dot_product(list_slice(q.u, cc.s * 8 + 1, cc.s * 8 + 8), b.cw)
+               ORDER BY cc.s)) AS adc
+      FROM ccodes cc
+      JOIN books b ON b.s = cc.s AND b.j = cc.code
+      JOIN ccell ON ccell.vec_id = cc.vec_id
+      JOIN qprobe p ON ccell.cell = p.cell
+      JOIN uvecs q ON q.vec_id = p.query_id
+      WHERE cc.vec_id <> q.vec_id
+      GROUP BY q.vec_id, cc.vec_id
+    )
+    """
+    + _PQ_RANK_SQL,
+)
+def ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the full billion-scale ANN layout — an 8-cell coarse
+    quantizer prunes each query to its 3 closest cells (scan fraction
+    3/8, partition-pruned when the corpus is stored bucketed by cell),
+    then PQ ADC scores only the survivors from their 8-byte codes.
+    Compression and pruning multiply: vs brute force this touches
+    3/8 of the rows at 1/32 of the bytes each. Both quantizers are
+    md5-seeded (iters=0) so the whole pipeline is SQL-expressible and
+    the oracle value-exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = Sim.pq_fit(emb, m=8, ks=16, dim=64, iters=0)
+    cents = Sim.kmeans_fit(emb, n_cells=8, iters=0)
+    return Sim.pq_adc_topk(
+        emb, emb.filter(F.col("vec_id") < 20), books, k=10,
+        centroids=cents, n_probe=3,
+    )
+
+
 # ===========================================================================
 # 5. Sequential stateful ops (rows-only oracles — SURVEY §2.4 hard cases)
 # ===========================================================================

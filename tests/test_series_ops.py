@@ -182,6 +182,89 @@ def test_ivf_topk_recall_and_pruning(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_pq_fit_shapes_and_lloyd_refinement(spark):
+    """pq_fit returns codebooks[m][ks][dim/m]; Lloyd rounds must not
+    increase the corpus quantization error (mean L2 to the assigned
+    codeword, summed over subspaces)."""
+    import math
+
+    from ramen_spark.catalog import load_table
+    from ramen_spark.operators import similarity as Sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.select("embedding").collect()
+    ]
+    units = []
+    for v in rows:
+        n = math.sqrt(sum(x * x for x in v))
+        units.append([x / n for x in v])
+
+    def qerr(books):
+        m, dsub = len(books), len(books[0][0])
+        tot = 0.0
+        for u in units:
+            for s in range(m):
+                sub = u[s * dsub : (s + 1) * dsub]
+                tot += min(
+                    sum((a - b) ** 2 for a, b in zip(sub, cw))
+                    for cw in books[s]
+                )
+        return tot / len(units)
+
+    b0 = Sim.pq_fit(emb, m=8, ks=16, dim=64, iters=0)
+    assert len(b0) == 8 and all(len(cbs) == 16 for cbs in b0)
+    assert all(len(cw) == 8 for cbs in b0 for cw in cbs)
+    b2 = Sim.pq_fit(emb, m=8, ks=16, dim=64, iters=2)
+    assert b2 != b0  # refinement moved codewords
+    assert qerr(b2) <= qerr(b0) + 1e-12
+
+
+def test_pq_adc_recall_on_planted_neighbors(spark):
+    """The meaningful ANN metric: each query has ONE true strong
+    neighbor (cos ≈ 0.999) planted in an otherwise-random corpus
+    (typical cos ≈ 1/√dim ≈ 0.18); ADC over 8-byte codes must surface
+    it in the top-10 for nearly every query. (Noise-rank overlap with
+    brute force is NOT asserted — quantization cannot and need not
+    preserve the ordering of ~0-similarity random pairs.)"""
+    import numpy as np
+
+    from ramen_spark.operators import similarity as Sim
+
+    rng = np.random.default_rng(11)
+    dim, n_base, n_q = 32, 1000, 10
+    base = rng.normal(size=(n_base, dim))
+    corpus = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(n_base)],
+        "vec_id long, embedding array<double>",
+    )
+    qrows = []
+    for j in range(n_q):
+        src = j * 97 % n_base
+        noisy = base[src] + rng.normal(scale=0.02, size=dim)
+        qrows.append((n_base + j, src, noisy.tolist()))
+    queries = spark.createDataFrame(
+        [(qid, v) for qid, _, v in qrows], "vec_id long, embedding array<double>"
+    )
+    books = Sim.pq_fit(corpus, m=8, ks=16, dim=dim, iters=2)
+    adc = Sim.pq_adc_topk(corpus, queries, books, k=10)
+    got = {(r["query_id"], r["corpus_id"]) for r in adc.collect()}
+    found = sum(1 for qid, src, _ in qrows if (qid, src) in got)
+    assert found >= 9, f"planted-neighbor recall {found}/{n_q}"
+
+    # IVF-PQ with n_probe = n_cells scores every pair → identical to the
+    # corpus-wide ADC scan (same codes, same rounding, same tie-break);
+    # the probe join must stay an equi-join (partition-pruning at scale)
+    cents = Sim.kmeans_fit(corpus, n_cells=4, iters=1)
+    ivfpq = Sim.pq_adc_topk(
+        corpus, queries, books, k=10, centroids=cents, n_probe=4
+    )
+    assert sorted(map(tuple, ivfpq.collect())) == sorted(map(tuple, adc.collect()))
+    plan = ivfpq._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_top_above_sigmas_filters_noise(spark):
     """TOP … ABOVE s SIGMAS (raql_expr.type:328-346): entries whose
     aggregated weight is within s stddevs of the mean are dropped even
