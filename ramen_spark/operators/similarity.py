@@ -590,3 +590,58 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "corpus_id", "sim_adc", "rank")
     )
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 50,
+    centroids: list[list[float]] | None = None,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage retrieval: the ADC scan over 8-byte codes shortlists
+    ``shortlist`` candidates per query, then ONLY those rows fetch
+    their raw vectors for an exact cosine re-rank to ``k``. This is
+    the production ANN read path at 100 TB: the hot store holds codes
+    (32× smaller), the cold archive holds raw vectors, and the
+    re-rank's vector fetch is a semi-join of |queries|·shortlist ids —
+    independent of corpus size. Exactness of the final scores means
+    recall losses come only from shortlist membership, tunable via
+    ``shortlist`` without touching stored data."""
+    cand = pq_adc_topk(
+        corpus,
+        queries,
+        books,
+        k=shortlist,
+        centroids=centroids,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(query_id_col, "corpus_id")
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("_cvec")
+    ).withColumn("_cnorm", V.norm2(F.col("_cvec")))
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col), _as_double(vec_col).alias("_qvec")
+        ).withColumn("_qnorm", V.norm2(F.col("_qvec")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        cand.join(c, "corpus_id")
+        .join(q, query_id_col)
+        .withColumn(
+            "sim", F.round(_sim_prenorm("_qvec", "_cvec", "_qnorm", "_cnorm"), 6)
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "corpus_id", "sim", "rank")
+    )

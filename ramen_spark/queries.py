@@ -1429,6 +1429,63 @@ def ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pq_rerank_ann_topk",
+    "WITH "
+    + _PQ_SQL
+    + """,
+    scored AS (
+      SELECT q.vec_id AS query_id, cc.vec_id AS corpus_id,
+             list_sum(list(
+               list_dot_product(list_slice(q.u, cc.s * 8 + 1, cc.s * 8 + 8), b.cw)
+               ORDER BY cc.s)) AS adc
+      FROM ccodes cc
+      JOIN books b ON b.s = cc.s AND b.j = cc.code
+      CROSS JOIN (SELECT vec_id, u FROM uvecs WHERE vec_id < 20) q
+      WHERE cc.vec_id <> q.vec_id
+      GROUP BY q.vec_id, cc.vec_id
+    ),
+    shortlist AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY round(adc, 6) DESC NULLS LAST, corpus_id ASC) AS rk
+        FROM scored
+      ) WHERE rk <= 50
+    ),
+    exact AS (
+      SELECT s.query_id, s.corpus_id,
+             round(CASE WHEN q.nrm * c.nrm > 0
+                        THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END,
+                   6) AS sim
+      FROM shortlist s
+      JOIN vecs c ON c.vec_id = s.corpus_id
+      JOIN vecs q ON q.vec_id = s.query_id
+    )
+    SELECT query_id, corpus_id, sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY sim DESC NULLS LAST, corpus_id ASC)::INT AS rank
+      FROM exact
+    ) WHERE rank <= 10
+    """,
+)
+def pq_rerank_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (operators.similarity.pq_rerank_topk): the
+    8-byte-code ADC scan shortlists 50 candidates per query, then only
+    those fetch raw vectors for an exact cosine re-rank to 10. The
+    production 100 TB read path — hot store holds codes, cold archive
+    holds vectors, and the re-rank fetch is |queries|×50 ids regardless
+    of corpus size. Final scores are exact, so recall loss comes only
+    from shortlist membership (tunable). Fully SQL-expressible at
+    iters=0 → value-exact oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = Sim.pq_fit(emb, m=8, ks=16, dim=64, iters=0)
+    return Sim.pq_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 20), books, k=10, shortlist=50
+    )
+
+
 # ===========================================================================
 # 5. Sequential stateful ops (rows-only oracles — SURVEY §2.4 hard cases)
 # ===========================================================================

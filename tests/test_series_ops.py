@@ -265,6 +265,21 @@ def test_pq_adc_recall_on_planted_neighbors(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_pq_rerank_equals_bruteforce_at_full_shortlist(spark):
+    """shortlist ≥ corpus ⇒ the exact re-rank sees every candidate, so
+    the two-stage result must equal brute force exactly (same rounding,
+    same tie-break) — quantization only ever prunes, never rescores."""
+    from ramen_spark.catalog import load_table
+    from ramen_spark.operators import similarity as Sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    books = Sim.pq_fit(emb, m=8, ks=16, dim=64, iters=1)
+    rr = Sim.pq_rerank_topk(emb, q, books, k=5, shortlist=600)
+    bf = Sim.brute_force_topk(emb, q, k=5)
+    assert sorted(map(tuple, rr.collect())) == sorted(map(tuple, bf.collect()))
+
+
 def test_top_above_sigmas_filters_noise(spark):
     """TOP … ABOVE s SIGMAS (raql_expr.type:328-346): entries whose
     aggregated weight is within s stddevs of the mean are dropped even
