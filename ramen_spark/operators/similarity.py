@@ -645,3 +645,94 @@ def pq_rerank_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "corpus_id", "sim", "rank")
     )
+
+
+# ------------------------------------------------------------------ SemDeDup
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    tau: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space with the coarse
+    quantizer, compute pairwise cosine only WITHIN each cluster, and
+    for every pair above ``tau`` keep the member with the LOWER
+    similarity to its cluster centroid (the paper's keep-the-outlier
+    rule — it preserves the diverse example and drops the redundant
+    one near the cluster core).
+
+    Output: one row per corpus vector — (id, cell, centsim, keep).
+    ``keep`` is false iff some same-cell vector is ``tau``-similar and
+    wins the (centsim asc, id asc) priority, i.e. the one-shot greedy
+    prune of the paper (NOT transitive closure — that tier is
+    neardup_clusters' connected components).
+
+    100 TB shape: the only pairwise work is within a cell, so cost is
+    Σ|cell|² — the caller scales n_cells with the corpus to hold the
+    mean cell size constant (the paper runs 50k clusters on 5B
+    embeddings; cells here come from the same kmeans_fit as IVF, so a
+    corpus stored bucketed by cell id makes the self-join shuffle-free
+    and each bucket prunes independently). The removal decision is an
+    aggregation over pair rows keyed by the int id — vectors never
+    ride a shuffle key; the pair relation carries ids + two rounded
+    doubles only.
+    """
+    cents = _centroid_literal(centroids)
+    base = corpus.select(
+        F.col(id_col),
+        _as_double(vec_col).alias("_v"),
+        _nearest_cell(_as_double(vec_col), centroids).alias("cell"),
+        V.norm2(F.col(vec_col)).alias("_n"),
+    ).withColumn(
+        "centsim",
+        F.round(
+            V.dot(F.element_at(cents, F.col("cell") + 1), F.col("_v"))
+            / F.col("_n"),
+            6,
+        ),
+    )
+    a = base.select(
+        F.col(id_col).alias("_aid"),
+        F.col("cell").alias("_acell"),
+        F.col("centsim").alias("_acs"),
+        F.col("_v").alias("_av"),
+        F.col("_n").alias("_an"),
+    )
+    b = base.select(
+        F.col(id_col).alias("_bid"),
+        F.col("cell").alias("_bcell"),
+        F.col("centsim").alias("_bcs"),
+        F.col("_v").alias("_bv"),
+        F.col("_n").alias("_bn"),
+    )
+    # pair rows where b outranks a (keeps the priority comparison in
+    # the join condition, halving the pair relation vs a<>b + filter)
+    losers = (
+        a.join(
+            b,
+            (F.col("_acell") == F.col("_bcell"))
+            & (F.col("_aid") != F.col("_bid"))
+            & (
+                (F.col("_bcs") < F.col("_acs"))
+                | ((F.col("_bcs") == F.col("_acs")) & (F.col("_bid") < F.col("_aid")))
+            ),
+        )
+        .filter(
+            F.round(_sim_prenorm("_av", "_bv", "_an", "_bn"), 6) >= F.lit(tau)
+        )
+        .select(F.col("_aid").alias(id_col))
+        .distinct()
+    )
+    return (
+        base.join(losers.withColumn("_lost", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            "centsim",
+            F.coalesce(~F.col("_lost"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -3442,3 +3442,58 @@ def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_pred=F.col("lang") == "en",
         n_buckets=4096,
     )
+
+
+@register(
+    "semantic_dedup",
+    """
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell,
+             list_transform(v, x -> x / nullif(nrm, 0.0)) AS cv
+      FROM vecs
+      WHERE len(list_filter(list_transform(v, x -> x / nullif(nrm, 0.0)),
+                            x -> x IS NULL)) = 0
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
+    ),
+    assigned AS (
+      SELECT vec_id, v, nrm, cell, round(cdot / nullif(nrm, 0.0), 6) AS centsim
+      FROM (
+        SELECT vecs.vec_id, vecs.v, vecs.nrm, cents.cell,
+               list_dot_product(cv, v) AS cdot,
+               row_number() OVER (
+                 PARTITION BY vecs.vec_id
+                 ORDER BY list_dot_product(cv, v) DESC NULLS LAST, cell ASC) AS rk
+        FROM vecs CROSS JOIN cents
+      ) WHERE rk = 1
+    ),
+    losers AS (
+      SELECT DISTINCT a.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       AND (b.centsim < a.centsim
+            OR (b.centsim = a.centsim AND b.vec_id < a.vec_id))
+      WHERE a.nrm * b.nrm > 0
+        AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+    )
+    SELECT s.vec_id, s.cell::INT AS cell, s.centsim,
+           (l.vec_id IS NULL) AS keep
+    FROM assigned s LEFT JOIN losers l USING (vec_id)
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication
+    (operators.similarity.semantic_dedup): k-means cells from the
+    IVF coarse quantizer (iters=0 md5-seeded — exactly
+    SQL-expressible, same determinism story as ivf_ann_topk),
+    within-cell cosine >= tau pairs, keep the member with the LOWER
+    centroid similarity (the paper's keep-the-outlier rule). tau=0.4
+    exercises both outcomes on the synthetic embeddings (whose max
+    pairwise cosine is ~0.51); production tau ~0.95 is a parameter."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = Sim.kmeans_fit(emb, n_cells=8, iters=0)
+    return Sim.semantic_dedup(emb, cents, tau=0.4)

@@ -651,3 +651,33 @@ def test_embedding_neardup_construction_fires_no_job(spark):
         "building embedding_near_dups ran a Spark job"
     )
     assert df is not None
+
+
+def test_semantic_dedup_keep_the_outlier(spark):
+    """SemDeDup's prune rule on a hand-built frame: two tau-similar
+    vectors in one cell → the one CLOSER to the centroid loses; the
+    far-apart third vector survives untouched. Also: the within-cell
+    pair relation must be an equi-join on the cell id, not a
+    cartesian."""
+    from ramen_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        # cell 0 centroid will be (1,0) (seed = smallest md5 id below)
+        (1, [1.0, 0.0]),     # sim to id 2 ≈ 0.995, centsim 1.0 → loses
+        (2, [0.9, 0.1]),     # centsim < 1.0 → kept (the outlier)
+        (3, [-1.0, 0.05]),   # other cell, no tau-partner → kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    # seed centroids deterministically from the two extremes
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, cents, tau=0.9).collect()
+    }
+    assert not out[1]["keep"]          # cluster-core member pruned
+    assert out[2]["keep"]              # outlier kept
+    assert out[3]["keep"]              # lone member kept
+    assert out[1]["cell"] == out[2]["cell"] != out[3]["cell"]
+
+    plan = _plan(semantic_dedup(emb, cents, tau=0.9))
+    assert "CartesianProduct" not in plan
