@@ -171,3 +171,116 @@ def dsir_importance(
             ),
         )
     )
+
+
+def lm_perplexity_buckets(
+    docs: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """CCNet-style LM-perplexity quality bucketing (Wenzek et al.
+    2020, "CCNet: Extracting high quality monolingual datasets from
+    web crawl data"): score every document by its cross-entropy under
+    a target language model, then split EACH LANGUAGE into
+    head/middle/tail perplexity tertiles — the quality strata
+    downstream pipelines sample from. CCNet's model is a KenLM 5-gram
+    trained on Wikipedia; this engine estimates a hashed word-BIGRAM
+    model from the corpus' own ``target_pred`` slice (no external
+    model artifact), which keeps the operator self-contained and the
+    oracle exact while preserving the pipeline shape (fixed reference
+    model → per-doc nats → per-language tertiles).
+
+    Per hash bucket b (48-bit md5 % n_buckets): the target model
+    counts bigrams of target docs, add-one smoothed over the bucket
+    space; ln p(b) is FROZEN TO INTEGER MICRO-NATS per bucket (the
+    dsir_importance determinism rule) so per-document cross-entropy
+    is an integer sum — order-independent and bit-identical in the
+    DuckDB oracle. Output per document with ≥1 bigram:
+    (id, lang, n_bigrams, avg_nats, ppl_bucket) where ppl_bucket is
+    head (most target-like third of its language), middle, or tail.
+
+    100 TB shape: one explode row per token carrying an int bucket
+    key, one ≤n_buckets groupBy (map-side combinable), the ≤4096-row
+    weight table AQE-broadcast back onto the stream, one groupBy on
+    the doc id, and one per-language window over the ONE-ROW-PER-DOC
+    relation (not the token stream). No text on any shuffle key; the
+    model is O(n_buckets), not O(vocab²).
+    """
+    from ramen_spark.functions.text import md5_hash_pair, tokens, window_starts
+
+    B = int(n_buckets)
+    toks = docs.select(
+        F.col(id_col),
+        F.col(lang_col),
+        target_pred.cast("int").alias("_is_t"),
+        tokens(F.col(text_col)).alias("_w"),
+    )
+    w = F.col("_w")
+    bigram = F.transform(
+        window_starts(F.size(w), 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i), F.element_at(w, i + 1)
+        ),
+    )
+    big = toks.select(
+        id_col, lang_col, "_is_t", F.explode(bigram).alias("_bg")
+    )
+    h1, _ = md5_hash_pair(F.col("_bg"))
+    bucketed = big.select(id_col, lang_col, "_is_t", (h1 % B).alias("_bk"))
+    cnt = (
+        bucketed.filter(F.col("_is_t") == 1)
+        .groupBy("_bk")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    tot = bucketed.agg(F.sum("_is_t").alias("_t"))
+    # weight EVERY bucket (unseen buckets get the add-one floor), so
+    # the doc-side join is a plain inner join on a complete table
+    weights = (
+        docs.sparkSession.range(B)
+        .select(F.col("id").cast("long").alias("_bk"))
+        .join(cnt, "_bk", "left")
+        .crossJoin(tot)
+        .select(
+            "_bk",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("_t") + F.lit(B))
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("_wm"),
+        )
+    )
+    per_doc = (
+        bucketed.join(weights, "_bk")
+        .groupBy(id_col, lang_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (-F.sum("_wm")).cast("bigint").alias("_ce_micro"),
+        )
+        .withColumn(
+            "avg_nats",
+            F.round(
+                F.col("_ce_micro").cast("double") / 1e6 / F.col("n_bigrams"),
+                6,
+            ),
+        )
+    )
+    tert = Window.partitionBy(lang_col).orderBy(
+        F.col("avg_nats").asc(), F.col(id_col).asc()
+    )
+    return per_doc.select(
+        id_col,
+        lang_col,
+        "n_bigrams",
+        "avg_nats",
+        F.when(F.ntile(3).over(tert) == 1, F.lit("head"))
+        .when(F.ntile(3).over(tert) == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )

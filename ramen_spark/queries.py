@@ -3497,3 +3497,59 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cents = Sim.kmeans_fit(emb, n_cells=8, iters=0)
     return Sim.semantic_dedup(emb, cents, tau=0.4)
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+             {_WORDS_SQL} AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, lang, is_t, w, unnest(range(1, len(w))) AS i FROM toks
+    ),
+    big AS (
+      SELECT doc_id, lang, is_t,
+             ('0x' || substring(md5(w[i] || ' ' || w[i + 1]), 1, 12))::BIGINT
+               % 4096 AS bk
+      FROM pos
+    ),
+    cnt AS (SELECT bk, count(*) AS c FROM big WHERE is_t = 1 GROUP BY bk),
+    tot AS (SELECT sum(is_t) AS t FROM big),
+    wt AS (
+      SELECT r.bk,
+             round(ln((coalesce(c, 0) + 1.0) / (t + 4096)) * 1e6)::BIGINT AS wm
+      FROM (SELECT unnest(range(4096)) AS bk) r
+      LEFT JOIN cnt USING (bk) CROSS JOIN tot
+    ),
+    d AS (
+      SELECT doc_id, lang, count(*)::BIGINT AS n_bigrams,
+             (-sum(wm))::BIGINT AS ce
+      FROM big JOIN wt USING (bk) GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, n_bigrams,
+           round(ce::DOUBLE / 1e6 / n_bigrams, 6) AS avg_nats,
+           CASE ntile(3) OVER (
+                  PARTITION BY lang
+                  ORDER BY round(ce::DOUBLE / 1e6 / n_bigrams, 6) ASC,
+                           doc_id ASC)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS ppl_bucket
+    FROM d
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality strata
+    (operators.sampling.lm_perplexity_buckets): hashed word-bigram
+    target model from the lang='en' slice, per-document cross-entropy
+    in integer micro-nats (the dsir determinism rule), head/middle/
+    tail tertiles per language."""
+    from ramen_spark.operators.sampling import lm_perplexity_buckets
+
+    return lm_perplexity_buckets(
+        _t(spark, sf_dir, "documents"),
+        target_pred=F.col("lang") == "en",
+        n_buckets=4096,
+    )
