@@ -621,6 +621,44 @@ def canonicalize(
     )
 
 
+def _span_postings(
+    df: DataFrame, text_col: str, id_col: str, span_k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared ExactSubstr posting builder: (tokens relation, one row
+    per k-token span with its 0-based start ``_pos`` and 60-bit
+    truncated-md5 span hash ``_h``). Postings carry ids + two ints —
+    never span text — so they are the only thing that rides a
+    shuffle in both consumers."""
+    toks = df.select(
+        F.col(id_col), Tx.tokens(F.col(text_col)).alias("_toks")
+    )
+    k = int(span_k)
+    w = F.col("_toks")
+    span_h = F.transform(
+        Tx.window_starts(F.size(w), k),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ", *[F.element_at(w, i + j) for j in range(k)]
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    # posexplode directly off the token attribute (the CollapseProject
+    # rule: see ngram_jaccard_pairs) — _pos is the 0-based span start
+    spans = toks.select(
+        F.col(id_col),
+        F.posexplode(span_h).alias("_pos", "_h"),
+    )
+    return toks, spans
+
+
 def duplicated_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -661,33 +699,8 @@ def duplicated_spans(
     """
     from pyspark.sql import Window
 
-    toks = df.select(
-        F.col(id_col), Tx.tokens(F.col(text_col)).alias("_toks")
-    )
+    toks, spans = _span_postings(df, text_col, id_col, span_k)
     k = int(span_k)
-    w = F.col("_toks")
-    span_h = F.transform(
-        Tx.window_starts(F.size(w), k),
-        lambda i: F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        " ", *[F.element_at(w, i + j) for j in range(k)]
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
-    )
-    # posexplode directly off the token attribute (the CollapseProject
-    # rule: see ngram_jaccard_pairs) — _pos is the 0-based span start
-    spans = toks.select(
-        F.col(id_col),
-        F.posexplode(span_h).alias("_pos", "_h"),
-    )
     marked = spans.withColumn(
         "_c", F.count(F.lit(1)).over(Window.partitionBy("_h"))
     ).filter(F.col("_c") >= min_count)
@@ -851,4 +864,114 @@ def frequent_segment_removal(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_segments"),
         F.sum(F.when(F.col("is_hot").isNotNull(), 1).otherwise(0)).alias("n_removed"),
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_k: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr span REMOVAL — the transformation half of
+    ``duplicated_spans`` (Lee et al. 2021 cut the duplicated
+    substrings out of the training text; the report operator only
+    measures them). Every token covered by any ``span_k``-token
+    window whose text occurs ≥ ``min_count`` times corpus-wide is
+    dropped; the survivors re-join into ``clean_text``.
+
+    Output: one row per input document —
+    (id, n_tokens, n_removed, clean_text); documents with no
+    duplicated span pass through verbatim (token-normalized), fully
+    covered documents come out empty.
+
+    100 TB shape: the same two posting shuffles as duplicated_spans
+    (span-hash count window, then per-doc span starts — ids + ints
+    only), one groupBy collecting each doc's duplicated START
+    POSITIONS into an int array, and a join back onto the token
+    relation. Text never rides a shuffle key. The cut itself is
+    row-local and LINEAR in the token count: sorted starts fold into
+    merged cover intervals, the kept positions are the gap sequences
+    between them (no per-token membership probe — a boilerplate-heavy
+    doc with O(n) duplicated spans would make the naive
+    contains()-per-token scan O(n²) row-local work).
+    """
+    from pyspark.sql import Window
+
+    toks, spans = _span_postings(df, text_col, id_col, span_k)
+    k = int(span_k)
+    marked = spans.withColumn(
+        "_c", F.count(F.lit(1)).over(Window.partitionBy("_h"))
+    ).filter(F.col("_c") >= min_count)
+    starts = marked.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("_pos")).alias("_starts")
+    )
+    empty_int = F.expr("CAST(array() AS array<int>)")
+    empty_iv = F.expr("CAST(array() AS array<struct<s: int, e: int>>)")
+    j = toks.join(starts, id_col, "left").select(
+        id_col,
+        "_toks",
+        F.coalesce(F.col("_starts"), empty_int).alias("_starts"),
+    )
+    # sorted fixed-length spans merge in one ascending fold: extend
+    # the open interval while the next start is <= its end, else open
+    # a new one (starts ascending ⇒ ends ascending, no greatest needed)
+    iv = F.aggregate(
+        F.col("_starts"),
+        empty_iv,
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (x <= F.element_at(acc, -1).getField("e")),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1).getField("s").alias("s"),
+                        (x + k).cast("int").alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        x.cast("int").alias("s"), (x + k).cast("int").alias("e")
+                    )
+                ),
+            )
+        ),
+    )
+    n = F.size("_toks")
+    staged = j.select(id_col, "_toks", iv.alias("_iv"))
+    # kept positions = the gaps: [0, iv1.s) ∪ [iv1.e, iv2.s) ∪ … ∪
+    # [last.e, n) — zip the shifted bounds; guard empty gaps (Spark
+    # sequence(a, a-1) counts DOWN, see functions.text.window_starts)
+    gap_lo = F.concat(
+        F.array(F.lit(0)), F.transform(F.col("_iv"), lambda v: v.getField("e"))
+    )
+    gap_hi = F.concat(
+        F.transform(F.col("_iv"), lambda v: v.getField("s")), F.array(n)
+    )
+    kept = F.flatten(
+        F.zip_with(
+            gap_lo,
+            gap_hi,
+            lambda a, b: F.when(b > a, F.sequence(a, b - 1)).otherwise(
+                F.expr("CAST(array() AS array<int>)")
+            ),
+        )
+    )
+    staged = staged.select(id_col, "_toks", kept.alias("_kept"))
+    return staged.select(
+        id_col,
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        (F.size("_toks") - F.size("_kept")).cast("bigint").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.col("_kept"),
+                lambda p: F.element_at(F.col("_toks"), p + 1),
+            ),
+        ).alias("clean_text"),
     )

@@ -3553,3 +3553,52 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_pred=F.col("lang") == "en",
         n_buckets=4096,
     )
+
+
+@register(
+    "remove_duplicated_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    s AS (
+      SELECT doc_id, i - 1 AS pos,
+             ('0x' || substring(md5(array_to_string(w[i:i+9], ' ')), 1, 15)
+             )::BIGINT AS h
+      FROM t, unnest(generate_series(1, greatest(len(w) - 9, 0))) AS u(i)
+    ),
+    dup AS (SELECT h FROM s GROUP BY h HAVING count(*) >= 2),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + o.off AS cp
+      FROM s, unnest(generate_series(0, 9)) AS o(off)
+      WHERE h IN (SELECT h FROM dup)
+    ),
+    posn AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM t
+    ),
+    kept AS (
+      SELECT posn.doc_id, posn.i, posn.w[posn.i] AS tok
+      FROM posn LEFT JOIN cov
+        ON cov.doc_id = posn.doc_id AND cov.cp = posn.i - 1
+      WHERE cov.cp IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY i) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+           (len(t.w) - coalesce(agg.n_kept, 0))::BIGINT AS n_removed,
+           coalesce(agg.clean_text, '') AS clean_text
+    FROM t LEFT JOIN agg USING (doc_id)
+    """,
+)
+def remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span removal
+    (operators.dedup.remove_duplicated_spans): cut every token covered
+    by a corpus-duplicated 10-token window out of the text — the
+    transformation half of duplicated_spans (Lee et al. 2021 remove
+    the duplicated substrings, not just report them). The oracle cuts
+    by explicit covered-position set; the operator folds merged
+    intervals row-locally — same output, linear row-local work."""
+    return D.remove_duplicated_spans(
+        _t(spark, sf_dir, "documents"), span_k=10, min_count=2
+    )

@@ -681,3 +681,46 @@ def test_semantic_dedup_keep_the_outlier(spark):
 
     plan = _plan(semantic_dedup(emb, cents, tau=0.9))
     assert "CartesianProduct" not in plan
+
+
+def test_remove_duplicated_spans_cuts_and_merges(spark):
+    """Span removal on a crafted corpus: the shared 4-token run is cut
+    from both docs, overlapping spans merge into one interval (not
+    double-cut), a fully-duplicated doc empties, and a unique doc
+    passes through verbatim. Plan: text must not appear on any
+    shuffle key (the posting/starts relations carry ids + ints)."""
+    from ramen_spark.operators.dedup import remove_duplicated_spans
+
+    dup_run = "alpha beta gamma delta"
+    df = spark.createDataFrame(
+        [
+            (1, f"one two {dup_run} three four"),
+            (2, f"x y z {dup_run} q r"),
+            (3, dup_run),                       # fully covered
+            (4, "totally unique text here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_spans(df, span_k=4, min_count=2).collect()
+    }
+    assert out[1]["clean_text"] == "one two three four"
+    assert out[1]["n_removed"] == 4
+    assert out[2]["clean_text"] == "x y z q r"
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 4
+    assert out[4]["clean_text"] == "totally unique text here now"
+    assert out[4]["n_removed"] == 0
+    # overlap merge: two overlapping duplicated windows cover 5 tokens
+    # once, not 8 — doc pair sharing a 5-token run with span_k=4 has
+    # two overlapping dup windows [0,4) and [1,5)
+    df2 = spark.createDataFrame(
+        [(1, "a b c d e tailone"), (2, "a b c d e tailtwo")],
+        ["doc_id", "text"],
+    )
+    out2 = {
+        r["doc_id"]: r
+        for r in remove_duplicated_spans(df2, span_k=4, min_count=2).collect()
+    }
+    assert out2[1]["n_removed"] == 5 and out2[1]["clean_text"] == "tailone"
+    assert out2[2]["n_removed"] == 5 and out2[2]["clean_text"] == "tailtwo"
