@@ -284,3 +284,77 @@ def lm_perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
     )
+
+
+def epoch_schedule(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    epoch_tokens_frac: float = 1.0,
+) -> DataFrame:
+    """Epoch schedule with replacement — the upsampling half that
+    ``temperature_mix`` deliberately leaves out (its quotas clamp at
+    n_g; training mixtures like GPT-3/The-Pile instead repeat small
+    high-weight groups: The Pile trains Wikipedia ~3 epochs while
+    Common Crawl sees <1). Emits one row PER SCHEDULED COPY:
+    (id, group, epoch_copy, n_copies) where Σ n_copies over a group ≈
+    its temperature quota and epoch_copy numbers the repeats 1..c.
+
+    Quota_g = round(epoch_total · n_g^alpha / Σ n^alpha) with
+    epoch_total = epoch_tokens_frac · N — NOT clamped. Every doc in g
+    gets ⌊quota/n_g⌋ copies; the quota remainder goes one copy each to
+    the quota%n_g docs ranked first by md5(id) — the same
+    deterministic draw as temperature_mix, so reruns and the oracle
+    reproduce the schedule bit-for-bit (same Σ n^alpha ulp caveat on
+    exact .5 rounding boundaries). Docs scheduled zero times disappear
+    (a group can still be DOWN-sampled when its weight shrinks under
+    alpha).
+
+    100 TB shape: one count per group (AQE-broadcast back), one
+    md5-rank window per group, and the replication is a row-local
+    sequence() explode — no shuffle grows with the copy count; the
+    schedule is materialized as (id, copy) pairs for the downstream
+    shuffle/pack stage to interleave, never as duplicated text.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    tot = counts.agg(
+        F.sum("_n").alias("_total"),
+        F.sum(F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))).alias(
+            "_z"
+        ),
+    )
+    quotas = counts.crossJoin(tot).select(
+        F.col(group_col),
+        F.col("_n"),
+        F.round(
+            F.lit(float(epoch_tokens_frac))
+            * F.col("_total")
+            * F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))
+            / F.col("_z")
+        )
+        .cast("long")
+        .alias("_quota"),
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = df.select(F.col(id_col), F.col(group_col)).withColumn(
+        "_rk", F.row_number().over(win)
+    )
+    n_copies = (
+        F.col("_quota") / F.col("_n")
+    ).cast("long") + F.when(
+        F.col("_rk") <= F.col("_quota") % F.col("_n"), F.lit(1)
+    ).otherwise(F.lit(0))
+    staged = (
+        ranked.join(quotas, group_col)
+        .withColumn("_c", n_copies)
+        .filter(F.col("_c") >= 1)
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.explode(F.sequence(F.lit(1), F.col("_c"))).alias("epoch_copy"),
+        F.col("_c").cast("bigint").alias("n_copies"),
+    )

@@ -146,6 +146,22 @@ def auto_n_planes(n_rows: int, target_occupancy: int = 50, floor: int = 6) -> in
     return max(floor, math.ceil(math.log2(max(n_rows / target_occupancy, 1.0))))
 
 
+def auto_n_cells(n_rows: int | None, floor: int = 8) -> int:
+    """Cell count for semantic_dedup that balances its two cost terms:
+    assignment is n·c dots (every row scores every centroid literal)
+    and within-cell pairing is ~n²/c dots, so c = √n minimizes the
+    total at ~2·n^1.5 — a FIXED c turns the pair join quadratic as the
+    corpus grows (the auto_n_planes lesson, same shuffle shape).
+    Pinned to ``floor`` for n ≤ 1024 so the oracle-checked SFs (500
+    embeddings at sf0.01) keep the 8-cell constant baked into the SQL;
+    powers of two above that, like the simhash tier pins. None (no
+    footer stats) falls back to the floor — the safe small-corpus
+    default."""
+    if n_rows is None or n_rows <= 1024:
+        return floor
+    return max(floor, 2 ** round(math.log2(math.sqrt(n_rows))))
+
+
 def pairwise_near_dups(
     df: DataFrame,
     threshold: float = 0.95,

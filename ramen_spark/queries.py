@@ -3494,8 +3494,11 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid similarity (the paper's keep-the-outlier rule). tau=0.4
     exercises both outcomes on the synthetic embeddings (whose max
     pairwise cosine is ~0.51); production tau ~0.95 is a parameter."""
+    from ramen_spark.catalog import table_num_rows
+
     emb = _t(spark, sf_dir, "embeddings")
-    cents = Sim.kmeans_fit(emb, n_cells=8, iters=0)
+    n_cells = Sim.auto_n_cells(table_num_rows(sf_dir, "embeddings"))
+    cents = Sim.kmeans_fit(emb, n_cells=n_cells, iters=0)
     return Sim.semantic_dedup(emb, cents, tau=0.4)
 
 
@@ -3601,4 +3604,48 @@ def remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervals row-locally — same output, linear row-local work."""
     return D.remove_duplicated_spans(
         _t(spark, sf_dir, "documents"), span_k=10, min_count=2
+    )
+
+
+@register(
+    "epoch_schedule",
+    """
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    t AS (SELECT sum(n) AS total, sum(n ** 0.5) AS z FROM c),
+    q AS (
+      SELECT source, n,
+             round(1.0 * total * (n ** 0.5) / z)::BIGINT AS quota
+      FROM c, t
+    ),
+    r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id
+             ) AS rk
+      FROM documents
+    ),
+    s AS (
+      SELECT r.doc_id, r.source,
+             (q.quota // q.n)
+               + CASE WHEN r.rk <= q.quota % q.n THEN 1 ELSE 0 END AS nc
+      FROM r JOIN q USING (source)
+    )
+    SELECT doc_id, source,
+           unnest(generate_series(1, nc))::BIGINT AS epoch_copy,
+           nc::BIGINT AS n_copies
+    FROM s WHERE nc >= 1
+    """,
+)
+def epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch schedule with replacement
+    (operators.sampling.epoch_schedule): temperature quotas UNclamped
+    — under-represented sources repeat (epoch_copy 1..c), the hot
+    source downsamples, one row per scheduled copy, md5-deterministic."""
+    from ramen_spark.operators.sampling import epoch_schedule
+
+    return epoch_schedule(
+        _t(spark, sf_dir, "documents"),
+        group_col="source",
+        alpha=0.5,
+        epoch_tokens_frac=1.0,
     )

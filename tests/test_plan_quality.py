@@ -724,3 +724,16 @@ def test_remove_duplicated_spans_cuts_and_merges(spark):
     }
     assert out2[1]["n_removed"] == 5 and out2[1]["clean_text"] == "tailone"
     assert out2[2]["n_removed"] == 5 and out2[2]["clean_text"] == "tailtwo"
+
+
+def test_auto_n_cells_preserves_oracle_constant():
+    """semantic_dedup's adaptive cell count must land on the 8-cell
+    constant baked into its SQL oracle at every oracle-checked SF
+    (500 embeddings at sf0.01, 50 at sf0.001), and grow ~√n above."""
+    from ramen_spark.operators.similarity import auto_n_cells
+
+    assert auto_n_cells(50) == 8
+    assert auto_n_cells(500) == 8
+    assert auto_n_cells(None) == 8
+    assert auto_n_cells(500_000) == 512
+    assert auto_n_cells(5_000_000) == 2048
