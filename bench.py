@@ -214,6 +214,9 @@ def main() -> None:
             "ngram_jaccard_pairs",   # exact tier — inherent join volume
             "clean_corpus",
             "duplicated_spans",      # ExactSubstr — positions × 8 B hash
+            "remove_duplicated_spans",  # …and the transformation half
+            "semantic_dedup_lsh",    # SemDeDup scale path (8-cell + LSH)
+            "ccnet_perplexity_buckets",  # hashed-bigram LM strata
             "prepare_training_corpus",  # the composed 6-stage pipeline
         ]
         try:

@@ -3444,10 +3444,10 @@ def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "semantic_dedup",
-    """
-    WITH vecs AS (
+# Shared SemDeDup oracle scaffolding: the iters=0 md5-seeded 8-cell
+# quantizer + per-vector (cell, centroid-similarity) assignment; the
+# two variants differ only in the candidate-pair join key.
+_SD_ASSIGNED_SQL = """vecs AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings
@@ -3470,11 +3470,14 @@ def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY list_dot_product(cv, v) DESC NULLS LAST, cell ASC) AS rk
         FROM vecs CROSS JOIN cents
       ) WHERE rk = 1
-    ),
+    )"""
+
+# the prune + output, parameterized on the candidate relation/key
+_SD_PRUNE_SQL = """
     losers AS (
       SELECT DISTINCT a.vec_id
-      FROM assigned a JOIN assigned b
-        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      FROM {cand} a JOIN {cand} b
+        ON a.cell = b.cell {extra_on} AND a.vec_id <> b.vec_id
        AND (b.centsim < a.centsim
             OR (b.centsim = a.centsim AND b.vec_id < a.vec_id))
       WHERE a.nrm * b.nrm > 0
@@ -3483,7 +3486,15 @@ def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.vec_id, s.cell::INT AS cell, s.centsim,
            (l.vec_id IS NULL) AS keep
     FROM assigned s LEFT JOIN losers l USING (vec_id)
-    """,
+    """
+
+
+@register(
+    "semantic_dedup",
+    "WITH "
+    + _SD_ASSIGNED_SQL
+    + ","
+    + _SD_PRUNE_SQL.format(cand="assigned", extra_on=""),
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic deduplication
@@ -3649,3 +3660,42 @@ def epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=0.5,
         epoch_tokens_frac=1.0,
     )
+
+
+@register(
+    "semantic_dedup_lsh",
+    "WITH "
+    + _SD_ASSIGNED_SQL
+    + f""",
+    pb AS (
+      SELECT vec_id,
+             sum(CASE WHEN list_dot_product(v, p) > 0 THEN bit ELSE 0 END)::BIGINT
+               AS bucket
+      FROM vecs CROSS JOIN {_planes_values_sql(64, 6)}
+      GROUP BY vec_id
+    ),
+    aug AS (SELECT assigned.*, pb.bucket FROM assigned JOIN pb USING (vec_id)),
+    """
+    + _SD_PRUNE_SQL.format(cand="aug", extra_on="AND a.bucket = b.bucket"),
+)
+def semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup, LSH-candidate scale path
+    (operators.similarity.semantic_dedup with planes): same 8-cell
+    priority and keep-the-outlier rule, candidate pairs restricted to
+    same (cell, hyperplane bucket) — the measured fix for the exact
+    variant's ~2·n^1.5 dot floor (175 s → see SCALE.md) with recall →
+    1 in the high-tau regime the operator prunes in. Plane count
+    resolves from footer stats (job-free construction); the seeded
+    plane doubles are baked into the oracle as literals."""
+    from ramen_spark.catalog import table_num_rows
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = table_num_rows(sf_dir, "embeddings")
+    # cells stay FIXED at 8 here: with buckets generating candidates,
+    # the quantizer only supplies the keep-priority context, and its
+    # assignment cost is n·c interpreted dots × 3 plan passes —
+    # measured 113 s of pure assignment at the 100× tier with c=512
+    # (auto_n_cells) vs ~9 s with c=8, identical outputs at sf0.01
+    cents = Sim.kmeans_fit(emb, n_cells=8, iters=0)
+    planes = Sim.make_hyperplanes(64, Sim.auto_n_planes(n or 0))
+    return Sim.semantic_dedup(emb, cents, tau=0.4, planes=planes)
