@@ -261,6 +261,9 @@ def main() -> None:
             "temperature_mix_sample",   # one 90%-hot group window
             "embedding_near_dups",      # clustered vectors → hot LSH buckets
             "lsh_ann_topk",             # probe side of the same hot buckets
+            "remove_duplicated_spans",  # giant covered fractions per doc
+            "ccnet_perplexity_buckets",  # 90%-hot language tertile window
+            "semantic_dedup_lsh",       # hot buckets × keep-priority join
         ]
         try:
             from tools.scale_testdata import (

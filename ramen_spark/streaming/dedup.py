@@ -303,3 +303,155 @@ def incremental_dedup_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+class IncrementalVectorIndex:
+    """The embedding twin of :class:`IncrementalDedupIndex`: a
+    persisted hyperplane-bucket index — ``<dir>/buckets``
+    (bucket, vec_id) and ``<dir>/vecs`` (vec_id, _v, _n) as
+    append-only parquet. The planes are seeded at construction and
+    must stay FIXED for the index lifetime (a re-seeded probe would
+    bucket the same vector differently); occupancy therefore can't
+    adapt to corpus growth the way batch pairwise_near_dups does —
+    pick ``n_planes`` for the corpus you expect, or re-index.
+
+    100 TB shape: identical to the text lane — the index carries ids,
+    buckets, and (dim+1) doubles per vector, never anything bigger;
+    each probe is a bucket equi-join of the SMALL batch against the
+    index, partition-prunable when the index is stored bucketed."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        dim: int = 64,
+        n_planes: int = 6,
+        seed: int = 42,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        from ramen_spark.operators.similarity import make_hyperplanes
+
+        self.spark = spark
+        self.index_dir = index_dir
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.planes = make_hyperplanes(dim, n_planes, seed)
+        self._buckets_dir = os.path.join(index_dir, "buckets")
+        self._vecs_dir = os.path.join(index_dir, "vecs")
+
+    def _prepared(self, vecs: DataFrame) -> DataFrame:
+        from ramen_spark.functions import vectors as V
+        from ramen_spark.operators.similarity import _as_double
+
+        return vecs.select(
+            F.col(self.id_col),
+            _as_double(self.vec_col).alias("_v"),
+            V.lsh_bucket(F.col(self.vec_col), self.planes).alias("bucket"),
+        ).withColumn("_n", V.norm2(F.col("_v")))
+
+    def append(self, vecs: DataFrame) -> DataFrame:
+        """Index ``vecs`` (seed corpus or one micro-batch); returns
+        the prepared batch relation (materialized once — it feeds
+        both index writes and the caller's probe)."""
+        prepared = self._prepared(vecs).localCheckpoint(eager=True)
+        prepared.select("bucket", self.id_col).write.mode("append").parquet(
+            self._buckets_dir
+        )
+        prepared.select(self.id_col, "_v", "_n").write.mode("append").parquet(
+            self._vecs_dir
+        )
+        return prepared
+
+    def probe(self, batch: DataFrame, threshold: float) -> DataFrame:
+        """Exact-cosine near-dup pairs of the batch against the whole
+        index (which already includes the batch), same single-emission
+        rule as the text lane: same-batch partners emit only from the
+        smaller id's perspective; earlier arrivals always emit."""
+        from ramen_spark.operators.similarity import _sim_prenorm
+
+        idx_b = self.spark.read.parquet(self._buckets_dir)
+        idx_v = self.spark.read.parquet(self._vecs_dir)
+        in_batch = batch.select(
+            F.col(self.id_col).alias("id_old"), F.lit(True).alias("_in_batch")
+        )
+        cand = (
+            batch.select(F.col(self.id_col).alias("id_new"), "bucket")
+            .join(
+                idx_b.select(F.col(self.id_col).alias("id_old"), "bucket"),
+                "bucket",
+            )
+            .select("id_new", "id_old")
+            .dropDuplicates(["id_new", "id_old"])
+            .join(in_batch, "id_old", "left")
+            .filter(
+                ~(
+                    F.coalesce(F.col("_in_batch"), F.lit(False))
+                    & (F.col("id_old") >= F.col("id_new"))
+                )
+            )
+            .select("id_new", "id_old")
+        )
+        pairs = cand.join(
+            batch.select(
+                F.col(self.id_col).alias("id_new"),
+                F.col("_v").alias("_nv"),
+                F.col("_n").alias("_nn"),
+            ),
+            "id_new",
+        ).join(
+            idx_v.select(
+                F.col(self.id_col).alias("id_old"),
+                F.col("_v").alias("_ov"),
+                F.col("_n").alias("_on"),
+            ),
+            "id_old",
+        )
+        return (
+            pairs.withColumn(
+                "sim", F.round(_sim_prenorm("_nv", "_ov", "_nn", "_on"), 6)
+            )
+            .filter(F.col("sim") >= threshold)
+            .select("id_new", "id_old", "sim")
+        )
+
+
+def incremental_vector_dedup_stream(
+    vec_stream: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    dim: int = 64,
+    n_planes: int = 6,
+    seed: int = 42,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Always-on embedding near-dup detection: each micro-batch of
+    vectors is indexed, probed against everything that arrived before
+    it, and its pairs appended to ``pairs_dir``. Union of emissions
+    over any batch split == batch ``pairwise_near_dups`` with the same
+    planes, value for value (the parity test's contract). Same
+    foreachBatch/idempotence caveats as incremental_dedup_stream."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        index = IncrementalVectorIndex(
+            batch_df.sparkSession,
+            index_dir,
+            dim=dim,
+            n_planes=n_planes,
+            seed=seed,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        prepared = index.append(batch_df)
+        index.probe(prepared, threshold).write.mode("append").parquet(
+            pairs_dir
+        )
+
+    return (
+        vec_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -191,3 +191,52 @@ def test_streaming_decontaminate_equals_batch(spark, tmp_path):
     got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
     exp = {tuple(r) for r in decontaminate(train, ev).collect()}
     assert got == exp and len(exp) > 0
+
+
+def test_streaming_vector_dedup_equals_batch(spark, tmp_path):
+    """The embedding lane's contract: a 3-micro-batch streaming run
+    over the whole vector corpus emits exactly the batch
+    pairwise_near_dups pairs (same planes), value for value. Low
+    threshold + 2 planes so the sf0.001 corpus (no planted near-dups)
+    still yields a non-empty pair set."""
+    from ramen_spark.catalog import load_table
+    from ramen_spark.operators.similarity import pairwise_near_dups
+    from ramen_spark.streaming.dedup import incremental_vector_dedup_stream
+
+    emb = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    src = tmp_path / "vec_src"
+    for i in range(3):
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/b*")
+    )
+    q = incremental_vector_dedup_stream(
+        stream,
+        str(tmp_path / "index"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+        dim=64,
+        n_planes=2,
+        threshold=0.2,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (min(r["id_new"], r["id_old"]), max(r["id_new"], r["id_old"]), r["sim"])
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    exp = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in pairwise_near_dups(
+            emb, threshold=0.2, n_planes=2, dim=64
+        ).collect()
+    }
+    assert got == exp and len(exp) > 0
