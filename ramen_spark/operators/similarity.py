@@ -171,6 +171,7 @@ def pairwise_near_dups(
     dim: int = 64,
     seed: int = 42,
     n_rows: int | None = None,
+    n_seeds: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup tier): LSH-bucket
     self-join + exact cosine ≥ threshold. Same bucket-join shape as
@@ -178,9 +179,18 @@ def pairwise_near_dups(
     density, not N². ``n_planes=None`` picks auto_n_planes(corpus
     size) so bucket occupancy — and with it the self-join volume —
     stays flat as the corpus grows (more planes → lower per-pair
-    collision recall, the standard LSH trade; compensate with an
-    OR-construction of several seeds when recall matters more than
-    throughput)."""
+    collision recall, the standard LSH trade).
+
+    ``n_seeds`` > 1 is the OR-construction that buys the recall back:
+    each vector buckets under ``n_seeds`` independent plane sets
+    (seeds seed, seed+1, …) and a pair is a candidate if it collides
+    under ANY of them — miss probability (1−(1−θ/π)^b)^s decays
+    exponentially in s. Cost: the bucket self-join runs on an
+    s×-exploded relation keyed by (seed_idx, bucket) — still an
+    equi-join, with exact verification after a pair-level distinct so
+    a pair colliding under several seeds scores once. This is the
+    standard AND-OR LSH amplification (b-bit AND within a seed, s-way
+    OR across seeds)."""
     if n_planes is None:
         if n_rows is None:
             # LAST resort: an eager action at plan-build time — pass
@@ -189,24 +199,75 @@ def pairwise_near_dups(
             # simhash_near_dups
             n_rows = df.count()
         n_planes = auto_n_planes(n_rows)
-    planes = make_hyperplanes(dim, n_planes, seed)
-    b = df.select(
-        F.col(id_col),
-        _as_double(vec_col).alias("_v"),
-        V.lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    if n_seeds <= 1:
+        planes = make_hyperplanes(dim, n_planes, seed)
+        b = df.select(
+            F.col(id_col),
+            _as_double(vec_col).alias("_v"),
+            V.lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        ).withColumn("_n", V.norm2(F.col("_v")))
+        l, r = b.alias("l"), b.alias("r")
+        return (
+            l.join(r, "bucket")
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .withColumn(
+                "sim", F.round(_sim_prenorm("l._v", "r._v", "l._n", "r._n"), 6)
+            )
+            .filter(F.col("sim") >= threshold)
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                "sim",
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    # OR-construction: candidate ids from an s×-exploded (seed_idx,
+    # bucket) self-join — ids + two ints only; the vectors re-attach
+    # AFTER the pair-level distinct, so a pair colliding under several
+    # seeds neither re-scores nor drags its vectors through the
+    # distinct's shuffle (the minhash re-attach shape)
+    vecs = df.select(
+        F.col(id_col), _as_double(vec_col).alias("_v")
     ).withColumn("_n", V.norm2(F.col("_v")))
-    l, r = b.alias("l"), b.alias("r")
-    return (
-        l.join(r, "bucket")
+    buckets = F.array(
+        *[
+            V.lsh_bucket(F.col(vec_col), make_hyperplanes(dim, n_planes, seed + i))
+            for i in range(int(n_seeds))
+        ]
+    )
+    banded = df.select(
+        F.col(id_col), F.posexplode(buckets).alias("_si", "bucket")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    id_pairs = (
+        l.join(r, ["_si", "bucket"])
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .withColumn("sim", F.round(_sim_prenorm("l._v", "r._v", "l._n", "r._n"), 6))
-        .filter(F.col("sim") >= threshold)
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            "sim",
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        id_pairs.join(
+            vecs.select(
+                F.col(id_col).alias("id_a"),
+                F.col("_v").alias("_va"),
+                F.col("_n").alias("_na"),
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_v").alias("_vb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("sim", F.round(_sim_prenorm("_va", "_vb", "_na", "_nb"), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
     )
 
 

@@ -3699,3 +3699,60 @@ def semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = Sim.kmeans_fit(emb, n_cells=8, iters=0)
     planes = Sim.make_hyperplanes(64, Sim.auto_n_planes(n or 0))
     return Sim.semantic_dedup(emb, cents, tau=0.4, planes=planes)
+
+
+@register(
+    "embedding_near_dups_multiseed",
+    f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    b0 AS (
+      SELECT vec_id, 0 AS si,
+             sum(CASE WHEN list_dot_product(v, p) > 0 THEN bit ELSE 0 END)::BIGINT
+               AS bucket
+      FROM vecs CROSS JOIN {_planes_values_sql(64, 6, seed=42)}
+      GROUP BY vec_id
+    ),
+    b1 AS (
+      SELECT vec_id, 1 AS si,
+             sum(CASE WHEN list_dot_product(v, p) > 0 THEN bit ELSE 0 END)::BIGINT
+               AS bucket
+      FROM vecs CROSS JOIN {_planes_values_sql(64, 6, seed=43)}
+      GROUP BY vec_id
+    ),
+    bb AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM bb l JOIN bb r
+        ON l.si = r.si AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+    )
+    SELECT id_a, id_b,
+           round(CASE WHEN a.nrm * b.nrm > 0
+                      THEN list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END, 6)
+             AS sim
+    FROM cand JOIN vecs a ON a.vec_id = cand.id_a
+              JOIN vecs b ON b.vec_id = cand.id_b
+    WHERE round(CASE WHEN a.nrm * b.nrm > 0
+                     THEN list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END, 6)
+          >= 0.95
+    """,
+)
+def embedding_near_dups_multiseed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dups under the 2-seed OR-construction
+    (operators.similarity.pairwise_near_dups n_seeds=2): a pair is a
+    candidate if it collides under EITHER seeded plane set — the
+    recall amplification for high plane counts; miss probability
+    squares. Candidate ids dedupe BEFORE vectors re-attach, so a
+    double-collision neither re-scores nor shuffles its vectors
+    twice."""
+    from ramen_spark.catalog import table_num_rows
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return Sim.pairwise_near_dups(
+        emb, threshold=0.95, dim=64,
+        n_rows=table_num_rows(sf_dir, "embeddings"),
+        n_seeds=2,
+    )

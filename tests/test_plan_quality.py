@@ -737,3 +737,45 @@ def test_auto_n_cells_preserves_oracle_constant():
     assert auto_n_cells(None) == 8
     assert auto_n_cells(500_000) == 512
     assert auto_n_cells(5_000_000) == 2048
+
+
+def test_multiseed_or_construction_amplifies_recall(spark):
+    """The n_seeds OR-construction must strictly dominate a single
+    seed at the same plane count: every single-seed pair is found
+    (the union includes seed 42's collisions) and recall on planted
+    near-dups is at least as high — with enough planes to make
+    single-seed recall visibly lossy, the 3-seed union must recover
+    ≥ 95% of plants. Also: the exploded self-join stays an equi-join
+    keyed by (seed, bucket)."""
+    import numpy as np
+
+    from ramen_spark.operators.similarity import pairwise_near_dups
+
+    rng = np.random.default_rng(11)
+    dim, n_base, n_dups = 32, 2000, 80
+    base = rng.normal(size=(n_base, dim))
+    rows = [(i, base[i].tolist()) for i in range(n_base)]
+    planted = set()
+    for j in range(n_dups):
+        src = j * 13 % n_base
+        noisy = base[src] + rng.normal(scale=0.05, size=dim)
+        rows.append((n_base + j, noisy.tolist()))
+        planted.add((src, n_base + j))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def pairs(n_seeds):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in pairwise_near_dups(
+                df, threshold=0.95, dim=dim, n_planes=14, n_seeds=n_seeds
+            ).collect()
+        }
+
+    one, three = pairs(1), pairs(3)
+    assert one <= three
+    r1 = sum(1 for p in planted if p in one) / n_dups
+    r3 = sum(1 for p in planted if p in three) / n_dups
+    assert r3 >= r1 and r3 >= 0.95, f"recall 1-seed {r1}, 3-seed {r3}"
+
+    plan = _plan(pairwise_near_dups(df, dim=dim, n_planes=14, n_seeds=3))
+    assert "CartesianProduct" not in plan
