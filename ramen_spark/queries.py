@@ -3104,11 +3104,13 @@ def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _prepare_corpus(
-    spark: SparkSession, sf_dir: str, gate: str
+    spark: SparkSession, sf_dir: str, gate: str, stages: dict | None = None
 ) -> DataFrame:
     """Shared builder for the composed pipeline; ``gate`` picks the
     stage-4 quality filter: 'score' (heuristic ≥ 0.5) or 'gopher'
-    (word-count / mean-word-length / dup-3-gram rules)."""
+    (word-count / mean-word-length / dup-3-gram rules). Pass a dict
+    as ``stages`` to receive the CUMULATIVE per-stage relations (the
+    corpus_funnel observability query counts them)."""
     from ramen_spark.operators.packing import pack_sequences
     from ramen_spark.operators.sampling import temperature_mix
 
@@ -3150,20 +3152,29 @@ def _prepare_corpus(
         )
     else:  # pragma: no cover — programming error, not data
         raise ValueError(f"unknown quality gate {gate!r}")
-    clean = (
-        docs.select("doc_id", "lang")
-        .join(keep_fp, "doc_id", "left_semi")
-        .join(canon_keep, "doc_id", "left_semi")
-        .filter(F.col("doc_id") % 97 != 0)
-        .join(contam_drop, "doc_id", "left_anti")
-        .join(gate_keep, "doc_id", "left_semi")
-    )
+    s1 = docs.select("doc_id", "lang").join(keep_fp, "doc_id", "left_semi")
+    s2 = s1.join(canon_keep, "doc_id", "left_semi")
+    s3 = s2.filter(F.col("doc_id") % 97 != 0)
+    s4 = s3.join(contam_drop, "doc_id", "left_anti")
+    clean = s4.join(gate_keep, "doc_id", "left_semi")
     mixed = temperature_mix(
         clean, group_col="lang", alpha=0.5, target_frac=0.5
     ).select("doc_id")
-    return pack_sequences(
+    packed = pack_sequences(
         docs.join(mixed, "doc_id", "left_semi"), budget=512, shards=8
     )
+    if stages is not None:
+        stages.update(
+            raw=docs,
+            exact_dedup=s1,
+            canonical=s2,
+            eval_holdout=s3,
+            decontaminated=s4,
+            quality_gate=clean,
+            temperature_mix=mixed,
+            packed_rows=packed.select("shard", "pack_seq").distinct(),
+        )
+    return packed
 
 
 _GATE_SCORE_SQL = "SELECT doc_id FROM qual WHERE quality >= 0.5"
@@ -3756,3 +3767,70 @@ def embedding_near_dups_multiseed(spark: SparkSession, sf_dir: str) -> DataFrame
         n_rows=table_num_rows(sf_dir, "embeddings"),
         n_seeds=2,
     )
+
+
+_FUNNEL_TAIL_SQL = """
+    SELECT * FROM (
+      SELECT 0 AS stage, 'raw' AS stage_name,
+             count(*)::BIGINT AS n_rows FROM documents
+      UNION ALL SELECT 1, 'exact_dedup', count(*)::BIGINT
+        FROM documents JOIN fp_keep USING (doc_id)
+      UNION ALL SELECT 2, 'canonical', count(*)::BIGINT
+        FROM documents JOIN fp_keep USING (doc_id) JOIN canon USING (doc_id)
+      UNION ALL SELECT 3, 'eval_holdout', count(*)::BIGINT
+        FROM documents JOIN fp_keep USING (doc_id) JOIN canon USING (doc_id)
+        WHERE doc_id % 97 <> 0
+      UNION ALL SELECT 4, 'decontaminated', count(*)::BIGINT
+        FROM documents JOIN fp_keep USING (doc_id) JOIN canon USING (doc_id)
+        WHERE doc_id % 97 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM contam)
+      UNION ALL SELECT 5, 'quality_gate', count(*)::BIGINT FROM clean
+      UNION ALL SELECT 6, 'temperature_mix', count(*)::BIGINT FROM mixed
+      UNION ALL SELECT 7, 'packed_rows', count(*)::BIGINT
+        FROM (SELECT DISTINCT shard, pack_seq FROM packr)
+    )
+    """
+
+
+@register(
+    "corpus_funnel",
+    ORACLES["prepare_training_corpus"].replace(
+        "SELECT doc_id, shard, pack_seq, n_tok FROM packr", _FUNNEL_TAIL_SQL
+    ),
+)
+def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: the surviving-row funnel of the
+    composed pipeline — one row per cumulative stage (raw → exact
+    dedup → canonical → eval holdout → decontaminated → quality gate
+    → temperature mix → packed training rows). What a data-pipeline
+    operator watches per snapshot to catch a gate suddenly eating the
+    corpus; the oracle re-walks the identical stage CTEs. Each stage
+    is one count over the shared sub-plans (the iterative
+    connected-components rounds are localCheckpointed once and reused
+    by every stage's subtree)."""
+    stages: dict[str, DataFrame] = {}
+    _prepare_corpus(spark, sf_dir, gate="score", stages=stages)
+    order = [
+        "raw",
+        "exact_dedup",
+        "canonical",
+        "eval_holdout",
+        "decontaminated",
+        "quality_gate",
+        "temperature_mix",
+        "packed_rows",
+    ]
+    parts = [
+        stages[name]
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .select(
+            F.lit(i).cast("int").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            "n_rows",
+        )
+        for i, name in enumerate(order)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
