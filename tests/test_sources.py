@@ -92,3 +92,81 @@ def test_archive_orc_roundtrip(spark, tmp_path):
     assert len(removed) == 7
     left = spark.read.orc(path)
     assert left.agg(F.min("dt")).collect()[0][0] == 7
+
+
+def _warc_record(wtype, url, body: bytes, content_type="application/http") -> bytes:
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {wtype}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode()
+    return head + body + b"\r\n\r\n"
+
+
+def test_warc_source_parses_records_and_documents(spark, tmp_path):
+    """WARC fixture (warcinfo + request + response + one TRUNCATED
+    tail record) through read_warc → one row per intact record with
+    the right payloads — and warc_to_documents keeps only the
+    response, strips the HTTP header block + markup, and derives a
+    deterministic id. The gzip twin of the same file parses
+    identically (the Common Crawl layout)."""
+    import gzip
+
+    from ramen_spark.sources.warc import read_warc, warc_to_documents
+
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b"<html><body>Hello <b>crawl</b> world</body></html>"
+    )
+    blob = (
+        _warc_record("warcinfo", "", b"robots: classic\r\n")
+        + _warc_record("request", "http://x.test/", b"GET / HTTP/1.1\r\n")
+        + _warc_record("response", "http://x.test/", http)
+        + b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\ntrunc"
+    )
+    plain = tmp_path / "a.warc"
+    plain.write_bytes(blob)
+    gz = tmp_path / "b.warc.gz"
+    gz.write_bytes(gzip.compress(blob))
+
+    recs = read_warc(spark, str(plain)).collect()
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "request", "response"]
+    assert recs[2]["url"] == "http://x.test/"
+    assert bytes(recs[2]["payload"]) == http
+    # the truncated tail record parses as a short payload, not a crash
+    assert all(r["n_bytes"] == len(bytes(r["payload"])) for r in recs)
+
+    docs = warc_to_documents(read_warc(spark, str(plain))).collect()
+    assert len(docs) == 1
+    assert docs[0]["text"] == "Hello crawl world"
+    assert docs[0]["source"] == "http://x.test/"
+    assert docs[0]["doc_id"] >= 0 and docs[0]["n_chars"] == 17
+
+    gz_recs = read_warc(spark, str(gz)).collect()
+    assert [bytes(r["payload"]) for r in gz_recs] == [
+        bytes(r["payload"]) for r in recs
+    ]
+
+
+def test_jsonl_source_permissive(spark, tmp_path):
+    """JSONL reader: schema-mandatory path, one corrupt line degrades
+    to a row with the corrupt column set — never a failed file."""
+    from ramen_spark.sources.warc import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": 2, "text": "beta"}\n'
+    )
+    df = read_jsonl(
+        spark, str(p), "doc_id long, text string, _corrupt string"
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    good = {r["doc_id"]: r["text"] for r in rows if r["_corrupt"] is None}
+    assert good == {1: "alpha", 2: "beta"}
+    assert sum(1 for r in rows if r["_corrupt"] is not None) == 1
