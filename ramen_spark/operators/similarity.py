@@ -834,3 +834,53 @@ def semantic_dedup(
             F.coalesce(~F.col("_lost"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/ANCE
+    data-prep step): for every query, the k most-similar corpus
+    vectors whose ``label_col`` DIFFERS from the query's — the
+    near-miss examples a contrastive objective learns the most from
+    (easy random negatives are already far away; same-label hits are
+    positives, not negatives).
+
+    Same broadcast + JVM-dot + per-query-window shape as
+    brute_force_topk with the label inequality pushed into the join
+    condition, so disqualified pairs never materialize. The exact
+    scan is the baseline; at 100 TB swap the candidate stage for any
+    ANN tier (lsh/ivf/pq — they share this module's conventions) and
+    keep the label filter + re-rank.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            _as_double(vec_col).alias("_qvec"),
+            F.col(label_col).alias("_qlab"),
+        ).withColumn("_qnorm", V.norm2(F.col("_qvec")))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        _as_double(vec_col).alias("_cvec"),
+        F.col(label_col).alias("neg_label"),
+    ).withColumn("_cnorm", V.norm2(F.col("_cvec")))
+    scored = c.join(
+        q, (F.col("neg_label") != F.col("_qlab")), "inner"
+    ).withColumn(
+        "sim", F.round(_sim_prenorm("_qvec", "_cvec", "_qnorm", "_cnorm"), 6)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "corpus_id", "neg_label", "sim", "rank")
+    )

@@ -3834,3 +3834,40 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "hard_negative_mining",
+    """
+    WITH vecs AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             c.label AS neg_label,
+             round(CASE WHEN q.nrm * c.nrm > 0
+                        THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm)
+                   END, 6) AS sim
+      FROM vecs c
+      JOIN (SELECT * FROM vecs WHERE vec_id < 20) q
+        ON c.label <> q.label
+    )
+    SELECT query_id, corpus_id, neg_label, sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY sim DESC NULLS LAST, corpus_id ASC)::INT AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators.similarity.hard_negatives):
+    per query, the 5 most-cosine-similar corpus vectors with a
+    DIFFERENT label — contrastive-training data prep; label
+    inequality rides the join condition."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return Sim.hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 20), k=5
+    )
