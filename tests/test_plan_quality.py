@@ -779,3 +779,43 @@ def test_multiseed_or_construction_amplifies_recall(spark):
 
     plan = _plan(pairwise_near_dups(df, dim=dim, n_planes=14, n_seeds=3))
     assert "CartesianProduct" not in plan
+
+
+def test_banded_index_bucketed_probe_shuffle_free(spark):
+    """The incremental-dedup index's 100 TB claim, made concrete: the
+    persisted banded relation stored BUCKETED on the band bucket key
+    joins a same-bucketed probe batch with ZERO Exchange operators —
+    the write-time shuffle is the only one the index ever pays, and
+    every micro-batch probe is shuffle-free on the index side."""
+    from ramen_spark.catalog import load_table
+    from ramen_spark.functions import text as Tx
+    from ramen_spark.operators.dedup import minhash_signatures
+    from ramen_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    banded = minhash_signatures(docs).select(
+        "doc_id",
+        F.explode(Tx.lsh_bands(F.col("sig"), 8, 2)).alias("bucket"),
+    )
+    write_bucketed(
+        banded.filter(F.col("doc_id") % 4 != 0), "b_index", ["bucket"], 8
+    )
+    write_bucketed(
+        banded.filter(F.col("doc_id") % 4 == 0), "b_batch", ["bucket"], 8
+    )
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            idx = read_bucketed(spark, "b_index")
+            probe = read_bucketed(spark, "b_batch").withColumnRenamed(
+                "doc_id", "id_new"
+            )
+            joined = probe.join(idx, "bucket")
+            assert "Exchange" not in _plan(joined), _plan(joined)
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_index")
+        spark.sql("DROP TABLE IF EXISTS b_batch")
