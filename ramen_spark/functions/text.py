@@ -290,3 +290,92 @@ def jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     un = F.size(F.array_union(a, b))
     return F.when(un > 0, inter.cast("double") / un).otherwise(F.lit(0.0))
+
+
+def bm25_topk(
+    docs,
+    query_terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 keyword retrieval (Robertson/Spärck Jones) — the sparse
+    complement to the ANN tiers in operators.similarity: curation
+    pipelines mine a corpus by keyword (domain bootstrapping, eval-set
+    sourcing) before any embedding exists. Scores the classic
+    Okapi form: idf(t) = ln(1 + (N − df + ½)/(df + ½)),
+    tf-part = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+
+    Determinism: every (doc, term) contribution FREEZES to an integer
+    micro-score before the per-document sum (the dsir/ccnet rule —
+    Spark combines group partials in arbitrary order; integer sums
+    make that order irrelevant), and the top-k rank carries a
+    (score desc, id asc) total order.
+
+    100 TB shape: the token explode filters to the query-term set
+    IMMEDIATELY (a tiny isin literal — Catalyst pushes it into the
+    generate), so everything downstream is proportional to matching
+    postings, not corpus tokens; df/N/avgdl are one ≤|terms|-row and
+    one 1-row aggregate, both broadcast back; one groupBy on the doc
+    id; one global top-k (TakeOrdered, no full sort).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    terms = [str(t) for t in query_terms]
+    toks = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_w")
+    ).select(
+        id_col,
+        F.size("_w").alias("_dl"),
+        F.explode("_w").alias("_tok"),
+    )
+    hits = toks.filter(F.col("_tok").isin(terms))
+    tf = hits.groupBy(id_col, "_tok").agg(
+        F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")
+    )
+    stats = docs.select(
+        token_count(F.col(text_col)).alias("_dl0")
+    ).agg(
+        F.count(F.lit(1)).alias("_N"),
+        (F.sum("_dl0").cast("double") / F.count(F.lit(1))).alias("_avgdl"),
+    )
+    df_t = tf.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    contrib = (
+        tf.join(df_t, "_tok")
+        .crossJoin(stats)
+        .select(
+            id_col,
+            F.round(
+                F.log(
+                    1.0
+                    + (F.col("_N") - F.col("_df") + 0.5)
+                    / (F.col("_df") + 0.5)
+                )
+                * (F.col("_tf") * (k1 + 1.0))
+                / (
+                    F.col("_tf")
+                    + k1
+                    * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("_c"),
+        )
+    )
+    topk = (
+        contrib.groupBy(id_col)
+        .agg(F.sum("_c").cast("bigint").alias("score_micro"))
+        # orderBy+limit lowers to TakeOrderedAndProject: per-partition
+        # k-row heaps + one tiny merge — the rank window then runs
+        # over the ≤k-row result, never the full keyset
+        .orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+    return topk.withColumn("rank", F.row_number().over(w)).withColumn(
+        "score", F.round(F.col("score_micro").cast("double") / 1e6, 6)
+    )

@@ -3871,3 +3871,54 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Sim.hard_negatives(
         emb, emb.filter(F.col("vec_id") < 20), k=5
     )
+
+
+@register(
+    "bm25_keyword_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, len(w) AS dl, unnest(w) AS tok FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf, any_value(dl) AS dl
+      FROM flat WHERE tok IN ('spark', 'merge', 'window')
+      GROUP BY doc_id, tok
+    ),
+    stats AS (
+      SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl
+      FROM toks
+    ),
+    dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    contrib AS (
+      SELECT tf.doc_id,
+             round(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                   * 1e6)::BIGINT AS c
+      FROM tf JOIN dft USING (tok) CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT doc_id, sum(c)::BIGINT AS score_micro FROM contrib
+      GROUP BY doc_id
+    )
+    SELECT doc_id, score_micro,
+           row_number() OVER (ORDER BY score_micro DESC, doc_id ASC)::INT
+             AS rank,
+           round(score_micro::DOUBLE / 1e6, 6) AS score
+    FROM scored
+    QUALIFY rank <= 20
+    """,
+)
+def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (functions.text.bm25_topk): Okapi top-20
+    for the query {{spark, merge, window}} — the sparse-retrieval
+    complement to the ANN tiers for corpus mining; integer micro-score
+    determinism, TakeOrdered top-k."""
+    return Tx.bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        ["spark", "merge", "window"],
+        k=20,
+    )
