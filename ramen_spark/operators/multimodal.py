@@ -261,7 +261,7 @@ def audio_stats(df: DataFrame, strict: bool = False) -> DataFrame:
     )
 
 
-def _decode_ppm(payload: bytes):
+def _decode_ppm_luma(payload: bytes):
     if not payload.startswith((b"P6", b"P5")):
         raise ValueError("not a binary PPM/PGM")
     parts = []
@@ -288,6 +288,11 @@ def _decode_ppm(payload: bytes):
         if ch == 3
         else pixels[:, :, 0]
     )
+    return w, h, luma
+
+
+def _decode_ppm(payload: bytes):
+    w, h, luma = _decode_ppm_luma(payload)
     return w, h, float(luma.mean())
 
 
@@ -519,3 +524,121 @@ def synthetic_media_real(spark, n: int = 30) -> DataFrame:
                     "duration_s": 4.0, "sample_rate": None}
         rows.append((i, kind, content, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ------------------------------------------------------ perceptual hashing
+
+def _phash_bits(luma: "np.ndarray", grid: int = 32, keep: int = 8) -> int:
+    """Classic DCT pHash, numpy-only: nearest-neighbor resample to
+    ``grid``², DCT-II (cosine-basis matmul — no scipy), keep the
+    low-frequency ``keep``² block minus the DC term, threshold at the
+    median → a 63-bit signature. Deterministic: fixed grids, exact
+    index arithmetic, ties (coef == median) hash to 0."""
+    h, w = luma.shape
+    rows = (np.arange(grid) * h) // grid
+    cols = (np.arange(grid) * w) // grid
+    a = luma[np.ix_(rows, cols)]
+    n = np.arange(grid)
+    basis = np.cos(np.pi * (n[None, :] + 0.5) * n[:, None] / grid)
+    d = basis @ a @ basis.T
+    block = d[:keep, :keep].flatten()[1:]  # drop DC
+    med = float(np.median(block))
+    bits = 0
+    for i, v in enumerate(block):
+        if v > med:
+            bits |= 1 << i
+    return bits
+
+
+def image_phash(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Per-image 63-bit perceptual hash → (media_id, phash). PPM/PGM
+    decodes for real in this container; PIL formats decode when PIL
+    exists, else strict raises / lax yields nulls. Arrow-batched
+    mapInPandas — the decode-heavy stage is embarrassingly parallel
+    and emits 8 bytes per image, so everything downstream (the
+    near-dup join) moves hashes, never pixels."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("phash", T.LongType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    _, _, luma = _decode_ppm_luma(payload)
+                    ph = _phash_bits(luma)
+                except Exception:
+                    if HAS_PIL:
+                        import io
+
+                        import PIL.Image
+
+                        img = PIL.Image.open(io.BytesIO(payload)).convert("L")
+                        ph = _phash_bits(np.asarray(img, dtype=np.float64))
+                    elif strict:
+                        raise NotImplementedError(
+                            "non-PPM image needs PIL, not in this container"
+                        )
+                    else:
+                        ph = None
+                ids.append(mid)
+                hashes.append(ph)
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    return (
+        df.filter(F.col("kind") == "image")
+        .select("media_id", "content")
+        .mapInPandas(batches, out_schema)
+    )
+
+
+def phash_near_dups(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Image near-duplicate pairs by pHash hamming distance — the
+    multimodal twin of simhash_near_dups, same pigeonhole plan: split
+    the 63-bit hash into ``max_hamming + 1`` chunks; any pair within
+    the radius shares at least one intact chunk (pigeonhole — EXACT
+    recall, not probabilistic), so candidates come from an equi-join
+    on (chunk_idx, chunk_value) and only candidates pay the
+    bit_count(xor) verify. Hashes, never pixels, on the shuffle."""
+    n_chunks = int(max_hamming) + 1
+    width = 63 // n_chunks + (1 if 63 % n_chunks else 0)
+    mask = (1 << width) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.expr(f"shiftright(phash, {i * width})")
+                .bitwiseAND(F.lit(mask))
+                .alias("cv"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    banded = (
+        hashes.filter(F.col("phash").isNotNull())
+        .select("media_id", "phash", F.explode(chunks).alias("_c"))
+        .select(
+            "media_id",
+            "phash",
+            F.col("_c.ci").alias("_ci"),
+            F.col("_c.cv").alias("_cv"),
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["_ci", "_cv"])
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -188,3 +188,57 @@ def test_image_headers_operator(spark):
     assert got[4]["format"] is None and got[4]["width"] is None
     with _pytest.raises(Exception):
         image_headers(media, strict=True).collect()
+
+
+def test_phash_near_dups_finds_planted_noisy_copies(spark):
+    """pHash image dedup on real PPM decodes: plant noisy copies of
+    base images (±2 luma jitter per pixel) among distinct random
+    images — every planted (base, copy) pair lands within hamming 6
+    and is found by the pigeonhole join; unrelated random pairs stay
+    out. Also: the candidate join is an equi-join, never cartesian."""
+    import numpy as np
+
+    from ramen_spark.operators.multimodal import (
+        image_phash,
+        phash_near_dups,
+        synthetic_ppm_bytes,
+    )
+
+    rng = np.random.default_rng(3)
+
+    def ppm(pixels: np.ndarray) -> bytes:
+        h, w, _ = pixels.shape
+        return (
+            f"P6\n{w} {h}\n255\n".encode()
+            + pixels.astype(np.uint8).tobytes()
+        )
+
+    rows = []
+    planted = set()
+    n_base = 12
+    for i in range(n_base):
+        base = rng.integers(0, 256, size=(48, 64, 3))
+        rows.append((i, "image", ppm(base), {}))
+        if i < 6:  # noisy copy of the first six
+            noise = rng.integers(-2, 3, size=base.shape)
+            copy = np.clip(base + noise, 0, 255)
+            rows.append((100 + i, "image", ppm(copy), {}))
+            planted.add((i, 100 + i))
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, content binary, meta map<string,string>",
+    )
+    hashes = image_phash(df)
+    pairs = phash_near_dups(hashes, max_hamming=6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert planted <= got, f"missed {planted - got}"
+    # random distinct images must not all collide: allow at most one
+    # coincidental pair beyond the planted set
+    assert len(got - planted) <= 1, got - planted
+
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    # sanity: the 63-bit signature is stable across identical decodes
+    one = {r["media_id"]: r["phash"] for r in hashes.collect()}
+    assert all(v is not None and 0 <= v < (1 << 63) for v in one.values())
