@@ -170,3 +170,44 @@ def test_jsonl_source_permissive(spark, tmp_path):
     good = {r["doc_id"]: r["text"] for r in rows if r["_corrupt"] is None}
     assert good == {1: "alpha", 2: "beta"}
     assert sum(1 for r in rows if r["_corrupt"] is not None) == 1
+
+
+def test_warc_documents_compose_with_text_pipeline(spark, tmp_path):
+    """The crawl entry point composes: read_warc → warc_to_documents
+    rows run straight through the text operators (language id, quality
+    score, gopher flags) — the documents-table contract (doc_id, text,
+    lang, source, n_chars) is honored end-to-end, so a user points the
+    pipeline at WARC instead of parquet and nothing else changes."""
+    from pyspark.sql import functions as F
+
+    from ramen_spark.functions.text import detect_language, quality_score
+    from ramen_spark.sources.warc import read_warc, warc_to_documents
+
+    body = (
+        "<p>"
+        + " ".join("the quick brown fox jumps over the lazy dog" for _ in range(12))
+        + "</p>"
+    ).encode()
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    blob = _warc_record("response", "http://en.test/a", http) + _warc_record(
+        "response", "http://en.test/b", http + b" extra tail words here"
+    )
+    f = tmp_path / "c.warc"
+    f.write_bytes(blob)
+
+    docs = warc_to_documents(read_warc(spark, str(f)))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        detect_language(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("q"),
+        "n_chars",
+    ).collect()
+    assert len(scored) == 2
+    assert {r["source"] for r in scored} == {
+        "http://en.test/a",
+        "http://en.test/b",
+    }
+    assert all(r["lang"] == "en" for r in scored)
+    assert all(0.0 <= r["q"] <= 1.0 for r in scored)
+    assert len({r["doc_id"] for r in scored}) == 2  # distinct stable ids
