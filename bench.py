@@ -216,6 +216,7 @@ def main() -> None:
             "duplicated_spans",      # ExactSubstr — positions × 8 B hash
             "remove_duplicated_spans",  # …and the transformation half
             "semantic_dedup_lsh",    # SemDeDup scale path (8-cell + LSH)
+            "semantic_dedup_exact_arrow",  # exact scan, BLAS engine
             "ccnet_perplexity_buckets",  # hashed-bigram LM strata
             "prepare_training_corpus",  # the composed 6-stage pipeline
         ]

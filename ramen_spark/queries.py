@@ -3922,3 +3922,23 @@ def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["spark", "merge", "window"],
         k=20,
     )
+
+
+def semantic_dedup_exact_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SemDeDup on the Arrow engine
+    (operators.similarity.semantic_dedup_arrow): the full within-cell
+    scan as blocked BLAS matmuls — measured 175 s → 4.5 s at the 100×
+    tier vs the SQL engine at the same √n cell count (SCALE §4d).
+    Rows-only in the driver: BLAS accumulation order can flip a pair
+    sitting exactly on the 6dp tau boundary, so the value-exact oracle
+    belongs to the SQL engine (`semantic_dedup`); engine equality is
+    pinned by test_semantic_dedup_arrow_matches_sql_engine."""
+    from ramen_spark.catalog import table_num_rows
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n_cells = Sim.auto_n_cells(table_num_rows(sf_dir, "embeddings"))
+    cents = Sim.kmeans_fit(emb, n_cells=n_cells, iters=0)
+    return Sim.semantic_dedup_arrow(emb, cents, tau=0.4)
+
+
+QUERIES["semantic_dedup_exact_arrow"] = semantic_dedup_exact_arrow

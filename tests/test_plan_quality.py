@@ -819,3 +819,24 @@ def test_banded_index_bucketed_probe_shuffle_free(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_index")
         spark.sql("DROP TABLE IF EXISTS b_batch")
+
+
+def test_semantic_dedup_arrow_matches_sql_engine(spark):
+    """The Arrow engine (blocked BLAS matmuls) must reproduce the SQL
+    engine's EXACT output — every (cell, centsim, keep) — on the
+    oracle corpus; boundary flips would need a pair sitting exactly on
+    the 6dp tau/rounding edge, absent here by construction."""
+    from ramen_spark.catalog import load_table
+    from ramen_spark.operators import similarity as Sim
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    cents = Sim.kmeans_fit(emb, n_cells=8, iters=0)
+    sql_rows = {
+        r["vec_id"]: (r["cell"], r["centsim"], r["keep"])
+        for r in Sim.semantic_dedup(emb, cents, tau=0.4).collect()
+    }
+    arr_rows = {
+        r["vec_id"]: (r["cell"], r["centsim"], r["keep"])
+        for r in Sim.semantic_dedup_arrow(emb, cents, tau=0.4).collect()
+    }
+    assert sql_rows == arr_rows and len(sql_rows) == 500
