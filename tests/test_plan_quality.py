@@ -840,3 +840,81 @@ def test_semantic_dedup_arrow_matches_sql_engine(spark):
         for r in Sim.semantic_dedup_arrow(emb, cents, tau=0.4).collect()
     }
     assert sql_rows == arr_rows and len(sql_rows) == 500
+
+
+def test_exactsubstr_operators_agree_with_python_reference(spark):
+    """Three-way consistency on a seeded random corpus with planted
+    repeats: a 20-line pure-Python reference computes each doc's
+    duplicated-span starts and union coverage; duplicated_spans'
+    coverage and remove_duplicated_spans' cut must BOTH equal it,
+    token for token (same span_k/min_count, hash-free reference —
+    the 60-bit md5 truncation can't collide at this size)."""
+    import random
+
+    from ramen_spark.operators.dedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(40)]
+    phrases = [
+        " ".join(rng.choices(vocab, k=7)) for _ in range(4)
+    ]  # repeated across docs
+    docs = []
+    for i in range(60):
+        toks = rng.choices(vocab, k=rng.randint(0, 30))
+        if i % 3 == 0:
+            ins = rng.randint(0, max(len(toks) - 1, 0))
+            toks = toks[:ins] + phrases[i % 4].split() + toks[ins:]
+        docs.append((i, " ".join(toks)))
+    K, MIN = 5, 2
+
+    # pure-Python reference
+    from collections import Counter
+
+    tok = {i: t.split() for i, t in docs}
+    counts = Counter(
+        tuple(w[p : p + K])
+        for w in tok.values()
+        for p in range(len(w) - K + 1)
+    )
+    ref_cov, ref_removed = {}, {}
+    for i, w in tok.items():
+        starts = [
+            p
+            for p in range(len(w) - K + 1)
+            if counts[tuple(w[p : p + K])] >= MIN
+        ]
+        covered = set()
+        for p in starts:
+            covered.update(range(p, p + K))
+        if len(w) >= K:
+            ref_cov[i] = len(covered)
+        ref_removed[i] = len(covered)
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rep = {
+        r["doc_id"]: round(r["dup_token_frac"] * r["n_tokens"])
+        for r in duplicated_spans(df, span_k=K, min_count=MIN).collect()
+    }
+    cut = {
+        r["doc_id"]: (r["n_removed"], r["clean_text"])
+        for r in remove_duplicated_spans(df, span_k=K, min_count=MIN).collect()
+    }
+    assert rep == ref_cov
+    assert {i: c[0] for i, c in cut.items()} == ref_removed
+    # and the cut text is exactly the uncovered tokens in order
+    for i, w in tok.items():
+        starts = [
+            p
+            for p in range(len(w) - K + 1)
+            if counts[tuple(w[p : p + K])] >= MIN
+        ]
+        covered = set()
+        for p in starts:
+            covered.update(range(p, p + K))
+        expect = " ".join(
+            t for p, t in enumerate(w) if p not in covered
+        )
+        assert cut[i][1] == expect, i
