@@ -265,6 +265,7 @@ def main() -> None:
             "remove_duplicated_spans",  # giant covered fractions per doc
             "ccnet_perplexity_buckets",  # 90%-hot language tertile window
             "semantic_dedup_lsh",       # hot buckets × keep-priority join
+            "semantic_dedup_exact_arrow",  # hot CELLS: density-adaptive seeds
         ]
         try:
             from tools.scale_testdata import (

@@ -53,8 +53,11 @@ def latest_execution_id(spark) -> int:
 def last_execution_metrics(
     spark, after_id: int | None = None, timeout_s: float = 2.0
 ) -> dict[str, int]:
-    """{'shuffle_bytes': n, 'spill_bytes': n} of the most recent SQL
-    execution on this session, or {} if the store is unreadable.
+    """{'shuffle_bytes': n, 'spill_bytes': n, 'peak_op_memory_bytes': n}
+    of the most recent SQL execution on this session ({} if the store
+    is unreadable; peak key only when the plan reports one — the max
+    single operator's peak execution memory, i.e. what must fit an
+    executor).
 
     The status store is fed by the ASYNC listener bus, so "most
     recent" can briefly still be the previous query (review finding:
@@ -87,7 +90,7 @@ def last_execution_metrics(
             names[m.accumulatorId()] = m.name()
         vals = store.executionMetrics(e.executionId())
         it = vals.iterator()
-        shuffle = spill = 0
+        shuffle = spill = peak = 0
         while it.hasNext():
             kv = it.next()
             nm = names.get(kv._1())
@@ -95,6 +98,13 @@ def last_execution_metrics(
                 shuffle += _parse_bytes(kv._2())
             elif nm == "spill size":
                 spill += _parse_bytes(kv._2())
-        return {"shuffle_bytes": shuffle, "spill_bytes": spill}
+            elif nm == "peak memory":
+                # per-operator peak execution memory; the MAX single
+                # operator is the number that has to fit an executor
+                peak = max(peak, _parse_bytes(kv._2()))
+        out = {"shuffle_bytes": shuffle, "spill_bytes": spill}
+        if peak:
+            out["peak_op_memory_bytes"] = peak
+        return out
     except Exception:  # pragma: no cover — telemetry only
         return {}
