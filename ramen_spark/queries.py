@@ -3942,3 +3942,60 @@ def semantic_dedup_exact_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["semantic_dedup_exact_arrow"] = semantic_dedup_exact_arrow
+
+
+@register(
+    "bpe_first_merge",
+    f"""
+    WITH vocab AS (
+      SELECT word, count(*) AS n FROM (
+        SELECT unnest({_WORDS_SQL}) AS word FROM documents
+      ) GROUP BY word
+    ),
+    pairs AS (
+      SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
+             sum(n) AS c
+      FROM vocab, unnest(range(1, length(word))) AS u(i)
+      GROUP BY 1, 2
+    )
+    SELECT l, r, c::BIGINT AS c FROM pairs
+    ORDER BY c DESC, l ASC, r ASC LIMIT 1
+    """,
+)
+def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge — the most frequent adjacent character
+    pair weighted by word frequency (operators.bpe: one round of
+    learn_bpe_merges, which IS SQL-expressible; later rounds depend on
+    the previous argmax and are covered by the rows-only
+    bpe_learn_merges + a pure-Python-reference test)."""
+    from ramen_spark.operators.bpe import _pairs, _symbolize, word_frequency_table
+
+    vocab = word_frequency_table(_t(spark, sf_dir, "documents"))
+    return (
+        vocab.select(
+            F.explode(_pairs(_symbolize(F.col("word")))).alias("p"), "n"
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("n").cast("bigint").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+        .limit(1)
+    )
+
+
+def bpe_learn_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eight learned BPE merges in rank order (operators.bpe.
+    learn_bpe_merges — iterative argmax-dependent rounds, so rows-only
+    in the driver; equality with a pure-Python reference is pinned by
+    test_bpe_learning_matches_python_reference)."""
+    from ramen_spark.operators.bpe import learn_bpe_merges
+
+    merges = learn_bpe_merges(
+        _t(spark, sf_dir, "documents"), n_merges=8
+    )
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank int, left string, right string, weight long",
+    )
+
+
+QUERIES["bpe_learn_merges"] = bpe_learn_merges_query

@@ -918,3 +918,57 @@ def test_exactsubstr_operators_agree_with_python_reference(spark):
             t for p, t in enumerate(w) if p not in covered
         )
         assert cut[i][1] == expect, i
+
+
+def test_bpe_learning_matches_python_reference(spark):
+    """learn_bpe_merges must reproduce the classic sequential BPE
+    algorithm (pure-Python reference over the same word-frequency
+    table) merge for merge, including the (count desc, l, r)
+    tie-break — and bpe_encode applies the merges greedily
+    left-to-right ('aaa' under (a,a) → [aa, a])."""
+    from collections import Counter
+
+    from ramen_spark.operators.bpe import bpe_encode, learn_bpe_merges
+
+    texts = [
+        "low lower lowest low low",
+        "newer newest new low wide wider widest",
+        "aaa aaaa low",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+    def ref(texts, k):
+        vocab = Counter(w for t in texts for w in t.split())
+        syms = {w: list(w) for w in vocab}
+        out = []
+        for _ in range(k):
+            pc = Counter()
+            for w, n in vocab.items():
+                s = syms[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += n
+            if not pc:
+                break
+            (l, r), c = sorted(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )[0]
+            out.append((l, r, c))
+            for w in syms:
+                s, ns = syms[w], []
+                for x in s:
+                    if ns and ns[-1] == l and x == r:
+                        ns[-1] = l + r
+                    else:
+                        ns.append(x)
+                syms[w] = ns
+        return out
+
+    got = learn_bpe_merges(docs, n_merges=6)
+    assert got == ref(texts, 6)
+
+    enc = docs.filter(F.col("doc_id") == 2).select(
+        bpe_encode(F.col("text"), [("a", "a", 0)]).alias("e")
+    ).collect()[0]["e"]
+    assert enc == ["aa", "a", "aa", "aa", "l", "o", "w"]
