@@ -3999,3 +3999,24 @@ def bpe_learn_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["bpe_learn_merges"] = bpe_learn_merges_query
+
+
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality filter (operators.classify): logistic
+    regression fit by distributed Newton/IRLS separating the lang='en'
+    slice from the rest (the GPT-3/LLaMA learned-filter stage), then
+    every document scored with the trained sigmoid. Rows-only in the
+    driver (float moment sums are accumulation-order sensitive, like
+    multilinreg_fit); convergence + separation pinned by
+    test_quality_classifier_separates_and_matches_reference."""
+    from ramen_spark.operators.classify import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = train_quality_classifier(docs, F.col("lang") == "en", iters=6)
+    return score_quality(docs, w)
+
+
+QUERIES["quality_classifier_scores"] = quality_classifier_scores

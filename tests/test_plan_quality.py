@@ -972,3 +972,59 @@ def test_bpe_learning_matches_python_reference(spark):
         bpe_encode(F.col("text"), [("a", "a", 0)]).alias("e")
     ).collect()[0]["e"]
     assert enc == ["aa", "a", "aa", "aa", "l", "o", "w"]
+
+
+def test_quality_classifier_separates_and_matches_reference(spark):
+    """The IRLS fit must (a) agree with a pure-numpy IRLS on the SAME
+    feature matrix to ~1e-6 (accumulation order is the only slack) and
+    (b) actually separate a corpus whose positive class is length-
+    shifted — mean score of positives > negatives by a margin. Scoring
+    is a row-local sigmoid: its plan must contain no Exchange."""
+    import numpy as np
+
+    from ramen_spark.operators.classify import (
+        default_quality_features,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(400):
+        good = i % 2 == 0
+        n = int(rng.integers(60, 120)) if good else int(rng.integers(5, 25))
+        words = [
+            ("the" if (good and j % 5 == 0) else f"tok{int(rng.integers(0, 50))}")
+            for j in range(n)
+        ]
+        rows.append((i, " ".join(words), "en" if good else "xx"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    w = train_quality_classifier(docs, F.col("lang") == "en", iters=6)
+
+    # numpy reference on the identical feature matrix
+    feats = docs.select(
+        (F.col("lang") == "en").cast("double").alias("y"),
+        *[f.alias(f"f{i}") for i, f in enumerate(
+            default_quality_features(F.col("text"))
+        )],
+    ).collect()
+    y = np.array([r["y"] for r in feats])
+    X = np.column_stack(
+        [np.ones(len(feats))]
+        + [np.array([r[f"f{i}"] for r in feats]) for i in range(6)]
+    )
+    beta = np.zeros(X.shape[1])
+    for _ in range(6):
+        p = 1.0 / (1.0 + np.exp(-X @ beta))
+        wt = p * (1 - p)
+        H = X.T @ (X * wt[:, None]) + np.eye(X.shape[1]) * 1e-6
+        beta = beta + np.linalg.solve(H, X.T @ (y - p))
+    assert np.allclose(np.array(w), beta, rtol=1e-5, atol=1e-6), (w, beta)
+
+    scored = score_quality(docs, w)
+    probs = {r["doc_id"]: r["quality_prob"] for r in scored.collect()}
+    pos = np.mean([probs[i] for i in range(0, 400, 2)])
+    neg = np.mean([probs[i] for i in range(1, 400, 2)])
+    assert pos > neg + 0.5, (pos, neg)
+    assert "Exchange" not in _plan(scored)
