@@ -3150,6 +3150,23 @@ def _prepare_corpus(
         gate_keep = (
             _gopher_flags(docs).filter(F.col("keep")).select("doc_id")
         )
+    elif gate == "classifier":
+        # the TRAINED gate (operators.classify): fit against the
+        # lang='en' reference slice (eager IRLS jobs at build, the
+        # kmeans_fit precedent), keep docs the model scores ≥ 0.5
+        from ramen_spark.operators.classify import (
+            score_quality,
+            train_quality_classifier,
+        )
+
+        wts = train_quality_classifier(
+            docs, F.col("lang") == "en", iters=6
+        )
+        gate_keep = (
+            score_quality(docs, wts)
+            .filter(F.col("quality_prob") >= 0.5)
+            .select("doc_id")
+        )
     else:  # pragma: no cover — programming error, not data
         raise ValueError(f"unknown quality gate {gate!r}")
     s1 = docs.select("doc_id", "lang").join(keep_fp, "doc_id", "left_semi")
@@ -4020,3 +4037,16 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["quality_classifier_scores"] = quality_classifier_scores
+
+
+def prepare_training_corpus_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The composed pipeline with the TRAINED quality gate — the
+    learned-filter variant of the score/gopher gates (rows-only: the
+    gate's weights come from float IRLS; every other stage is the
+    oracle-checked machinery of prepare_training_corpus)."""
+    return _prepare_corpus(spark, sf_dir, gate="classifier")
+
+
+QUERIES["prepare_training_corpus_classifier"] = prepare_training_corpus_classifier
