@@ -240,3 +240,53 @@ def test_streaming_vector_dedup_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == exp and len(exp) > 0
+
+
+def test_trained_scorer_streams_rowlocal(spark, tmp_path):
+    """Frozen-model scoring is row-local, so it must run UNCHANGED as
+    a Structured Streaming transformation: train on the batch corpus,
+    score a 3-micro-batch stream of the same docs, get exactly the
+    batch scores (the always-on deployment mode of the learned
+    quality gate)."""
+    from ramen_spark.catalog import load_table
+    from ramen_spark.operators.classify import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    wts = train_quality_classifier(docs, F.col("lang") == "en", iters=4)
+    exp = {
+        r["doc_id"]: r["quality_prob"]
+        for r in score_quality(docs, wts).collect()
+    }
+
+    src = tmp_path / "docs_src"
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/b*")
+    )
+    out = tmp_path / "scored"
+    q = (
+        score_quality(stream, wts)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: r["quality_prob"]
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == exp and len(got) > 0
