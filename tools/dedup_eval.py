@@ -21,29 +21,32 @@ sys.path.insert(0, REPO)
 
 
 def build_corpus(spark, sf_dir: str, n_pairs: int = 60):
-    """Background corpus + planted near-dup pairs: each plant copies a
-    base doc and perturbs ~10% of tokens (substitutions + one small
-    deletion) — true Jaccard stays high but not 1.0, the regime every
-    approximate family must catch. Plant ids start at 10_000_000."""
-    from pyspark.sql import functions as F
-
+    """Background corpus + planted pairs at TWO severities: NEAR
+    (1 substituted token — the re-crawl/boilerplate-shift regime) and
+    MODERATE (~10% substitutions + one deletion — the paraphrase-ish
+    regime). Each family's useful range shows up as which severity it
+    recovers. Plant ids: near = 10M+j, moderate = 20M+j."""
     from ramen_spark.catalog import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = {r["doc_id"]: r["text"] for r in docs.limit(2 * n_pairs).collect()}
     rng = random.Random(13)
-    rows, truth = [], set()
+    rows = []
+    truth = {"near": set(), "moderate": set()}
     for j, (did, text) in enumerate(sorted(base.items())[:n_pairs]):
         toks = text.split()
         if len(toks) < 20:
             continue
-        out = list(toks)
-        for _ in range(max(1, len(out) // 10)):
-            out[rng.randrange(len(out))] = f"perturb{rng.randrange(999)}"
-        del out[rng.randrange(len(out))]
-        pid = 10_000_000 + j
-        rows.append((pid, " ".join(out)))
-        truth.add((did, pid))
+        near = list(toks)
+        near[rng.randrange(len(near))] = f"perturb{rng.randrange(999)}"
+        rows.append((10_000_000 + j, " ".join(near)))
+        truth["near"].add((did, 10_000_000 + j))
+        mod = list(toks)
+        for _ in range(max(1, len(mod) // 10)):
+            mod[rng.randrange(len(mod))] = f"perturb{rng.randrange(999)}"
+        del mod[rng.randrange(len(mod))]
+        rows.append((20_000_000 + j, " ".join(mod)))
+        truth["moderate"].add((did, 20_000_000 + j))
     planted = spark.createDataFrame(rows, "doc_id long, text string")
     return docs.unionByName(planted), truth
 
@@ -57,8 +60,10 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("dedup_eval")
     corpus, truth = build_corpus(spark, sf_dir)
-    n_true = len(truth)
-    print(f"corpus: {corpus.count()} docs, {n_true} planted pairs")
+    print(
+        f"corpus: {corpus.count()} docs, "
+        f"{len(truth['near'])} near + {len(truth['moderate'])} moderate plants"
+    )
 
     def norm_pairs(df, a, b):
         return {
@@ -76,13 +81,17 @@ def main() -> None:
             "id_a", "id_b"
         ),
     }
-    print(f"{'family':48s} {'pairs':>8s} {'recall':>7s}")
-    lines = []
+    print(f"{'family':48s} {'pairs':>7s} {'near':>7s} {'moder.':>7s}")
     for name, fn in families.items():
         got = norm_pairs(fn(), "id_a", "id_b")
-        rec = sum(1 for p in truth if p in got) / n_true
-        lines.append((name, len(got), rec))
-        print(f"{name:48s} {len(got):8d} {rec:7.2%}")
+        recs = {
+            sev: sum(1 for p in t if p in got) / max(len(t), 1)
+            for sev, t in truth.items()
+        }
+        print(
+            f"{name:48s} {len(got):7d} "
+            f"{recs['near']:7.2%} {recs['moderate']:7.2%}"
+        )
     spark.stop()
 
 
