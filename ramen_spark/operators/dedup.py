@@ -975,3 +975,62 @@ def remove_duplicated_spans(
             ),
         ).alias("clean_text"),
     )
+
+
+def contamination_report(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """The evidence behind ``decontaminate``'s boolean: WHICH eval
+    document contaminated each training document, and by how much —
+    (train_id, eval_id, n_shared, train_shingles, shared_frac) for
+    every pair sharing ≥ ``min_overlap`` distinct shingles. What an
+    audit needs before dropping data, and what a benchmark owner reads
+    to find which split leaked.
+
+    100 TB shape: both sides collapse to DISTINCT (doc, shingle) and
+    join on the 48-bit shingle hash — never the text; pair volume is
+    Σ_shingle df_train·df_eval with the eval side benchmark-sized.
+    One count per (train, eval) pair, train shingle totals re-attach
+    by int id.
+    """
+    def distinct_hashed(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col),
+            F.split(Tx.normalized_text(F.col(text_col)), " ").alias("_toks"),
+        )
+        sh = toks.select(
+            F.col(id_col),
+            F.explode(
+                Tx.word_shingles_of_tokens(F.col("_toks"), shingle_k)
+            ).alias("_s"),
+        )
+        h1, _ = Tx.md5_hash_pair(F.col("_s"))
+        return sh.select(id_col, h1.alias("_h")).distinct()
+
+    t = distinct_hashed(train_df).select(
+        F.col(id_col).alias("train_id"), "_h"
+    )
+    e = distinct_hashed(eval_df).select(F.col(id_col).alias("eval_id"), "_h")
+    pairs = (
+        t.join(e, "_h")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+    totals = t.groupBy("train_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("train_shingles")
+    )
+    return pairs.join(totals, "train_id").select(
+        "train_id",
+        "eval_id",
+        "n_shared",
+        "train_shingles",
+        F.round(
+            F.col("n_shared").cast("double") / F.col("train_shingles"), 6
+        ).alias("shared_frac"),
+    )

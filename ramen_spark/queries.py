@@ -4050,3 +4050,40 @@ def prepare_training_corpus_classifier(
 
 
 QUERIES["prepare_training_corpus_classifier"] = prepare_training_corpus_classifier
+
+
+@register(
+    "contamination_report",
+    f"""
+    WITH words AS ({_SHINGLES_SQL}),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substring(md5(array_to_string(w[i:i+2], ' ')), 1, 12))::BIGINT AS h
+      FROM words, unnest(generate_series(1, greatest(nw - 2, 0))) AS u(i)
+    ),
+    t AS (SELECT doc_id AS train_id, h FROM sh WHERE doc_id % 97 <> 0),
+    e AS (SELECT doc_id AS eval_id, h FROM sh WHERE doc_id % 97 = 0),
+    pairs AS (
+      SELECT train_id, eval_id, count(*)::BIGINT AS n_shared
+      FROM t JOIN e USING (h) GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT train_id, count(*)::BIGINT AS train_shingles
+      FROM t GROUP BY 1
+    )
+    SELECT train_id, eval_id, n_shared, train_shingles,
+           round(n_shared::DOUBLE / train_shingles, 6) AS shared_frac
+    FROM pairs JOIN tot USING (train_id)
+    WHERE n_shared >= 1
+    """,
+)
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination audit pairs (operators.dedup.contamination_report):
+    which held-out doc (doc_id % 97 = 0, the pipeline's eval split)
+    leaked into which training doc, with shared-shingle counts —
+    the evidence behind decontaminate_train's boolean."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.contamination_report(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+    )
