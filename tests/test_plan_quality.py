@@ -1028,3 +1028,22 @@ def test_quality_classifier_separates_and_matches_reference(spark):
     neg = np.mean([probs[i] for i in range(1, 400, 2)])
     assert pos > neg + 0.5, (pos, neg)
     assert "Exchange" not in _plan(scored)
+
+
+def test_dedup_eval_harness_smoke(spark):
+    """tools/dedup_eval.py's corpus builder + one family end-to-end on
+    the tiny SF: planted pairs exist at both severities and the
+    exact-tier family recovers every NEAR plant (its SCALE §4e
+    headline), keeping the evaluation harness from rotting."""
+    from tests.conftest import SF_SMALL
+
+    from tools.dedup_eval import build_corpus
+    from ramen_spark.operators.dedup import ngram_jaccard_pairs
+
+    corpus, truth = build_corpus(spark, SF_SMALL, n_pairs=12)
+    assert len(truth["near"]) > 0 and len(truth["moderate"]) > 0
+    got = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    assert all(p in got for p in truth["near"])
