@@ -42,6 +42,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ramen_spark.functions import scalar as S
+from ramen_spark.functions import text as Tx
 
 # ---------------------------------------------------------------------------
 # tokenizer
@@ -362,6 +363,14 @@ def _fn_registry() -> dict[str, Any]:
         "format_time": None,  # handled specially (const fmt)
         "min": lambda *a: S.min_of(*a),  # variadic stateless form
         "max": lambda *a: S.max_of(*a),
+        # text-pipeline scalars (functions.text) — the training-data
+        # extensions surfaced in the RaQL dialect, so reference-style
+        # programs can gate/score/route on them directly
+        "quality_score": lambda a: Tx.quality_score(a),
+        "detect_language": lambda a: Tx.detect_language(a),
+        "token_count": lambda a: Tx.token_count(a),
+        "bpe_token_count": lambda a: Tx.bpe_ish_token_count(a),
+        "fingerprint": lambda a: Tx.fingerprint(a),
     }
 
 
@@ -5777,6 +5786,12 @@ def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> 
                 return f"array<{elem}>"
             return elem
         if fn in ("floor", "ceil"):
+            return INT
+        if fn == "quality_score":
+            return "double"
+        if fn in ("detect_language", "fingerprint"):
+            return "string"
+        if fn in ("token_count", "bpe_token_count"):
             return INT
     raise NotImplementedError(f"cannot infer type of {node!r}")
 

@@ -545,3 +545,36 @@ def test_variant_expression(spark):
     assert row["v"] == "on" and row["w"] is None
     row2 = prog.materialize(spark, register_views=False)["f"].first()
     assert row2["v"] is None
+
+
+def test_text_pipeline_scalars_in_raql(spark):
+    """The training-data text scalars are part of the RaQL dialect:
+    score, gate, and route documents from RaQL text alone — values
+    must equal the functions.text builders they alias."""
+    import ramen_spark.functions.text as Tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "x"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = compile_operation(
+        "SELECT doc_id, QUALITY_SCORE text AS q, "
+        "DETECT_LANGUAGE text AS lang, TOKEN_COUNT text AS n, "
+        "FINGERPRINT text AS fp WHERE TOKEN_COUNT text > 1",
+        docs,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert list(rows) == [1]
+    exp = docs.filter(F.col("doc_id") == 1).select(
+        Tx.quality_score(F.col("text")).alias("q"),
+        Tx.detect_language(F.col("text")).alias("lang"),
+        Tx.token_count(F.col("text")).alias("n"),
+        Tx.fingerprint(F.col("text")).alias("fp"),
+    ).collect()[0]
+    got = rows[1]
+    assert (got["q"], got["lang"], got["n"], got["fp"]) == (
+        exp["q"], exp["lang"], exp["n"], exp["fp"]
+    )
