@@ -136,8 +136,13 @@ def warc_to_documents(warc: DataFrame, id_offset: int = 0) -> DataFrame:
         "url",
         # decode ONCE per row; downstream expressions reference the
         # staged attribute (the CollapseProject rule — an inlined
-        # decode would re-run per consumer expression)
-        F.decode(F.col("payload"), "UTF-8").alias("_txt"),
+        # decode would re-run per consumer expression). NOT F.decode:
+        # Spark 4's decode THROWS on malformed UTF-8
+        # (MALFORMED_CHARACTER_CODING) and real crawls are full of it
+        # — a binary→string cast reinterprets without validating, and
+        # make_valid_utf8 replaces invalid sequences with U+FFFD, so a
+        # bad byte degrades one document instead of failing the job
+        F.expr("make_valid_utf8(CAST(payload AS STRING))").alias("_txt"),
     )
     # payload of a response record = HTTP headers \r\n\r\n entity body
     loc = F.locate("\r\n\r\n", F.col("_txt"))

@@ -241,3 +241,31 @@ def test_export_shards_manifest_roundtrip_and_tamper(spark, tmp_path):
     shutil.rmtree(str(tmp_path / "corpus" / "data" / f"shard={victim}"))
     errs = verify_export(spark, out)
     assert any(victim in e for e in errs), errs
+
+
+def test_warc_documents_survive_malformed_utf8(spark, tmp_path):
+    """Real crawls carry broken encodings: a response whose body has
+    invalid UTF-8 bytes must degrade to replacement characters in that
+    ONE document (never fail the job — Spark 4's decode() throws
+    MALFORMED_CHARACTER_CODING, which is why warc_to_documents uses
+    cast + make_valid_utf8 instead)."""
+    from ramen_spark.sources.warc import read_warc, warc_to_documents
+
+    bad = (
+        b"HTTP/1.1 200 OK\r\n\r\nok text "
+        + bytes([0xFF, 0xFE, 0x80])
+        + b" more"
+    )
+    good = b"HTTP/1.1 200 OK\r\n\r\nclean body here"
+    blob = _warc_record("response", "http://a.test/", bad) + _warc_record(
+        "response", "http://b.test/", good
+    )
+    f = tmp_path / "bad.warc"
+    f.write_bytes(blob)
+    docs = {
+        r["source"]: r["text"]
+        for r in warc_to_documents(read_warc(spark, str(f))).collect()
+    }
+    assert docs["http://b.test/"] == "clean body here"
+    assert "ok text" in docs["http://a.test/"]
+    assert "more" in docs["http://a.test/"]
