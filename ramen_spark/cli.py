@@ -335,6 +335,20 @@ def cmd_tables(args) -> int:
     return 0
 
 
+def cmd_ingest_warc(args) -> int:
+    """WARC/JSONL crawl files → a documents-shaped parquet table —
+    the pipeline's entry point from the CLI (sources/warc.py)."""
+    from ramen_spark.session import get_spark
+    from ramen_spark.sources.warc import read_warc, warc_to_documents
+
+    spark = get_spark("ramen_cli")
+    docs = warc_to_documents(read_warc(spark, args.path))
+    docs.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"{args.out}: {n} documents")
+    return 0
+
+
 def cmd_httpd(args) -> int:
     from ramen_spark.httpd import serve
     from ramen_spark.session import get_spark
@@ -474,6 +488,13 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("tables", help="list archived functions (ps)")
     p.add_argument("--archive-root", required=True)
     p.set_defaults(fn=cmd_tables)
+
+    p = sub.add_parser(
+        "ingest-warc", help="WARC crawl files -> documents parquet"
+    )
+    p.add_argument("path", help="WARC file, glob, or directory")
+    p.add_argument("out", help="output parquet directory")
+    p.set_defaults(fn=cmd_ingest_warc)
 
     p = sub.add_parser(
         "archivist",

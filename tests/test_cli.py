@@ -217,3 +217,21 @@ def test_cli_links(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "other/src\t->\tp/a" in out
     assert "a\t->\tp/b" in out
+
+
+def test_cli_ingest_warc(spark, tmp_path, capsys):
+    """`ramen ingest-warc <warc> <out>`: crawl file in, documents
+    parquet out — the CLI entry point of the training pipeline."""
+    http = b"HTTP/1.1 200 OK\r\n\r\n<p>cli crawl text</p>"
+    head = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: http://cli.test/\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    (tmp_path / "a.warc").write_bytes(head + http + b"\r\n\r\n")
+    out = str(tmp_path / "docs")
+    assert main(["ingest-warc", str(tmp_path / "a.warc"), out]) == 0
+    assert "1 documents" in capsys.readouterr().out
+    row = spark.read.parquet(out).collect()[0]
+    assert row["text"] == "cli crawl text"
+    assert row["source"] == "http://cli.test/"
