@@ -329,20 +329,36 @@ def parse_image_header(payload: bytes | None):
         return "png", w, h, channels
     if payload[:2] == b"\xff\xd8":  # JPEG SOI
         i = 2
-        while i + 4 <= len(payload):
+        while i + 2 <= len(payload):
             if payload[i] != 0xFF:
                 raise ValueError("JPEG marker desync")
-            marker = payload[i + 1]
-            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI/RSTn
-                i += 2
-                continue
-            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            # T.81 §B.1.1.2: markers may be preceded by any number of
+            # 0xFF fill bytes — skip the run, the marker code is the
+            # first non-0xFF byte after it
+            while i < len(payload) and payload[i] == 0xFF:
+                i += 1
+            if i >= len(payload):
+                break
+            marker = payload[i]
+            i += 1
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                continue  # SOI/RSTn/TEM: no segment payload
+            if marker in (0xDA, 0xD9):
+                # SOS starts entropy-coded data, EOI ends the image —
+                # neither is followed by a walkable segment, and SOF
+                # always precedes SOS, so the frame header is absent
+                break
+            if i + 2 > len(payload):
+                break
+            seg_len = struct.unpack(">H", payload[i : i + 2])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                if i + 9 >= len(payload):
+                if i + 7 > len(payload):
                     raise ValueError("JPEG truncated SOF")
-                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
-                return "jpeg", w, h, payload[i + 9]
-            i += 2 + seg_len
+                h, w = struct.unpack(">HH", payload[i + 3 : i + 7])
+                return "jpeg", w, h, payload[i + 7]
+            if seg_len < 2:
+                raise ValueError("JPEG bad segment length")
+            i += seg_len
         raise ValueError("JPEG without SOF frame header")
     if payload[:2] in (b"P6", b"P5"):
         w, h, _luma = _decode_ppm(payload)

@@ -26,12 +26,21 @@ from pyspark.sql import functions as F
 
 
 def _shard_stats(df: DataFrame, shard_col: str, id_col: str) -> DataFrame:
-    h1 = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10).cast("long")
+    # commutative content hash: sum of 48-bit id hashes, accumulated as
+    # decimal(38,0) (headroom for ~2^78 rows), reduced mod the Mersenne
+    # prime 2^61-1 so the stored value fits a signed long. A plain
+    # long sum overflows at ~2^15 rows/shard and THROWS under Spark 4's
+    # default ANSI mode — it must never appear here. Multiset-sensitive
+    # (unlike xor, a row counted twice changes the hash) and
+    # deterministic under any row order / partitioning.
+    h1 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+    ).cast("decimal(38,0)")
     return df.groupBy(shard_col).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        # commutative content hash: sum of 48-bit id hashes mod 2^63 —
-        # deterministic under any row order / partitioning
-        F.sum(h1).alias("content_sum"),
+        F.pmod(F.sum(h1), F.lit(2305843009213693951).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("content_sum"),
     )
 
 

@@ -16,6 +16,15 @@ header parsing run inside an Arrow-batched ``mapInPandas`` — one pass
 per file, emitting one row per record with the payload as a binary
 column (the multimodal column convention, operators/multimodal.py).
 JSONL is Spark's native json source — splittable, pushdown-friendly.
+
+Per-task memory ceiling: ``binaryFile`` materializes the COMPRESSED
+file bytes in the task (~1 GB for a Common Crawl shard); decompression
+and record walking are streaming (``_iter_warc_records`` holds
+O(largest record + 1 MiB chunk) beyond that — measured by the
+tracemalloc assertion in tests/test_sources.py, ~2 MiB peak while
+walking a 200 MB uncompressed stream). So resident ≈ compressed size
++ largest record, NOT compressed + fully-decompressed (a 4-5× blowup
+that, at 32 concurrent 1 GB tasks, would exceed executor memory).
 """
 
 from __future__ import annotations
@@ -30,34 +39,64 @@ WARC_SCHEMA = (
     "warc_date string, content_type string, payload binary, n_bytes long"
 )
 
+_CHUNK = 1 << 20  # streaming read granularity
+_MAX_HEADER = 64 << 10  # resync past anything claiming a bigger header block
 
-def _parse_warc_bytes(
-    name: str, blob: bytes
+
+def _iter_warc_records(
+    name: str, fobj
 ) -> Iterator[tuple[str, int, str, str, str, str, bytes, int]]:
-    """Walk one (uncompressed or gzip) WARC file: yield one tuple per
-    record. Tolerant of trailing garbage and truncated tails — a crawl
-    pipeline must skip a bad record, not fail the file."""
-    import gzip
-    import io
+    """Walk a WARC byte stream (any binary file-like, e.g. a streaming
+    ``gzip.GzipFile``): yield one tuple per record. Resident memory is
+    O(largest record + chunk) — the stream is NEVER fully buffered.
+    Tolerant of leading/trailing garbage, unparseable records, corrupt
+    gzip tails, and truncation — a crawl pipeline must skip a bad
+    record (keeping everything parsed before it), not fail the file.
+    ``record_offset`` is the byte offset of the record header in the
+    (uncompressed) stream, the stable replay coordinate."""
+    buf = bytearray()
+    base = 0  # absolute stream offset of buf[0]
+    eof = False
 
-    if blob[:2] == b"\x1f\x8b":
-        # gzip (possibly multi-member, the Common Crawl layout);
-        # GzipFile reads across members transparently
+    def fill() -> None:
+        nonlocal eof
         try:
-            blob = gzip.GzipFile(fileobj=io.BytesIO(blob)).read()
+            chunk = fobj.read(_CHUNK)
         except OSError:
+            # corrupt gzip mid-stream: keep the records already walked
+            chunk = b""
+        if chunk:
+            buf.extend(chunk)
+        else:
+            eof = True
+
+    while True:
+        start = buf.find(b"WARC/")
+        while start < 0 and not eof:
+            if len(buf) > 4:
+                # "WARC/" may straddle a chunk edge — keep 4 bytes
+                base += len(buf) - 4
+                del buf[: len(buf) - 4]
+            fill()
+            start = buf.find(b"WARC/")
+        if start < 0:
             return
-    pos = 0
-    n = len(blob)
-    while pos < n:
-        head_start = blob.find(b"WARC/", pos)
-        if head_start < 0:
-            return
-        head_end = blob.find(b"\r\n\r\n", head_start)
+        if start:
+            base += start
+            del buf[:start]
+        head_end = buf.find(b"\r\n\r\n")
+        while head_end < 0 and not eof and len(buf) <= _MAX_HEADER:
+            fill()
+            head_end = buf.find(b"\r\n\r\n")
         if head_end < 0:
-            return
+            if eof:
+                return
+            # oversized garbage "header": resync past the magic
+            base += 5
+            del buf[:5]
+            continue
         headers: dict[str, str] = {}
-        for line in blob[head_start:head_end].split(b"\r\n")[1:]:
+        for line in bytes(buf[:head_end]).split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
             if v:
                 headers[k.decode("ascii", "replace").strip().lower()] = (
@@ -66,18 +105,23 @@ def _parse_warc_bytes(
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
+            length = -1
+        if length < 0:
             # unparseable record: resync at the next header
-            pos = head_end + 4
+            base += head_end + 4
+            del buf[: head_end + 4]
             continue
         body_start = head_end + 4
-        if body_start + length > n:
-            # truncated tail: the declared length overruns the file —
+        while len(buf) < body_start + length and not eof:
+            fill()
+        if len(buf) < body_start + length:
+            # truncated tail: the declared length overruns the stream —
             # partial content is worse than none, drop the record
             return
-        payload = blob[body_start : body_start + length]
+        payload = bytes(buf[body_start : body_start + length])
         yield (
             name,
-            head_start,
+            base,
             headers.get("warc-type", ""),
             headers.get("warc-target-uri", ""),
             headers.get("warc-date", ""),
@@ -85,7 +129,24 @@ def _parse_warc_bytes(
             payload,
             len(payload),
         )
-        pos = body_start + length
+        base += body_start + length
+        del buf[: body_start + length]
+
+
+def _parse_warc_bytes(
+    name: str, blob: bytes
+) -> Iterator[tuple[str, int, str, str, str, str, bytes, int]]:
+    """One (uncompressed or gzip) WARC file held as bytes → record
+    tuples. Decompression is streaming (``GzipFile`` reads member by
+    member across the Common Crawl multi-member layout), so resident
+    memory beyond the compressed blob is O(record), never the full
+    uncompressed size."""
+    import gzip
+    import io
+
+    raw = io.BytesIO(blob)
+    fobj = gzip.GzipFile(fileobj=raw) if blob[:2] == b"\x1f\x8b" else raw
+    yield from _iter_warc_records(name, fobj)
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
@@ -118,21 +179,40 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(parse, WARC_SCHEMA)
 
 
+# <script>/<style> elements' CONTENTS are code, not text — they must be
+# removed as whole blocks (with comments) BEFORE the tag strip, or the
+# "extracted text" of any real crawl page is full of JavaScript/CSS
+# that poisons every downstream operator (quality score, language id,
+# shingles, the classifier's features). Case-insensitive, dotall,
+# non-greedy to the matching close tag.
+_BLOCK_STRIP = r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>|<!--.*?-->"
+
+
 def warc_to_documents(warc: DataFrame, id_offset: int = 0) -> DataFrame:
-    """HTTP response records → the documents-table shape
-    (doc_id, text, lang, source, n_chars): strip the HTTP header
-    block, decode utf-8 (errors replaced), crude-strip markup. The
-    doc_id is a deterministic function of (file, record_offset) — the
-    stable identity a re-crawl diff keys on; language detection and
-    quality scoring compose downstream (functions.text), exactly like
-    the synthetic documents table. All row-local JVM expressions
-    after the decode — no shuffle."""
+    """Content records → the documents-table shape
+    (doc_id, text, lang, source, n_chars). Keeps ``response`` records
+    (raw HTTP captures: strip the HTTP header block, then drop
+    script/style/comment BLOCKS, then tags) and ``conversion`` records
+    (pre-extracted text, the Common Crawl WET layout: no HTTP header
+    block to strip — stripping is gated on warc_type). Other record
+    types (warcinfo, request, resource, metadata) are not documents
+    regardless of their content type. The doc_id is the full signed
+    64-bit xxhash64 of (file, record_offset, id_offset) — no abs():
+    halving the hash space to 63 bits yields expected collisions at
+    Common Crawl scale (~10^10 records), and abs(Long.MIN_VALUE)
+    throws under ANSI. ``id_offset`` salts the hash to separate
+    ingest generations (residual cross-generation collision odds are
+    the birthday bound at 64 bits, ~3·10^-9 per pair of 10^10-record
+    snapshots). Language detection and quality scoring compose
+    downstream (functions.text), exactly like the synthetic documents
+    table. All row-local JVM expressions after the decode — no
+    shuffle."""
     staged = warc.filter(
-        (F.col("warc_type") == "response")
-        | F.col("content_type").startswith("text/")
+        F.col("warc_type").isin("response", "conversion")
     ).select(
         "file",
         "record_offset",
+        "warc_type",
         "url",
         # decode ONCE per row; downstream expressions reference the
         # staged attribute (the CollapseProject rule — an inlined
@@ -144,21 +224,29 @@ def warc_to_documents(warc: DataFrame, id_offset: int = 0) -> DataFrame:
         # bad byte degrades one document instead of failing the job
         F.expr("make_valid_utf8(CAST(payload AS STRING))").alias("_txt"),
     )
-    # payload of a response record = HTTP headers \r\n\r\n entity body
+    # response payload = HTTP headers \r\n\r\n entity body; conversion
+    # payload is already the text — no header block to cut
     loc = F.locate("\r\n\r\n", F.col("_txt"))
     entity = F.when(
-        loc > 0, F.col("_txt").substr(loc + 4, F.length("_txt"))
+        (F.col("warc_type") == "response") & (loc > 0),
+        F.col("_txt").substr(loc + 4, F.length("_txt")),
     ).otherwise(F.col("_txt"))
     stripped = F.trim(
         F.regexp_replace(
-            F.regexp_replace(entity, r"<[^>]*>", " "), r"\s+", " "
+            F.regexp_replace(
+                F.regexp_replace(entity, _BLOCK_STRIP, " "),
+                r"<[^>]*>",
+                " ",
+            ),
+            r"\s+",
+            " ",
         )
     )
     return (
         staged.select(
-            (
-                F.abs(F.xxhash64("file", "record_offset")) + F.lit(id_offset)
-            ).alias("doc_id"),
+            F.xxhash64("file", "record_offset", F.lit(id_offset)).alias(
+                "doc_id"
+            ),
             stripped.alias("text"),
             F.lit(None).cast("string").alias("lang"),
             F.col("url").alias("source"),

@@ -140,6 +140,47 @@ def test_image_header_parse_png_jpeg_ppm():
         parse_image_header(b"\xff\xd8\xff\xd9")  # JPEG with no SOF
 
 
+def test_jpeg_padding_and_terminal_markers():
+    """T.81 edge cases the marker walk must survive: (a) runs of 0xFF
+    fill bytes before a marker are padding, not a 0xFF marker code
+    with a garbage length; (b) SOS (0xDA) and EOI (0xD9) have no
+    walkable segment length — hitting them without a SOF is a clean
+    ValueError, never a desync into entropy-coded data."""
+    import struct
+
+    import pytest as _pytest
+
+    from ramen_spark.operators.multimodal import parse_image_header
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    sof0 = struct.pack(">BHHB", 8, 9, 11, 3) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    # APP0, then FF-fill padding, then SOF0
+    padded = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00")
+        + b"\xff\xff\xff"  # fill bytes (spec-valid padding)
+        + seg(0xC0, sof0)
+    )
+    assert parse_image_header(padded) == ("jpeg", 11, 9, 3)
+
+    # DQT then straight to SOS (no SOF): clean reject, the walk must
+    # NOT read a "length" out of the entropy-coded bytes after SOS
+    no_sof = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + b"\x01" * 64)
+        + b"\xff\xda"
+        + b"\x93\x27\xfa\x01\x55"  # entropy-coded garbage
+    )
+    with _pytest.raises(ValueError):
+        parse_image_header(no_sof)
+
+    # padding immediately before EOI on an SOF-less stream
+    with _pytest.raises(ValueError):
+        parse_image_header(b"\xff\xd8" + seg(0xE0, b"JFIF\x00") + b"\xff\xff\xd9")
+
+
 def test_png_bytes_decodable_when_pil_present():
     """The synthetic PNG is a complete, valid file — if an imaging
     library is available it must decode to the same geometry/pixels."""
