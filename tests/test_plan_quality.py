@@ -974,6 +974,107 @@ def test_bpe_learning_matches_python_reference(spark):
     assert enc == ["aa", "a", "aa", "aa", "l", "o", "w"]
 
 
+def test_bpe_local_learner_equals_distributed_and_scales_in_depth(spark):
+    """The scale path (one distributed word-frequency pass, heap-based
+    local merge rounds) must be merge-for-merge IDENTICAL to the
+    distributed round loop — and must keep going far past the depth
+    the distributed loop can afford: hundreds of merges on the sf0.01
+    documents table in seconds, every merge structurally well-formed
+    (each side is a single char or the product of an earlier merge)."""
+    from tests.conftest import SF_ORACLE
+
+    from ramen_spark.catalog import load_table
+    from ramen_spark.operators.bpe import (
+        learn_bpe_merges,
+        learn_bpe_merges_local,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "newer newest new low wide wider widest",
+        "aaa aaaa low",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    assert learn_bpe_merges_local(docs, n_merges=10) == learn_bpe_merges(
+        docs, n_merges=10
+    )
+
+    # real corpus: the synthetic documents table has a tiny vocabulary
+    # (31 word types), so learning runs to EXHAUSTION — which must
+    # mean every word collapsed to a single symbol, and the first
+    # rounds must agree with the distributed loop on real data too
+    real = load_table(spark, SF_ORACLE, "documents")
+    deep = learn_bpe_merges_local(real, n_merges=400, max_vocab=50_000)
+    assert 31 <= len(deep) <= 107  # ≥ one merge per multi-char word
+    producible = set()
+    for l, r, c in deep:
+        assert c > 0
+        for side in (l, r):
+            assert len(side) == 1 or side in producible, (l, r)
+        producible.add(l + r)
+    from ramen_spark.functions import text as Tx
+
+    vocab_words = {
+        w
+        for row in real.select(Tx.tokens(F.col("text")).alias("t")).collect()
+        for w in row["t"]
+    }
+    assert all(len(w) == 1 or w in producible for w in vocab_words)
+    assert deep[:4] == learn_bpe_merges(real, n_merges=4, max_vocab=50_000)
+
+    # depth scaling needs a rich vocabulary: a generated Zipf-ish
+    # corpus of 4000 word types sustains 2000 merges locally in
+    # seconds (the dimension the distributed loop cannot reach —
+    # 2000 sequential Spark jobs)
+    import random
+
+    rng = random.Random(11)
+    gen_words = {
+        "".join(rng.choices("abcdefghijklmnop", k=rng.randint(3, 12)))
+        for _ in range(4000)
+    }
+    gen = spark.createDataFrame(
+        [(i, " ".join(rng.choices(sorted(gen_words), k=30))) for i in range(200)],
+        ["doc_id", "text"],
+    )
+    rich = learn_bpe_merges_local(gen, n_merges=2000)
+    assert len(rich) == 2000
+    producible = set()
+    for l, r, _c in rich:
+        for side in (l, r):
+            assert len(side) == 1 or side in producible, (l, r)
+        producible.add(l + r)
+
+
+def test_bpe_arrow_encoder_equals_jvm_fold(spark):
+    """bpe_encode_arrow (broadcast merge-ranks dict, Arrow batch,
+    rank-priority with per-word memo) must produce byte-identical
+    token arrays to the JVM sequential-fold encoder over the real
+    sf0.01 documents — the equality that licenses swapping the
+    analyzer-bounded fold for the scale path."""
+    from tests.conftest import SF_ORACLE
+
+    from ramen_spark.catalog import load_table
+    from ramen_spark.operators.bpe import (
+        bpe_encode,
+        bpe_encode_arrow,
+        learn_bpe_merges_local,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents").limit(400)
+    merges = learn_bpe_merges_local(docs, n_merges=24)
+    rows = docs.select(
+        "doc_id",
+        bpe_encode(F.col("text"), merges).alias("jvm"),
+        bpe_encode_arrow(F.col("text"), merges).alias("arrow"),
+    ).collect()
+    assert len(rows) == 400
+    bad = [r["doc_id"] for r in rows if r["jvm"] != r["arrow"]]
+    assert bad == [], bad[:5]
+
+
 def test_quality_classifier_separates_and_matches_reference(spark):
     """The IRLS fit must (a) agree with a pure-numpy IRLS on the SAME
     feature matrix to ~1e-6 (accumulation order is the only slack) and
