@@ -3104,13 +3104,21 @@ def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _prepare_corpus(
-    spark: SparkSession, sf_dir: str, gate: str, stages: dict | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    gate: str,
+    stages: dict | None = None,
+    gate_keep: DataFrame | None = None,
 ) -> DataFrame:
     """Shared builder for the composed pipeline; ``gate`` picks the
     stage-4 quality filter: 'score' (heuristic ≥ 0.5) or 'gopher'
     (word-count / mean-word-length / dup-3-gram rules). Pass a dict
     as ``stages`` to receive the CUMULATIVE per-stage relations (the
-    corpus_funnel observability query counts them)."""
+    corpus_funnel observability query counts them). ``gate_keep``
+    (a doc_id DataFrame) overrides the gate entirely — the
+    reference-test hook that lets an independently-computed keep set
+    drive the otherwise-identical pipeline
+    (test_rows_only_references.py)."""
     from ramen_spark.operators.packing import pack_sequences
     from ramen_spark.operators.sampling import temperature_mix
 
@@ -3142,7 +3150,9 @@ def _prepare_corpus(
         .filter(F.col("contaminated"))
         .select("doc_id")
     )
-    if gate == "score":
+    if gate_keep is not None:
+        pass  # injected keep set (reference tests)
+    elif gate == "score":
         gate_keep = qualities.filter(F.col("quality") >= 0.5).select(
             "doc_id"
         )
