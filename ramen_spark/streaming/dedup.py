@@ -416,6 +416,230 @@ class IncrementalVectorIndex:
         )
 
 
+class IncrementalSemanticIndex:
+    """The SemDeDup twin of :class:`IncrementalVectorIndex` (round-7
+    verdict #9): a persisted (cell, bucket) index keyed exactly like
+    ``semantic_dedup``'s scale path — coarse-quantizer cell from FIXED
+    centroids plus the hyperplane LSH bucket — so the always-on lane
+    makes the same candidate restriction as the batch operator and
+    inherits its parity. Centroids and planes are pinned at
+    construction (the ``IncrementalVectorIndex`` rule: a re-seeded or
+    re-fit probe would assign the same vector differently; re-index to
+    change them — at 100 TB the quantizer is versioned corpus
+    metadata, not per-batch state).
+
+    ``<dir>/buckets`` holds (cell, bucket, vec_id); ``<dir>/vecs``
+    holds (vec_id, cell, centsim, _v, _n). Each probe is a
+    (cell, bucket) equi-join of the SMALL batch against the index —
+    partition-prunable when the index is stored bucketed by cell."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        centroids: list[list[float]],
+        dim: int = 64,
+        n_planes: int = 6,
+        seed: int = 42,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        from ramen_spark.operators.similarity import make_hyperplanes
+
+        self.spark = spark
+        self.index_dir = index_dir
+        self.centroids = centroids
+        self.planes = make_hyperplanes(dim, n_planes, seed)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self._buckets_dir = os.path.join(index_dir, "buckets")
+        self._vecs_dir = os.path.join(index_dir, "vecs")
+
+    def _prepared(self, vecs: DataFrame) -> DataFrame:
+        from ramen_spark.functions import vectors as V
+        from ramen_spark.operators.similarity import (
+            _as_double,
+            _centroid_literal,
+            _nearest_cell,
+        )
+
+        cents = _centroid_literal(self.centroids)
+        return (
+            vecs.select(
+                F.col(self.id_col),
+                _as_double(self.vec_col).alias("_v"),
+                _nearest_cell(_as_double(self.vec_col), self.centroids).alias(
+                    "cell"
+                ),
+                V.norm2(F.col(self.vec_col)).alias("_n"),
+                V.lsh_bucket(F.col(self.vec_col), self.planes).alias(
+                    "bucket"
+                ),
+            )
+            .withColumn(
+                "centsim",
+                F.round(
+                    V.dot(F.element_at(cents, F.col("cell") + 1), F.col("_v"))
+                    / F.col("_n"),
+                    6,
+                ),
+            )
+        )
+
+    def append(self, vecs: DataFrame) -> DataFrame:
+        prepared = self._prepared(vecs).localCheckpoint(eager=True)
+        prepared.select("cell", "bucket", self.id_col).write.mode(
+            "append"
+        ).parquet(self._buckets_dir)
+        prepared.select(
+            self.id_col, "cell", "centsim", "_v", "_n"
+        ).write.mode("append").parquet(self._vecs_dir)
+        return prepared
+
+    def probe(self, batch: DataFrame, tau: float) -> DataFrame:
+        """Same-(cell, bucket) cosine ≥ tau pairs of the batch against
+        the whole index (which already includes the batch), with the
+        single-emission rule of the other lanes. Emits BOTH centroid
+        similarities so the SemDeDup keep rule can be evaluated over
+        the cumulative pair set (``semantic_keep_from_pairs``)."""
+        from ramen_spark.operators.similarity import _sim_prenorm
+
+        idx_b = self.spark.read.parquet(self._buckets_dir)
+        idx_v = self.spark.read.parquet(self._vecs_dir)
+        in_batch = batch.select(
+            F.col(self.id_col).alias("id_old"), F.lit(True).alias("_in_batch")
+        )
+        cand = (
+            batch.select(F.col(self.id_col).alias("id_new"), "cell", "bucket")
+            .join(
+                idx_b.select(
+                    F.col(self.id_col).alias("id_old"), "cell", "bucket"
+                ),
+                ["cell", "bucket"],
+            )
+            .select("id_new", "id_old", "cell")
+            .dropDuplicates(["id_new", "id_old"])
+            .join(in_batch, "id_old", "left")
+            .filter(
+                ~(
+                    F.coalesce(F.col("_in_batch"), F.lit(False))
+                    & (F.col("id_old") >= F.col("id_new"))
+                )
+            )
+            .select("id_new", "id_old", "cell")
+        )
+        pairs = cand.join(
+            batch.select(
+                F.col(self.id_col).alias("id_new"),
+                F.col("centsim").alias("cs_new"),
+                F.col("_v").alias("_nv"),
+                F.col("_n").alias("_nn"),
+            ),
+            "id_new",
+        ).join(
+            idx_v.select(
+                F.col(self.id_col).alias("id_old"),
+                F.col("centsim").alias("cs_old"),
+                F.col("_v").alias("_ov"),
+                F.col("_n").alias("_on"),
+            ),
+            "id_old",
+        )
+        return (
+            pairs.withColumn(
+                "sim", F.round(_sim_prenorm("_nv", "_ov", "_nn", "_on"), 6)
+            )
+            .filter(F.col("sim") >= tau)
+            .select("id_new", "id_old", "cell", "sim", "cs_new", "cs_old")
+        )
+
+
+def semantic_keep_from_pairs(
+    index_vecs: DataFrame, pairs: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Evaluate SemDeDup's keep-the-outlier rule over the CUMULATIVE
+    streamed pair set: a vector loses iff some tau-partner has
+    (centsim asc, id asc) priority over it — exactly
+    ``semantic_dedup``'s one-shot greedy prune, so on the same
+    centroids/planes/tau the result matches the batch operator row
+    for row (the parity test's contract). ``index_vecs`` is the
+    lane's ``<dir>/vecs`` relation; only ids and two rounded doubles
+    ride the shuffle."""
+    both = pairs.select(
+        F.col("id_new").alias("_id"),
+        F.col("cs_new").alias("_cs"),
+        F.col("id_old").alias("_pid"),
+        F.col("cs_old").alias("_pcs"),
+    ).unionByName(
+        pairs.select(
+            F.col("id_old").alias("_id"),
+            F.col("cs_old").alias("_cs"),
+            F.col("id_new").alias("_pid"),
+            F.col("cs_new").alias("_pcs"),
+        )
+    )
+    losers = (
+        both.filter(
+            (F.col("_pcs") < F.col("_cs"))
+            | ((F.col("_pcs") == F.col("_cs")) & (F.col("_pid") < F.col("_id")))
+        )
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+        .withColumn("_lost", F.lit(True))
+    )
+    return index_vecs.select(id_col, "cell", "centsim").join(
+        losers, id_col, "left"
+    ).select(
+        id_col,
+        "cell",
+        "centsim",
+        F.coalesce(~F.col("_lost"), F.lit(True)).alias("keep"),
+    )
+
+
+def incremental_semantic_dedup_stream(
+    vec_stream: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    centroids: list[list[float]],
+    dim: int = 64,
+    n_planes: int = 6,
+    seed: int = 42,
+    tau: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Always-on SemDeDup: each micro-batch of embeddings is assigned
+    to its (fixed-quantizer) cell, indexed, probed against everything
+    that arrived before it, and its tau-pairs appended to
+    ``pairs_dir``; ``semantic_keep_from_pairs`` over the accumulated
+    pairs + index reproduces the batch ``semantic_dedup`` keep set on
+    the same centroids/planes (pinned by
+    test_streaming_semantic_dedup_equals_batch). Same foreachBatch /
+    idempotence caveats as the other lanes."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        index = IncrementalSemanticIndex(
+            batch_df.sparkSession,
+            index_dir,
+            centroids,
+            dim=dim,
+            n_planes=n_planes,
+            seed=seed,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        prepared = index.append(batch_df)
+        index.probe(prepared, tau).write.mode("append").parquet(pairs_dir)
+
+    return (
+        vec_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def incremental_vector_dedup_stream(
     vec_stream: DataFrame,
     index_dir: str,

@@ -242,6 +242,71 @@ def test_streaming_vector_dedup_equals_batch(spark, tmp_path):
     assert got == exp and len(exp) > 0
 
 
+def test_streaming_semantic_dedup_equals_batch(spark, tmp_path):
+    """The SemDeDup lane's contract: a 3-micro-batch streaming run
+    over the whole embedding corpus, with the quantizer (centroids +
+    planes) pinned up front, must reproduce the batch
+    semantic_dedup(..., planes=...) output row for row — (vec_id,
+    cell, centsim, keep) — when the keep rule is evaluated over the
+    accumulated pair set. Low tau + 2 planes so the sf0.001 corpus
+    (no planted near-dups) still exercises both keep outcomes."""
+    from ramen_spark.catalog import load_table
+    from ramen_spark.operators.similarity import (
+        kmeans_fit,
+        make_hyperplanes,
+        semantic_dedup,
+    )
+    from ramen_spark.streaming.dedup import (
+        incremental_semantic_dedup_stream,
+        semantic_keep_from_pairs,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_fit(emb, n_cells=8, iters=0)
+    src = tmp_path / "sem_src"
+    for i in range(3):
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/b*")
+    )
+    q = incremental_semantic_dedup_stream(
+        stream,
+        str(tmp_path / "sem_index"),
+        str(tmp_path / "sem_pairs"),
+        str(tmp_path / "sem_ckpt"),
+        cents,
+        dim=64,
+        n_planes=2,
+        tau=0.2,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    idx_vecs = spark.read.parquet(str(tmp_path / "sem_index" / "vecs"))
+    pairs = spark.read.parquet(str(tmp_path / "sem_pairs"))
+    got = {
+        (r["vec_id"], r["cell"], r["centsim"], r["keep"])
+        for r in semantic_keep_from_pairs(idx_vecs, pairs).collect()
+    }
+    exp = {
+        (r["vec_id"], r["cell"], r["centsim"], r["keep"])
+        for r in semantic_dedup(
+            emb, cents, tau=0.2, planes=make_hyperplanes(64, 2)
+        ).collect()
+    }
+    assert got == exp and len(exp) > 0
+    # both keep outcomes must actually occur, or the parity is vacuous
+    assert {k for *_x, k in got} == {True, False}
+
+
 def test_trained_scorer_streams_rowlocal(spark, tmp_path):
     """Frozen-model scoring is row-local, so it must run UNCHANGED as
     a Structured Streaming transformation: train on the batch corpus,
