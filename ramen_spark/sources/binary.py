@@ -590,3 +590,225 @@ def encode_collectd_df(
         _encode,
         schema=T.StructType([T.StructField(packet_col, T.BinaryType(), False)]),
     )
+
+
+# ------------------------------------------------- Kafka RecordBatch v2
+
+# The Kafka on-disk/wire record format (KIP-98 "message format v2",
+# public protocol guide: kafka.apache.org/documentation/#recordbatch).
+# A topic-partition LOG SEGMENT (.log file) is a plain concatenation
+# of RecordBatches, so decoding the format gives an OFFLINE ingestion
+# path for Kafka data even without the spark-sql-kafka connector jar
+# (which this container lacks and, with no network, cannot vendor —
+# the round-8 attempt: DNS resolution fails for repo1.maven.org; see
+# read_kafka_segment's docstring). The live-consumer path still
+# requires the jar (streaming/sources.py:kafka_source).
+#
+# Layout (big-endian fixed header, then zigzag-varint records):
+#   baseOffset i64 | batchLength i32 | partitionLeaderEpoch i32 |
+#   magic i8 (=2) | crc u32 | attributes i16 | lastOffsetDelta i32 |
+#   baseTimestamp i64 | maxTimestamp i64 | producerId i64 |
+#   producerEpoch i16 | baseSequence i32 | recordCount i32 | records…
+# Record: length varint | attributes i8 | timestampDelta varlong |
+#   offsetDelta varint | keyLen varint (-1=null) | key | valueLen
+#   varint (-1=null) | value | headerCount varint | headers…
+# attributes bits 0-2: compression of the records block
+# (0 none, 1 gzip — both handled here with stdlib; snappy/lz4/zstd
+# raise a clear error).
+
+_KB_HEADER = struct.Struct(">qiibIhiqqqhii")
+
+KAFKA_SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType(), False),
+        T.StructField("base_offset", T.LongType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("timestamp_ms", T.LongType(), False),
+        T.StructField("key", T.BinaryType(), True),
+        T.StructField("value", T.BinaryType(), True),
+    ]
+)
+
+
+def _zigzag_encode(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
+    z, shift = 0, 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (z >> 1) ^ -(z & 1), pos
+
+
+def encode_kafka_record_batch(
+    records: list[tuple[int, bytes | None, bytes | None]],
+    base_offset: int = 0,
+    base_timestamp: int = 0,
+    compression: str = "none",
+) -> bytes:
+    """One RecordBatch from [(timestamp_ms, key, value), …] — the
+    encoder twin that lets the decoder be exercised end-to-end
+    without a broker (archive writing works too: a directory of
+    encoded batches IS a valid segment)."""
+    body = bytearray()
+    max_ts = base_timestamp
+    for delta, (ts, key, value) in enumerate(records):
+        max_ts = max(max_ts, ts)
+        rec = bytearray([0])  # record attributes (unused by the spec)
+        rec += _zigzag_encode(ts - base_timestamp)
+        rec += _zigzag_encode(delta)
+        for blob in (key, value):
+            if blob is None:
+                rec += _zigzag_encode(-1)
+            else:
+                rec += _zigzag_encode(len(blob)) + blob
+        rec += _zigzag_encode(0)  # headerCount
+        body += _zigzag_encode(len(rec)) + rec
+    attrs = 0
+    if compression == "gzip":
+        import gzip as _gzip
+
+        body = bytearray(_gzip.compress(bytes(body)))
+        attrs = 1
+    elif compression != "none":
+        raise ValueError(f"unsupported compression {compression!r}")
+    import zlib
+
+    # header fields after crc, through the records
+    tail = struct.pack(
+        ">hiqqqhii",
+        attrs,
+        len(records) - 1,
+        base_timestamp,
+        max_ts,
+        -1,  # producerId
+        -1,  # producerEpoch
+        -1,  # baseSequence
+        len(records),
+    ) + bytes(body)
+    # Kafka uses CRC32C (Castagnoli); stdlib has only CRC32 — store
+    # CRC32 and verify with the same polynomial on decode (documented
+    # delta: batches we encode verify, foreign batches skip strict
+    # crc — see decode_kafka_segment(verify_crc=...))
+    crc = zlib.crc32(tail) & 0xFFFFFFFF
+    after_length = struct.pack(">ibI", -1, 2, crc) + tail
+    return struct.pack(">qi", base_offset, len(after_length)) + after_length
+
+
+def decode_kafka_segment(
+    blob: bytes, verify_crc: bool = False
+) -> list[tuple[int, int, int, bytes | None, bytes | None]]:
+    """Walk a segment (concatenated RecordBatches) → [(base_offset,
+    offset, timestamp_ms, key, value), …]. Tolerant of a truncated
+    tail batch (Kafka segments end mid-batch after an unclean
+    shutdown — skip, don't fail). ``verify_crc`` checks the stored
+    crc with zlib CRC32 — valid only for batches produced by
+    ``encode_kafka_record_batch`` (real brokers use CRC32C, which
+    stdlib lacks; foreign segments decode with verify_crc=False)."""
+    import zlib
+
+    out: list[tuple[int, int, int, bytes | None, bytes | None]] = []
+    pos, n = 0, len(blob)
+    while pos + 12 <= n:
+        base_offset, batch_len = struct.unpack_from(">qi", blob, pos)
+        end = pos + 12 + batch_len
+        if batch_len <= 0 or end > n:
+            break  # truncated tail
+        magic = blob[pos + 16]
+        if magic != 2:
+            pos = end
+            continue  # v0/v1 batches: out of scope, skip cleanly
+        (crc,) = struct.unpack_from(">I", blob, pos + 17)
+        tail = blob[pos + 21 : end]
+        if verify_crc and (zlib.crc32(tail) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"RecordBatch crc mismatch at offset {pos}")
+        attrs, _last_delta, base_ts, _max_ts, _pid, _pep, _bseq, count = (
+            struct.unpack_from(">hiqqqhii", tail, 0)
+        )
+        body = bytes(tail[struct.calcsize(">hiqqqhii") :])
+        comp = attrs & 0x07
+        if comp == 1:
+            import gzip as _gzip
+
+            body = _gzip.decompress(body)
+        elif comp:
+            raise ValueError(
+                f"unsupported RecordBatch compression codec {comp}"
+            )
+        rp = 0
+        for _ in range(count):
+            rec_len, rp = _zigzag_decode(body, rp)
+            rec_end = rp + rec_len
+            rp += 1  # record attributes
+            ts_delta, rp = _zigzag_decode(body, rp)
+            off_delta, rp = _zigzag_decode(body, rp)
+            klen, rp = _zigzag_decode(body, rp)
+            key = body[rp : rp + klen] if klen >= 0 else None
+            rp += max(klen, 0)
+            vlen, rp = _zigzag_decode(body, rp)
+            value = body[rp : rp + vlen] if vlen >= 0 else None
+            rp += max(vlen, 0)
+            out.append(
+                (
+                    base_offset,
+                    base_offset + off_delta,
+                    base_ts + ts_delta,
+                    key,
+                    value,
+                )
+            )
+            rp = rec_end  # headers (and any future fields) skipped
+        pos = end
+    return out
+
+
+def read_kafka_segment(spark, path: str) -> DataFrame:
+    """Kafka log-segment file(s) → one row per record
+    (file, base_offset, offset, timestamp_ms, key, value) — the
+    OFFLINE half of the Kafka story: the connector jar is absent from
+    this container and unvendorable (no network; the round-8 download
+    attempt fails at DNS), but segment files are just concatenated
+    public-format RecordBatches, so archived/exported Kafka data
+    ingests fine. Same shape as read_warc: ``binaryFile``
+    distributes whole files (segments are ≤1 GB by default broker
+    config — the file is the parallel unit, like WARC), decode is an
+    Arrow-batched mapInPandas; the value column then feeds the same
+    per-blob decoders as the live path would (RowBinary, CSV lines,
+    JSON)."""
+
+    def _decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "file",
+            "base_offset",
+            "offset",
+            "timestamp_ms",
+            "key",
+            "value",
+        ]
+        for pdf in batches:
+            rows = [
+                (name, *rec)
+                for name, blob in zip(pdf["path"], pdf["content"])
+                for rec in decode_kafka_segment(bytes(blob))
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    files = (
+        spark.read.format("binaryFile").load(path).select("path", "content")
+    )
+    return files.mapInPandas(_decode, KAFKA_SEGMENT_SCHEMA)

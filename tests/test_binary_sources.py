@@ -256,3 +256,115 @@ def test_catalog_parse_bytes_suffixes():
     assert _parse_bytes("134217728b") == 128 << 20
     assert _parse_bytes("1g") == 1 << 30
     assert _parse_bytes("garbage") == 128 << 20
+
+
+def _independent_record_batch(base_offset, base_ts, records, gzip_it=False):
+    """A RecordBatch v2 built straight from the protocol guide,
+    sharing no code with the product encoder — the wire segment the
+    decoder is tested against is data, not self-consistency."""
+    import gzip as _gzip
+    import struct as _s
+    import zlib as _z
+
+    def vint(n):  # zigzag varint
+        z = (n << 1) ^ (n >> 63)
+        b = bytearray()
+        while True:
+            if z > 0x7F:
+                b.append((z & 0x7F) | 0x80)
+                z >>= 7
+            else:
+                b.append(z)
+                return bytes(b)
+
+    body = b""
+    max_ts = base_ts
+    for d, (ts, key, val) in enumerate(records):
+        max_ts = max(max_ts, ts)
+        r = b"\x00" + vint(ts - base_ts) + vint(d)
+        for blob in (key, val):
+            r += vint(-1) if blob is None else vint(len(blob)) + blob
+        r += vint(0)
+        body += vint(len(r)) + r
+    attrs = 0
+    if gzip_it:
+        body, attrs = _gzip.compress(body), 1
+    tail = (
+        _s.pack(
+            ">hiqqqhii",
+            attrs,
+            len(records) - 1,
+            base_ts,
+            max_ts,
+            -1,
+            -1,
+            -1,
+            len(records),
+        )
+        + body
+    )
+    after_len = _s.pack(">ibI", -1, 2, _z.crc32(tail) & 0xFFFFFFFF) + tail
+    return _s.pack(">qi", base_offset, len(after_len)) + after_len
+
+
+def test_kafka_segment_decode_roundtrip(spark, tmp_path):
+    """The offline Kafka lane (the connector jar is absent and
+    unvendorable — no network): a log segment assembled by an
+    INDEPENDENT spec-following encoder (plain + gzip batches, null
+    key, truncated tail) decodes to the right (offset, timestamp,
+    key, value) rows through read_kafka_segment, and the value
+    column composes with decode_rowbinary — the same per-blob decode
+    the live consumer path would run."""
+    from ramen_spark.sources.binary import (
+        decode_kafka_segment,
+        decode_rowbinary,
+        encode_kafka_record_batch,
+        encode_rowbinary,
+        read_kafka_segment,
+    )
+
+    spec = [("metric", "String"), ("v", "UInt32")]
+    payloads = [
+        encode_rowbinary([(f"m{i}", i * 10)], spec) for i in range(5)
+    ]
+    seg = _independent_record_batch(
+        100, 1_700_000_000_000, [
+            (1_700_000_000_000, b"k0", payloads[0]),
+            (1_700_000_000_007, None, payloads[1]),
+            (1_700_000_000_011, b"k2", payloads[2]),
+        ],
+    ) + _independent_record_batch(
+        103, 1_700_000_001_000, [
+            (1_700_000_001_000, b"k3", payloads[3]),
+            (1_700_000_001_002, b"k4", payloads[4]),
+        ],
+        gzip_it=True,
+    )
+    f = tmp_path / "00000000000000000100.log"
+    # truncated tail batch: an unclean shutdown leaves half a batch
+    f.write_bytes(seg + seg[:17])
+
+    rows = read_kafka_segment(spark, str(f)).orderBy("offset").collect()
+    assert [r["offset"] for r in rows] == [100, 101, 102, 103, 104]
+    assert rows[1]["key"] is None and bytes(rows[0]["key"]) == b"k0"
+    assert rows[4]["timestamp_ms"] == 1_700_000_001_002
+    assert [bytes(r["value"]) for r in rows] == payloads
+
+    typed = decode_rowbinary(
+        read_kafka_segment(spark, str(f)).select(
+            F.col("value").alias("blob")
+        ),
+        spec,
+    )
+    got = {(r["metric"], r["v"]) for r in typed.collect()}
+    assert got == {(f"m{i}", i * 10) for i in range(5)}
+
+    # the product encoder's batches verify their stored crc
+    own = encode_kafka_record_batch(
+        [(1, b"a", b"x"), (2, None, b"y")], base_offset=7, base_timestamp=1
+    )
+    recs = decode_kafka_segment(own, verify_crc=True)
+    assert [(o, t, k, v) for _b, o, t, k, v in recs] == [
+        (7, 1, b"a", b"x"),
+        (8, 2, None, b"y"),
+    ]
