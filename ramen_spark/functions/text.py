@@ -379,3 +379,90 @@ def bm25_topk(
     return topk.withColumn("rank", F.row_number().over(w)).withColumn(
         "score", F.round(F.col("score_micro").cast("double") / 1e6, 6)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing & URL/domain hygiene (training-pipeline extension — the
+# C4/RefinedWeb curation stages the reference has no counterpart for)
+# ---------------------------------------------------------------------------
+
+# Patterns stay inside the Java-regex ∩ RE2 common subset (no
+# backrefs/lookaround) so the DuckDB oracle evaluates the IDENTICAL
+# expression — cross-engine agreement is part of the test surface.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{9,15}\b"
+
+_PII_ORDER = (
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_IPV4_RE, "<IP>"),
+    (PII_PHONE_RE, "<PHONE>"),
+)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Match counts per PII class (measured BEFORE redaction — the
+    audit metric a curation run reports)."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), 0)),
+        "n_ips": F.size(F.regexp_extract_all(text, F.lit(PII_IPV4_RE), 0)),
+        "n_phones": F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_RE), 0)),
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, then IPv4 literals, then international phone
+    numbers with typed placeholder tokens — the standard pre-training
+    scrub (order matters and is fixed: an email's host part must not
+    be half-eaten by the IP pass first). Row-local JVM regexes — no
+    shuffle, no Python."""
+    out = text
+    for pat, tok in _PII_ORDER:
+        out = F.regexp_replace(out, pat, tok)
+    return out
+
+
+# URL → host → registrable domain. One regex, shared with the oracle:
+# scheme://[userinfo@]HOST[:port][/…]. Registrable domain is the last
+# two labels — the no-PSL approximation (co.uk-style suffixes would
+# need the Public Suffix List shipped as a broadcast table; documented
+# delta, same join shape).
+URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+).*"
+REG_DOMAIN_RE = r"([^.]+\.[^.]+)$"
+
+
+def url_host(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, URL_HOST_RE, 1))
+
+
+def registrable_domain(host: Column) -> Column:
+    return F.regexp_extract(host, REG_DOMAIN_RE, 1)
+
+
+def filter_blocked_domains(
+    docs, blocklist: list[str], url_col: str = "source"
+):
+    """Drop documents whose URL host falls under a blocked registrable
+    domain (the UT1/RefinedWeb blocklist stage): exact-host OR
+    any-subdomain match, implemented as ONE broadcast anti-join on the
+    registrable domain plus an exact-host disjunct — at 100 TB the
+    blocklist (UT1 is ~4M lines ≈ tens of MB) broadcasts whole, the
+    corpus never shuffles, and the match is an equi-join, not a
+    per-row LIKE scan over the list."""
+    spark = docs.sparkSession
+    bl = spark.createDataFrame(
+        [(d.lower(),) for d in blocklist], "blocked string"
+    )
+    with_host = docs.withColumn("_host", url_host(F.col(url_col))).withColumn(
+        "_rdom", registrable_domain(F.col("_host"))
+    )
+    # an OR across the two match columns would force a nested-loop
+    # join; two broadcast EQUI-anti-joins keep the probe hash-based
+    out = with_host
+    for col in ("_rdom", "_host"):
+        out = out.join(
+            F.broadcast(bl),
+            F.col(col) == F.col("blocked"),
+            "left_anti",
+        )
+    return out.drop("_host", "_rdom")

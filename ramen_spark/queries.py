@@ -825,6 +825,121 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_aug_sql() -> str:
+    # synthesized PII riding on real text: the synthetic corpus carries
+    # no emails/IPs, so the query plants deterministic matches from
+    # table columns — the SAME expression in both engines, making the
+    # oracle exercise actual redactions, not a vacuous no-op
+    return (
+        "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'"
+        " || ' from 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)"
+        " || ' call +14155550' || CAST(doc_id % 100 AS VARCHAR)"
+    )
+
+
+def _pii_sql() -> str:
+    from ramen_spark.functions.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
+
+    red = "t"
+    for pat, tok in (
+        (PII_EMAIL_RE, "<EMAIL>"),
+        (PII_IPV4_RE, "<IP>"),
+        (PII_PHONE_RE, "<PHONE>"),
+    ):
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    return f"""
+    WITH aug AS (SELECT doc_id, {_pii_aug_sql()} AS t FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(t, '{PII_IPV4_RE}')) AS n_ips,
+           len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS n_phones,
+           {red} AS redacted
+    FROM aug
+    """
+
+
+@register("pii_redaction", _pii_sql())
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions.text.redact_pii — the C4/RefinedWeb
+    curation stage): per-class match counts plus the typed-placeholder
+    redaction, all row-local JVM regexes in the Java∩RE2 common subset
+    so DuckDB verifies the identical expressions. The query plants
+    deterministic PII from table columns (see _pii_aug_sql) since the
+    synthetic corpus carries none."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" call +14155550"),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("t"),
+    )
+    counts = Tx.pii_counts(F.col("t"))
+    return aug.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ips"].alias("n_ips"),
+        counts["n_phones"].alias("n_phones"),
+        Tx.redact_pii(F.col("t")).alias("redacted"),
+    )
+
+
+_BLOCKED_DOMAINS = ["src3.test", "src7.test", "src11.test", "sub0.src5.test"]
+
+
+def _blocked_domain_sql() -> str:
+    from ramen_spark.functions.text import REG_DOMAIN_RE, URL_HOST_RE
+
+    bl = ", ".join(f"'{d}'" for d in _BLOCKED_DOMAINS)
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             'https://sub' || CAST(doc_id % 3 AS VARCHAR) || '.' || source
+               || '.test/p' AS url
+      FROM documents),
+    hosts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '{URL_HOST_RE}', 1)) AS host
+      FROM aug)
+    SELECT doc_id, host
+    FROM hosts
+    WHERE regexp_extract(host, '{REG_DOMAIN_RE}', 1) NOT IN ({bl})
+      AND host NOT IN ({bl})
+    """
+
+
+@register("blocked_domain_filter", _blocked_domain_sql())
+def blocked_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain blocklist curation (functions.text.
+    filter_blocked_domains — the UT1/RefinedWeb stage): drop documents
+    whose host is a blocked registrable domain, any subdomain of one,
+    or an exactly-blocked host. Two broadcast EQUI-anti-joins (never a
+    per-row scan over the list); URLs are synthesized from table
+    columns since the corpus's sources aren't URLs."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://sub"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("."),
+            F.col("source"),
+            F.lit(".test/p"),
+        ).alias("url"),
+    )
+    kept = Tx.filter_blocked_domains(aug, _BLOCKED_DOMAINS, url_col="url")
+    return kept.select("doc_id", Tx.url_host(F.col("url")).alias("host"))
+
+
 def _lang_hits_sql(lang: str) -> str:
     from ramen_spark.functions.text import LANG_MARKERS
 

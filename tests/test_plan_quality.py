@@ -974,6 +974,21 @@ def test_bpe_learning_matches_python_reference(spark):
     assert enc == ["aa", "a", "aa", "aa", "l", "o", "w"]
 
 
+def test_blocked_domain_filter_plan_is_equi_broadcast(spark):
+    """The blocklist stage must stay two broadcast EQUI-anti-joins: an
+    OR across (registrable-domain, exact-host) would silently fall
+    back to BroadcastNestedLoopJoin — per-row × per-entry work that a
+    4M-line UT1 list turns into a scan disaster at 100 TB."""
+    from tests.conftest import SF_ORACLE
+
+    from ramen_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["blocked_domain_filter"](spark, SF_ORACLE))
+    assert "NestedLoop" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "LeftAnti" in plan
+
+
 def test_bpe_local_learner_equals_distributed_and_scales_in_depth(spark):
     """The scale path (one distributed word-frequency pass, heap-based
     local merge rounds) must be merge-for-merge IDENTICAL to the
