@@ -1034,3 +1034,45 @@ def contamination_report(
             F.col("n_shared").cast("double") / F.col("train_shingles"), 6
         ).alias("shared_frac"),
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff for corpus versioning — the re-crawl/reprocess
+    audit a pipeline runs before retraining: which documents were
+    ADDED, REMOVED, or CHANGED between two corpus versions (the
+    stable-id contract the WARC source's (file, offset) doc_id
+    exists for). Unchanged docs are excluded — the output is the
+    actionable delta, usually orders of magnitude smaller than either
+    snapshot.
+
+    Output: (doc_id, status ∈ {'added','removed','changed'},
+    old_fp, new_fp).
+
+    100 TB shape: each side reduces to (id, 32-byte md5 fingerprint)
+    BEFORE the full-outer join — text never rides the shuffle, and
+    the join is a plain hash equi-join on the long id. Fingerprints
+    are functions.text.fingerprint (md5 of normalized text), so the
+    DuckDB oracle computes identical values.
+    """
+    o = old.select(
+        F.col(id_col), Tx.fingerprint(F.col(text_col)).alias("old_fp")
+    )
+    n = new.select(
+        F.col(id_col), Tx.fingerprint(F.col(text_col)).alias("new_fp")
+    )
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(id_col, "status", "old_fp", "new_fp")
+    )

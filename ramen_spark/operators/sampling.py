@@ -358,3 +358,48 @@ def epoch_schedule(
         F.explode(F.sequence(F.lit(1), F.col("_c"))).alias("epoch_copy"),
         F.col("_c").cast("bigint").alias("n_copies"),
     )
+
+
+def training_order(
+    df: DataFrame,
+    seed: int = 0,
+    shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle — the 'randomize
+    the corpus before each run' step a training job needs, without an
+    RNG: rank = 48-bit md5 hash of (id, seed), shard = rank mod
+    shards, position = dense order of (rank, id) within the shard.
+    A new seed is a new permutation; a re-executed partition
+    reproduces its rows exactly (the module's determinism contract,
+    and why this is oracle-exact in DuckDB).
+
+    100 TB shape: NO global sort — the only wide op is the
+    per-shard row_number window, i.e. one hash exchange on shard +
+    shard-local sort; consumers read shards independently in
+    (shard, pos) order, which is the standard sharded-dataset
+    contract (WebDataset/Mosaic-style). A global total order would be
+    a range exchange over the whole corpus for no training benefit.
+
+    Output: input columns + (rank, shard, pos)."""
+    rank = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit(f"#{int(seed)}")
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("rank", id_col)
+    return (
+        df.withColumn("rank", rank)
+        .withColumn(
+            "shard", F.pmod(F.col("rank"), F.lit(int(shards))).cast("int")
+        )
+        .withColumn("pos", F.row_number().over(w))
+    )

@@ -371,6 +371,9 @@ def _fn_registry() -> dict[str, Any]:
         "token_count": lambda a: Tx.token_count(a),
         "bpe_token_count": lambda a: Tx.bpe_ish_token_count(a),
         "fingerprint": lambda a: Tx.fingerprint(a),
+        "redact_pii": lambda a: Tx.redact_pii(a),
+        "url_host": lambda a: Tx.url_host(a),
+        "registrable_domain": lambda a: Tx.registrable_domain(a),
     }
 
 
@@ -5789,7 +5792,13 @@ def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> 
             return INT
         if fn == "quality_score":
             return "double"
-        if fn in ("detect_language", "fingerprint"):
+        if fn in (
+            "detect_language",
+            "fingerprint",
+            "redact_pii",
+            "url_host",
+            "registrable_domain",
+        ):
             return "string"
         if fn in ("token_count", "bpe_token_count"):
             return INT

@@ -940,6 +940,75 @@ def blocked_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", Tx.url_host(F.col("url")).alias("host"))
 
 
+def _fp_sql(texpr: str) -> str:
+    return rf"md5(trim(regexp_replace(lower({texpr}), '\s+', ' ', 'g')))"
+
+
+@register(
+    "corpus_diff",
+    f"""
+    WITH old AS (
+      SELECT doc_id, {_fp_sql('text')} AS old_fp
+      FROM documents WHERE doc_id % 7 <> 0),
+    new AS (
+      SELECT doc_id,
+             {_fp_sql("CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END")} AS new_fp
+      FROM documents WHERE doc_id % 5 <> 0)
+    SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.doc_id IS NULL THEN 'added'
+                WHEN new.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           old_fp, new_fp
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    WHERE old.doc_id IS NULL OR new.doc_id IS NULL OR old_fp <> new_fp
+    """,
+)
+def corpus_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators.dedup.corpus_diff — the
+    retraining audit): previous snapshot = docs with id % 7 ≠ 0, next
+    snapshot = docs with id % 5 ≠ 0 and an edited text for id % 11 = 0
+    — deterministic synthesis from one table exercising all three
+    statuses. Fingerprints-only full-outer join; text never
+    shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return D.corpus_diff(old, new)
+
+
+@register(
+    "training_order",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#1'), 1, 12))::BIGINT AS rank
+      FROM documents)
+    SELECT doc_id, lang, rank,
+           CAST(rank % 8 AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY rank % 8 ORDER BY rank, doc_id) AS BIGINT) AS pos
+    FROM ranked
+    """,
+)
+def training_order_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle
+    (operators.sampling.training_order): seed-keyed md5 rank, shard =
+    rank mod 8, per-shard position — no global sort, one hash
+    exchange. Re-running with the same seed is bit-identical (the
+    sampling module's determinism contract)."""
+    from ramen_spark.operators.sampling import training_order
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = training_order(docs, seed=1, shards=8)
+    return out.select(
+        "doc_id", "lang", "rank", "shard", F.col("pos").cast("long").alias("pos")
+    )
+
+
 def _lang_hits_sql(lang: str) -> str:
     from ramen_spark.functions.text import LANG_MARKERS
 

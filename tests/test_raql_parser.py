@@ -578,3 +578,35 @@ def test_text_pipeline_scalars_in_raql(spark):
     assert (got["q"], got["lang"], got["n"], got["fp"]) == (
         exp["q"], exp["lang"], exp["n"], exp["fp"]
     )
+
+
+def test_curation_scalars_in_raql(spark):
+    """Round-8 curation scalars in the dialect: REDACT_PII and
+    URL_HOST / REGISTRABLE_DOMAIN compose in RaQL select/where like
+    any stateless function, matching their functions.text builders."""
+    import ramen_spark.functions.text as Tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at bob@corp.example or 10.1.2.3", "https://a.b.news.test/x"),
+            (2, "nothing sensitive here", "ftp://plain.test/"),
+        ],
+        ["doc_id", "text", "url"],
+    )
+    out = compile_operation(
+        "SELECT doc_id, REDACT_PII text AS clean, URL_HOST url AS host, "
+        "REGISTRABLE_DOMAIN (URL_HOST url) AS dom",
+        docs,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["clean"] == "mail me at <EMAIL> or <IP>"
+    assert rows[1]["host"] == "a.b.news.test"
+    assert rows[1]["dom"] == "news.test"
+    assert rows[2]["clean"] == "nothing sensitive here"
+    assert rows[2]["host"] == "plain.test"
+    exp = docs.select(
+        "doc_id", Tx.redact_pii(F.col("text")).alias("c")
+    ).collect()
+    assert {r["doc_id"]: r["c"] for r in exp} == {
+        i: rows[i]["clean"] for i in rows
+    }
