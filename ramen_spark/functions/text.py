@@ -136,6 +136,19 @@ def normalized_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+def doc_lines(text: Column) -> Column:
+    """Trimmed non-empty lines of a document → array<string>.
+
+    The unit the Gopher/RefinedWeb repetition and line-quality rules
+    operate on. Mirrors DuckDB
+    ``list_filter(list_transform(string_split(t, chr(10)), trim), <> '')``
+    so line-level signals stay oracle-exact."""
+    return F.filter(
+        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the normalized text (hex string).
 

@@ -1085,6 +1085,407 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", Tx.quality_score(F.col("text")).alias("quality"))
 
 
+# --- Gopher/RefinedWeb repetition & line-quality battery -------------------
+#
+# The synthetic corpus is single-line, so these queries synthesize a
+# deterministic multi-line document from table columns (the pii_redaction
+# pattern): ' a ' becomes a newline, and id-keyed boilerplate blocks plant
+# duplicate lines, bullets, ellipses and '#' symbols — the SAME expression
+# in both engines, so the oracles exercise every rule, not a vacuous pass.
+
+_ML_AUG_SQL = """
+      SELECT doc_id,
+             replace(text, ' a ', chr(10))
+             || CASE WHEN doc_id % 3 = 0
+                THEN chr(10) || 'subscribe now' || chr(10) || 'subscribe now'
+                     || chr(10) || 'follow us' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                THEN chr(10) || '- home' || chr(10) || '- about'
+                     || chr(10) || '* contact' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                THEN chr(10) || 'read more...' || chr(10) || '## nav ##'
+                ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                THEN repeat(chr(10)
+                     || '- sponsored link row with many words here', 8)
+                ELSE '' END
+               AS t
+      FROM documents
+"""
+
+_LINES_SQL = (
+    "list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),"
+    " x -> x <> '')"
+)
+_T_WORDS_SQL = r"list_filter(regexp_split_to_array(trim(t), '\s+'), x -> x <> '')"
+
+_LINE_DROP_SQL = (
+    "starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•')"
+    " OR ends_with(x, '...')"
+    r" OR len(list_filter(regexp_split_to_array(trim(x), '\s+'),"
+    " y -> y <> '')) < 3"
+)
+
+
+def _multiline_docs(docs: DataFrame) -> DataFrame:
+    """The Spark twin of _ML_AUG_SQL — (doc_id, t) with planted lines."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.replace(F.col("text"), F.lit(" a "), F.lit("\n")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\nsubscribe now\nsubscribe now\nfollow us"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("\n- home\n- about\n* contact"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\nread more...\n## nav ##"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.lit("\n- sponsored link row with many words here" * 8),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+
+
+@register(
+    "repetition_signals",
+    f"""
+    WITH aug AS ({_ML_AUG_SQL}),
+    s AS (
+      SELECT doc_id, t, {_LINES_SQL} AS ls, {_T_WORDS_SQL} AS w FROM aug
+    ),
+    sig AS (
+      SELECT doc_id,
+             len(ls) AS n_lines,
+             len(w) AS n_words,
+             round(1.0 - len(list_distinct(ls))::DOUBLE / len(ls), 6)
+               AS frac_dup_lines,
+             round((list_sum(list_transform(ls, x -> length(x)))
+                    - list_sum(list_transform(list_distinct(ls),
+                                              x -> length(x))))::DOUBLE
+                   / list_sum(list_transform(ls, x -> length(x))), 6)
+               AS frac_dup_line_chars,
+             round(len(list_filter(ls, x -> starts_with(x, '-')
+                                         OR starts_with(x, '*')
+                                         OR starts_with(x, '•')))::DOUBLE
+                   / len(ls), 6) AS frac_bullet_lines,
+             round(len(list_filter(ls, x -> ends_with(x, '...')))::DOUBLE
+                   / len(ls), 6) AS frac_ellipsis_lines,
+             round(((length(t) - length(replace(t, '#', '')))
+                    + (length(t) - length(replace(t, '...', ''))) / 3)
+                   / len(w), 6) AS symbol_word_ratio,
+             round(len(list_filter(w,
+                       x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                   / len(w), 6) AS frac_alpha_words
+      FROM s WHERE len(ls) > 0 AND len(w) > 0
+    )
+    SELECT *,
+           (frac_dup_lines < 0.3 AND frac_dup_line_chars < 0.2
+            AND symbol_word_ratio < 0.1 AND frac_alpha_words > 0.8
+            AND frac_bullet_lines < 0.9 AND frac_ellipsis_lines < 0.3)
+             AS keep
+    FROM sig
+    """,
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition-removal battery beyond the 3-gram rule
+    (Rae et al. 2021 Table A1; RefinedWeb line-wise rules): duplicate
+    line fraction, duplicate-line CHARACTER fraction, bullet-start and
+    ellipsis-end line fractions, symbol-to-word ratio ('#' and '...'),
+    and fraction of words with an alphabetic character — with the
+    published keep-thresholds (0.30 / 0.20 / 0.90 / 0.30 / 0.10 /
+    0.80). All row-local JVM array expressions over staged line/token
+    attributes — embarrassingly parallel, zero shuffle at any corpus
+    size."""
+    docs = _t(spark, sf_dir, "documents")
+    s = _multiline_docs(docs).select(
+        "doc_id",
+        "t",
+        Tx.doc_lines(F.col("t")).alias("ls"),
+        Tx.tokens(F.col("t")).alias("w"),
+    )
+    ls, w, t = F.col("ls"), F.col("w"), F.col("t")
+    n_lines, n_words = F.size(ls), F.size(w)
+    s = s.filter((n_lines > 0) & (n_words > 0))
+    line_chars = F.aggregate(
+        F.transform(ls, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    uniq_chars = F.aggregate(
+        F.transform(F.array_distinct(ls), lambda x: F.length(x)),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    sig = s.select(
+        "doc_id",
+        n_lines.cast("bigint").alias("n_lines"),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(
+            1.0 - F.size(F.array_distinct(ls)).cast("double") / n_lines, 6
+        ).alias("frac_dup_lines"),
+        F.round(
+            (line_chars - uniq_chars).cast("double") / line_chars, 6
+        ).alias("frac_dup_line_chars"),
+        F.round(
+            F.size(
+                F.filter(
+                    ls,
+                    lambda x: x.startswith("-")
+                    | x.startswith("*")
+                    | x.startswith("•"),
+                )
+            ).cast("double")
+            / n_lines,
+            6,
+        ).alias("frac_bullet_lines"),
+        F.round(
+            F.size(F.filter(ls, lambda x: x.endswith("..."))).cast("double")
+            / n_lines,
+            6,
+        ).alias("frac_ellipsis_lines"),
+        F.round((n_hash + n_ell / 3) / n_words, 6).alias("symbol_word_ratio"),
+        F.round(
+            F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("double")
+            / n_words,
+            6,
+        ).alias("frac_alpha_words"),
+    )
+    keep = (
+        (F.col("frac_dup_lines") < 0.3)
+        & (F.col("frac_dup_line_chars") < 0.2)
+        & (F.col("symbol_word_ratio") < 0.1)
+        & (F.col("frac_alpha_words") > 0.8)
+        & (F.col("frac_bullet_lines") < 0.9)
+        & (F.col("frac_ellipsis_lines") < 0.3)
+    )
+    return sig.withColumn("keep", keep)
+
+
+@register(
+    "line_quality_filter",
+    f"""
+    WITH aug AS ({_ML_AUG_SQL}),
+    s AS (SELECT doc_id, {_LINES_SQL} AS ls FROM aug),
+    k AS (
+      SELECT doc_id, ls,
+             list_filter(ls, x -> NOT ({_LINE_DROP_SQL})) AS kept
+      FROM s WHERE len(ls) > 0
+    )
+    SELECT doc_id,
+           len(ls) AS n_lines,
+           len(kept) AS n_kept,
+           round(coalesce(list_sum(list_transform(kept, x -> length(x))),
+                          0)::DOUBLE
+                 / list_sum(list_transform(ls, x -> length(x))), 6)
+             AS retained_char_frac,
+           array_to_string(kept, chr(10)) AS cleaned,
+           (coalesce(list_sum(list_transform(kept, x -> length(x))),
+                     0)::DOUBLE
+            / list_sum(list_transform(ls, x -> length(x))) >= 0.5
+            AND len(kept) > 0) AS keep
+    FROM k
+    """,
+)
+def line_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style line-wise correction: drop boilerplate lines
+    (bullet-start, ellipsis-end, fewer than 3 words) and keep the
+    document only if ≥50% of its characters survive — the
+    within-document cleanup that runs BEFORE corpus-level dedup. Pure
+    row-local array filtering; the cleaned text is rebuilt with
+    array_join, so nothing but the row itself is ever touched."""
+    docs = _t(spark, sf_dir, "documents")
+    s = _multiline_docs(docs).select(
+        "doc_id", Tx.doc_lines(F.col("t")).alias("ls")
+    )
+    s = s.filter(F.size("ls") > 0)
+    kept = F.filter(
+        F.col("ls"),
+        lambda x: ~(
+            x.startswith("-")
+            | x.startswith("*")
+            | x.startswith("•")
+            | x.endswith("...")
+            | (F.size(Tx.tokens(x)) < 3)
+        ),
+    )
+    k = s.select("doc_id", "ls", kept.alias("kept"))
+    lsum = F.aggregate(
+        F.transform(F.col("ls"), lambda x: F.length(x)),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    ksum = F.aggregate(
+        F.transform(F.col("kept"), lambda x: F.length(x)),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    frac = ksum.cast("double") / lsum
+    return k.select(
+        "doc_id",
+        F.size("ls").cast("bigint").alias("n_lines"),
+        F.size("kept").cast("bigint").alias("n_kept"),
+        F.round(frac, 6).alias("retained_char_frac"),
+        F.array_join("kept", "\n").alias("cleaned"),
+        ((frac >= 0.5) & (F.size("kept") > 0)).alias("keep"),
+    )
+
+
+@register(
+    "top_2gram_coverage",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    tt AS (
+      SELECT doc_id, w,
+             list_sum(list_transform(w, x -> length(x))) AS word_chars
+      FROM t WHERE len(w) >= 2
+    ),
+    g AS (
+      SELECT doc_id, word_chars, array_to_string(w[i:i+1], ' ') AS gram
+      FROM tt, unnest(generate_series(1, len(w) - 1)) AS u(i)
+    ),
+    c AS (
+      SELECT doc_id, word_chars, gram, count(*) AS n_occurrences
+      FROM g GROUP BY doc_id, word_chars, gram
+    ),
+    r AS (
+      SELECT doc_id, word_chars, gram, n_occurrences,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY n_occurrences DESC, gram ASC) AS rn
+      FROM c
+    )
+    SELECT doc_id, gram AS top_gram, n_occurrences,
+           round(n_occurrences * (length(gram) - 1)::DOUBLE / word_chars, 6)
+             AS top_2gram_char_frac,
+           round(n_occurrences * (length(gram) - 1)::DOUBLE / word_chars, 6)
+             < 0.2 AS keep
+    FROM r WHERE rn = 1
+    """,
+)
+def top_2gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's top-n-gram coverage rule (n=2, threshold 0.20): the
+    fraction of word characters inside occurrences of the document's
+    MOST FREQUENT word 2-gram. Unlike the dup-3-gram fraction this
+    needs a per-doc mode, so the plan is explode → partial-combined
+    groupBy (doc_id, gram) → per-doc row_number window — one shuffle
+    whose rows are (id, short gram, count); ties broken (count desc,
+    gram asc) for a total order. 100 TB: grams are doc-local keys, so
+    the shuffle is skew-free by construction (no global hot key — the
+    partition key includes doc_id)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", Tx.tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= 2
+    )
+    w = F.col("w")
+    staged = toks.select(
+        "doc_id",
+        F.aggregate(
+            F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        ).alias("word_chars"),
+        F.transform(
+            Tx.window_starts(F.size(w), 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1)
+            ),
+        ).alias("grams"),
+    )
+    exploded = staged.select(
+        "doc_id", "word_chars", F.explode("grams").alias("gram")
+    )
+    counts = exploded.groupBy("doc_id", "word_chars", "gram").agg(
+        F.count("*").alias("n_occurrences")
+    )
+    wdw = Window.partitionBy("doc_id").orderBy(
+        F.col("n_occurrences").desc(), F.col("gram").asc()
+    )
+    top = counts.withColumn("rn", F.row_number().over(wdw)).filter(
+        F.col("rn") == 1
+    )
+    cov = F.round(
+        F.col("n_occurrences")
+        * (F.length(F.col("gram")) - 1).cast("double")
+        / F.col("word_chars"),
+        6,
+    )
+    return top.select(
+        "doc_id",
+        F.col("gram").alias("top_gram"),
+        "n_occurrences",
+        cov.alias("top_2gram_char_frac"),
+        (cov < 0.2).alias("keep"),
+    )
+
+
+@register(
+    "corpus_datacard",
+    f"""
+    WITH q AS ({{QUALITY}}),
+    d AS (
+      SELECT doc_id, lang, source, n_chars,
+             len({_WORDS_SQL}) AS tok,
+             {_fp_sql('text')} AS fp
+      FROM documents)
+    SELECT d.lang, d.source,
+           count(*) AS n_docs,
+           count(DISTINCT fp) AS n_unique,
+           CAST(sum(tok) AS BIGINT) AS total_tokens,
+           round(sum(tok)::DOUBLE / count(*), 6) AS avg_tokens,
+           round(sum(CAST(round(q.quality * 1000000.0, 0) AS BIGINT))
+                 / count(*) / 1000000.0, 6) AS avg_quality,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM d JOIN q USING (doc_id)
+    GROUP BY d.lang, d.source
+    """,
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card statistics report — the per-(lang, source) corpus
+    summary a training run publishes: doc counts, exact-dup-aware
+    unique counts, token totals, and quality averages. Determinism
+    across engines via the integer micro-score freeze (quality × 1e6
+    rounded to a bigint BEFORE the sum, so the aggregate is exact
+    integer arithmetic, not order-dependent float addition). One
+    partial-combined groupBy; the countDistinct is over 32-byte
+    fingerprints, never text."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        Tx.token_count(F.col("text")).alias("tok"),
+        Tx.fingerprint(F.col("text")).alias("fp"),
+        F.round(Tx.quality_score(F.col("text")) * 1000000.0, 0)
+        .cast("bigint")
+        .alias("qmicro"),
+    )
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.sum("tok").cast("bigint").alias("total_tokens"),
+        F.round(F.sum("tok").cast("double") / F.count("*"), 6).alias(
+            "avg_tokens"
+        ),
+        F.round(F.sum("qmicro") / F.count("*") / 1000000.0, 6).alias(
+            "avg_quality"
+        ),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+ORACLES["corpus_datacard"] = ORACLES["corpus_datacard"].replace(
+    "{QUALITY}", ORACLES["quality_scores"]
+)
+
+
+
 # ===========================================================================
 # 4. Dedup & similarity (training-pipeline extensions)
 # ===========================================================================

@@ -459,6 +459,40 @@ def test_sequence_packing_single_shard_shuffle(spark):
     assert "SinglePartition" not in plan, plan
 
 
+def test_repetition_battery_no_shuffle(spark):
+    """The Gopher repetition signals and the RefinedWeb line-quality
+    filter are row-local array expressions — single scan, zero
+    Exchange at any corpus size."""
+    for name in ("repetition_signals", "line_quality_filter"):
+        df = QUERIES[name](spark, SF_ORACLE)
+        plan = _plan(df)
+        assert "Exchange" not in plan, (name, plan)
+
+
+def test_top_2gram_two_exchange_shape(spark):
+    """Top-2-gram coverage needs a per-doc mode: exactly one partial-
+    combined groupBy exchange on (doc, gram) plus one window exchange
+    on doc — never a SinglePartition funnel (the partition key always
+    contains doc_id, so the shuffle is skew-free by construction)."""
+    df = QUERIES["top_2gram_coverage"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("HashAggregate") == 2, plan  # partial + final
+
+
+def test_corpus_datacard_partial_agg(spark):
+    """The data-card report is one distinct-expand aggregate: two
+    hash exchanges (distinct rewrite), partial aggregation below each,
+    and no SinglePartition — the (lang, source) key space is small but
+    the plan never funnels rows to one task."""
+    df = QUERIES["corpus_datacard"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+
+
 def test_adaptive_lsh_knobs_preserve_oracle_constants():
     """The corpus-size-adaptive LSH knobs must land EXACTLY on the
     constants baked into the SQL oracles at the driver-checked scale
