@@ -479,3 +479,111 @@ def filter_blocked_domains(
             "left_anti",
         )
     return out.drop("_host", "_rdom")
+
+
+# ---------------------------------------------------------------------------
+# tf-idf keyword extraction & Unicode-script profiling (training-pipeline
+# extensions — corpus indexing / multilingual routing stages)
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    docs,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document top-k terms by tf-idf — the keyword-extraction /
+    corpus-indexing stage (domain tagging, dedup-cluster naming,
+    search-index bootstrapping). idf(t) = ln((N + 1)/(df + 1)); each
+    (doc, term) score FREEZES to an integer micro-score before ranking
+    (the bm25 determinism rule), and the rank carries a
+    (score desc, term asc) total order.
+
+    100 TB shape: tf = one partial-combined groupBy on (doc, term);
+    df = a COUNT WINDOW over the already-unique tf relation partitioned
+    by term — not a groupBy + self-join, which would recompute the
+    whole token explode for the second branch (Spark shares no
+    subtrees) and double the dominant stage; N is a 1-row aggregate
+    broadcast back via crossJoin; the final top-k is a per-doc window.
+    Three hash exchanges total (doc+term, term, doc) — every partition
+    key contains the term or the doc id, so no single hot key exists
+    by construction.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.crossJoin(n_docs).select(
+        id_col,
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf")
+            * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("score_micro"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "score_micro",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+# Script character classes as LITERAL code-point ranges (not \p{...}
+# properties and not \uXXXX escapes): Java spells properties
+# \p{IsLatin} where RE2 wants \p{Latin}, and RE2 rejects \uXXXX
+# entirely — literal characters inside a class are the only spelling
+# both engines read identically, and they also dodge Unicode-version
+# drift between the JVM and RE2.
+SCRIPT_RANGES = {
+    "latin": f"A-Za-z{chr(0xC0)}-{chr(0x24F)}",
+    "cyrillic": f"{chr(0x400)}-{chr(0x4FF)}",
+    "han": f"{chr(0x4E00)}-{chr(0x9FFF)}",
+    "arabic": f"{chr(0x600)}-{chr(0x6FF)}",
+}
+
+
+def script_counts(text: Column) -> dict[str, Column]:
+    """Characters per Unicode script (explicit code-point ranges) —
+    the multilingual routing signal: language-ID above is marker-word
+    based and Latin-biased; script counts catch what it can't."""
+    return {
+        name: F.length(
+            F.regexp_replace(text, f"[^{rng}]", "")
+        )
+        for name, rng in SCRIPT_RANGES.items()
+    }
+
+
+def dominant_script(counts: dict[str, Column]) -> Column:
+    """Argmax script with a FIXED precedence on ties
+    (latin > cyrillic > han > arabic — the dict order), so the result
+    is deterministic and oracle-expressible as a CASE chain."""
+    m = F.greatest(*counts.values())
+    out = None
+    names = list(counts)
+    for name in names[:-1]:
+        cond = counts[name] == m
+        out = F.when(cond, F.lit(name)) if out is None else out.when(cond, F.lit(name))
+    return out.otherwise(F.lit(names[-1]))

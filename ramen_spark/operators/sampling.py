@@ -403,3 +403,52 @@ def training_order(
         )
         .withColumn("pos", F.row_number().over(w))
     )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    cap: int,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-preserving selection: cap each semantic cell (a
+    k-means cell over the embedding space — the SemDeDup/DataComp
+    clustering prior) at ``cap`` members, picked by deterministic
+    md5(id, seed) rank. Where temperature_mix re-weights by a LABELED
+    group (lang, source), this balances by CONTENT — the defense
+    against a crawl where one topic dominates the corpus.
+
+    100 TB shape: cell assignment is a row-local argmax over broadcast
+    centroid literals (zero shuffle, identical to the IVF probe);
+    the cap is one hash exchange on the cell id + a per-cell window.
+    Cell count should grow with the corpus (similarity.auto_n_cells)
+    so cells stay ~uniform; a fixed tiny k would make each cell a hot
+    shuffle key.
+
+    Output: (id, cell, cell_size, pick_rank ≤ cap) — deterministic:
+    a new seed is a new sample, a re-executed partition reproduces
+    its picks (the module's contract).
+    """
+    from ramen_spark.operators.similarity import _nearest_cell
+
+    assigned = emb.select(
+        F.col(id_col),
+        _nearest_cell(F.col(vec_col).cast("array<double>"), centroids).alias(
+            "cell"
+        ),
+        F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit(f"#{int(seed)}"))
+        ).alias("_rk"),
+    )
+    w = Window.partitionBy("cell").orderBy("_rk", id_col)
+    sized = assigned.withColumn(
+        "cell_size", F.count(F.lit(1)).over(Window.partitionBy("cell"))
+    ).withColumn("pick_rank", F.row_number().over(w))
+    return sized.filter(F.col("pick_rank") <= int(cap)).select(
+        id_col,
+        "cell",
+        F.col("cell_size").cast("bigint").alias("cell_size"),
+        F.col("pick_rank").cast("int").alias("pick_rank"),
+    )

@@ -1485,6 +1485,159 @@ ORACLES["corpus_datacard"] = ORACLES["corpus_datacard"].replace(
 )
 
 
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             CAST(round(tf * ln((n_docs + 1.0) / (df + 1.0))
+                        * 1000000.0, 0) AS BIGINT) AS score_micro
+      FROM tf JOIN dft USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score_micro, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_micro DESC, term ASC) AS rn
+      FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf (functions.text.
+    tfidf_top_terms) — the keyword-extraction / corpus-indexing stage.
+    Integer micro-score freeze before ranking (the bm25 rule); rank
+    total-ordered (score desc, term asc)."""
+    docs = _t(spark, sf_dir, "documents")
+    return Tx.tfidf_top_terms(docs, k=3)
+
+
+@register(
+    "cluster_balanced_sample",
+    """
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell,
+             list_transform(v, x -> x / nullif(nrm, 0.0)) AS cv
+      FROM vecs
+      WHERE len(list_filter(list_transform(v, x -> x / nullif(nrm, 0.0)),
+                            x -> x IS NULL)) = 0
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
+    ),
+    ccell AS (
+      SELECT vec_id, cell FROM (
+        SELECT vecs.vec_id, cents.cell, row_number() OVER (
+          PARTITION BY vecs.vec_id
+          ORDER BY list_dot_product(cv, v) DESC NULLS LAST, cell ASC) AS rk
+        FROM vecs CROSS JOIN cents
+      ) WHERE rk = 1
+    ),
+    picks AS (
+      SELECT vec_id, cell,
+             count(*) OVER (PARTITION BY cell) AS cell_size,
+             row_number() OVER (
+               PARTITION BY cell
+               ORDER BY md5(CAST(vec_id AS VARCHAR) || '#1'), vec_id
+             ) AS pick_rank
+      FROM ccell
+    )
+    SELECT vec_id, cell, cell_size, CAST(pick_rank AS INTEGER) AS pick_rank
+    FROM picks WHERE pick_rank <= 40
+    """,
+)
+def cluster_balanced_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-preserving selection (operators.sampling.
+    cluster_balanced_sample): cap each md5-seeded k-means cell at 40
+    members by deterministic hash rank — balancing by CONTENT where
+    temperature_mix balances by label. Cell assignment is a row-local
+    argmax over broadcast centroid literals; the cap is one hash
+    exchange + per-cell window."""
+    from ramen_spark.operators.sampling import cluster_balanced_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = Sim.kmeans_fit(emb, n_cells=8, iters=0)
+    return cluster_balanced_sample(emb, cents, cap=40, seed=1)
+
+
+# Planted non-Latin blocks (repeated so the planted script OUTWEIGHS the
+# Latin base text and flips the argmax — the dominance rule is exercised,
+# not vacuous). Shared constants build BOTH engine expressions.
+_SCRIPT_AUG = {
+    0: ("привет мир это тест ", 12),
+    1: ("你好世界测试 ", 30),
+    2: ("مرحبا بالعالم ", 15),
+}
+
+
+def _script_profile_sql() -> str:
+    from ramen_spark.functions.text import SCRIPT_RANGES
+
+    aug = " || ".join(
+        f"CASE WHEN doc_id % 6 = {k} THEN repeat('{s}', {n}) ELSE '' END"
+        for k, (s, n) in _SCRIPT_AUG.items()
+    )
+    counts = ",\n           ".join(
+        f"length(regexp_replace(t, '[^{rng}]', '', 'g')) AS n_{name}"
+        for name, rng in SCRIPT_RANGES.items()
+    )
+    names = list(SCRIPT_RANGES)
+    dom = " ".join(
+        f"WHEN n_{name} = m THEN '{name}'" for name in names[:-1]
+    )
+    return f"""
+    WITH aug AS (SELECT doc_id, text || ' ' || {aug} AS t FROM documents),
+    c AS (
+      SELECT doc_id,
+           {counts}
+      FROM aug
+    ),
+    g AS (SELECT *, greatest(n_latin, n_cyrillic, n_han, n_arabic) AS m FROM c)
+    SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic,
+           CASE {dom} ELSE '{names[-1]}' END AS dominant
+    FROM g
+    """
+
+
+@register("script_profile", _script_profile_sql())
+def script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script profiling (functions.text.script_counts /
+    dominant_script) — the multilingual routing signal the marker-word
+    language ID can't provide for non-Latin scripts. Literal
+    code-point ranges (the Java∩RE2 portable spelling); non-Latin
+    blocks are planted by doc_id so the argmax actually flips. All
+    row-local JVM regexes — zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    aug_col = F.concat(
+        F.col("text"),
+        F.lit(" "),
+        *[
+            F.when(
+                F.col("doc_id") % 6 == k, F.repeat(F.lit(s), n)
+            ).otherwise(F.lit(""))
+            for k, (s, n) in _SCRIPT_AUG.items()
+        ],
+    )
+    aug = docs.select("doc_id", aug_col.alias("t"))
+    counts = Tx.script_counts(F.col("t"))
+    dom = Tx.dominant_script(counts)
+    return aug.select(
+        "doc_id",
+        *[counts[name].alias(f"n_{name}") for name in counts],
+        dom.alias("dominant"),
+    )
+
+
 
 # ===========================================================================
 # 4. Dedup & similarity (training-pipeline extensions)

@@ -493,6 +493,35 @@ def test_corpus_datacard_partial_agg(spark):
     assert plan.count("HashAggregate") >= 4, plan
 
 
+def test_tfidf_three_exchange_shape(spark):
+    """tf-idf: groupBy (doc, term) + df window on term + rank window
+    on doc = exactly three hash exchanges; the only SinglePartition is
+    the 1-row corpus-count aggregate (bounded), and there is no
+    term-keyed self-join recomputing the token explode."""
+    df = QUERIES["tfidf_top_terms"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert plan.count("SinglePartition") <= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_cluster_balanced_sample_single_exchange(spark):
+    """Cluster-balanced sampling: cell assignment is a row-local
+    argmax over centroid literals, so the ONLY exchange is the
+    per-cell cap window."""
+    df = QUERIES["cluster_balanced_sample"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_script_profile_no_shuffle(spark):
+    """Script profiling is row-local regex counting — zero Exchange."""
+    df = QUERIES["script_profile"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+
+
 def test_adaptive_lsh_knobs_preserve_oracle_constants():
     """The corpus-size-adaptive LSH knobs must land EXACTLY on the
     constants baked into the SQL oracles at the driver-checked scale
