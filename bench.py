@@ -263,6 +263,8 @@ def main() -> None:
             "semantic_dedup_exact_arrow",  # exact scan, BLAS engine
             "ccnet_perplexity_buckets",  # hashed-bigram LM strata
             "prepare_training_corpus",  # the composed 6-stage pipeline
+            "tfidf_top_terms",       # r8: df window over the tf relation
+            "top_2gram_coverage",    # r8: per-doc mode via (doc,gram) agg
         ]
         try:
             from tools.scale_testdata import scale, tier_is_current
@@ -328,6 +330,7 @@ def main() -> None:
             "ccnet_perplexity_buckets",  # 90%-hot language tertile window
             "semantic_dedup_lsh",       # hot buckets × keep-priority join
             "semantic_dedup_exact_arrow",  # hot CELLS: density-adaptive seeds
+            "tfidf_top_terms",          # r8: Zipf head term → hot df window
         ]
         try:
             from tools.scale_testdata import (

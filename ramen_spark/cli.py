@@ -349,6 +349,48 @@ def cmd_ingest_warc(args) -> int:
     return 0
 
 
+def cmd_datacard(args) -> int:
+    """Per-(lang, source) corpus statistics report over a documents
+    parquet table — the data card a training run publishes
+    (queries.corpus_datacard, pointed at an arbitrary table)."""
+    from ramen_spark.session import get_spark
+
+    spark = get_spark("ramen_cli")
+    from ramen_spark.queries import QUERIES
+
+    out = QUERIES["corpus_datacard"](spark, args.dir)
+    rows = out.orderBy("lang", "source").collect()
+    hdr = out.columns
+    print("\t".join(hdr))
+    for r in rows:
+        print("\t".join(str(r[c]) for c in hdr))
+    return 0
+
+
+def cmd_corpus_diff(args) -> int:
+    """Snapshot diff between two documents parquet tables: which docs
+    were added/removed/changed (operators.dedup.corpus_diff) — the
+    audit a pipeline runs before retraining on a re-crawl."""
+    from ramen_spark.operators.dedup import corpus_diff
+    from ramen_spark.session import get_spark
+
+    spark = get_spark("ramen_cli")
+    old = spark.read.parquet(args.old)
+    new = spark.read.parquet(args.new)
+    diff = corpus_diff(old, new)
+    if args.out:
+        diff.write.mode("overwrite").parquet(args.out)
+    from pyspark.sql import functions as F
+
+    counts = {
+        r["status"]: r["n"]
+        for r in diff.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    for status in ("added", "removed", "changed"):
+        print(f"{status}\t{counts.get(status, 0)}")
+    return 0
+
+
 def cmd_httpd(args) -> int:
     from ramen_spark.httpd import serve
     from ramen_spark.session import get_spark
@@ -495,6 +537,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("path", help="WARC file, glob, or directory")
     p.add_argument("out", help="output parquet directory")
     p.set_defaults(fn=cmd_ingest_warc)
+
+    p = sub.add_parser(
+        "datacard", help="per-(lang, source) corpus statistics report"
+    )
+    p.add_argument("dir", help="directory containing documents.parquet")
+    p.set_defaults(fn=cmd_datacard)
+
+    p = sub.add_parser(
+        "corpus-diff",
+        help="added/removed/changed docs between two snapshots",
+    )
+    p.add_argument("old", help="previous snapshot parquet")
+    p.add_argument("new", help="next snapshot parquet")
+    p.add_argument("--out", default=None, help="write the delta parquet here")
+    p.set_defaults(fn=cmd_corpus_diff)
 
     p = sub.add_parser(
         "archivist",

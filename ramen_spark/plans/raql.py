@@ -374,6 +374,7 @@ def _fn_registry() -> dict[str, Any]:
         "redact_pii": lambda a: Tx.redact_pii(a),
         "url_host": lambda a: Tx.url_host(a),
         "registrable_domain": lambda a: Tx.registrable_domain(a),
+        "dominant_script": lambda a: Tx.dominant_script(Tx.script_counts(a)),
     }
 
 
@@ -5798,6 +5799,7 @@ def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> 
             "redact_pii",
             "url_host",
             "registrable_domain",
+            "dominant_script",
         ):
             return "string"
         if fn in ("token_count", "bpe_token_count"):

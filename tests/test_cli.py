@@ -235,3 +235,31 @@ def test_cli_ingest_warc(spark, tmp_path, capsys):
     row = spark.read.parquet(out).collect()[0]
     assert row["text"] == "cli crawl text"
     assert row["source"] == "http://cli.test/"
+
+
+def test_cli_datacard(spark, capsys):
+    """`ramen datacard <dir>`: per-(lang, source) report to stdout."""
+    assert main(["datacard", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    hdr = out[0].split("\t")
+    assert hdr[:4] == ["lang", "source", "n_docs", "n_unique"]
+    assert len(out) > 1  # at least one (lang, source) group
+
+
+def test_cli_corpus_diff(spark, tmp_path, capsys):
+    """`ramen corpus-diff old new --out d`: status counts on stdout,
+    delta parquet written."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old_p, new_p = str(tmp_path / "old"), str(tmp_path / "new")
+    docs.filter("doc_id % 2 = 0").write.parquet(old_p)
+    docs.filter("doc_id % 3 = 0").write.parquet(new_p)
+    out_p = str(tmp_path / "delta")
+    assert main(["corpus-diff", old_p, new_p, "--out", out_p]) == 0
+    lines = dict(
+        ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()
+    )
+    assert set(lines) == {"added", "removed", "changed"}
+    assert int(lines["added"]) > 0 and int(lines["removed"]) > 0
+    assert int(lines["changed"]) == 0  # same text both sides
+    delta = spark.read.parquet(out_p)
+    assert delta.count() == int(lines["added"]) + int(lines["removed"])

@@ -580,6 +580,27 @@ def test_text_pipeline_scalars_in_raql(spark):
     )
 
 
+def test_dominant_script_in_raql(spark):
+    """DOMINANT_SCRIPT composes in RaQL like any stateless scalar and
+    matches the functions.text builder."""
+    import ramen_spark.functions.text as Tx
+
+    docs = spark.createDataFrame(
+        [(1, "hello world plain latin text"), (2, "привет мир это тест")],
+        ["doc_id", "text"],
+    )
+    out = compile_operation(
+        "SELECT doc_id, DOMINANT_SCRIPT text AS script", docs
+    )
+    rows = {r["doc_id"]: r["script"] for r in out.collect()}
+    assert rows == {1: "latin", 2: "cyrillic"}
+    exp = docs.select(
+        "doc_id",
+        Tx.dominant_script(Tx.script_counts(F.col("text"))).alias("s"),
+    ).collect()
+    assert {r["doc_id"]: r["s"] for r in exp} == rows
+
+
 def test_curation_scalars_in_raql(spark):
     """Round-8 curation scalars in the dialect: REDACT_PII and
     URL_HOST / REGISTRABLE_DOMAIN compose in RaQL select/where like
