@@ -492,7 +492,7 @@ def tfidf_top_terms(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    df_via_join: bool = False,
+    df_via_join: bool = True,
 ):
     """Per-document top-k terms by tf-idf — the keyword-extraction /
     corpus-indexing stage (domain tagging, dedup-cluster naming,
@@ -502,24 +502,23 @@ def tfidf_top_terms(
     (score desc, term asc) total order.
 
     100 TB shape: tf = one partial-combined groupBy on (doc, term);
-    df = a COUNT WINDOW over the already-unique tf relation partitioned
-    by term — not a groupBy + self-join, which would recompute the
-    whole token explode for the second branch (Spark shares no
-    subtrees) and double the dominant stage; N is a 1-row aggregate
-    broadcast back via crossJoin; the final top-k is a per-doc window.
-    Three hash exchanges total (doc+term, term, doc).
+    the default df path (df_via_join=True) localCheckpoints the tf
+    relation (so the token explode is NOT recomputed for the df
+    branch — Spark shares no subtrees), partial-combine aggregates df
+    by term, and re-attaches it with an AQE skew-handled equi-join;
+    N is a 1-row aggregate broadcast back via crossJoin; the final
+    top-k is a per-doc window.
 
-    The df window's one caveat: a term present in EVERY document puts
-    one row per doc in a single window partition — fine at the
-    measured tiers (adversarial-skew 100×, Zipf head term in 100% of
-    600 k docs: 9.1 s, zero spill), a cliff at billions of docs.
-    ``df_via_join=True`` is the skew-proof form for that regime: it
-    localCheckpoints the tf relation (so the token explode is NOT
-    recomputed for the df branch — Spark shares no subtrees), then
-    partial-combine aggregates df and re-attaches it with an AQE
-    skew-handled equi-join. Measured A/B on the skew tier: 9.7 s vs
-    9.1 s — equal until the single-task cliff actually bites, which
-    is why the lazy window stays the default.
+    df_via_join=False is the lazy single-plan alternative — df as a
+    COUNT WINDOW over the tf relation partitioned by term. Measured
+    A/B at the 100× tiers (min-of-2): join 5.5 s vs window 8.5 s on
+    the uniform corpus, and 9.4 s vs 13.2 s on the adversarial-skew
+    tier — the window loses everywhere because a window does no
+    partial aggregation (every row of a hot term lands in ONE task;
+    a term in every document makes that task O(n_docs) — a cliff at
+    billions of docs), which is why the skew-proof join form is the
+    default despite its eager materialization. Equality pinned by
+    test_tfidf_df_via_join_equals_window.
     """
     from pyspark.sql import Window
 
@@ -603,3 +602,53 @@ def dominant_script(counts: dict[str, Column]) -> Column:
         cond = counts[name] == m
         out = F.when(cond, F.lit(name)) if out is None else out.when(cond, F.lit(name))
     return out.otherwise(F.lit(names[-1]))
+
+
+# Code-point bounds per script, numerically (for the Arrow engine —
+# MUST stay in lockstep with SCRIPT_RANGES above).
+_SCRIPT_BOUNDS = {
+    "latin": ((65, 90), (97, 122), (0xC0, 0x24F)),
+    "cyrillic": ((0x400, 0x4FF),),
+    "han": ((0x4E00, 0x9FFF),),
+    "arabic": ((0x600, 0x6FF),),
+}
+
+
+def script_counts_arrow(text: Column) -> Column:
+    """Arrow engine for script_counts: ONE pass over the code points
+    (utf-32 decode + vectorized numpy range masks) instead of four
+    JVM regex scans per document → array<bigint> of per-script counts
+    in SCRIPT_RANGES order.
+
+    Same SCALE §4d lesson as the SemDeDup Arrow engine, measured at
+    the true 100× tier (500 k docs): the 4-regex JVM form costs
+    49.1 s (each regexp_replace is a full regex-engine pass over the
+    document); this engine does the identical counting arithmetic in
+    one numpy pass. Counts are INTEGERS, so unlike the BLAS engine
+    the results are bit-identical to the JVM form (equality-pinned by
+    test_script_counts_arrow_equals_jvm) and the DuckDB oracle still
+    verifies the same values."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bounds = tuple(_SCRIPT_BOUNDS[name] for name in SCRIPT_RANGES)
+
+    def _count(s):
+        out = []
+        for x in s:
+            if not x:
+                out.append([0] * len(bounds))
+                continue
+            cp = np.frombuffer(x.encode("utf-32-le"), dtype=np.uint32)
+            row = []
+            for rngs in bounds:
+                m = np.zeros(len(cp), dtype=bool)
+                for lo, hi in rngs:
+                    m |= (cp >= lo) & (cp <= hi)
+                row.append(int(m.sum()))
+            out.append(row)
+        return pd.Series(out)
+
+    _count.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_count, "array<bigint>")(text)

@@ -493,14 +493,19 @@ def test_corpus_datacard_partial_agg(spark):
     assert plan.count("HashAggregate") >= 4, plan
 
 
-def test_tfidf_three_exchange_shape(spark):
-    """tf-idf: groupBy (doc, term) + df window on term + rank window
-    on doc = exactly three hash exchanges; the only SinglePartition is
-    the 1-row corpus-count aggregate (bounded), and there is no
-    term-keyed self-join recomputing the token explode."""
+def test_tfidf_exchange_shape(spark):
+    """tf-idf default (df_via_join): the tf relation is checkpointed
+    (the (doc, term) groupBy runs once, outside this plan — the token
+    explode is never recomputed for the df branch), leaving exactly
+    two hash exchanges here: the partial-combined df aggregate on term
+    and the per-doc rank window. The only SinglePartition is the 1-row
+    corpus-count aggregate. A/B'd vs the lazy df-window form at both
+    100× tiers (SCALE §4f): 5.5 s vs 8.5 s uniform, 9.4 s vs 13.2 s
+    skew — windows do no partial aggregation, so a hot term is one
+    O(n_docs) task."""
     df = QUERIES["tfidf_top_terms"](spark, SF_ORACLE)
     plan = _plan(df)
-    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
     assert plan.count("SinglePartition") <= 1, plan
     assert "SortMergeJoin" not in plan, plan
 
@@ -516,10 +521,13 @@ def test_cluster_balanced_sample_single_exchange(spark):
 
 
 def test_script_profile_no_shuffle(spark):
-    """Script profiling is row-local regex counting — zero Exchange."""
+    """Script profiling is row-local — zero Exchange; the counting
+    runs in ONE Arrow stage (code-point masks), not four JVM regex
+    passes (A/B in SCALE §4f: 4.4 s vs 42.3 s at the 100× tier)."""
     df = QUERIES["script_profile"](spark, SF_ORACLE)
     plan = _plan(df)
     assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
 
 
 def test_adaptive_lsh_knobs_preserve_oracle_constants():

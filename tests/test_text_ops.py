@@ -17,3 +17,40 @@ def test_tfidf_df_via_join_equals_window(spark):
         for r in tfidf_top_terms(docs, k=3, df_via_join=True).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_script_counts_arrow_equals_jvm(spark):
+    """The Arrow script-count engine must be bit-identical to the four
+    JVM regex counts (integers — unlike the BLAS engine there is no
+    accumulation-order caveat), including empty and non-BMP-free
+    unicode rows."""
+    from ramen_spark.functions.text import (
+        SCRIPT_RANGES,
+        script_counts,
+        script_counts_arrow,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "hello world ABC xyz"),
+        (2, "привет мир"),
+        (3, "你好世界 test"),
+        (4, "مرحبا بالعالم"),
+        (5, ""),
+        (6, "mixed: abc привет 你好 مرحبا 123 !?"),
+        (7, "Àéîõü ǍǏ"),  # Latin-1 supplement / extended
+    ]
+    docs = spark.createDataFrame(rows, ["id", "t"])
+    jvm = docs.select(
+        "id",
+        *[
+            script_counts(F.col("t"))[n].alias(n)
+            for n in SCRIPT_RANGES
+        ],
+    ).collect()
+    arrow = docs.select(
+        "id", script_counts_arrow(F.col("t")).alias("c")
+    ).collect()
+    a = {r["id"]: list(r["c"]) for r in arrow}
+    j = {r["id"]: [r[n] for n in SCRIPT_RANGES] for r in jvm}
+    assert a == j
