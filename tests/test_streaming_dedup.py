@@ -355,3 +355,67 @@ def test_trained_scorer_streams_rowlocal(spark, tmp_path):
         for r in spark.read.parquet(str(out)).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_streaming_curation_equals_batch(spark, tmp_path):
+    """The composed curation stage (PII redact → blocklist →
+    line-quality correction → repetition gate) is stateless, so the
+    3-micro-batch stream must equal the batch run row-for-row —
+    including docs DROPPED by the blocklist and the gates."""
+    from ramen_spark.catalog import load_table
+    from ramen_spark.streaming.curation import curate, curation_stream
+
+    docs = (
+        load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "text", "source")
+        .withColumn(
+            "url",
+            F.concat(
+                F.lit("https://w."),
+                F.col("source"),
+                F.lit(".test/p"),
+            ),
+        )
+        # plant multi-line structure + boilerplate so the gates bite
+        .withColumn(
+            "text",
+            F.concat(
+                F.replace(F.col("text"), F.lit(" a "), F.lit("\n")),
+                F.when(
+                    F.col("doc_id") % 4 == 0,
+                    F.lit("\n- nav\n- nav\nmail x@y.test"),
+                ).otherwise(F.lit("")),
+            ),
+        )
+    )
+    bl = ["src2.test"]
+    exp = {
+        tuple(r)
+        for r in curate(docs, blocklist=bl, url_col="url").collect()
+    }
+    assert 0 < len(exp) < docs.count()  # both gates and survivors real
+
+    src = tmp_path / "src"
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/b*")
+    )
+    out = tmp_path / "curated"
+    q = curation_stream(
+        stream,
+        str(out),
+        str(tmp_path / "ckpt"),
+        blocklist=bl,
+        url_col="url",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.read.parquet(str(out)).collect()}
+    assert got == exp
