@@ -1113,10 +1113,14 @@ _ML_AUG_SQL = """
       FROM documents
 """
 
-_LINES_SQL = (
-    "list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),"
-    " x -> x <> '')"
-)
+def _lines_sql(col: str) -> str:
+    return (
+        f"list_filter(list_transform(string_split({col}, chr(10)),"
+        " x -> trim(x)), x -> x <> '')"
+    )
+
+
+_LINES_SQL = _lines_sql("t")
 _T_WORDS_SQL = r"list_filter(regexp_split_to_array(trim(t), '\s+'), x -> x <> '')"
 
 _LINE_DROP_SQL = (
@@ -1127,10 +1131,12 @@ _LINE_DROP_SQL = (
 )
 
 
-def _multiline_docs(docs: DataFrame) -> DataFrame:
-    """The Spark twin of _ML_AUG_SQL — (doc_id, t) with planted lines."""
+def _multiline_docs(docs: DataFrame, extra: dict | None = None) -> DataFrame:
+    """The Spark twin of _ML_AUG_SQL — (doc_id, t) with planted lines.
+    ``extra`` appends additional aliased column expressions."""
     return docs.select(
         "doc_id",
+        *[c.alias(n) for n, c in (extra or {}).items()],
         F.concat(
             F.replace(F.col("text"), F.lit(" a "), F.lit("\n")),
             F.when(
@@ -1644,6 +1650,130 @@ def script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *[counts[name].cast("bigint").alias(f"n_{name}") for name in names],
         dom.alias("dominant"),
+    )
+
+
+
+def _pii_chain_sql(expr: str) -> str:
+    from ramen_spark.functions.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
+
+    red = expr
+    for pat, tok in (
+        (PII_EMAIL_RE, "<EMAIL>"),
+        (PII_IPV4_RE, "<IP>"),
+        (PII_PHONE_RE, "<PHONE>"),
+    ):
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    return red
+
+
+def _curated_corpus_sql() -> str:
+    from ramen_spark.functions.text import REG_DOMAIN_RE, URL_HOST_RE
+
+    bl = ", ".join(f"'{d}'" for d in _BLOCKED_DOMAINS)
+    words_of = (
+        r"list_filter(regexp_split_to_array(trim(cleaned), '\s+'),"
+        " x -> x <> '')"
+    )
+    charsum = "list_sum(list_transform({0}, x -> length(x)))"
+    return f"""
+    WITH aug0 AS ({_ML_AUG_SQL}),
+    meta AS (
+      SELECT doc_id,
+             'https://sub' || CAST(doc_id % 3 AS VARCHAR) || '.' || source
+               || '.test/p' AS url
+      FROM documents),
+    inp AS (
+      SELECT aug0.doc_id,
+             aug0.t || chr(10) || 'contact u'
+               || CAST(aug0.doc_id AS VARCHAR)
+               || '@example.com from 10.0.0.'
+               || CAST(aug0.doc_id % 250 AS VARCHAR)
+               || ' please respond' AS raw,
+             meta.url
+      FROM aug0 JOIN meta USING (doc_id)),
+    unblocked AS (
+      SELECT doc_id, raw FROM (
+        SELECT doc_id, raw,
+               lower(regexp_extract(url, '{URL_HOST_RE}', 1)) AS host
+        FROM inp)
+      WHERE regexp_extract(host, '{REG_DOMAIN_RE}', 1) NOT IN ({bl})
+        AND host NOT IN ({bl})),
+    red AS (SELECT doc_id, {_pii_chain_sql('raw')} AS t FROM unblocked),
+    s AS (SELECT doc_id, {_LINES_SQL} AS ls FROM red),
+    k AS (
+      SELECT doc_id, ls,
+             list_filter(ls, x -> NOT ({_LINE_DROP_SQL})) AS kept
+      FROM s WHERE len(ls) > 0),
+    corrected AS (
+      SELECT doc_id,
+             len(ls) AS n_lines,
+             len(kept) AS n_kept,
+             round({charsum.format('kept')}::DOUBLE
+                   / {charsum.format('ls')}, 6) AS retained_char_frac,
+             array_to_string(kept, chr(10)) AS cleaned
+      FROM k WHERE len(kept) > 0),
+    gated AS (
+      SELECT * FROM corrected WHERE retained_char_frac >= 0.5),
+    g AS (
+      SELECT *, {_lines_sql('cleaned')} AS gl, {words_of} AS gw
+      FROM gated),
+    g2 AS (SELECT * FROM g WHERE len(gl) > 0 AND len(gw) > 0)
+    SELECT doc_id, cleaned, n_lines, n_kept, retained_char_frac
+    FROM g2
+    WHERE (1.0 - len(list_distinct(gl))::DOUBLE / len(gl)) < 0.3
+      AND (({charsum.format('gl')}
+            - {charsum.format('list_distinct(gl)')})::DOUBLE
+           / {charsum.format('gl')}) < 0.2
+      AND (((length(cleaned) - length(replace(cleaned, '#', '')))
+            + (length(cleaned) - length(replace(cleaned, '...', ''))) / 3)
+           / len(gw)) < 0.1
+      AND (len(list_filter(gw, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+           / len(gw)) > 0.8
+    """
+
+
+@register("curated_corpus", _curated_corpus_sql())
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The always-on curation lane's batch form, driver-checkable:
+    blocklist → PII redaction → line-quality correction → repetition
+    gate (streaming/curation.py:curate — the stream twin is
+    parity-pinned by test_streaming_curation_equals_batch). The
+    synthesis plants multi-line structure, boilerplate, AND a PII
+    contact line from table columns so every stage transforms real
+    rows in both engines."""
+    from ramen_spark.streaming.curation import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    inp = _multiline_docs(
+        docs,
+        extra={
+            "url": F.concat(
+                F.lit("https://sub"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit("."),
+                F.col("source"),
+                F.lit(".test/p"),
+            )
+        },
+    ).select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.col("t"),
+            F.lit("\ncontact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" please respond"),
+        ).alias("raw"),
+    )
+    return curate(
+        inp, blocklist=_BLOCKED_DOMAINS, url_col="url", text_col="raw"
     )
 
 
