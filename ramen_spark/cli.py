@@ -391,6 +391,25 @@ def cmd_corpus_diff(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Run the stateless curation stage (streaming/curation.py:curate
+    — PII redaction, optional domain blocklist, line-quality
+    correction, repetition gate) over a documents parquet table and
+    write the surviving cleaned docs."""
+    from ramen_spark.session import get_spark
+    from ramen_spark.streaming.curation import curate
+
+    spark = get_spark("ramen_cli")
+    docs = spark.read.parquet(args.path)
+    bl = args.block or []
+    url_col = args.url_col if bl else None
+    out = curate(docs, blocklist=bl, url_col=url_col)
+    out.write.mode("overwrite").parquet(args.out)
+    n_in, n_out = docs.count(), spark.read.parquet(args.out).count()
+    print(f"{args.out}: {n_out} of {n_in} documents survived curation")
+    return 0
+
+
 def cmd_httpd(args) -> int:
     from ramen_spark.httpd import serve
     from ramen_spark.session import get_spark
@@ -552,6 +571,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("new", help="next snapshot parquet")
     p.add_argument("--out", default=None, help="write the delta parquet here")
     p.set_defaults(fn=cmd_corpus_diff)
+
+    p = sub.add_parser(
+        "curate",
+        help="PII-redact, blocklist, line-correct and gate a corpus",
+    )
+    p.add_argument("path", help="documents parquet (doc_id, text[, url])")
+    p.add_argument("out", help="output parquet directory")
+    p.add_argument(
+        "--block", action="append", default=None,
+        help="blocked registrable domain (repeatable)",
+    )
+    p.add_argument("--url-col", default="url", help="URL column name")
+    p.set_defaults(fn=cmd_curate)
 
     p = sub.add_parser(
         "archivist",

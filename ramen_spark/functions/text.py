@@ -652,3 +652,89 @@ def script_counts_arrow(text: Column) -> Column:
 
     _count.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return pandas_udf(_count, "array<bigint>")(text)
+
+
+def build_keyword_index(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Offline inverted-index build — the production half of BM25
+    mining: curation pipelines query a corpus repeatedly (domain
+    bootstrapping, eval sourcing), and re-exploding the token stream
+    per query (bm25_topk's in-flight form) re-pays the dominant cost
+    every time. Returns (postings, stats):
+
+    - postings: (term, doc_id, tf, dl) — one row per distinct
+      (term, doc); at scale, WRITE THIS partitioned/bucketed by term
+      (sources/bucketed.py) so a query's isin() prunes to its terms'
+      buckets and the df/score joins are shuffle-free;
+    - stats: one row (n_docs, avgdl) — the corpus constants.
+
+    Scoring from the index is value-identical to the in-flight form
+    (test_bm25_from_index_equals_inflight): df(t) is the posting count
+    of t either way."""
+    toks = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_w")
+    ).select(
+        id_col,
+        F.size("_w").alias("dl"),
+        F.explode("_w").alias("term"),
+    )
+    postings = toks.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    stats = docs.select(token_count(F.col(text_col)).alias("_dl0")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("_dl0").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    return postings, stats
+
+
+def bm25_topk_from_index(
+    postings,
+    stats,
+    query_terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 top-k over a prebuilt keyword index (build_keyword_index):
+    identical Okapi scoring and integer micro-score determinism as
+    bm25_topk, but the per-query cost is an isin() prune of the
+    postings (partition-pruned when the index is stored
+    term-partitioned) instead of a full token explode."""
+    from pyspark.sql import Window
+
+    terms = [str(t) for t in query_terms]
+    hits = postings.filter(F.col("term").isin(terms))
+    df_t = hits.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    contrib = (
+        hits.join(df_t, "term")
+        .crossJoin(stats)
+        .select(
+            id_col,
+            F.round(
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("_df") + 0.5)
+                    / (F.col("_df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("_c"),
+        )
+    )
+    topk = (
+        contrib.groupBy(id_col)
+        .agg(F.sum("_c").cast("bigint").alias("score_micro"))
+        .orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+    return topk.withColumn("rank", F.row_number().over(w)).withColumn(
+        "score", F.round(F.col("score_micro").cast("double") / 1e6, 6)
+    )

@@ -4828,6 +4828,22 @@ def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bm25_from_index", ORACLES["bm25_keyword_topk"])
+def bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the PREBUILT inverted index (functions.text.
+    build_keyword_index + bm25_topk_from_index) — the production
+    repeated-mining shape: per-query cost is an isin() prune of the
+    postings (partition-pruned when the index is stored
+    term-partitioned), not a fresh token explode. Value-identical to
+    bm25_keyword_topk (same oracle; equality also pinned by
+    test_bm25_from_index_equals_inflight)."""
+    docs = _t(spark, sf_dir, "documents")
+    postings, stats = Tx.build_keyword_index(docs)
+    return Tx.bm25_topk_from_index(
+        postings, stats, ["spark", "merge", "window"], k=20
+    )
+
+
 def semantic_dedup_exact_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT SemDeDup on the Arrow engine
     (operators.similarity.semantic_dedup_arrow): the full within-cell

@@ -263,3 +263,21 @@ def test_cli_corpus_diff(spark, tmp_path, capsys):
     assert int(lines["changed"]) == 0  # same text both sides
     delta = spark.read.parquet(out_p)
     assert delta.count() == int(lines["added"]) + int(lines["removed"])
+
+
+def test_cli_curate(spark, tmp_path, capsys):
+    """`ramen curate <docs> <out>`: cleaned survivors written, count
+    line printed."""
+    src = str(tmp_path / "docs")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .write.parquet(src)
+    )
+    out = str(tmp_path / "curated")
+    assert main(["curate", src, out]) == 0
+    line = capsys.readouterr().out.strip()
+    assert "survived curation" in line
+    curated = spark.read.parquet(out)
+    assert curated.count() > 0
+    assert "cleaned" in curated.columns

@@ -54,3 +54,31 @@ def test_script_counts_arrow_equals_jvm(spark):
     a = {r["id"]: list(r["c"]) for r in arrow}
     j = {r["id"]: [r[n] for n in SCRIPT_RANGES] for r in jvm}
     assert a == j
+
+
+def test_bm25_from_index_equals_inflight(spark, tmp_path):
+    """Scoring from the prebuilt keyword index must equal the
+    in-flight bm25_topk exactly — INCLUDING through a parquet
+    round-trip of the index (the production deployment: build once,
+    write term-partitionable postings, query many times)."""
+    from ramen_spark.functions.text import (
+        bm25_topk,
+        bm25_topk_from_index,
+        build_keyword_index,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    terms = ["spark", "merge", "window"]
+    exp = {tuple(r) for r in bm25_topk(docs, terms, k=15).collect()}
+
+    postings, stats = build_keyword_index(docs)
+    postings.write.parquet(str(tmp_path / "postings"))
+    stats.write.parquet(str(tmp_path / "stats"))
+    p2 = spark.read.parquet(str(tmp_path / "postings"))
+    s2 = spark.read.parquet(str(tmp_path / "stats"))
+    got = {
+        tuple(r) for r in bm25_topk_from_index(p2, s2, terms, k=15).collect()
+    }
+    assert got == exp and len(got) == 15
