@@ -1343,23 +1343,27 @@ def line_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "top_2gram_coverage",
-    f"""
-    WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+def _ngram_counts_sql(n: int) -> str:
+    return f"""t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
     tt AS (
       SELECT doc_id, w,
              list_sum(list_transform(w, x -> length(x))) AS word_chars
-      FROM t WHERE len(w) >= 2
+      FROM t WHERE len(w) >= {n}
     ),
     g AS (
-      SELECT doc_id, word_chars, array_to_string(w[i:i+1], ' ') AS gram
-      FROM tt, unnest(generate_series(1, len(w) - 1)) AS u(i)
+      SELECT doc_id, word_chars,
+             array_to_string(w[i:i+{n - 1}], ' ') AS gram
+      FROM tt, unnest(generate_series(1, len(w) - {n - 1})) AS u(i)
     ),
     c AS (
       SELECT doc_id, word_chars, gram, count(*) AS n_occurrences
       FROM g GROUP BY doc_id, word_chars, gram
-    ),
+    )"""
+
+
+def _top_ngram_sql(n: int, thresh: float) -> str:
+    return f"""
+    WITH {_ngram_counts_sql(n)},
     r AS (
       SELECT doc_id, word_chars, gram, n_occurrences,
              row_number() OVER (
@@ -1368,26 +1372,38 @@ def line_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     )
     SELECT doc_id, gram AS top_gram, n_occurrences,
-           round(n_occurrences * (length(gram) - 1)::DOUBLE / word_chars, 6)
-             AS top_2gram_char_frac,
-           round(n_occurrences * (length(gram) - 1)::DOUBLE / word_chars, 6)
-             < 0.2 AS keep
+           round(n_occurrences * (length(gram) - {n - 1})::DOUBLE
+                 / word_chars, 6) AS top_{n}gram_char_frac,
+           round(n_occurrences * (length(gram) - {n - 1})::DOUBLE
+                 / word_chars, 6) < {thresh} AS keep
     FROM r WHERE rn = 1
-    """,
-)
-def top_2gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher's top-n-gram coverage rule (n=2, threshold 0.20): the
-    fraction of word characters inside occurrences of the document's
-    MOST FREQUENT word 2-gram. Unlike the dup-3-gram fraction this
-    needs a per-doc mode, so the plan is explode → partial-combined
-    groupBy (doc_id, gram) → per-doc row_number window — one shuffle
-    whose rows are (id, short gram, count); ties broken (count desc,
-    gram asc) for a total order. 100 TB: grams are doc-local keys, so
-    the shuffle is skew-free by construction (no global hot key — the
-    partition key includes doc_id)."""
-    docs = _t(spark, sf_dir, "documents")
+    """
+
+
+def _dup_ngram_sql(n: int, thresh: float) -> str:
+    return f"""
+    WITH {_ngram_counts_sql(n)}
+    SELECT doc_id,
+           CAST(sum(CASE WHEN n_occurrences > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_grams,
+           round(sum(CASE WHEN n_occurrences > 1
+                     THEN n_occurrences * (length(gram) - {n - 1})
+                     ELSE 0 END)::DOUBLE / word_chars, 6)
+             AS dup_{n}gram_char_frac,
+           round(sum(CASE WHEN n_occurrences > 1
+                     THEN n_occurrences * (length(gram) - {n - 1})
+                     ELSE 0 END)::DOUBLE / word_chars, 6) < {thresh} AS keep
+    FROM c GROUP BY doc_id, word_chars
+    """
+
+
+def _ngram_counts(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, word_chars, gram, n_occurrences) for raw word n-grams:
+    explode -> ONE partial-combined groupBy whose key contains doc_id
+    (skew-free by construction). The shared engine of the Gopher
+    top-n-gram and duplicate-n-gram rules."""
     toks = docs.select("doc_id", Tx.tokens(F.col("text")).alias("w")).filter(
-        F.size("w") >= 2
+        F.size("w") >= n
     )
     w = F.col("w")
     staged = toks.select(
@@ -1396,18 +1412,27 @@ def top_2gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
         ).alias("word_chars"),
         F.transform(
-            Tx.window_starts(F.size(w), 2),
+            Tx.window_starts(F.size(w), n),
             lambda i: F.concat_ws(
-                " ", F.element_at(w, i), F.element_at(w, i + 1)
+                " ", *[F.element_at(w, i + j) for j in range(n)]
             ),
         ).alias("grams"),
     )
     exploded = staged.select(
         "doc_id", "word_chars", F.explode("grams").alias("gram")
     )
-    counts = exploded.groupBy("doc_id", "word_chars", "gram").agg(
+    return exploded.groupBy("doc_id", "word_chars", "gram").agg(
         F.count("*").alias("n_occurrences")
     )
+
+
+def _top_ngram(docs: DataFrame, n: int, thresh: float) -> DataFrame:
+    """Gopher top-n-gram coverage: fraction of word characters inside
+    occurrences of the document's MOST FREQUENT word n-gram (published
+    thresholds: 0.20 / 0.18 / 0.16 for n = 2 / 3 / 4). Needs a per-doc
+    mode: counts + per-doc row_number window, ties (count desc, gram
+    asc)."""
+    counts = _ngram_counts(docs, n)
     wdw = Window.partitionBy("doc_id").orderBy(
         F.col("n_occurrences").desc(), F.col("gram").asc()
     )
@@ -1416,7 +1441,7 @@ def top_2gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cov = F.round(
         F.col("n_occurrences")
-        * (F.length(F.col("gram")) - 1).cast("double")
+        * (F.length(F.col("gram")) - (n - 1)).cast("double")
         / F.col("word_chars"),
         6,
     )
@@ -1424,9 +1449,87 @@ def top_2gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("gram").alias("top_gram"),
         "n_occurrences",
-        cov.alias("top_2gram_char_frac"),
-        (cov < 0.2).alias("keep"),
+        cov.alias(f"top_{n}gram_char_frac"),
+        (cov < thresh).alias("keep"),
     )
+
+
+def _dup_ngram(docs: DataFrame, n: int, thresh: float) -> DataFrame:
+    """Gopher duplicate-n-gram character fraction: chars inside ALL
+    occurrences of n-grams that occur more than once, over total word
+    chars (published thresholds 0.15 -> 0.10 for n = 5 -> 10).
+    Overlapping occurrences count their chars each time (the stated
+    definition — the ratio can exceed 1 on degenerate loops, which is
+    exactly when the rule should fire). Same counts engine, then one
+    more partial-combined per-doc aggregate — no window needed."""
+    counts = _ngram_counts(docs, n)
+    dup_chars = F.sum(
+        F.when(
+            F.col("n_occurrences") > 1,
+            F.col("n_occurrences") * (F.length(F.col("gram")) - (n - 1)),
+        ).otherwise(F.lit(0))
+    )
+    frac = F.round(dup_chars.cast("double") / F.col("word_chars"), 6)
+    return (
+        counts.groupBy("doc_id", "word_chars")
+        .agg(
+            F.sum(
+                F.when(F.col("n_occurrences") > 1, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_dup_grams"),
+            frac.alias(f"dup_{n}gram_char_frac"),
+            (frac < thresh).alias("keep"),
+        )
+        .drop("word_chars")
+    )
+
+
+@register("top_2gram_coverage", _top_ngram_sql(2, 0.2))
+def top_2gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher top-n-gram coverage at n=2 (threshold 0.20) — see
+    _top_ngram; any n is the same call (n=4 at 0.16 etc.)."""
+    return _top_ngram(_t(spark, sf_dir, "documents"), 2, 0.2)
+
+
+@register("top_3gram_coverage", _top_ngram_sql(3, 0.18))
+def top_3gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher top-n-gram coverage at n=3 (threshold 0.18)."""
+    return _top_ngram(_t(spark, sf_dir, "documents"), 3, 0.18)
+
+
+_DUP5_AUG_SQL = (
+    "SELECT doc_id, text ||"
+    " CASE WHEN doc_id % 9 = 0"
+    " THEN repeat(' click here to read more', 4) ELSE '' END AS text"
+    " FROM documents"
+)
+
+
+@register(
+    "dup_5gram_coverage",
+    _dup_ngram_sql(5, 0.15).replace(
+        "FROM documents", f"FROM ({_DUP5_AUG_SQL})"
+    ),
+)
+def dup_5gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-n-gram char fraction at n=5 (threshold 0.15)
+    — see _dup_ngram; n=6..10 (thresholds 0.14..0.10) are the same
+    call. The synthetic corpus repeats no 5-grams, so the query plants
+    a repeated phrase on doc_id % 9 = 0 (same expression both
+    engines) — without it the keep flag would be vacuously true on
+    every row."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                F.lit(" click here to read more" * 4),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return _dup_ngram(docs, 5, 0.15)
 
 
 @register(
