@@ -149,11 +149,10 @@ def _parse_warc_bytes(
     yield from _iter_warc_records(name, fobj)
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """WARC file(s) → one row per record
-    (file, record_offset, warc_type, url, warc_date, content_type,
-    payload, n_bytes). Files distribute via ``binaryFile``; parsing is
-    an Arrow-batched mapInPandas over whole files."""
+def _records_of(files: DataFrame) -> DataFrame:
+    """(path, content) rows → WARC record rows via the Arrow-batched
+    record walk. Shared by the batch and streaming readers — the
+    mapInPandas stage is source-agnostic."""
     import pandas as pd
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -175,8 +174,39 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             ]
             yield pd.DataFrame(rows, columns=cols)
 
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
     return files.mapInPandas(parse, WARC_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC file(s) → one row per record
+    (file, record_offset, warc_type, url, warc_date, content_type,
+    payload, n_bytes). Files distribute via ``binaryFile``; parsing is
+    an Arrow-batched mapInPandas over whole files."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return _records_of(files)
+
+
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """The always-on twin of read_warc: watch ``path`` (a directory or
+    glob) as a Structured Streaming ``binaryFile`` source — each newly
+    arriving crawl file becomes a micro-batch of WARC records through
+    the SAME record-walk mapInPandas (_records_of is source-agnostic).
+    Record rows are independent and doc ids are content-addressed
+    (xxhash64 of file+offset), so the streamed output equals the batch
+    read of the same files row-for-row
+    (test_warc_stream_equals_batch); downstream, warc_to_documents and
+    the curation lane (streaming/curation.py) compose unchanged — the
+    complete always-on crawl front door."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp,"
+            " length long, content binary"
+        )
+        .load(path)
+        .select("path", "content")
+    )
+    return _records_of(files)
 
 
 # <script>/<style> elements' CONTENTS are code, not text — they must be

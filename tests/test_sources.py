@@ -400,3 +400,52 @@ def test_warc_documents_survive_malformed_utf8(spark, tmp_path):
     assert docs["http://b.test/"] == "clean body here"
     assert "ok text" in docs["http://a.test/"]
     assert "more" in docs["http://a.test/"]
+
+
+def test_warc_stream_equals_batch(spark, tmp_path):
+    """read_warc_stream: three crawl files arriving as separate
+    micro-batches through the binaryFile streaming source +
+    warc_to_documents must equal the batch read of the same directory
+    row-for-row — the always-on crawl front door's parity contract."""
+    from ramen_spark.sources.warc import (
+        read_warc,
+        read_warc_stream,
+        warc_to_documents,
+    )
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    for i in range(3):
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<html><body>Page body number %d with enough words"
+            b" to survive</body></html>" % i
+        )
+        blob = _warc_record("response", f"http://s{i}.test/", http)
+        (src / f"f{i}.warc").write_bytes(blob)
+
+    batch = {
+        tuple(r)
+        for r in warc_to_documents(
+            read_warc(spark, str(src) + "/*.warc")
+        ).collect()
+    }
+    assert len(batch) == 3
+
+    stream = read_warc_stream(spark, str(src) + "/*.warc")
+    assert stream.isStreaming
+    out = tmp_path / "docs_out"
+    q = (
+        warc_to_documents(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("maxFilesPerTrigger", "1")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.read.parquet(str(out)).collect()}
+    assert got == batch
