@@ -492,7 +492,7 @@ def tfidf_top_terms(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    df_via_join: bool = True,
+    df_via_join: bool | None = None,
 ):
     """Per-document top-k terms by tf-idf — the keyword-extraction /
     corpus-indexing stage (domain tagging, dedup-cluster naming,
@@ -519,8 +519,25 @@ def tfidf_top_terms(
     billions of docs), which is why the skew-proof join form is the
     default despite its eager materialization. Equality pinned by
     test_tfidf_df_via_join_equals_window.
+
+    EAGER SIDE EFFECT + fault-tolerance tradeoff of the default path:
+    ``localCheckpoint`` fires a Spark job at DataFrame-CONSTRUCTION
+    time (not at the first action) and stores the tf blocks WITHOUT
+    lineage — if an executor holding blocks is lost or decommissioned
+    mid-job, the result is unrecoverable and the job fails (no
+    recompute path). On long multi-hour 100 TB runs where executor
+    churn is expected, prefer ``df_via_join=False`` (pure lazy plan,
+    full lineage, recomputable) unless the corpus is term-skewed, or
+    persist the tf relation to a replicated store yourself and pass
+    the joined form explicitly. ``df_via_join=None`` (the default)
+    resolves to the join path for batch inputs and FALLS BACK to the
+    window path for streaming DataFrames, where checkpointing a
+    construction-time job is impossible.
     """
     from pyspark.sql import Window
+
+    if df_via_join is None:
+        df_via_join = not docs.isStreaming
 
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")

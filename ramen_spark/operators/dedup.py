@@ -1058,18 +1058,28 @@ def corpus_diff(
     the join is a plain hash equi-join on the long id. Fingerprints
     are functions.text.fingerprint (md5 of normalized text), so the
     DuckDB oracle computes identical values.
+
+    Presence is keyed on per-side marker columns, NOT on fingerprint
+    NULL-ness — a doc present in both snapshots with NULL text on one
+    side is 'changed' (null-safe fingerprint compare), never
+    mis-reported as 'added'/'removed'. old_fp/new_fp stay purely
+    content fingerprints (NULL text ⇒ NULL fingerprint).
     """
     o = old.select(
-        F.col(id_col), Tx.fingerprint(F.col(text_col)).alias("old_fp")
+        F.col(id_col),
+        Tx.fingerprint(F.col(text_col)).alias("old_fp"),
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
-        F.col(id_col), Tx.fingerprint(F.col(text_col)).alias("new_fp")
+        F.col(id_col),
+        Tx.fingerprint(F.col(text_col)).alias("new_fp"),
+        F.lit(True).alias("_in_new"),
     )
     joined = o.join(n, id_col, "full_outer")
     status = (
-        F.when(F.col("old_fp").isNull(), F.lit("added"))
-        .when(F.col("new_fp").isNull(), F.lit("removed"))
-        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("changed"))
     )
     return (
         joined.withColumn("status", status)

@@ -352,7 +352,8 @@ def parse_image_header(payload: bytes | None):
                 break
             seg_len = struct.unpack(">H", payload[i : i + 2])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                if i + 7 > len(payload):
+                # needs bytes up to payload[i + 7] (the channels byte)
+                if i + 8 > len(payload):
                     raise ValueError("JPEG truncated SOF")
                 h, w = struct.unpack(">HH", payload[i + 3 : i + 7])
                 return "jpeg", w, h, payload[i + 7]

@@ -960,7 +960,8 @@ def _fp_sql(texpr: str) -> str:
                 ELSE 'changed' END AS status,
            old_fp, new_fp
     FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
-    WHERE old.doc_id IS NULL OR new.doc_id IS NULL OR old_fp <> new_fp
+    WHERE old.doc_id IS NULL OR new.doc_id IS NULL
+       OR old_fp IS DISTINCT FROM new_fp
     """,
 )
 def corpus_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -663,8 +663,12 @@ def encode_kafka_record_batch(
 ) -> bytes:
     """One RecordBatch from [(timestamp_ms, key, value), …] — the
     encoder twin that lets the decoder be exercised end-to-end
-    without a broker (archive writing works too: a directory of
-    encoded batches IS a valid segment)."""
+    without a broker. Archive writing works too, with one caveat:
+    the stored checksum is zlib CRC32, not Kafka's CRC32C, so a
+    directory of encoded batches is a valid segment FOR THIS
+    LIBRARY's decode/verify_crc path only — a real broker or
+    consumer would reject the crc. Layout (offsets, varints,
+    compression) otherwise follows the RecordBatch v2 spec."""
     body = bytearray()
     max_ts = base_timestamp
     for delta, (ts, key, value) in enumerate(records):
@@ -716,10 +720,17 @@ def decode_kafka_segment(
     """Walk a segment (concatenated RecordBatches) → [(base_offset,
     offset, timestamp_ms, key, value), …]. Tolerant of a truncated
     tail batch (Kafka segments end mid-batch after an unclean
-    shutdown — skip, don't fail). ``verify_crc`` checks the stored
-    crc with zlib CRC32 — valid only for batches produced by
-    ``encode_kafka_record_batch`` (real brokers use CRC32C, which
-    stdlib lacks; foreign segments decode with verify_crc=False)."""
+    shutdown), AND of malformed records INSIDE a length-valid batch
+    (bad varint, negative/overrunning length, corrupt gzip body,
+    codec this decoder lacks): the rest of that batch is skipped,
+    records decoded before the corruption and every later batch
+    survive — the same skip-bad-record contract the WARC walker
+    establishes; one bad record must not fail the file. ``verify_crc``
+    checks the stored crc with zlib CRC32 — valid only for batches
+    produced by ``encode_kafka_record_batch`` (real brokers use
+    CRC32C, which stdlib lacks; foreign segments decode with
+    verify_crc=False), and a mismatch RAISES (strictness was asked
+    for)."""
     import zlib
 
     out: list[tuple[int, int, int, bytes | None, bytes | None]] = []
@@ -737,42 +748,55 @@ def decode_kafka_segment(
         tail = blob[pos + 21 : end]
         if verify_crc and (zlib.crc32(tail) & 0xFFFFFFFF) != crc:
             raise ValueError(f"RecordBatch crc mismatch at offset {pos}")
-        attrs, _last_delta, base_ts, _max_ts, _pid, _pep, _bseq, count = (
-            struct.unpack_from(">hiqqqhii", tail, 0)
-        )
-        body = bytes(tail[struct.calcsize(">hiqqqhii") :])
-        comp = attrs & 0x07
-        if comp == 1:
-            import gzip as _gzip
+        try:
+            attrs, _last_delta, base_ts, _max_ts, _pid, _pep, _bseq, count = (
+                struct.unpack_from(">hiqqqhii", tail, 0)
+            )
+            body = bytes(tail[struct.calcsize(">hiqqqhii") :])
+            comp = attrs & 0x07
+            if comp == 1:
+                import gzip as _gzip
 
-            body = _gzip.decompress(body)
-        elif comp:
-            raise ValueError(
-                f"unsupported RecordBatch compression codec {comp}"
-            )
-        rp = 0
-        for _ in range(count):
-            rec_len, rp = _zigzag_decode(body, rp)
-            rec_end = rp + rec_len
-            rp += 1  # record attributes
-            ts_delta, rp = _zigzag_decode(body, rp)
-            off_delta, rp = _zigzag_decode(body, rp)
-            klen, rp = _zigzag_decode(body, rp)
-            key = body[rp : rp + klen] if klen >= 0 else None
-            rp += max(klen, 0)
-            vlen, rp = _zigzag_decode(body, rp)
-            value = body[rp : rp + vlen] if vlen >= 0 else None
-            rp += max(vlen, 0)
-            out.append(
-                (
-                    base_offset,
-                    base_offset + off_delta,
-                    base_ts + ts_delta,
-                    key,
-                    value,
+                body = _gzip.decompress(body)
+            elif comp:
+                raise ValueError(
+                    f"unsupported RecordBatch compression codec {comp}"
                 )
-            )
-            rp = rec_end  # headers (and any future fields) skipped
+            rp = 0
+            for _ in range(count):
+                rec_len, rp = _zigzag_decode(body, rp)
+                rec_end = rp + rec_len
+                if rec_len < 0 or rec_end > len(body):
+                    raise ValueError("record length overruns batch body")
+                rp += 1  # record attributes
+                ts_delta, rp = _zigzag_decode(body, rp)
+                off_delta, rp = _zigzag_decode(body, rp)
+                klen, rp = _zigzag_decode(body, rp)
+                if klen > len(body) - rp:
+                    raise ValueError("key length overruns batch body")
+                key = body[rp : rp + klen] if klen >= 0 else None
+                rp += max(klen, 0)
+                vlen, rp = _zigzag_decode(body, rp)
+                if vlen > len(body) - rp:
+                    raise ValueError("value length overruns batch body")
+                value = body[rp : rp + vlen] if vlen >= 0 else None
+                rp += max(vlen, 0)
+                out.append(
+                    (
+                        base_offset,
+                        base_offset + off_delta,
+                        base_ts + ts_delta,
+                        key,
+                        value,
+                    )
+                )
+                rp = rec_end  # headers (and any future fields) skipped
+        except (ValueError, IndexError, struct.error, OSError, EOFError):
+            # corrupt batch interior: keep what decoded, move to the
+            # next batch — its 12-byte (offset, length) frame is
+            # intact (the length bounds-checked above), so later
+            # batches are unaffected
+            pass
         pos = end
     return out
 

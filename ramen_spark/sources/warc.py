@@ -41,6 +41,15 @@ WARC_SCHEMA = (
 
 _CHUNK = 1 << 20  # streaming read granularity
 _MAX_HEADER = 64 << 10  # resync past anything claiming a bigger header block
+# Largest Content-Length this walker will buffer. Real crawl records top
+# out well under this (Common Crawl caps page payloads at 1 MiB; the
+# largest records are the rare media responses). A corrupt or hostile
+# header claiming more would otherwise make the fill loop buffer the
+# whole remaining uncompressed stream — an executor-OOM vector at
+# crawl scale — so anything above the cap is treated like an
+# unparseable header: resync past the magic and keep walking, which
+# also preserves every valid record after the bad one.
+_MAX_RECORD = 256 << 20
 
 
 def _iter_warc_records(
@@ -50,8 +59,11 @@ def _iter_warc_records(
     ``gzip.GzipFile``): yield one tuple per record. Resident memory is
     O(largest record + chunk) — the stream is NEVER fully buffered.
     Tolerant of leading/trailing garbage, unparseable records, corrupt
-    gzip tails, and truncation — a crawl pipeline must skip a bad
-    record (keeping everything parsed before it), not fail the file.
+    gzip tails, truncation, and hostile Content-Length headers (capped
+    at ``_MAX_RECORD`` — an over-cap claim resyncs past the magic
+    instead of buffering the rest of the stream) — a crawl pipeline
+    must skip a bad record (keeping everything parsed before AND after
+    it), not fail the file.
     ``record_offset`` is the byte offset of the record header in the
     (uncompressed) stream, the stable replay coordinate."""
     buf = bytearray()
@@ -110,6 +122,14 @@ def _iter_warc_records(
             # unparseable record: resync at the next header
             base += head_end + 4
             del buf[: head_end + 4]
+            continue
+        if length > _MAX_RECORD:
+            # hostile/corrupt Content-Length: buffering it would defeat
+            # the O(largest record) bound. Resync past THIS record's
+            # magic (not past the header — the "header" itself is
+            # suspect) so records after the bad one still parse.
+            base += 5
+            del buf[:5]
             continue
         body_start = head_end + 4
         while len(buf) < body_start + length and not eof:

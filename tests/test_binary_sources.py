@@ -368,3 +368,69 @@ def test_kafka_segment_decode_roundtrip(spark, tmp_path):
         (7, 1, b"a", b"x"),
         (8, 2, None, b"y"),
     ]
+
+
+def test_kafka_segment_corrupt_batch_interior_is_contained():
+    """A malformed record INSIDE a length-valid batch (value length
+    claiming past the body, corrupt gzip body, unsupported codec)
+    must not fail the segment: records before the corruption and
+    every LATER batch still decode — the WARC walker's
+    skip-bad-record contract."""
+    import struct as _s
+    import zlib as _z
+
+    from ramen_spark.sources.binary import (
+        decode_kafka_segment,
+        encode_kafka_record_batch,
+    )
+
+    def _rebody(batch: bytes, mutate) -> bytes:
+        """Rewrite a v2 batch's post-crc tail through `mutate`,
+        refreshing length+crc so the batch FRAME stays valid."""
+        tail = bytearray(batch[21:])
+        tail = mutate(tail)
+        crc = _z.crc32(bytes(tail)) & 0xFFFFFFFF
+        after_len = _s.pack(">ibI", -1, 2, crc) + bytes(tail)
+        return batch[:8] + _s.pack(">i", len(after_len)) + after_len
+
+    good1 = encode_kafka_record_batch(
+        [(10, b"k1", b"v1"), (11, b"k2", b"v2")], base_offset=0,
+        base_timestamp=10,
+    )
+    head = _s.calcsize(">hiqqqhii")
+
+    def overrun_value_len(tail):
+        # body starts after the fixed header; first record's varints:
+        # len, attr, ts, off, klen(=2)+key, then vlen — bump vlen to
+        # a huge claim so the second record is unreachable garbage
+        body = tail[head:]
+        # record: [len][attr][ts][off][klen]kk[vlen]vv… — find 'v1'
+        i = bytes(body).find(b"k1") + 2
+        body[i] = 0x7E  # zigzag(63): claims 63 bytes, body has 2
+        return tail[:head] + body
+
+    bad_interior = _rebody(good1, overrun_value_len)
+    good2 = encode_kafka_record_batch(
+        [(20, b"k3", b"v3")], base_offset=2, base_timestamp=20
+    )
+    recs = decode_kafka_segment(bad_interior + good2)
+    # later batch fully survives; nothing raised
+    assert (2, 2, 20, b"k3", b"v3") in recs
+
+    # corrupt gzip body: batch skipped, later batch survives
+    gz = encode_kafka_record_batch(
+        [(30, b"k4", b"v4")], base_offset=5, base_timestamp=30,
+        compression="gzip",
+    )
+    def smash_gzip(tail):
+        tail[head + 3] ^= 0xFF
+        return tail
+    recs2 = decode_kafka_segment(_rebody(gz, smash_gzip) + good2)
+    assert recs2 == [(2, 2, 20, b"k3", b"v3")]
+
+    # unsupported codec (snappy=2): skipped, not raised
+    def set_snappy(tail):
+        tail[:2] = _s.pack(">h", 2)
+        return tail
+    recs3 = decode_kafka_segment(_rebody(gz, set_snappy) + good2)
+    assert recs3 == [(2, 2, 20, b"k3", b"v3")]

@@ -180,6 +180,15 @@ def test_jpeg_padding_and_terminal_markers():
     with _pytest.raises(ValueError):
         parse_image_header(b"\xff\xd8" + seg(0xE0, b"JFIF\x00") + b"\xff\xff\xd9")
 
+    # SOF truncated EXACTLY after the width field (missing the
+    # channels byte at i+7): must be the intended ValueError
+    # 'JPEG truncated SOF', never an IndexError from payload[i+7]
+    sof_cut = b"\xff\xd8\xff\xc0" + struct.pack(">H", 11) + struct.pack(
+        ">BHH", 8, 9, 11
+    )
+    with _pytest.raises(ValueError, match="truncated SOF"):
+        parse_image_header(sof_cut)
+
 
 def test_png_bytes_decodable_when_pil_present():
     """The synthetic PNG is a complete, valid file — if an imaging

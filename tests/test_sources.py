@@ -260,6 +260,44 @@ def test_warc_streaming_parse_bounded_memory():
     assert peak < 16 * 1024 * 1024, f"peak {peak/1e6:.1f} MB — not streaming"
 
 
+def test_warc_hostile_content_length_is_skipped_and_bounded():
+    """A corrupt/hostile Content-Length (petabyte claim) must NOT make
+    the walker buffer the rest of the stream before giving up — it
+    resyncs past the bad record's magic with O(chunk) memory — and the
+    VALID records after the bad one must survive (a fill-to-EOF bail
+    would silently drop them all)."""
+    import tracemalloc
+
+    from ramen_spark.sources.warc import _parse_warc_bytes
+
+    good_before = _warc_record("response", "http://ok.test/1", b"before" * 10)
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://evil.test/\r\n"
+        b"Content-Length: 1000000000000000\r\n\r\n"
+        + b"x" * 100_000  # "payload" far short of the claim
+        + b"\r\n\r\n"
+    )
+    good_after = [
+        _warc_record("response", f"http://ok.test/{i}", b"after" * 10)
+        for i in range(2, 52)
+    ]
+    blob = good_before + bad + b"".join(good_after)
+
+    tracemalloc.start()
+    recs = list(_parse_warc_bytes("h.warc", blob))
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+
+    urls = [r[3] for r in recs]
+    assert "http://evil.test/" not in urls
+    assert "http://ok.test/1" in urls
+    # every record AFTER the hostile one survives the resync
+    assert all(f"http://ok.test/{i}" in urls for i in range(2, 52))
+    # and nothing resembling a petabyte was buffered
+    assert peak < 16 * 1024 * 1024, f"peak {peak/1e6:.1f} MB"
+
+
 def test_jsonl_source_permissive(spark, tmp_path):
     """JSONL reader: schema-mandatory path, one corrupt line degrades
     to a row with the corrupt column set — never a failed file."""

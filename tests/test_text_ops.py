@@ -82,3 +82,23 @@ def test_bm25_from_index_equals_inflight(spark, tmp_path):
         tuple(r) for r in bm25_topk_from_index(p2, s2, terms, k=15).collect()
     }
     assert got == exp and len(got) == 15
+
+
+def test_corpus_diff_null_text_presence(spark):
+    """Presence must key on the JOINED ID (per-side markers), not on
+    fingerprint NULL-ness: a doc present in BOTH snapshots whose text
+    is NULL on one side is 'changed' (null-safe fingerprint compare),
+    never misreported as 'added'/'removed'; NULL-text on both sides
+    is unchanged (excluded)."""
+    from ramen_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, None), (3, "x"), (4, None), (5, "gone")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "now text"), (3, None), (4, None), (6, "fresh")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {2: "changed", 3: "changed", 5: "removed", 6: "added"}
