@@ -452,6 +452,82 @@ def registrable_domain(host: Column) -> Column:
     return F.regexp_extract(host, REG_DOMAIN_RE, 1)
 
 
+# URL canonicalization — the crawl-dedup front line. Re-crawls of the
+# same page differ by tracking params, fragments, case of scheme/host,
+# explicit default ports, and trailing slashes; canonicalizing before
+# the exact-dedup fingerprint collapses them WITHOUT touching content
+# (the cheap dedup tier that runs before any text hashing). Every step
+# is a regex in the Java ∩ RE2 common subset (no lookarounds — RE2
+# lacks them) so the DuckDB oracle computes identical strings.
+_TRACKING = r"(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|ref)"
+_URL_PREFIX_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(.*)$"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL, as a fixed regex cascade:
+
+    1. strip the fragment (``#…``);
+    2. lowercase scheme+authority (path/query case is significant);
+    3. drop explicit default ports (``http…:80``, ``https…:443``);
+    4. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``,
+       ``msclkid``, ``ref``), wherever they sit in the query string,
+       dropping the ``?`` itself when nothing else remains;
+    5. strip trailing slashes off the path.
+
+    Deliberately NOT done (documented deltas from e.g. the w3lib /
+    url-normalize libraries): percent-encoding normalization and
+    query-param reordering — both need char-by-char rewriting that a
+    regex cascade can't express; at the dedup tier a missed alias
+    only costs a second content-fingerprint comparison downstream.
+    Row-local JVM expressions — no shuffle, codegen-friendly."""
+    # 1. fragment
+    u = F.regexp_replace(url, r"#.*$", "")
+    # 2. lowercase scheme://host[:port] only (scheme-less strings pass
+    # through unchanged — regexp_extract would blank them otherwise)
+    u = F.when(
+        u.rlike(_URL_PREFIX_RE),
+        F.concat(
+            F.lower(F.regexp_extract(u, _URL_PREFIX_RE, 1)),
+            F.regexp_extract(u, _URL_PREFIX_RE, 2),
+        ),
+    ).otherwise(u)
+    # 3. default ports (group 2 may be unmatched at end-of-string —
+    # both engines substitute empty for an unparticipating group)
+    u = F.regexp_replace(u, r"^(http://[^/?#]*?):80([/?#].*)?$", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/?#]*?):443([/?#].*)?$", r"$1$2")
+    # 4. tracking params: non-leading ones drop with their '&'; then a
+    # leading one hands '?' to the next param; then a lone one drops
+    # with its '?'
+    u = F.regexp_replace(u, r"&" + _TRACKING + r"=[^&#]*", "")
+    u = F.regexp_replace(u, r"\?" + _TRACKING + r"=[^&#]*&", "?")
+    u = F.regexp_replace(u, r"\?" + _TRACKING + r"=[^&#]*$", "")
+    # 5. trailing slash(es) on the path, query preserved
+    u = F.regexp_replace(u, r"(://[^/?#]*/[^?#]*?)/+(\?[^#]*)?$", r"$1$2")
+    return u
+
+
+def canonical_url_sql(expr: str) -> str:
+    """The DuckDB twin of ``canonical_url`` over SQL expression
+    ``expr`` — same cascade, RE2 spelling (\\1 backrefs, explicit 'g'
+    flag: DuckDB's regexp_replace is first-match by default where
+    Spark's is global)."""
+    u = f"regexp_replace({expr}, '#.*$', '', 'g')"
+    pre = "'^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(.*)$'"
+    u = (
+        f"(CASE WHEN regexp_matches({u}, {pre}) THEN "
+        f"lower(regexp_extract({u}, {pre}, 1)) || "
+        f"regexp_extract({u}, {pre}, 2) ELSE {u} END)"
+    )
+    u = f"regexp_replace({u}, '^(http://[^/?#]*?):80([/?#].*)?$', '\\1\\2', 'g')"
+    u = f"regexp_replace({u}, '^(https://[^/?#]*?):443([/?#].*)?$', '\\1\\2', 'g')"
+    trk = "(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|ref)"
+    u = f"regexp_replace({u}, '&{trk}=[^&#]*', '', 'g')"
+    u = f"regexp_replace({u}, '\\?{trk}=[^&#]*&', '?', 'g')"
+    u = f"regexp_replace({u}, '\\?{trk}=[^&#]*$', '', 'g')"
+    u = f"regexp_replace({u}, '(://[^/?#]*/[^?#]*?)/+(\\?[^#]*)?$', '\\1\\2', 'g')"
+    return u
+
+
 def filter_blocked_domains(
     docs, blocklist: list[str], url_col: str = "source"
 ):

@@ -18,6 +18,12 @@
                    stubbed decoders.
 - ``asof``       : point-in-time (as-of) join via the union+window
                    trick — one shuffle, no range probe.
+- ``rangejoin``  : point-in-interval join via bucket explosion —
+                   equi-join scale shape for BETWEEN predicates Spark
+                   would otherwise nested-loop.
+- ``sketch``     : deterministic KMV (bottom-k) distinct-count
+                   sketch — map-side bounded prefilter, one tiny
+                   Exchange, oracle-exact unlike HLL.
 - ``sortbuf``    : SORT LAST n bounded reorder buffer
                    (src/RamenSortBuf.ml semantics).
 """

@@ -5094,3 +5094,164 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 97 != 0),
         docs.filter(F.col("doc_id") % 97 == 0),
     )
+
+
+# ===========================================================================
+# Round 9: URL-tier dedup, cardinality sketches, range joins
+# ===========================================================================
+
+# URL synthesis for the url_dedup oracle: deterministic per-doc URL
+# with case noise, explicit default port, tracking params, fragments,
+# and trailing slashes — every canonicalization step fires on a
+# nontrivial subset (the pii_redaction rule: synthesize oracle inputs
+# from table columns so the check isn't vacuous).
+_URL_SYNTH_SQL = """
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END)
+    || source || '.Example.COM'
+    || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+    || '/docs/' || CAST(doc_id % 40 AS VARCHAR)
+    || (CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 0 THEN '/?utm_source=feed&utm_campaign=a'
+          WHEN 1 THEN '?ref=nav&page=2'
+          WHEN 2 THEN '#section-' || CAST(doc_id AS VARCHAR)
+          ELSE '/' END)
+"""
+
+
+def _url_synth_col() -> Column:
+    two = F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(
+        F.lit("https://www.")
+    )
+    port = F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit(""))
+    suffix = (
+        F.when(
+            (F.col("doc_id") % 4).cast("int") == 0,
+            F.lit("/?utm_source=feed&utm_campaign=a"),
+        )
+        .when((F.col("doc_id") % 4).cast("int") == 1, F.lit("?ref=nav&page=2"))
+        .when(
+            (F.col("doc_id") % 4).cast("int") == 2,
+            F.concat(F.lit("#section-"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.lit("/"))
+    )
+    return F.concat(
+        two,
+        F.col("source"),
+        F.lit(".Example.COM"),
+        port,
+        F.lit("/docs/"),
+        (F.col("doc_id") % 40).cast("string"),
+        suffix,
+    )
+
+
+@register(
+    "url_dedup",
+    f"""
+    WITH u AS (
+      SELECT doc_id, {Tx.canonical_url_sql(_URL_SYNTH_SQL)} AS canon_url
+      FROM documents
+    )
+    SELECT canon_url,
+           min(doc_id)            AS keep_id,
+           count(*)::BIGINT       AS n_aliases
+    FROM u GROUP BY canon_url
+    """,
+)
+def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-tier dedup (functions.text.canonical_url) — the cheapest
+    dedup stage of a crawl pipeline, run before any content hashing:
+    canonicalize (case, default ports, tracking params, fragments,
+    trailing slashes), then keep one doc per canonical URL. URLs are
+    synthesized deterministically from (doc_id, source) so every
+    cascade step fires on a known subset. 100 TB shape: row-local
+    regex cascade + one partial-combined groupBy on the (short)
+    canonical string — the same plan as dedup_exact with the
+    fingerprint replaced by a cheaper key."""
+    docs = _t(spark, sf_dir, "documents")
+    canon = docs.select(
+        "doc_id", Tx.canonical_url(_url_synth_col()).alias("canon_url")
+    )
+    return canon.groupBy("canon_url").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_aliases"),
+    )
+
+
+@register(
+    "kmv_distinct_users",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h
+    ),
+    m AS (
+      SELECT event_type, count(*)::BIGINT AS n_kept, max(h) AS kth_min
+      FROM r WHERE rn <= 64 GROUP BY event_type
+    )
+    SELECT event_type, n_kept, kth_min,
+           CASE WHEN n_kept < 64 THEN n_kept
+                ELSE CAST(floor(CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                                / CAST(kth_min AS DOUBLE)) AS BIGINT)
+           END AS est_distinct
+    FROM m
+    """,
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimate via the KMV bottom-k
+    sketch (operators.sketch.kmv_distinct, k=64): deterministic
+    md5-derived hashes, so the estimate is value-exact across engines
+    — unlike HLL-based approx_count_distinct, which has no
+    cross-engine oracle. The oracle is the NAIVE relational form
+    (distinct pairs + window rank); the operator's map-side bounded
+    prefilter must land on identical values, proving the pruning
+    loses nothing."""
+    from ramen_spark.operators.sketch import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    return kmv_distinct(ev, ["event_type"], "user_id", k=64)
+
+
+@register(
+    "events_in_error_windows",
+    """
+    SELECT p.event_id   AS purchase_id,
+           i.event_id   AS incident_id,
+           epoch_us(p.ts) AS t_us,
+           epoch_us(i.ts) AS lo_us
+    FROM events p
+    JOIN events i
+      ON p.event_type = 'purchase' AND i.event_type = 'error'
+     AND epoch_us(p.ts) BETWEEN epoch_us(i.ts) AND epoch_us(i.ts) + 600000000
+    """,
+)
+def events_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators.rangejoin.interval_join): which purchases
+    landed inside the 10-minute window opened by each error event —
+    the alerter's outage-attribution question asked relationally.
+    Spark would plan the naive BETWEEN join as a nested-loop; the
+    operator buckets time at the window width (each interval explodes
+    to ≤ 2 buckets) and hash-joins on the bucket with a residual
+    range filter — equi-join scale shape, identical result (the
+    oracle IS the naive form, on DuckDB's IEJoin)."""
+    from ramen_spark.operators.rangejoin import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    pts = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), us.alias("t_us")
+    )
+    ivs = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        us.alias("lo_us"),
+        (us + 600_000_000).alias("hi_us"),
+    )
+    out = interval_join(pts, ivs, "t_us", "lo_us", "hi_us", bucket=600_000_000)
+    return out.select("purchase_id", "incident_id", "t_us", "lo_us")

@@ -1,0 +1,212 @@
+"""Round-9 primitives: KMV distinct sketch (operators/sketch.py),
+interval join (operators/rangejoin.py), URL canonicalization
+(functions/text.py canonical_url + its DuckDB twin)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ramen_spark.operators.rangejoin import interval_join
+from ramen_spark.operators.sketch import kmv_distinct
+
+
+# ---------------------------------------------------------------------------
+# canonical_url
+# ---------------------------------------------------------------------------
+
+_URL_CASES = [
+    # (raw, canonical)
+    (
+        "HTTPS://WWW.Example.COM:443/Path/To/Page/?utm_source=x&id=1&utm_medium=y#frag",
+        "https://www.example.com/Path/To/Page?id=1",
+    ),
+    ("http://Example.com:80/", "http://example.com/"),
+    ("https://a.b/x?fbclid=123", "https://a.b/x"),
+    ("https://a.b/x?id=2&gclid=9&q=3", "https://a.b/x?id=2&q=3"),
+    ("https://a.b/p/?ref=home", "https://a.b/p"),
+    ("http://h/p//", "http://h/p"),
+    ("not a url", "not a url"),
+    ("ftp://Mixed.Case/KEEP/Path", "ftp://mixed.case/KEEP/Path"),
+    ("https://h:8443/x?utm_a=1", "https://h:8443/x"),  # non-default port kept
+    ("https://h/?a=1", "https://h/?a=1"),  # root slash before query kept
+    ("https://h", "https://h"),
+]
+
+
+def test_canonical_url_cases_and_duckdb_twin(spark):
+    """Every cascade step on a hand-built case list, and the DuckDB
+    twin (canonical_url_sql) must produce the IDENTICAL strings —
+    the property the url_dedup oracle rests on."""
+    import duckdb
+
+    from ramen_spark.functions.text import canonical_url, canonical_url_sql
+
+    df = spark.createDataFrame([(u,) for u, _ in _URL_CASES], "url string")
+    got = [
+        r["c"]
+        for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in _URL_CASES]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u, _ in _URL_CASES])
+    dd = [r[0] for r in con.execute(
+        f"SELECT {canonical_url_sql('url')} FROM t"
+    ).fetchall()]
+    assert dd == got
+
+
+# ---------------------------------------------------------------------------
+# kmv_distinct
+# ---------------------------------------------------------------------------
+
+
+def _kmv_fixture(spark):
+    import random
+
+    rows = [
+        (f"g{i % 3}", f"user{random.Random(i).randint(0, (50, 2000, 7)[i % 3])}")
+        for i in range(20000)
+    ]
+    truth = {}
+    for g, u in rows:
+        truth.setdefault(g, set()).add(u)
+    return spark.createDataFrame(rows, "grp string, user string"), truth
+
+
+def test_kmv_underfull_is_exact_and_saturated_is_close(spark):
+    df, truth = _kmv_fixture(spark)
+    out = {
+        r["grp"]: r
+        for r in kmv_distinct(df, ["grp"], "user", k=64).collect()
+    }
+    # under-full sketches (true distinct < k) are EXACT
+    for g in ("g0", "g2"):
+        assert out[g]["n_kept"] == len(truth[g])
+        assert out[g]["est_distinct"] == len(truth[g])
+    # saturated sketch: (k-1)/h_k estimator, relative error ~1/sqrt(k)
+    t = len(truth["g1"])
+    assert out["g1"]["n_kept"] == 64
+    assert abs(out["g1"]["est_distinct"] - t) / t < 0.40
+
+
+def test_kmv_partition_invariant(spark):
+    """Min-k is order-independent and the per-partition prefilter is a
+    superset of the global min-k — the result must be bit-identical
+    across any partitioning (the determinism the oracle relies on)."""
+    df, _ = _kmv_fixture(spark)
+    def run(d):
+        return {
+            tuple(r)
+            for r in kmv_distinct(d, ["grp"], "user", k=64).collect()
+        }
+    assert run(df.coalesce(1)) == run(df.repartition(31)) == run(
+        df.repartition(5, "user")
+    )
+
+
+def test_kmv_single_exchange_plan(spark):
+    """The scale contract: the only Exchange carries the pruned rows
+    (≤ k per key per partition) — no full-data shuffle, no window."""
+    df, _ = _kmv_fixture(spark)
+    plan = kmv_distinct(df, ["grp"], "user", k=64)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan, plan
+
+
+def test_kmv_validates_k(spark):
+    df, _ = _kmv_fixture(spark)
+    with pytest.raises(ValueError):
+        kmv_distinct(df, ["grp"], "user", k=1)
+
+
+# ---------------------------------------------------------------------------
+# interval_join
+# ---------------------------------------------------------------------------
+
+
+def _range_fixture(spark):
+    pts = spark.createDataFrame(
+        [(i, i * 7 % 1000, f"k{i % 2}") for i in range(500)],
+        "pid long, t long, k string",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (j, j * 13 % 900, j * 13 % 900 + (j * 7) % 120, f"k{j % 2}")
+            for j in range(80)
+        ]
+        + [(999, 500, 400, "k0")],  # inverted interval: dropped, not exploded
+        "iid long, lo long, hi long, k string",
+    )
+    return pts, ivs
+
+
+def test_interval_join_matches_naive(spark):
+    pts, ivs = _range_fixture(spark)
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            pts, ivs, "t", "lo", "hi", bucket=64, keys=["k"]
+        ).collect()
+    }
+    naive = {
+        (r["pid"], r["iid"])
+        for r in pts.join(
+            ivs,
+            (pts["k"] == ivs["k"])
+            & (pts["t"] >= ivs["lo"])
+            & (pts["t"] <= ivs["hi"]),
+        ).collect()
+    }
+    assert got == naive and len(naive) > 500
+    assert not any(i == 999 for _, i in got)
+
+
+def test_interval_join_bucket_width_invariance(spark):
+    """The bucket width is a performance knob, never a semantics knob."""
+    pts, ivs = _range_fixture(spark)
+    runs = [
+        {
+            (r["pid"], r["iid"])
+            for r in interval_join(
+                pts, ivs, "t", "lo", "hi", bucket=b, keys=["k"]
+            ).collect()
+        }
+        for b in (1, 7, 64, 1000, 10**6)
+    ]
+    assert all(s == runs[0] for s in runs)
+
+
+def test_interval_join_left_keeps_unmatched(spark):
+    pts, ivs = _range_fixture(spark)
+    inner = interval_join(pts, ivs, "t", "lo", "hi", bucket=64, keys=["k"])
+    left = interval_join(
+        pts, ivs, "t", "lo", "hi", bucket=64, keys=["k"], how="left"
+    )
+    n_inner, n_left = inner.count(), left.count()
+    n_null = left.filter(F.col("iid").isNull()).count()
+    assert n_left == n_inner + n_null
+    # every point appears at least once in the left form
+    assert left.select("pid").distinct().count() == 500
+
+
+def test_interval_join_no_nested_loop_plan(spark):
+    """The whole point: the plan must be an equi-join on the bucket,
+    never BroadcastNestedLoopJoin / CartesianProduct."""
+    pts, ivs = _range_fixture(spark)
+    plan = interval_join(
+        pts, ivs, "t", "lo", "hi", bucket=64, keys=["k"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    assert "Cartesian" not in plan, plan
+
+
+def test_interval_join_validates_inputs(spark):
+    pts, ivs = _range_fixture(spark)
+    with pytest.raises(ValueError):
+        interval_join(pts, ivs, "t", "lo", "hi", bucket=0)
+    with pytest.raises(ValueError):
+        interval_join(pts, ivs, "t", "lo", "hi", bucket=64, how="full")
