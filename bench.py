@@ -265,6 +265,10 @@ def main() -> None:
             "prepare_training_corpus",  # the composed 6-stage pipeline
             "tfidf_top_terms",       # r8: df window over the tf relation
             "top_2gram_coverage",    # r8: per-doc mode via (doc,gram) agg
+            "url_dedup",             # r9: canonical-url regex cascade + agg
+            "kmv_distinct_users",    # r9: bottom-k sketch, prefilter shape
+            "events_in_error_windows",  # r9: bucketed range join — 927M
+                                        # pairs at this tier (ts replicate)
         ]
         try:
             from tools.scale_testdata import scale, tier_is_current
