@@ -113,18 +113,34 @@ def kmv_distinct(
     """
     if k < 2:
         raise ValueError("kmv_distinct needs k >= 2")
+    pruned = kmv_prune(df, keys, value_col, k)
+    return kmv_finalize(pruned, keys, k)
+
+
+def kmv_prune(
+    df: DataFrame, keys: list[str], value_col: str, k: int
+) -> DataFrame:
+    """The sketch-building half of :func:`kmv_distinct`: hash + the
+    map-side bounded prefilter → (keys…, _h) rows, ≤ k per key per
+    partition. These rows ARE the mergeable sketch: min-k over a
+    union of prune outputs equals min-k over the union of inputs —
+    what the streaming lane persists and merges."""
     hashed = df.select(*keys, md5_hash48(F.col(value_col)).alias("_h"))
     schema_keys = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in hashed.schema.fields
         if f.name != "_h"
     )
-    pruned = hashed.mapInPandas(
+    return hashed.mapInPandas(
         _prefilter_min_k(keys, k), f"{schema_keys}, _h long"
     )
-    # ≤ k × n_partitions rows per key from here on — tiny. collect_set
-    # dedups across partitions map-side; the global min-k is the first
-    # k of the sorted set.
+
+
+def kmv_finalize(pruned: DataFrame, keys: list[str], k: int) -> DataFrame:
+    """Sketch rows → (keys…, n_kept, kth_min, est_distinct). collect_set
+    dedups across partitions map-side; the global min-k is the first
+    k of the sorted set — input is ≤ k × n_partitions rows per key,
+    so the single Exchange here is tiny."""
     mins = pruned.groupBy(*keys).agg(
         F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_mins")
     )
@@ -139,4 +155,89 @@ def kmv_distinct(
         n_kept.cast("long").alias("n_kept"),
         kth.alias("kth_min"),
         est.alias("est_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — frequency estimation over unbounded key spaces
+# ---------------------------------------------------------------------------
+
+
+def _cms_col(value: Column, d: int, width: int) -> Column:
+    """Row-d hash column: independent hash families from md5 of a
+    d-prefixed value — deterministic, identical in DuckDB
+    (md5(CAST(d AS VARCHAR) || '#' || v))."""
+    return (
+        md5_hash48(F.concat(F.lit(str(d)), F.lit("#"), value.cast("string")))
+        % width
+    )
+
+
+def count_min_build(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 2048
+) -> DataFrame:
+    """Build a count-min sketch over a value column → (row, col, cnt)
+    cell relation, depth × width cells total.
+
+    CMS (Cormode & Muthukrishnan 2005): depth independent hash rows;
+    est(v) = min over rows of cnt[d, h_d(v)] — always ≥ the true
+    count, within εN with probability 1−δ for width = e/ε, depth =
+    ln(1/δ). Deterministic here (md5 hash families), hence
+    oracle-checkable value-exactly — unlike Spark's native
+    CountMinSketch aggregate, whose hash seeds are engine-private.
+
+    100 TB shape: the input explodes ×depth map-side, but the groupBy
+    partial-combines to ≤ depth × width cells PER MAP TASK before the
+    Exchange — the shuffle is O(depth·width·n_tasks) regardless of
+    data volume, and the result is a fixed-size mergeable summary
+    (union of corpora = cell-wise sum), the same persistable-index
+    contract as the banded dedup indexes. No key, however hot, can
+    skew it: every row lands on depth cells of a FIXED keyspace."""
+    if depth < 1 or width < 1:
+        raise ValueError("count_min_build needs depth >= 1 and width >= 1")
+    v = F.col(value_col)
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row"),
+                        _cms_col(v, d, width).alias("col"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return cells.groupBy(
+        F.col("c.row").alias("row"), F.col("c.col").alias("col")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+
+
+def count_min_lookup(
+    cms: DataFrame, probes: DataFrame, value_col: str, depth: int, width: int
+) -> DataFrame:
+    """Estimate counts for probe values against a built sketch:
+    probes (any DataFrame with `value_col`) → (value_col, cms_est).
+    Each probe fans to its depth cells, broadcast-joins the cell
+    relation (depth × width rows — always broadcastable), and takes
+    the min; absent cells count 0."""
+    v = F.col(value_col)
+    fan = probes.select(
+        value_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row"),
+                        _cms_col(v, d, width).alias("col"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(value_col, F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+    joined = fan.join(F.broadcast(cms), ["row", "col"], "left")
+    return joined.groupBy(value_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cms_est")
     )

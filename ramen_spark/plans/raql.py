@@ -375,6 +375,7 @@ def _fn_registry() -> dict[str, Any]:
         "url_host": lambda a: Tx.url_host(a),
         "registrable_domain": lambda a: Tx.registrable_domain(a),
         "dominant_script": lambda a: Tx.dominant_script(Tx.script_counts(a)),
+        "canonical_url": lambda a: Tx.canonical_url(a),
     }
 
 
@@ -5800,6 +5801,7 @@ def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> 
             "url_host",
             "registrable_domain",
             "dominant_script",
+            "canonical_url",
         ):
             return "string"
         if fn in ("token_count", "bpe_token_count"):

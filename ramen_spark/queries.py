@@ -5255,3 +5255,61 @@ def events_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = interval_join(pts, ivs, "t_us", "lo_us", "hi_us", bucket=600_000_000)
     return out.select("purchase_id", "incident_id", "t_us", "lo_us")
+
+
+@register(
+    "cms_token_counts",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_WORDS_SQL}) AS token FROM documents
+    ),
+    exact AS (
+      SELECT token, count(*)::BIGINT AS exact_n FROM toks GROUP BY token
+    ),
+    probes AS (
+      SELECT token, exact_n FROM exact
+      ORDER BY exact_n DESC, token ASC LIMIT 15
+    ),
+    cells AS (
+      SELECT d,
+             ('0x' || substring(md5(CAST(d AS VARCHAR) || '#' || token), 1, 12))::BIGINT % 2048 AS col,
+             count(*)::BIGINT AS cnt
+      FROM toks, unnest([0, 1, 2, 3]) AS u(d)
+      GROUP BY 1, 2
+    ),
+    fan AS (
+      SELECT p.token, p.exact_n, u.d,
+             ('0x' || substring(md5(CAST(u.d AS VARCHAR) || '#' || p.token), 1, 12))::BIGINT % 2048 AS col
+      FROM probes p, unnest([0, 1, 2, 3]) AS u(d)
+    )
+    SELECT f.token, f.exact_n,
+           CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
+    FROM fan f LEFT JOIN cells c ON c.d = f.d AND c.col = f.col
+    GROUP BY 1, 2
+    """,
+)
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators.sketch.count_min_build/lookup,
+    depth=4 width=2048) over the corpus token stream, probed at the
+    exact top-15 tokens — (token, exact_n, cms_est) with the CMS
+    guarantee est ≥ exact. Deterministic md5 hash families make the
+    sketch oracle-exact (Spark's native CountMinSketch aggregate has
+    engine-private seeds). 100 TB shape: the shuffle is bounded at
+    depth × width cells per map task no matter the token volume —
+    the fixed-size mergeable summary a streaming frequency monitor
+    persists."""
+    from ramen_spark.operators.sketch import count_min_build, count_min_lookup
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(Tx.tokens(F.col("text"))).alias("token"))
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_n")
+    )
+    probes = exact.orderBy(
+        F.col("exact_n").desc(), F.col("token").asc()
+    ).limit(15)
+    cms = count_min_build(toks, "token", depth=4, width=2048)
+    est = count_min_lookup(
+        cms, probes.select("token"), "token", depth=4, width=2048
+    )
+    return probes.join(est, "token").select("token", "exact_n", "cms_est")

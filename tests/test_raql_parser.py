@@ -601,6 +601,34 @@ def test_dominant_script_in_raql(spark):
     assert {r["doc_id"]: r["s"] for r in exp} == rows
 
 
+def test_canonical_url_in_raql(spark):
+    """CANONICAL_URL is a dialect scalar: dedup keys derivable from
+    RaQL text, values equal to functions.text.canonical_url."""
+    import ramen_spark.functions.text as Tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "HTTPS://A.B:443/P/?utm_source=x&id=9#f"),
+            (2, "http://C.d/q/"),
+        ],
+        ["doc_id", "url"],
+    )
+    out = compile_operation(
+        "SELECT doc_id, CANONICAL_URL url AS canon", docs
+    )
+    got = {r["doc_id"]: r["canon"] for r in out.collect()}
+    exp = {
+        r["doc_id"]: r["c"]
+        for r in docs.select(
+            "doc_id", Tx.canonical_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    assert got == exp == {
+        1: "https://a.b/P?id=9",
+        2: "http://c.d/q",
+    }
+
+
 def test_curation_scalars_in_raql(spark):
     """Round-8 curation scalars in the dialect: REDACT_PII and
     URL_HOST / REGISTRABLE_DOMAIN compose in RaQL select/where like

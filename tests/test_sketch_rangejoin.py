@@ -210,3 +210,98 @@ def test_interval_join_validates_inputs(spark):
         interval_join(pts, ivs, "t", "lo", "hi", bucket=0)
     with pytest.raises(ValueError):
         interval_join(pts, ivs, "t", "lo", "hi", bucket=64, how="full")
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _cms_fixture(spark):
+    import random
+
+    # Zipf-ish token stream: token0 hot, long tail
+    rows = [
+        (f"tok{min(int(1 / max(random.Random(i).random(), 1e-9)) , 400)}",)
+        for i in range(30000)
+    ]
+    return spark.createDataFrame(rows, "token string")
+
+
+def test_cms_never_underestimates_and_is_tight_on_heavy(spark):
+    from ramen_spark.operators.sketch import count_min_build, count_min_lookup
+
+    df = _cms_fixture(spark)
+    exact = {
+        r["token"]: r["n"]
+        for r in df.groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    cms = count_min_build(df, "token", depth=4, width=2048)
+    est = {
+        r["token"]: r["cms_est"]
+        for r in count_min_lookup(
+            cms, df.select("token").distinct(), "token", depth=4, width=2048
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    # the CMS guarantee: NEVER an underestimate, for every key
+    assert all(est[t] >= exact[t] for t in exact)
+    # heavy hitters are near-exact (few collisions at this load factor)
+    heavy = sorted(exact, key=lambda t: -exact[t])[:5]
+    for t in heavy:
+        assert est[t] - exact[t] <= 0.05 * exact[t] + 50
+
+
+def test_cms_mergeable(spark):
+    """union-of-corpora sketch == cell-wise sum of per-corpus
+    sketches — the persistable-index contract."""
+    import random
+
+    from ramen_spark.operators.sketch import count_min_build
+
+    rows = [
+        (f"tok{min(int(1 / max(random.Random(i).random(), 1e-9)), 400)}",)
+        for i in range(30000)
+    ]
+    df = spark.createDataFrame(rows, "token string")
+    a = spark.createDataFrame(rows[:10000], "token string")
+    b = spark.createDataFrame(rows[10000:], "token string")
+    cms_all = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in count_min_build(df, "token", 4, 2048).collect()
+    }
+    cms_a = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in count_min_build(a, "token", 4, 2048).collect()
+    }
+    cms_b = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in count_min_build(b, "token", 4, 2048).collect()
+    }
+    merged: dict = {}
+    for part in (cms_a, cms_b):
+        for k, v in part.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == cms_all
+
+
+def test_cms_partial_aggregation_plan(spark):
+    """The scale contract: the explode-by-depth feeds a partial
+    (map-side) aggregate BEFORE the Exchange, so the shuffle is
+    bounded by depth x width cells per task, not the token volume."""
+    from ramen_spark.operators.sketch import count_min_build
+
+    df = _cms_fixture(spark)
+    plan = count_min_build(df, "token", 4, 2048)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    # partial + final HashAggregate pair around the single Exchange
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_cms_validates_params(spark):
+    from ramen_spark.operators.sketch import count_min_build
+
+    df = _cms_fixture(spark)
+    with pytest.raises(ValueError):
+        count_min_build(df, "token", depth=0)

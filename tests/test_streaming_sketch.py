@@ -1,0 +1,135 @@
+"""Always-on sketch lanes (streaming/sketch.py): N-batch streaming
+maintenance must equal the batch sketch over the concatenated input,
+and replay semantics must hold (KMV idempotent, CMS batch-id
+guarded)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _event_batches(spark, tmp_path, n=3):
+    from ramen_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").select("event_type", "user_id")
+    src = tmp_path / "ev_src"
+    for i in range(n):
+        ev.filter(F.col("user_id") % n == i).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    return ev, src
+
+
+def test_streaming_kmv_equals_batch(spark, tmp_path):
+    from ramen_spark.operators.sketch import kmv_distinct
+    from ramen_spark.streaming.sketch import kmv_sketch_stream
+
+    ev, src = _event_batches(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/b*")
+    )
+    q = kmv_sketch_stream(
+        stream,
+        str(tmp_path / "kmv_state"),
+        str(tmp_path / "ckpt"),
+        keys=["event_type"],
+        value_col="user_id",
+        k=32,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    from ramen_spark.streaming.sketch import IncrementalKmvSketch
+
+    sk = IncrementalKmvSketch(
+        spark, str(tmp_path / "kmv_state"), ["event_type"], "user_id", k=32
+    )
+    got = {tuple(r) for r in sk.estimate().collect()}
+    exp = {
+        tuple(r)
+        for r in kmv_distinct(ev, ["event_type"], "user_id", k=32).collect()
+    }
+    assert got == exp and len(exp) == 5
+
+
+def test_streaming_kmv_replay_idempotent(spark, tmp_path):
+    """min-k ignores duplicates: folding the SAME batch twice leaves
+    the state bit-identical — a crashed-and-replayed micro-batch
+    cannot corrupt the sketch."""
+    from ramen_spark.catalog import load_table
+    from ramen_spark.streaming.sketch import IncrementalKmvSketch
+
+    ev = load_table(spark, SF_SMALL, "events").select("event_type", "user_id")
+    sk = IncrementalKmvSketch(
+        spark, str(tmp_path / "state"), ["event_type"], "user_id", k=16
+    )
+    sk.update(ev)
+    once = {tuple(r) for r in sk.estimate().collect()}
+    sk.update(ev)  # replay
+    assert {tuple(r) for r in sk.estimate().collect()} == once
+
+
+def test_streaming_cms_equals_batch_and_skips_replays(spark, tmp_path):
+    from ramen_spark.catalog import load_table
+    from ramen_spark.operators.sketch import count_min_build
+    from ramen_spark.streaming.sketch import IncrementalCmsSketch
+
+    ev = load_table(spark, SF_SMALL, "events").select("event_type")
+    sk = IncrementalCmsSketch(
+        spark, str(tmp_path / "cms"), "event_type", depth=3, width=64
+    )
+    batches = [ev.filter(F.col("event_type").isin(*s)) for s in (
+        ("click", "view"), ("signup",), ("error", "purchase"),
+    )]
+    for i, b in enumerate(batches):
+        sk.update(b, batch_id=i)
+    exp = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in count_min_build(ev, "event_type", 3, 64).collect()
+    }
+    got = {
+        (r["row"], r["col"]): r["cnt"] for r in sk.cells().collect()
+    }
+    assert got == exp
+
+    # a replayed batch id must be a no-op (sums are not idempotent)
+    sk.update(batches[2], batch_id=2)
+    assert {
+        (r["row"], r["col"]): r["cnt"] for r in sk.cells().collect()
+    } == exp
+
+    # ...and the live lane over a real stream lands on the same cells
+    from ramen_spark.streaming.sketch import cms_sketch_stream
+
+    src = tmp_path / "cms_src"
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/b*")
+    )
+    q = cms_sketch_stream(
+        stream,
+        str(tmp_path / "cms_live"),
+        str(tmp_path / "cms_ckpt"),
+        "event_type",
+        depth=3,
+        width=64,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    live = IncrementalCmsSketch(
+        spark, str(tmp_path / "cms_live"), "event_type", depth=3, width=64
+    )
+    assert {
+        (r["row"], r["col"]): r["cnt"] for r in live.cells().collect()
+    } == exp
