@@ -269,6 +269,7 @@ def main() -> None:
             "kmv_distinct_users",    # r9: bottom-k sketch, prefilter shape
             "events_in_error_windows",  # r9: bucketed range join — 927M
                                         # pairs at this tier (ts replicate)
+            "cms_token_counts",      # r9: bounded-shuffle CMS + exact probes
         ]
         try:
             from tools.scale_testdata import scale, tier_is_current
@@ -335,6 +336,8 @@ def main() -> None:
             "semantic_dedup_lsh",       # hot buckets × keep-priority join
             "semantic_dedup_exact_arrow",  # hot CELLS: density-adaptive seeds
             "tfidf_top_terms",          # r8: Zipf head term → hot df window
+            "cms_token_counts",         # r9: hot tokens can't skew a CMS —
+                                        # every row lands on depth fixed cells
         ]
         try:
             from tools.scale_testdata import (
