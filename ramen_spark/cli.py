@@ -410,6 +410,54 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_sketch(args) -> int:
+    """Cardinality + frequency sketches over one column of a parquet
+    table: a KMV distinct estimate (optionally per group) and the
+    count-min estimates of the top-N exact values — the one-screen
+    'what's in this column' report for corpus triage
+    (operators/sketch.py; both sketches are deterministic and
+    mergeable across shards)."""
+    from pyspark.sql import functions as F
+
+    from ramen_spark.operators.sketch import (
+        count_min_build,
+        count_min_lookup,
+        kmv_distinct,
+    )
+    from ramen_spark.session import get_spark
+
+    spark = get_spark("ramen_cli")
+    df = spark.read.parquet(args.path)
+    keys = args.by or []
+    kmv = kmv_distinct(df, keys, args.column, k=args.k).orderBy(
+        *(keys or [F.lit(1)])
+    )
+    hdr = kmv.columns
+    print("\t".join(hdr))
+    for r in kmv.collect():
+        print("\t".join(str(r[c]) for c in hdr))
+    if args.top > 0:
+        exact = (
+            df.groupBy(args.column)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+            .orderBy(F.col("exact_n").desc(), F.col(args.column).asc())
+            .limit(args.top)
+        )
+        cms = count_min_build(df, args.column, args.depth, args.width)
+        est = count_min_lookup(
+            cms, exact.select(args.column), args.column, args.depth,
+            args.width,
+        )
+        top = exact.join(est, args.column).orderBy(
+            F.col("exact_n").desc(), F.col(args.column).asc()
+        )
+        print(f"\ntop-{args.top} values (cms depth={args.depth} "
+              f"width={args.width}):")
+        for r in top.collect():
+            print(f"{r[args.column]}\t{r['exact_n']}\t{r['cms_est']}")
+    return 0
+
+
 def cmd_httpd(args) -> int:
     from ramen_spark.httpd import serve
     from ramen_spark.session import get_spark
@@ -584,6 +632,23 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--url-col", default="url", help="URL column name")
     p.set_defaults(fn=cmd_curate)
+
+    p = sub.add_parser(
+        "sketch",
+        help="KMV cardinality + count-min top values of a column",
+    )
+    p.add_argument("path", help="parquet table")
+    p.add_argument("column", help="column to sketch")
+    p.add_argument(
+        "--by", action="append", default=None,
+        help="group-by key column (repeatable)",
+    )
+    p.add_argument("--k", type=int, default=64, help="KMV sketch size")
+    p.add_argument("--top", type=int, default=10,
+                   help="probe the top-N exact values against the CMS")
+    p.add_argument("--depth", type=int, default=4, help="CMS depth")
+    p.add_argument("--width", type=int, default=2048, help="CMS width")
+    p.set_defaults(fn=cmd_sketch)
 
     p = sub.add_parser(
         "archivist",

@@ -281,3 +281,37 @@ def test_cli_curate(spark, tmp_path, capsys):
     curated = spark.read.parquet(out)
     assert curated.count() > 0
     assert "cleaned" in curated.columns
+
+
+def test_cli_sketch(spark, tmp_path, capsys):
+    """`ramen sketch <table> <col> --by k`: KMV table + CMS top list;
+    KMV values match the operator, CMS never underestimates."""
+    from ramen_spark.operators.sketch import kmv_distinct
+
+    src = str(tmp_path / "ev")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", "user_id"
+    )
+    ev.write.parquet(src)
+    assert main(
+        ["sketch", src, "user_id", "--by", "event_type", "--k", "16",
+         "--top", "3", "--width", "256"]
+    ) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == [
+        "event_type", "n_kept", "kth_min", "est_distinct"
+    ]
+    got = {
+        ln.split("\t")[0]: int(ln.split("\t")[3])
+        for ln in out[1 : 1 + 5]
+    }
+    exp = {
+        r["event_type"]: r["est_distinct"]
+        for r in kmv_distinct(ev, ["event_type"], "user_id", k=16).collect()
+    }
+    assert got == exp
+    # CMS section: "value exact est" rows, est >= exact
+    cms_rows = [ln.split("\t") for ln in out if len(ln.split("\t")) == 3
+                and ln.split("\t")[1].isdigit()]
+    assert len(cms_rows) == 3
+    assert all(int(e) >= int(x) for _, x, e in cms_rows)
