@@ -5313,3 +5313,99 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms, probes.select("token"), "token", depth=4, width=2048
     )
     return probes.join(est, "token").select("token", "exact_n", "cms_est")
+
+
+@register(
+    "bloom_contamination_candidates",
+    f"""
+    WITH words AS ({{SHINGLES}}),
+    post AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM words, unnest(generate_series(1, greatest(nw - 2, 0))) AS u(i)
+    ),
+    ev AS (SELECT DISTINCT s FROM post WHERE doc_id % 97 = 0),
+    bitmap AS (
+      SELECT pos >> 5 AS word,
+             bit_or(1::BIGINT << CAST(pos & 31 AS INTEGER)) AS bits
+      FROM (
+        SELECT ('0x' || substring(md5(CAST(i AS VARCHAR) || '#' || s), 1, 12))::BIGINT
+               % 262144 AS pos
+        FROM ev, unnest([0, 1, 2]) AS u(i)
+      )
+      GROUP BY 1
+    ),
+    tr AS (SELECT doc_id, s FROM post WHERE doc_id % 97 <> 0),
+    fan AS (
+      SELECT tr.doc_id, tr.s, u.i,
+             ('0x' || substring(md5(CAST(u.i AS VARCHAR) || '#' || tr.s), 1, 12))::BIGINT
+             % 262144 AS pos
+      FROM tr, unnest([0, 1, 2]) AS u(i)
+    ),
+    probed AS (
+      SELECT f.doc_id, f.s,
+             count(*) FILTER (
+               WHERE (coalesce(b.bits, 0)
+                      & (1::BIGINT << CAST(f.pos & 31 AS INTEGER))) <> 0
+             ) AS n_set
+      FROM fan f LEFT JOIN bitmap b ON b.word = f.pos >> 5
+      GROUP BY 1, 2
+    ),
+    hits AS (
+      SELECT doc_id, count(*) FILTER (WHERE n_set = 3)::BIGINT AS n_bloom_hits,
+             count(*)::BIGINT AS n_shingles
+      FROM probed GROUP BY doc_id
+    )
+    SELECT doc_id, n_shingles, n_bloom_hits
+    FROM hits WHERE n_bloom_hits >= 1
+    """,
+)
+def bloom_contamination_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered contamination candidates
+    (operators.bloom): the eval split's distinct shingle set packed
+    into a 2^18-bit deterministic Bloom bitmap (≤ 8 k words, 64 KB —
+    broadcastable even when the exact shingle RELATION wouldn't be),
+    train shingles pruned by k=3 broadcast bit probes, per-doc
+    candidate counts. No false negatives: every exactly-contaminated
+    doc appears (superset pinned by test + this oracle); false
+    positives at the configured ≈(1-e^(-kn/m))^k rate get discarded
+    by the exact join that follows in a real pipeline. The train side
+    never shuffles to be pruned."""
+    from ramen_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    M, K = 1 << 18, 3
+    docs = _t(spark, sf_dir, "documents")
+
+    def shingles(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            "doc_id",
+            F.split(Tx.normalized_text(F.col("text")), " ").alias("_toks"),
+        )
+        return toks.select(
+            "doc_id",
+            F.explode(Tx.word_shingles_of_tokens(F.col("_toks"), 3)).alias("s"),
+        ).distinct()
+
+    ev_s = shingles(docs.filter(F.col("doc_id") % 97 == 0)).select("s").distinct()
+    # localCheckpoint: the bitmap subplan would otherwise re-execute
+    # once per broadcast probe (k times). Same eager-job/lineage
+    # tradeoff as tfidf_top_terms — at scale, persist the bitmap to
+    # storage instead (it's the mergeable index artifact).
+    bm = bloom_build(ev_s, "s", m_bits=M, k=K).localCheckpoint()
+    tr = shingles(docs.filter(F.col("doc_id") % 97 != 0))
+    n_sh = tr.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    cand = bloom_might_contain(tr, "s", bm, M, K)
+    hits = cand.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bloom_hits")
+    )
+    return (
+        n_sh.join(hits, "doc_id")
+        .filter(F.col("n_bloom_hits") >= 1)
+        .select("doc_id", "n_shingles", "n_bloom_hits")
+    )
+
+
+ORACLES["bloom_contamination_candidates"] = ORACLES[
+    "bloom_contamination_candidates"
+].replace("{SHINGLES}", _SHINGLES_SQL)

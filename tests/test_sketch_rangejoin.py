@@ -305,3 +305,91 @@ def test_cms_validates_params(spark):
     df = _cms_fixture(spark)
     with pytest.raises(ValueError):
         count_min_build(df, "token", depth=0)
+
+
+# ---------------------------------------------------------------------------
+# bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    from ramen_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    members = spark.createDataFrame(
+        [(f"m{i}",) for i in range(2000)], "v string"
+    )
+    bm = bloom_build(members, "v", m_bits=1 << 16, k=3)
+    probe = spark.createDataFrame(
+        [(f"m{i}",) for i in range(2000)]
+        + [(f"x{i}",) for i in range(20000)],
+        "v string",
+    )
+    kept = {r["v"] for r in
+            bloom_might_contain(probe, "v", bm, 1 << 16, 3).collect()}
+    member_set = {f"m{i}" for i in range(2000)}
+    assert member_set <= kept  # NO false negatives, ever
+    fp = len(kept - member_set) / 20000
+    assert fp < 0.01  # theory ~0.0007 at this load factor
+
+
+def test_bloom_candidates_superset_of_exact_contamination(spark):
+    """The pipeline property the oracle rests on: bloom candidates ⊇
+    exactly-contaminated docs (then the exact join discards the FPs)."""
+    from ramen_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    cand = {
+        r["doc_id"]
+        for r in QUERIES["bloom_contamination_candidates"](spark, sf).collect()
+    }
+    exact = {
+        r["doc_id"]
+        for r in QUERIES["decontaminate_train"](spark, sf).collect()
+        if r["contaminated"]
+    }
+    assert exact <= cand
+
+
+def test_bloom_probe_side_is_broadcast_only(spark):
+    """The probed side must reach the bit test without an Exchange:
+    k BroadcastHashJoins, no SortMergeJoin."""
+    from ramen_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    members = spark.createDataFrame([("a",), ("b",)], "v string")
+    bm = bloom_build(members, "v", m_bits=1 << 12, k=3).localCheckpoint()
+    probe = spark.createDataFrame([(f"p{i}",) for i in range(100)], "v string")
+    plan = bloom_might_contain(probe, "v", bm, 1 << 12, 3)._jdf\
+        .queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bloom_bitmaps_mergeable(spark):
+    """bit_or of two bitmaps == bitmap of the union (the persistable-
+    index contract)."""
+    from ramen_spark.operators.bloom import bloom_build
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(500)], "v string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(500)], "v string")
+    both = a.unionByName(b)
+    bm_union = {
+        (r["word"], r["bits"])
+        for r in bloom_build(both, "v", 1 << 14, 3).collect()
+    }
+    merged = (
+        bloom_build(a, "v", 1 << 14, 3)
+        .unionByName(bloom_build(b, "v", 1 << 14, 3))
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    assert {(r["word"], r["bits"]) for r in merged.collect()} == bm_union
+
+
+def test_bloom_validates_params(spark):
+    from ramen_spark.operators.bloom import bloom_build
+
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError):
+        bloom_build(df, "v", m_bits=16)
+    with pytest.raises(ValueError):
+        bloom_build(df, "v", k=0)
