@@ -976,3 +976,56 @@ def semantic_dedup_arrow(
         )
 
     return assigned.groupBy("cell").applyInPandas(prune, out_schema)
+
+
+def margin_mining(
+    xs: DataFrame,
+    ys: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext/pair mining (Artetxe & Schwenk 2019 — the
+    CCMatrix/LASER alignment criterion): for the best candidate y of
+    each x, score margin(x, y) = cos(x, y) / ((avg_k(x) + avg_k(y))/2)
+    where avg_k(v) is the mean cosine of v's k nearest neighbours on
+    the OTHER side. Raw cosine top-1 retrieves hubs (vectors close to
+    everything); the ratio margin normalizes each side by its local
+    density, which is why it's the standard mined-parallel-corpus
+    filter. Output: (x_id, y_id, sim, avg_x, avg_y, margin), one row
+    per x that has candidates, margin descending-ready (round(…,6)
+    determinism like every similarity score here).
+
+    100 TB shape: composes the existing retrieval engines — this form
+    runs the exact brute top-k twice (once per direction; the oracle
+    baseline), and the IVF / LSH / PQ-rerank tiers slot in wherever a
+    brute pass appears (same (query_id, corpus_id, sim, rank) shape),
+    which is how CCMatrix actually runs at billions of vectors. The
+    margin arithmetic itself is two tiny per-id aggregates + one
+    equi-join — nothing beyond the kNN passes moves.
+    """
+    fwd = brute_force_topk(
+        ys, xs, k=k, id_col=id_col, vec_col=vec_col, query_id_col="x_id"
+    ).withColumnRenamed("corpus_id", "y_id")
+    bwd = brute_force_topk(
+        xs, ys, k=k, id_col=id_col, vec_col=vec_col, query_id_col="yq_id"
+    )
+    avg_x = fwd.groupBy("x_id").agg(F.round(F.avg("sim"), 6).alias("avg_x"))
+    avg_y = bwd.groupBy("yq_id").agg(F.round(F.avg("sim"), 6).alias("avg_y"))
+    best = fwd.filter(F.col("rank") == 1).select("x_id", "y_id", "sim")
+    return (
+        best.join(avg_x, "x_id")
+        .join(avg_y, best["y_id"] == avg_y["yq_id"])
+        .select(
+            "x_id",
+            "y_id",
+            "sim",
+            "avg_x",
+            "avg_y",
+            F.round(
+                F.col("sim")
+                / ((F.col("avg_x") + F.col("avg_y")) / F.lit(2.0)),
+                6,
+            ).alias("margin"),
+        )
+    )

@@ -5409,3 +5409,49 @@ def bloom_contamination_candidates(spark: SparkSession, sf_dir: str) -> DataFram
 ORACLES["bloom_contamination_candidates"] = ORACLES[
     "bloom_contamination_candidates"
 ].replace("{SHINGLES}", _SHINGLES_SQL)
+
+
+@register(
+    "bitext_margin_pairs",
+    """
+    WITH x AS (
+      SELECT vec_id AS x_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE label = 0),
+    y AS (
+      SELECT vec_id AS y_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE label = 1),
+    fwd_s AS (
+      SELECT x_id, y_id,
+             round(list_dot_product(x.v, y.v)
+                   / (sqrt(list_dot_product(x.v, x.v))
+                      * sqrt(list_dot_product(y.v, y.v))), 6) AS sim
+      FROM x, y),
+    fwd AS (
+      SELECT x_id, y_id, sim,
+             row_number() OVER (PARTITION BY x_id
+                                ORDER BY sim DESC, y_id ASC) AS rank
+      FROM fwd_s QUALIFY rank <= 4),
+    bwd AS (
+      SELECT y_id, sim,
+             row_number() OVER (PARTITION BY y_id
+                                ORDER BY sim DESC, x_id ASC) AS rank
+      FROM fwd_s QUALIFY rank <= 4),
+    ax AS (SELECT x_id, round(avg(sim), 6) AS avg_x FROM fwd GROUP BY x_id),
+    ay AS (SELECT y_id, round(avg(sim), 6) AS avg_y FROM bwd GROUP BY y_id),
+    best AS (SELECT x_id, y_id, sim FROM fwd WHERE rank = 1)
+    SELECT b.x_id, b.y_id, b.sim, ax.avg_x, ay.avg_y,
+           round(b.sim / ((ax.avg_x + ay.avg_y) / 2.0), 6) AS margin
+    FROM best b JOIN ax USING (x_id) JOIN ay USING (y_id)
+    """,
+)
+def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based pair mining (operators.similarity.margin_mining,
+    k=4) between the label-0 and label-1 embedding populations — the
+    CCMatrix/LASER ratio-margin criterion that normalizes raw cosine
+    by each side's local kNN density (hubs score high on cosine but
+    ~1.0 on margin). Brute engine here (the oracle baseline); the
+    IVF/LSH/PQ tiers substitute for the kNN passes at corpus scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return Sim.margin_mining(
+        emb.filter(F.col("label") == 0), emb.filter(F.col("label") == 1), k=4
+    )

@@ -393,3 +393,43 @@ def test_bloom_validates_params(spark):
         bloom_build(df, "v", m_bits=16)
     with pytest.raises(ValueError):
         bloom_build(df, "v", k=0)
+
+
+# ---------------------------------------------------------------------------
+# margin-based pair mining
+# ---------------------------------------------------------------------------
+
+
+def test_margin_mining_penalizes_hubs(spark):
+    """The point of the ratio margin: a HUB (close to everything on
+    the other side) wins raw cosine but scores ~1.0 margin, while a
+    mutually-exclusive pair keeps margin >> 1."""
+    from ramen_spark.operators.similarity import margin_mining
+
+    import math
+
+    def unit(*v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    xs = spark.createDataFrame(
+        [
+            (0, unit(1.0, 0.0, 0.05)),   # true partner of y=100
+            (1, unit(0.0, 1.0, 0.05)),   # true partner of y=101
+            (2, unit(0.5, 0.5, 0.7)),    # hub-seeker: nearest is the hub
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    ys = spark.createDataFrame(
+        [
+            (100, unit(1.0, 0.0, 0.0)),
+            (101, unit(0.0, 1.0, 0.0)),
+            (102, unit(0.45, 0.45, 0.77)),  # the hub: close to everyone
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["x_id"]: r for r in margin_mining(xs, ys, k=2).collect()}
+    assert out[0]["y_id"] == 100 and out[1]["y_id"] == 101
+    # exclusive pairs clear the hub-seeker's margin
+    assert out[0]["margin"] > out[2]["margin"]
+    assert out[1]["margin"] > out[2]["margin"]
