@@ -42,13 +42,20 @@ _BITS_PER_WORD = 32  # NOT 64: see module docstring (DuckDB << overflow)
 
 
 def _positions(col, m_bits: int, k: int):
-    """The k bit positions of a value: independent md5 hash families,
-    identical in DuckDB."""
-    return [
-        md5_hash48(F.concat(F.lit(str(i)), F.lit("#"), col.cast("string")))
-        % m_bits
-        for i in range(k)
-    ]
+    """The k bit positions of a value by DOUBLE HASHING (Kirsch &
+    Mitzenmacher 2006): pos_i = (h1 + i·h2) mod m from ONE md5 — the
+    asymptotic FP rate is unchanged and the probe pays one hash
+    instead of k. (Measured at sf10: the hash swap alone is
+    wall-neutral — the md5s were never the bottleneck there — but at
+    real crawl shingle volumes k−1 fewer md5s per probed row is free
+    headroom, and one-hash probes are what the literature ships.)
+    h1 = top 24 bits, h2 = low 24 bits forced odd (odd step +
+    power-of-two-friendly m keeps the probe sequence non-degenerate).
+    Identical arithmetic in DuckDB."""
+    h = md5_hash48(col.cast("string"))
+    h1 = F.shiftright(h, 24)
+    h2 = h.bitwiseAND(F.lit((1 << 24) - 1)).bitwiseOR(F.lit(1))
+    return [(h1 + F.lit(i) * h2) % m_bits for i in range(k)]
 
 
 def bloom_build(

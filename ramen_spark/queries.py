@@ -5328,18 +5328,21 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT pos >> 5 AS word,
              bit_or(1::BIGINT << CAST(pos & 31 AS INTEGER)) AS bits
       FROM (
-        SELECT ('0x' || substring(md5(CAST(i AS VARCHAR) || '#' || s), 1, 12))::BIGINT
-               % 262144 AS pos
-        FROM ev, unnest([0, 1, 2]) AS u(i)
+        SELECT ((h >> 24) + i * ((h & 16777215) | 1)) % 262144 AS pos
+        FROM (SELECT ('0x' || substring(md5(s), 1, 12))::BIGINT AS h FROM ev),
+             unnest([0, 1, 2]) AS u(i)
       )
       GROUP BY 1
     ),
     tr AS (SELECT doc_id, s FROM post WHERE doc_id % 97 <> 0),
+    trh AS (
+      SELECT doc_id, s, ('0x' || substring(md5(s), 1, 12))::BIGINT AS h
+      FROM tr
+    ),
     fan AS (
-      SELECT tr.doc_id, tr.s, u.i,
-             ('0x' || substring(md5(CAST(u.i AS VARCHAR) || '#' || tr.s), 1, 12))::BIGINT
-             % 262144 AS pos
-      FROM tr, unnest([0, 1, 2]) AS u(i)
+      SELECT doc_id, s, u.i,
+             ((h >> 24) + u.i * ((h & 16777215) | 1)) % 262144 AS pos
+      FROM trh, unnest([0, 1, 2]) AS u(i)
     ),
     probed AS (
       SELECT f.doc_id, f.s,
@@ -5391,7 +5394,12 @@ def bloom_contamination_candidates(spark: SparkSession, sf_dir: str) -> DataFram
     # tradeoff as tfidf_top_terms — at scale, persist the bitmap to
     # storage instead (it's the mergeable index artifact).
     bm = bloom_build(ev_s, "s", m_bits=M, k=K).localCheckpoint()
-    tr = shingles(docs.filter(F.col("doc_id") % 97 != 0))
+    # localCheckpoint: tr feeds BOTH the totals branch and the probe
+    # branch — one distinct-shingle exchange instead of two (the
+    # branches otherwise recompute it; wall-neutral at sf10 where the
+    # probe dominates, but it halves the exchange volume); same
+    # eager-job tradeoff note as the bitmap above
+    tr = shingles(docs.filter(F.col("doc_id") % 97 != 0)).localCheckpoint()
     n_sh = tr.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shingles")
     )
