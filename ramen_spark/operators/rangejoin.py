@@ -60,6 +60,11 @@ def interval_join(
     how='inner' (default) emits matches only; how='left' keeps
     unmatched points with NULL interval columns (one row each) — the
     enrichment form.
+
+    Streaming: a streaming `points` side against a STATIC `intervals`
+    side is a plain stream-static equi-join (the explode lives on the
+    static side) and works unchanged — batch parity pinned by
+    test_stream_static_interval_join.
     """
     if bucket <= 0:
         raise ValueError("bucket must be a positive integer")

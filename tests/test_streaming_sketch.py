@@ -133,3 +133,53 @@ def test_streaming_cms_equals_batch_and_skips_replays(spark, tmp_path):
     assert {
         (r["row"], r["col"]): r["cnt"] for r in live.cells().collect()
     } == exp
+
+
+def test_stream_static_interval_join(spark, tmp_path):
+    """interval_join composes with readStream: a micro-batched point
+    stream against a STATIC interval table (the always-on enrichment
+    form — live events tagged with incident windows) emits exactly
+    the batch join's rows. The bucket explosion lives on the static
+    side, so the stream side stays a plain stream-static equi-join."""
+    from pyspark.sql import functions as F
+
+    from ramen_spark.operators.rangejoin import interval_join
+
+    pts_rows = [(i, (i * 37) % 1000) for i in range(300)]
+    pts = spark.createDataFrame(pts_rows, "pid long, t long")
+    ivs = spark.createDataFrame(
+        [(j, (j * 61) % 900, (j * 61) % 900 + 80) for j in range(40)],
+        "iid long, lo long, hi long",
+    )
+    exp = {
+        (r["pid"], r["iid"])
+        for r in interval_join(pts, ivs, "t", "lo", "hi", bucket=128).collect()
+    }
+
+    src = tmp_path / "pts"
+    for b in range(3):
+        spark.createDataFrame(
+            pts_rows[b::3], "pid long, t long"
+        ).coalesce(1).write.parquet(str(src / f"b{b}"))
+    stream = (
+        spark.readStream.schema(pts.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/b*")
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        interval_join(stream, ivs, "t", "lo", "hi", bucket=128)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["pid"], r["iid"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == exp and len(exp) > 100
