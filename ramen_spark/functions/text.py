@@ -459,7 +459,12 @@ def registrable_domain(host: Column) -> Column:
 # (the cheap dedup tier that runs before any text hashing). Every step
 # is a regex in the Java ∩ RE2 common subset (no lookarounds — RE2
 # lacks them) so the DuckDB oracle computes identical strings.
-_TRACKING = r"(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|ref)"
+# NOT included: bare `ref` — unlike utm_*/fbclid/gclid/msclkid it is
+# widely CONTENT-significant (?ref=<branch> on code hosts selects
+# different file contents), and at the dedup tier over-merging LOSES
+# a document where under-merging only costs one extra fingerprint
+# comparison downstream.
+_TRACKING = r"(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid)"
 _URL_PREFIX_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(.*)$"
 
 
@@ -470,8 +475,9 @@ def canonical_url(url: Column) -> Column:
     2. lowercase scheme+authority (path/query case is significant);
     3. drop explicit default ports (``http…:80``, ``https…:443``);
     4. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``,
-       ``msclkid``, ``ref``), wherever they sit in the query string,
-       dropping the ``?`` itself when nothing else remains;
+       ``msclkid`` — deliberately NOT bare ``ref``, see _TRACKING),
+       wherever they sit in the query string, dropping the ``?``
+       itself when nothing else remains;
     5. strip trailing slashes off the path.
 
     Deliberately NOT done (documented deltas from e.g. the w3lib /
@@ -520,7 +526,7 @@ def canonical_url_sql(expr: str) -> str:
     )
     u = f"regexp_replace({u}, '^(http://[^/?#]*?):80([/?#].*)?$', '\\1\\2', 'g')"
     u = f"regexp_replace({u}, '^(https://[^/?#]*?):443([/?#].*)?$', '\\1\\2', 'g')"
-    trk = "(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|ref)"
+    trk = "(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid)"
     u = f"regexp_replace({u}, '&{trk}=[^&#]*', '', 'g')"
     u = f"regexp_replace({u}, '\\?{trk}=[^&#]*&', '?', 'g')"
     u = f"regexp_replace({u}, '\\?{trk}=[^&#]*$', '', 'g')"

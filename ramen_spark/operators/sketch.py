@@ -70,17 +70,24 @@ def _prefilter_min_k(keys: list[str], k: int):
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         state: dict[tuple, "np.ndarray"] = {}
+
+        def fold(kt: tuple, hs: "pd.Series") -> None:
+            prev = state.get(kt)
+            arr = hs.to_numpy(dtype="int64")
+            if prev is not None:
+                arr = np.concatenate([prev, arr])
+            state[kt] = np.unique(arr)[:k]  # unique sorts ascending
+
         for pdf in batches:
             if pdf.empty:
                 continue
-            grouped = pdf.groupby(keys, sort=False, dropna=False)["_h"]
-            for key, hs in grouped:
-                kt = key if isinstance(key, tuple) else (key,)
-                prev = state.get(kt)
-                arr = hs.to_numpy(dtype="int64")
-                if prev is not None:
-                    arr = np.concatenate([prev, arr])
-                state[kt] = np.unique(arr)[:k]  # unique sorts ascending
+            if keys:
+                for key, hs in pdf.groupby(keys, sort=False, dropna=False)[
+                    "_h"
+                ]:
+                    fold(key if isinstance(key, tuple) else (key,), hs)
+            else:
+                fold((), pdf["_h"])  # global sketch: one group
         rows: list[tuple] = []
         for kt, arr in state.items():
             rows.extend(kt + (int(h),) for h in arr)
@@ -124,16 +131,22 @@ def kmv_prune(
     map-side bounded prefilter → (keys…, _h) rows, ≤ k per key per
     partition. These rows ARE the mergeable sketch: min-k over a
     union of prune outputs equals min-k over the union of inputs —
-    what the streaming lane persists and merges."""
-    hashed = df.select(*keys, md5_hash48(F.col(value_col)).alias("_h"))
-    schema_keys = ", ".join(
+    what the streaming lane persists and merges.
+
+    keys=[] is the GLOBAL sketch (one group). NULL values are ignored
+    (the SQL COUNT(DISTINCT …) convention) — a NULL hash would
+    otherwise NaN-cast to INT64_MIN inside the Arrow prefilter and
+    squat in the min slot forever."""
+    hashed = df.select(
+        *keys, md5_hash48(F.col(value_col)).alias("_h")
+    ).filter(F.col("_h").isNotNull())
+    schema_keys = [
         f"{f.name} {f.dataType.simpleString()}"
         for f in hashed.schema.fields
         if f.name != "_h"
-    )
-    return hashed.mapInPandas(
-        _prefilter_min_k(keys, k), f"{schema_keys}, _h long"
-    )
+    ]
+    schema = ", ".join([*schema_keys, "_h long"])
+    return hashed.mapInPandas(_prefilter_min_k(keys, k), schema)
 
 
 def kmv_finalize(pruned: DataFrame, keys: list[str], k: int) -> DataFrame:
@@ -173,6 +186,23 @@ def _cms_col(value: Column, d: int, width: int) -> Column:
     )
 
 
+def _cms_cells(value: Column, depth: int, width: int) -> Column:
+    """The exploded (row, col) cell addresses of a value — the ONE
+    definition of the sketch's cell addressing, shared by build and
+    lookup so they can never drift apart."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("row"),
+                    _cms_col(value, d, width).alias("col"),
+                )
+                for d in range(depth)
+            ]
+        )
+    )
+
+
 def count_min_build(
     df: DataFrame, value_col: str, depth: int = 4, width: int = 2048
 ) -> DataFrame:
@@ -195,20 +225,7 @@ def count_min_build(
     skew it: every row lands on depth cells of a FIXED keyspace."""
     if depth < 1 or width < 1:
         raise ValueError("count_min_build needs depth >= 1 and width >= 1")
-    v = F.col(value_col)
-    cells = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("row"),
-                        _cms_col(v, d, width).alias("col"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("c")
-    )
+    cells = df.select(_cms_cells(F.col(value_col), depth, width).alias("c"))
     return cells.groupBy(
         F.col("c.row").alias("row"), F.col("c.col").alias("col")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
@@ -222,20 +239,8 @@ def count_min_lookup(
     Each probe fans to its depth cells, broadcast-joins the cell
     relation (depth × width rows — always broadcastable), and takes
     the min; absent cells count 0."""
-    v = F.col(value_col)
     fan = probes.select(
-        value_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("row"),
-                        _cms_col(v, d, width).alias("col"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("c"),
+        value_col, _cms_cells(F.col(value_col), depth, width).alias("c")
     ).select(value_col, F.col("c.row").alias("row"), F.col("c.col").alias("col"))
     joined = fan.join(F.broadcast(cms), ["row", "col"], "left")
     return joined.groupBy(value_col).agg(

@@ -5112,7 +5112,7 @@ _URL_SYNTH_SQL = """
     || '/docs/' || CAST(doc_id % 40 AS VARCHAR)
     || (CASE CAST(doc_id % 4 AS INTEGER)
           WHEN 0 THEN '/?utm_source=feed&utm_campaign=a'
-          WHEN 1 THEN '?ref=nav&page=2'
+          WHEN 1 THEN '?utm_ref=nav&page=2'
           WHEN 2 THEN '#section-' || CAST(doc_id AS VARCHAR)
           ELSE '/' END)
 """
@@ -5128,7 +5128,7 @@ def _url_synth_col() -> Column:
             (F.col("doc_id") % 4).cast("int") == 0,
             F.lit("/?utm_source=feed&utm_campaign=a"),
         )
-        .when((F.col("doc_id") % 4).cast("int") == 1, F.lit("?ref=nav&page=2"))
+        .when((F.col("doc_id") % 4).cast("int") == 1, F.lit("?utm_ref=nav&page=2"))
         .when(
             (F.col("doc_id") % 4).cast("int") == 2,
             F.concat(F.lit("#section-"), F.col("doc_id").cast("string")),

@@ -791,7 +791,17 @@ def decode_kafka_segment(
                     )
                 )
                 rp = rec_end  # headers (and any future fields) skipped
-        except (ValueError, IndexError, struct.error, OSError, EOFError):
+        except (
+            ValueError,
+            IndexError,
+            struct.error,
+            OSError,
+            EOFError,
+            zlib.error,  # corrupt DEFLATE body — subclasses Exception
+            # directly, not ValueError/OSError (a corrupted gzip
+            # HEADER raises BadGzipFile/OSError, the stream itself
+            # raises zlib.error)
+        ):
             # corrupt batch interior: keep what decoded, move to the
             # next batch — its 12-byte (offset, length) frame is
             # intact (the length bounds-checked above), so later

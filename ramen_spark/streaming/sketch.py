@@ -34,9 +34,15 @@ from ramen_spark.operators.sketch import (
 
 
 def _dir_exists(spark: SparkSession, path: str) -> bool:
-    import os
-
-    return os.path.exists(path)
+    """Existence through the Hadoop FileSystem API, not os.path — the
+    state dir of an always-on lane lives wherever the cluster's
+    storage is (s3://, hdfs://, …); a local-only check would return
+    False there and silently RESET the accumulated sketch every
+    micro-batch."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
 
 
 class IncrementalKmvSketch:

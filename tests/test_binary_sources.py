@@ -434,3 +434,38 @@ def test_kafka_segment_corrupt_batch_interior_is_contained():
         return tail
     recs3 = decode_kafka_segment(_rebody(gz, set_snappy) + good2)
     assert recs3 == [(2, 2, 20, b"k3", b"v3")]
+
+
+def test_kafka_segment_corrupt_deflate_body_is_contained():
+    """gzip.decompress raises zlib.error (NOT ValueError/OSError) when
+    the DEFLATE STREAM — not the gzip header — is corrupt; the
+    containment must catch it so later batches survive."""
+    import struct as _s
+    import zlib as _z
+
+    from ramen_spark.sources.binary import (
+        decode_kafka_segment,
+        encode_kafka_record_batch,
+    )
+
+    gz = encode_kafka_record_batch(
+        [(30, b"k4", b"v4" * 50)], base_offset=5, base_timestamp=30,
+        compression="gzip",
+    )
+    head = _s.calcsize(">hiqqqhii")
+    tail = bytearray(gz[21:])
+    # corrupt INSIDE the deflate stream (past the 10-byte gzip header)
+    tail[head + 14] ^= 0xFF
+    crc = _z.crc32(bytes(tail)) & 0xFFFFFFFF
+    after_len = _s.pack(">ibI", -1, 2, crc) + bytes(tail)
+    bad = gz[:8] + _s.pack(">i", len(after_len)) + after_len
+    # sanity: this really is the zlib.error shape, not BadGzipFile
+    import gzip as _gzip
+    import pytest as _pytest
+    with _pytest.raises(_z.error):
+        _gzip.decompress(bytes(tail[head:]))
+
+    good = encode_kafka_record_batch(
+        [(40, b"k5", b"v5")], base_offset=9, base_timestamp=40
+    )
+    assert decode_kafka_segment(bad + good) == [(9, 9, 40, b"k5", b"v5")]

@@ -315,3 +315,9 @@ def test_cli_sketch(spark, tmp_path, capsys):
                 and ln.split("\t")[1].isdigit()]
     assert len(cms_rows) == 3
     assert all(int(e) >= int(x) for _, x, e in cms_rows)
+
+    # the default (no --by) form is the GLOBAL sketch — one row
+    assert main(["sketch", src, "user_id", "--k", "16", "--top", "0"]) == 0
+    out2 = capsys.readouterr().out.strip().splitlines()
+    assert out2[0].split("\t") == ["n_kept", "kth_min", "est_distinct"]
+    assert len(out2) == 2

@@ -24,7 +24,8 @@ _URL_CASES = [
     ("http://Example.com:80/", "http://example.com/"),
     ("https://a.b/x?fbclid=123", "https://a.b/x"),
     ("https://a.b/x?id=2&gclid=9&q=3", "https://a.b/x?id=2&q=3"),
-    ("https://a.b/p/?ref=home", "https://a.b/p"),
+    ("https://a.b/p/?utm_ref=home", "https://a.b/p"),
+    ("https://a.b/x?ref=main", "https://a.b/x?ref=main"),  # ref is CONTENT
     ("http://h/p//", "http://h/p"),
     ("not a url", "not a url"),
     ("ftp://Mixed.Case/KEEP/Path", "ftp://mixed.case/KEEP/Path"),
@@ -433,3 +434,22 @@ def test_margin_mining_penalizes_hubs(spark):
     # exclusive pairs clear the hub-seeker's margin
     assert out[0]["margin"] > out[2]["margin"]
     assert out[1]["margin"] > out[2]["margin"]
+
+
+def test_kmv_global_and_null_values(spark):
+    """keys=[] is the GLOBAL sketch (the CLI's default no---by form),
+    and NULL values are ignored (SQL COUNT DISTINCT convention) —
+    a NULL would otherwise NaN-cast to INT64_MIN inside the Arrow
+    prefilter and squat in the min slot."""
+    df = spark.createDataFrame(
+        [(f"u{i % 40}",) for i in range(500)] + [(None,)] * 25,
+        "user string",
+    )
+    [row] = kmv_distinct(df, [], "user", k=64).collect()
+    assert row["n_kept"] == 40 and row["est_distinct"] == 40
+    # bit-identical with and without the NULLs present
+    clean = spark.createDataFrame(
+        [(f"u{i % 40}",) for i in range(500)], "user string"
+    )
+    [row2] = kmv_distinct(clean, [], "user", k=64).collect()
+    assert tuple(row) == tuple(row2)
