@@ -267,8 +267,10 @@ def main() -> None:
             "top_2gram_coverage",    # r8: per-doc mode via (doc,gram) agg
             "url_dedup",             # r9: canonical-url regex cascade + agg
             "kmv_distinct_users",    # r9: bottom-k sketch, prefilter shape
-            "events_in_error_windows",  # r9: bucketed range join — 927M
-                                        # pairs at this tier (ts replicate)
+            "error_window_purchase_stats",  # r9: bucketed range join,
+                                        # aggregated form (the raw-pair
+                                        # twin noop-writes 927M replicated-
+                                        # ts pairs — measures the sink)
             "cms_token_counts",      # r9: bounded-shuffle CMS + exact probes
         ]
         try:

@@ -5463,3 +5463,49 @@ def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Sim.margin_mining(
         emb.filter(F.col("label") == 0), emb.filter(F.col("label") == 1), k=4
     )
+
+
+@register(
+    "error_window_purchase_stats",
+    """
+    SELECT i.event_id AS incident_id,
+           count(*)::BIGINT AS n_purchases,
+           round(sum(p.value), 6) AS sum_value
+    FROM events p
+    JOIN events i
+      ON p.event_type = 'purchase' AND i.event_type = 'error'
+     AND epoch_us(p.ts) BETWEEN epoch_us(i.ts) AND epoch_us(i.ts) + 600000000
+    GROUP BY i.event_id
+    """,
+)
+def error_window_purchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregated form of events_in_error_windows — per-incident
+    purchase count + revenue inside the 10-minute window. This is
+    what a pipeline actually materializes (the raw pair set is an
+    intermediate); the aggregation sits directly on the bucketed
+    equi-join, so the pairs are partial-combined per task and never
+    land anywhere. The bench runs THIS form at the stress tiers —
+    the pair query's wall there measures noop-writing O(n²)
+    replicated-timestamp pairs, not the join."""
+    from ramen_spark.operators.rangejoin import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    pts = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        us.alias("t_us"),
+        F.col("value").alias("p_value"),
+    )
+    ivs = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        us.alias("lo_us"),
+        (us + 600_000_000).alias("hi_us"),
+    )
+    return (
+        interval_join(pts, ivs, "t_us", "lo_us", "hi_us", bucket=600_000_000)
+        .groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.round(F.sum("p_value"), 6).alias("sum_value"),
+        )
+    )
