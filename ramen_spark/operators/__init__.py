@@ -23,7 +23,12 @@
                    would otherwise nested-loop.
 - ``sketch``     : deterministic KMV (bottom-k) distinct-count
                    sketch — map-side bounded prefilter, one tiny
-                   Exchange, oracle-exact unlike HLL.
+                   Exchange, oracle-exact unlike HLL — and the
+                   count-min frequency sketch (bounded
+                   depth×width-cell shuffle).
+- ``bloom``      : deterministic Bloom filter as a (word, bits)
+                   relation — broadcast join pruning with no false
+                   negatives; double-hashed, SQL-checkable.
 - ``sortbuf``    : SORT LAST n bounded reorder buffer
                    (src/RamenSortBuf.ml semantics).
 """
