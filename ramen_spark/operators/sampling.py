@@ -452,3 +452,106 @@ def cluster_balanced_sample(
         F.col("cell_size").cast("bigint").alias("cell_size"),
         F.col("pick_rank").cast("int").alias("pick_rank"),
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    weight_col: str = "n_tokens",
+    pri_col: str = "q_micro",
+    id_col: str = "doc_id",
+    id_range: int = 1 << 16,
+) -> DataFrame:
+    """Select the best documents until a token budget is exhausted —
+    the "give me the top N billion tokens by quality" cut every
+    training-mix recipe ends with. A row is kept iff it fits entirely:
+    cum(weight over all strictly-better rows, priority (pri desc,
+    id asc)) + its own weight <= budget. Deterministic total order ⇒
+    rerun-stable and oracle-exact (the DuckDB twin is one cumulative
+    window).
+
+    100 TB shape — a global ordered prefix WITHOUT a global sort
+    (the same discipline as training_order): the naive form is a
+    cumsum window over a single global ordering — every row through
+    ONE task. Instead, two bounded prefix levels:
+
+      1. per-PRIORITY-VALUE totals (partial-combined groupBy; the
+         priority is an integer micro-score, so the level-1 relation
+         is bounded by the score DOMAIN — ≤ ~1e6 rows forever, and
+         the cumsum window over it is bounded the same way);
+         priority values that fit whole are selected wholesale, and
+         at most ONE boundary value remains;
+      2. inside the boundary value only: per-id-RANGE totals
+         (``id div id_range`` — monotone in the id, so range order =
+         priority order there), a second bounded cumsum, wholesale
+         ranges, and a final per-row window over the at-most-one
+         boundary RANGE — ≤ ``id_range`` rows by uniqueness of ids.
+
+    Level-2's relation has one row per OCCUPIED id range; with dense
+    ids that's n_boundary_docs / id_range. Pathologically sparse ids
+    (every doc alone in its range) degrade level 2 to one row per doc
+    — tiny (rng, w) rows, and a third level would bound it again;
+    not needed at any plausible id layout.
+
+    Output: the selected rows of ``df`` (all original columns).
+    """
+    w, p = F.col(weight_col).cast("long"), F.col(pri_col).cast("long")
+    rows = df.withColumn("_w", w).withColumn("_p", p)
+
+    # level 1: totals per priority value — bounded by the score domain
+    per_p = rows.groupBy("_p").agg(F.sum("_w").alias("_pw"))
+    w1 = (
+        Window.orderBy(F.col("_p").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum1 = per_p.withColumn(
+        "_before", F.coalesce(F.sum("_pw").over(w1), F.lit(0))
+    )
+    full_p = cum1.filter(F.col("_before") + F.col("_pw") <= budget).select(
+        "_p"
+    )
+    boundary = cum1.filter(
+        (F.col("_before") < budget) & (F.col("_before") + F.col("_pw") > budget)
+    ).select("_p", F.lit(budget) - F.col("_before")).toDF("_p", "_rem")
+
+    keep_whole = rows.join(F.broadcast(full_p), "_p", "leftsemi")
+
+    # level 2, boundary priority only: per-id-range totals
+    b = rows.join(F.broadcast(boundary), "_p")
+    rng = F.expr(f"CAST(`{id_col}` AS BIGINT) div {int(id_range)}")
+    b = b.withColumn("_rng", rng)
+    per_r = b.groupBy("_rem", "_rng").agg(F.sum("_w").alias("_rw"))
+    w2 = (
+        Window.orderBy(F.col("_rng").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum2 = per_r.withColumn(
+        "_rbefore", F.coalesce(F.sum("_rw").over(w2), F.lit(0))
+    )
+    full_r = cum2.filter(
+        F.col("_rbefore") + F.col("_rw") <= F.col("_rem")
+    ).select("_rng")
+    bound_r = cum2.filter(
+        (F.col("_rbefore") < F.col("_rem"))
+        & (F.col("_rbefore") + F.col("_rw") > F.col("_rem"))
+    ).select("_rng", (F.col("_rem") - F.col("_rbefore")).alias("_rrem"))
+
+    keep_ranges = b.join(F.broadcast(full_r), "_rng", "leftsemi")
+
+    # final: per-row cumsum inside the ONE boundary range (≤ id_range
+    # rows by id uniqueness)
+    br = b.join(F.broadcast(bound_r), "_rng")
+    w3 = (
+        Window.orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    keep_tail = br.withColumn(
+        "_dbefore", F.coalesce(F.sum("_w").over(w3), F.lit(0))
+    ).filter(F.col("_dbefore") + F.col("_w") <= F.col("_rrem"))
+
+    out_cols = df.columns
+    return (
+        keep_whole.select(*out_cols)
+        .unionByName(keep_ranges.select(*out_cols))
+        .unionByName(keep_tail.select(*out_cols))
+    )

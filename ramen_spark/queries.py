@@ -5509,3 +5509,55 @@ def error_window_purchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("p_value"), 6).alias("sum_value"),
         )
     )
+
+
+@register(
+    "token_budget_select",
+    f"""
+    WITH q AS ({{QUALITY}}),
+    scored AS (
+      SELECT d.doc_id, d.lang,
+             len({_WORDS_SQL}) AS n_tokens,
+             CAST(round(q.quality * 1000000, 0) AS BIGINT) AS q_micro
+      FROM documents d JOIN q USING (doc_id)
+    ),
+    o AS (
+      SELECT *,
+             sum(n_tokens) OVER (ORDER BY q_micro DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM scored
+    )
+    SELECT doc_id, lang, n_tokens, q_micro
+    FROM o WHERE cum <= 12000
+    """,
+)
+def token_budget_select_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget prefix selection
+    (operators.sampling.token_budget_select, budget = 12 000 tokens):
+    keep the best documents by (quality micro-score desc, doc_id asc)
+    until the budget is exhausted — the final cut of a training-mix
+    recipe. The oracle is the naive global cumsum window; the
+    operator computes the identical prefix through two BOUNDED
+    prefix levels (per-score totals, then per-id-range totals inside
+    the single boundary score) so no task ever sees more than the
+    score domain / id_range rows — a global ordered selection with
+    no global sort."""
+    from ramen_spark.operators.sampling import token_budget_select
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        Tx.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(Tx.quality_score(F.col("text")) * 1000000.0, 0)
+        .cast("bigint")
+        .alias("q_micro"),
+    )
+    return token_budget_select(scored, budget=12000).select(
+        "doc_id", "lang", "n_tokens", "q_micro"
+    )
+
+
+ORACLES["token_budget_select"] = ORACLES["token_budget_select"].replace(
+    "{QUALITY}", ORACLES["quality_scores"]
+)

@@ -453,3 +453,45 @@ def test_kmv_global_and_null_values(spark):
     )
     [row2] = kmv_distinct(clean, [], "user", k=64).collect()
     assert tuple(row) == tuple(row2)
+
+
+# ---------------------------------------------------------------------------
+# token-budget prefix selection
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_select_equals_naive_cumsum(spark):
+    """The two-level bounded-prefix form must equal the naive global
+    cumsum window on every budget — including ties in the priority,
+    budget 0, mid-document boundaries, and budget >= total."""
+    import random
+
+    from pyspark.sql import Window
+
+    from ramen_spark.operators.sampling import token_budget_select
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randint(1, 50), rng.choice([100, 200, 200, 300, 900]))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, q_micro long")
+    total = sum(w for _, w, _ in rows)
+
+    w = Window.orderBy(
+        F.col("q_micro").desc(), F.col("doc_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    naive_all = df.withColumn("cum", F.sum("n_tokens").over(w))
+
+    for budget in (0, 1, 137, 5000, 33333, total, total + 10):
+        exp = {
+            r["doc_id"]
+            for r in naive_all.filter(F.col("cum") <= budget).collect()
+        }
+        got = {
+            r["doc_id"]
+            for r in token_budget_select(
+                df, budget, id_range=256
+            ).collect()
+        }
+        assert got == exp, f"budget={budget}: {len(got)} vs {len(exp)}"
