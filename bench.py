@@ -272,6 +272,7 @@ def main() -> None:
                                         # twin noop-writes 927M replicated-
                                         # ts pairs — measures the sink)
             "cms_token_counts",      # r9: bounded-shuffle CMS + exact probes
+            "token_budget_select",   # r9: global ordered prefix, no sort
         ]
         try:
             from tools.scale_testdata import scale, tier_is_current
