@@ -267,12 +267,18 @@ def main() -> None:
             "top_2gram_coverage",    # r8: per-doc mode via (doc,gram) agg
             "url_dedup",             # r9: canonical-url regex cascade + agg
             "kmv_distinct_users",    # r9: bottom-k sketch, prefilter shape
+            "cms_token_counts",      # r9: bounded-shuffle CMS + exact probes
+            "token_budget_select",   # r9: global ordered prefix, no sort
             "error_window_purchase_stats",  # r9: bucketed range join,
                                         # aggregated form (the raw-pair
                                         # twin noop-writes 927M replicated-
-                                        # ts pairs — measures the sink)
-            "cms_token_counts",      # r9: bounded-shuffle CMS + exact probes
-            "token_budget_select",   # r9: global ordered prefix, no sort
+                                        # ts pairs — measures the sink).
+                                        # At the TAIL: an earlier draft
+                                        # swapped it in place of the
+                                        # pair query, which would have
+                                        # changed cms's predecessor and
+                                        # confounded its delta (append-
+                                        # only invariant, line above)
         ]
         try:
             from tools.scale_testdata import scale, tier_is_current

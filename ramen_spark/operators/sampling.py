@@ -495,7 +495,11 @@ def token_budget_select(
 
     Output: the selected rows of ``df`` (all original columns).
     """
-    w, p = F.col(weight_col).cast("long"), F.col(pri_col).cast("long")
+    # NULL weights count as 0 (the SQL SUM-over-window convention the
+    # oracle follows); NULL priorities sort WORST (both engines default
+    # NULLS LAST under DESC) and are handled below with null-safe joins.
+    w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+    p = F.col(pri_col).cast("long")
     # localCheckpoint: the input subtree feeds FOUR branches (level-1
     # totals, wholesale keep, level-2 totals, boundary tail) — Spark
     # shares no subtrees, so an expensive upstream (quality scoring)
@@ -515,14 +519,29 @@ def token_budget_select(
     full_p = cum1.filter(F.col("_before") + F.col("_pw") <= budget).select(
         "_p"
     )
+    # boundary test is <=, not <: when strictly-better priorities
+    # consume the budget EXACTLY, zero-weight rows at the head of the
+    # next priority still fit (cum <= budget in the oracle) — a
+    # strict < silently dropped them (found by review, now in the
+    # property test)
     boundary = cum1.filter(
-        (F.col("_before") < budget) & (F.col("_before") + F.col("_pw") > budget)
+        (F.col("_before") <= budget)
+        & (F.col("_before") + F.col("_pw") > budget)
     ).select("_p", F.lit(budget) - F.col("_before")).toDF("_p", "_rem")
 
-    keep_whole = rows.join(F.broadcast(full_p), "_p", "leftsemi")
+    # null-SAFE joins: a NULL priority is a real group (sorts worst);
+    # a plain equi-join would never match it back
+    keep_whole = rows.join(
+        F.broadcast(full_p.withColumnRenamed("_p", "_fp")),
+        F.col("_p").eqNullSafe(F.col("_fp")),
+        "leftsemi",
+    )
 
     # level 2, boundary priority only: per-id-range totals
-    b = rows.join(F.broadcast(boundary), "_p")
+    b = rows.join(
+        F.broadcast(boundary.withColumnRenamed("_p", "_bp")),
+        F.col("_p").eqNullSafe(F.col("_bp")),
+    ).drop("_bp")
     rng = F.expr(f"CAST(`{id_col}` AS BIGINT) div {int(id_range)}")
     b = b.withColumn("_rng", rng)
     per_r = b.groupBy("_rem", "_rng").agg(F.sum("_w").alias("_rw"))
@@ -537,7 +556,8 @@ def token_budget_select(
         F.col("_rbefore") + F.col("_rw") <= F.col("_rem")
     ).select("_rng")
     bound_r = cum2.filter(
-        (F.col("_rbefore") < F.col("_rem"))
+        (F.col("_rbefore") <= F.col("_rem"))  # <=: same zero-weight
+        # exact-exhaustion case as level 1
         & (F.col("_rbefore") + F.col("_rw") > F.col("_rem"))
     ).select("_rng", (F.col("_rem") - F.col("_rbefore")).alias("_rrem"))
 

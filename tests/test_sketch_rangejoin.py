@@ -471,19 +471,34 @@ def test_token_budget_select_equals_naive_cumsum(spark):
     from ramen_spark.operators.sampling import token_budget_select
 
     rng = random.Random(7)
+    # zero weights and NULL priorities/weights INCLUDED: the strict-<
+    # boundary predicates and null-unsafe joins both passed an
+    # all-positive generator (found by review)
     rows = [
-        (i, rng.randint(1, 50), rng.choice([100, 200, 200, 300, 900]))
+        (
+            i,
+            rng.choice([0, 0, rng.randint(1, 50), None]),
+            rng.choice([100, 200, 200, 300, 900, None]),
+        )
         for i in range(3000)
     ]
     df = spark.createDataFrame(rows, "doc_id long, n_tokens long, q_micro long")
-    total = sum(w for _, w, _ in rows)
+    total = sum(w or 0 for _, w, _ in rows)
 
     w = Window.orderBy(
         F.col("q_micro").desc(), F.col("doc_id").asc()
     ).rowsBetween(Window.unboundedPreceding, 0)
-    naive_all = df.withColumn("cum", F.sum("n_tokens").over(w))
+    naive_all = df.withColumn(
+        "cum", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
 
-    for budget in (0, 1, 137, 5000, 33333, total, total + 10):
+    # exact-prefix budgets: the cumsum value right AT a priority-group
+    # edge exercises the <= boundary (zero-weight rows must still fit)
+    by_pri = {}
+    for _, wt, q in rows:
+        by_pri[q] = by_pri.get(q, 0) + (wt or 0)
+    edge = by_pri.get(900, 0)  # exactly exhausts the best priority
+    for budget in (0, 1, 137, edge, 5000, 33333, total, total + 10):
         exp = {
             r["doc_id"]
             for r in naive_all.filter(F.col("cum") <= budget).collect()
