@@ -510,3 +510,55 @@ def test_token_budget_select_equals_naive_cumsum(spark):
             ).collect()
         }
         assert got == exp, f"budget={budget}: {len(got)} vs {len(exp)}"
+
+
+def test_canonical_url_cross_engine_fuzz(spark):
+    """Seeded 3000-case fuzz of the Java∩RE2 claim: unicode hosts,
+    empty/odd schemes, repeated tracking params, stray '?'/'#'/'&',
+    percent escapes, ports ':0'/':' — Spark and DuckDB must emit the
+    IDENTICAL canonical string for every one (one batched compare, so
+    the fuzz costs two queries, not 3000). A divergence here is
+    exactly the class of bug that would surface as an unexplainable
+    driver hash mismatch on real crawl URLs."""
+    import random
+
+    import duckdb
+
+    from ramen_spark.functions.text import canonical_url, canonical_url_sql
+
+    rng = random.Random(42)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp", "a+b-c.d", ""]
+    hosts = ["Example.COM", "a.b", "ÜNICODE.example", "127.0.0.1", "h_h",
+             "[::1]", "", 'weird"host']
+    ports = ["", ":80", ":443", ":8080", ":0", ":"]
+    paths = ["", "/", "/P/Q", "//x//", "/p%20q", "/p?", "/ünï/päth", "/p/"]
+    qs = ["", "?", "?a=1", "?utm_source=x", "?utm_source=x&b=2",
+          "?a=1&fbclid=z", "?gclid=1&gclid=2", "?ref=keep", "?utm_a",
+          "?&&", "?a=%3F&utm_b=c", "?msclkid=m&utm_x=1&y=2"]
+    frags = ["", "#", "#f", "#a#b", "#?q=1"]
+    urls = []
+    for _ in range(3000):
+        u = rng.choice(schemes)
+        u = (
+            (u + "://" if u else "")
+            + rng.choice(hosts) + rng.choice(ports) + rng.choice(paths)
+            + rng.choice(qs) + rng.choice(frags)
+        )
+        urls.append(u)
+    urls += ["", "   ", "no scheme at all", "a://", "://host", "http://",
+             "just?query=1#f", "\t",
+             "http://h/p/?utm_source=a&utm_source=b"]
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r["c"]
+        for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u in urls])
+    want = [r[0] for r in con.execute(
+        f"SELECT {canonical_url_sql('url')} FROM t"
+    ).fetchall()]
+    diffs = [(u, g, w) for u, g, w in zip(urls, got, want) if g != w]
+    assert not diffs, diffs[:5]
