@@ -61,6 +61,12 @@ def interval_join(
     unmatched points with NULL interval columns (one row each) — the
     enrichment form.
 
+    Column-name contract: the two sides must not share any non-key
+    column name — both are emitted by name, and a collision (e.g. both
+    carrying `event_id` or `ts`) would make every downstream select or
+    filter on that name throw AMBIGUOUS_REFERENCE. Raises ValueError
+    up front instead; rename/alias one side before joining.
+
     Streaming: a streaming `points` side against a STATIC `intervals`
     side is a plain stream-static equi-join (the explode lives on the
     static side) and works unchanged — batch parity pinned by
@@ -69,6 +75,16 @@ def interval_join(
     if bucket <= 0:
         raise ValueError("bucket must be a positive integer")
     keys = list(keys or [])
+    clash = sorted(
+        (set(points.columns) & set(intervals.columns)) - set(keys)
+    )
+    if clash:
+        raise ValueError(
+            "interval_join: non-key column name collision between points "
+            f"and intervals: {clash} — both sides are emitted by name, so "
+            "a shared name makes downstream references ambiguous; rename "
+            "one side (e.g. intervals.withColumnRenamed) before joining"
+        )
     b = int(bucket)
 
     # integer `div`, not float `/`+cast: double division can land an

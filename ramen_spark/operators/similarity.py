@@ -34,12 +34,20 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast-join queries × corpus, score
     JVM-side, rank per query.
 
     Ties broken deterministically by (rounded sim desc, corpus id asc)
     so results are reproducible across engines and runs.
+
+    ``exclude_self=True`` (the default) drops pairs whose corpus id
+    equals the query id — correct when queries ⊆ corpus (self-search,
+    the near-dup use). Pass ``exclude_self=False`` when the two sides
+    are DIFFERENT populations that merely share an id space (bitext
+    mining: parallel corpora routinely number both sides 0..n, and the
+    true aligned pair (x_i, y_i) would otherwise be silently dropped).
     """
     q = F.broadcast(
         queries.select(
@@ -50,10 +58,11 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("_cvec")
     ).withColumn("_cnorm", V.norm2(F.col("_cvec")))
-    scored = (
-        c.crossJoin(q)
-        .filter(F.col("corpus_id") != F.col(query_id_col))
-        .withColumn("sim", F.round(_sim_prenorm("_qvec", "_cvec", "_qnorm", "_cnorm"), 6))
+    scored = c.crossJoin(q)
+    if exclude_self:
+        scored = scored.filter(F.col("corpus_id") != F.col(query_id_col))
+    scored = scored.withColumn(
+        "sim", F.round(_sim_prenorm("_qvec", "_cvec", "_qnorm", "_cnorm"), 6)
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col("corpus_id").asc())
     return (
@@ -1004,11 +1013,16 @@ def margin_mining(
     margin arithmetic itself is two tiny per-id aggregates + one
     equi-join — nothing beyond the kNN passes moves.
     """
+    # exclude_self=False: xs and ys are different populations that may
+    # share an id space (parallel corpora both numbered 0..n) — the
+    # self-match filter would drop the true aligned pair (x_i, y_i).
     fwd = brute_force_topk(
-        ys, xs, k=k, id_col=id_col, vec_col=vec_col, query_id_col="x_id"
+        ys, xs, k=k, id_col=id_col, vec_col=vec_col, query_id_col="x_id",
+        exclude_self=False,
     ).withColumnRenamed("corpus_id", "y_id")
     bwd = brute_force_topk(
-        xs, ys, k=k, id_col=id_col, vec_col=vec_col, query_id_col="yq_id"
+        xs, ys, k=k, id_col=id_col, vec_col=vec_col, query_id_col="yq_id",
+        exclude_self=False,
     )
     avg_x = fwd.groupBy("x_id").agg(F.round(F.avg("sim"), 6).alias("avg_x"))
     avg_y = bwd.groupBy("yq_id").agg(F.round(F.avg("sim"), 6).alias("avg_y"))

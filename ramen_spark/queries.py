@@ -5186,6 +5186,7 @@ def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT event_type,
              ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
       FROM events
+      WHERE user_id IS NOT NULL
     ),
     r AS (
       SELECT event_type, h,

@@ -213,6 +213,23 @@ def test_interval_join_validates_inputs(spark):
         interval_join(pts, ivs, "t", "lo", "hi", bucket=64, how="full")
 
 
+def test_interval_join_rejects_column_collision(spark):
+    """Both sides are emitted by name, so a shared non-key name
+    (both carrying event_id, say) would leave the result with two
+    identically-named columns and AMBIGUOUS_REFERENCE on any
+    downstream select — fail fast at plan time instead."""
+    pts, ivs = _range_fixture(spark)
+    pts2 = pts.withColumn("event_id", F.lit(1))
+    ivs2 = ivs.withColumn("event_id", F.lit(2))
+    with pytest.raises(ValueError, match="event_id"):
+        interval_join(pts2, ivs2, "t", "lo", "hi", bucket=64)
+    # as a KEY the shared name is fine (deduplicated on output)
+    out = interval_join(pts2, ivs2.withColumn("event_id", F.lit(1)),
+                        "t", "lo", "hi", bucket=64, keys=["event_id", "k"])
+    assert out.columns.count("event_id") == 1
+    out.collect()
+
+
 # ---------------------------------------------------------------------------
 # count-min sketch
 # ---------------------------------------------------------------------------
@@ -434,6 +451,33 @@ def test_margin_mining_penalizes_hubs(spark):
     # exclusive pairs clear the hub-seeker's margin
     assert out[0]["margin"] > out[2]["margin"]
     assert out[1]["margin"] > out[2]["margin"]
+
+
+def test_margin_mining_shared_id_space(spark):
+    """Bitext corpora routinely number BOTH sides 0..n — the true
+    aligned pair (x_i, y_i) shares an id. brute_force_topk's
+    self-match filter (correct for self-search) must NOT apply here:
+    with exclude_self accidentally on, x_0's best partner y_0
+    (sim ≈ 0.995) is dropped and the miner returns y_1 (sim ≈ 0.1)."""
+    from ramen_spark.operators.similarity import margin_mining
+
+    import math
+
+    def unit(*v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    xs = spark.createDataFrame(
+        [(0, unit(1.0, 0.0, 0.1)), (1, unit(0.0, 1.0, 0.1))],
+        "vec_id long, embedding array<double>",
+    )
+    ys = spark.createDataFrame(
+        [(0, unit(1.0, 0.0, 0.0)), (1, unit(0.0, 1.0, 0.0))],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["x_id"]: r for r in margin_mining(xs, ys, k=2).collect()}
+    assert out[0]["y_id"] == 0 and out[0]["sim"] > 0.99
+    assert out[1]["y_id"] == 1 and out[1]["sim"] > 0.99
 
 
 def test_kmv_global_and_null_values(spark):
