@@ -4,13 +4,26 @@ lanes (streaming/dedup.py): a persisted, batch-readable artifact that
 each micro-batch folds into, with N-batch ≡ batch parity pinned by
 test.
 
-Both sketches are BOUNDED state (KMV: ≤ k rows per key; CMS: ≤
-depth × width cells), so unlike the dedup indexes — which grow with
-the corpus and must live in parquet partitions — the whole state
-comfortably round-trips through the driver per micro-batch
-(collect + atomic overwrite). That makes the merge trivially
-transactional: the new state parquet replaces the old one only after
-the merged snapshot is fully computed.
+State size regimes (the driver round-trip is NOT free in general):
+- CMS state is ≤ depth × width cells REGARDLESS of stream content,
+  so it always round-trips through the driver (collect + atomic
+  overwrite — the merged snapshot is fully materialized before the
+  old parquet is replaced).
+- KMV state is ≤ k rows PER KEY but unbounded in the number of
+  KEYS: a per-URL-host or per-user sketch (millions of keys) makes
+  each micro-batch collect k × n_keys rows — a driver-OOM vector.
+  ``IncrementalKmvSketch.update`` therefore switches above
+  ``driver_state_max_rows`` to a fully distributed commit: the
+  merged prune output is written to a sibling ``…__next`` directory
+  (a plain distributed parquet write — target ≠ source, so no
+  overwrite-while-reading hazard and no collect anywhere), then
+  swapped in with two filesystem metadata ops (delete old, rename
+  next). Crash recovery: ``_state`` treats a ``__next`` directory
+  bearing Spark's ``_SUCCESS`` marker as the authoritative newer
+  snapshot and finishes the interrupted swap; a markerless
+  ``__next`` is a torn write and is ignored (the old state stands,
+  and foreachBatch replays the batch — min-k idempotence makes the
+  re-fold harmless).
 
 Replay semantics differ per sketch and are enforced here:
 - KMV is IDEMPOTENT under batch replay (min-k of a multiset ignores
@@ -33,15 +46,18 @@ from ramen_spark.operators.sketch import (
 )
 
 
-def _dir_exists(spark: SparkSession, path: str) -> bool:
-    """Existence through the Hadoop FileSystem API, not os.path — the
-    state dir of an always-on lane lives wherever the cluster's
-    storage is (s3://, hdfs://, …); a local-only check would return
-    False there and silently RESET the accumulated sketch every
-    micro-batch."""
+def _fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem for `path` — not os.path: the state dir of an
+    always-on lane lives wherever the cluster's storage is (s3://,
+    hdfs://, …); a local-only check would return False there and
+    silently RESET the accumulated sketch every micro-batch."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _dir_exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath = _fs(spark, path)
     return bool(fs.exists(hpath))
 
 
@@ -51,7 +67,18 @@ class IncrementalKmvSketch:
     (min-k is associative + commutative + idempotent, so any batch
     split and any replay yields the state of the concatenated input);
     ``estimate`` finalizes to (keys…, n_kept, kth_min, est_distinct),
-    identical to batch ``kmv_distinct`` over everything seen."""
+    identical to batch ``kmv_distinct`` over everything seen.
+
+    State-size regime: the state is ≤ k rows per key but the number
+    of KEYS is unbounded. Small key domains (per event-type, per
+    language — the typical observability configs) take the driver
+    path: collect + atomic overwrite, one tiny parquet write. Once
+    the merged state exceeds ``driver_state_max_rows`` rows,
+    ``update`` commits DISTRIBUTED instead — the merged prune output
+    is written executor-side to ``<state_dir>__next`` and swapped in
+    with filesystem metadata ops; nothing state-sized ever reaches
+    the driver (a per-URL-host sketch at 10M hosts × k=64 would
+    otherwise collect 640M rows per micro-batch)."""
 
     def __init__(
         self,
@@ -60,6 +87,7 @@ class IncrementalKmvSketch:
         keys: list[str],
         value_col: str,
         k: int = 64,
+        driver_state_max_rows: int = 100_000,
     ) -> None:
         if k < 2:
             raise ValueError("IncrementalKmvSketch needs k >= 2")
@@ -68,19 +96,45 @@ class IncrementalKmvSketch:
         self.keys = list(keys)
         self.value_col = value_col
         self.k = k
+        self.driver_state_max_rows = driver_state_max_rows
+        # instrumentation: 'driver' | 'distributed', set by update()
+        self.last_commit_path: str | None = None
+
+    @property
+    def _next_dir(self) -> str:
+        return self.state_dir.rstrip("/") + "__next"
 
     def _state(self) -> DataFrame | None:
+        # crash recovery: a __next dir bearing _SUCCESS is a COMPLETE
+        # newer snapshot whose swap was interrupted — finish the swap
+        # here. Without _SUCCESS it's a torn write: ignore it (the
+        # old state stands; the replayed batch re-folds, and min-k
+        # idempotence makes the re-fold a no-op).
+        nxt = self._next_dir
+        if _dir_exists(self.spark, nxt) and _dir_exists(
+            self.spark, nxt + "/_SUCCESS"
+        ):
+            self._swap_in(nxt)
         if not _dir_exists(self.spark, self.state_dir):
             return None
         return self.spark.read.parquet(self.state_dir)
+
+    def _swap_in(self, next_dir: str) -> None:
+        """Promote a fully-written __next snapshot to state_dir: two
+        FS metadata ops (delete old, rename next). Rename is atomic on
+        HDFS/local; the _SUCCESS-gated recovery in _state covers the
+        delete→rename window."""
+        fs, state_p = _fs(self.spark, self.state_dir)
+        _, next_p = _fs(self.spark, next_dir)
+        if fs.exists(state_p):
+            fs.delete(state_p, True)
+        fs.rename(next_p, state_p)
 
     def update(self, batch_df: DataFrame) -> None:
         pruned = kmv_prune(batch_df, self.keys, self.value_col, self.k)
         state = self._state()
         merged = pruned if state is None else state.unionByName(pruned)
-        # re-prune the union to ≤ k per key, then swap the state
-        # atomically: the merged snapshot is materialized (bounded:
-        # k rows per key) BEFORE the old parquet is replaced
+        # re-prune the union to ≤ k per key
         top = (
             merged.groupBy(*self.keys)
             .agg(
@@ -90,10 +144,33 @@ class IncrementalKmvSketch:
             )
             .select(*self.keys, F.explode("_mins").alias("_h"))
         )
+        # count() is one cheap aggregate job over the bounded merge;
+        # it picks the commit path AND (driver path) proves the
+        # snapshot computes before the old parquet is touched.
+        n_rows = top.count()
+        if n_rows <= self.driver_state_max_rows:
+            self._commit_via_driver(top)
+        else:
+            self._commit_distributed(top)
+
+    def _commit_via_driver(self, top: DataFrame) -> None:
+        """Small-state path: collect + atomic overwrite (the merged
+        snapshot is fully on the driver before the old parquet is
+        replaced — overwrite of a dir the plan reads from would
+        otherwise delete the input mid-job)."""
         rows = top.collect()
         self.spark.createDataFrame(rows, top.schema).write.mode(
             "overwrite"
         ).parquet(self.state_dir)
+        self.last_commit_path = "driver"
+
+    def _commit_distributed(self, top: DataFrame) -> None:
+        """Large-state path: executor-side parquet write to __next
+        (target ≠ source, so the plan may read the current state dir
+        freely), then the metadata swap. No collect anywhere."""
+        top.write.mode("overwrite").parquet(self._next_dir)
+        self._swap_in(self._next_dir)
+        self.last_commit_path = "distributed"
 
     def estimate(self) -> DataFrame:
         state = self._state()
@@ -166,6 +243,7 @@ def kmv_sketch_stream(
     keys: list[str],
     value_col: str,
     k: int = 64,
+    driver_state_max_rows: int = 100_000,
 ):
     """Maintain a KMV distinct sketch always-on: every micro-batch is
     pruned and merged into ``state_dir``; any batch job (or
@@ -174,7 +252,8 @@ def kmv_sketch_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         IncrementalKmvSketch(
-            batch_df.sparkSession, state_dir, keys, value_col, k
+            batch_df.sparkSession, state_dir, keys, value_col, k,
+            driver_state_max_rows=driver_state_max_rows,
         ).update(batch_df)
 
     return (

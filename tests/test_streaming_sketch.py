@@ -75,6 +75,76 @@ def test_streaming_kmv_replay_idempotent(spark, tmp_path):
     assert {tuple(r) for r in sk.estimate().collect()} == once
 
 
+def test_streaming_kmv_distributed_commit_high_cardinality(spark, tmp_path):
+    """Above driver_state_max_rows the state must NEVER visit the
+    driver: a 100k-key stream (1 value per key → 100k state rows)
+    takes the distributed __next-write + FS-swap path. Instrumented
+    by poisoning the driver commit; parity vs batch kmv_distinct over
+    the concatenated input proves the distributed commit merges
+    identically."""
+    from ramen_spark.operators.sketch import kmv_distinct
+    from ramen_spark.streaming.sketch import IncrementalKmvSketch
+
+    n_keys = 100_000
+    full = spark.range(2 * n_keys).select(
+        F.concat(F.lit("h"), (F.col("id") % n_keys).cast("string")).alias("host"),
+        (F.col("id") * 2654435761 % 1000).cast("string").alias("user"),
+    )
+    b0 = full.filter(F.crc32(F.col("host")) % 2 == 0)
+    b1 = full.filter(F.crc32(F.col("host")) % 2 == 1)
+
+    sk = IncrementalKmvSketch(
+        spark, str(tmp_path / "hoststate"), ["host"], "user", k=8,
+        driver_state_max_rows=10_000,
+    )
+
+    def _poisoned(self, top):
+        raise AssertionError(
+            "driver commit used above driver_state_max_rows"
+        )
+
+    sk._commit_via_driver = _poisoned.__get__(sk)
+    sk.update(b0)
+    assert sk.last_commit_path == "distributed"
+    sk.update(b1)
+    assert sk.last_commit_path == "distributed"
+
+    got = {tuple(r) for r in sk.estimate().collect()}
+    exp = {
+        tuple(r) for r in kmv_distinct(full, ["host"], "user", k=8).collect()
+    }
+    assert got == exp and len(exp) == n_keys
+
+
+def test_streaming_kmv_crash_recovery_finishes_swap(spark, tmp_path):
+    """A crash between the __next write and the rename leaves a
+    complete (_SUCCESS-bearing) __next and possibly no state_dir —
+    the next read must promote __next; a torn __next (no _SUCCESS)
+    must be ignored in favour of the existing state."""
+    from ramen_spark.streaming.sketch import IncrementalKmvSketch
+
+    df = spark.createDataFrame(
+        [(f"k{i % 5}", f"u{i}") for i in range(200)], "key string, user string"
+    )
+    state = str(tmp_path / "state")
+    sk = IncrementalKmvSketch(spark, state, ["key"], "user", k=16)
+    sk.update(df)
+    snap = {tuple(r) for r in sk.estimate().collect()}
+
+    # simulate crash-after-write-before-swap: move state to __next
+    import shutil
+
+    shutil.move(state, state + "__next")
+    assert {tuple(r) for r in sk.estimate().collect()} == snap  # promoted
+    import os
+
+    assert os.path.isdir(state) and not os.path.exists(state + "__next")
+
+    # torn write: a __next WITHOUT _SUCCESS must not shadow the state
+    os.makedirs(state + "__next")
+    assert {tuple(r) for r in sk.estimate().collect()} == snap
+
+
 def test_streaming_cms_equals_batch_and_skips_replays(spark, tmp_path):
     from ramen_spark.catalog import load_table
     from ramen_spark.operators.sketch import count_min_build
