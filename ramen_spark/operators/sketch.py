@@ -149,11 +149,40 @@ def kmv_prune(
     return hashed.mapInPandas(_prefilter_min_k(keys, k), schema)
 
 
-def kmv_finalize(pruned: DataFrame, keys: list[str], k: int) -> DataFrame:
+def kmv_finalize(
+    pruned: DataFrame,
+    keys: list[str],
+    k: int,
+    salt_above_partitions: int = 64,
+) -> DataFrame:
     """Sketch rows → (keys…, n_kept, kth_min, est_distinct). collect_set
     dedups across partitions map-side; the global min-k is the first
     k of the sorted set — input is ≤ k × n_partitions rows per key,
-    so the single Exchange here is tiny."""
+    so the single Exchange here is tiny.
+
+    Wide-scan guard: at P partitions the terminal per-key array is
+    ≤ k·P elements (k=256 on a 10 000-partition scan = 2.6 M longs in
+    ONE array in ONE task). Above ``salt_above_partitions`` input
+    partitions, an intermediate min-k level is inserted: group by
+    (keys…, _h mod ceil(√P)), keep each salt bucket's k smallest, then
+    finalize — both levels are bounded at ~k·√P rows per key. Lossless:
+    a hash among the global k smallest has at most k−1 hashes below it
+    in total, hence at most k−1 within its own salt bucket, so every
+    global min survives its bucket's min-k. Narrow inputs keep the
+    single-Exchange plan (pinned by test); the salted form costs one
+    extra bounded Exchange and is value-identical on any partitioning."""
+    n_parts = pruned.rdd.getNumPartitions()
+    if n_parts > salt_above_partitions:
+        import math
+
+        s = int(math.ceil(math.sqrt(n_parts)))
+        pruned = (
+            pruned.groupBy(*keys, (F.col("_h") % s).alias("_salt"))
+            .agg(
+                F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_m")
+            )
+            .select(*keys, F.explode("_m").alias("_h"))
+        )
     mins = pruned.groupBy(*keys).agg(
         F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_mins")
     )

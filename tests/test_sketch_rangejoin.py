@@ -106,6 +106,30 @@ def test_kmv_partition_invariant(spark):
     assert run(df.coalesce(1)) == run(df.repartition(31)) == run(
         df.repartition(5, "user")
     )
+    # forced-wide scan: above salt_above_partitions kmv_finalize
+    # inserts the salted intermediate min-k level — still bit-identical
+    assert run(df.repartition(1024)) == run(df.coalesce(1))
+
+
+def test_kmv_salted_two_level_plan(spark):
+    """Above salt_above_partitions input partitions the finalize adds
+    ONE bounded intermediate Exchange (group by keys+salt) so the
+    terminal per-key array is ~k·√P instead of k·P; below it the plan
+    stays single-Exchange (test_kmv_single_exchange_plan)."""
+    from ramen_spark.operators.sketch import kmv_finalize, kmv_prune
+
+    df, _ = _kmv_fixture(spark)
+    pruned = kmv_prune(df, ["grp"], "user", k=64).repartition(256)
+    plan = kmv_finalize(pruned, ["grp"], k=64)._jdf.queryExecution(
+    ).executedPlan().toString()
+    # repartition(256) + salt Exchange + final Exchange
+    assert plan.count("Exchange") == 3, plan
+    assert "Window" not in plan, plan
+    # lossless vs the unsalted form
+    one = {tuple(r) for r in kmv_finalize(
+        pruned.coalesce(1), ["grp"], k=64).collect()}
+    two = {tuple(r) for r in kmv_finalize(pruned, ["grp"], k=64).collect()}
+    assert one == two
 
 
 def test_kmv_single_exchange_plan(spark):
