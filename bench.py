@@ -81,9 +81,12 @@ def main() -> None:
     # so regressions at identical plans become a printed delta instead
     # of an unexplainable drift (round-7 "what's wrong #4")
     prev_sf10: dict[str, float] = {}
+    prev_m10: dict[str, dict] = {}
     try:
         with open(os.path.join(REPO, "bench_full.json")) as f:
-            prev_sf10 = json.load(f).get("queries_sf10", {}) or {}
+            _prev = json.load(f)
+            prev_sf10 = _prev.get("queries_sf10", {}) or {}
+            prev_m10 = _prev.get("query_metrics_sf10", {}) or {}
     except (OSError, ValueError):
         pass
     # JVM warmup: touch the code paths the headline queries compile to
@@ -121,9 +124,39 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
     from tools.query_metrics import (
+        cpu_time_since,
         last_execution_metrics,
         latest_execution_id,
+        stage_cpu_snapshot,
     )
+
+    def run_query(
+        name: str, sf_dir: str, n_runs: int, metrics: dict | None
+    ) -> float:
+        """min-of-n wall for one query; when `metrics` is given, also
+        record shuffle/spill/peak of the final execution plus
+        executor_cpu_ms — total executor CPU across the n runs / n.
+        CPU is the regression signal (contention-immune: wall swung
+        21→49 s on ngram at byte-identical shuffle/spill/memory —
+        round-9 'what's wrong #1'); wall stays display-only."""
+        before_cpu = stage_cpu_snapshot(spark) if metrics is not None else {}
+        before_id = latest_execution_id(spark)
+        best = None
+        for _ in range(max(1, n_runs)):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        if metrics is not None:
+            m = last_execution_metrics(spark, after_id=before_id) or {}
+            cpu_ns = cpu_time_since(spark, before_cpu)
+            if cpu_ns is not None:
+                m["executor_cpu_ms"] = int(cpu_ns / 1e6 / max(1, n_runs))
+            if m:
+                metrics[name] = m
+        return best
 
     def suite(
         sf_dir: str, n_runs: int, metrics: dict | None = None
@@ -131,21 +164,9 @@ def main() -> None:
         timings: dict[str, float] = {}
         total = 0.0
         for name in HEADLINE:
-            fn = QUERIES[name]
-            best = None
-            before_id = latest_execution_id(spark)
-            for _ in range(max(1, n_runs)):
-                t0 = time.perf_counter()
-                df = fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None or dt < best else best
+            best = run_query(name, sf_dir, n_runs, metrics)
             timings[name] = round(best, 3)
             total += best
-            if metrics is not None:
-                m = last_execution_metrics(spark, after_id=before_id)
-                if m:
-                    metrics[name] = m
         return timings, total
 
     shuffle_metrics: dict[str, dict] = {}
@@ -194,6 +215,8 @@ def main() -> None:
                 "bench_vs_baseline_repro",
                 "bench_vs_baseline_normalized",
                 "sf10_delta_vs_prev",
+                "sf10_delta_unit",
+                "sf10_regressions",
                 "skew_spill_regressions",
             )
             if k in result
@@ -294,31 +317,55 @@ def main() -> None:
             t10: dict[str, float] = {}
             m10: dict[str, dict] = {}
             for name in stress:
-                before_id = latest_execution_id(spark)
-                best = None
-                for _ in range(max(1, sf10_runs)):
-                    t0 = time.perf_counter()
-                    QUERIES[name](spark, sf10_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                    dt = time.perf_counter() - t0
-                    best = dt if best is None or dt < best else best
-                t10[name] = round(best, 3)
-                m = last_execution_metrics(spark, after_id=before_id)
-                if m:
-                    m10[name] = m
+                t10[name] = round(run_query(name, sf10_dir, sf10_runs, m10), 3)
             result["queries_sf10"] = t10
             result["sf10_total"] = round(sum(t10.values()), 3)
             if m10:
                 result["query_metrics_sf10"] = m10
+            # regression signal vs the previous recorded round. CPU
+            # deltas are primary (round-9 'what's wrong #1': wall swung
+            # 21→49 s on ngram at byte-identical shuffle/spill/peak —
+            # pure co-scheduling; executor CPU is contention-immune).
+            # Wall deltas stay as display-only reference.
+            cpu_delta = {
+                n: round(
+                    (m10[n]["executor_cpu_ms"]
+                     - prev_m10[n]["executor_cpu_ms"]) / 1000.0,
+                    3,
+                )
+                for n in m10
+                if "executor_cpu_ms" in m10.get(n, {})
+                and "executor_cpu_ms" in prev_m10.get(n, {})
+            }
+            if cpu_delta:
+                result["sf10_delta_vs_prev"] = cpu_delta
+                result["sf10_delta_unit"] = "cpu_sec_per_run"
             if prev_sf10:
-                # per-query delta vs the previous recorded round —
-                # the regression signal, pre-computed
-                result["sf10_delta_vs_prev"] = {
+                result["sf10_wall_delta_vs_prev"] = {
                     n: round(t10[n] - prev_sf10[n], 3)
                     for n in t10
                     if n in prev_sf10
                 }
+            # the RATCHET: flag queries whose physical footprint grew —
+            # cpu +10% (and +0.5 s), shuffle +10% (and +64 MB), or any
+            # new spill past the grace. Wall is deliberately NOT here.
+            regress: dict[str, dict] = {}
+            for n, m in m10.items():
+                pm = prev_m10.get(n, {})
+                flags: dict[str, list] = {}
+                c, pc = m.get("executor_cpu_ms"), pm.get("executor_cpu_ms")
+                if c and pc and c > pc * 1.10 and c - pc > 500:
+                    flags["executor_cpu_ms"] = [pc, c]
+                s, ps = m.get("shuffle_bytes"), pm.get("shuffle_bytes")
+                if s and ps and s > ps * 1.10 and s - ps > 64 * 1024**2:
+                    flags["shuffle_bytes"] = [ps, s]
+                sp, psp = m.get("spill_bytes", 0), pm.get("spill_bytes", 0)
+                if sp > max(psp * 1.10, SKEW_SPILL_GRACE):
+                    flags["spill_bytes"] = [psp, sp]
+                if flags:
+                    regress[n] = flags
+            if regress:
+                result["sf10_regressions"] = regress
         except Exception as e:  # pragma: no cover — bench must not die
             result["sf10_error"] = repr(e)
         emit()
@@ -359,15 +406,7 @@ def main() -> None:
             tsk: dict[str, float] = {}
             msk: dict[str, dict] = {}
             for name in skew_queries:
-                before_id = latest_execution_id(spark)
-                t0 = time.perf_counter()
-                QUERIES[name](spark, skew_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                tsk[name] = round(time.perf_counter() - t0, 3)
-                m = last_execution_metrics(spark, after_id=before_id)
-                if m:
-                    msk[name] = m
+                tsk[name] = round(run_query(name, skew_dir, 1, msk), 3)
             result["queries_sf10_skew"] = tsk
             result["sf10_skew_total"] = round(sum(tsk.values()), 3)
             if msk:

@@ -38,6 +38,62 @@ def _parse_bytes(s: str) -> int:
     return int(float(m.group(1)) * _UNIT[m.group(2)])
 
 
+def drain_listener_bus(spark, timeout_ms: int = 5000) -> None:
+    """Block until the async listener bus has delivered all queued
+    events (or the timeout passes). Metric reads BEFORE the drain can
+    attribute the tail of query N's task-end events to query N+1."""
+    try:
+        spark._jsc.sc().listenerBus().waitUntilEmpty(timeout_ms)
+    except Exception:  # pragma: no cover — telemetry only
+        pass
+
+
+def stage_cpu_snapshot(spark) -> dict[tuple[int, int], int]:
+    """(stageId, attemptId) → executorCpuTime (ns) for every stage the
+    app status store currently retains. Used in before/after pairs by
+    :func:`cpu_time_since` — CPU time is the contention-immune twin of
+    wall time (two back-to-back runs of an identical plan on a noisy
+    shared box swing ×2 in wall at byte-identical shuffle/spill/memory;
+    their executor CPU stays flat)."""
+    out: dict[tuple[int, int], int] = {}
+    try:
+        drain_listener_bus(spark)
+        jvm = spark._jvm
+        gw = spark.sparkContext._gateway
+        store = spark._jsc.sc().statusStore()
+        # full-arity call — py4j sees no Scala default args:
+        # stageList(statuses, details, withSummaries, quantiles, taskStatus)
+        lst = store.stageList(
+            jvm.java.util.ArrayList(),
+            False,
+            False,
+            gw.new_array(jvm.double, 0),
+            jvm.java.util.ArrayList(),
+        )
+        for i in range(lst.size()):
+            sd = lst.apply(i)
+            out[(sd.stageId(), sd.attemptId())] = int(sd.executorCpuTime())
+    except Exception:  # pragma: no cover — telemetry only
+        pass
+    return out
+
+
+def cpu_time_since(
+    spark, before: dict[tuple[int, int], int]
+) -> int | None:
+    """Executor CPU (ns) of all stages that ran since ``before`` was
+    snapshotted. Sums NEW stage attempts only (never subtracts), so
+    eviction of old stages from the bounded store (default 1000
+    retained) cannot go negative; a single query spanning >1000 stages
+    would undercount its own evicted head — none of the benched
+    queries approaches that. Returns None when the store is
+    unreadable (callers omit the metric rather than record 0)."""
+    after = stage_cpu_snapshot(spark)
+    if not after:
+        return None
+    return sum(v for k, v in after.items() if k not in before)
+
+
 def latest_execution_id(spark) -> int:
     """Most recent SQL execution id in the store, or -1."""
     try:
