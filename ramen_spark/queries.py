@@ -5221,6 +5221,55 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantile_sketch_token_lengths",
+    f"""
+    WITH t AS (
+      SELECT lang,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h,
+             len({_WORDS_SQL})::DOUBLE AS v
+      FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    d AS (SELECT DISTINCT lang, h, v FROM t),
+    r AS (
+      SELECT lang, h, v,
+             row_number() OVER (PARTITION BY lang ORDER BY h, v) AS rn
+      FROM d
+    ),
+    s AS (
+      SELECT lang, list(v ORDER BY v) AS vs, count(*)::BIGINT AS n_sample
+      FROM r WHERE rn <= 32 GROUP BY lang
+    )
+    SELECT lang, n_sample,
+           vs[CAST(round((n_sample - 1) * 0.5) AS INT) + 1] AS p50,
+           vs[CAST(round((n_sample - 1) * 0.9) AS INT) + 1] AS p90,
+           vs[CAST(round((n_sample - 1) * 0.99) AS INT) + 1] AS p99
+    FROM s
+    """,
+)
+def quantile_sketch_token_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length percentiles via the bottom-k-by-row-
+    hash quantile sketch (operators.sketch.quantile_sketch, k=32) —
+    corpus observability at 100 TB needs distribution percentiles
+    without a global sort and without the exact PERCENTILE's per-group
+    funnel. Deterministic md5-derived sample, so value-exact across
+    engines — unlike approx_percentile (engine-private GK state). The
+    oracle is the NAIVE form (hash + window rank ≤ k + nearest-rank on
+    the sorted sample); the operator's map-side bounded prefilter must
+    land on the identical sample, proving the pruning loses nothing."""
+    from ramen_spark.operators.sketch import quantile_sketch
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        Tx.token_count(F.col("text")).cast("double").alias("n_tokens"),
+    )
+    return quantile_sketch(
+        docs, ["lang"], "n_tokens", "doc_id", ps=[0.5, 0.9, 0.99], k=32
+    )
+
+
+@register(
     "events_in_error_windows",
     """
     SELECT p.event_id   AS purchase_id,

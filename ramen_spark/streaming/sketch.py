@@ -43,6 +43,8 @@ from ramen_spark.operators.sketch import (
     count_min_build,
     kmv_finalize,
     kmv_prune,
+    quantile_finalize,
+    quantile_prune,
 )
 
 
@@ -61,13 +63,13 @@ def _dir_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
-class IncrementalKmvSketch:
-    """Persisted KMV distinct sketch: ``state_dir`` holds the pruned
-    (keys…, _h) rows — ≤ k per key. ``update`` merges a micro-batch
-    (min-k is associative + commutative + idempotent, so any batch
-    split and any replay yields the state of the concatenated input);
-    ``estimate`` finalizes to (keys…, n_kept, kth_min, est_distinct),
-    identical to batch ``kmv_distinct`` over everything seen.
+class _IncrementalMinKBase:
+    """Shared commit machinery for min-k-shaped persisted sketches
+    (KMV distinct, bottom-k quantile sample): a micro-batch is pruned,
+    unioned with the persisted state, re-pruned to the bound, and
+    committed. Min-k over a multiset/set is associative, commutative,
+    and IDEMPOTENT — any batch split and any replay yields the state
+    of the concatenated input.
 
     State-size regime: the state is ≤ k rows per key but the number
     of KEYS is unbounded. Small key domains (per event-type, per
@@ -78,27 +80,28 @@ class IncrementalKmvSketch:
     is written executor-side to ``<state_dir>__next`` and swapped in
     with filesystem metadata ops; nothing state-sized ever reaches
     the driver (a per-URL-host sketch at 10M hosts × k=64 would
-    otherwise collect 640M rows per micro-batch)."""
+    otherwise collect 640M rows per micro-batch).
+
+    Subclasses provide ``_prune_batch`` (micro-batch → sketch rows)
+    and ``_reprune`` (merged sketch rows → re-bounded sketch rows)."""
 
     def __init__(
         self,
         spark: SparkSession,
         state_dir: str,
-        keys: list[str],
-        value_col: str,
-        k: int = 64,
         driver_state_max_rows: int = 100_000,
     ) -> None:
-        if k < 2:
-            raise ValueError("IncrementalKmvSketch needs k >= 2")
         self.spark = spark
         self.state_dir = state_dir
-        self.keys = list(keys)
-        self.value_col = value_col
-        self.k = k
         self.driver_state_max_rows = driver_state_max_rows
         # instrumentation: 'driver' | 'distributed', set by update()
         self.last_commit_path: str | None = None
+
+    def _prune_batch(self, batch_df: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def _reprune(self, merged: DataFrame) -> DataFrame:
+        raise NotImplementedError
 
     @property
     def _next_dir(self) -> str:
@@ -131,19 +134,10 @@ class IncrementalKmvSketch:
         fs.rename(next_p, state_p)
 
     def update(self, batch_df: DataFrame) -> None:
-        pruned = kmv_prune(batch_df, self.keys, self.value_col, self.k)
+        pruned = self._prune_batch(batch_df)
         state = self._state()
         merged = pruned if state is None else state.unionByName(pruned)
-        # re-prune the union to ≤ k per key
-        top = (
-            merged.groupBy(*self.keys)
-            .agg(
-                F.slice(
-                    F.array_sort(F.collect_set("_h")), 1, self.k
-                ).alias("_mins")
-            )
-            .select(*self.keys, F.explode("_mins").alias("_h"))
-        )
+        top = self._reprune(merged)
         # count() is one cheap aggregate job over the bounded merge;
         # it picks the commit path AND (driver path) proves the
         # snapshot computes before the old parquet is touched.
@@ -172,11 +166,105 @@ class IncrementalKmvSketch:
         self._swap_in(self._next_dir)
         self.last_commit_path = "distributed"
 
+
+class IncrementalKmvSketch(_IncrementalMinKBase):
+    """Persisted KMV distinct sketch: ``state_dir`` holds the pruned
+    (keys…, _h) rows — ≤ k per key. ``estimate`` finalizes to
+    (keys…, n_kept, kth_min, est_distinct), identical to batch
+    ``kmv_distinct`` over everything seen. Commit regimes: see
+    :class:`_IncrementalMinKBase`."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        keys: list[str],
+        value_col: str,
+        k: int = 64,
+        driver_state_max_rows: int = 100_000,
+    ) -> None:
+        if k < 2:
+            raise ValueError("IncrementalKmvSketch needs k >= 2")
+        super().__init__(spark, state_dir, driver_state_max_rows)
+        self.keys = list(keys)
+        self.value_col = value_col
+        self.k = k
+
+    def _prune_batch(self, batch_df: DataFrame) -> DataFrame:
+        return kmv_prune(batch_df, self.keys, self.value_col, self.k)
+
+    def _reprune(self, merged: DataFrame) -> DataFrame:
+        return (
+            merged.groupBy(*self.keys)
+            .agg(
+                F.slice(
+                    F.array_sort(F.collect_set("_h")), 1, self.k
+                ).alias("_mins")
+            )
+            .select(*self.keys, F.explode("_mins").alias("_h"))
+        )
+
     def estimate(self) -> DataFrame:
         state = self._state()
         if state is None:
             raise ValueError(f"no sketch state at {self.state_dir}")
         return kmv_finalize(state, self.keys, self.k)
+
+
+class IncrementalQuantileSketch(_IncrementalMinKBase):
+    """Persisted bottom-k quantile sample: ``state_dir`` holds the
+    pruned (keys…, _h, _v) pairs — ≤ k per key, the k smallest row-id
+    hashes seen so far with their values. Replay-idempotent like KMV
+    (multiset min-k over (_h, _v) pairs ignores re-folded batches
+    because a row's (hash, value) pair is identical on replay).
+    ``estimate(ps)`` equals batch ``quantile_sketch`` over everything
+    seen. Commit regimes: see :class:`_IncrementalMinKBase`."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        keys: list[str],
+        value_col: str,
+        id_col: str,
+        k: int = 1024,
+        driver_state_max_rows: int = 100_000,
+    ) -> None:
+        if k < 2:
+            raise ValueError("IncrementalQuantileSketch needs k >= 2")
+        super().__init__(spark, state_dir, driver_state_max_rows)
+        self.keys = list(keys)
+        self.value_col = value_col
+        self.id_col = id_col
+        self.k = k
+
+    def _prune_batch(self, batch_df: DataFrame) -> DataFrame:
+        return quantile_prune(
+            batch_df, self.keys, self.value_col, self.id_col, self.k
+        )
+
+    def _reprune(self, merged: DataFrame) -> DataFrame:
+        pair = F.struct(F.col("_h").alias("_h"), F.col("_v").alias("_v"))
+        return (
+            merged.groupBy(*self.keys)
+            .agg(
+                F.slice(
+                    F.array_sort(F.collect_set(pair)), 1, self.k
+                ).alias("_mins")
+            )
+            .select(*self.keys, F.explode("_mins").alias("_p"))
+            .select(
+                *self.keys,
+                F.col("_p._h").alias("_h"),
+                F.col("_p._v").alias("_v"),
+            )
+        )
+
+    def estimate(self, ps: list[float]) -> DataFrame:
+        state = self._state()
+        if state is None:
+            raise ValueError(f"no sketch state at {self.state_dir}")
+        return quantile_finalize(state, self.keys, ps, self.k)
 
 
 class IncrementalCmsSketch:
@@ -253,6 +341,35 @@ def kmv_sketch_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         IncrementalKmvSketch(
             batch_df.sparkSession, state_dir, keys, value_col, k,
+            driver_state_max_rows=driver_state_max_rows,
+        ).update(batch_df)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def quantile_sketch_stream(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    value_col: str,
+    id_col: str,
+    k: int = 1024,
+    driver_state_max_rows: int = 100_000,
+):
+    """Maintain a bottom-k quantile sample always-on (live latency /
+    token-length / quality percentiles without a global sort); any
+    batch job or ``IncrementalQuantileSketch.estimate`` reads the live
+    distribution off ``state_dir``. Replay-idempotent (set min-k).
+    Returns the started StreamingQuery."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        IncrementalQuantileSketch(
+            batch_df.sparkSession, state_dir, keys, value_col, id_col, k,
             driver_state_max_rows=driver_state_max_rows,
         ).update(batch_df)
 

@@ -255,6 +255,104 @@ def test_interval_join_rejects_column_collision(spark):
 
 
 # ---------------------------------------------------------------------------
+# quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def _quantile_fixture(spark, n=20000):
+    # two groups with very different distributions: uniform-ish and
+    # heavy-tailed (quadratic) — deterministic, no RNG
+    rows = [(i, "uni", float((i * 37) % 1000)) for i in range(n)] + [
+        (n + i, "tail", float(((i * 13) % 100) ** 2)) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "rid long, grp string, v double")
+
+
+def test_quantile_sketch_error_bound_vs_exact(spark):
+    """The sample is uniform (bottom-k by row-id hash), so the CDF of
+    the estimate at each requested p sits within ~binomial error of p:
+    |F(est) − p| ≤ 4·√(p(1−p)/k) (4σ; deterministic data makes this a
+    fixed, comfortably-passing margin, but the BOUND is the spec)."""
+    import math
+
+    from ramen_spark.operators.sketch import quantile_sketch
+
+    df = _quantile_fixture(spark)
+    k = 256
+    est = {
+        r["grp"]: r
+        for r in quantile_sketch(
+            df, ["grp"], "v", "rid", ps=[0.5, 0.9, 0.99], k=k
+        ).collect()
+    }
+    vals = {g: sorted(r["v"] for r in df.filter(F.col("grp") == g).collect())
+            for g in ("uni", "tail")}
+    for g, arr in vals.items():
+        assert est[g]["n_sample"] == k
+        n = len(arr)
+        for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            e = est[g][col]
+            cdf = sum(1 for x in arr if x <= e) / n
+            bound = 4 * math.sqrt(p * (1 - p) / k)
+            assert abs(cdf - p) <= bound, (g, col, e, cdf, p, bound)
+
+
+def test_quantile_sketch_partition_invariant_and_exact_when_underfull(spark):
+    from ramen_spark.operators.sketch import quantile_sketch
+
+    df = _quantile_fixture(spark, n=500)
+
+    def run(d, k=64):
+        return {
+            tuple(r)
+            for r in quantile_sketch(
+                d, ["grp"], "v", "rid", ps=[0.5, 0.9], k=k
+            ).collect()
+        }
+
+    assert run(df.coalesce(1)) == run(df.repartition(31)) == run(
+        df.repartition(5, "rid")
+    )
+    # forced-wide scan exercises the salted finalize level
+    assert run(df.repartition(512)) == run(df.coalesce(1))
+    # k ≥ group size ⇒ the "sample" is the whole group: nearest-rank
+    # quantiles must be EXACT
+    big = {r["grp"]: r for r in quantile_sketch(
+        df, ["grp"], "v", "rid", ps=[0.5], k=1000
+    ).collect()}
+    for g in ("uni", "tail"):
+        arr = sorted(r["v"] for r in df.filter(F.col("grp") == g).collect())
+        idx = round((len(arr) - 1) * 0.5)
+        assert big[g]["n_sample"] == len(arr)
+        assert big[g]["p50"] == arr[idx]
+
+
+def test_quantile_sketch_single_exchange_plan(spark):
+    """Same scale contract as kmv_distinct: map-side bounded prefilter,
+    ONE Exchange of pruned pairs, no Window, no global Sort."""
+    from ramen_spark.operators.sketch import quantile_sketch
+
+    df = _quantile_fixture(spark, n=2000)
+    plan = quantile_sketch(
+        df, ["grp"], "v", "rid", ps=[0.5], k=64
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan, plan
+
+
+def test_quantile_sketch_validates_params(spark):
+    from ramen_spark.operators.sketch import quantile_sketch
+
+    df = _quantile_fixture(spark, n=10)
+    with pytest.raises(ValueError):
+        quantile_sketch(df, ["grp"], "v", "rid", ps=[0.5], k=1)
+    with pytest.raises(ValueError):
+        quantile_sketch(df, ["grp"], "v", "rid", ps=[], k=64)
+    with pytest.raises(ValueError):
+        quantile_sketch(df, ["grp"], "v", "rid", ps=[1.5], k=64)
+
+
+# ---------------------------------------------------------------------------
 # count-min sketch
 # ---------------------------------------------------------------------------
 

@@ -145,6 +145,66 @@ def test_streaming_kmv_crash_recovery_finishes_swap(spark, tmp_path):
     assert {tuple(r) for r in sk.estimate().collect()} == snap
 
 
+def test_streaming_quantile_equals_batch_and_replay_idempotent(spark, tmp_path):
+    """N micro-batches folded into IncrementalQuantileSketch must
+    finalize identically to batch quantile_sketch over the
+    concatenated input, and re-folding a batch must be a no-op (the
+    state is DISTINCT (hash, value) pairs — set min-k)."""
+    from ramen_spark.operators.sketch import quantile_sketch
+    from ramen_spark.streaming.sketch import IncrementalQuantileSketch
+
+    full = spark.createDataFrame(
+        [(i, f"g{i % 3}", float((i * 29) % 500)) for i in range(3000)],
+        "rid long, grp string, v double",
+    )
+    sk = IncrementalQuantileSketch(
+        spark, str(tmp_path / "qstate"), ["grp"], "v", "rid", k=64
+    )
+    for b in range(3):
+        sk.update(full.filter(F.col("rid") % 3 == b))
+    ps = [0.5, 0.9]
+    got = {tuple(r) for r in sk.estimate(ps).collect()}
+    exp = {
+        tuple(r)
+        for r in quantile_sketch(full, ["grp"], "v", "rid", ps, k=64).collect()
+    }
+    assert got == exp and len(exp) == 3
+
+    sk.update(full.filter(F.col("rid") % 3 == 1))  # replay
+    assert {tuple(r) for r in sk.estimate(ps).collect()} == exp
+
+    # ...and the live lane over a real stream lands on the same sample
+    from ramen_spark.streaming.sketch import quantile_sketch_stream
+
+    src = tmp_path / "q_src"
+    for b in range(3):
+        full.filter(F.col("rid") % 3 == b).coalesce(1).write.parquet(
+            str(src / f"b{b}")
+        )
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/b*")
+    )
+    q = quantile_sketch_stream(
+        stream,
+        str(tmp_path / "q_live"),
+        str(tmp_path / "q_ckpt"),
+        keys=["grp"],
+        value_col="v",
+        id_col="rid",
+        k=64,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    live = IncrementalQuantileSketch(
+        spark, str(tmp_path / "q_live"), ["grp"], "v", "rid", k=64
+    )
+    assert {tuple(r) for r in live.estimate(ps).collect()} == exp
+
+
 def test_streaming_cms_equals_batch_and_skips_replays(spark, tmp_path):
     from ramen_spark.catalog import load_table
     from ramen_spark.operators.sketch import count_min_build
