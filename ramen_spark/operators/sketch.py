@@ -446,3 +446,92 @@ def count_min_lookup(
     return joined.groupBy(value_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cms_est")
     )
+
+
+def cms_top(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    n: int,
+    depth: int = 4,
+    width: int = 2048,
+    weight_col: str | None = None,
+    out_col: str = "top",
+    salt_above_partitions: int = 64,
+) -> DataFrame:
+    """Per-key approximate heavy hitters via the count-min sketch —
+    the CMS-backed twin of the reference's ``TOP n x BY w`` aggregate
+    (/root/reference/src/raql_expr.type `Top`, whose `max_size` knob
+    plays the same role as this function's candidate bound).
+
+    Output: (keys…, ``out_col`` = array of the n values with the
+    largest CMS-estimated weight, ordered by (estimate desc, value
+    asc) — a total order, so the result is deterministic on any
+    partitioning and value-exactly reproducible in DuckDB (the md5
+    hash families are engine-neutral, unlike Spark's native
+    CountMinSketch aggregate whose seeds are engine-private).
+
+    Weight: COUNT(*) per value when ``weight_col`` is None, else
+    SUM(weight) — reference `BY w` semantics. NULL values are ignored
+    (the COUNT DISTINCT convention shared by kmv_distinct).
+
+    Shape: the cell relation partial-combines to ≤ depth × width
+    cells per map task before its Exchange (no hot key can skew it —
+    the keyspace is fixed). Candidate enumeration is the batch form's
+    honest cost: DISTINCT (key, value) pairs — the same shuffle exact
+    counting needs, bounded by the value cardinality, not the row
+    count. The sketch's asymptotic win is the ALWAYS-ON lane, where
+    cells + a bounded candidate list replace an unbounded per-(key,
+    value) count table; the batch form exists for dialect parity and
+    as the oracle-checkable ground truth of the estimates themselves.
+    Above ``salt_above_partitions`` input partitions the final
+    per-key rank inserts a salted local top-n level (same lossless
+    argument as kmv_finalize: every global top-n member is within the
+    top n of its own salt bucket), so no single task ever materializes
+    a key's full candidate array."""
+    if n < 1:
+        raise ValueError("cms_top needs n >= 1")
+    if depth < 1 or width < 1:
+        raise ValueError("cms_top needs depth >= 1 and width >= 1")
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull())
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    cells = base.select(
+        *keys, _cms_cells(v, depth, width).alias("c"), w.alias("_w")
+    )
+    cms = cells.groupBy(
+        *keys, F.col("c.row").alias("row"), F.col("c.col").alias("col")
+    ).agg(F.sum("_w").alias("cnt"))
+    cand = base.select(*keys, value_col).distinct()
+    fan = cand.select(
+        *keys, v.alias("_v"), _cms_cells(v, depth, width).alias("c")
+    ).select(
+        *keys, "_v", F.col("c.row").alias("row"), F.col("c.col").alias("col")
+    )
+    est = (
+        fan.join(cms, [*keys, "row", "col"], "left")
+        .groupBy(*keys, "_v")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("_est"))
+    )
+    ranked = F.struct((-F.col("_est")).alias("_negw"), F.col("_v").alias("v"))
+    if df.rdd.getNumPartitions() > salt_above_partitions:
+        # bounded local rank: every global top-n value is top-n in its
+        # own md5 salt bucket, so the pre-level is lossless
+        s = 64
+        est = (
+            est.groupBy(*keys, (md5_hash48(F.col("_v")) % s).alias("_salt"))
+            .agg(F.slice(F.array_sort(F.collect_list(ranked)), 1, n).alias("_m"))
+            .select(*keys, F.inline("_m"))
+            .select(*keys, F.col("v").alias("_v"), (-F.col("_negw")).alias("_est"))
+        )
+    top = est.groupBy(*keys).agg(
+        F.transform(
+            F.slice(F.array_sort(F.collect_list(ranked)), 1, n),
+            lambda s_: s_["v"],
+        ).alias(out_col)
+    )
+    return top

@@ -1052,6 +1052,27 @@ class Parser:
                     return Call(
                         "rank_in_top", [x], opts=self._parse_top_clauses(opts)
                     )
+            # Sketch aggregates (training-pipeline extension; nearest
+            # reference surface raql_expr.type Distinct/Top):
+            # KMV [k] DISTINCT x — approximate distinct count;
+            # CMS TOP n [OVER m] x [BY w] — approximate heavy hitters.
+            # Guarded on the follow token so bare `kmv` / `cms` stay
+            # usable as field names.
+            if low == "kmv" and (
+                self.peek().kind == "num"
+                or (self.peek().kind == "kw" and self.peek().value == "distinct")
+            ):
+                k = int(self.next().value) if self.peek().kind == "num" else 256
+                self.expect("kw", "distinct")
+                return Call("kmv_distinct", [self.parse_unary()], opts={"k": k})
+            if low == "cms" and (
+                self.peek().kind == "name"
+                and self.peek().value.lower() == "top"
+            ):
+                self.next()
+                opts = self._parse_top_size()
+                x = self.parse_unary()
+                return Call("cms_top", [x], opts=self._parse_top_clauses(opts))
             # [LARGEST|SMALLEST] [BUT b] [UP TO] n x [BY w, …]
             # (doc:950-967; LATEST/OLDEST keyword forms go through the
             # ROW_STATEFUL path below)
@@ -2229,6 +2250,14 @@ class Compiler:
             self.has_aggregate = True
             built = F.count_if(self.col(node.args[0]))
             return built.over(self.window) if self.window is not None else built
+        if fn in ("kmv_distinct", "cms_top"):
+            # sketch aggregates rewrite the whole grouped operation
+            # (prune branch + join) — they have no Column form
+            raise NotImplementedError(
+                "KMV DISTINCT / CMS TOP compile at the operation level "
+                "(compile_operation SELECT … GROUP BY) or via "
+                "operators.sketch.kmv_distinct / cms_top directly"
+            )
         if fn in AGGS:
             if fn in ("top", "largest"):
                 raise NotImplementedError(
@@ -3314,6 +3343,133 @@ def _apply_sort_last(df: DataFrame, op: Operation, params: dict[str, Any] | None
     return _sort_last_op(df, n, by_cols, until=until_fn)
 
 
+_SKETCH_AGGS = frozenset({"kmv_distinct", "cms_top"})
+
+
+def _compile_grouped_with_sketches(df, op, params, src_arrays):
+    """Grouped SELECT containing sketch aggregates (``KMV DISTINCT x``,
+    ``CMS TOP n x [BY w]``) — training-pipeline extension surfaced in
+    the dialect (nearest reference rows: raql_expr.type Distinct/Top).
+
+    A sketch aggregate is not a Catalyst aggregate Column: its scale
+    contract is a REWRITE of the grouped plan (map-side bounded prune
+    before any Exchange for KMV; the fixed-keyspace cell relation for
+    CMS — operators/sketch.py). So each sketch field compiles to its
+    own branch keyed on the group keys, and the ordinary aggregate
+    fields keep the stock groupBy path; branches re-join on the keys
+    (co-partitioned equi-join, key-cardinality-sized — AQE handles
+    it). A group whose sketch input is all-NULL has no sketch row:
+    KMV coalesces to 0 (COUNT DISTINCT convention), CMS TOP to [].
+    """
+    from ramen_spark.operators import sketch as SK
+
+    _sch = {f_.name: f_.dataType.simpleString() for f_ in df.schema.fields}
+    keys = [Compiler(params, schema=_sch).col(k) for k in op.group_by]
+    knames = [f"_k{i}" for i in range(len(keys))]
+    base = df
+    for nm, kc in zip(knames, keys):
+        base = base.withColumn(nm, kc)
+    global_group = not knames
+    if global_group:
+        # constant join key so the global form keeps left-join
+        # semantics (a crossJoin against an empty sketch side would
+        # drop the spine row)
+        base = base.withColumn("_kc", F.lit(1))
+        knames = ["_kc"]
+
+    sketch_items: list[tuple[str, Call]] = []
+    rest: list[tuple[str, SelectField]] = []
+    out_names: list[str] = []
+    for i, f_ in enumerate(op.fields):
+        name = f_.alias or _default_name(f_.expr, i)
+        out_names.append(name)
+        if isinstance(f_.expr, Call) and f_.expr.fn in _SKETCH_AGGS:
+            sketch_items.append((name, f_.expr))
+        elif _contains(f_.expr, _SKETCH_AGGS):
+            raise NotImplementedError(
+                "KMV DISTINCT / CMS TOP must be a whole select field "
+                f"(field {name!r} nests one inside an expression); "
+                "compose downstream of the aggregate instead"
+            )
+        else:
+            rest.append((name, f_))
+
+    # ordinary fields: aggregates and group-key expressions only
+    agg_cols: list[Column] = []
+    key_renames: list[tuple[str, str]] = []
+    bsch = {f_.name: f_.dataType.simpleString() for f_ in base.schema.fields}
+    for name, f_ in rest:
+        sub = Compiler(params, src_arrays=src_arrays, schema=bsch)
+        col = sub.col(f_.expr)
+        if sub.has_aggregate:
+            agg_cols.append(col.alias(name))
+            continue
+        matched = None
+        for i, kc in enumerate(keys):
+            if str(col) == str(kc):
+                matched = f"_k{i}"
+                break
+        if matched is None:
+            raise ValueError(
+                f"non-aggregate select field {name!r} is not a GROUP BY key"
+            )
+        key_renames.append((matched, name))
+
+    if agg_cols:
+        spine = base.groupBy(*knames).agg(*agg_cols)
+    else:
+        spine = base.select(*knames).distinct()
+
+    for name, node in sketch_items:
+        if node.opts.get("duration") is not None or node.opts.get("sigmas"):
+            raise NotImplementedError(
+                "CMS TOP supports only the BY w clause (no decay/SIGMAS)"
+            )
+        sub = Compiler(params, src_arrays=src_arrays, schema=bsch)
+        arg = sub.col(node.args[0])
+        if sub.has_aggregate:
+            raise NotImplementedError(
+                f"sketch aggregate argument of {name!r} must be stateless"
+            )
+        if node.fn == "kmv_distinct":
+            sel = base.select(*knames, arg.alias("_sv"))
+            branch = SK.kmv_distinct(
+                sel, knames, "_sv", int(node.opts.get("k", 256))
+            ).select(*knames, F.col("est_distinct").alias(name))
+            spine = spine.join(branch, knames, "left").withColumn(
+                name, F.coalesce(F.col(name), F.lit(0).cast("long"))
+            )
+        else:  # cms_top
+            wnode = node.opts.get("by")
+            if wnode is not None:
+                wsub = Compiler(params, src_arrays=src_arrays, schema=bsch)
+                wcol = wsub.col(wnode)
+                if wsub.has_aggregate:
+                    raise NotImplementedError(
+                        f"CMS TOP BY weight of {name!r} must be stateless"
+                    )
+                sel = base.select(*knames, arg.alias("_sv"), wcol.alias("_w"))
+                branch = SK.cms_top(
+                    sel, knames, "_sv", int(node.opts["n"]),
+                    weight_col="_w", out_col=name,
+                )
+            else:
+                sel = base.select(*knames, arg.alias("_sv"))
+                branch = SK.cms_top(
+                    sel, knames, "_sv", int(node.opts["n"]), out_col=name
+                )
+            arr_ddl = dict(branch.dtypes)[name]
+            spine = spine.join(branch, knames, "left").withColumn(
+                name,
+                F.coalesce(F.col(name), F.array().cast(arr_ddl)),
+            )
+
+    for old, new in key_renames:
+        spine = spine.withColumnRenamed(old, new)
+    public = [n for n in out_names if not n.startswith("_")]
+    return spine.select(*public)
+
+
 def compile_operation(
     op: Operation | str,
     source_df: DataFrame,
@@ -3410,6 +3566,14 @@ def compile_operation(
             Call("split", gnode.args, gnode.opts)
         )
         df = df.withColumn(nm, gen)
+
+    # sketch aggregates (KMV DISTINCT / CMS TOP) have no Column form:
+    # the whole grouped operation rewrites through operators.sketch
+    # (prune branch per sketch field + join back on the group keys)
+    if any(_contains(f_.expr, _SKETCH_AGGS) for f_ in fields):
+        return _compile_grouped_with_sketches(
+            df, replace(op, fields=fields), params, src_arrays
+        )
 
     # private fields (leading underscore) are dropped from the output
     out_names: list[str] = []

@@ -5366,6 +5366,94 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "raql_sketch_aggregates",
+    """
+    WITH base AS (
+      SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL
+    ),
+    kmvh AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM base
+    ),
+    r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM kmvh
+    ),
+    m AS (
+      SELECT event_type, count(*)::BIGINT AS n_kept, max(h) AS kth_min
+      FROM r WHERE rn <= 64 GROUP BY event_type
+    ),
+    kmv AS (
+      SELECT event_type,
+             CASE WHEN n_kept < 64 THEN n_kept
+                  ELSE CAST(floor(CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                                  / CAST(kth_min AS DOUBLE)) AS BIGINT)
+             END AS approx_users
+      FROM m
+    ),
+    d AS (SELECT unnest([0, 1, 2, 3]) AS row),
+    cells AS (
+      SELECT event_type, row,
+             (('0x' || substring(md5(CAST(row AS VARCHAR) || '#' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT) % 2048 AS col,
+             count(*)::BIGINT AS cnt
+      FROM base CROSS JOIN d GROUP BY 1, 2, 3
+    ),
+    cand AS (SELECT DISTINCT event_type, user_id FROM base),
+    fan AS (
+      SELECT event_type, user_id, row,
+             (('0x' || substring(md5(CAST(row AS VARCHAR) || '#' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT) % 2048 AS col
+      FROM cand CROSS JOIN d
+    ),
+    est AS (
+      SELECT f.event_type, f.user_id, min(c.cnt) AS e
+      FROM fan f JOIN cells c USING (event_type, row, col)
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT event_type,
+             (list(user_id ORDER BY e DESC, user_id))[1:5] AS hot_users
+      FROM est GROUP BY event_type
+    ),
+    cnt AS (
+      SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY event_type
+    )
+    SELECT c.event_type, c.n, k.approx_users, t.hot_users
+    FROM cnt c JOIN kmv k USING (event_type) JOIN top t USING (event_type)
+    """,
+)
+def raql_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates spoken from the RaQL surface (plans.raql):
+    ``KMV 64 DISTINCT user_id`` and ``CMS TOP 5 user_id`` as grouped
+    select fields beside an ordinary COUNT — the dialect twin of
+    operators.sketch (nearest reference rows: raql_expr.type
+    Distinct/Top). The compiler rewrites each sketch field into its
+    pruned branch (map-side bounded prefilter for KMV; fixed-keyspace
+    cell relation for CMS) and joins back on the group key, so the
+    language form carries the library form's 100 TB shape. The oracle
+    replays both sketches naively in DuckDB over the same md5 hash
+    space — value-exact, including the heavy-hitter tie order
+    (estimate desc, user_id asc)."""
+    from ramen_spark.plans.raql import compile_operation
+
+    ev = _t(spark, sf_dir, "events")
+    out = compile_operation(
+        "SELECT event_type, COUNT(1) AS n, "
+        "KMV 64 DISTINCT user_id AS approx_users, "
+        "CMS TOP 5 user_id AS hot_users "
+        "GROUP BY event_type",
+        ev,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "approx_users",
+        "hot_users",
+    )
+
+
+@register(
     "bloom_contamination_candidates",
     f"""
     WITH words AS ({{SHINGLES}}),

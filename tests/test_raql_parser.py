@@ -659,3 +659,72 @@ def test_curation_scalars_in_raql(spark):
     assert {r["doc_id"]: r["c"] for r in exp} == {
         i: rows[i]["clean"] for i in rows
     }
+
+
+def test_parse_sketch_aggregates():
+    """KMV [k] DISTINCT x and CMS TOP n [OVER m] x [BY w] parse to the
+    sketch aggregate calls (round-10 dialect exposure of
+    operators.sketch; nearest reference rows raql_expr.type
+    Distinct/Top). Bare `kmv` / `cms` stay ordinary field names."""
+    from ramen_spark.plans.raql import Call, Field, parse_expr
+
+    e = parse_expr("kmv distinct user_id")
+    assert isinstance(e, Call) and e.fn == "kmv_distinct"
+    assert e.opts["k"] == 256
+    e = parse_expr("KMV 64 DISTINCT user_id")
+    assert e.fn == "kmv_distinct" and e.opts["k"] == 64
+    e = parse_expr("CMS TOP 5 user_id")
+    assert e.fn == "cms_top" and e.opts["n"] == 5 and "by" not in e.opts
+    e = parse_expr("cms top 3 over 100 user_id by value")
+    assert e.fn == "cms_top" and e.opts["n"] == 3
+    assert isinstance(e.opts["by"], Field)
+    # bare names keep working
+    assert isinstance(parse_expr("kmv"), Field)
+    assert isinstance(parse_expr("cms + 1").a, Field)
+
+
+def test_sketch_aggregates_compile(spark):
+    """Grouped KMV/CMS fields compile through the sketch-branch
+    rewrite: estimates match operators.sketch run directly, all-NULL
+    groups coalesce (0 / []), and the Column form is rejected with
+    guidance."""
+    from ramen_spark.operators.sketch import cms_top, kmv_distinct
+
+    rows = [("a", i % 37) for i in range(500)] + [("b", None)] * 5
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = compile_operation(
+        "SELECT g, COUNT(1) AS n, KMV 16 DISTINCT v AS kd, "
+        "CMS TOP 2 v AS hot GROUP BY g",
+        df,
+    )
+    got = {r["g"]: r for r in out.collect()}
+    direct = {
+        r["g"]: r["est_distinct"]
+        for r in kmv_distinct(df, ["g"], "v", 16).collect()
+    }
+    assert got["a"]["kd"] == direct["a"]
+    assert got["a"]["n"] == 500
+    assert got["b"]["kd"] == 0 and got["b"]["hot"] == []
+    dtop = {r["g"]: r["top"] for r in cms_top(df, ["g"], "v", 2).collect()}
+    assert got["a"]["hot"] == dtop["a"]
+    with pytest.raises(NotImplementedError, match="operation level"):
+        compile_expr("1 + kmv distinct x")
+    with pytest.raises(NotImplementedError, match="whole select field"):
+        compile_operation("SELECT g, 1 + KMV DISTINCT v AS bad GROUP BY g", df)
+
+
+def test_sketch_aggregates_global_group(spark):
+    """Global (no GROUP BY) sketch fields: one row, left-join spine
+    semantics keep the row even when the sketch side is empty."""
+    df = spark.createDataFrame([(i % 7,) for i in range(100)], "v long")
+    out = compile_operation(
+        "SELECT COUNT(1) AS n, KMV DISTINCT v AS kd, CMS TOP 3 v AS hot", df
+    )
+    r = out.collect()[0]
+    assert r["n"] == 100 and r["kd"] == 7 and len(r["hot"]) == 3
+    allnull = spark.createDataFrame([(None,)] * 4, "v long")
+    r2 = compile_operation(
+        "SELECT COUNT(1) AS n, KMV DISTINCT v AS kd, CMS TOP 3 v AS hot",
+        allnull,
+    ).collect()[0]
+    assert r2["n"] == 4 and r2["kd"] == 0 and r2["hot"] == []
