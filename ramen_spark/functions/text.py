@@ -837,3 +837,107 @@ def bm25_topk_from_index(
     return topk.withColumn("rank", F.row_number().over(w)).withColumn(
         "score", F.round(F.col("score_micro").cast("double") / 1e6, 6)
     )
+
+
+# ---------------------------------------------------------------------------
+# Entropy / compressibility — the near-zero-entropy spam tier
+# ---------------------------------------------------------------------------
+
+
+def char_trigram_entropy(text: Column) -> Column:
+    """Shannon entropy (bits) of the sliding character-3-gram
+    distribution of a document — the cheap near-zero-entropy junk
+    detector the Gopher word-statistics battery lacks (keyboard mash,
+    repeated boilerplate, and template spam all collapse to a handful
+    of trigrams; natural prose sits around 6–9 bits). The published
+    cousin is RedPajama-Data-v2's ``rps_doc_unigram_entropy`` signal
+    (entropy of the token distribution) — this is the
+    sub-word-resolution variant that also fires on single-"word"
+    repetition like ``aaaaaaaa…``.
+
+    Arrow lane (SCALE §4d engine lesson): one vectorized numpy pass
+    per batch — code points → windowed 3-gram codes → np.unique
+    counts — instead of a quadratic JVM HOF (counting each distinct
+    gram with a filter() scan is O(L²) per doc). Computed as
+    H = log2(n) − (Σ c·log2 c)/n over integer counts c, the exact
+    expression a DuckDB oracle states over unnested substrings —
+    cross-engine float agreement to well under the 6dp rounding the
+    registry convention uses. NULL for NULL/too-short (< 3 chars)
+    input."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _h(s):
+        out = []
+        for x in s:
+            if x is None or len(x) < 3:
+                out.append(None)
+                continue
+            cp = np.frombuffer(x.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.uint64
+            )
+            # pack each 3-gram into one u64 (21 bits/code point spans
+            # all of Unicode) — unique on a scalar beats unique on str
+            g = (cp[:-2] << 42) | (cp[1:-1] << 21) | cp[2:]
+            c = np.unique(g, return_counts=True)[1].astype(np.float64)
+            n = float(c.sum())
+            out.append(float(np.log2(n) - (c * np.log2(c)).sum() / n))
+        return pd.Series(out, dtype="float64")
+
+    _h.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_h, "double")(text)
+
+
+def unigram_entropy(toks: Column) -> Column:
+    """Shannon entropy (bits) of the token-unigram distribution —
+    RedPajama-Data-v2's ``rps_doc_unigram_entropy`` signal (theirs is
+    stated in nats; bits = nats / ln 2, same ordering). Takes the
+    already-tokenized array so Spark and the oracle share ONE token
+    definition (functions.text.tokens ≡ the registry's _WORDS_SQL).
+    Same H = log2(n) − (Σ c·log2 c)/n form as char_trigram_entropy;
+    NULL for NULL/empty token arrays."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _h(s):
+        out = []
+        for x in s:
+            if x is None or len(x) == 0:
+                out.append(None)
+                continue
+            c = pd.Series(x).value_counts().to_numpy(dtype=np.float64)
+            n = float(c.sum())
+            out.append(float(np.log2(n) - (c * np.log2(c)).sum() / n))
+        return pd.Series(out, dtype="float64")
+
+    _h.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_h, "double")(toks)
+
+
+def zlib_ratio(text: Column, level: int = 6) -> Column:
+    """zlib-compressed size over raw UTF-8 size — the classic
+    compressibility junk signal (repetitive spam compresses toward 0;
+    natural prose lands ~0.3–0.6; the flag direction is LOW ratio =
+    suspect, complementary to entropy which needs no compressor).
+    Deterministic for a fixed zlib version/level but NOT
+    SQL-expressible — the registry entry is rows-only, pinned by the
+    direct-zlib reference test instead. NULL for NULL/empty text."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _r(s):
+        import zlib
+
+        out = []
+        for x in s:
+            if not x:
+                out.append(None)
+                continue
+            b = x.encode("utf-8")
+            out.append(len(zlib.compress(b, level)) / len(b))
+        return pd.Series(out, dtype="float64")
+
+    _r.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_r, "double")(text)

@@ -3885,13 +3885,23 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _gopher_flags(_t(spark, sf_dir, "documents"))
 
 
-def _gopher_flags(docs: DataFrame) -> DataFrame:
+def _gopher_flags(docs: DataFrame, entropy: bool = False) -> DataFrame:
     """The gopher rule computation, shared between the standalone
-    flags query and the composed pipeline's pluggable quality gate."""
+    flags query and the composed pipeline's pluggable quality gate.
+
+    ``entropy=True`` adds the round-10 near-zero-entropy spam tier:
+    char-trigram and token-unigram Shannon entropy (functions.text
+    Arrow lanes) computed in the SAME row-local pass — no extra scan,
+    no Exchange — and tightens ``keep`` with trigram_entropy ≥ 2.0
+    bits (natural prose sits ~6–9; keyboard mash and template loops
+    land < 2 — a conservative cutoff on the signal RedPajama-Data-v2
+    publishes as rps_doc_unigram_entropy, here at sub-word resolution
+    so single-token repetition also fires)."""
     # stage tokens, then RAW (non-distinct) 3-grams — the repetition
     # signal needs duplicates, unlike the minhash shingle helper
     t = docs.select(
-        "doc_id", Tx.tokens(F.col("text")).alias("w")
+        "doc_id", *(["text"] if entropy else []),
+        Tx.tokens(F.col("text")).alias("w"),
     ).filter(F.size("w") > 0)
     w = F.col("w")
     sh = F.transform(
@@ -3903,7 +3913,10 @@ def _gopher_flags(docs: DataFrame) -> DataFrame:
             F.element_at(w, i + 2),
         ),
     )
-    t = t.select("doc_id", w.alias("w"), sh.alias("sh"))
+    t = t.select(
+        "doc_id", *(["text"] if entropy else []),
+        w.alias("w"), sh.alias("sh"),
+    )
     n_words = F.size("w")
     mwl = (
         F.aggregate(
@@ -3919,12 +3932,126 @@ def _gopher_flags(docs: DataFrame) -> DataFrame:
         1.0 - F.size(F.array_distinct(F.col("sh"))).cast("double") / nsh,
     ).otherwise(F.lit(0.0))
     keep = n_words.between(50, 100000) & mwl.between(3, 10) & (frac < 0.2)
+    if entropy:
+        tri = Tx.char_trigram_entropy(F.col("text"))
+        uni = Tx.unigram_entropy(F.col("w"))
+        # NULL entropy (< 3 chars) coalesces to 0 so keep stays
+        # two-valued on both engines
+        keep = keep & (F.coalesce(tri, F.lit(0.0)) >= 2.0)
+        return t.select(
+            "doc_id",
+            n_words.cast("bigint").alias("n_words"),
+            F.round(mwl, 6).alias("mean_word_len"),
+            F.round(frac, 6).alias("frac_dup_3gram"),
+            F.round(tri, 6).alias("trigram_entropy"),
+            F.round(uni, 6).alias("unigram_entropy"),
+            keep.alias("keep"),
+        )
     return t.select(
         "doc_id",
         n_words.cast("bigint").alias("n_words"),
         F.round(mwl, 6).alias("mean_word_len"),
         F.round(frac, 6).alias("frac_dup_3gram"),
         keep.alias("keep"),
+    )
+
+
+@register(
+    "entropy_quality_flags",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s3
+      FROM t, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+    ),
+    r AS (
+      SELECT doc_id, count(*) AS n3, count(DISTINCT s3) AS d3
+      FROM g GROUP BY doc_id
+    ),
+    tg AS (
+      SELECT doc_id, substring(text, i, 3) AS g3
+      FROM t, unnest(generate_series(1, length(text) - 2)) AS u(i)
+      WHERE length(text) >= 3
+    ),
+    tc AS (
+      SELECT doc_id, g3, count(*)::DOUBLE AS c FROM tg GROUP BY 1, 2
+    ),
+    th AS (
+      SELECT doc_id,
+             log2(sum(c)) - sum(c * log2(c)) / sum(c) AS tri_raw
+      FROM tc GROUP BY doc_id
+    ),
+    ug AS (
+      SELECT doc_id, unnest(w) AS tok FROM t
+    ),
+    uc AS (
+      SELECT doc_id, tok, count(*)::DOUBLE AS c FROM ug GROUP BY 1, 2
+    ),
+    uh AS (
+      SELECT doc_id,
+             log2(sum(c)) - sum(c * log2(c)) / sum(c) AS uni_raw
+      FROM uc GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.w) AS n_words,
+           round(list_sum(list_transform(t.w, x -> length(x)))::DOUBLE
+                 / len(t.w), 6) AS mean_word_len,
+           round(coalesce(1.0 - r.d3::DOUBLE / r.n3, 0.0), 6)
+             AS frac_dup_3gram,
+           round(th.tri_raw, 6) AS trigram_entropy,
+           round(uh.uni_raw, 6) AS unigram_entropy,
+           (len(t.w) BETWEEN 50 AND 100000
+            AND (list_sum(list_transform(t.w, x -> length(x)))::DOUBLE
+                 / len(t.w)) BETWEEN 3 AND 10
+            AND coalesce(1.0 - r.d3::DOUBLE / r.n3, 0.0) < 0.2
+            AND coalesce(th.tri_raw, 0.0) >= 2.0) AS keep
+    FROM t
+    LEFT JOIN r USING (doc_id)
+    LEFT JOIN th USING (doc_id)
+    LEFT JOIN uh USING (doc_id)
+    WHERE len(t.w) > 0
+    """,
+)
+def entropy_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher word-statistics battery plus the round-10
+    near-zero-entropy spam tier (VERDICT r9 #6): char-trigram and
+    token-unigram Shannon entropy as Arrow lanes in the SAME row-local
+    pass (functions.text.char_trigram_entropy / unigram_entropy —
+    published cousin: RedPajama-Data-v2's rps_doc_unigram_entropy
+    signal), with keep tightened by trigram_entropy ≥ 2.0 bits — the
+    cheap detector for keyboard mash / template loops that pass the
+    word-count and dup-3-gram rules. Entropy is H = log2(n) −
+    (Σ c·log2 c)/n over integer counts, stated identically by the
+    DuckDB oracle over unnested substrings/tokens — value-exact at
+    6dp. Plan shape: one scan, zero Exchange (everything row-local);
+    the oracle's joins exist only because SQL can't express the
+    sliding window without unnesting."""
+    return _gopher_flags(_t(spark, sf_dir, "documents"), entropy=True)
+
+
+@register("zlib_compressibility")
+def zlib_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility junk signal (VERDICT r9 #6's second lane):
+    per-doc zlib-compressed size over raw UTF-8 size
+    (functions.text.zlib_ratio, level 6). Repetitive spam compresses
+    toward 0, natural prose lands ~0.3–0.6; low_ratio flags < 0.10 —
+    an extreme-redundancy tier chosen conservatively (no canonical
+    published cutoff; the signal itself is the standard one, e.g. the
+    compression-ratio heuristics in public curation stacks).
+    Deterministic for a fixed zlib/level but not SQL-expressible —
+    rows-only entry, pinned against direct zlib calls by
+    test_rows_only_references.py. Row-local Arrow lane: one scan,
+    zero Exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    r = Tx.zlib_ratio(F.col("text"))
+    return docs.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
+        "doc_id",
+        F.round(r, 6).alias("zlib_ratio"),
+        (r < 0.10).alias("low_ratio"),
     )
 
 

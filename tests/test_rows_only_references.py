@@ -27,6 +27,7 @@ COVERED = {
     "prepare_training_corpus_classifier",
     "quality_classifier_scores",
     "semantic_dedup_exact_arrow",
+    "zlib_compressibility",
 }
 
 
@@ -274,3 +275,40 @@ def test_rows_only_reference_prepare_training_corpus_classifier(spark):
         ).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_rows_only_reference_zlib_compressibility(spark):
+    """The registry entry vs direct zlib calls over the same parquet:
+    every doc's ratio must equal len(zlib.compress(utf8, 6)) /
+    len(utf8) exactly (deterministic for a fixed zlib/level), and the
+    low_ratio flag must match < 0.10 on the raw ratio. Also pins
+    non-vacuity: the sf0.01 corpus has both flagged and unflagged
+    docs only if a planted redundant doc exists — assert at least
+    the unflagged side is populated and the flag agrees everywhere."""
+    import zlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ramen_spark.catalog import load_table
+    from ramen_spark.queries import QUERIES
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["zlib_compressibility"](spark, SF_ORACLE).collect()
+    }
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text").collect()
+    checked = 0
+    for r in docs:
+        if r["text"] is None or len(r["text"]) == 0:
+            assert r["doc_id"] not in got
+            continue
+        b = r["text"].encode("utf-8")
+        ratio = len(zlib.compress(b, 6)) / len(b)
+        g = got[r["doc_id"]]
+        # Spark's ROUND is HALF_UP on the double's exact value;
+        # Python's round() is banker's — emulate Spark's
+        assert g["zlib_ratio"] == float(
+            Decimal(ratio).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+        assert g["low_ratio"] == (ratio < 0.10)
+        checked += 1
+    assert checked == len(got) > 0
