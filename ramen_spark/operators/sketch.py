@@ -493,6 +493,31 @@ def cms_top(
         raise ValueError("cms_top needs n >= 1")
     if depth < 1 or width < 1:
         raise ValueError("cms_top needs depth >= 1 and width >= 1")
+    cms = cms_build_keyed(df, keys, value_col, depth, width, weight_col)
+    cand = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, F.col(value_col).alias("_v"))
+        .distinct()
+    )
+    est = cms_estimate_candidates(cms, cand, keys, depth, width)
+    return cms_rank_top(
+        est, keys, n, out_col,
+        salted=df.rdd.getNumPartitions() > salt_above_partitions,
+    )
+
+
+def cms_build_keyed(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    depth: int,
+    width: int,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-key CMS cell relation → (keys…, row, col, cnt): the keyed
+    generalization of :func:`count_min_build` (≤ depth × width cells
+    per key per map task before the Exchange). Weight = COUNT(*) when
+    ``weight_col`` is None, else SUM(weight). NULL values ignored."""
     v = F.col(value_col)
     base = df.filter(v.isNotNull())
     w = (
@@ -503,24 +528,48 @@ def cms_top(
     cells = base.select(
         *keys, _cms_cells(v, depth, width).alias("c"), w.alias("_w")
     )
-    cms = cells.groupBy(
+    return cells.groupBy(
         *keys, F.col("c.row").alias("row"), F.col("c.col").alias("col")
     ).agg(F.sum("_w").alias("cnt"))
-    cand = base.select(*keys, value_col).distinct()
+
+
+def cms_estimate_candidates(
+    cms: DataFrame,
+    cand: DataFrame,
+    keys: list[str],
+    depth: int,
+    width: int,
+) -> DataFrame:
+    """CMS estimates for candidate values: cand (keys…, _v) × cells →
+    (keys…, _v, _est = min over rows of the cell count; absent cells
+    count 0). Equi-join on (keys, row, col) — candidate-cardinality
+    sized, never data-sized."""
     fan = cand.select(
-        *keys, v.alias("_v"), _cms_cells(v, depth, width).alias("c")
+        *keys, "_v", _cms_cells(F.col("_v"), depth, width).alias("c")
     ).select(
         *keys, "_v", F.col("c.row").alias("row"), F.col("c.col").alias("col")
     )
-    est = (
+    return (
         fan.join(cms, [*keys, "row", "col"], "left")
         .groupBy(*keys, "_v")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("_est"))
     )
+
+
+def cms_rank_top(
+    est: DataFrame,
+    keys: list[str],
+    n: int,
+    out_col: str,
+    salted: bool = False,
+) -> DataFrame:
+    """(keys…, _v, _est) → (keys…, out_col = array of the n values
+    with the largest estimate, total order (est desc, value asc)).
+    ``salted`` inserts the lossless local-top level (every global
+    top-n member is top-n in its own md5 salt bucket) so no task
+    materializes a key's full candidate array."""
     ranked = F.struct((-F.col("_est")).alias("_negw"), F.col("_v").alias("v"))
-    if df.rdd.getNumPartitions() > salt_above_partitions:
-        # bounded local rank: every global top-n value is top-n in its
-        # own md5 salt bucket, so the pre-level is lossless
+    if salted:
         s = 64
         est = (
             est.groupBy(*keys, (md5_hash48(F.col("_v")) % s).alias("_salt"))
@@ -528,10 +577,9 @@ def cms_top(
             .select(*keys, F.inline("_m"))
             .select(*keys, F.col("v").alias("_v"), (-F.col("_negw")).alias("_est"))
         )
-    top = est.groupBy(*keys).agg(
+    return est.groupBy(*keys).agg(
         F.transform(
             F.slice(F.array_sort(F.collect_list(ranked)), 1, n),
             lambda s_: s_["v"],
         ).alias(out_col)
     )
-    return top

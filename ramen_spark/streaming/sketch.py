@@ -402,3 +402,209 @@ def cms_sketch_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+class IncrementalCmsTop:
+    """Persisted CMS heavy hitters — the always-on twin of
+    ``operators.sketch.cms_top`` and the true streaming shape of the
+    reference's ``TOP n OVER m`` aggregate (raql_expr.type `Top`,
+    whose max_size m bounds the tracked candidates exactly as
+    ``max_candidates`` does here).
+
+    State = two artifacts under ``state_dir``:
+    - ``cells/``: per-key CMS cells (keys…, row, col, cnt, _b) —
+      ≤ depth × width per key REGARDLESS of stream volume; ``_b`` is
+      the last folded batch id (cell sums are not replay-idempotent,
+      so replays are skipped — the IncrementalCmsSketch contract).
+    - ``cands/``: the tracked candidate values (keys…, _v) — ≤
+      ``max_candidates`` per key, re-ranked by the merged cells after
+      every fold, worst evicted.
+
+    Why this beats the unbounded alternative at 100 TB: an exact
+    streaming TOP needs a per-(key, value) count table — unbounded in
+    the value domain (every URL, every token). Here the count state
+    is the FIXED cell grid and only m candidate VALUES ride along.
+    The inherent accuracy trade (also the reference's): a value
+    evicted from the candidate list keeps counting in the cells but
+    cannot re-enter the list until seen again — choose m ≫ n (the
+    reference's `n OVER m` knob; with m ≥ distinct values the result
+    is exactly batch cms_top, pinned by parity test).
+
+    Commit order is cands FIRST, then cells-with-batch-id: a crash
+    between the two replays the batch (id not yet recorded), and the
+    candidate union is idempotent — mixed state self-heals. Driver
+    round-trip assumes the bounded key domain the module docstring
+    describes; above ``driver_state_max_rows`` both artifacts commit
+    distributed via the same __next + swap as _IncrementalMinKBase."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        keys: list[str],
+        value_col: str,
+        max_candidates: int = 256,
+        depth: int = 4,
+        width: int = 2048,
+        weight_col: str | None = None,
+        driver_state_max_rows: int = 100_000,
+    ) -> None:
+        if max_candidates < 1:
+            raise ValueError("IncrementalCmsTop needs max_candidates >= 1")
+        self.spark = spark
+        self.state_dir = state_dir.rstrip("/")
+        self.keys = list(keys)
+        self.value_col = value_col
+        self.m = max_candidates
+        self.depth = depth
+        self.width = width
+        self.weight_col = weight_col
+        self.driver_state_max_rows = driver_state_max_rows
+        self.last_commit_path: str | None = None
+
+    @property
+    def _cells_dir(self) -> str:
+        return self.state_dir + "/cells"
+
+    @property
+    def _cands_dir(self) -> str:
+        return self.state_dir + "/cands"
+
+    def _read(self, path: str) -> DataFrame | None:
+        nxt = path + "__next"
+        if _dir_exists(self.spark, nxt) and _dir_exists(
+            self.spark, nxt + "/_SUCCESS"
+        ):
+            self._swap_in(path, nxt)
+        if not _dir_exists(self.spark, path):
+            return None
+        return self.spark.read.parquet(path)
+
+    def _swap_in(self, path: str, next_dir: str) -> None:
+        fs, state_p = _fs(self.spark, path)
+        _, next_p = _fs(self.spark, next_dir)
+        if fs.exists(state_p):
+            fs.delete(state_p, True)
+        fs.rename(next_p, state_p)
+
+    def _commit(self, df: DataFrame, path: str) -> None:
+        rows_bound = df.count()
+        if rows_bound <= self.driver_state_max_rows:
+            rows = df.collect()
+            self.spark.createDataFrame(rows, df.schema).write.mode(
+                "overwrite"
+            ).parquet(path)
+            self.last_commit_path = "driver"
+        else:
+            df.write.mode("overwrite").parquet(path + "__next")
+            self._swap_in(path, path + "__next")
+            self.last_commit_path = "distributed"
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ramen_spark.operators.sketch import (
+            cms_build_keyed,
+            cms_estimate_candidates,
+        )
+
+        cells = self._read(self._cells_dir)
+        if cells is not None:
+            last = cells.agg(F.max("_b")).collect()[0][0]
+            if last is not None and batch_id <= last:
+                return  # replayed micro-batch: already folded in
+        batch_cells = cms_build_keyed(
+            batch_df, self.keys, self.value_col, self.depth, self.width,
+            self.weight_col,
+        )
+        if cells is None:
+            merged_cells = batch_cells
+        else:
+            merged_cells = (
+                cells.select(*self.keys, "row", "col", "cnt")
+                .unionByName(batch_cells)
+                .groupBy(*self.keys, "row", "col")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        # localCheckpoint: the merged cells feed BOTH the candidate
+        # re-rank and the cells commit — and the re-rank must see the
+        # PRE-commit lineage (committing cells first would overwrite
+        # the dir the rank plan still reads on the driver path)
+        merged_cells = merged_cells.localCheckpoint(eager=True)
+
+        new_cand = (
+            batch_df.filter(F.col(self.value_col).isNotNull())
+            .select(*self.keys, F.col(self.value_col).alias("_v"))
+            .distinct()
+        )
+        old_cand = self._read(self._cands_dir)
+        pool = (
+            new_cand
+            if old_cand is None
+            else old_cand.unionByName(new_cand).distinct()
+        )
+        est = cms_estimate_candidates(
+            merged_cells, pool, self.keys, self.depth, self.width
+        )
+        rank = F.struct((-F.col("_est")).alias("_negw"), F.col("_v").alias("v"))
+        kept = (
+            est.groupBy(*self.keys)
+            .agg(
+                F.slice(F.array_sort(F.collect_list(rank)), 1, self.m).alias("_m")
+            )
+            .select(*self.keys, F.inline("_m"))
+            .select(*self.keys, F.col("v").alias("_v"))
+        )
+        # cands first, then cells-with-batch-id (see class docstring)
+        self._commit(kept, self._cands_dir)
+        self._commit(
+            merged_cells.withColumn("_b", F.lit(batch_id).cast("long")),
+            self._cells_dir,
+        )
+
+    def top(self, n: int) -> DataFrame:
+        """Current heavy hitters: (keys…, top = array of the n tracked
+        values with the largest CMS estimate, (est desc, value asc)) —
+        identical to batch cms_top over everything seen whenever
+        max_candidates covered the distinct values (parity-pinned)."""
+        from ramen_spark.operators.sketch import (
+            cms_estimate_candidates,
+            cms_rank_top,
+        )
+
+        cells = self._read(self._cells_dir)
+        cands = self._read(self._cands_dir)
+        if cells is None or cands is None:
+            raise ValueError(f"no sketch state at {self.state_dir}")
+        est = cms_estimate_candidates(
+            cells.select(*self.keys, "row", "col", "cnt"),
+            cands, self.keys, self.depth, self.width,
+        )
+        return cms_rank_top(est, self.keys, n, "top")
+
+
+def cms_top_stream(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    value_col: str,
+    max_candidates: int = 256,
+    depth: int = 4,
+    width: int = 2048,
+    weight_col: str | None = None,
+):
+    """Maintain CMS heavy hitters always-on (which URLs/tokens/users
+    are hot right now, per key, in bounded state); any batch job or
+    ``IncrementalCmsTop.top(n)`` reads the live ranking off
+    ``state_dir``. Batch-id guarded like the plain CMS lane."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        IncrementalCmsTop(
+            batch_df.sparkSession, state_dir, keys, value_col,
+            max_candidates, depth, width, weight_col,
+        ).update(batch_df, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1234,3 +1234,32 @@ def test_dedup_eval_harness_smoke(spark):
         for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()
     }
     assert all(p in got for p in truth["near"])
+
+
+def test_entropy_battery_no_shuffle(spark):
+    """The entropy-extended Gopher battery stays row-local: the two
+    Arrow entropy lanes ride the same single scan — zero Exchange."""
+    df = QUERIES["entropy_quality_flags"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan  # the entropy lanes
+
+
+def test_zlib_compressibility_no_shuffle(spark):
+    df = QUERIES["zlib_compressibility"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_raql_sketch_aggregates_plan_shape(spark):
+    """The dialect sketch rewrite must keep the library operators'
+    shape: no cartesian/nested-loop joins anywhere (the branches
+    re-join on the group key), the KMV branch keeps its map-side
+    Arrow prefilter, and every Exchange is hash-partitioned (no
+    SinglePartition funnel)."""
+    df = QUERIES["raql_sketch_aggregates"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "MapInPandas" in plan, plan  # kmv_prune's bounded prefilter

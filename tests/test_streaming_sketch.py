@@ -313,3 +313,78 @@ def test_stream_static_interval_join(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got == exp and len(exp) > 100
+
+
+def test_streaming_cms_top_equals_batch_and_skips_replays(spark, tmp_path):
+    """IncrementalCmsTop over N manual batches with max_candidates ≥
+    distinct values equals batch cms_top over the concatenation; a
+    replayed batch id is skipped (cell sums would double-count)."""
+    from ramen_spark.catalog import load_table
+    from ramen_spark.operators.sketch import cms_top
+    from ramen_spark.streaming.sketch import IncrementalCmsTop
+
+    ev = load_table(spark, SF_SMALL, "events").select("event_type", "user_id")
+    inc = IncrementalCmsTop(
+        spark, str(tmp_path / "ctop"), ["event_type"], "user_id",
+        max_candidates=64, depth=3, width=256,
+    )
+    for i in range(3):
+        inc.update(ev.filter(F.col("user_id") % 3 == i), batch_id=i)
+    inc.update(ev.filter(F.col("user_id") % 3 == 1), batch_id=1)  # replay
+
+    got = {r["event_type"]: r["top"] for r in inc.top(5).collect()}
+    exp = {
+        r["event_type"]: r["top"]
+        for r in cms_top(
+            ev, ["event_type"], "user_id", 5, depth=3, width=256
+        ).collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_streaming_cms_top_stream_lane_and_eviction(spark, tmp_path):
+    """The foreachBatch lane end-to-end, plus the documented n OVER m
+    accuracy contract: with a SMALL candidate bound, a heavy value
+    that keeps recurring stays ranked (its cells keep counting and it
+    re-enters on every sighting), even while one-off values churn
+    through the bounded list."""
+    from ramen_spark.streaming.sketch import IncrementalCmsTop, cms_top_stream
+
+    src = tmp_path / "ct_src"
+    # each batch: the heavy value 7 appears 5×, plus 20 unique one-offs
+    for b in range(4):
+        rows = [("k", 7)] * 5 + [("k", 1000 + 20 * b + j) for j in range(20)]
+        spark.createDataFrame(rows, "g string, v long").coalesce(1).write.parquet(
+            str(src / f"b{b}")
+        )
+    schema = "g string, v long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/b*")
+    )
+    q = cms_top_stream(
+        stream,
+        str(tmp_path / "ct_state"),
+        str(tmp_path / "ct_ckpt"),
+        keys=["g"],
+        value_col="v",
+        max_candidates=8,  # far below the 81 distinct values
+        depth=3,
+        width=512,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    inc = IncrementalCmsTop(
+        spark, str(tmp_path / "ct_state"), ["g"], "v",
+        max_candidates=8, depth=3, width=512,
+    )
+    top = {r["g"]: r["top"] for r in inc.top(1).collect()}
+    assert top == {"k": [7]}  # 20 sightings vs 1 each — rank by est
+    # state boundedness: ≤ m candidates, ≤ depth × width cells
+    cands = spark.read.parquet(str(tmp_path / "ct_state/cands"))
+    cells = spark.read.parquet(str(tmp_path / "ct_state/cells"))
+    assert cands.count() <= 8
+    assert cells.count() <= 3 * 512
