@@ -302,6 +302,11 @@ def main() -> None:
                                         # changed cms's predecessor and
                                         # confounded its delta (append-
                                         # only invariant, line above)
+            "quantile_sketch_token_lengths",  # r10: bottom-k pair prune
+            "entropy_quality_flags",    # r10: two Arrow entropy lanes,
+                                        # zero-Exchange text pass
+            "raql_sketch_aggregates",   # r10: dialect KMV+CMS branches
+                                        # joined on the group key
         ]
         try:
             from tools.scale_testdata import scale, tier_is_current
@@ -394,6 +399,10 @@ def main() -> None:
             "tfidf_top_terms",          # r8: Zipf head term → hot df window
             "cms_token_counts",         # r9: hot tokens can't skew a CMS —
                                         # every row lands on depth fixed cells
+            "entropy_quality_flags",    # r10: row-local Arrow lanes are
+                                        # skew-neutral by construction —
+                                        # boilerplate/Zipf docs only change
+                                        # per-doc work, never placement
         ]
         try:
             from tools.scale_testdata import (
