@@ -455,6 +455,21 @@ def cmd_sketch(args) -> int:
               f"width={args.width}):")
         for r in top.collect():
             print(f"{r[args.column]}\t{r['exact_n']}\t{r['cms_est']}")
+    if args.quantiles:
+        if not args.id_col:
+            print("--quantiles needs --id-col (a unique row id)")
+            return 2
+        from ramen_spark.operators.sketch import quantile_sketch
+
+        ps = [float(x) for x in args.quantiles.split(",") if x.strip()]
+        q = quantile_sketch(
+            df, keys, args.column, args.id_col, ps, k=max(args.k, 256)
+        ).orderBy(*(keys or [F.lit(1)]))
+        print(f"\nquantiles (bottom-k sample, k={max(args.k, 256)}):")
+        qh = q.columns
+        print("\t".join(qh))
+        for r in q.collect():
+            print("\t".join(str(r[c]) for c in qh))
     return 0
 
 
@@ -648,6 +663,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="probe the top-N exact values against the CMS")
     p.add_argument("--depth", type=int, default=4, help="CMS depth")
     p.add_argument("--width", type=int, default=2048, help="CMS width")
+    p.add_argument(
+        "--quantiles", default=None,
+        help="comma-separated fractions (0.5,0.9,0.99) — bottom-k "
+             "quantile sample of a numeric column; needs --id-col",
+    )
+    p.add_argument(
+        "--id-col", default=None,
+        help="unique row id column for --quantiles sampling",
+    )
     p.set_defaults(fn=cmd_sketch)
 
     p = sub.add_parser(

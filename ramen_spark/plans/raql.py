@@ -3415,7 +3415,12 @@ def _compile_grouped_with_sketches(df, op, params, src_arrays):
             )
         key_renames.append((matched, name))
 
-    if agg_cols:
+    if agg_cols and global_group:
+        # true global grouping (groupBy() with no keys) so the empty
+        # input still yields ONE row — reference global-group
+        # semantics; the constant key is re-attached for the joins
+        spine = base.groupBy().agg(*agg_cols).withColumn("_kc", F.lit(1))
+    elif agg_cols:
         spine = base.groupBy(*knames).agg(*agg_cols)
     else:
         spine = base.select(*knames).distinct()

@@ -321,3 +321,40 @@ def test_cli_sketch(spark, tmp_path, capsys):
     out2 = capsys.readouterr().out.strip().splitlines()
     assert out2[0].split("\t") == ["n_kept", "kth_min", "est_distinct"]
     assert len(out2) == 2
+
+
+def test_cli_sketch_quantiles(spark, tmp_path, capsys):
+    """`ramen sketch … --quantiles 0.5,0.9 --id-col e`: the bottom-k
+    quantile section matches the operator; --quantiles without
+    --id-col is a usage error."""
+    from ramen_spark.operators.sketch import quantile_sketch
+
+    src = str(tmp_path / "evq")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    ev.write.parquet(src)
+    assert main(
+        ["sketch", src, "value", "--by", "event_type", "--top", "0",
+         "--quantiles", "0.5,0.9", "--id-col", "event_id"]
+    ) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    qi = next(i for i, ln in enumerate(out) if ln.startswith("quantiles"))
+    assert out[qi + 1].split("\t") == [
+        "event_type", "n_sample", "p50", "p90"
+    ]
+    got = {
+        ln.split("\t")[0]: tuple(ln.split("\t")[1:])
+        for ln in out[qi + 2 :]
+    }
+    exp = {
+        r["event_type"]: (str(r["n_sample"]), str(r["p50"]), str(r["p90"]))
+        for r in quantile_sketch(
+            ev, ["event_type"], "value", "event_id", [0.5, 0.9], k=256
+        ).collect()
+    }
+    assert got == exp and len(got) > 0
+    assert main(
+        ["sketch", src, "value", "--top", "0", "--quantiles", "0.5"]
+    ) == 2
+    assert "--id-col" in capsys.readouterr().out

@@ -728,3 +728,12 @@ def test_sketch_aggregates_global_group(spark):
         allnull,
     ).collect()[0]
     assert r2["n"] == 4 and r2["kd"] == 0 and r2["hot"] == []
+    # empty input: the global group still yields its ONE row
+    # (reference global-aggregate semantics — groupBy() with no keys)
+    empty = spark.createDataFrame([], "v long")
+    rows3 = compile_operation(
+        "SELECT COUNT(1) AS n, KMV DISTINCT v AS kd, CMS TOP 3 v AS hot",
+        empty,
+    ).collect()
+    assert len(rows3) == 1
+    assert rows3[0]["n"] == 0 and rows3[0]["kd"] == 0 and rows3[0]["hot"] == []
