@@ -172,12 +172,32 @@ def commit_aggregate(
     """
     first_order = order_col if isinstance(order_col, str) else order_col[0]
     in_cols = trigger_in_cols or []
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    # NULLABLE integral columns arrive float64 after the Arrow
+    # transfer (pandas has no nullable int64 on this path): 160 → 160.0
+    # — which corrupts anything that FORMATS the value (string concat
+    # '||', md5-hash aggregates like KMV DISTINCT). Restore Python
+    # ints from the Spark schema, which knows the true type.
+    _int_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ByteType, ShortType, IntegerType, LongType))
+    ]
 
     def fold_with(pdf: pd.DataFrame, trigs: list, trows: list) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="stable")  # str or list of cols
         # NULLs surface as NaN in float columns after Arrow transfer;
         # the fold's SKIP/KEEP NULLS semantics need real None
         pdf = pdf.astype(object).where(pdf.notna(), None)
+        for c in _int_cols:
+            if c in pdf.columns:
+                # explicit object dtype — a bare list assignment would
+                # re-infer float64 and undo the conversion
+                pdf[c] = pd.Series(
+                    [None if v is None else int(v) for v in pdf[c]],
+                    dtype=object, index=pdf.index,
+                )
         out_rows: list[Row] = []
         state = init_state()
         previous: Row | None = None

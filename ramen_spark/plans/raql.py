@@ -298,6 +298,13 @@ AGGS = {
     # 311-314) — engine-only accumulators (operators.topk is the
     # Catalyst batch form)
     "top", "largest", "histogram",
+    # KMV DISTINCT sketch aggregate (training-pipeline extension): the
+    # fold keeps the k smallest distinct md5-48 hashes per group —
+    # bounded state, value-identical to operators.sketch.kmv_distinct.
+    # Batch grouped selects route through the Catalyst rewrite instead
+    # (_compile_grouped_with_sketches); this registration serves the
+    # COMMIT fold and its always-on streaming twin.
+    "kmv_distinct",
 }
 
 # per-row stateful functions (one output per input row, state scoped to
@@ -3389,7 +3396,9 @@ def _compile_grouped_with_sketches(df, op, params, src_arrays):
             raise NotImplementedError(
                 "KMV DISTINCT / CMS TOP must be a whole select field "
                 f"(field {name!r} nests one inside an expression); "
-                "compose downstream of the aggregate instead"
+                "compose downstream of the aggregate instead — or use "
+                "the COMMIT engine, whose fold supports nested "
+                "KMV DISTINCT"
             )
         else:
             rest.append((name, f_))
@@ -4707,7 +4716,69 @@ def _py_immediate(fn: str, vals, keep_nulls: bool = False):
         return r
     if fn == "count_distinct":
         return len(set(vv))
+    if fn == "kmv_distinct":
+        buf: list = []
+        for v in vv:
+            _kmv_insert(buf, _kmv_hash48_py(v), 256)
+        return _kmv_estimate(buf, 256)
     raise NotImplementedError(f"immediate {fn}")
+
+
+def _kmv_hash48_py(v):
+    """Python twin of operators.sketch.md5_hash48 (md5 of CAST AS
+    STRING, first 12 hex digits as a 48-bit int). String-cast parity
+    with Spark is exact for string/integral/boolean values; float
+    CAST-AS-STRING differs between engines (Java Double.toString vs
+    Python repr), so floats are rejected loudly rather than silently
+    diverging from the batch form."""
+    import hashlib
+    import numbers
+
+    if v is None:
+        return None
+    if isinstance(v, bool) or type(v).__name__ == "bool_":
+        # Spark CAST(bool AS STRING) = 'true'/'false' (numpy bool_
+        # from the Arrow fold included)
+        s = "true" if bool(v) else "false"
+    elif isinstance(v, str):
+        s = v
+    elif isinstance(v, numbers.Integral):
+        s = str(int(v))  # Python int and numpy integer scalars alike
+    else:
+        raise NotImplementedError(
+            "KMV DISTINCT in the COMMIT fold hashes string/integer/"
+            "boolean values (float CAST AS STRING is engine-specific); "
+            f"CAST the argument first or use the batch grouped form "
+            f"(got {type(v).__name__}: {v!r})"
+        )
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16)
+
+
+def _kmv_insert(buf: list, h, k: int) -> None:
+    """Bounded sorted-unique insert: keep the k smallest distinct
+    hashes (the fold's per-group KMV state — ≤ k ints)."""
+    import bisect
+
+    if h is None:
+        return
+    i = bisect.bisect_left(buf, h)
+    if i < len(buf) and buf[i] == h:
+        return
+    if len(buf) < k:
+        buf.insert(i, h)
+    elif h < buf[-1]:
+        buf.insert(i, h)
+        buf.pop()
+
+
+def _kmv_estimate(buf: list, k: int):
+    """The kmv_finalize estimator, Python side: exact while underfull,
+    floor((k−1)·2⁴⁸/kth_min) once saturated — same double-arithmetic
+    shape as the Catalyst form so results are bit-identical."""
+    n = len(buf)
+    if n < k:
+        return n
+    return int(math.floor(float(k - 1) * float(1 << 48) / float(buf[-1])))
 
 
 def _py_percentile(vals, p):
@@ -5340,6 +5411,13 @@ class _Fold:
                 )
                 lst.append((by_vals, state["__n"], arg))
                 state[k] = lst
+            elif fn == "kmv_distinct":
+                # bounded sketch state: the k smallest distinct md5-48
+                # hashes (value-identical to operators.sketch.kmv_prune
+                # — the always-on twin of the batch grouped rewrite)
+                buf = cur if isinstance(cur, list) else []
+                _kmv_insert(buf, _kmv_hash48_py(arg), int(node.opts.get("k", 256)))
+                state[k] = buf
             else:
                 raise NotImplementedError(f"aggregate {fn} in COMMIT fold")
 
@@ -5395,6 +5473,12 @@ class _Fold:
             return picked
         if fn == "count_distinct":
             return len(v) if isinstance(v, set) else 0
+        if fn == "kmv_distinct":
+            node = self.agg_defs[key]
+            return _kmv_estimate(
+                v if isinstance(v, list) else [],
+                int(node.opts.get("k", 256)),
+            )
         return v
 
     # -- expression evaluation --------------------------------------------
@@ -5837,7 +5921,8 @@ def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> 
                 for i, (a, t_) in enumerate(zip(node.args, node.opts["types"]))
             )
             return f"struct<{inner}>"
-        if fn in ("count", "count_distinct", "bitand", "bitor", "bitxor", "peek"):
+        if fn in ("count", "count_distinct", "kmv_distinct",
+                  "bitand", "bitor", "bitxor", "peek"):
             return INT
         if fn in ("and_all", "or_all", "distinct", "is_null", "remember",
                   "hysteresis", "changed", "is_in_top", "recall"):

@@ -220,3 +220,73 @@ def test_count_commit_ineligible_falls_back(spark):
     assert "FlatMapCoGroupsInPandas" in plan
     got = sorted((r["pv"], r["s"]) for r in out.collect())
     assert got == [(1.0, 3.0), (4.0, 12.0)]
+
+
+def test_commit_fold_kmv_distinct_matches_batch(spark):
+    """KMV DISTINCT as a fold accumulator (round-10 AGGS addition):
+    the COMMIT fold's running estimate must land on the batch grouped
+    rewrite / operators.sketch.kmv_distinct value — including the
+    saturated regime (k=16 < 40 distinct), NULL skipping, the
+    nested-in-expression form the batch fast path rejects, and string
+    arguments (md5 string-cast parity with the Catalyst form).
+    COMMIT AND KEEP AFTER true emits the running aggregate per row;
+    the group's last emission is the full-input state."""
+    from ramen_spark.operators.sketch import kmv_distinct
+    from ramen_spark.plans.raql import compile_commit_operation
+
+    rows = [
+        ("a" if i % 3 else "b", i, i % 40)
+        for i in range(300)
+    ] + [("b", 1000, None)]
+    df = spark.createDataFrame(rows, "k string, seq int, u long")
+
+    def last_per_group(out, val_col):
+        best = {}
+        for r in out.collect():
+            if r["k"] not in best or r["n"] > best[r["k"]][1]:
+                best[r["k"]] = (r[val_col], r["n"])
+        return {k: v[0] for k, v in best.items()}, {
+            k: v[1] for k, v in best.items()
+        }
+
+    out = compile_commit_operation(
+        "select k, kmv 16 distinct u as au, count 1 as n "
+        "group by k commit and keep after true",
+        df, output_schema="k string, au bigint, n bigint",
+        order_cols=["seq"],
+    )
+    got, ns = last_per_group(out, "au")
+    exp = {
+        r["k"]: r["est_distinct"]
+        for r in kmv_distinct(df, ["k"], "u", 16).collect()
+    }
+    assert got == exp
+    assert ns == {"a": 200, "b": 101}
+
+    # nested form: the estimate composes inside an expression
+    out2 = compile_commit_operation(
+        "select k, (kmv 16 distinct u) * 2 as au2, count 1 as n "
+        "group by k commit and keep after true",
+        df, output_schema="k string, au2 bigint, n bigint",
+        order_cols=["seq"],
+    )
+    got2, _ = last_per_group(out2, "au2")
+    assert got2 == {k: v * 2 for k, v in exp.items()}
+
+    # string values hash identically to the Catalyst md5 form
+    sdf = spark.createDataFrame(
+        [("a", i, f"u{i % 25}") for i in range(100)],
+        "k string, seq int, s string",
+    )
+    out3 = compile_commit_operation(
+        "select k, kmv 8 distinct s as au, count 1 as n group by k "
+        "commit and keep after true",
+        sdf, output_schema="k string, au bigint, n bigint",
+        order_cols=["seq"],
+    )
+    got3, _ = last_per_group(out3, "au")
+    exp3 = {
+        r["k"]: r["est_distinct"]
+        for r in kmv_distinct(sdf, ["k"], "s", 8).collect()
+    }
+    assert got3 == exp3

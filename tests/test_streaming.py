@@ -615,3 +615,48 @@ def test_alert_pipeline_streaming_capstone(spark, tmp_path):
     assert "Sent 1st message" in journal
     # h2 never fired: no incident carries its name
     assert not any("h2" in i.name for i in alerter.incidents.values())
+
+
+def test_raql_commit_streaming_kmv_distinct(spark, events_stream):
+    """KMV DISTINCT in the always-on fold (round-10): the streaming
+    engine's per-group bounded min-k state must survive the pickle
+    state round-trip across micro-batches and emit the batch fold's
+    estimates exactly (saturated at k=16)."""
+    from ramen_spark.plans.raql import (
+        compile_commit_operation,
+        compile_commit_streaming,
+    )
+
+    stream, batch = events_stream
+    text = (
+        "select event_type, kmv 16 distinct user_id as au, count 1 as n "
+        "group by event_type commit and keep all after true"
+    )
+    schema = "event_type string, au long, n long"
+    sel = ["event_id", "event_type", "user_id"]
+    s_out = run_to_memory(
+        compile_commit_streaming(
+            text, stream.select(*sel), output_schema=schema,
+            order_cols=["event_id"],
+        ),
+        "raql_kmv_stream",
+    )
+    got = sorted((r["event_type"], r["au"], r["n"]) for r in s_out.collect())
+    b_out = compile_commit_operation(
+        text, batch.select(*sel), output_schema=schema,
+        order_cols=["event_id"],
+    )
+    exp = sorted((r["event_type"], r["au"], r["n"]) for r in b_out.collect())
+    assert got == exp and len(got) > 0
+    # and the final running estimate equals the Catalyst batch operator
+    from ramen_spark.operators.sketch import kmv_distinct
+
+    finals = {}
+    for et, au, n in got:
+        if et not in finals or n > finals[et][1]:
+            finals[et] = (au, n)
+    direct = {
+        r["event_type"]: r["est_distinct"]
+        for r in kmv_distinct(batch, ["event_type"], "user_id", 16).collect()
+    }
+    assert {k: v[0] for k, v in finals.items()} == direct
