@@ -281,7 +281,16 @@ def quantile_prune(
         *keys,
         md5_hash48(F.col(id_col)).alias("_h"),
         F.col(value_col).cast("double").alias("_v"),
-    ).filter(F.col("_h").isNotNull() & F.col("_v").isNotNull())
+    ).filter(
+        F.col("_h").isNotNull()
+        & F.col("_v").isNotNull()
+        # NaN would break the lane's own invariants: the Arrow
+        # prefilter's pair dedup uses != (NaN != NaN keeps duplicates,
+        # eating k slots) while collect_set in finalize dedups NaN
+        # structs — and NaN sorts greatest, skewing p99. A NaN value
+        # carries no quantile information; drop it like NULL.
+        & ~F.isnan(F.col("_v"))
+    )
     schema_keys = [
         f"{f.name} {f.dataType.simpleString()}"
         for f in hashed.schema.fields

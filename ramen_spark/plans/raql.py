@@ -3431,13 +3431,43 @@ def _compile_grouped_with_sketches(df, op, params, src_arrays):
         spine = base.groupBy().agg(*agg_cols).withColumn("_kc", F.lit(1))
     elif agg_cols:
         spine = base.groupBy(*knames).agg(*agg_cols)
+    elif global_group:
+        # sketch-only global select: the one-row spine must exist even
+        # on empty input (same reference semantics as the agg branch)
+        spine = df.sparkSession.range(1).select(F.lit(1).alias("_kc"))
     else:
         spine = base.select(*knames).distinct()
 
+    def _join_branch(spine_df, branch):
+        # NULL group keys are real groups (base.groupBy keeps them and
+        # so do the sketch branches) — the join must be null-safe or a
+        # NULL-keyed group silently coalesces to 0/[]. The branch keys
+        # are renamed first so the post-join drop is unambiguous by
+        # NAME (Column-identity drop resolves unreliably through the
+        # coalesce/withColumn lineage and can drop the spine's side).
+        bk = [f"_b{kn}" for kn in knames]
+        b = branch
+        for kn, bn in zip(knames, bk):
+            b = b.withColumnRenamed(kn, bn)
+        cond = None
+        for kn, bn in zip(knames, bk):
+            c = F.col(kn).eqNullSafe(F.col(bn))
+            cond = c if cond is None else cond & c
+        return spine_df.join(b, cond, "left").drop(*bk)
+
     for name, node in sketch_items:
-        if node.opts.get("duration") is not None or node.opts.get("sigmas"):
+        if (
+            node.opts.get("duration") is not None
+            or node.opts.get("sigmas")
+            or node.opts.get("time") is not None
+        ):
             raise NotImplementedError(
-                "CMS TOP supports only the BY w clause (no decay/SIGMAS)"
+                "CMS TOP supports only the BY w clause (no decay/"
+                "SIGMAS/AT TIME). OVER m is consumed and ignored like "
+                "the exact engine does: the batch form enumerates ALL "
+                "candidates — a strict accuracy superset of any "
+                "m-bounded tracking (m maps to max_candidates only in "
+                "the always-on IncrementalCmsTop lane)."
             )
         sub = Compiler(params, src_arrays=src_arrays, schema=bsch)
         arg = sub.col(node.args[0])
@@ -3450,7 +3480,7 @@ def _compile_grouped_with_sketches(df, op, params, src_arrays):
             branch = SK.kmv_distinct(
                 sel, knames, "_sv", int(node.opts.get("k", 256))
             ).select(*knames, F.col("est_distinct").alias(name))
-            spine = spine.join(branch, knames, "left").withColumn(
+            spine = _join_branch(spine, branch).withColumn(
                 name, F.coalesce(F.col(name), F.lit(0).cast("long"))
             )
         else:  # cms_top
@@ -3473,7 +3503,7 @@ def _compile_grouped_with_sketches(df, op, params, src_arrays):
                     sel, knames, "_sv", int(node.opts["n"]), out_col=name
                 )
             arr_ddl = dict(branch.dtypes)[name]
-            spine = spine.join(branch, knames, "left").withColumn(
+            spine = _join_branch(spine, branch).withColumn(
                 name,
                 F.coalesce(F.col(name), F.array().cast(arr_ddl)),
             )
@@ -4717,11 +4747,28 @@ def _py_immediate(fn: str, vals, keep_nulls: bool = False):
     if fn == "count_distinct":
         return len(set(vv))
     if fn == "kmv_distinct":
-        buf: list = []
-        for v in vv:
-            _kmv_insert(buf, _kmv_hash48_py(v), 256)
-        return _kmv_estimate(buf, 256)
+        # k rides in via the keyword (the _eval call site threads
+        # node.opts['k'] through keep_nulls-style plumbing is not
+        # available here) — see _py_kmv_immediate
+        raise NotImplementedError(
+            "kmv_distinct immediate: use _py_kmv_immediate (carries k)"
+        )
     raise NotImplementedError(f"immediate {fn}")
+
+
+def _py_kmv_immediate(vals, k: int):
+    """Immediate (list-operand) KMV DISTINCT with the parsed k —
+    _py_immediate has no access to node.opts, so the sketch size is
+    threaded explicitly from the _eval call site."""
+    if vals is None:
+        return None
+    if not isinstance(vals, (list, tuple)):
+        vals = [vals]
+    buf: list = []
+    for v in vals:
+        if v is not None:
+            _kmv_insert(buf, _kmv_hash48_py(v), k)
+    return _kmv_estimate(buf, k)
 
 
 def _kmv_hash48_py(v):
@@ -5727,6 +5774,10 @@ class _Fold:
             if node.fn in AGGS and len(node.args) == 1:
                 # Immediate aggregate over a materialized list
                 # (``sum group x``, ``avg (latest 2 n)``…)
+                if node.fn == "kmv_distinct":
+                    return _py_kmv_immediate(
+                        ev(node.args[0]), int(node.opts.get("k", 256))
+                    )
                 return _py_immediate(
                     node.fn, ev(node.args[0]), node.opts.get("keep_nulls", False)
                 )

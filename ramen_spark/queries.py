@@ -5546,8 +5546,12 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt AS (
       SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY event_type
     )
-    SELECT c.event_type, c.n, k.approx_users, t.hot_users
-    FROM cnt c JOIN kmv k USING (event_type) JOIN top t USING (event_type)
+    SELECT c.event_type, c.n,
+           coalesce(k.approx_users, 0)::BIGINT AS approx_users,
+           coalesce(t.hot_users, CAST([] AS BIGINT[])) AS hot_users
+    FROM cnt c
+    LEFT JOIN kmv k ON c.event_type IS NOT DISTINCT FROM k.event_type
+    LEFT JOIN top t ON c.event_type IS NOT DISTINCT FROM t.event_type
     """,
 )
 def raql_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:

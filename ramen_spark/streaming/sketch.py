@@ -4,26 +4,24 @@ lanes (streaming/dedup.py): a persisted, batch-readable artifact that
 each micro-batch folds into, with N-batch ≡ batch parity pinned by
 test.
 
-State size regimes (the driver round-trip is NOT free in general):
-- CMS state is ≤ depth × width cells REGARDLESS of stream content,
-  so it always round-trips through the driver (collect + atomic
-  overwrite — the merged snapshot is fully materialized before the
-  old parquet is replaced).
-- KMV state is ≤ k rows PER KEY but unbounded in the number of
-  KEYS: a per-URL-host or per-user sketch (millions of keys) makes
-  each micro-batch collect k × n_keys rows — a driver-OOM vector.
-  ``IncrementalKmvSketch.update`` therefore switches above
-  ``driver_state_max_rows`` to a fully distributed commit: the
-  merged prune output is written to a sibling ``…__next`` directory
-  (a plain distributed parquet write — target ≠ source, so no
-  overwrite-while-reading hazard and no collect anywhere), then
-  swapped in with two filesystem metadata ops (delete old, rename
-  next). Crash recovery: ``_state`` treats a ``__next`` directory
-  bearing Spark's ``_SUCCESS`` marker as the authoritative newer
-  snapshot and finishes the interrupted swap; a markerless
-  ``__next`` is a torn write and is ignored (the old state stands,
-  and foreachBatch replays the batch — min-k idempotence makes the
-  re-fold harmless).
+State persistence (round-10 protocol — ``_SnapshotStore``):
+every lane's state lives as VERSIONED parquet snapshots
+``<root>/v1, v2, …`` with "highest version bearing Spark's _SUCCESS
+marker wins". A commit writes v(n+1) executor-side while v(n) is
+still being read (different directories — no overwrite-while-read
+hazard, no collect anywhere, exactly ONE job per commit), then
+best-effort-GCs older versions. There are NO renames and NO
+delete-then-rename swaps, so the protocol is crash-safe on object
+stores too (S3A rename is per-file copy+delete — any swap-based
+protocol has a corruption window there; a version directory either
+has its _SUCCESS marker or is ignored). Crash matrix: die mid-write
+→ v(n+1) has no _SUCCESS, v(n) stands, foreachBatch replays the
+batch; die after write, before GC → v(n+1) complete and adopted,
+the replayed batch is a no-op (min-k idempotence) or batch-id-
+skipped (CMS); die mid-GC → orphan old versions, removed at the
+next commit. The pre-round-10 flat layout (parquet directly under
+<root>) is read as the initial snapshot and cleaned after the first
+new commit.
 
 Replay semantics differ per sketch and are enforced here:
 - KMV is IDEMPOTENT under batch replay (min-k of a multiset ignores
@@ -63,24 +61,90 @@ def _dir_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+class _SnapshotStore:
+    """Versioned-snapshot persistence shared by every always-on
+    sketch lane (see module docstring for the crash matrix): commit =
+    one executor-side parquet write of ``<root>/v{n+1}`` + best-effort
+    GC; read = highest _SUCCESS-bearing version (legacy flat parquet
+    under ``<root>`` reads as the initial snapshot)."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root.rstrip("/")
+
+    def _versions(self) -> list[int]:
+        fs, rp = _fs(self.spark, self.root)
+        if not fs.exists(rp):
+            return []
+        out = []
+        for st in fs.listStatus(rp):
+            nm = st.getPath().getName()
+            if st.isDirectory() and nm.startswith("v") and nm[1:].isdigit():
+                out.append(int(nm[1:]))
+        return sorted(out)
+
+    def _complete(self, n: int) -> bool:
+        return _dir_exists(self.spark, f"{self.root}/v{n}/_SUCCESS")
+
+    def current_version(self) -> int | None:
+        for n in reversed(self._versions()):
+            if self._complete(n):
+                return n
+        return None
+
+    def read(self) -> DataFrame | None:
+        n = self.current_version()
+        if n is not None:
+            return self.spark.read.parquet(f"{self.root}/v{n}")
+        if _dir_exists(self.spark, self.root + "/_SUCCESS"):
+            # legacy flat layout — the initial snapshot
+            return self.spark.read.parquet(self.root)
+        return None
+
+    def commit(self, df: DataFrame) -> str:
+        cur = self.current_version()
+        nxt = (cur + 1) if cur is not None else 1
+        # the write plan may read v{cur} (or the legacy flat files);
+        # the target is a DIFFERENT directory, so the source is never
+        # touched before the job completes
+        df.write.mode("overwrite").parquet(f"{self.root}/v{nxt}")
+        self._gc(keep=nxt)
+        return f"v{nxt}"
+
+    def _gc(self, keep: int) -> None:
+        try:
+            fs, rp = _fs(self.spark, self.root)
+            jvm = self.spark._jvm
+            for n in self._versions():
+                if n != keep:
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(f"{self.root}/v{n}"),
+                        True,
+                    )
+            # legacy flat files (pre-versioned layout) under the root
+            for st in fs.listStatus(rp):
+                if not st.isDirectory():
+                    fs.delete(st.getPath(), False)
+        except Exception:  # pragma: no cover — GC is best-effort
+            pass
+
+
 class _IncrementalMinKBase:
-    """Shared commit machinery for min-k-shaped persisted sketches
+    """Shared fold machinery for min-k-shaped persisted sketches
     (KMV distinct, bottom-k quantile sample): a micro-batch is pruned,
     unioned with the persisted state, re-pruned to the bound, and
-    committed. Min-k over a multiset/set is associative, commutative,
-    and IDEMPOTENT — any batch split and any replay yields the state
-    of the concatenated input.
+    committed as the next snapshot. Min-k over a multiset/set is
+    associative, commutative, and IDEMPOTENT — any batch split and
+    any replay yields the state of the concatenated input.
 
-    State-size regime: the state is ≤ k rows per key but the number
-    of KEYS is unbounded. Small key domains (per event-type, per
-    language — the typical observability configs) take the driver
-    path: collect + atomic overwrite, one tiny parquet write. Once
-    the merged state exceeds ``driver_state_max_rows`` rows,
-    ``update`` commits DISTRIBUTED instead — the merged prune output
-    is written executor-side to ``<state_dir>__next`` and swapped in
-    with filesystem metadata ops; nothing state-sized ever reaches
-    the driver (a per-URL-host sketch at 10M hosts × k=64 would
-    otherwise collect 640M rows per micro-batch).
+    Persistence is the versioned _SnapshotStore: one executor-side
+    write per commit, NO collect at any state size (state is ≤ k rows
+    per key but the number of KEYS is unbounded — a per-URL-host
+    sketch at 10M hosts × k=64 must never visit the driver).
+    ``driver_state_max_rows`` is accepted for API compatibility and
+    ignored: the old small-state driver round-trip had a crash window
+    (overwrite deletes the only copy before rewriting it) that the
+    snapshot protocol closes for every size at the same cost.
 
     Subclasses provide ``_prune_batch`` (micro-batch → sketch rows)
     and ``_reprune`` (merged sketch rows → re-bounded sketch rows)."""
@@ -93,8 +157,9 @@ class _IncrementalMinKBase:
     ) -> None:
         self.spark = spark
         self.state_dir = state_dir
-        self.driver_state_max_rows = driver_state_max_rows
-        # instrumentation: 'driver' | 'distributed', set by update()
+        self.store = _SnapshotStore(spark, state_dir)
+        # instrumentation: always 'distributed' under the snapshot
+        # protocol (kept because operators/tests read it)
         self.last_commit_path: str | None = None
 
     def _prune_batch(self, batch_df: DataFrame) -> DataFrame:
@@ -103,67 +168,14 @@ class _IncrementalMinKBase:
     def _reprune(self, merged: DataFrame) -> DataFrame:
         raise NotImplementedError
 
-    @property
-    def _next_dir(self) -> str:
-        return self.state_dir.rstrip("/") + "__next"
-
     def _state(self) -> DataFrame | None:
-        # crash recovery: a __next dir bearing _SUCCESS is a COMPLETE
-        # newer snapshot whose swap was interrupted — finish the swap
-        # here. Without _SUCCESS it's a torn write: ignore it (the
-        # old state stands; the replayed batch re-folds, and min-k
-        # idempotence makes the re-fold a no-op).
-        nxt = self._next_dir
-        if _dir_exists(self.spark, nxt) and _dir_exists(
-            self.spark, nxt + "/_SUCCESS"
-        ):
-            self._swap_in(nxt)
-        if not _dir_exists(self.spark, self.state_dir):
-            return None
-        return self.spark.read.parquet(self.state_dir)
-
-    def _swap_in(self, next_dir: str) -> None:
-        """Promote a fully-written __next snapshot to state_dir: two
-        FS metadata ops (delete old, rename next). Rename is atomic on
-        HDFS/local; the _SUCCESS-gated recovery in _state covers the
-        delete→rename window."""
-        fs, state_p = _fs(self.spark, self.state_dir)
-        _, next_p = _fs(self.spark, next_dir)
-        if fs.exists(state_p):
-            fs.delete(state_p, True)
-        fs.rename(next_p, state_p)
+        return self.store.read()
 
     def update(self, batch_df: DataFrame) -> None:
         pruned = self._prune_batch(batch_df)
         state = self._state()
         merged = pruned if state is None else state.unionByName(pruned)
-        top = self._reprune(merged)
-        # count() is one cheap aggregate job over the bounded merge;
-        # it picks the commit path AND (driver path) proves the
-        # snapshot computes before the old parquet is touched.
-        n_rows = top.count()
-        if n_rows <= self.driver_state_max_rows:
-            self._commit_via_driver(top)
-        else:
-            self._commit_distributed(top)
-
-    def _commit_via_driver(self, top: DataFrame) -> None:
-        """Small-state path: collect + atomic overwrite (the merged
-        snapshot is fully on the driver before the old parquet is
-        replaced — overwrite of a dir the plan reads from would
-        otherwise delete the input mid-job)."""
-        rows = top.collect()
-        self.spark.createDataFrame(rows, top.schema).write.mode(
-            "overwrite"
-        ).parquet(self.state_dir)
-        self.last_commit_path = "driver"
-
-    def _commit_distributed(self, top: DataFrame) -> None:
-        """Large-state path: executor-side parquet write to __next
-        (target ≠ source, so the plan may read the current state dir
-        freely), then the metadata swap. No collect anywhere."""
-        top.write.mode("overwrite").parquet(self._next_dir)
-        self._swap_in(self._next_dir)
+        self.store.commit(self._reprune(merged))
         self.last_commit_path = "distributed"
 
 
@@ -268,11 +280,13 @@ class IncrementalQuantileSketch(_IncrementalMinKBase):
 
 
 class IncrementalCmsSketch:
-    """Persisted count-min sketch: ``state_dir`` holds (row, col, cnt,
-    _b) cells, ``_b`` = the last batch id folded in. ``update``
+    """Persisted count-min sketch: the state snapshot holds (row, col,
+    cnt, _b) cells, ``_b`` = the last batch id folded in. ``update``
     cell-wise-sums a micro-batch's sketch; replayed batch ids are
     skipped (sums are not idempotent). Bounded state: ≤ depth × width
-    cells regardless of stream volume."""
+    cells regardless of stream volume; persisted via the versioned
+    _SnapshotStore (one executor-side write, no collect, crash-safe —
+    see module docstring)."""
 
     def __init__(
         self,
@@ -284,14 +298,13 @@ class IncrementalCmsSketch:
     ) -> None:
         self.spark = spark
         self.state_dir = state_dir
+        self.store = _SnapshotStore(spark, state_dir)
         self.value_col = value_col
         self.depth = depth
         self.width = width
 
     def _state(self) -> DataFrame | None:
-        if not _dir_exists(self.spark, self.state_dir):
-            return None
-        return self.spark.read.parquet(self.state_dir)
+        return self.store.read()
 
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
         state = self._state()
@@ -311,11 +324,7 @@ class IncrementalCmsSketch:
                 .groupBy("row", "col")
                 .agg(F.sum("cnt").cast("bigint").alias("cnt"))
             )
-        out = merged.withColumn("_b", F.lit(batch_id).cast("long"))
-        rows = out.collect()
-        self.spark.createDataFrame(rows, out.schema).write.mode(
-            "overwrite"
-        ).parquet(self.state_dir)
+        self.store.commit(merged.withColumn("_b", F.lit(batch_id).cast("long")))
 
     def cells(self) -> DataFrame:
         state = self._state()
@@ -432,10 +441,11 @@ class IncrementalCmsTop:
 
     Commit order is cands FIRST, then cells-with-batch-id: a crash
     between the two replays the batch (id not yet recorded), and the
-    candidate union is idempotent — mixed state self-heals. Driver
-    round-trip assumes the bounded key domain the module docstring
-    describes; above ``driver_state_max_rows`` both artifacts commit
-    distributed via the same __next + swap as _IncrementalMinKBase."""
+    candidate union is idempotent — mixed state self-heals. Both
+    artifacts persist via their own versioned _SnapshotStore (one
+    executor-side write each, no collect, crash-safe on object stores
+    — module docstring); ``driver_state_max_rows`` is accepted for
+    API compatibility and ignored, like _IncrementalMinKBase."""
 
     def __init__(
         self,
@@ -459,46 +469,9 @@ class IncrementalCmsTop:
         self.depth = depth
         self.width = width
         self.weight_col = weight_col
-        self.driver_state_max_rows = driver_state_max_rows
         self.last_commit_path: str | None = None
-
-    @property
-    def _cells_dir(self) -> str:
-        return self.state_dir + "/cells"
-
-    @property
-    def _cands_dir(self) -> str:
-        return self.state_dir + "/cands"
-
-    def _read(self, path: str) -> DataFrame | None:
-        nxt = path + "__next"
-        if _dir_exists(self.spark, nxt) and _dir_exists(
-            self.spark, nxt + "/_SUCCESS"
-        ):
-            self._swap_in(path, nxt)
-        if not _dir_exists(self.spark, path):
-            return None
-        return self.spark.read.parquet(path)
-
-    def _swap_in(self, path: str, next_dir: str) -> None:
-        fs, state_p = _fs(self.spark, path)
-        _, next_p = _fs(self.spark, next_dir)
-        if fs.exists(state_p):
-            fs.delete(state_p, True)
-        fs.rename(next_p, state_p)
-
-    def _commit(self, df: DataFrame, path: str) -> None:
-        rows_bound = df.count()
-        if rows_bound <= self.driver_state_max_rows:
-            rows = df.collect()
-            self.spark.createDataFrame(rows, df.schema).write.mode(
-                "overwrite"
-            ).parquet(path)
-            self.last_commit_path = "driver"
-        else:
-            df.write.mode("overwrite").parquet(path + "__next")
-            self._swap_in(path, path + "__next")
-            self.last_commit_path = "distributed"
+        self.cells_store = _SnapshotStore(spark, self.state_dir + "/cells")
+        self.cands_store = _SnapshotStore(spark, self.state_dir + "/cands")
 
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
         from ramen_spark.operators.sketch import (
@@ -506,7 +479,7 @@ class IncrementalCmsTop:
             cms_estimate_candidates,
         )
 
-        cells = self._read(self._cells_dir)
+        cells = self.cells_store.read()
         if cells is not None:
             last = cells.agg(F.max("_b")).collect()[0][0]
             if last is not None and batch_id <= last:
@@ -525,9 +498,8 @@ class IncrementalCmsTop:
                 .agg(F.sum("cnt").alias("cnt"))
             )
         # localCheckpoint: the merged cells feed BOTH the candidate
-        # re-rank and the cells commit — and the re-rank must see the
-        # PRE-commit lineage (committing cells first would overwrite
-        # the dir the rank plan still reads on the driver path)
+        # re-rank and the cells commit — one materialization instead
+        # of two executions of the prune+union+sum plan
         merged_cells = merged_cells.localCheckpoint(eager=True)
 
         new_cand = (
@@ -535,7 +507,7 @@ class IncrementalCmsTop:
             .select(*self.keys, F.col(self.value_col).alias("_v"))
             .distinct()
         )
-        old_cand = self._read(self._cands_dir)
+        old_cand = self.cands_store.read()
         pool = (
             new_cand
             if old_cand is None
@@ -554,11 +526,11 @@ class IncrementalCmsTop:
             .select(*self.keys, F.col("v").alias("_v"))
         )
         # cands first, then cells-with-batch-id (see class docstring)
-        self._commit(kept, self._cands_dir)
-        self._commit(
-            merged_cells.withColumn("_b", F.lit(batch_id).cast("long")),
-            self._cells_dir,
+        self.cands_store.commit(kept)
+        self.cells_store.commit(
+            merged_cells.withColumn("_b", F.lit(batch_id).cast("long"))
         )
+        self.last_commit_path = "distributed"
 
     def top(self, n: int) -> DataFrame:
         """Current heavy hitters: (keys…, top = array of the n tracked
@@ -570,8 +542,8 @@ class IncrementalCmsTop:
             cms_rank_top,
         )
 
-        cells = self._read(self._cells_dir)
-        cands = self._read(self._cands_dir)
+        cells = self.cells_store.read()
+        cands = self.cands_store.read()
         if cells is None or cands is None:
             raise ValueError(f"no sketch state at {self.state_dir}")
         est = cms_estimate_candidates(

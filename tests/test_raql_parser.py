@@ -737,3 +737,26 @@ def test_sketch_aggregates_global_group(spark):
     ).collect()
     assert len(rows3) == 1
     assert rows3[0]["n"] == 0 and rows3[0]["kd"] == 0 and rows3[0]["hot"] == []
+
+
+def test_sketch_aggregates_null_group_key(spark):
+    """A NULL group key is a real group (Spark groupBy keeps it): the
+    sketch-branch joins must be null-safe, or the NULL group's
+    estimates silently coalesce to 0/[] (round-10 review finding)."""
+    from ramen_spark.operators.sketch import kmv_distinct
+
+    rows = [(None, i % 9) for i in range(60)] + [("a", i % 5) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = compile_operation(
+        "SELECT g, COUNT(1) AS n, KMV 16 DISTINCT v AS kd, "
+        "CMS TOP 2 v AS hot GROUP BY g",
+        df,
+    )
+    got = {r["g"]: r for r in out.collect()}
+    direct = {
+        r["g"]: r["est_distinct"]
+        for r in kmv_distinct(df, ["g"], "v", 16).collect()
+    }
+    assert got[None]["kd"] == direct[None] == 9
+    assert got["a"]["kd"] == direct["a"] == 5
+    assert len(got[None]["hot"]) == 2 and got[None]["n"] == 60

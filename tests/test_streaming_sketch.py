@@ -76,12 +76,14 @@ def test_streaming_kmv_replay_idempotent(spark, tmp_path):
 
 
 def test_streaming_kmv_distributed_commit_high_cardinality(spark, tmp_path):
-    """Above driver_state_max_rows the state must NEVER visit the
-    driver: a 100k-key stream (1 value per key → 100k state rows)
-    takes the distributed __next-write + FS-swap path. Instrumented
-    by poisoning the driver commit; parity vs batch kmv_distinct over
-    the concatenated input proves the distributed commit merges
-    identically."""
+    """The snapshot protocol must NEVER collect state to the driver —
+    at ANY size (round-10: the old small-state driver round-trip also
+    had a crash window). Instrumented by poisoning DataFrame.collect
+    for the duration of the updates on a 100k-key stream; parity vs
+    batch kmv_distinct over the concatenated input proves the
+    distributed snapshot commits merge identically."""
+    from pyspark.sql import DataFrame
+
     from ramen_spark.operators.sketch import kmv_distinct
     from ramen_spark.streaming.sketch import IncrementalKmvSketch
 
@@ -95,18 +97,19 @@ def test_streaming_kmv_distributed_commit_high_cardinality(spark, tmp_path):
 
     sk = IncrementalKmvSketch(
         spark, str(tmp_path / "hoststate"), ["host"], "user", k=8,
-        driver_state_max_rows=10_000,
     )
 
-    def _poisoned(self, top):
-        raise AssertionError(
-            "driver commit used above driver_state_max_rows"
-        )
+    real_collect = DataFrame.collect
 
-    sk._commit_via_driver = _poisoned.__get__(sk)
-    sk.update(b0)
-    assert sk.last_commit_path == "distributed"
-    sk.update(b1)
+    def _poisoned(self):
+        raise AssertionError("state visited the driver during update")
+
+    DataFrame.collect = _poisoned
+    try:
+        sk.update(b0)
+        sk.update(b1)
+    finally:
+        DataFrame.collect = real_collect
     assert sk.last_commit_path == "distributed"
 
     got = {tuple(r) for r in sk.estimate().collect()}
@@ -116,11 +119,15 @@ def test_streaming_kmv_distributed_commit_high_cardinality(spark, tmp_path):
     assert got == exp and len(exp) == n_keys
 
 
-def test_streaming_kmv_crash_recovery_finishes_swap(spark, tmp_path):
-    """A crash between the __next write and the rename leaves a
-    complete (_SUCCESS-bearing) __next and possibly no state_dir —
-    the next read must promote __next; a torn __next (no _SUCCESS)
-    must be ignored in favour of the existing state."""
+def test_streaming_kmv_crash_recovery_snapshot_protocol(spark, tmp_path):
+    """Snapshot-store crash matrix: a COMPLETE (_SUCCESS-bearing)
+    newer version is adopted even if the committer died before GC; a
+    torn newer version (no _SUCCESS) must be ignored in favour of the
+    previous snapshot; and a replayed batch folded on top of an
+    adopted snapshot is a no-op (min-k idempotence)."""
+    import os
+    import shutil
+
     from ramen_spark.streaming.sketch import IncrementalKmvSketch
 
     df = spark.createDataFrame(
@@ -130,19 +137,25 @@ def test_streaming_kmv_crash_recovery_finishes_swap(spark, tmp_path):
     sk = IncrementalKmvSketch(spark, state, ["key"], "user", k=16)
     sk.update(df)
     snap = {tuple(r) for r in sk.estimate().collect()}
+    assert os.path.isdir(state + "/v1")
 
-    # simulate crash-after-write-before-swap: move state to __next
-    import shutil
-
-    shutil.move(state, state + "__next")
-    assert {tuple(r) for r in sk.estimate().collect()} == snap  # promoted
-    import os
-
-    assert os.path.isdir(state) and not os.path.exists(state + "__next")
-
-    # torn write: a __next WITHOUT _SUCCESS must not shadow the state
-    os.makedirs(state + "__next")
+    # crash-after-write-before-GC: v1 AND a complete v2 both present —
+    # the newer complete snapshot wins
+    shutil.copytree(state + "/v1", state + "/v2")
     assert {tuple(r) for r in sk.estimate().collect()} == snap
+    assert sk.store.current_version() == 2
+
+    # torn write: a v3 WITHOUT _SUCCESS must not shadow v2
+    os.makedirs(state + "/v3")
+    assert sk.store.current_version() == 2
+    assert {tuple(r) for r in sk.estimate().collect()} == snap
+
+    # replay on top of the adopted snapshot: state is bit-identical,
+    # the torn v3 is overwritten by the new commit and old versions GC
+    sk.update(df)
+    assert {tuple(r) for r in sk.estimate().collect()} == snap
+    assert sorted(os.listdir(state)) == ["v3"]
+    assert os.path.exists(state + "/v3/_SUCCESS")
 
 
 def test_streaming_quantile_equals_batch_and_replay_idempotent(spark, tmp_path):
@@ -384,7 +397,7 @@ def test_streaming_cms_top_stream_lane_and_eviction(spark, tmp_path):
     top = {r["g"]: r["top"] for r in inc.top(1).collect()}
     assert top == {"k": [7]}  # 20 sightings vs 1 each — rank by est
     # state boundedness: ≤ m candidates, ≤ depth × width cells
-    cands = spark.read.parquet(str(tmp_path / "ct_state/cands"))
-    cells = spark.read.parquet(str(tmp_path / "ct_state/cells"))
+    cands = inc.cands_store.read()
+    cells = inc.cells_store.read()
     assert cands.count() <= 8
     assert cells.count() <= 3 * 512

@@ -48,13 +48,18 @@ def drain_listener_bus(spark, timeout_ms: int = 5000) -> None:
         pass
 
 
-def stage_cpu_snapshot(spark) -> dict[tuple[int, int], int]:
+def stage_cpu_snapshot(spark) -> dict[tuple[int, int], int] | None:
     """(stageId, attemptId) → executorCpuTime (ns) for every stage the
-    app status store currently retains. Used in before/after pairs by
-    :func:`cpu_time_since` — CPU time is the contention-immune twin of
-    wall time (two back-to-back runs of an identical plan on a noisy
-    shared box swing ×2 in wall at byte-identical shuffle/spill/memory;
-    their executor CPU stays flat)."""
+    app status store currently retains, or None when the store is
+    unreadable. None and {} are DIFFERENT: a failed before-snapshot
+    treated as empty would attribute every retained stage in the app
+    (warmup, prior queries) to the next measured query — a silently
+    inflated executor_cpu_ms that the regression ratchet then flags.
+    Used in before/after pairs by :func:`cpu_time_since` — CPU time is
+    the contention-immune twin of wall time (two back-to-back runs of
+    an identical plan on a noisy shared box swing ×2 in wall at
+    byte-identical shuffle/spill/memory; their executor CPU stays
+    flat)."""
     out: dict[tuple[int, int], int] = {}
     try:
         drain_listener_bus(spark)
@@ -74,7 +79,7 @@ def stage_cpu_snapshot(spark) -> dict[tuple[int, int], int]:
             sd = lst.apply(i)
             out[(sd.stageId(), sd.attemptId())] = int(sd.executorCpuTime())
     except Exception:  # pragma: no cover — telemetry only
-        pass
+        return None
     return out
 
 
@@ -86,8 +91,12 @@ def cpu_time_since(
     eviction of old stages from the bounded store (default 1000
     retained) cannot go negative; a single query spanning >1000 stages
     would undercount its own evicted head — none of the benched
-    queries approaches that. Returns None when the store is
-    unreadable (callers omit the metric rather than record 0)."""
+    queries approaches that. Returns None when EITHER snapshot is
+    unreadable (callers omit the metric rather than record 0 — or,
+    worse, the whole app's CPU against one query when the before
+    snapshot failed)."""
+    if before is None:
+        return None
     after = stage_cpu_snapshot(spark)
     if not after:
         return None
