@@ -135,25 +135,35 @@ def main() -> None:
     ) -> float:
         """min-of-n wall for one query; when `metrics` is given, also
         record shuffle/spill/peak of the final execution plus
-        executor_cpu_ms — total executor CPU across the n runs / n.
-        CPU is the regression signal (contention-immune: wall swung
-        21→49 s on ngram at byte-identical shuffle/spill/memory —
-        round-9 'what's wrong #1'); wall stays display-only."""
-        before_cpu = stage_cpu_snapshot(spark) if metrics is not None else {}
+        executor_cpu_ms — the MIN of the per-run executor CPU times.
+        Min, not average: the first execution of a plan pays JIT
+        compilation of fresh whole-stage-codegen classes and the GC
+        debt of whatever preceded it — averaging cold+warm runs swung
+        the round-10 back-to-back comparison up to ±68% at identical
+        plans, while the warm run is the reproducible quantity (the
+        same reason wall uses min-of-n). CPU remains the regression
+        signal (wall swung 21→49 s on ngram at byte-identical
+        shuffle/spill/memory — round-9 'what's wrong #1'); wall stays
+        display-only."""
         before_id = latest_execution_id(spark)
         best = None
+        run_cpus: list[int] = []
         for _ in range(max(1, n_runs)):
+            before_cpu = stage_cpu_snapshot(spark) if metrics is not None else None
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
+            if metrics is not None:
+                cpu_ns = cpu_time_since(spark, before_cpu)
+                if cpu_ns is not None:
+                    run_cpus.append(cpu_ns)
         if metrics is not None:
             m = last_execution_metrics(spark, after_id=before_id) or {}
-            cpu_ns = cpu_time_since(spark, before_cpu)
-            if cpu_ns is not None:
-                m["executor_cpu_ms"] = int(cpu_ns / 1e6 / max(1, n_runs))
+            if run_cpus:
+                m["executor_cpu_ms"] = int(min(run_cpus) / 1e6)
             if m:
                 metrics[name] = m
         return best
@@ -351,15 +361,21 @@ def main() -> None:
                     for n in t10
                     if n in prev_sf10
                 }
-            # the RATCHET: flag queries whose physical footprint grew —
-            # cpu +10% (and +0.5 s), shuffle +10% (and +64 MB), or any
-            # new spill past the grace. Wall is deliberately NOT here.
+            # the RATCHET: flag queries whose physical footprint grew.
+            # shuffle +10% (and +64 MB) and any new spill past the
+            # grace are HARD flags — both measured byte-identical
+            # across back-to-back identical-code runs (SCALE §4i).
+            # CPU is the SOFT flag at +40% (and +2 s): the round-10
+            # reproducibility study measured same-code min-run-CPU
+            # noise up to ±38% on this shared JVM (GC-debt coupling
+            # between neighbouring queries), so a tighter threshold
+            # just flags weather. Wall is deliberately NOT here.
             regress: dict[str, dict] = {}
             for n, m in m10.items():
                 pm = prev_m10.get(n, {})
                 flags: dict[str, list] = {}
                 c, pc = m.get("executor_cpu_ms"), pm.get("executor_cpu_ms")
-                if c and pc and c > pc * 1.10 and c - pc > 500:
+                if c and pc and c > pc * 1.40 and c - pc > 2000:
                     flags["executor_cpu_ms"] = [pc, c]
                 s, ps = m.get("shuffle_bytes"), pm.get("shuffle_bytes")
                 if s and ps and s > ps * 1.10 and s - ps > 64 * 1024**2:
