@@ -317,6 +317,10 @@ def main() -> None:
                                         # zero-Exchange text pass
             "raql_sketch_aggregates",   # r10: dialect KMV+CMS branches
                                         # joined on the group key
+            "kmv_audience_overlap",     # r10b: sketch set algebra — two
+                                        # bounded prefilters + keyed join
+            "weighted_sample_docs",     # r10b: A-ES key row-local, one
+                                        # per-lang rank window
         ]
         try:
             from tools.scale_testdata import scale, tier_is_current
@@ -419,6 +423,9 @@ def main() -> None:
                                         # skew-neutral by construction —
                                         # boilerplate/Zipf docs only change
                                         # per-doc work, never placement
+            "weighted_sample_docs",     # r10b: rank window on the 90%-hot
+                                        # language — per-key top-n under
+                                        # one giant group
         ]
         try:
             from tools.scale_testdata import (

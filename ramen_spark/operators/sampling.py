@@ -580,3 +580,94 @@ def token_budget_select(
         .unionByName(keep_ranges.select(*out_cols))
         .unionByName(keep_tail.select(*out_cols))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    keys: list[str] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    salt_above_partitions: int = 64,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — per group
+    (or globally with ``keys=[]``), pick ``n`` rows with inclusion
+    probability proportional to ``weight_col`` via the
+    Efraimidis–Spirakis A-ES scheme (IPL 2006, "Weighted random
+    sampling with a reservoir"): each row gets the key u^(1/w) with
+    u ~ U(0,1]; the n largest keys ARE a weight-proportional sample
+    without replacement. The quality-weighted "pick 1M docs, better
+    docs more likely" selection a curation pipeline wants when a hard
+    top-n would collapse onto near-duplicate top scorers.
+
+    Determinism (the house rule): u is md5-derived —
+    u = (md5_48(id || ':' || seed) + 1) / 2^48 ∈ (0, 1] — and the sort
+    key is FROZEN TO INTEGER MICRO-UNITS: round(1e6 · ln(u)/w) as a
+    long (maximizing ln(u)/w ≡ maximizing u^(1/w); same integer-freeze
+    as dsir_importance's micro-nats, so the DuckDB oracle lands on the
+    identical longs and the rank order has no cross-engine float-ulp
+    hazard). Ties break (key desc, id asc). Rows with NULL or
+    non-positive weight are excluded (zero inclusion probability).
+
+    Output: (keys…, id_col, weight_col, skey_micro, rn) — the sample
+    with its rank; join back on ``id_col`` for payload columns (ids
+    travel, text doesn't).
+
+    100 TB shape: the sort key is row-local; grouped selection is one
+    hash Exchange + bounded row_number window per key (the
+    largest/cluster_balanced_sample shape) — and above
+    ``salt_above_partitions`` input partitions a lossless salted
+    local-top level runs first (the cms_rank_top argument: every
+    global top-n member is top-n in its own md5 salt bucket), so a
+    90%-hot key never funnels its full row set through one window
+    task. The GLOBAL form never sorts globally — orderBy+limit plans
+    as TakeOrderedAndProject (per-partition top-n, n-row merge).
+    """
+    if n < 1:
+        raise ValueError("weighted_sample needs n >= 1")
+    keys = list(keys or [])
+    from ramen_spark.operators.sketch import md5_hash48
+
+    h = md5_hash48(F.concat(F.col(id_col).cast("string"), F.lit(f":{int(seed)}")))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 48))
+    w = F.col(weight_col).cast("double")
+    skey = F.round(F.log(u) / w * F.lit(1e6)).cast("long")
+    scored = (
+        df.filter(F.col(weight_col).isNotNull() & (w > 0))
+        .select(*keys, id_col, weight_col, skey.alias("skey_micro"))
+    )
+    if keys:
+        if df.rdd.getNumPartitions() > salt_above_partitions:
+            s = 64
+            st = F.struct(
+                (-F.col("skey_micro")).alias("_negk"),
+                F.col(id_col).alias("_i"),
+                F.col(weight_col).alias("_w"),
+            )
+            scored = (
+                scored.groupBy(
+                    *keys, (md5_hash48(F.col(id_col)) % s).alias("_salt")
+                )
+                .agg(
+                    F.slice(F.array_sort(F.collect_list(st)), 1, n).alias("_m")
+                )
+                .select(*keys, F.inline("_m"))
+                .select(
+                    *keys,
+                    F.col("_i").alias(id_col),
+                    F.col("_w").alias(weight_col),
+                    (-F.col("_negk")).alias("skey_micro"),
+                )
+            )
+        win = Window.partitionBy(*keys).orderBy(
+            F.col("skey_micro").desc(), F.col(id_col).asc()
+        )
+        return scored.withColumn(
+            "rn", F.row_number().over(win).cast("long")
+        ).filter(F.col("rn") <= n)
+    top = scored.orderBy(
+        F.col("skey_micro").desc(), F.col(id_col).asc()
+    ).limit(n)
+    rn_win = Window.orderBy(F.col("skey_micro").desc(), F.col(id_col).asc())
+    return top.withColumn("rn", F.row_number().over(rn_win).cast("long"))

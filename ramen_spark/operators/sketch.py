@@ -171,6 +171,29 @@ def kmv_finalize(
     global min survives its bucket's min-k. Narrow inputs keep the
     single-Exchange plan (pinned by test); the salted form costs one
     extra bounded Exchange and is value-identical on any partitioning."""
+    mins = _kmv_minset(pruned, keys, k, salt_above_partitions)
+    n_kept = F.size(F.col("_mins"))
+    kth = F.element_at(F.col("_mins"), n_kept).cast("long")
+    return mins.select(
+        *keys,
+        n_kept.cast("long").alias("n_kept"),
+        kth.alias("kth_min"),
+        _kmv_estimate(F.col("_mins"), k).alias("est_distinct"),
+    )
+
+
+def _kmv_minset(
+    pruned: DataFrame,
+    keys: list[str],
+    k: int,
+    salt_above_partitions: int = 64,
+) -> DataFrame:
+    """Prune output → one row per key with the global min-k hash set as
+    a sorted array column ``_mins`` (the wide-scan salting guard of
+    :func:`kmv_finalize` lives here; see its docstring for the
+    losslessness argument). keys=[] yields exactly ONE row (global
+    sketch) — Spark's global aggregate emits a row even on empty
+    input, with an empty array."""
     n_parts = pruned.rdd.getNumPartitions()
     if n_parts > salt_above_partitions:
         import math
@@ -183,20 +206,105 @@ def kmv_finalize(
             )
             .select(*keys, F.explode("_m").alias("_h"))
         )
-    mins = pruned.groupBy(*keys).agg(
+    return pruned.groupBy(*keys).agg(
         F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_mins")
     )
-    n_kept = F.size(F.col("_mins"))
-    kth = F.element_at(F.col("_mins"), n_kept).cast("long")
-    est = F.when(n_kept < k, n_kept.cast("long")).otherwise(
-        F.floor(F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / kth.cast("double"))
-        .cast("long")
+
+
+def _kmv_estimate(mins: Column, k: int) -> Column:
+    """KMV cardinality estimate from a sorted min-k hash array: exact
+    (= fill) while under-full, floor((k-1)·2^48 / kth_min) once
+    saturated — the same floored-double expression DuckDB states, so
+    cross-engine value-exact."""
+    n = F.size(mins)
+    kth = F.element_at(mins, n).cast("long")
+    return (
+        F.when(n == 0, F.lit(0).cast("long"))
+        .when(n < k, n.cast("long"))
+        .otherwise(
+            F.floor(
+                F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / kth.cast("double")
+            ).cast("long")
+        )
     )
-    return mins.select(
+
+
+def kmv_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    keys: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Set-overlap estimates between two relations from their KMV
+    sketches (Beyer et al., SIGMOD'07, "On Synopses for Distinct-Value
+    Estimation Under Multiset Operations") — |A|, |B|, |A∪B|, |A∩B|
+    and Jaccard per key WITHOUT materializing either distinct set:
+    the corpus-versioning / audience-overlap question at 100 TB.
+
+    Method: per key, L = the k smallest distinct hashes of S_A ∪ S_B
+    (the union of the two bottom-k sketches — a valid KMV sketch of
+    the union). est_union = the standard KMV estimate on L;
+    ρ = |{h ∈ L : h ∈ S_A ∧ h ∈ S_B}| / |L| estimates the Jaccard
+    similarity (any h ∈ L has < k union hashes below it, hence < k
+    per-side hashes below it, so per-side membership tests against
+    the per-side bottom-k are EXACT for members of L);
+    est_intersection = floor(ρ · est_union). While both sides are
+    under-full every number is exact — the property the DuckDB oracle
+    pins. Deterministic md5 hashes: same input ⇒ same output on any
+    partitioning, either engine.
+
+    Output: (keys…, n_a, n_b, est_a, est_b, n_union_kept, est_union,
+    est_intersection, jaccard[6dp]). Keys present on only one side get
+    est_other = 0, jaccard = 0. keys=[] is the global (one-row) form.
+
+    Plan shape: two bounded map-side prefilters (≤ k distinct hashes
+    per key per partition per side) → two tiny Exchanges → one
+    equi-join on the keys (1×1 crossJoin for the global form) →
+    row-local array algebra. Neither input's raw rows ever shuffle.
+    """
+    if k < 2:
+        raise ValueError("kmv_overlap needs k >= 2")
+    ma = _kmv_minset(kmv_prune(df_a, keys, value_col, k), keys, k).select(
+        *keys, F.col("_mins").alias("_ma")
+    )
+    mb = _kmv_minset(kmv_prune(df_b, keys, value_col, k), keys, k).select(
+        *keys, F.col("_mins").alias("_mb")
+    )
+    if keys:
+        joined = ma.join(mb, on=keys, how="full_outer")
+    else:
+        joined = ma.crossJoin(mb)
+    a = F.coalesce(F.col("_ma"), F.array().cast("array<long>"))
+    b = F.coalesce(F.col("_mb"), F.array().cast("array<long>"))
+    union_mins = F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+    joined = joined.select(
         *keys,
-        n_kept.cast("long").alias("n_kept"),
-        kth.alias("kth_min"),
-        est.alias("est_distinct"),
+        a.alias("_a"),
+        b.alias("_b"),
+        union_mins.alias("_l"),
+    )
+    n_l = F.size(F.col("_l"))
+    inter = F.size(F.array_intersect(F.array_intersect(F.col("_l"), "_a"), "_b"))
+    est_union = _kmv_estimate(F.col("_l"), k)
+    est_inter = F.when(n_l == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(
+            inter.cast("double") * est_union.cast("double") / n_l.cast("double")
+        ).cast("long")
+    )
+    jaccard = F.when(n_l == 0, F.lit(0.0)).otherwise(
+        F.round(inter.cast("double") / n_l.cast("double"), 6)
+    )
+    return joined.select(
+        *keys,
+        F.size("_a").cast("long").alias("n_a"),
+        F.size("_b").cast("long").alias("n_b"),
+        _kmv_estimate(F.col("_a"), k).alias("est_a"),
+        _kmv_estimate(F.col("_b"), k).alias("est_b"),
+        n_l.cast("long").alias("n_union_kept"),
+        est_union.alias("est_union"),
+        est_inter.alias("est_intersection"),
+        jaccard.alias("jaccard"),
     )
 
 

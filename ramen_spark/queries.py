@@ -4504,6 +4504,45 @@ def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_sample_docs",
+    """
+    WITH w AS (
+      SELECT lang, doc_id, n_chars,
+             CAST(round(
+               ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'),
+                     1, 12))::BIGINT + 1) / 281474976710656.0)
+               / CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS skey_micro
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT lang, doc_id, n_chars, skey_micro, rn FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY lang ORDER BY skey_micro DESC, doc_id ASC
+             )::BIGINT AS rn
+      FROM w
+    ) WHERE rn <= 25
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement
+    (operators.sampling.weighted_sample): per language, 25 documents
+    with inclusion probability ∝ length (n_chars) — the
+    Efraimidis–Spirakis A-ES reservoir scheme, the curation selector
+    when a hard top-n would collapse onto near-identical top scorers.
+    Deterministic: u is md5-derived and the A-ES key ln(u)/w is frozen
+    to integer micro-units (the dsir_importance micro-nat rule), so
+    the oracle's window lands on the identical longs — no cross-engine
+    float-ulp rank hazard."""
+    from ramen_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, n=25, weight_col="n_chars", keys=["lang"], id_col="doc_id",
+        seed=42,
+    )
+
+
+@register(
     "boilerplate_segment_removal",
     f"""
     WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
@@ -5345,6 +5384,102 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
     return kmv_distinct(ev, ["event_type"], "user_id", k=64)
+
+
+@register(
+    "kmv_audience_overlap",
+    """
+    WITH a AS (
+      SELECT DISTINCT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+    ),
+    b AS (
+      SELECT DISTINCT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ),
+    sa AS (
+      SELECT dow, h FROM (
+        SELECT dow, h, row_number() OVER (PARTITION BY dow ORDER BY h) AS rn
+        FROM a
+      ) WHERE rn <= 64
+    ),
+    sb AS (
+      SELECT dow, h FROM (
+        SELECT dow, h, row_number() OVER (PARTITION BY dow ORDER BY h) AS rn
+        FROM b
+      ) WHERE rn <= 64
+    ),
+    ga AS (SELECT dow, count(*)::BIGINT AS n_a, max(h) AS kth_a FROM sa GROUP BY dow),
+    gb AS (SELECT dow, count(*)::BIGINT AS n_b, max(h) AS kth_b FROM sb GROUP BY dow),
+    u AS (SELECT dow, h FROM sa UNION SELECT dow, h FROM sb),
+    l AS (
+      SELECT dow, h FROM (
+        SELECT dow, h, row_number() OVER (PARTITION BY dow ORDER BY h) AS rn
+        FROM u
+      ) WHERE rn <= 64
+    ),
+    gl AS (SELECT dow, count(*)::BIGINT AS n_l, max(h) AS kth FROM l GROUP BY dow),
+    i AS (
+      SELECT l.dow, count(*)::BIGINT AS n_i
+      FROM l JOIN sa USING (dow, h) JOIN sb USING (dow, h)
+      GROUP BY l.dow
+    ),
+    s AS (
+      SELECT gl.dow,
+             COALESCE(ga.n_a, 0)::BIGINT AS n_a,
+             COALESCE(gb.n_b, 0)::BIGINT AS n_b,
+             CASE WHEN ga.n_a IS NULL THEN 0
+                  WHEN ga.n_a < 64 THEN ga.n_a
+                  ELSE CAST(floor(CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                                  / CAST(ga.kth_a AS DOUBLE)) AS BIGINT)
+             END AS est_a,
+             CASE WHEN gb.n_b IS NULL THEN 0
+                  WHEN gb.n_b < 64 THEN gb.n_b
+                  ELSE CAST(floor(CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                                  / CAST(gb.kth_b AS DOUBLE)) AS BIGINT)
+             END AS est_b,
+             gl.n_l AS n_union_kept,
+             CASE WHEN gl.n_l < 64 THEN gl.n_l
+                  ELSE CAST(floor(CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                                  / CAST(gl.kth AS DOUBLE)) AS BIGINT)
+             END AS est_union,
+             COALESCE(i.n_i, 0)::BIGINT AS n_i
+      FROM gl LEFT JOIN ga USING (dow) LEFT JOIN gb USING (dow)
+              LEFT JOIN i USING (dow)
+    )
+    SELECT dow, n_a, n_b, est_a, est_b, n_union_kept, est_union,
+           CAST(floor(CAST(n_i AS DOUBLE) * CAST(est_union AS DOUBLE)
+                      / CAST(n_union_kept AS DOUBLE)) AS BIGINT) AS est_intersection,
+           round(CAST(n_i AS DOUBLE) / CAST(n_union_kept AS DOUBLE), 6) AS jaccard
+    FROM s
+    """,
+)
+def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from mergeable KMV sketches
+    (operators.sketch.kmv_overlap, k=64): per day-of-week, how much
+    of the click audience is also the purchase audience — |A|, |B|,
+    |A∪B|, |A∩B| and Jaccard, all from two bottom-k sketches (Beyer
+    et al. SIGMOD'07 set algebra), never materializing either distinct
+    user set. The same question at corpus scale is snapshot-overlap /
+    contamination-rate estimation between 100 TB crawls whose sketches
+    are a few KB. Deterministic md5 hashes ⇒ the oracle is the NAIVE
+    relational form of the identical math — value-exact, unlike any
+    HLL-based overlap. Day-of-week via pure integer µs arithmetic
+    (1970-01-01 = Thursday = 4), the dow_hour_heatmap idiom."""
+    from ramen_spark.operators.sketch import kmv_overlap
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    keyed = ev.select(
+        ((F.floor(us / F.lit(86400000000)) + 4) % 7).alias("dow"),
+        "event_type",
+        "user_id",
+    )
+    clicks = keyed.filter(F.col("event_type") == "click")
+    purchases = keyed.filter(F.col("event_type") == "purchase")
+    return kmv_overlap(clicks, purchases, ["dow"], "user_id", k=64)
 
 
 @register(

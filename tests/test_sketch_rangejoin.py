@@ -622,6 +622,129 @@ def test_kmv_global_and_null_values(spark):
 
 
 # ---------------------------------------------------------------------------
+# kmv_overlap — sketch set algebra
+# ---------------------------------------------------------------------------
+
+
+def _overlap_fixture(spark, n_a=900, n_b=700, shared=400, dup=6):
+    """Two relations with a KNOWN overlap: A = users [0, n_a),
+    B = users [n_a - shared, n_a - shared + n_b), each id repeated
+    ``dup`` times so the distinct sets are exercised under
+    multiplicity. One group key 'g' splits ids by parity."""
+    a = spark.createDataFrame(
+        [(f"g{i % 2}", f"u{i}") for i in range(n_a) for _ in range(dup)],
+        "g string, user string",
+    )
+    b = spark.createDataFrame(
+        [
+            (f"g{i % 2}", f"u{i}")
+            for i in range(n_a - shared, n_a - shared + n_b)
+            for _ in range(dup)
+        ],
+        "g string, user string",
+    )
+    return a, b
+
+
+def test_kmv_overlap_underfull_is_exact(spark):
+    """While both sketches are under-full (true distinct < k) every
+    output — per-side counts, union, intersection, Jaccard — is
+    EXACT: the property the oracle rests on."""
+    from ramen_spark.operators.sketch import kmv_overlap
+
+    a, b = _overlap_fixture(spark, n_a=40, n_b=30, shared=20)
+    out = {r["g"]: r for r in kmv_overlap(a, b, ["g"], "user", k=64).collect()}
+    for g in ("g0", "g1"):
+        ta = {f"u{i}" for i in range(40) if i % 2 == int(g[1])}
+        tb = {f"u{i}" for i in range(20, 50) if i % 2 == int(g[1])}
+        r = out[g]
+        assert r["est_a"] == len(ta) == r["n_a"]
+        assert r["est_b"] == len(tb) == r["n_b"]
+        assert r["est_union"] == len(ta | tb) == r["n_union_kept"]
+        assert r["est_intersection"] == len(ta & tb)
+        assert abs(r["jaccard"] - len(ta & tb) / len(ta | tb)) < 1e-6
+
+
+def test_kmv_overlap_saturated_close_and_partition_invariant(spark):
+    """Saturated sketches: estimates within the ~1/√k KMV error band,
+    and the whole output bit-identical across any partitioning."""
+    from ramen_spark.operators.sketch import kmv_overlap
+
+    a, b = _overlap_fixture(spark)  # 900 / 700 / 400 shared, per parity
+    def run(da, db):
+        return {
+            tuple(r)
+            for r in kmv_overlap(da, db, ["g"], "user", k=128).collect()
+        }
+    base = run(a, b)
+    for r in base:
+        g = int(r[0][1])
+        ta = {i for i in range(900) if i % 2 == g}
+        tb = {i for i in range(500, 1200) if i % 2 == g}
+        (_, n_a, n_b, est_a, est_b, n_l, est_u, est_i, jac) = r
+        assert n_a == n_b == n_l == 128
+        assert abs(est_u - len(ta | tb)) / len(ta | tb) < 0.30
+        assert abs(est_i - len(ta & tb)) / len(ta & tb) < 0.45
+        true_j = len(ta & tb) / len(ta | tb)
+        assert abs(jac - true_j) < 0.20
+    assert base == run(a.coalesce(1), b.repartition(17)) == run(
+        a.repartition(5, "user"), b.coalesce(2)
+    )
+
+
+def test_kmv_overlap_one_sided_key_and_global(spark):
+    """A key present on only one side: other side's estimate 0,
+    intersection 0, jaccard 0 (not NULL). keys=[] is the global
+    one-row form."""
+    from ramen_spark.operators.sketch import kmv_overlap
+
+    a = spark.createDataFrame(
+        [("only_a", f"u{i}") for i in range(10)]
+        + [("both", f"u{i}") for i in range(8)],
+        "g string, user string",
+    )
+    b = spark.createDataFrame(
+        [("only_b", f"v{i}") for i in range(5)]
+        + [("both", f"u{i}") for i in range(4, 12)],
+        "g string, user string",
+    )
+    out = {r["g"]: r for r in kmv_overlap(a, b, ["g"], "user", k=64).collect()}
+    assert out["only_a"]["est_a"] == 10 and out["only_a"]["est_b"] == 0
+    assert out["only_a"]["est_intersection"] == 0
+    assert out["only_a"]["jaccard"] == 0.0
+    assert out["only_b"]["est_b"] == 5 and out["only_b"]["est_a"] == 0
+    assert out["both"]["est_intersection"] == 4  # u4..u7
+    assert abs(out["both"]["jaccard"] - 4 / 12) < 1e-6
+    [g] = kmv_overlap(a, b, [], "user", k=64).collect()
+    # A = {u0..u9}, B = {v0..v4, u4..u11}: union 17, intersection u4..u9
+    assert g["est_union"] == 17 and g["est_intersection"] == 6
+
+
+def test_kmv_overlap_plan_two_prefilter_exchanges(spark):
+    """Scale contract: raw rows never shuffle — the only Exchanges
+    carry the two pruned sketch sides (plus the join itself); no
+    Window, no cartesian product on the keyed form."""
+    from ramen_spark.operators.sketch import kmv_overlap
+
+    a, b = _overlap_fixture(spark, n_a=100, n_b=100, shared=50)
+    plan = kmv_overlap(a, b, ["g"], "user", k=64)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # two prefilter aggregates + join-side exchanges only: every
+    # Exchange sits ABOVE a mapInPandas prune (bounded rows)
+    assert plan.count("Exchange") <= 4, plan
+
+
+def test_kmv_overlap_validates_k(spark):
+    from ramen_spark.operators.sketch import kmv_overlap
+
+    a, b = _overlap_fixture(spark, n_a=4, n_b=4, shared=2)
+    with pytest.raises(ValueError):
+        kmv_overlap(a, b, ["g"], "user", k=1)
+
+
+# ---------------------------------------------------------------------------
 # token-budget prefix selection
 # ---------------------------------------------------------------------------
 
@@ -728,3 +851,98 @@ def test_canonical_url_cross_engine_fuzz(spark):
     ).fetchall()]
     diffs = [(u, g, w) for u, g, w in zip(urls, got, want) if g != w]
     assert not diffs, diffs[:5]
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample — A-ES weighted sampling without replacement
+# ---------------------------------------------------------------------------
+
+
+def _aes_gold(rows, n, seed=42):
+    """Pure-Python reference of the A-ES selection: identical md5 hash,
+    identical micro-freeze (Java/DuckDB HALF_UP = away-from-zero), so
+    the operator must reproduce it EXACTLY per group."""
+    import hashlib
+    import math
+
+    def skey(doc_id, w):
+        h = int(hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()[:12], 16)
+        u = (h + 1) / float(1 << 48)
+        x = math.log(u) / float(w) * 1e6
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    by_g: dict[str, list] = {}
+    for g, i, w in rows:
+        if w is None or w <= 0:
+            continue
+        by_g.setdefault(g, []).append((-skey(i, w), i))
+    out = set()
+    for g, items in by_g.items():
+        for rank, (negk, i) in enumerate(sorted(items)[:n], start=1):
+            out.add((g, i, -negk, rank))
+    return out
+
+
+def test_weighted_sample_matches_python_gold_and_partitioning(spark):
+    rows = [(f"g{i % 3}", i, float(1 + (i * 7) % 50)) for i in range(600)]
+    rows += [("g0", 9001, None), ("g1", 9002, 0.0), ("g2", 9003, -4.0)]
+    from ramen_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(rows, "g string, doc_id long, w double")
+    got = {
+        (r["g"], r["doc_id"], r["skey_micro"], r["rn"])
+        for r in weighted_sample(
+            df, n=20, weight_col="w", keys=["g"], id_col="doc_id"
+        ).collect()
+    }
+    assert got == _aes_gold(rows, 20)
+    # bit-identical on any partitioning — repartition(128) crosses
+    # salt_above_partitions, forcing the salted local-top level
+    # (lossless by the cms_rank_top argument)
+    for parts in (23, 128):
+        got2 = {
+            (r["g"], r["doc_id"], r["skey_micro"], r["rn"])
+            for r in weighted_sample(
+                df.repartition(parts), n=20, weight_col="w", keys=["g"],
+                id_col="doc_id",
+            ).collect()
+        }
+        assert got2 == got, parts
+
+
+def test_weighted_sample_is_weight_proportional(spark):
+    """Heavy items (weight 200) dominate light ones (weight 1) in the
+    sample — the A-ES inclusion-probability property, pinned on the
+    deterministic hash so it never flakes."""
+    from ramen_spark.operators.sampling import weighted_sample
+
+    rows = [("x", i, 200.0 if i < 100 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, doc_id long, w double")
+    picked = weighted_sample(
+        df, n=50, weight_col="w", keys=["g"], id_col="doc_id"
+    ).collect()
+    assert len(picked) == 50
+    heavy = sum(1 for r in picked if r["doc_id"] < 100)
+    assert heavy >= 45  # E[heavy] ≈ 50·(popular mass ≫ light mass)
+    # different seed ⇒ different sample (the seed actually threads)
+    other = weighted_sample(
+        df, n=50, weight_col="w", keys=["g"], id_col="doc_id", seed=7
+    ).collect()
+    assert {r["doc_id"] for r in other} != {r["doc_id"] for r in picked}
+
+
+def test_weighted_sample_global_uses_take_ordered(spark):
+    """The global form must NOT global-sort: orderBy+limit plans as
+    TakeOrderedAndProject (per-partition top-n, n-row merge)."""
+    from ramen_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [("a", i, float(i % 9 + 1)) for i in range(500)],
+        "g string, doc_id long, w double",
+    )
+    out = weighted_sample(df, n=10, weight_col="w", keys=[], id_col="doc_id")
+    assert out.count() == 10
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    with pytest.raises(ValueError):
+        weighted_sample(df, n=0, weight_col="w", keys=[], id_col="doc_id")
