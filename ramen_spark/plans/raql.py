@@ -1060,18 +1060,71 @@ class Parser:
                         "rank_in_top", [x], opts=self._parse_top_clauses(opts)
                     )
             # Sketch aggregates (training-pipeline extension; nearest
-            # reference surface raql_expr.type Distinct/Top):
+            # reference surface raql_expr.type Distinct/Top and the
+            # doc:681 PERCENTILE):
             # KMV [k] DISTINCT x — approximate distinct count;
+            # KMV [k] p PERCENTILE x BY id — bottom-k-sample quantile
+            #   sketch (p an ordinal or a [p1; p2] vector; BY names the
+            #   UNIQUE row id the sample hashes — hashing the value
+            #   itself would bias quantiles toward the distinct-value
+            #   distribution, see operators.sketch.quantile_prune);
             # CMS TOP n [OVER m] x [BY w] — approximate heavy hitters.
             # Guarded on the follow token so bare `kmv` / `cms` stay
-            # usable as field names.
+            # usable as field names (incl. `kmv[i]` indexing: the
+            # percentile attempt backtracks on any parse failure).
             if low == "kmv" and (
                 self.peek().kind == "num"
                 or (self.peek().kind == "kw" and self.peek().value == "distinct")
+                or (self.peek().kind == "op" and self.peek().value == "[")
             ):
-                k = int(self.next().value) if self.peek().kind == "num" else 256
-                self.expect("kw", "distinct")
-                return Call("kmv_distinct", [self.parse_unary()], opts={"k": k})
+                save = self.i
+                k = None
+                if self.peek().kind == "num" and not self.peek().suffix_type:
+                    k = int(self.next().value)
+                if self.accept("kw", "distinct"):
+                    return Call(
+                        "kmv_distinct", [self.parse_unary()],
+                        opts={"k": 256 if k is None else k},
+                    )
+                try:
+                    pnode = self.parse_unary()
+                    self.expect("kw", "percentile")
+                except SyntaxError:
+                    self.i = save  # not the sketch form: plain field
+                else:
+                    # PERCENTILE consumed: unambiguously the sketch
+                    # form — everything from here is a hard error
+                    value = self.parse_unary()
+                    if not self.accept("kw", "by"):
+                        raise SyntaxError(
+                            "KMV PERCENTILE requires BY <unique row id> "
+                            "(the sample hashes the row id — hashing "
+                            "the value would bias quantiles toward the "
+                            "distinct-value distribution)"
+                        )
+                    id_e = self.parse_unary()
+                    if isinstance(pnode, Lit):
+                        ps, single = [float(pnode.value) / 100.0], True
+                    elif (
+                        isinstance(pnode, Call)
+                        and pnode.fn == "_array"
+                        and all(isinstance(p, Lit) for p in pnode.args)
+                    ):
+                        ps = [float(p.value) / 100.0 for p in pnode.args]
+                        single = False
+                    else:
+                        raise SyntaxError(
+                            "KMV PERCENTILE requires constant percentile(s)"
+                        )
+                    if any(not (0.0 <= p <= 1.0) for p in ps):
+                        raise SyntaxError(
+                            "KMV PERCENTILE percentiles must be in [0, 100]"
+                        )
+                    return Call(
+                        "quantile_sketch", [value, id_e],
+                        opts={"k": 1024 if k is None else k,
+                              "ps": ps, "single": single},
+                    )
             if low == "cms" and (
                 self.peek().kind == "name"
                 and self.peek().value.lower() == "top"
@@ -2261,7 +2314,7 @@ class Compiler:
             # sketch aggregates rewrite the whole grouped operation
             # (prune branch + join) — they have no Column form
             raise NotImplementedError(
-                "KMV DISTINCT / CMS TOP compile at the operation level "
+                "KMV DISTINCT / KMV PERCENTILE / CMS TOP compile at the operation level "
                 "(compile_operation SELECT … GROUP BY) or via "
                 "operators.sketch.kmv_distinct / cms_top directly"
             )
@@ -3350,7 +3403,7 @@ def _apply_sort_last(df: DataFrame, op: Operation, params: dict[str, Any] | None
     return _sort_last_op(df, n, by_cols, until=until_fn)
 
 
-_SKETCH_AGGS = frozenset({"kmv_distinct", "cms_top"})
+_SKETCH_AGGS = frozenset({"kmv_distinct", "cms_top", "quantile_sketch"})
 
 
 def _compile_grouped_with_sketches(df, op, params, src_arrays):
@@ -3394,7 +3447,7 @@ def _compile_grouped_with_sketches(df, op, params, src_arrays):
             sketch_items.append((name, f_.expr))
         elif _contains(f_.expr, _SKETCH_AGGS):
             raise NotImplementedError(
-                "KMV DISTINCT / CMS TOP must be a whole select field "
+                "KMV DISTINCT / KMV PERCENTILE / CMS TOP must be a whole select field "
                 f"(field {name!r} nests one inside an expression); "
                 "compose downstream of the aggregate instead — or use "
                 "the COMMIT engine, whose fold supports nested "
@@ -3483,6 +3536,34 @@ def _compile_grouped_with_sketches(df, op, params, src_arrays):
             spine = _join_branch(spine, branch).withColumn(
                 name, F.coalesce(F.col(name), F.lit(0).cast("long"))
             )
+        elif node.fn == "quantile_sketch":
+            # KMV [k] p PERCENTILE x BY id — the bottom-k-sample
+            # quantile sketch (operators.sketch.quantile_sketch): the
+            # BY id is the unique row id the sample hashes. A group
+            # whose input is all-NULL has no sketch row and estimates
+            # NULL — the PERCENTILE-of-empty convention, NOT 0.
+            id_sub = Compiler(params, src_arrays=src_arrays, schema=bsch)
+            idc = id_sub.col(node.args[1])
+            if id_sub.has_aggregate:
+                raise NotImplementedError(
+                    f"KMV PERCENTILE BY id of {name!r} must be stateless"
+                )
+            ps = list(node.opts["ps"])
+            sel = base.select(
+                *knames, arg.cast("double").alias("_sv"), idc.alias("_sid")
+            )
+            qsk = SK.quantile_sketch(
+                sel, knames, "_sv", "_sid", ps=ps, k=int(node.opts["k"])
+            )
+            pcols = [
+                c for c in qsk.columns
+                if c not in set(knames) and c != "n_sample"
+            ]
+            if node.opts.get("single"):
+                branch = qsk.select(*knames, F.col(pcols[0]).alias(name))
+            else:
+                branch = qsk.select(*knames, F.array(*pcols).alias(name))
+            spine = _join_branch(spine, branch)
         else:  # cms_top
             wnode = node.opts.get("by")
             if wnode is not None:
@@ -3611,7 +3692,7 @@ def compile_operation(
         )
         df = df.withColumn(nm, gen)
 
-    # sketch aggregates (KMV DISTINCT / CMS TOP) have no Column form:
+    # sketch aggregates (KMV DISTINCT / KMV PERCENTILE / CMS TOP) have no Column form:
     # the whole grouped operation rewrites through operators.sketch
     # (prune branch per sketch field + join back on the group keys)
     if any(_contains(f_.expr, _SKETCH_AGGS) for f_ in fields):
@@ -6111,6 +6192,15 @@ def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> 
             return "string"
         if fn in ("token_count", "bpe_token_count"):
             return INT
+        if fn == "quantile_sketch":
+            raise NotImplementedError(
+                "KMV PERCENTILE compiles at the operation level only "
+                "(grouped SELECT field via compile_operation); the "
+                "COMMIT fold's sketch accumulator covers KMV DISTINCT "
+                "— for quantiles under a COMMIT clause use the exact "
+                "p PERCENTILE over a GROUP array, or "
+                "operators.sketch.quantile_sketch directly"
+            )
     raise NotImplementedError(f"cannot infer type of {node!r}")
 
 

@@ -5532,6 +5532,64 @@ def quantile_sketch_token_lengths(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "raql_quantile_sketch",
+    """
+    WITH t AS (
+      SELECT lang,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h,
+             CAST(n_chars AS DOUBLE) AS v
+      FROM documents
+      WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    d AS (SELECT DISTINCT lang, h, v FROM t),
+    r AS (
+      SELECT lang, h, v,
+             row_number() OVER (PARTITION BY lang ORDER BY h, v) AS rn
+      FROM d
+    ),
+    s AS (
+      SELECT lang, list(v ORDER BY v) AS vs, count(*)::BIGINT AS n_sample
+      FROM r WHERE rn <= 32 GROUP BY lang
+    ),
+    q AS (
+      SELECT lang,
+             vs[CAST(round((n_sample - 1) * 0.5) AS INT) + 1] AS p50,
+             vs[CAST(round((n_sample - 1) * 0.9) AS INT) + 1] AS p90
+      FROM s
+    ),
+    c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang)
+    SELECT c.lang, c.n, [q.p50, q.p90] AS chars_p, q.p90 AS p90c
+    FROM c LEFT JOIN q ON c.lang IS NOT DISTINCT FROM q.lang
+    """,
+)
+def raql_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile sketch spoken from the RaQL surface (plans.raql):
+    ``KMV 32 [50th; 90th] PERCENTILE n_chars BY doc_id`` as a grouped
+    select field beside an ordinary COUNT — the dialect twin of
+    operators.sketch.quantile_sketch, completing the dialect's sketch
+    family (KMV DISTINCT and CMS TOP landed earlier this round; the
+    exact ``p PERCENTILE v`` form is doc:681). The BY clause names the
+    unique row id the bottom-k sample hashes. The compiler rewrites
+    the field into the pruned sketch branch (map-side bounded pair
+    prefilter → ONE Exchange) joined back on the group key, so the
+    language form carries the library form's 100 TB shape. Oracle =
+    the naive relational form over the identical md5 hash space."""
+    from ramen_spark.plans.raql import compile_operation
+
+    docs = _t(spark, sf_dir, "documents")
+    out = compile_operation(
+        "SELECT lang, COUNT(1) AS n, "
+        "KMV 32 [50th; 90th] PERCENTILE n_chars BY doc_id AS chars_p, "
+        "KMV 32 90th PERCENTILE n_chars BY doc_id AS p90c "
+        "GROUP BY lang",
+        docs,
+    )
+    return out.select(
+        "lang", F.col("n").cast("long").alias("n"), "chars_p", "p90c"
+    )
+
+
+@register(
     "events_in_error_windows",
     """
     SELECT p.event_id   AS purchase_id,

@@ -760,3 +760,74 @@ def test_sketch_aggregates_null_group_key(spark):
     assert got[None]["kd"] == direct[None] == 9
     assert got["a"]["kd"] == direct["a"] == 5
     assert len(got[None]["hot"]) == 2 and got[None]["n"] == 60
+
+
+def test_parse_quantile_sketch():
+    """KMV [k] p PERCENTILE x BY id parses to the quantile-sketch
+    aggregate (round-10b: completes the dialect sketch family beside
+    KMV DISTINCT / CMS TOP; exact `p PERCENTILE v` is doc:681).
+    Ordinal and vector percentile specs; bare `kmv` indexing still
+    backtracks to a field; missing BY is a hard, explained error."""
+    from ramen_spark.plans.raql import Binop, Call, Field, parse_expr
+
+    e = parse_expr("KMV 90th PERCENTILE n_chars BY doc_id")
+    assert isinstance(e, Call) and e.fn == "quantile_sketch"
+    assert e.opts == {"k": 1024, "ps": [0.9], "single": True}
+    assert isinstance(e.args[0], Field) and isinstance(e.args[1], Field)
+    e = parse_expr("kmv 32 [50th; 99th] percentile v by id")
+    assert e.fn == "quantile_sketch"
+    assert e.opts["k"] == 32 and e.opts["ps"] == [0.5, 0.99]
+    assert e.opts["single"] is False
+    # `kmv[1]` is INDEXING a field named kmv, not a sketch
+    e = parse_expr("kmv[1]")
+    assert isinstance(e, Binop) and e.op == "index"
+    with pytest.raises(SyntaxError, match="BY"):
+        parse_expr("KMV 90th PERCENTILE n_chars")
+    with pytest.raises(SyntaxError, match=r"\[0, 100\]"):
+        parse_expr("KMV 150th PERCENTILE v BY id")
+
+
+def test_quantile_sketch_compiles_to_operator(spark):
+    """Grouped and global KMV PERCENTILE fields compile through the
+    sketch-branch rewrite: values match operators.sketch.
+    quantile_sketch run directly; an all-NULL group estimates NULL
+    (the PERCENTILE-of-empty convention, NOT 0)."""
+    from ramen_spark.operators.sketch import quantile_sketch
+
+    rows = [("a", i, float(i * 7 % 101)) for i in range(300)]
+    rows += [("b", 1000 + i, None) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = compile_operation(
+        "SELECT g, COUNT(1) AS n, "
+        "KMV 16 [50th; 90th] PERCENTILE v BY id AS p, "
+        "KMV 16 50th PERCENTILE v BY id AS med GROUP BY g",
+        df,
+    )
+    got = {r["g"]: r for r in out.collect()}
+    direct = {
+        r["g"]: r
+        for r in quantile_sketch(
+            df, ["g"], "v", "id", ps=[0.5, 0.9], k=16
+        ).collect()
+    }
+    assert got["a"]["p"] == [direct["a"]["p50"], direct["a"]["p90"]]
+    assert got["a"]["med"] == direct["a"]["p50"]
+    assert got["a"]["n"] == 300
+    # all-NULL group: no sketch row -> NULL estimates, count intact
+    assert got["b"]["n"] == 5 and got["b"]["p"] is None
+    assert got["b"]["med"] is None
+    # global form: one row even on empty input
+    [g] = compile_operation(
+        "SELECT COUNT(1) AS n, KMV 16 50th PERCENTILE v BY id AS med", df
+    ).collect()
+    assert g["n"] == 305 and g["med"] is not None
+    empty = spark.createDataFrame([], "g string, id long, v double")
+    [ge] = compile_operation(
+        "SELECT COUNT(1) AS n, KMV 16 50th PERCENTILE v BY id AS med", empty
+    ).collect()
+    assert ge["n"] == 0 and ge["med"] is None
+    # Column form rejected with guidance, like the other sketches
+    with pytest.raises(NotImplementedError, match="whole select field"):
+        compile_operation(
+            "SELECT g, 1 + KMV 90th PERCENTILE v BY id AS bad GROUP BY g", df
+        )
