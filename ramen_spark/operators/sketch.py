@@ -265,10 +265,33 @@ def kmv_overlap(
     """
     if k < 2:
         raise ValueError("kmv_overlap needs k >= 2")
-    ma = _kmv_minset(kmv_prune(df_a, keys, value_col, k), keys, k).select(
+    return kmv_overlap_pruned(
+        kmv_prune(df_a, keys, value_col, k),
+        kmv_prune(df_b, keys, value_col, k),
+        keys,
+        k,
+    )
+
+
+def kmv_overlap_pruned(
+    pruned_a: DataFrame,
+    pruned_b: DataFrame,
+    keys: list[str],
+    k: int,
+) -> DataFrame:
+    """:func:`kmv_overlap` over two PRUNE OUTPUTS (the mergeable
+    (keys…, _h) sketch relations of :func:`kmv_prune`) — the
+    snapshot-versioning form: overlap between two 100 TB crawls whose
+    persisted sketches are a few KB each, with the raw data never
+    re-read. Because prune outputs are mergeable, each side may be a
+    union of per-shard / per-micro-batch sketches (the streaming
+    lane's persisted state composes directly)."""
+    if k < 2:
+        raise ValueError("kmv_overlap_pruned needs k >= 2")
+    ma = _kmv_minset(pruned_a, keys, k).select(
         *keys, F.col("_mins").alias("_ma")
     )
-    mb = _kmv_minset(kmv_prune(df_b, keys, value_col, k), keys, k).select(
+    mb = _kmv_minset(pruned_b, keys, k).select(
         *keys, F.col("_mins").alias("_mb")
     )
     if keys:

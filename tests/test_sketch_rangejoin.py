@@ -736,6 +736,32 @@ def test_kmv_overlap_plan_two_prefilter_exchanges(spark):
     assert plan.count("Exchange") <= 4, plan
 
 
+def test_kmv_overlap_pruned_composes_sharded_sketches(spark):
+    """The snapshot-versioning form: kmv_overlap_pruned over persisted
+    prune outputs equals kmv_overlap over the raw relations, even when
+    one side is a UNION of per-shard prunes (sketch mergeability — the
+    contract that lets two 100 TB crawls compare by their few-KB
+    sketches without re-reading either)."""
+    from ramen_spark.operators.sketch import (
+        kmv_overlap,
+        kmv_overlap_pruned,
+        kmv_prune,
+    )
+
+    a, b = _overlap_fixture(spark, n_a=300, n_b=250, shared=120)
+    whole = {tuple(r) for r in kmv_overlap(a, b, ["g"], "user", k=64).collect()}
+    half1 = a.filter(F.col("user").substr(-1, 1).isin("0", "1", "2", "3"))
+    half2 = a.subtract(half1)
+    pa = kmv_prune(half1, ["g"], "user", 64).unionByName(
+        kmv_prune(half2, ["g"], "user", 64)
+    )
+    pb = kmv_prune(b, ["g"], "user", 64)
+    sharded = {
+        tuple(r) for r in kmv_overlap_pruned(pa, pb, ["g"], 64).collect()
+    }
+    assert sharded == whole
+
+
 def test_kmv_overlap_validates_k(spark):
     from ramen_spark.operators.sketch import kmv_overlap
 
