@@ -633,8 +633,16 @@ def weighted_sample(
     u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 48))
     w = F.col(weight_col).cast("double")
     skey = F.round(F.log(u) / w * F.lit(1e6)).cast("long")
+    # NULL ids are ignored like NULL weights (the quantile_prune
+    # convention: a sample must identify its rows) — a NULL id would
+    # also make the (skey desc, id asc) tie-break engine-dependent
+    # (Spark asc = NULLS FIRST, DuckDB asc = NULLS LAST).
     scored = (
-        df.filter(F.col(weight_col).isNotNull() & (w > 0))
+        df.filter(
+            F.col(id_col).isNotNull()
+            & F.col(weight_col).isNotNull()
+            & (w > 0)
+        )
         .select(*keys, id_col, weight_col, skey.alias("skey_micro"))
     )
     if keys:

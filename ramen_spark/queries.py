@@ -4513,7 +4513,7 @@ def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                      1, 12))::BIGINT + 1) / 281474976710656.0)
                / CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS skey_micro
       FROM documents
-      WHERE n_chars IS NOT NULL AND n_chars > 0
+      WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
     )
     SELECT lang, doc_id, n_chars, skey_micro, rn FROM (
       SELECT *, row_number() OVER (

@@ -279,6 +279,123 @@ class IncrementalQuantileSketch(_IncrementalMinKBase):
         return quantile_finalize(state, self.keys, ps, self.k)
 
 
+class IncrementalWeightedSample(_IncrementalMinKBase):
+    """Persisted A-ES weighted reservoir — the always-on twin of
+    ``operators.sampling.weighted_sample`` (Efraimidis–Spirakis 2006
+    §4 explicitly frames A-ES as a one-pass RESERVOIR scheme; this is
+    that reservoir, distributed): ``state_dir`` holds the current
+    weight-proportional sample of everything seen — ≤ n rows per key,
+    (keys…, id, weight, skey_micro). Top-n by the deterministic A-ES
+    key is set max-n: associative, commutative, replay-IDEMPOTENT
+    (a replayed row reproduces its exact (skey, id, weight) struct and
+    set-dedups away), so any batch split and any replay yields the
+    sample of the concatenated input — parity with the batch operator
+    is pinned by test.
+
+    Contract inherited from the batch twin: ``id_col`` must identify
+    rows uniquely ACROSS THE WHOLE STREAM. A re-sent id with an
+    identical row is replay-safe; a re-sent id with a DIFFERENT weight
+    violates the contract (both (skey, id) structs would be eligible
+    and one id could appear twice).
+
+    Commit regimes: see :class:`_IncrementalMinKBase` (versioned
+    snapshots, one executor-side write, no collect at any state
+    size)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        keys: list[str],
+        n: int,
+        weight_col: str,
+        id_col: str,
+        seed: int = 42,
+        driver_state_max_rows: int = 100_000,
+    ) -> None:
+        if n < 1:
+            raise ValueError("IncrementalWeightedSample needs n >= 1")
+        super().__init__(spark, state_dir, driver_state_max_rows)
+        self.keys = list(keys)
+        self.n = n
+        self.weight_col = weight_col
+        self.id_col = id_col
+        self.seed = seed
+
+    def _prune_batch(self, batch_df: DataFrame) -> DataFrame:
+        from ramen_spark.operators.sampling import weighted_sample
+
+        return weighted_sample(
+            batch_df, self.n, self.weight_col, self.keys, self.id_col,
+            self.seed,
+        ).drop("rn")
+
+    def _reprune(self, merged: DataFrame) -> DataFrame:
+        st = F.struct(
+            (-F.col("skey_micro")).alias("_negk"),
+            F.col(self.id_col).alias("_i"),
+            F.col(self.weight_col).alias("_w"),
+        )
+        return (
+            merged.groupBy(*self.keys)
+            .agg(
+                F.slice(
+                    F.array_sort(F.collect_set(st)), 1, self.n
+                ).alias("_m")
+            )
+            .select(*self.keys, F.inline("_m"))
+            .select(
+                *self.keys,
+                F.col("_i").alias(self.id_col),
+                F.col("_w").alias(self.weight_col),
+                (-F.col("_negk")).alias("skey_micro"),
+            )
+        )
+
+    def sample(self) -> DataFrame:
+        """The current sample with its rank — identical to batch
+        ``weighted_sample`` over everything seen. The rank window runs
+        on the persisted state (≤ n rows per key), never the stream."""
+        state = self._state()
+        if state is None:
+            raise ValueError(f"no sample state at {self.state_dir}")
+        from pyspark.sql import Window
+
+        win = Window.partitionBy(*self.keys).orderBy(
+            F.col("skey_micro").desc(), F.col(self.id_col).asc()
+        )
+        return state.withColumn("rn", F.row_number().over(win).cast("long"))
+
+
+def weighted_sample_stream(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    n: int,
+    weight_col: str,
+    id_col: str,
+    seed: int = 42,
+):
+    """Maintain a weight-proportional sample always-on (the live
+    "n best-weighted docs per language so far" a curation dashboard
+    reads); any batch job or ``IncrementalWeightedSample.sample()``
+    reads it off ``state_dir``. Replay-idempotent (set max-n of
+    deterministic keys). Returns the started StreamingQuery."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        IncrementalWeightedSample(
+            batch_df.sparkSession, state_dir, keys, n, weight_col, id_col,
+            seed,
+        ).update(batch_df)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 class IncrementalCmsSketch:
     """Persisted count-min sketch: the state snapshot holds (row, col,
     cnt, _b) cells, ``_b`` = the last batch id folded in. ``update``

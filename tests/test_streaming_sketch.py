@@ -401,3 +401,62 @@ def test_streaming_cms_top_stream_lane_and_eviction(spark, tmp_path):
     cells = inc.cells_store.read()
     assert cands.count() <= 8
     assert cells.count() <= 3 * 512
+
+
+def test_streaming_weighted_sample_equals_batch_and_replay(spark, tmp_path):
+    """Always-on A-ES weighted reservoir (IncrementalWeightedSample):
+    N-batch streaming maintenance must equal the batch
+    weighted_sample over the concatenated input (set max-n of
+    deterministic keys is mergeable), and folding the same batch
+    twice must be a no-op (replay idempotence)."""
+    from ramen_spark.catalog import load_table
+    from ramen_spark.operators.sampling import weighted_sample
+    from ramen_spark.streaming.sketch import (
+        IncrementalWeightedSample,
+        weighted_sample_stream,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    src = tmp_path / "doc_src"
+    n_b = 3
+    for i in range(n_b):
+        docs.filter(F.col("doc_id") % n_b == i).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/b*")
+    )
+    q = weighted_sample_stream(
+        stream,
+        str(tmp_path / "ws_state"),
+        str(tmp_path / "ckpt"),
+        keys=["lang"],
+        n=10,
+        weight_col="n_chars",
+        id_col="doc_id",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    sk = IncrementalWeightedSample(
+        spark, str(tmp_path / "ws_state"), ["lang"], 10, "n_chars", "doc_id"
+    )
+    got = {tuple(r) for r in sk.sample().collect()}
+    exp = {
+        tuple(r)
+        for r in weighted_sample(
+            docs, 10, "n_chars", ["lang"], "doc_id"
+        ).collect()
+    }
+    assert got == exp and len(exp) > 0
+
+    # replay: folding an already-seen batch again leaves the state
+    # bit-identical (every (skey, id, weight) struct set-dedups)
+    sk.update(spark.read.parquet(str(src / "b0")))
+    assert {tuple(r) for r in sk.sample().collect()} == got
