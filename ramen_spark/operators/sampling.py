@@ -582,6 +582,79 @@ def token_budget_select(
     )
 
 
+def _prefilter_top_n(keys: list[str], n: int, id_col: str):
+    """mapInPandas kernel: per partition, per key, keep the n best
+    rows by (skey_micro desc, id asc). Bounded state (≤ n rows per key
+    in a dict of small frames) — the map-side prune that keeps the
+    downstream salt/window levels bounded regardless of how many raw
+    rows a hot key has in the partition (the _prefilter_min_k
+    pattern of operators/sketch.py, for top-n instead of min-k)."""
+    import pandas as pd
+
+    def run(batches):
+        state: dict[tuple, "pd.DataFrame"] = {}
+
+        def fold(kt: tuple, g: "pd.DataFrame") -> None:
+            prev = state.get(kt)
+            if prev is not None:
+                g = pd.concat([prev, g])
+            state[kt] = g.sort_values(
+                ["skey_micro", id_col],
+                ascending=[False, True],
+                kind="mergesort",
+            ).head(n)
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if keys:
+                for key, g in pdf.groupby(keys, sort=False, dropna=False):
+                    fold(key if isinstance(key, tuple) else (key,), g)
+            else:
+                fold((), pdf)
+        if state:
+            yield pd.concat(state.values())
+
+    return run
+
+
+def topn_by_aes_key(
+    df: DataFrame,
+    keys: list[str],
+    n: int,
+    id_col: str,
+    weight_col: str,
+    extra_group: list[str] | None = None,
+    dedup: bool = False,
+) -> DataFrame:
+    """Per-group top-n of (keys…, id, weight, skey_micro) rows by
+    (skey desc, id asc) as ONE partial-aggregable groupBy — the
+    struct/sort/slice pipeline shared by weighted_sample's salted
+    local-top level and the streaming reservoir's re-prune (one
+    definition, so a tie-break or overflow fix can never drift between
+    the batch and always-on lanes). ``extra_group`` adds transient
+    group columns (the salt) that are dropped from the output;
+    ``dedup=True`` collects a SET (the streaming merge path, where a
+    replayed row's identical struct must vanish)."""
+    st = F.struct(
+        (-F.col("skey_micro")).alias("_negk"),
+        F.col(id_col).alias("_i"),
+        F.col(weight_col).alias("_w"),
+    )
+    coll = F.collect_set(st) if dedup else F.collect_list(st)
+    return (
+        df.groupBy(*keys, *(extra_group or []))
+        .agg(F.slice(F.array_sort(coll), 1, n).alias("_m"))
+        .select(*keys, F.inline("_m"))
+        .select(
+            *keys,
+            F.col("_i").alias(id_col),
+            F.col("_w").alias(weight_col),
+            (-F.col("_negk")).alias("skey_micro"),
+        )
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     n: int,
@@ -632,7 +705,18 @@ def weighted_sample(
     h = md5_hash48(F.concat(F.col(id_col).cast("string"), F.lit(f":{int(seed)}")))
     u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 48))
     w = F.col(weight_col).cast("double")
-    skey = F.round(F.log(u) / w * F.lit(1e6)).cast("long")
+    # clamp at -2^62 BEFORE the long cast: ln(u) ∈ [-33.3, 0], so a
+    # weight below ~1e-13 (importance/probability weights) would
+    # overflow the cast — a hard CAST_OVERFLOW error under Spark 4's
+    # default ANSI mode. Clamped rows tie at the floor (all have
+    # essentially zero inclusion probability) and break by id; the
+    # headroom also keeps the salted level's -skey negation safe.
+    skey = (
+        F.greatest(
+            F.round(F.log(u) / w * F.lit(1e6)), F.lit(float(-(1 << 62)))
+        )
+        .cast("long")
+    )
     # NULL ids are ignored like NULL weights (the quantile_prune
     # convention: a sample must identify its rows) — a NULL id would
     # also make the (skey desc, id asc) tie-break engine-dependent
@@ -647,26 +731,22 @@ def weighted_sample(
     )
     if keys:
         if df.rdd.getNumPartitions() > salt_above_partitions:
-            s = 64
-            st = F.struct(
-                (-F.col("skey_micro")).alias("_negk"),
-                F.col(id_col).alias("_i"),
-                F.col(weight_col).alias("_w"),
+            # wide-scan guard, two bounded levels (the kmv_finalize
+            # discipline): (1) map-side mapInPandas prefilter keeps the
+            # n best rows per key per PARTITION — without it the salt
+            # aggregation would buffer a hot key's entire row set in
+            # one collect_list array; (2) salted local-top bounds the
+            # final window's input at ~n·√P per key (lossless: every
+            # global top-n member is top-n in its own salt bucket).
+            scored = scored.mapInPandas(
+                _prefilter_top_n(keys, n, id_col), scored.schema
             )
-            scored = (
-                scored.groupBy(
-                    *keys, (md5_hash48(F.col(id_col)) % s).alias("_salt")
-                )
-                .agg(
-                    F.slice(F.array_sort(F.collect_list(st)), 1, n).alias("_m")
-                )
-                .select(*keys, F.inline("_m"))
-                .select(
-                    *keys,
-                    F.col("_i").alias(id_col),
-                    F.col("_w").alias(weight_col),
-                    (-F.col("_negk")).alias("skey_micro"),
-                )
+            s = 64
+            scored = topn_by_aes_key(
+                scored.withColumn(
+                    "_salt", md5_hash48(F.col(id_col)) % s
+                ),
+                keys, n, id_col, weight_col, extra_group=["_salt"],
             )
         win = Window.partitionBy(*keys).orderBy(
             F.col("skey_micro").desc(), F.col(id_col).asc()

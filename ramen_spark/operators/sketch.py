@@ -173,7 +173,12 @@ def kmv_finalize(
     extra bounded Exchange and is value-identical on any partitioning."""
     mins = _kmv_minset(pruned, keys, k, salt_above_partitions)
     n_kept = F.size(F.col("_mins"))
-    kth = F.element_at(F.col("_mins"), n_kept).cast("long")
+    # n_kept == 0 only on the empty GLOBAL sketch (keys=[] always emits
+    # its one row): element_at(arr, 0) would throw INVALID_INDEX, so
+    # kth_min is NULL there (and the estimate 0, via _kmv_estimate)
+    kth = F.when(n_kept == 0, F.lit(None)).otherwise(
+        F.element_at(F.col("_mins"), n_kept)
+    ).cast("long")
     return mins.select(
         *keys,
         n_kept.cast("long").alias("n_kept"),
@@ -295,7 +300,26 @@ def kmv_overlap_pruned(
         *keys, F.col("_mins").alias("_mb")
     )
     if keys:
-        joined = ma.join(mb, on=keys, how="full_outer")
+        # NULL group keys are real groups (the prefilter keeps them,
+        # dropna=False) — the join must be null-safe or a NULL-keyed
+        # group present on BOTH sides splits into two half-blind rows
+        # (the raql.py _join_branch convention). eqNullSafe condition
+        # + coalesce of the two key sides.
+        bk = [f"_b_{kn}" for kn in keys]
+        for kn, bn in zip(keys, bk):
+            mb = mb.withColumnRenamed(kn, bn)
+        cond = None
+        for kn, bn in zip(keys, bk):
+            c = F.col(kn).eqNullSafe(F.col(bn))
+            cond = c if cond is None else cond & c
+        joined = ma.join(mb, cond, "full_outer").select(
+            *[
+                F.coalesce(F.col(kn), F.col(bn)).alias(kn)
+                for kn, bn in zip(keys, bk)
+            ],
+            "_ma",
+            "_mb",
+        )
     else:
         joined = ma.crossJoin(mb)
     a = F.coalesce(F.col("_ma"), F.array().cast("array<long>"))

@@ -5552,13 +5552,16 @@ def quantile_sketch_token_lengths(spark: SparkSession, sf_dir: str) -> DataFrame
       FROM r WHERE rn <= 32 GROUP BY lang
     ),
     q AS (
-      SELECT lang,
+      SELECT lang, 1 AS m,
              vs[CAST(round((n_sample - 1) * 0.5) AS INT) + 1] AS p50,
              vs[CAST(round((n_sample - 1) * 0.9) AS INT) + 1] AS p90
       FROM s
     ),
     c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang)
-    SELECT c.lang, c.n, [q.p50, q.p90] AS chars_p, q.p90 AS p90c
+    SELECT c.lang, c.n,
+           CASE WHEN q.m IS NULL THEN NULL
+                ELSE [q.p50, q.p90] END AS chars_p,
+           q.p90 AS p90c
     FROM c LEFT JOIN q ON c.lang IS NOT DISTINCT FROM q.lang
     """,
 )

@@ -160,7 +160,14 @@ def write_webdataset(
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
 
-    os.makedirs(os.path.join(out_dir, "data"), exist_ok=True)
+    data_dir = os.path.join(out_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    # purge stale shards: a re-export with fewer shards (or with empty
+    # shards, which write no file) must not leave old tars that
+    # read_webdataset's glob would silently mix into the new corpus
+    for old in os.listdir(data_dir):
+        if old.startswith("shard-") and old.endswith(".tar"):
+            os.remove(os.path.join(data_dir, old))
     binary_cols = {
         f.name for f in df.schema.fields if f.dataType.simpleString() == "binary"
     }
@@ -180,15 +187,36 @@ def write_webdataset(
     def write_shard(pdf):
         import pandas as pd
 
+        # contract checks where they're cheap (the data is already in
+        # hand): NULL keys can't name a member (and NULL-shard the
+        # whole row); duplicate keys would collide on '{key}.{ext}'
+        # member names AND make member order partition-dependent,
+        # breaking the byte-determinism promise. Duplicates of a key
+        # always land in the SAME shard (shard = md5(key) mod n), so
+        # the per-shard check is complete.
+        if pdf["_key"].isna().any():
+            raise ValueError(
+                f"write_webdataset: NULL {key_col!r} keys cannot name "
+                "tar members — filter or synthesize keys first"
+            )
+        dup = pdf["_key"].duplicated()
+        if dup.any():
+            raise ValueError(
+                "write_webdataset: duplicate sample keys "
+                f"{sorted(pdf['_key'][dup].unique())[:5]} — keys must be "
+                "unique (one sample per key)"
+            )
         sid = int(pdf["_shard"].iloc[0])
         pdf = pdf.sort_values("_key", kind="mergesort")
         buf = io.BytesIO()
         with tarfile.open(fileobj=buf, mode="w") as tar:
             for _, row in pdf.iterrows():
+                wrote_any = False
                 for c in cols:
                     v = row[c]
                     if v is None:
                         continue
+                    wrote_any = True
                     if c in binary_cols:
                         payload = bytes(v)
                     elif c in string_cols:
@@ -203,6 +231,14 @@ def write_webdataset(
                     info.uid = info.gid = 0
                     info.uname = info.gname = ""
                     tar.addfile(info, io.BytesIO(payload))
+                if not wrote_any:
+                    raise ValueError(
+                        "write_webdataset: sample "
+                        f"{row['_key']!r} has every member column NULL "
+                        "— a memberless sample is invisible to the "
+                        "loader and would desync the manifest's "
+                        "n_samples from the tar contents"
+                    )
         blob = buf.getvalue()
         path = os.path.join(out_dir, "data", f"shard-{sid:06d}.tar")
         tmp = path + ".inprogress"

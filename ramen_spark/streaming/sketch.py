@@ -331,25 +331,15 @@ class IncrementalWeightedSample(_IncrementalMinKBase):
         ).drop("rn")
 
     def _reprune(self, merged: DataFrame) -> DataFrame:
-        st = F.struct(
-            (-F.col("skey_micro")).alias("_negk"),
-            F.col(self.id_col).alias("_i"),
-            F.col(self.weight_col).alias("_w"),
-        )
-        return (
-            merged.groupBy(*self.keys)
-            .agg(
-                F.slice(
-                    F.array_sort(F.collect_set(st)), 1, self.n
-                ).alias("_m")
-            )
-            .select(*self.keys, F.inline("_m"))
-            .select(
-                *self.keys,
-                F.col("_i").alias(self.id_col),
-                F.col("_w").alias(self.weight_col),
-                (-F.col("_negk")).alias("skey_micro"),
-            )
+        # the shared top-n pipeline (ONE definition with the batch
+        # operator's salted level — a tie-break or overflow fix can
+        # never drift between lanes); dedup=True because the merge of
+        # state ∪ replayed batch carries identical structs twice
+        from ramen_spark.operators.sampling import topn_by_aes_key
+
+        return topn_by_aes_key(
+            merged, self.keys, self.n, self.id_col, self.weight_col,
+            dedup=True,
         )
 
     def sample(self) -> DataFrame:

@@ -831,3 +831,42 @@ def test_quantile_sketch_compiles_to_operator(spark):
         compile_operation(
             "SELECT g, 1 + KMV 90th PERCENTILE v BY id AS bad GROUP BY g", df
         )
+
+
+def test_raql_quantile_sketch_oracle_null_group_parity(spark, tmp_path):
+    """The registered raql_quantile_sketch oracle must agree with the
+    Spark compile on a group whose sketch input is ALL NULL: Spark's
+    left-join convention yields a NULL array, and the oracle's
+    match-marker CASE must yield NULL too — not [NULL, NULL], which
+    DuckDB's list constructor would produce over a failed join
+    (review fix). Runs BOTH engines over the same synthetic parquet."""
+    import duckdb
+
+    import ramen_spark.queries as Q
+
+    rows = [(i, f"lang{i % 2}", 100 + i) for i in range(40)]
+    rows += [(100 + i, "hollow", None) for i in range(4)]  # all-NULL n_chars
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    # the oracle/query read (doc_id, lang, n_chars); synthesize lang
+    docs = df.selectExpr("doc_id", "text AS lang", "n_chars")
+    p = str(tmp_path / "documents.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(p)
+
+    from ramen_spark.plans.raql import compile_operation
+
+    out = compile_operation(
+        "SELECT lang, COUNT(1) AS n, "
+        "KMV 32 [50th; 90th] PERCENTILE n_chars BY doc_id AS chars_p, "
+        "KMV 32 90th PERCENTILE n_chars BY doc_id AS p90c "
+        "GROUP BY lang",
+        spark.read.parquet(p),
+    ).select("lang", F.col("n").cast("long").alias("n"), "chars_p", "p90c")
+    got = sorted(tuple(r) for r in out.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{p}/*.parquet'")
+    want = sorted(tuple(r) for r in con.execute(
+        Q.ORACLES["raql_quantile_sketch"]
+    ).fetchall())
+    assert got == want
+    hollow = [r for r in got if r[0] == "hollow"]
+    assert hollow and hollow[0][2] is None and hollow[0][3] is None

@@ -972,3 +972,52 @@ def test_weighted_sample_global_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
     with pytest.raises(ValueError):
         weighted_sample(df, n=0, weight_col="w", keys=[], id_col="doc_id")
+
+
+def test_kmv_empty_global_sketch_row(spark):
+    """The empty GLOBAL sketch (keys=[], no non-NULL values) still
+    emits its one row — (n_kept 0, kth_min NULL, est 0) — instead of
+    throwing INVALID_INDEX on element_at(arr, 0) (review fix)."""
+    allnull = spark.createDataFrame([(None,)] * 3, "v string")
+    [r] = kmv_distinct(allnull, [], "v", k=8).collect()
+    assert (r["n_kept"], r["kth_min"], r["est_distinct"]) == (0, None, 0)
+
+
+def test_kmv_overlap_null_group_key(spark):
+    """A NULL group key is a real group: the minset join must be
+    null-safe, or a NULL-keyed group present on BOTH sides splits
+    into two half-blind rows (review fix; the raql _join_branch
+    convention)."""
+    from ramen_spark.operators.sketch import kmv_overlap
+
+    a = spark.createDataFrame(
+        [(None, f"u{i}") for i in range(10)] + [("g", "x")],
+        "g string, user string",
+    )
+    b = spark.createDataFrame(
+        [(None, f"u{i}") for i in range(5, 15)], "g string, user string"
+    )
+    rows = {r["g"]: r for r in kmv_overlap(a, b, ["g"], "user", 64).collect()}
+    assert len(rows) == 2  # NULL group did NOT split
+    r = rows[None]
+    assert r["est_a"] == 10 and r["est_b"] == 10
+    assert r["est_union"] == 15 and r["est_intersection"] == 5
+    assert rows["g"]["est_b"] == 0
+
+
+def test_weighted_sample_tiny_weights_clamp_not_overflow(spark):
+    """Sub-1e-13 weights would overflow the micro-key's long cast — a
+    hard CAST_OVERFLOW under Spark 4 ANSI. They clamp at -2^62
+    instead (essentially-zero inclusion probability, ties break by
+    id) and normal-weight rows still win (review fix)."""
+    from ramen_spark.operators.sampling import weighted_sample
+
+    rows = [("g", i, 1e-300) for i in range(20)]
+    rows += [("g", 100 + i, 5.0) for i in range(3)]
+    df = spark.createDataFrame(rows, "g string, doc_id long, w double")
+    got = weighted_sample(df, 5, "w", ["g"], "doc_id").collect()
+    ids = [r["doc_id"] for r in sorted(got, key=lambda r: r["rn"])]
+    # the 3 real-weight rows rank first; clamped rows fill by id asc
+    assert set(ids[:3]) == {100, 101, 102}
+    assert ids[3:] == [0, 1]
+    assert all(r["skey_micro"] >= -(1 << 62) for r in got)

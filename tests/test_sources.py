@@ -580,3 +580,55 @@ def test_webdataset_validates_inputs(spark, tmp_path):
     with pytest.raises(ValueError, match="n_shards"):
         write_webdataset(df, str(tmp_path / "x"), "key", {"payload": "wav"},
                          n_shards=0)
+
+
+def test_webdataset_rejects_null_dup_and_memberless_keys(spark, tmp_path):
+    from ramen_spark.sources.export import write_webdataset
+
+    base = _wds_fixture(spark)
+    null_key = base.unionByName(
+        base.limit(1).selectExpr(
+            "CAST(NULL AS STRING) AS key", "payload", "meta"
+        )
+    )
+    with pytest.raises(Exception, match="NULL"):
+        write_webdataset(null_key, str(tmp_path / "a"), "key",
+                         {"payload": "wav"}, n_shards=2)
+    dup = base.unionByName(base.limit(1))
+    with pytest.raises(Exception, match="duplicate"):
+        write_webdataset(dup, str(tmp_path / "b"), "key",
+                         {"payload": "wav"}, n_shards=2)
+    memberless = base.unionByName(
+        base.limit(1).selectExpr(
+            "'zzz-hollow' AS key", "CAST(NULL AS BINARY) AS payload",
+            "CAST(NULL AS STRING) AS meta",
+        )
+    )
+    with pytest.raises(Exception, match="member column NULL"):
+        write_webdataset(memberless, str(tmp_path / "c"), "key",
+                         {"payload": "wav", "meta": "json"}, n_shards=2)
+
+
+def test_webdataset_reexport_purges_stale_shards(spark, tmp_path):
+    """Re-exporting into the same directory with fewer shards must not
+    leave stale tars for read_webdataset's glob to silently mix in
+    (review fix)."""
+    import os
+
+    from ramen_spark.sources.export import (
+        read_webdataset,
+        verify_webdataset,
+        write_webdataset,
+    )
+
+    df = _wds_fixture(spark)
+    out = str(tmp_path / "wds")
+    write_webdataset(df, out, "key", {"payload": "wav"}, n_shards=8)
+    half = df.filter("key < 'doc0020'")
+    man = write_webdataset(half, out, "key", {"payload": "wav"}, n_shards=2)
+    on_disk = {
+        n for n in os.listdir(os.path.join(out, "data")) if n.endswith(".tar")
+    }
+    assert on_disk == set(man["shards"])
+    assert read_webdataset(spark, out).select("key").distinct().count() == 20
+    assert verify_webdataset(spark, out) == []
