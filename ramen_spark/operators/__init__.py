@@ -23,9 +23,15 @@
                    would otherwise nested-loop.
 - ``sketch``     : deterministic KMV (bottom-k) distinct-count
                    sketch — map-side bounded prefilter, one tiny
-                   Exchange, oracle-exact unlike HLL — and the
+                   Exchange, oracle-exact unlike HLL — plus KMV set
+                   algebra (union/intersection/Jaccard between two
+                   sketches), the bottom-k quantile sketch, and the
                    count-min frequency sketch (bounded
-                   depth×width-cell shuffle).
+                   depth×width-cell shuffle) with CMS heavy hitters.
+- ``sampling``   : corpus-mixing samplers — temperature quotas, DSIR
+                   importance, CCNet perplexity strata, token-budget
+                   prefix selection, deterministic A-ES weighted
+                   sampling without replacement.
 - ``bloom``      : deterministic Bloom filter as a (word, bits)
                    relation — broadcast join pruning with no false
                    negatives; double-hashed, SQL-checkable.
