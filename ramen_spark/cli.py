@@ -473,6 +473,57 @@ def cmd_sketch(args) -> int:
     return 0
 
 
+def cmd_overlap(args) -> int:
+    """Set-overlap report between the same column of TWO parquet
+    tables via KMV sketch algebra (operators/sketch.py:kmv_overlap):
+    |A|, |B|, |A∪B|, |A∩B| and Jaccard per group — the snapshot-
+    versioning question ('how much of the new crawl is the old
+    crawl?') answered without materializing either distinct set."""
+    from pyspark.sql import functions as F
+
+    from ramen_spark.operators.sketch import kmv_overlap
+    from ramen_spark.session import get_spark
+
+    spark = get_spark("ramen_cli")
+    a = spark.read.parquet(args.path_a)
+    b = spark.read.parquet(args.path_b)
+    keys = args.by or []
+    out = kmv_overlap(a, b, keys, args.column, k=args.k).orderBy(
+        *(keys or [F.lit(1)])
+    )
+    hdr = out.columns
+    print("\t".join(hdr))
+    for r in out.collect():
+        print("\t".join(str(r[c]) for c in hdr))
+    return 0
+
+
+def cmd_sample(args) -> int:
+    """Deterministic weighted sample of a parquet table
+    (operators/sampling.py:weighted_sample — A-ES, inclusion
+    probability ∝ --weight-col, per --by group or global). Writes
+    parquet when --out is given, else prints (keys…, id, weight,
+    skey_micro, rn)."""
+    from ramen_spark.operators.sampling import weighted_sample
+    from ramen_spark.session import get_spark
+
+    spark = get_spark("ramen_cli")
+    df = spark.read.parquet(args.path)
+    out = weighted_sample(
+        df, args.n, args.weight_col, args.by or [], args.id_col,
+        seed=args.seed,
+    )
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {out.count()} rows to {args.out}")
+        return 0
+    hdr = out.columns
+    print("\t".join(hdr))
+    for r in out.orderBy(*(args.by or []), "rn").collect():
+        print("\t".join(str(r[c]) for c in hdr))
+    return 0
+
+
 def cmd_httpd(args) -> int:
     from ramen_spark.httpd import serve
     from ramen_spark.session import get_spark
@@ -673,6 +724,39 @@ def build_parser() -> argparse.ArgumentParser:
         help="unique row id column for --quantiles sampling",
     )
     p.set_defaults(fn=cmd_sketch)
+
+    p = sub.add_parser(
+        "overlap",
+        help="KMV set-overlap (union/intersection/Jaccard) of a "
+             "column across two tables",
+    )
+    p.add_argument("path_a", help="parquet table A")
+    p.add_argument("path_b", help="parquet table B")
+    p.add_argument("column", help="value column shared by both")
+    p.add_argument(
+        "--by", action="append", default=None,
+        help="group-by key column (repeatable; must exist on both)",
+    )
+    p.add_argument("--k", type=int, default=256, help="KMV sketch size")
+    p.set_defaults(fn=cmd_overlap)
+
+    p = sub.add_parser(
+        "sample",
+        help="deterministic weighted sample (A-ES, P ∝ weight)",
+    )
+    p.add_argument("path", help="parquet table")
+    p.add_argument("n", type=int, help="sample size per group")
+    p.add_argument("--weight-col", required=True)
+    p.add_argument("--id-col", default="doc_id",
+                   help="unique row id column (default doc_id)")
+    p.add_argument(
+        "--by", action="append", default=None,
+        help="group-by key column (repeatable); omit for global",
+    )
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out", default=None,
+                   help="write the sample as parquet instead of printing")
+    p.set_defaults(fn=cmd_sample)
 
     p = sub.add_parser(
         "archivist",

@@ -358,3 +358,67 @@ def test_cli_sketch_quantiles(spark, tmp_path, capsys):
         ["sketch", src, "value", "--top", "0", "--quantiles", "0.5"]
     ) == 2
     assert "--id-col" in capsys.readouterr().out
+
+
+def test_cli_overlap(spark, tmp_path, capsys):
+    """`ramen overlap <a> <b> <col> --by k`: KMV set-algebra report;
+    values match the operator run directly."""
+    from ramen_spark.operators.sketch import kmv_overlap
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", "user_id"
+    )
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    ev.filter("event_type = 'click'").write.parquet(a)
+    ev.filter("event_type = 'purchase'").write.parquet(b)
+    assert main(["overlap", a, b, "user_id", "--k", "32"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == [
+        "n_a", "n_b", "est_a", "est_b", "n_union_kept", "est_union",
+        "est_intersection", "jaccard",
+    ]
+    got = out[1].split("\t")
+    [exp] = kmv_overlap(
+        ev.filter("event_type = 'click'"),
+        ev.filter("event_type = 'purchase'"),
+        [], "user_id", k=32,
+    ).collect()
+    assert [str(exp[c]) for c in out[0].split("\t")] == got
+
+
+def test_cli_sample(spark, tmp_path, capsys):
+    """`ramen sample <table> n --weight-col w --by k`: the printed
+    sample matches weighted_sample; --out writes parquet instead."""
+    from ramen_spark.operators.sampling import weighted_sample
+
+    src = str(tmp_path / "docs")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("lang", "doc_id", "n_chars")
+    docs.write.parquet(src)
+    assert main(
+        ["sample", src, "5", "--weight-col", "n_chars", "--by", "lang"]
+    ) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == [
+        "lang", "doc_id", "n_chars", "skey_micro", "rn"
+    ]
+    exp = {
+        (r["lang"], r["doc_id"], r["rn"])
+        for r in weighted_sample(
+            docs, 5, "n_chars", ["lang"], "doc_id"
+        ).collect()
+    }
+    got = {
+        (p[0], int(p[1]), int(p[4]))
+        for p in (ln.split("\t") for ln in out[1:])
+    }
+    assert got == exp
+
+    dst = str(tmp_path / "sample_out")
+    assert main(
+        ["sample", src, "5", "--weight-col", "n_chars", "--by", "lang",
+         "--out", dst]
+    ) == 0
+    assert spark.read.parquet(dst).count() == len(exp)
