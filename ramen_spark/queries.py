@@ -5593,6 +5593,74 @@ def raql_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "length_outlier_filter",
+    """
+    WITH t AS (
+      SELECT lang,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h,
+             CAST(n_chars AS DOUBLE) AS v
+      FROM documents
+      WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    d AS (SELECT DISTINCT lang, h, v FROM t),
+    r AS (
+      SELECT lang, h, v,
+             row_number() OVER (PARTITION BY lang ORDER BY h, v) AS rn
+      FROM d
+    ),
+    s AS (
+      SELECT lang, list(v ORDER BY v) AS vs, count(*)::BIGINT AS n_sample
+      FROM r WHERE rn <= 32 GROUP BY lang
+    ),
+    q AS (
+      SELECT lang,
+             vs[CAST(round((n_sample - 1) * 0.05) AS INT) + 1] AS lo,
+             vs[CAST(round((n_sample - 1) * 0.95) AS INT) + 1] AS hi
+      FROM s
+    )
+    SELECT doc_id, d.lang, n_chars, q.lo, q.hi,
+           (CAST(n_chars AS DOUBLE) >= q.lo AND CAST(n_chars AS DOUBLE) <= q.hi)
+             AS keep
+    FROM documents d JOIN q ON d.lang IS NOT DISTINCT FROM q.lang
+    WHERE d.doc_id IS NOT NULL AND d.n_chars IS NOT NULL
+    """,
+)
+def length_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-derived length trimming — the sketch-composition loop
+    (observability → action): per-language [p05, p95] bounds come
+    from the bottom-k quantile sketch (operators.sketch.
+    quantile_sketch, k=32), then every doc is flagged against its
+    language's own distribution instead of a fixed global bound (the
+    fixed-bounds cousin is gopher_quality_flags' word-count rule;
+    RedPajama/Dolma derive per-source cutoffs exactly this way).
+    Deterministic sketch ⇒ value-exact oracle. 100 TB shape: the
+    sketch side is ≤ |langs| rows (AQE broadcasts it); the flag is
+    row-local — one bounded prune Exchange, no window over the
+    corpus."""
+    from ramen_spark.operators.sketch import quantile_sketch
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    q = quantile_sketch(
+        docs.select("lang", "doc_id", F.col("n_chars").cast("double").alias("v")),
+        ["lang"], "v", "doc_id", ps=[0.05, 0.95], k=32,
+    ).select("lang", F.col("p5").alias("lo"), F.col("p95").alias("hi"))
+    nd = F.col("n_chars").cast("double")
+    return (
+        docs.join(q, docs["lang"].eqNullSafe(q["lang"]))
+        .select(
+            "doc_id",
+            docs["lang"].alias("lang"),
+            "n_chars",
+            "lo",
+            "hi",
+            ((nd >= F.col("lo")) & (nd <= F.col("hi"))).alias("keep"),
+        )
+    )
+
+
+@register(
     "events_in_error_windows",
     """
     SELECT p.event_id   AS purchase_id,

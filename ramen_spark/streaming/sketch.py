@@ -222,6 +222,31 @@ class IncrementalKmvSketch(_IncrementalMinKBase):
             raise ValueError(f"no sketch state at {self.state_dir}")
         return kmv_finalize(state, self.keys, self.k)
 
+    def overlap_with(self, other: "DataFrame | IncrementalKmvSketch") -> DataFrame:
+        """Live set-overlap report (|A|, |B|, union, intersection,
+        Jaccard per key) between THIS sketch's accumulated state and
+        ``other`` — another incremental sketch (same keys and k) or
+        any kmv_prune-shaped relation (e.g. a static eval corpus's
+        persisted sketch). The always-on contamination-rate monitor:
+        a dashboard reads the live crawl-vs-benchmark overlap off two
+        few-KB sketch states while both lanes keep folding."""
+        from ramen_spark.operators.sketch import kmv_overlap_pruned
+
+        state = self._state()
+        if state is None:
+            raise ValueError(f"no sketch state at {self.state_dir}")
+        if isinstance(other, IncrementalKmvSketch):
+            if other.keys != self.keys or other.k != self.k:
+                raise ValueError(
+                    "overlap_with needs matching keys and k: "
+                    f"{self.keys}/k={self.k} vs {other.keys}/k={other.k}"
+                )
+            ostate = other._state()
+            if ostate is None:
+                raise ValueError(f"no sketch state at {other.state_dir}")
+            other = ostate
+        return kmv_overlap_pruned(state, other, self.keys, self.k)
+
 
 class IncrementalQuantileSketch(_IncrementalMinKBase):
     """Persisted bottom-k quantile sample: ``state_dir`` holds the

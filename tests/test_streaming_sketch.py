@@ -460,3 +460,36 @@ def test_streaming_weighted_sample_equals_batch_and_replay(spark, tmp_path):
     # bit-identical (every (skey, id, weight) struct set-dedups)
     sk.update(spark.read.parquet(str(src / "b0")))
     assert {tuple(r) for r in sk.sample().collect()} == got
+
+
+def test_streaming_kmv_overlap_with(spark, tmp_path):
+    """Live overlap between two incremental sketches (and between a
+    sketch and a static prune relation) equals batch kmv_overlap over
+    the same inputs — the always-on contamination-rate monitor."""
+    from ramen_spark.catalog import load_table
+    from ramen_spark.operators.sketch import kmv_overlap, kmv_prune
+    from ramen_spark.streaming.sketch import IncrementalKmvSketch
+
+    ev = load_table(spark, SF_SMALL, "events").select("event_type", "user_id")
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+    buys = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+
+    a = IncrementalKmvSketch(spark, str(tmp_path / "a"), [], "user_id", k=32)
+    b = IncrementalKmvSketch(spark, str(tmp_path / "b"), [], "user_id", k=32)
+    # fold each side in two micro-batches
+    for i in range(2):
+        a.update(clicks.filter(F.col("user_id") % 2 == i))
+        b.update(buys.filter(F.col("user_id") % 2 == i))
+
+    got = {tuple(r) for r in a.overlap_with(b).collect()}
+    exp = {tuple(r) for r in kmv_overlap(clicks, buys, [], "user_id", 32).collect()}
+    assert got == exp
+    # static-relation form: the persisted eval-set sketch
+    static = kmv_prune(buys, [], "user_id", 32)
+    assert {tuple(r) for r in a.overlap_with(static).collect()} == exp
+    # mismatched config is a loud error
+    c = IncrementalKmvSketch(spark, str(tmp_path / "c"), [], "user_id", k=16)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="matching keys and k"):
+        a.overlap_with(c)
