@@ -237,3 +237,43 @@ def test_like_fold_matches_spark_ilike_exhaustive(spark):
             is not None
         )
         assert mine == r["m"], (r["s"], r["pat"], mine, r["m"])
+
+
+def test_aes_inclusion_probability_proportional_to_weight():
+    """Statistical validation of the A-ES scheme weighted_sample
+    implements (pure Python twin of the operator's key — the operator
+    equals this gold exactly, pinned in test_sketch_rangejoin): over
+    many seeds, an item's inclusion frequency in a size-n sample
+    tracks the Efraimidis–Spirakis theory. For n=1 the theory is
+    exact: P(pick i) = w_i / Σw. Items with weight 4:2:1 must land in
+    those proportions (±5 abs pp at 3000 seeds), and the uniform case
+    must be uniform."""
+    import hashlib
+    import math
+
+    def skey(doc_id, w, seed):
+        h = int(
+            hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()[:12], 16
+        )
+        u = (h + 1) / float(1 << 48)
+        return math.log(u) / w
+
+    weights = {0: 4.0, 1: 4.0, 2: 2.0, 3: 2.0, 4: 1.0, 5: 1.0}
+    total = sum(weights.values())
+    wins = {i: 0 for i in weights}
+    n_seeds = 3000
+    for seed in range(n_seeds):
+        best = max(weights, key=lambda i: (skey(i, weights[i], seed), -i))
+        wins[best] += 1
+    for i, w in weights.items():
+        got = wins[i] / n_seeds
+        want = w / total
+        assert abs(got - want) < 0.05, (i, got, want)
+    # uniform weights -> uniform inclusion at n=2 of 6 (P = 2/6 each)
+    incl = {i: 0 for i in range(6)}
+    for seed in range(n_seeds):
+        order = sorted(range(6), key=lambda i: (-skey(i, 1.0, seed), i))
+        for i in order[:2]:
+            incl[i] += 1
+    for i in range(6):
+        assert abs(incl[i] / n_seeds - 2 / 6) < 0.05, (i, incl[i] / n_seeds)

@@ -870,3 +870,18 @@ def test_raql_quantile_sketch_oracle_null_group_parity(spark, tmp_path):
     assert got == want
     hollow = [r for r in got if r[0] == "hollow"]
     assert hollow and hollow[0][2] is None and hollow[0][3] is None
+
+
+def test_quantile_sketch_rejected_in_commit_fold_with_guidance(spark):
+    """The COMMIT fold's sketch accumulator covers KMV DISTINCT only;
+    KMV PERCENTILE under a COMMIT clause must fail loudly with the
+    routing advice, never silently compile to something else."""
+    from ramen_spark.plans.raql import compile_commit_operation
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "g string, id long, v double")
+    with pytest.raises(NotImplementedError, match="operation level"):
+        compile_commit_operation(
+            "SELECT g, KMV 16 50th PERCENTILE v BY id AS med "
+            "GROUP BY g COMMIT AFTER COUNT(1) >= 2",
+            df,
+        )
