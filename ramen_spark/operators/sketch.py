@@ -342,16 +342,35 @@ def kmv_overlap_pruned(
     jaccard = F.when(n_l == 0, F.lit(0.0)).otherwise(
         F.round(inter.cast("double") / n_l.cast("double"), 6)
     )
+    est_a = _kmv_estimate(F.col("_a"), k)
+    est_b = _kmv_estimate(F.col("_b"), k)
+
+    # containment (Broder's resemblance vs containment distinction):
+    # what fraction of B's set is also in A — the number contamination
+    # auditing actually asks ("how much of the eval set is inside the
+    # train set?"); Jaccard under-reads it badly when |A| >> |B|.
+    # est_inter/est_side of the same quantized longs both engines hold.
+    def contain(est_side: Column) -> Column:
+        return F.when(est_side == 0, F.lit(0.0)).otherwise(
+            F.round(
+                F.least(est_inter.cast("double") / est_side.cast("double"),
+                        F.lit(1.0)),
+                6,
+            )
+        )
+
     return joined.select(
         *keys,
         F.size("_a").cast("long").alias("n_a"),
         F.size("_b").cast("long").alias("n_b"),
-        _kmv_estimate(F.col("_a"), k).alias("est_a"),
-        _kmv_estimate(F.col("_b"), k).alias("est_b"),
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
         n_l.cast("long").alias("n_union_kept"),
         est_union.alias("est_union"),
         est_inter.alias("est_intersection"),
         jaccard.alias("jaccard"),
+        contain(est_b).alias("containment_b_in_a"),
+        contain(est_a).alias("containment_a_in_b"),
     )
 
 

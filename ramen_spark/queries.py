@@ -5449,11 +5449,23 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM gl LEFT JOIN ga USING (dow) LEFT JOIN gb USING (dow)
               LEFT JOIN i USING (dow)
     )
-    SELECT dow, n_a, n_b, est_a, est_b, n_union_kept, est_union,
-           CAST(floor(CAST(n_i AS DOUBLE) * CAST(est_union AS DOUBLE)
-                      / CAST(n_union_kept AS DOUBLE)) AS BIGINT) AS est_intersection,
-           round(CAST(n_i AS DOUBLE) / CAST(n_union_kept AS DOUBLE), 6) AS jaccard
-    FROM s
+    , f AS (
+      SELECT dow, n_a, n_b, est_a, est_b, n_union_kept, est_union,
+             CAST(floor(CAST(n_i AS DOUBLE) * CAST(est_union AS DOUBLE)
+                        / CAST(n_union_kept AS DOUBLE)) AS BIGINT) AS est_intersection,
+             round(CAST(n_i AS DOUBLE) / CAST(n_union_kept AS DOUBLE), 6) AS jaccard
+      FROM s
+    )
+    SELECT f.*,
+           CASE WHEN est_b = 0 THEN 0.0
+                ELSE round(least(CAST(est_intersection AS DOUBLE)
+                                 / CAST(est_b AS DOUBLE), 1.0), 6)
+           END AS containment_b_in_a,
+           CASE WHEN est_a = 0 THEN 0.0
+                ELSE round(least(CAST(est_intersection AS DOUBLE)
+                                 / CAST(est_a AS DOUBLE), 1.0), 6)
+           END AS containment_a_in_b
+    FROM f
     """,
 )
 def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -376,7 +376,8 @@ def test_cli_overlap(spark, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert out[0].split("\t") == [
         "n_a", "n_b", "est_a", "est_b", "n_union_kept", "est_union",
-        "est_intersection", "jaccard",
+        "est_intersection", "jaccard", "containment_b_in_a",
+        "containment_a_in_b",
     ]
     got = out[1].split("\t")
     [exp] = kmv_overlap(

@@ -663,6 +663,9 @@ def test_kmv_overlap_underfull_is_exact(spark):
         assert r["est_union"] == len(ta | tb) == r["n_union_kept"]
         assert r["est_intersection"] == len(ta & tb)
         assert abs(r["jaccard"] - len(ta & tb) / len(ta | tb)) < 1e-6
+        # containment (Broder): exact while under-full, like the rest
+        assert abs(r["containment_b_in_a"] - len(ta & tb) / len(tb)) < 1e-6
+        assert abs(r["containment_a_in_b"] - len(ta & tb) / len(ta)) < 1e-6
 
 
 def test_kmv_overlap_saturated_close_and_partition_invariant(spark):
@@ -681,7 +684,7 @@ def test_kmv_overlap_saturated_close_and_partition_invariant(spark):
         g = int(r[0][1])
         ta = {i for i in range(900) if i % 2 == g}
         tb = {i for i in range(500, 1200) if i % 2 == g}
-        (_, n_a, n_b, est_a, est_b, n_l, est_u, est_i, jac) = r
+        (_, n_a, n_b, est_a, est_b, n_l, est_u, est_i, jac, cba, cab) = r
         assert n_a == n_b == n_l == 128
         assert abs(est_u - len(ta | tb)) / len(ta | tb) < 0.30
         assert abs(est_i - len(ta & tb)) / len(ta & tb) < 0.45
