@@ -524,6 +524,48 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def cmd_export_wds(args) -> int:
+    """Export a parquet table as WebDataset tar shards
+    (sources/export.py:write_webdataset): --member col=ext maps
+    columns to sample members. Byte-deterministic shards + manifest."""
+    from ramen_spark.session import get_spark
+    from ramen_spark.sources.export import write_webdataset
+
+    spark = get_spark("ramen_cli")
+    members = {}
+    for spec in args.member:
+        col, _, ext = spec.partition("=")
+        if not ext:
+            print(f"--member needs col=ext, got {spec!r}")
+            return 2
+        members[col] = ext
+    df = spark.read.parquet(args.path)
+    man = write_webdataset(
+        df, args.out, args.key_col, members, n_shards=args.shards
+    )
+    print(
+        f"wrote {man['total_samples']} samples in "
+        f"{len(man['shards'])} shards to {args.out}"
+    )
+    return 0
+
+
+def cmd_verify_wds(args) -> int:
+    """Verify WebDataset shards against their manifest (byte-level tar
+    md5 + per-shard sample counts) — the loader's trust check."""
+    from ramen_spark.session import get_spark
+    from ramen_spark.sources.export import verify_webdataset
+
+    spark = get_spark("ramen_cli")
+    errs = verify_webdataset(spark, args.path)
+    if errs:
+        for e in errs:
+            print(e)
+        return 1
+    print("verified")
+    return 0
+
+
 def cmd_httpd(args) -> int:
     from ramen_spark.httpd import serve
     from ramen_spark.session import get_spark
@@ -757,6 +799,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default=None,
                    help="write the sample as parquet instead of printing")
     p.set_defaults(fn=cmd_sample)
+
+    p = sub.add_parser(
+        "export-wds",
+        help="export a table as WebDataset tar shards + manifest",
+    )
+    p.add_argument("path", help="parquet table")
+    p.add_argument("out", help="output directory")
+    p.add_argument("--key-col", required=True, help="unique sample key")
+    p.add_argument(
+        "--member", action="append", required=True, metavar="COL=EXT",
+        help="column → member extension (repeatable)",
+    )
+    p.add_argument("--shards", type=int, default=8)
+    p.set_defaults(fn=cmd_export_wds)
+
+    p = sub.add_parser(
+        "verify-wds", help="verify WebDataset shards against the manifest"
+    )
+    p.add_argument("path", help="export directory")
+    p.set_defaults(fn=cmd_verify_wds)
 
     p = sub.add_parser(
         "archivist",

@@ -423,3 +423,34 @@ def test_cli_sample(spark, tmp_path, capsys):
          "--out", dst]
     ) == 0
     assert spark.read.parquet(dst).count() == len(exp)
+
+
+def test_cli_export_and_verify_wds(spark, tmp_path, capsys):
+    """`ramen export-wds` + `ramen verify-wds`: tar shards + manifest
+    out, trust check green; a tampered shard flips verify to exit 1."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).selectExpr("CAST(doc_id AS STRING) AS k", "text", "lang")
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "wds")
+    assert main(
+        ["export-wds", src, out, "--key-col", "k",
+         "--member", "text=txt", "--member", "lang=lang", "--shards", "3"]
+    ) == 0
+    assert "samples in" in capsys.readouterr().out
+    assert main(["verify-wds", out]) == 0
+    assert "verified" in capsys.readouterr().out
+
+    data = os.path.join(out, "data")
+    victim = sorted(n for n in os.listdir(data) if n.endswith(".tar"))[0]
+    with open(os.path.join(data, victim), "r+b") as fh:
+        fh.seek(700)
+        fh.write(b"??")
+    assert main(["verify-wds", out]) == 1
+    assert "mismatch" in capsys.readouterr().out
+
+    # bad --member spec is a usage error
+    assert main(
+        ["export-wds", src, out, "--key-col", "k", "--member", "text"]
+    ) == 2
