@@ -461,6 +461,7 @@ def token_budget_select(
     pri_col: str = "q_micro",
     id_col: str = "doc_id",
     id_range: int = 1 << 16,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Select the best documents until a token budget is exhausted —
     the "give me the top N billion tokens by quality" cut every
@@ -494,10 +495,21 @@ def token_budget_select(
     not needed at any plausible id layout.
 
     Output: the selected rows of ``df`` (all original columns).
+
+    ``keys`` (round-10b) applies the SAME budget independently per
+    group — the "N tokens per language" cut of a mixture recipe. The
+    algorithm is unchanged with every level keyed: totals per
+    (keys…, priority), cumsum windows partitioned by the keys (each
+    group's window is bounded by ITS priority/range domain — no
+    single-task funnel on a hot group), boundary relations per key.
+    The level-1/2 relations are bounded by |keys| × the score/range
+    domain, so they lose the unconditional broadcast hint (AQE
+    decides); the keys=[] path keeps the original plan bit-for-bit.
     """
     # NULL weights count as 0 (the SQL SUM-over-window convention the
     # oracle follows); NULL priorities sort WORST (both engines default
     # NULLS LAST under DESC) and are handled below with null-safe joins.
+    K = list(keys or [])
     w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
     p = F.col(pri_col).cast("long")
     # localCheckpoint: the input subtree feeds FOUR branches (level-1
@@ -507,17 +519,39 @@ def token_budget_select(
     # Same eager-job/lineage tradeoff as tfidf_top_terms' docstring.
     rows = df.withColumn("_w", w).withColumn("_p", p).localCheckpoint()
 
-    # level 1: totals per priority value — bounded by the score domain
-    per_p = rows.groupBy("_p").agg(F.sum("_w").alias("_pw"))
+    def bcast(rel: DataFrame) -> DataFrame:
+        # keyed level relations scale with |keys| × domain — let AQE
+        # pick; the global form keeps its measured broadcast plan
+        return rel if K else F.broadcast(rel)
+
+    def nsjoin(left: DataFrame, rel: DataFrame, on: list[str], how: str) -> DataFrame:
+        # null-SAFE equi-join on renamed right-side columns: NULL keys
+        # and NULL priorities are real groups (sort worst); a plain
+        # equi-join would never match them back
+        ren = {c: f"_r_{c}" for c in on}
+        r = rel
+        for c, rc in ren.items():
+            r = r.withColumnRenamed(c, rc)
+        cond = None
+        for c, rc in ren.items():
+            e = F.col(c).eqNullSafe(F.col(rc))
+            cond = e if cond is None else cond & e
+        out = left.join(bcast(r), cond, how)
+        return out if how == "leftsemi" else out.drop(*ren.values())
+
+    # level 1: totals per (keys…, priority value) — bounded per group
+    # by the score domain
+    per_p = rows.groupBy(*K, "_p").agg(F.sum("_w").alias("_pw"))
     w1 = (
-        Window.orderBy(F.col("_p").desc())
+        Window.partitionBy(*K)
+        .orderBy(F.col("_p").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum1 = per_p.withColumn(
         "_before", F.coalesce(F.sum("_pw").over(w1), F.lit(0))
     )
     full_p = cum1.filter(F.col("_before") + F.col("_pw") <= budget).select(
-        "_p"
+        *K, "_p"
     )
     # boundary test is <=, not <: when strictly-better priorities
     # consume the budget EXACTLY, zero-weight rows at the head of the
@@ -527,26 +561,19 @@ def token_budget_select(
     boundary = cum1.filter(
         (F.col("_before") <= budget)
         & (F.col("_before") + F.col("_pw") > budget)
-    ).select("_p", F.lit(budget) - F.col("_before")).toDF("_p", "_rem")
+    ).select(*K, "_p", (F.lit(budget) - F.col("_before")).alias("_rem"))
 
-    # null-SAFE joins: a NULL priority is a real group (sorts worst);
-    # a plain equi-join would never match it back
-    keep_whole = rows.join(
-        F.broadcast(full_p.withColumnRenamed("_p", "_fp")),
-        F.col("_p").eqNullSafe(F.col("_fp")),
-        "leftsemi",
-    )
+    keep_whole = nsjoin(rows, full_p, [*K, "_p"], "leftsemi")
 
-    # level 2, boundary priority only: per-id-range totals
-    b = rows.join(
-        F.broadcast(boundary.withColumnRenamed("_p", "_bp")),
-        F.col("_p").eqNullSafe(F.col("_bp")),
-    ).drop("_bp")
+    # level 2, boundary priority only (≤ one boundary priority PER
+    # KEY): per-id-range totals
+    b = nsjoin(rows, boundary, [*K, "_p"], "inner")
     rng = F.expr(f"CAST(`{id_col}` AS BIGINT) div {int(id_range)}")
     b = b.withColumn("_rng", rng)
-    per_r = b.groupBy("_rem", "_rng").agg(F.sum("_w").alias("_rw"))
+    per_r = b.groupBy(*K, "_rem", "_rng").agg(F.sum("_w").alias("_rw"))
     w2 = (
-        Window.orderBy(F.col("_rng").asc())
+        Window.partitionBy(*K)
+        .orderBy(F.col("_rng").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum2 = per_r.withColumn(
@@ -554,20 +581,21 @@ def token_budget_select(
     )
     full_r = cum2.filter(
         F.col("_rbefore") + F.col("_rw") <= F.col("_rem")
-    ).select("_rng")
+    ).select(*K, "_rng")
     bound_r = cum2.filter(
         (F.col("_rbefore") <= F.col("_rem"))  # <=: same zero-weight
         # exact-exhaustion case as level 1
         & (F.col("_rbefore") + F.col("_rw") > F.col("_rem"))
-    ).select("_rng", (F.col("_rem") - F.col("_rbefore")).alias("_rrem"))
+    ).select(*K, "_rng", (F.col("_rem") - F.col("_rbefore")).alias("_rrem"))
 
-    keep_ranges = b.join(F.broadcast(full_r), "_rng", "leftsemi")
+    keep_ranges = nsjoin(b, full_r, [*K, "_rng"], "leftsemi")
 
-    # final: per-row cumsum inside the ONE boundary range (≤ id_range
-    # rows by id uniqueness)
-    br = b.join(F.broadcast(bound_r), "_rng")
+    # final: per-row cumsum inside the ONE boundary range per key
+    # (≤ id_range rows each by id uniqueness)
+    br = nsjoin(b, bound_r, [*K, "_rng"], "inner")
     w3 = (
-        Window.orderBy(F.col(id_col).asc())
+        Window.partitionBy(*K)
+        .orderBy(F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     keep_tail = br.withColumn(

@@ -6106,3 +6106,55 @@ def token_budget_select_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["token_budget_select"] = ORACLES["token_budget_select"].replace(
     "{QUALITY}", ORACLES["quality_scores"]
 )
+
+
+@register(
+    "token_budget_per_lang",
+    f"""
+    WITH q AS ({{QUALITY}}),
+    scored AS (
+      SELECT d.doc_id, d.lang,
+             len({_WORDS_SQL}) AS n_tokens,
+             CAST(round(q.quality * 1000000, 0) AS BIGINT) AS q_micro
+      FROM documents d JOIN q USING (doc_id)
+    ),
+    o AS (
+      SELECT *,
+             sum(n_tokens) OVER (PARTITION BY lang
+                                 ORDER BY q_micro DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM scored
+    )
+    SELECT doc_id, lang, n_tokens, q_micro
+    FROM o WHERE cum <= 3000
+    """,
+)
+def token_budget_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP token budgets (round-10b `keys` parameter of
+    operators.sampling.token_budget_select): the same
+    best-until-exhausted cut applied independently per language — the
+    "N tokens per language" allocation a multilingual mixture recipe
+    specifies directly (the temperature_mix quota rule's hard-budget
+    cousin). Oracle = the naive PARTITION BY cumsum window; the
+    operator runs the identical two bounded prefix levels with every
+    level keyed, so a 90%-hot language still never funnels its raw
+    rows through one task."""
+    from ramen_spark.operators.sampling import token_budget_select
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        Tx.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(Tx.quality_score(F.col("text")) * 1000000.0, 0)
+        .cast("bigint")
+        .alias("q_micro"),
+    )
+    return token_budget_select(scored, budget=3000, keys=["lang"]).select(
+        "doc_id", "lang", "n_tokens", "q_micro"
+    )
+
+
+ORACLES["token_budget_per_lang"] = ORACLES["token_budget_per_lang"].replace(
+    "{QUALITY}", ORACLES["quality_scores"]
+)

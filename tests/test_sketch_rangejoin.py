@@ -1024,3 +1024,43 @@ def test_weighted_sample_tiny_weights_clamp_not_overflow(spark):
     assert set(ids[:3]) == {100, 101, 102}
     assert ids[3:] == [0, 1]
     assert all(r["skey_micro"] >= -(1 << 62) for r in got)
+
+
+def test_token_budget_per_group_equals_naive_cumsum(spark):
+    """keys=['g'] applies the budget independently per group: result
+    equals the naive PARTITION BY cumsum on several budgets, incl.
+    NULL weights/priorities and a group that fits entirely."""
+    from pyspark.sql import Window
+
+    from ramen_spark.operators.sampling import token_budget_select
+
+    rows = []
+    for i in range(400):
+        g = f"g{i % 3}"
+        w = None if i % 37 == 0 else (i * 7) % 50
+        p = None if i % 41 == 0 else (i * 13) % 20
+        rows.append((g, i, w, p))
+    rows += [("tiny", 9000 + i, 5, 1) for i in range(3)]  # fits whole
+    df = spark.createDataFrame(rows, "g string, doc_id long, w long, p long")
+
+    for budget in (0, 37, 500, 10_000, 10**9):
+        got = {
+            (r["g"], r["doc_id"])
+            for r in token_budget_select(
+                df, budget, "w", "p", "doc_id", id_range=64, keys=["g"]
+            ).collect()
+        }
+        win = (
+            Window.partitionBy("g")
+            .orderBy(F.col("p").desc(), F.col("doc_id").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        naive = {
+            (r["g"], r["doc_id"])
+            for r in df.withColumn(
+                "cum", F.sum(F.coalesce("w", F.lit(0))).over(win)
+            )
+            .filter(F.col("cum") <= budget)
+            .collect()
+        }
+        assert got == naive, budget
