@@ -321,6 +321,8 @@ def main() -> None:
                                         # bounded prefilters + keyed join
             "weighted_sample_docs",     # r10b: A-ES key row-local, one
                                         # per-lang rank window
+            "token_budget_per_lang",    # r10b: keyed two-level prefix —
+                                        # per-lang budgets, no funnel
         ]
         try:
             from tools.scale_testdata import scale, tier_is_current
