@@ -20,28 +20,65 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_MERSENNE61 = 2305843009213693951  # 2^61 - 1
 
-def _shard_stats(df: DataFrame, shard_col: str, id_col: str) -> DataFrame:
-    # commutative content hash: sum of 48-bit id hashes, accumulated as
-    # decimal(38,0) (headroom for ~2^78 rows), reduced mod the Mersenne
-    # prime 2^61-1 so the stored value fits a signed long. A plain
-    # long sum overflows at ~2^15 rows/shard and THROWS under Spark 4's
-    # default ANSI mode — it must never appear here. Multiset-sensitive
-    # (unlike xor, a row counted twice changes the hash) and
-    # deterministic under any row order / partitioning.
-    h1 = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
-    ).cast("decimal(38,0)")
-    return df.groupBy(shard_col).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.pmod(F.sum(h1), F.lit(2305843009213693951).cast("decimal(38,0)"))
+
+def _hash48_sum(expr) -> F.Column:
+    # commutative content hash: sum of 48-bit md5 prefixes, accumulated
+    # as decimal(38,0) (headroom for ~2^78 rows), reduced mod the
+    # Mersenne prime 2^61-1 so the stored value fits a signed long. A
+    # plain long sum overflows at ~2^15 rows/shard and THROWS under
+    # Spark 4's default ANSI mode — it must never appear here.
+    # Multiset-sensitive (unlike xor, a row counted twice changes the
+    # hash) and deterministic under any row order / partitioning.
+    h = F.conv(F.substring(F.md5(expr), 1, 12), 16, 10).cast("decimal(38,0)")
+    return (
+        F.pmod(F.sum(h), F.lit(_MERSENNE61).cast("decimal(38,0)"))
         .cast("long")
-        .alias("content_sum"),
     )
+
+
+def _row_repr(df: DataFrame, cols: list[str]) -> F.Column:
+    # canonical per-row string over the content columns: binary → hex
+    # (a raw cast-to-string UTF-8-decodes and corrupts), everything
+    # else → cast string; NULL → a sentinel that cannot collide with a
+    # real value (concat_ws silently DROPS nulls, conflating NULL with
+    # absent — hence the coalesce BEFORE the concat).
+    binary = {
+        f.name for f in df.schema.fields if f.dataType.simpleString() == "binary"
+    }
+    parts = [
+        F.coalesce(
+            F.hex(F.col(c)) if c in binary else F.col(c).cast("string"),
+            F.lit("\x00NULL\x00"),
+        )
+        for c in cols
+    ]
+    return F.concat_ws("\x1f", *parts)
+
+
+def _shard_stats(
+    df: DataFrame,
+    shard_col: str,
+    id_col: str,
+    content_cols: list[str] | None = None,
+) -> DataFrame:
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        _hash48_sum(F.col(id_col).cast("string")).alias("content_sum"),
+    ]
+    if content_cols:
+        # second commutative sum over the PAYLOAD bytes, not just ids:
+        # a snapshot whose text was swapped between rows keeps every
+        # id (content_sum passes) but not this one.
+        aggs.append(_hash48_sum(_row_repr(df, content_cols)).alias("payload_sum"))
+    return df.groupBy(shard_col).agg(*aggs)
 
 
 def export_shards(
@@ -49,22 +86,40 @@ def export_shards(
     out_dir: str,
     shard_col: str = "shard",
     id_col: str = "doc_id",
+    content_cols: list[str] | None = None,
 ) -> dict:
     """Write ``df`` partitioned by ``shard_col`` under
     ``out_dir/data`` and a ``manifest.json`` beside it:
-    {shards: {shard: {n_rows, content_sum}}, total_rows}. Returns the
-    manifest dict."""
+    {shards: {shard: {n_rows, content_sum, payload_sum}}, total_rows}.
+    Returns the manifest dict.
+
+    ``content_cols`` defaults to every column except ``shard_col`` —
+    the manifest's ``payload_sum`` then covers the row VALUES, so
+    ``verify_export`` catches content corruption/swaps, not just
+    membership drift (``content_sum`` stays id-only for a fast
+    membership diff). Pass an explicit subset to pin only those
+    columns (e.g. exclude a re-derivable score)."""
+    if content_cols is None:
+        content_cols = [c for c in df.columns if c != shard_col]
+    # canonical order BEFORE hashing — verify_export re-derives from
+    # the manifest's (sorted) list, so the concat order must match
+    content_cols = sorted(content_cols)
+    missing = [c for c in {id_col, *content_cols} if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in df: {missing}")
     df.write.mode("overwrite").partitionBy(shard_col).parquet(
         os.path.join(out_dir, "data")
     )
-    stats = _shard_stats(df, shard_col, id_col).collect()
+    stats = _shard_stats(df, shard_col, id_col, content_cols).collect()
     manifest = {
         "id_col": id_col,
         "shard_col": shard_col,
+        "content_cols": sorted(content_cols),
         "shards": {
             str(r[shard_col]): {
                 "n_rows": r["n_rows"],
                 "content_sum": r["content_sum"],
+                "payload_sum": r["payload_sum"],
             }
             for r in stats
         },
@@ -83,10 +138,17 @@ def verify_export(spark: SparkSession, out_dir: str) -> list[str]:
     with open(os.path.join(out_dir, "manifest.json")) as f:
         manifest = json.load(f)
     df = spark.read.parquet(os.path.join(out_dir, "data"))
+    # pre-payload_sum manifests (no content_cols field) verify on the
+    # id sum only — forward-compatible read of old snapshots
+    content_cols = manifest.get("content_cols")
     got = {
-        str(r[manifest["shard_col"]]): (r["n_rows"], r["content_sum"])
+        str(r[manifest["shard_col"]]): {
+            k: r[k]
+            for k in ("n_rows", "content_sum", "payload_sum")
+            if k in r.asDict()
+        }
         for r in _shard_stats(
-            df, manifest["shard_col"], manifest["id_col"]
+            df, manifest["shard_col"], manifest["id_col"], content_cols
         ).collect()
     }
     errs: list[str] = []
@@ -96,12 +158,13 @@ def verify_export(spark: SparkSession, out_dir: str) -> list[str]:
             errs.append(f"shard {shard}: missing from data")
         elif shard not in want:
             errs.append(f"shard {shard}: not in manifest")
-        elif (want[shard]["n_rows"], want[shard]["content_sum"]) != got[shard]:
-            errs.append(
-                f"shard {shard}: manifest {want[shard]} != data "
-                f"{{'n_rows': {got[shard][0]}, 'content_sum': {got[shard][1]}}}"
-            )
-    total = sum(v[0] for v in got.values())
+        else:
+            w = {k: v for k, v in want[shard].items() if k in got[shard]}
+            if w != got[shard]:
+                errs.append(
+                    f"shard {shard}: manifest {w} != data {got[shard]}"
+                )
+    total = sum(v["n_rows"] for v in got.values())
     if total != manifest["total_rows"]:
         errs.append(f"total_rows: manifest {manifest['total_rows']} != {total}")
     return errs
@@ -139,35 +202,53 @@ def write_webdataset(
     shard BYTE-IDENTICALLY and the manifest's per-shard tar md5 is a
     content hash a loader (or verify_webdataset) can trust.
 
+    CRASH-SAFE: shards land in a fresh generation directory
+    (``data.next-*``); only after every shard AND the manifest are
+    written does the swap happen (old ``data`` renamed aside, new
+    renamed in, manifest replaced atomically, old generation deleted
+    LAST) — a failed or interrupted re-export leaves the previous
+    data + manifest fully intact, the same old-state-survives
+    protocol as the streaming lanes' _SnapshotStore.
+
     100 TB shape: one hash Exchange on the shard id, then each shard
     streams through ONE applyInPandas task that writes its tar
     executor-side — no driver materialization; the returned manifest
     rows are n_shards tiny tuples. Size shards via ``n_shards`` to the
-    loader convention (~100 MB–1 GB each); a shard must fit one task's
-    memory. ``out_dir`` must be a path every executor can write and
-    the driver can list (local/NFS here; the snapshot-store pattern
-    covers object stores).
+    loader convention (~100 MB–1 GB each); the tar is STREAMED member
+    by member to disk with an incremental md5, so a shard need NOT fit
+    in task memory — only its largest single member must. ``out_dir``
+    must be a path every executor can write and the driver can list
+    (local/NFS here; the snapshot-store pattern covers object stores).
     """
-    import hashlib
-    import io
-    import tarfile
+    import tarfile  # noqa: F401 — validated importable before the job
 
     if not member_cols:
         raise ValueError("member_cols must map at least one column")
     missing = [c for c in {key_col, *member_cols} if c not in df.columns]
     if missing:
         raise ValueError(f"columns not in df: {missing}")
+    for col, ext in member_cols.items():
+        # '.' in an extension breaks read_webdataset's (key, ext)
+        # split for EXTERNAL corpora (no manifest to consult) and the
+        # WebDataset loader convention itself; '/' would smuggle
+        # directories into member names
+        if not ext or "." in ext or "/" in ext:
+            raise ValueError(
+                f"member extension {ext!r} for column {col!r} must be "
+                "non-empty and contain no '.' or '/'"
+            )
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
 
-    data_dir = os.path.join(out_dir, "data")
-    os.makedirs(data_dir, exist_ok=True)
-    # purge stale shards: a re-export with fewer shards (or with empty
-    # shards, which write no file) must not leave old tars that
-    # read_webdataset's glob would silently mix into the new corpus
-    for old in os.listdir(data_dir):
-        if old.startswith("shard-") and old.endswith(".tar"):
-            os.remove(os.path.join(data_dir, old))
+    os.makedirs(out_dir, exist_ok=True)
+    # reap crash leftovers from prior interrupted exports (never the
+    # live 'data' dir) before staging a new generation
+    for stale in os.listdir(out_dir):
+        if stale.startswith(("data.next-", "data.old-")):
+            shutil.rmtree(os.path.join(out_dir, stale), ignore_errors=True)
+    token = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(out_dir, f"data.next-{token}")
+    os.makedirs(data_dir)
     binary_cols = {
         f.name for f in df.schema.fields if f.dataType.simpleString() == "binary"
     }
@@ -185,6 +266,10 @@ def write_webdataset(
     data = df.select(shard, F.col(key_col).cast("string").alias("_key"), *cols)
 
     def write_shard(pdf):
+        import hashlib
+        import io
+        import tarfile as _tarfile
+
         import pandas as pd
 
         # contract checks where they're cheap (the data is already in
@@ -208,79 +293,124 @@ def write_webdataset(
             )
         sid = int(pdf["_shard"].iloc[0])
         pdf = pdf.sort_values("_key", kind="mergesort")
-        buf = io.BytesIO()
-        with tarfile.open(fileobj=buf, mode="w") as tar:
-            for _, row in pdf.iterrows():
-                wrote_any = False
-                for c in cols:
-                    v = row[c]
-                    if v is None:
-                        continue
-                    wrote_any = True
-                    if c in binary_cols:
-                        payload = bytes(v)
-                    elif c in string_cols:
-                        payload = str(v).encode("utf-8")
-                    else:
-                        payload = json.dumps(
-                            v, sort_keys=True, default=str
-                        ).encode("utf-8")
-                    info = tarfile.TarInfo(name=f"{row['_key']}.{exts[c]}")
-                    info.size = len(payload)
-                    info.mtime = 0
-                    info.uid = info.gid = 0
-                    info.uname = info.gname = ""
-                    tar.addfile(info, io.BytesIO(payload))
-                if not wrote_any:
-                    raise ValueError(
-                        "write_webdataset: sample "
-                        f"{row['_key']!r} has every member column NULL "
-                        "— a memberless sample is invisible to the "
-                        "loader and would desync the manifest's "
-                        "n_samples from the tar contents"
-                    )
-        blob = buf.getvalue()
-        path = os.path.join(out_dir, "data", f"shard-{sid:06d}.tar")
+
+        class _HashingFile:
+            # write-through wrapper: streams tar bytes to disk while
+            # folding them into an incremental md5 — the whole-shard
+            # BytesIO (and its shard-fits-in-memory ceiling) is gone;
+            # only one MEMBER's payload is ever in memory at once
+            def __init__(self, fh):
+                self._fh = fh
+                self._md5 = hashlib.md5()
+                self._n = 0
+
+            def write(self, b):
+                self._fh.write(b)
+                self._md5.update(b)
+                self._n += len(b)
+                return len(b)
+
+            def tell(self):
+                return self._n
+
+            def flush(self):
+                self._fh.flush()
+
+            def close(self):  # tarfile closes the fileobj it owns only
+                pass          # when it opened it — we own this handle
+
+        path = os.path.join(data_dir, f"shard-{sid:06d}.tar")
         tmp = path + ".inprogress"
         with open(tmp, "wb") as fh:
-            fh.write(blob)
+            w = _HashingFile(fh)
+            with _tarfile.open(fileobj=w, mode="w") as tar:
+                for _, row in pdf.iterrows():
+                    wrote_any = False
+                    for c in cols:
+                        v = row[c]
+                        if v is None:
+                            continue
+                        wrote_any = True
+                        if c in binary_cols:
+                            payload = bytes(v)
+                        elif c in string_cols:
+                            payload = str(v).encode("utf-8")
+                        else:
+                            payload = json.dumps(
+                                v, sort_keys=True, default=str
+                            ).encode("utf-8")
+                        info = _tarfile.TarInfo(
+                            name=f"{row['_key']}.{exts[c]}"
+                        )
+                        info.size = len(payload)
+                        info.mtime = 0
+                        info.uid = info.gid = 0
+                        info.uname = info.gname = ""
+                        tar.addfile(info, io.BytesIO(payload))
+                    if not wrote_any:
+                        raise ValueError(
+                            "write_webdataset: sample "
+                            f"{row['_key']!r} has every member column NULL "
+                            "— a memberless sample is invisible to the "
+                            "loader and would desync the manifest's "
+                            "n_samples from the tar contents"
+                        )
         os.replace(tmp, path)
         return pd.DataFrame(
             [
                 {
                     "shard": sid,
                     "n_samples": len(pdf),
-                    "tar_bytes": len(blob),
-                    "tar_md5": hashlib.md5(blob).hexdigest(),
+                    "tar_bytes": w._n,
+                    "tar_md5": w._md5.hexdigest(),
                 }
             ]
         )
 
-    stats = (
-        data.groupBy("_shard")
-        .applyInPandas(
-            write_shard,
-            "shard int, n_samples long, tar_bytes long, tar_md5 string",
+    try:
+        stats = (
+            data.groupBy("_shard")
+            .applyInPandas(
+                write_shard,
+                "shard int, n_samples long, tar_bytes long, tar_md5 string",
+            )
+            .collect()
         )
-        .collect()
-    )
-    manifest = {
-        "format": "webdataset",
-        "key_col": key_col,
-        "member_cols": exts,
-        "n_shards": n_shards,
-        "shards": {
-            f"shard-{r['shard']:06d}.tar": {
-                "n_samples": r["n_samples"],
-                "tar_bytes": r["tar_bytes"],
-                "tar_md5": r["tar_md5"],
-            }
-            for r in stats
-        },
-        "total_samples": int(sum(r["n_samples"] for r in stats)),
-    }
-    with open(os.path.join(out_dir, "webdataset_manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+        manifest = {
+            "format": "webdataset",
+            "key_col": key_col,
+            "member_cols": exts,
+            "n_shards": n_shards,
+            "shards": {
+                f"shard-{r['shard']:06d}.tar": {
+                    "n_samples": r["n_samples"],
+                    "tar_bytes": r["tar_bytes"],
+                    "tar_md5": r["tar_md5"],
+                }
+                for r in stats
+            },
+            "total_samples": int(sum(r["n_samples"] for r in stats)),
+        }
+        man_tmp = os.path.join(
+            out_dir, f"webdataset_manifest.json.next-{token}"
+        )
+        with open(man_tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+    except BaseException:
+        # failed export: the previous generation (data + manifest) is
+        # untouched; drop only our staging dir
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
+
+    # swap: old generation survives until the new one is fully live,
+    # and is deleted LAST
+    live = os.path.join(out_dir, "data")
+    old = os.path.join(out_dir, f"data.old-{token}")
+    if os.path.isdir(live):
+        os.rename(live, old)
+    os.rename(data_dir, live)
+    os.replace(man_tmp, os.path.join(out_dir, "webdataset_manifest.json"))
+    shutil.rmtree(old, ignore_errors=True)
     return manifest
 
 
@@ -301,6 +431,27 @@ def read_webdataset(spark: SparkSession, out_dir: str) -> DataFrame:
     files = spark.read.format("binaryFile").load(
         os.path.join(out_dir, "data", "shard-*.tar")
     )
+    # our own manifests pin the member extensions — split by the KNOWN
+    # extension (longest match) so keys containing '.' survive the
+    # roundtrip; external corpora without a manifest fall back to the
+    # WebDataset last-dot convention (write_webdataset rejects dotted
+    # extensions, so the fallback is only ever ambiguous for foreign
+    # tars, where last-dot IS the convention)
+    known_exts: tuple[str, ...] = ()
+    man_path = os.path.join(out_dir, "webdataset_manifest.json")
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            member_cols = json.load(f).get("member_cols", {})
+        known_exts = tuple(
+            sorted(set(member_cols.values()), key=len, reverse=True)
+        )
+
+    def split_name(name: str) -> tuple[str, str]:
+        for ext in known_exts:
+            if name.endswith("." + ext) and len(name) > len(ext) + 1:
+                return name[: -len(ext) - 1], ext
+        stem, dot, ext = name.rpartition(".")
+        return (stem, ext) if dot else (name, "")
 
     def walk(batches):
         import pandas as pd
@@ -313,12 +464,9 @@ def read_webdataset(spark: SparkSession, out_dir: str) -> DataFrame:
                     for m in tar:
                         if not m.isfile():
                             continue
-                        stem, dot, ext = m.name.rpartition(".")
+                        stem, ext = split_name(m.name)
                         data = tar.extractfile(m).read()
-                        rows.append(
-                            (name, stem if dot else m.name,
-                             ext if dot else "", data)
-                        )
+                        rows.append((name, stem, ext, data))
             if rows:
                 yield pd.DataFrame(
                     rows, columns=["shard_file", "key", "ext", "data"]

@@ -632,3 +632,144 @@ def test_webdataset_reexport_purges_stale_shards(spark, tmp_path):
     assert on_disk == set(man["shards"])
     assert read_webdataset(spark, out).select("key").distinct().count() == 20
     assert verify_webdataset(spark, out) == []
+
+
+def test_webdataset_streaming_writer_matches_bytesio(spark, tmp_path):
+    """The round-11 streaming tar writer (incremental md5, no
+    whole-shard BytesIO) must produce BYTE-IDENTICAL tars to the
+    straightforward in-memory construction — same member order, same
+    normalized headers."""
+    import hashlib
+    import io
+    import json as _json
+    import tarfile
+
+    from ramen_spark.sources.export import write_webdataset
+
+    df = _wds_fixture(spark)
+    out = str(tmp_path / "wds")
+    man = write_webdataset(
+        df, out, "key", {"payload": "wav", "meta": "json"}, n_shards=1
+    )
+    # reference construction: the pre-round-11 whole-shard BytesIO
+    rows = sorted(df.collect(), key=lambda r: r["key"])
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tar:
+        for r in rows:
+            for col, ext in (("meta", "json"), ("payload", "wav")):
+                payload = (
+                    bytes(r[col]) if col == "payload"
+                    else r[col].encode("utf-8")
+                )
+                info = tarfile.TarInfo(name=f"{r['key']}.{ext}")
+                info.size = len(payload)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tar.addfile(info, io.BytesIO(payload))
+    blob = buf.getvalue()
+    (stats,) = man["shards"].values()
+    assert stats["tar_bytes"] == len(blob)
+    assert stats["tar_md5"] == hashlib.md5(blob).hexdigest()
+
+
+def test_webdataset_crash_safe_reexport(spark, tmp_path):
+    """A failed re-export must leave the PREVIOUS generation (data +
+    manifest) fully intact and readable (round-10 advisory: the old
+    writer deleted shards before the job ran)."""
+    import os
+
+    from ramen_spark.sources.export import (
+        verify_webdataset,
+        write_webdataset,
+    )
+
+    df = _wds_fixture(spark)
+    out = str(tmp_path / "wds")
+    man = write_webdataset(df, out, "key", {"payload": "wav"}, n_shards=4)
+
+    # a re-export that fails MID-JOB (duplicate keys raise in-task)
+    dup = df.unionByName(df.limit(1))
+    with pytest.raises(Exception, match="duplicate"):
+        write_webdataset(dup, out, "key", {"payload": "wav"}, n_shards=2)
+
+    # old generation untouched, manifest still the old one, verify green
+    import json as _json
+
+    with open(os.path.join(out, "webdataset_manifest.json")) as f:
+        assert _json.load(f)["shards"] == man["shards"]
+    assert verify_webdataset(spark, out) == []
+
+    # a later successful export reaps any crash leftovers
+    write_webdataset(df, out, "key", {"payload": "wav"}, n_shards=2)
+    leftovers = [n for n in os.listdir(out) if n.startswith(("data.next-",
+                                                             "data.old-"))]
+    assert leftovers == []
+    assert verify_webdataset(spark, out) == []
+
+
+def test_webdataset_rejects_dotted_extension(spark, tmp_path):
+    """'.' in a member extension breaks the last-dot (key, ext) split
+    convention — rejected at write time (round-10 advisory)."""
+    from ramen_spark.sources.export import write_webdataset
+
+    df = _wds_fixture(spark)
+    with pytest.raises(ValueError, match="json.gz"):
+        write_webdataset(df, str(tmp_path / "x"), "key",
+                         {"meta": "json.gz"}, n_shards=2)
+    with pytest.raises(ValueError, match="no '.' or '/'"):
+        write_webdataset(df, str(tmp_path / "x"), "key",
+                         {"meta": "a/b"}, n_shards=2)
+
+
+def test_webdataset_dotted_keys_roundtrip(spark, tmp_path):
+    """Sample keys containing dots (common: URLs, versioned ids) must
+    survive the (key, ext) split — read_webdataset consults the
+    manifest's known extensions instead of blindly splitting at the
+    last dot."""
+    from ramen_spark.sources.export import read_webdataset, write_webdataset
+
+    rows = [(f"site.example.com/page.{i}", f"body {i}", '{"v": 1}')
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "key string, body string, meta string")
+    out = str(tmp_path / "wds")
+    write_webdataset(df, out, "key", {"body": "txt", "meta": "json"},
+                     n_shards=2)
+    back = read_webdataset(spark, out).collect()
+    keys = {r["key"] for r in back}
+    assert keys == {r[0] for r in rows}
+    assert {r["ext"] for r in back} == {"txt", "json"}
+
+
+def test_export_shards_payload_tamper_detected(spark, tmp_path):
+    """The manifest's payload_sum covers row VALUES: swapping two
+    rows' text while keeping every id (which the id-only content_sum
+    cannot see — round-10 'What's wrong' #2) must fail verification."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ramen_spark.sources.export import export_shards, verify_export
+
+    df = spark.createDataFrame(
+        [(i, i % 2, f"text-{i}") for i in range(100)],
+        "doc_id long, shard int, text string",
+    )
+    out = str(tmp_path / "corpus")
+    manifest = export_shards(df, out, shard_col="shard", id_col="doc_id")
+    assert all("payload_sum" in s for s in manifest["shards"].values())
+    assert verify_export(spark, out) == []
+
+    # tamper: swap the text of two rows IN THE SAME SHARD, ids intact
+    swapped = df.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 0, F.lit("text-2"))
+        .when(F.col("doc_id") == 2, F.lit("text-0"))
+        .otherwise(F.col("text")),
+    )
+    swapped.write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(out, "data")
+    )
+    errs = verify_export(spark, out)
+    assert errs, "content swap with intact ids must be detected"
+    assert any("payload_sum" in e for e in errs), errs
