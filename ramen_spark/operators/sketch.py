@@ -136,7 +136,16 @@ def kmv_prune(
     keys=[] is the GLOBAL sketch (one group). NULL values are ignored
     (the SQL COUNT(DISTINCT …) convention) — a NULL hash would
     otherwise NaN-cast to INT64_MIN inside the Arrow prefilter and
-    squat in the min slot forever."""
+    squat in the min slot forever.
+
+    The build-time ``k`` rides along as a ``_kmv_k`` column (one long
+    per sketch row, parquet-RLEs to nothing): consumers that finalize
+    with a LARGER k than the sketch was built with would silently
+    read a saturated sketch as under-full and report approximations
+    as exact — _kmv_minset asserts min(_kmv_k) >= query k inside the
+    plan (round-10 advisory). Legacy persisted sketches without the
+    column still read (the guard passes NULLs; documented degradation).
+    """
     hashed = df.select(
         *keys, md5_hash48(F.col(value_col)).alias("_h")
     ).filter(F.col("_h").isNotNull())
@@ -146,7 +155,9 @@ def kmv_prune(
         if f.name != "_h"
     ]
     schema = ", ".join([*schema_keys, "_h long"])
-    return hashed.mapInPandas(_prefilter_min_k(keys, k), schema)
+    return hashed.mapInPandas(_prefilter_min_k(keys, k), schema).withColumn(
+        "_kmv_k", F.lit(k).cast("long")
+    )
 
 
 def kmv_finalize(
@@ -198,22 +209,66 @@ def _kmv_minset(
     :func:`kmv_finalize` lives here; see its docstring for the
     losslessness argument). keys=[] yields exactly ONE row (global
     sketch) — Spark's global aggregate emits a row even on empty
-    input, with an empty array."""
+    input, with an empty array.
+
+    k-fidelity guard (round-10 advisory): when the sketch rows carry
+    the build-time ``_kmv_k`` column, the plan asserts per group that
+    min(_kmv_k) >= the query ``k`` — finalizing a k=32 sketch at k=64
+    would otherwise read as under-full and report approximations as
+    exact. The check rides the same aggregation (no extra pass, no
+    eager job); legacy sketches without the column pass unchecked."""
+    has_k = "_kmv_k" in pruned.columns
     n_parts = pruned.rdd.getNumPartitions()
     if n_parts > salt_above_partitions:
         import math
 
         s = int(math.ceil(math.sqrt(n_parts)))
+        aggs = [F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_m")]
+        if has_k:
+            aggs.append(F.min("_kmv_k").alias("_kmv_k"))
         pruned = (
             pruned.groupBy(*keys, (F.col("_h") % s).alias("_salt"))
-            .agg(
-                F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_m")
+            .agg(*aggs)
+            .select(
+                *keys,
+                F.explode("_m").alias("_h"),
+                *(["_kmv_k"] if has_k else []),
             )
-            .select(*keys, F.explode("_m").alias("_h"))
         )
-    return pruned.groupBy(*keys).agg(
-        F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_mins")
-    )
+    aggs = [F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_m")]
+    if has_k:
+        aggs.append(F.min("_kmv_k").alias("_k_built"))
+    mins = pruned.groupBy(*keys).agg(*aggs)
+    if has_k:
+        # assert_true riding the _mins projection so column pruning
+        # can't drop it; NULL _k_built (legacy / empty global group)
+        # passes via the coalesce
+        ok = F.coalesce(F.col("_k_built") >= F.lit(k), F.lit(True))
+        guard = F.assert_true(
+            ok,
+            F.concat(
+                F.lit(
+                    "kmv: sketch was built with k="
+                ),
+                F.col("_k_built").cast("string"),
+                F.lit(f" but queried with k={k} — a smaller-k sketch "
+                      "cannot answer a larger-k query exactly; rebuild "
+                      "the sketch or lower the query k"),
+            ),
+        )
+        # branches must DIFFER or SimplifyConditionals collapses the
+        # CASE and prunes the assert (functions/scalar.py:58 pattern);
+        # at runtime the guard either throws or returns NULL → the
+        # otherwise-branch always yields _m
+        mins = mins.select(
+            *keys,
+            F.when(guard.isNotNull(), F.lit(None).cast("array<long>"))
+            .otherwise(F.col("_m"))
+            .alias("_mins"),
+        )
+    else:
+        mins = mins.select(*keys, F.col("_m").alias("_mins"))
+    return mins
 
 
 def _kmv_estimate(mins: Column, k: int) -> Column:

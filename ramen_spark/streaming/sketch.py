@@ -174,7 +174,14 @@ class _IncrementalMinKBase:
     def update(self, batch_df: DataFrame) -> None:
         pruned = self._prune_batch(batch_df)
         state = self._state()
-        merged = pruned if state is None else state.unionByName(pruned)
+        # allowMissingColumns: a pre-round-11 persisted state has no
+        # _kmv_k metadata column — it unions as NULL (the k guard
+        # treats NULL as unchecked-legacy) instead of failing resume
+        merged = (
+            pruned
+            if state is None
+            else state.unionByName(pruned, allowMissingColumns=True)
+        )
         self.store.commit(self._reprune(merged))
         self.last_commit_path = "distributed"
 
@@ -206,14 +213,24 @@ class IncrementalKmvSketch(_IncrementalMinKBase):
         return kmv_prune(batch_df, self.keys, self.value_col, self.k)
 
     def _reprune(self, merged: DataFrame) -> DataFrame:
+        # min(_kmv_k) survives the re-prune: a union of heterogeneous-k
+        # sketches is only valid at the SMALLEST k, and the batch
+        # finalizers' k-fidelity guard reads this column
+        has_k = "_kmv_k" in merged.columns
+        aggs = [
+            F.slice(F.array_sort(F.collect_set("_h")), 1, self.k)
+            .alias("_mins")
+        ]
+        if has_k:
+            aggs.append(F.min("_kmv_k").alias("_kmv_k"))
         return (
             merged.groupBy(*self.keys)
-            .agg(
-                F.slice(
-                    F.array_sort(F.collect_set("_h")), 1, self.k
-                ).alias("_mins")
+            .agg(*aggs)
+            .select(
+                *self.keys,
+                F.explode("_mins").alias("_h"),
+                *(["_kmv_k"] if has_k else []),
             )
-            .select(*self.keys, F.explode("_mins").alias("_h"))
         )
 
     def estimate(self) -> DataFrame:

@@ -765,6 +765,45 @@ def test_kmv_overlap_pruned_composes_sharded_sketches(spark):
     assert sharded == whole
 
 
+def test_kmv_k_fidelity_guard(spark):
+    """A persisted sketch built with a SMALLER k than the query k must
+    fail LOUDLY (round-10 advisory: a k=32 sketch finalized at k=64
+    reads as under-full and reports approximations as 'exact').
+    Querying with a smaller-or-equal k stays valid; legacy sketches
+    without the metadata column pass unchecked."""
+    from pyspark.sql.utils import SparkUpgradeException  # noqa: F401
+
+    from ramen_spark.operators.sketch import (
+        kmv_distinct,
+        kmv_finalize,
+        kmv_overlap_pruned,
+        kmv_prune,
+    )
+
+    a, b = _overlap_fixture(spark, n_a=300, n_b=250, shared=120)
+    p32 = kmv_prune(a, ["g"], "user", 32)
+    assert "_kmv_k" in p32.columns
+
+    # smaller-k sketch, larger-k query → runtime error, not wrong data
+    with pytest.raises(Exception, match="built with k="):
+        kmv_finalize(p32, ["g"], 64).collect()
+    with pytest.raises(Exception, match="built with k="):
+        kmv_overlap_pruned(
+            p32, kmv_prune(b, ["g"], "user", 64), ["g"], 64
+        ).collect()
+
+    # larger-k sketch, smaller-k query → valid, value-identical to a
+    # native k=32 build (bottom-32 of bottom-64 = bottom-32)
+    p64 = kmv_prune(a, ["g"], "user", 64)
+    got = {tuple(r) for r in kmv_finalize(p64, ["g"], 32).collect()}
+    want = {tuple(r) for r in kmv_distinct(a, ["g"], "user", 32).collect()}
+    assert got == want
+
+    # legacy sketch (no metadata column) still reads — unchecked
+    legacy = p32.drop("_kmv_k")
+    assert kmv_finalize(legacy, ["g"], 64).count() > 0
+
+
 def test_kmv_overlap_validates_k(spark):
     from ramen_spark.operators.sketch import kmv_overlap
 
