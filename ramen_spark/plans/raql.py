@@ -625,7 +625,10 @@ class Parser:
                 self.next()
                 return Field("#" + nt.value.lower())
             self.i = save
-        # IS x IN TOP n … (doc:997) — the only prefix use of IS
+        # IS x IN TOP n … (doc:997) — the only prefix use of IS.
+        # IS x IN CMS TOP n [OVER m] y [BY w] is the sketch-backed
+        # membership kind (reference raql_top_output.type MEMBERSHIP;
+        # the tracked expression y is explicit, like CMS TOP n y)
         if t.kind == "kw" and t.value == "is":
             save = self.i
             self.next()
@@ -633,6 +636,16 @@ class Parser:
                 x = self.parse_unary()
                 self.expect("kw", "in")
                 tt = self.expect("name")
+                if tt.value.lower() == "cms":
+                    t2 = self.expect("name")
+                    if t2.value.lower() != "top":
+                        raise SyntaxError("IS … IN CMS: expected TOP")
+                    opts = self._parse_top_size()
+                    y = self.parse_unary()
+                    return Call(
+                        "is_in_cms_top", [x, y],
+                        opts=self._parse_top_clauses(opts),
+                    )
                 if tt.value.lower() != "top":
                     raise SyntaxError("IS … IN: expected TOP")
                 opts = self._parse_top_size()
@@ -1053,6 +1066,18 @@ class Parser:
                     x = self.parse_unary()
                     self.expect("kw", "in")
                     tt = self.expect("name")
+                    if tt.value.lower() == "cms":
+                        # RANK OF x IN CMS TOP n [OVER m] y [BY w] —
+                        # sketch-backed rank kind (raql_top_output.type)
+                        t2 = self.expect("name")
+                        if t2.value.lower() != "top":
+                            raise SyntaxError("RANK OF … IN CMS: expected TOP")
+                        opts = self._parse_top_size()
+                        y = self.parse_unary()
+                        return Call(
+                            "rank_in_cms_top", [x, y],
+                            opts=self._parse_top_clauses(opts),
+                        )
                     if tt.value.lower() != "top":
                         raise SyntaxError("RANK OF … IN: expected TOP")
                     opts = self._parse_top_size()
@@ -2310,7 +2335,8 @@ class Compiler:
             self.has_aggregate = True
             built = F.count_if(self.col(node.args[0]))
             return built.over(self.window) if self.window is not None else built
-        if fn in ("kmv_distinct", "cms_top"):
+        if fn in ("kmv_distinct", "cms_top", "is_in_cms_top",
+                  "rank_in_cms_top"):
             # sketch aggregates rewrite the whole grouped operation
             # (prune branch + join) — they have no Column form
             raise NotImplementedError(
@@ -3403,7 +3429,12 @@ def _apply_sort_last(df: DataFrame, op: Operation, params: dict[str, Any] | None
     return _sort_last_op(df, n, by_cols, until=until_fn)
 
 
-_SKETCH_AGGS = frozenset({"kmv_distinct", "cms_top", "quantile_sketch"})
+_SKETCH_AGGS = frozenset({
+    "kmv_distinct", "cms_top", "quantile_sketch",
+    # the sketch-backed membership/rank output kinds of CMS TOP
+    # (reference src/raql_top_output.type: LIST / IS x IN / RANK OF x)
+    "is_in_cms_top", "rank_in_cms_top",
+})
 
 
 def _compile_grouped_with_sketches(df, op, params, src_arrays):
@@ -3508,6 +3539,12 @@ def _compile_grouped_with_sketches(df, op, params, src_arrays):
             cond = c if cond is None else cond & c
         return spine_df.join(b, cond, "left").drop(*bk)
 
+    # identical CMS specs share ONE branch: `CMS TOP n x BY w` beside
+    # `IS c IN CMS TOP n x BY w` and `RANK OF c IN CMS TOP n x BY w`
+    # builds the cell relation + candidate ranking once — the
+    # membership/rank kinds are row-local lookups on the joined list,
+    # adding ZERO Exchanges over the LIST kind
+    cms_cache: dict[tuple, str] = {}
     for name, node in sketch_items:
         if (
             node.opts.get("duration") is not None
@@ -3523,7 +3560,10 @@ def _compile_grouped_with_sketches(df, op, params, src_arrays):
                 "the always-on IncrementalCmsTop lane)."
             )
         sub = Compiler(params, src_arrays=src_arrays, schema=bsch)
-        arg = sub.col(node.args[0])
+        # the membership/rank kinds carry (probe, tracked-value); the
+        # tracked value is the LAST arg in every CMS form
+        probe_kind = node.fn in ("is_in_cms_top", "rank_in_cms_top")
+        arg = sub.col(node.args[-1] if probe_kind else node.args[0])
         if sub.has_aggregate:
             raise NotImplementedError(
                 f"sketch aggregate argument of {name!r} must be stateless"
@@ -3564,30 +3604,86 @@ def _compile_grouped_with_sketches(df, op, params, src_arrays):
             else:
                 branch = qsk.select(*knames, F.array(*pcols).alias(name))
             spine = _join_branch(spine, branch)
-        else:  # cms_top
+        else:  # cms_top family — LIST / IS x IN / RANK OF x IN kinds
             wnode = node.opts.get("by")
-            if wnode is not None:
-                wsub = Compiler(params, src_arrays=src_arrays, schema=bsch)
-                wcol = wsub.col(wnode)
-                if wsub.has_aggregate:
-                    raise NotImplementedError(
-                        f"CMS TOP BY weight of {name!r} must be stateless"
-                    )
-                sel = base.select(*knames, arg.alias("_sv"), wcol.alias("_w"))
-                branch = SK.cms_top(
-                    sel, knames, "_sv", int(node.opts["n"]),
-                    weight_col="_w", out_col=name,
-                )
+            spec = (str(node.args[-1]), str(wnode), int(node.opts["n"]))
+            if spec in cms_cache:
+                list_col = cms_cache[spec]
             else:
-                sel = base.select(*knames, arg.alias("_sv"))
-                branch = SK.cms_top(
-                    sel, knames, "_sv", int(node.opts["n"]), out_col=name
+                list_col = f"_cmslist_{len(cms_cache)}" if probe_kind else name
+                if wnode is not None:
+                    wsub = Compiler(
+                        params, src_arrays=src_arrays, schema=bsch
+                    )
+                    wcol = wsub.col(wnode)
+                    if wsub.has_aggregate:
+                        raise NotImplementedError(
+                            f"CMS TOP BY weight of {name!r} must be stateless"
+                        )
+                    sel = base.select(
+                        *knames, arg.alias("_sv"), wcol.alias("_w")
+                    )
+                    branch = SK.cms_top(
+                        sel, knames, "_sv", int(node.opts["n"]),
+                        weight_col="_w", out_col=list_col,
+                    )
+                else:
+                    sel = base.select(*knames, arg.alias("_sv"))
+                    branch = SK.cms_top(
+                        sel, knames, "_sv", int(node.opts["n"]),
+                        out_col=list_col,
+                    )
+                arr_ddl = dict(branch.dtypes)[list_col]
+                spine = _join_branch(spine, branch).withColumn(
+                    list_col,
+                    F.coalesce(F.col(list_col), F.array().cast(arr_ddl)),
                 )
-            arr_ddl = dict(branch.dtypes)[name]
-            spine = _join_branch(spine, branch).withColumn(
-                name,
-                F.coalesce(F.col(name), F.array().cast(arr_ddl)),
-            )
+                cms_cache[spec] = list_col
+            if not probe_kind and list_col != name:
+                # the LIST kind arrived after a probe kind cached the
+                # branch under a temp name — surface it
+                spine = spine.withColumn(name, F.col(list_col))
+            if probe_kind:
+                # the probed item is tested against the GROUP's final
+                # top list (one output row per group) — so it must be
+                # group-constant: a literal or parameter. Per-row
+                # membership against the RUNNING top is the exact
+                # engine's IS x IN TOP, which stays on the fold path.
+                probe_node = node.args[0]
+                for nd in _walk(probe_node):
+                    if isinstance(nd, Field) and not nd.path.startswith(
+                        ("param.", "env.")
+                    ):
+                        raise NotImplementedError(
+                            f"{name!r}: the probed item of IS/RANK OF … "
+                            "IN CMS TOP must be a constant or parameter "
+                            "(it is tested against the group's FINAL "
+                            "top list); per-row membership against the "
+                            "running top is the exact `IS x IN TOP n` "
+                            "on the COMMIT-fold path"
+                        )
+                psub = Compiler(params, src_arrays=src_arrays, schema=bsch)
+                probe = psub.col(probe_node)
+                if node.fn == "is_in_cms_top":
+                    # NULL probe → false (the exact fold never inserts
+                    # NULL, so `None in top` is False there too)
+                    spine = spine.withColumn(
+                        name,
+                        F.coalesce(
+                            F.array_contains(F.col(list_col), probe),
+                            F.lit(False),
+                        ),
+                    )
+                else:
+                    # 1-based, heaviest first; absent/NULL probe → NULL
+                    # (the exact fold's convention)
+                    pos = F.array_position(F.col(list_col), probe)
+                    spine = spine.withColumn(
+                        name,
+                        F.when(pos == 0, F.lit(None))
+                        .otherwise(pos)
+                        .cast("long"),
+                    )
 
     for old, new in key_renames:
         spine = spine.withColumnRenamed(old, new)
@@ -6111,9 +6207,9 @@ def _infer_ddl(node, src: dict[str, str], out: dict[str, str], params: dict) -> 
         if fn in ("group", "latest", "oldest", "sample", "_array", "top",
                   "largest", "past"):
             return f"array<{rec(node.args[-1])}>"
-        if fn == "is_in_top":
+        if fn in ("is_in_top", "is_in_cms_top"):
             return "boolean"
-        if fn == "rank_in_top":
+        if fn in ("rank_in_top", "rank_in_cms_top"):
             return INT
         if fn == "net_cast_vec":
             return "array<struct<version:int,v4:bigint,v6:binary>>"

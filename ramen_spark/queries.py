@@ -5861,6 +5861,88 @@ def raql_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "raql_cms_membership",
+    """
+    WITH base AS (
+      SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL
+    ),
+    d AS (SELECT unnest([0, 1, 2, 3]) AS row),
+    cells AS (
+      SELECT event_type, row,
+             (('0x' || substring(md5(CAST(row AS VARCHAR) || '#' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT) % 2048 AS col,
+             count(*)::BIGINT AS cnt
+      FROM base CROSS JOIN d GROUP BY 1, 2, 3
+    ),
+    cand AS (SELECT DISTINCT event_type, user_id FROM base),
+    fan AS (
+      SELECT event_type, user_id, row,
+             (('0x' || substring(md5(CAST(row AS VARCHAR) || '#' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT) % 2048 AS col
+      FROM cand CROSS JOIN d
+    ),
+    est AS (
+      SELECT f.event_type, f.user_id, min(c.cnt) AS e
+      FROM fan f JOIN cells c USING (event_type, row, col)
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT event_type,
+             (list(user_id ORDER BY e DESC, user_id))[1:3] AS hot_users
+      FROM est GROUP BY event_type
+    ),
+    cnt AS (
+      SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY event_type
+    )
+    SELECT c.event_type, c.n,
+           coalesce(t.hot_users, CAST([] AS BIGINT[])) AS hot_users,
+           coalesce(list_contains(coalesce(t.hot_users, CAST([] AS BIGINT[])), 42), false) AS u42_is_hot,
+           CAST(nullif(list_position(coalesce(t.hot_users, CAST([] AS BIGINT[])), 42), 0) AS BIGINT) AS u42_rank,
+           coalesce(list_contains(coalesce(t.hot_users, CAST([] AS BIGINT[])), 7), false) AS u7_is_hot,
+           CAST(nullif(list_position(coalesce(t.hot_users, CAST([] AS BIGINT[])), 7), 0) AS BIGINT) AS u7_rank
+    FROM cnt c
+    LEFT JOIN top t ON c.event_type IS NOT DISTINCT FROM t.event_type
+    """,
+)
+def raql_cms_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-backed membership/rank output kinds of CMS TOP,
+    spoken from the dialect: ``IS 42 IN CMS TOP 3 user_id`` and
+    ``RANK OF 42 IN CMS TOP 3 user_id`` beside the LIST kind — all
+    three kinds of the reference's src/raql_top_output.type, now
+    covered by the sketch form too (round-10 gap). The probed item is
+    tested against the group's FINAL top list (one row per group), so
+    it must be group-constant — the compiler rejects input-field
+    probes toward the exact fold's per-row ``IS x IN TOP``. The
+    oracle replays the CMS cells + candidate ranking naively in
+    DuckDB over the same md5 hash space and probes with
+    list_contains/list_position — value-exact including the NULL rank
+    for a probe outside the list. Plan shape: ONE cms branch feeds
+    all three kinds (the membership/rank columns are row-local
+    lookups on the joined list), so the two extra output kinds add
+    ZERO Exchanges."""
+    from ramen_spark.plans.raql import compile_operation
+
+    ev = _t(spark, sf_dir, "events")
+    out = compile_operation(
+        "SELECT event_type, COUNT(1) AS n, "
+        "CMS TOP 3 user_id AS hot_users, "
+        "IS 42 IN CMS TOP 3 user_id AS u42_is_hot, "
+        "RANK OF 42 IN CMS TOP 3 user_id AS u42_rank, "
+        "IS 7 IN CMS TOP 3 user_id AS u7_is_hot, "
+        "RANK OF 7 IN CMS TOP 3 user_id AS u7_rank "
+        "GROUP BY event_type",
+        ev,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "hot_users",
+        "u42_is_hot",
+        F.col("u42_rank").cast("long").alias("u42_rank"),
+        "u7_is_hot",
+        F.col("u7_rank").cast("long").alias("u7_rank"),
+    )
+
+
+@register(
     "bloom_contamination_candidates",
     f"""
     WITH words AS ({{SHINGLES}}),

@@ -713,6 +713,59 @@ def test_sketch_aggregates_compile(spark):
         compile_operation("SELECT g, 1 + KMV DISTINCT v AS bad GROUP BY g", df)
 
 
+def test_cms_top_output_kinds(spark):
+    """The sketch-backed membership/rank kinds (round-10 gap: the
+    reference's src/raql_top_output.type has LIST / IS x IN / RANK OF
+    x IN, but CMS TOP had only LIST): parse forms, group-constant
+    probe enforcement, NULL conventions, and ONE shared branch for
+    identical CMS specs."""
+    from ramen_spark.plans.raql import Call, parse_expr
+
+    e = parse_expr('IS "en" IN CMS TOP 5 lang BY w')
+    assert isinstance(e, Call) and e.fn == "is_in_cms_top"
+    assert e.opts["n"] == 5 and "by" in e.opts and len(e.args) == 2
+    e = parse_expr("RANK OF 42 IN CMS TOP 3 OVER 100 user_id")
+    assert e.fn == "rank_in_cms_top" and e.opts["n"] == 3
+    # the exact forms keep parsing unchanged
+    assert parse_expr("IS x IN TOP 2").fn == "is_in_top"
+    assert parse_expr("RANK OF x IN TOP 2").fn == "rank_in_top"
+
+    rows = [("a", "en", 5), ("a", "en", 3), ("a", "fr", 2), ("a", "de", 1),
+            ("b", "fr", 9), ("b", "fr", 1), ("b", "en", 1)]
+    df = spark.createDataFrame(rows, "g string, lang string, w int")
+    out = compile_operation(
+        'SELECT g, CMS TOP 2 lang BY w AS hot, '
+        'IS "en" IN CMS TOP 2 lang BY w AS has_en, '
+        'RANK OF "fr" IN CMS TOP 2 lang BY w AS fr_rank, '
+        'RANK OF "zz" IN CMS TOP 2 lang BY w AS zz_rank '
+        "GROUP BY g",
+        df,
+    )
+    got = {r["g"]: r for r in out.collect()}
+    assert got["a"]["hot"] == ["en", "fr"]
+    assert got["a"]["has_en"] is True and got["a"]["fr_rank"] == 2
+    assert got["b"]["fr_rank"] == 1 and got["b"]["has_en"] is True
+    assert got["a"]["zz_rank"] is None and got["b"]["zz_rank"] is None
+
+    # identical specs share ONE cms branch: 4 fields, 2 joins total
+    # (cms internal candidate join + one spine join)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 2, plan
+
+    # probe kinds work WITHOUT the LIST kind present (temp list col)
+    out2 = compile_operation(
+        'SELECT g, IS "fr" IN CMS TOP 1 lang BY w AS fr1 GROUP BY g', df
+    )
+    got2 = {r["g"]: r["fr1"] for r in out2.collect()}
+    assert got2 == {"a": False, "b": True}
+
+    # per-row probes are the EXACT engine's job — rejected loudly
+    with pytest.raises(NotImplementedError, match="constant or parameter"):
+        compile_operation(
+            "SELECT g, IS lang IN CMS TOP 2 lang AS bad GROUP BY g", df
+        )
+
+
 def test_sketch_aggregates_global_group(spark):
     """Global (no GROUP BY) sketch fields: one row, left-join spine
     semantics keep the row even when the sketch side is empty."""
