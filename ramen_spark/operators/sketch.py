@@ -429,6 +429,109 @@ def kmv_overlap_pruned(
     )
 
 
+def sketch_drift(
+    pruned_a: DataFrame,
+    pruned_b: DataFrame,
+    keys: list[str],
+    ps: list[float],
+    k: int,
+    salt_above_partitions: int = 64,
+) -> DataFrame:
+    """Corpus drift between two PERSISTED quantile-sketch states —
+    the snapshot-over-snapshot observability report computed PURELY
+    from two few-KB sketch relations, with neither corpus re-read
+    (the always-on story the sketch family exists for: yesterday's
+    crawl vs today's, two _SnapshotStore roots in, one report out).
+
+    Inputs are quantile_prune-shaped states: (keys…, _h, _v[, _kmv_k])
+    with _h = md5_48 of a UNIQUE row id. One state answers BOTH
+    questions because its bottom-k-by-row-hash pairs are two sketches
+    at once:
+
+    * the _v values are a uniform sample → per-key percentile DELTAS
+      (distribution shift: did the token-length p50 move?);
+    * the _h hashes are a valid KMV sketch of the row-ID SET → per-key
+      cardinality estimates, Jaccard, and Broder containment
+      (membership churn: how much of snapshot A survived into B?).
+
+    Output: (keys…, p<P>_a, p<P>_b, p<P>_delta … per requested p,
+    est_a, est_b, jaccard, containment_a_in_b, containment_b_in_a).
+    containment_a_in_b is the RETENTION rate (fraction of A still in
+    B); 1 − it is the churn. Keys present in only one snapshot get
+    NULL percentiles on the missing side (delta NULL) and est 0 on
+    the missing side — appearing/disappearing keys are drift too.
+
+    Exactness: deterministic md5 everywhere — while both sketches are
+    under-full every number is exact (the regime the DuckDB oracle
+    pins); the k-fidelity guard (_kmv_k) rejects a query k larger
+    than the build k of either side. A 48-bit hash collision between
+    two row ids could drop one hash from a full sketch's ID set —
+    the standard 2^-48 caveat the quantile lane already documents.
+
+    Plan shape: both states are ≤ k rows per key — two tiny scans,
+    the minset/finalize aggregations, one null-safe full-outer join
+    per report column family. Nothing here scales with the corpora.
+    """
+    if k < 2:
+        raise ValueError("sketch_drift needs k >= 2")
+    for side, pruned in (("a", pruned_a), ("b", pruned_b)):
+        missing = [c for c in (*keys, "_h", "_v") if c not in pruned.columns]
+        if missing:
+            raise ValueError(
+                f"pruned_{side} is not a quantile sketch state: "
+                f"missing columns {missing}"
+            )
+    pnames = ["p" + format(p * 100, "g").replace(".", "_") for p in ps]
+    qa = quantile_finalize(pruned_a, keys, ps, k, salt_above_partitions)
+    qb = quantile_finalize(pruned_b, keys, ps, k, salt_above_partitions)
+    qa = qa.select(*keys, *[F.col(n).alias(f"{n}_a") for n in pnames])
+    qb = qb.select(*keys, *[F.col(n).alias(f"{n}_b") for n in pnames])
+
+    def kmv_side(pruned: DataFrame) -> DataFrame:
+        extra = ["_kmv_k"] if "_kmv_k" in pruned.columns else []
+        return pruned.select(*keys, "_h", *extra)
+
+    ov = kmv_overlap_pruned(
+        kmv_side(pruned_a), kmv_side(pruned_b), keys, k
+    ).select(
+        *keys, "est_a", "est_b", "jaccard",
+        "containment_a_in_b", "containment_b_in_a",
+    )
+
+    def nsjoin(left: DataFrame, right: DataFrame) -> DataFrame:
+        # the overlap relation's key set IS the union of the two
+        # snapshots' key sets (it full-outers the minsets), so both
+        # percentile sides left-join onto it null-safely (NULL keys
+        # are real groups — the _join_branch convention)
+        if not keys:
+            return left.crossJoin(right)
+        bk = [f"_b_{kn}" for kn in keys]
+        r = right
+        for kn, bn in zip(keys, bk):
+            r = r.withColumnRenamed(kn, bn)
+        cond = None
+        for kn, bn in zip(keys, bk):
+            c = F.col(kn).eqNullSafe(F.col(bn))
+            cond = c if cond is None else cond & c
+        return left.join(r, cond, "left").drop(*bk)
+
+    out = nsjoin(nsjoin(ov, qa), qb)
+    delta_cols = [
+        F.round(F.col(f"{n}_b") - F.col(f"{n}_a"), 6).alias(f"{n}_delta")
+        for n in pnames
+    ]
+    pcols = [
+        c for n in pnames for c in (f"{n}_a", f"{n}_b")
+    ]
+    return out.select(
+        *keys,
+        *pcols,
+        *delta_cols,
+        "est_a", "est_b", "jaccard",
+        "containment_a_in_b", "containment_b_in_a",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quantile sketch — distribution percentiles without a global sort
 # ---------------------------------------------------------------------------
@@ -526,7 +629,12 @@ def quantile_prune(
         if f.name not in ("_h", "_v")
     ]
     schema = ", ".join([*schema_keys, "_h long", "_v double"])
-    return hashed.mapInPandas(_prefilter_min_k_pairs(keys, k), schema)
+    # build-time k rides along like kmv_prune's (same round-10
+    # advisory): quantile_finalize and the drift lane assert
+    # min(_kmv_k) >= the query k inside the plan
+    return hashed.mapInPandas(
+        _prefilter_min_k_pairs(keys, k), schema
+    ).withColumn("_kmv_k", F.lit(k).cast("long"))
 
 
 def quantile_finalize(
@@ -549,21 +657,58 @@ def quantile_finalize(
     arrays at ~k·√P (lossless by the same ≤ k−1-smaller argument,
     applied to (_h, _v) pairs)."""
     pair = F.struct(F.col("_h").alias("_h"), F.col("_v").alias("_v"))
+    has_k = "_kmv_k" in pruned.columns
     n_parts = pruned.rdd.getNumPartitions()
     if n_parts > salt_above_partitions:
         import math
 
         s = int(math.ceil(math.sqrt(n_parts)))
+        aggs = [F.slice(F.array_sort(F.collect_set(pair)), 1, k).alias("_m")]
+        if has_k:
+            aggs.append(F.min("_kmv_k").alias("_kmv_k"))
         pruned = (
             pruned.groupBy(*keys, (F.col("_h") % s).alias("_salt"))
-            .agg(F.slice(F.array_sort(F.collect_set(pair)), 1, k).alias("_m"))
-            .select(*keys, F.explode("_m").alias("_p"))
-            .select(*keys, F.col("_p._h").alias("_h"), F.col("_p._v").alias("_v"))
+            .agg(*aggs)
+            .select(
+                *keys,
+                F.explode("_m").alias("_p"),
+                *(["_kmv_k"] if has_k else []),
+            )
+            .select(
+                *keys,
+                F.col("_p._h").alias("_h"),
+                F.col("_p._v").alias("_v"),
+                *(["_kmv_k"] if has_k else []),
+            )
         )
         pair = F.struct(F.col("_h").alias("_h"), F.col("_v").alias("_v"))
-    mins = pruned.groupBy(*keys).agg(
-        F.slice(F.array_sort(F.collect_set(pair)), 1, k).alias("_mins")
-    )
+    aggs = [F.slice(F.array_sort(F.collect_set(pair)), 1, k).alias("_m")]
+    if has_k:
+        aggs.append(F.min("_kmv_k").alias("_k_built"))
+    mins = pruned.groupBy(*keys).agg(*aggs)
+    if has_k:
+        # same k-fidelity guard as _kmv_minset (see there for the
+        # branch-must-differ note); a k=64 sample finalized at k=1024
+        # would silently report quantiles of a 64-row sample
+        ok = F.coalesce(F.col("_k_built") >= F.lit(k), F.lit(True))
+        guard = F.assert_true(
+            ok,
+            F.concat(
+                F.lit("quantile sketch was built with k="),
+                F.col("_k_built").cast("string"),
+                F.lit(f" but queried with k={k} — rebuild the sketch "
+                      "or lower the query k"),
+            ),
+        )
+        arr_t = dict(mins.dtypes)["_m"]
+        mins = mins.select(
+            *keys,
+            F.when(guard.isNotNull(), F.lit(None).cast(arr_t))
+            .otherwise(F.col("_m"))
+            .alias("_mins"),
+        )
+    else:
+        mins = mins.select(*keys, F.col("_m").alias("_mins"))
     vals = F.array_sort(F.transform(F.col("_mins"), lambda x: x["_v"]))
     n = F.size(vals)
     cols = [n.cast("long").alias("n_sample")]

@@ -4230,6 +4230,33 @@ def _prepare_corpus(
     from ramen_spark.operators.packing import pack_sequences
     from ramen_spark.operators.sampling import temperature_mix
 
+    docs, clean = _clean_corpus(spark, sf_dir, gate, stages, gate_keep)
+    mixed = temperature_mix(
+        clean, group_col="lang", alpha=0.5, target_frac=0.5
+    ).select("doc_id")
+    packed = pack_sequences(
+        docs.join(mixed, "doc_id", "left_semi"), budget=512, shards=8
+    )
+    if stages is not None:
+        stages.update(
+            temperature_mix=mixed,
+            packed_rows=packed.select("shard", "pack_seq").distinct(),
+        )
+    return packed
+
+
+def _clean_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    gate: str,
+    stages: dict | None = None,
+    gate_keep: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Stages 1-4 of the composed pipeline (exact dedup → canonical
+    near-dup → eval holdout → decontamination → quality gate),
+    shared by the v1 (temperature mix) and v2 (A-ES + per-lang token
+    budget) mixing stages. Returns (docs, clean) where clean is the
+    surviving (doc_id, lang) relation."""
     docs = _t(spark, sf_dir, "documents")
     keep_fp = D.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
     pairs = D.minhash_lsh_pairs(
@@ -4292,12 +4319,6 @@ def _prepare_corpus(
     s3 = s2.filter(F.col("doc_id") % 97 != 0)
     s4 = s3.join(contam_drop, "doc_id", "left_anti")
     clean = s4.join(gate_keep, "doc_id", "left_semi")
-    mixed = temperature_mix(
-        clean, group_col="lang", alpha=0.5, target_frac=0.5
-    ).select("doc_id")
-    packed = pack_sequences(
-        docs.join(mixed, "doc_id", "left_semi"), budget=512, shards=8
-    )
     if stages is not None:
         stages.update(
             raw=docs,
@@ -4306,10 +4327,8 @@ def _prepare_corpus(
             eval_holdout=s3,
             decontaminated=s4,
             quality_gate=clean,
-            temperature_mix=mixed,
-            packed_rows=packed.select("shard", "pack_seq").distinct(),
         )
-    return packed
+    return docs, clean
 
 
 _GATE_SCORE_SQL = "SELECT doc_id FROM qual WHERE quality >= 0.5"
@@ -4356,6 +4375,289 @@ def prepare_training_corpus_gopher(
 ORACLES["prepare_training_corpus"] = ORACLES[
     "prepare_training_corpus"
 ].replace("{GATE}", _GATE_SCORE_SQL)
+
+
+# --- v2 pipeline: A-ES weighted order + per-lang token budgets -------------
+# The round-10 primitives composed end-to-end (round-10 agenda #2): the
+# mixing stage becomes "sample docs ∝ quality (Efraimidis–Spirakis order)
+# until N tokens per language", the data card carries quantile-sketch
+# percentiles, and the final mile is the export manifest's content sums.
+
+# the stage-1..4 CTE prefix (pairs/qual/fp_keep/…/clean), shared verbatim
+# with the v1 oracle — everything after `clean` is the v2 mixing stage
+_V2_CLEAN_PREFIX = ORACLES["prepare_training_corpus"].split(
+    "    c AS (SELECT lang, count(*) AS n FROM clean GROUP BY lang)"
+)[0]
+
+_V2_MIX_SQL = f"""cand2 AS (
+      SELECT cl2.doc_id, cl2.lang, len({_WORDS_SQL}) AS n_tok,
+             CAST(round(q.quality * 1000000, 0) AS BIGINT) AS q_micro
+      FROM clean cl2
+      JOIN documents d USING (doc_id)
+      JOIN qual q USING (doc_id)
+    ),
+    aes AS (
+      SELECT lang, doc_id, n_tok, q_micro,
+             CAST(round(
+               ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'),
+                     1, 12))::BIGINT + 1) / 281474976710656.0)
+               / CAST(q_micro AS DOUBLE) * 1e6) AS BIGINT) AS skey_micro
+      FROM cand2
+      WHERE doc_id IS NOT NULL AND q_micro IS NOT NULL AND q_micro > 0
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY lang ORDER BY skey_micro DESC, doc_id ASC
+        )::BIGINT AS rn FROM aes
+      ) WHERE rn <= 40
+    ),
+    budgeted AS (
+      SELECT doc_id, lang, n_tok FROM (
+        SELECT doc_id, lang, n_tok,
+               sum(n_tok) OVER (PARTITION BY lang
+                                ORDER BY skey_micro DESC, doc_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM capped
+      ) WHERE cum <= 1500
+    )"""
+
+_V2_PACK_SQL = f""",
+    pt2 AS (
+      SELECT d.doc_id, (d.doc_id % 8)::INT AS shard,
+             len({_WORDS_SQL}) AS n_tok,
+             row_number() OVER (PARTITION BY d.doc_id % 8 ORDER BY d.doc_id)
+               AS rn
+      FROM documents d JOIN (SELECT doc_id FROM budgeted) bsel USING (doc_id)
+    ),
+    packr2 AS (
+      SELECT shard, rn, doc_id, n_tok, 0::BIGINT AS pack_seq, n_tok AS cum
+      FROM pt2 WHERE rn = 1
+      UNION ALL
+      SELECT pt2.shard, pt2.rn, pt2.doc_id, pt2.n_tok,
+             CASE WHEN packr2.cum + pt2.n_tok > 512
+                  THEN packr2.pack_seq + 1 ELSE packr2.pack_seq END,
+             CASE WHEN packr2.cum + pt2.n_tok > 512
+                  THEN pt2.n_tok ELSE packr2.cum + pt2.n_tok END
+      FROM packr2 JOIN pt2 ON pt2.shard = packr2.shard
+                          AND pt2.rn = packr2.rn + 1
+    )"""
+
+
+def _prepare_corpus_v2(
+    spark: SparkSession, sf_dir: str, stages: dict | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """The v2 composed pipeline: stages 1-4 (shared _clean_corpus),
+    then the round-10 mixing primitives composed — per-lang A-ES
+    weighted order (weight = quality micro-score, so better docs are
+    proportionally more likely, but the top never collapses onto
+    near-identical top scorers the way a hard top-n does), a 40-doc
+    per-lang cap from the same order, and a 1.5k-token per-lang budget
+    prefix (token_budget_select keyed on lang, priority = the A-ES
+    key). Returns (chosen, packed).
+
+    Scale note: using the A-ES key as the budget priority widens
+    token_budget_select's level-1 relation from the q_micro domain
+    (≤ 1e6) to the skey domain (round(ln(u)/w·1e6), w ≥ 1 ⇒
+    ≥ -2^25.6): level 1 stays bounded at ~3.4e7 rows per lang
+    REGARDLESS of corpus size — larger than a plain score cut but
+    still a hard, corpus-independent bound."""
+    from ramen_spark.operators.packing import pack_sequences
+    from ramen_spark.operators.sampling import (
+        token_budget_select,
+        weighted_sample,
+    )
+
+    docs, clean = _clean_corpus(spark, sf_dir, gate="score", stages=stages)
+    cand = (
+        docs.join(clean.select("doc_id"), "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "lang",
+            Tx.token_count(F.col("text")).cast("long").alias("n_tok"),
+            F.round(Tx.quality_score(F.col("text")) * 1e6)
+            .cast("long")
+            .alias("q_micro"),
+        )
+    )
+    samp = weighted_sample(
+        cand, n=40, weight_col="q_micro", keys=["lang"], id_col="doc_id",
+        seed=42,
+    )
+    sel_in = samp.select("lang", "doc_id", "skey_micro").join(
+        cand.select("doc_id", "n_tok"), "doc_id"
+    )
+    chosen = token_budget_select(
+        sel_in, budget=1_500, weight_col="n_tok", pri_col="skey_micro",
+        keys=["lang"],
+    )
+    packed = pack_sequences(
+        docs.join(chosen.select("doc_id"), "doc_id", "left_semi"),
+        budget=512, shards=8,
+    )
+    if stages is not None:
+        stages.update(
+            aes_sample=samp,
+            token_budget=chosen,
+            packed_rows=packed.select("shard", "pack_seq").distinct(),
+        )
+    return chosen, packed
+
+
+@register(
+    "prepare_training_corpus_v2",
+    _V2_CLEAN_PREFIX + _V2_MIX_SQL + _V2_PACK_SQL + """
+    SELECT shard, count(*)::BIGINT AS n_rows,
+           CAST(sum(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                      1, 12))::BIGINT)
+                % 2305843009213693951 AS BIGINT) AS content_sum,
+           CAST(sum(('0x' || substring(md5(
+                  CAST(doc_id AS VARCHAR) || chr(31) ||
+                  CAST(n_tok AS VARCHAR) || chr(31) ||
+                  CAST(pack_seq AS VARCHAR)), 1, 12))::BIGINT)
+                % 2305843009213693951 AS BIGINT) AS payload_sum
+    FROM packr2 GROUP BY shard
+    """,
+)
+def prepare_training_corpus_v2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The composed pipeline with the round-10 primitives as the
+    mixing stage and the EXPORT MANIFEST as the output: stages 1-4
+    (exact dedup → canonical near-dup → decontamination → quality
+    gate) shared with v1, then per-lang A-ES weighted sampling
+    (weight = quality micro-score) capped at 40 docs/lang, a
+    1.5k-token per-lang budget prefix in that order
+    (token_budget_select keyed on lang), greedy 512-token packing —
+    and finally the per-shard manifest rows export_shards would
+    write: (shard, n_rows, content_sum, payload_sum), the
+    order-independent md5 content sums over ids and over the full
+    row payload (sources/export._shard_stats expressions). The
+    oracle replays the ENTIRE chain — clean CTEs verbatim from v1,
+    A-ES keys, budget window, recursive packing, manifest sums — so
+    a single hash mismatch anywhere in the integration (budget-
+    after-dedup ordering, sketch-on-gated-rows, packing, manifest
+    algebra) fails the gate."""
+    from ramen_spark.sources.export import _shard_stats
+
+    _, packed = _prepare_corpus_v2(spark, sf_dir)
+    return _shard_stats(
+        packed, "shard", "doc_id",
+        sorted(c for c in packed.columns if c != "shard"),
+    ).select("shard", "n_rows", "content_sum", "payload_sum")
+
+
+@register(
+    "corpus_datacard_v2",
+    _V2_CLEAN_PREFIX + _V2_MIX_SQL + """,
+    h2 AS (
+      SELECT lang,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               AS h,
+             n_tok::DOUBLE AS v
+      FROM budgeted
+    ),
+    r2 AS (
+      SELECT lang, h, v,
+             row_number() OVER (PARTITION BY lang ORDER BY h, v) AS rn2
+      FROM (SELECT DISTINCT lang, h, v FROM h2)
+    ),
+    s2 AS (
+      SELECT lang, list(v ORDER BY v) AS vs, count(*)::BIGINT AS n_sample
+      FROM r2 WHERE rn2 <= 64 GROUP BY lang
+    ),
+    tot AS (
+      SELECT lang, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+      FROM budgeted GROUP BY lang
+    )
+    SELECT t.lang, t.n_docs, t.n_tokens,
+           s2.vs[CAST(round((s2.n_sample - 1) * 0.5) AS INT) + 1] AS tok_p50,
+           s2.vs[CAST(round((s2.n_sample - 1) * 0.9) AS INT) + 1] AS tok_p90
+    FROM tot t JOIN s2 USING (lang)
+    """,
+)
+def corpus_datacard_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v2 corpus's DATA CARD: per language, how many documents
+    and tokens the selected mix contains and where its token-length
+    distribution sits (p50/p90 via the deterministic bottom-k
+    quantile sketch — the sketch runs ON THE GATED, BUDGETED rows,
+    exercising the sketch-on-selected-subset seam). What a training
+    run records next to the corpus snapshot; the oracle replays
+    selection + sketch + nearest-rank naively."""
+    from ramen_spark.operators.sketch import quantile_sketch
+
+    chosen, _ = _prepare_corpus_v2(spark, sf_dir)
+    card = quantile_sketch(
+        chosen, ["lang"], "n_tok", "doc_id", ps=[0.5, 0.9], k=64
+    ).select("lang", F.col("p50").alias("tok_p50"),
+             F.col("p90").alias("tok_p90"))
+    tot = chosen.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    return tot.join(card, "lang").select(
+        "lang", "n_docs", "n_tokens", "tok_p50", "tok_p90"
+    )
+
+
+@register(
+    "corpus_funnel_v2",
+    _V2_CLEAN_PREFIX + _V2_MIX_SQL + _V2_PACK_SQL + """
+    SELECT * FROM (
+      SELECT 0 AS stage, 'raw' AS stage_name,
+             count(*)::BIGINT AS n_rows FROM documents
+      UNION ALL SELECT 1, 'exact_dedup', count(*)::BIGINT
+        FROM documents JOIN fp_keep USING (doc_id)
+      UNION ALL SELECT 2, 'canonical', count(*)::BIGINT
+        FROM documents JOIN fp_keep USING (doc_id) JOIN canon USING (doc_id)
+      UNION ALL SELECT 3, 'eval_holdout', count(*)::BIGINT
+        FROM documents JOIN fp_keep USING (doc_id) JOIN canon USING (doc_id)
+        WHERE doc_id % 97 <> 0
+      UNION ALL SELECT 4, 'decontaminated', count(*)::BIGINT
+        FROM documents JOIN fp_keep USING (doc_id) JOIN canon USING (doc_id)
+        WHERE doc_id % 97 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM contam)
+      UNION ALL SELECT 5, 'quality_gate', count(*)::BIGINT FROM clean
+      UNION ALL SELECT 6, 'aes_sample', count(*)::BIGINT FROM capped
+      UNION ALL SELECT 7, 'token_budget', count(*)::BIGINT FROM budgeted
+      UNION ALL SELECT 8, 'packed_rows', count(*)::BIGINT
+        FROM (SELECT DISTINCT shard, pack_seq FROM packr2)
+    )
+    """,
+)
+def corpus_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel counts for the v2 pipeline — the v1 stages plus the two
+    new mixing stages (A-ES capped sample, per-lang token budget).
+    The integration seams the round-10 verdict called out
+    (budget-after-dedup ordering, sample-on-gated-rows) are exactly
+    the stage boundaries counted here."""
+    stages: dict[str, DataFrame] = {}
+    _prepare_corpus_v2(spark, sf_dir, stages=stages)
+    order = [
+        "raw",
+        "exact_dedup",
+        "canonical",
+        "eval_holdout",
+        "decontaminated",
+        "quality_gate",
+        "aes_sample",
+        "token_budget",
+        "packed_rows",
+    ]
+    parts = [
+        stages[name]
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .select(
+            F.lit(i).cast("int").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            "n_rows",
+        )
+        for i, name in enumerate(order)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @register(

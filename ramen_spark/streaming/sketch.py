@@ -299,18 +299,26 @@ class IncrementalQuantileSketch(_IncrementalMinKBase):
 
     def _reprune(self, merged: DataFrame) -> DataFrame:
         pair = F.struct(F.col("_h").alias("_h"), F.col("_v").alias("_v"))
+        has_k = "_kmv_k" in merged.columns
+        aggs = [
+            F.slice(F.array_sort(F.collect_set(pair)), 1, self.k)
+            .alias("_mins")
+        ]
+        if has_k:
+            aggs.append(F.min("_kmv_k").alias("_kmv_k"))
         return (
             merged.groupBy(*self.keys)
-            .agg(
-                F.slice(
-                    F.array_sort(F.collect_set(pair)), 1, self.k
-                ).alias("_mins")
+            .agg(*aggs)
+            .select(
+                *self.keys,
+                F.explode("_mins").alias("_p"),
+                *(["_kmv_k"] if has_k else []),
             )
-            .select(*self.keys, F.explode("_mins").alias("_p"))
             .select(
                 *self.keys,
                 F.col("_p._h").alias("_h"),
                 F.col("_p._v").alias("_v"),
+                *(["_kmv_k"] if has_k else []),
             )
         )
 

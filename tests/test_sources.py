@@ -773,3 +773,36 @@ def test_export_shards_payload_tamper_detected(spark, tmp_path):
     errs = verify_export(spark, out)
     assert errs, "content swap with intact ids must be detected"
     assert any("payload_sum" in e for e in errs), errs
+
+
+def test_prepare_training_corpus_v2_export_integration(spark, tmp_path):
+    """The v2 flagship's final mile is REAL: export_shards over the
+    packed v2 corpus writes shards whose manifest (n_rows +
+    content_sum + payload_sum per shard) equals the registered
+    prepare_training_corpus_v2 rows exactly, and verify_export reads
+    it back green — the integration seam between the composed
+    pipeline and the verifiable-snapshot contract."""
+    from tests.conftest import SF_SMALL
+
+    from ramen_spark.queries import QUERIES, _prepare_corpus_v2
+    from ramen_spark.sources.export import export_shards, verify_export
+
+    _, packed = _prepare_corpus_v2(spark, SF_SMALL)
+    out = str(tmp_path / "v2corpus")
+    man = export_shards(
+        packed, out, shard_col="shard", id_col="doc_id",
+        content_cols=[c for c in packed.columns if c != "shard"],
+    )
+    assert verify_export(spark, out) == []
+
+    reg = {
+        str(r["shard"]): (r["n_rows"], r["content_sum"], r["payload_sum"])
+        for r in QUERIES["prepare_training_corpus_v2"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    wrote = {
+        s: (v["n_rows"], v["content_sum"], v["payload_sum"])
+        for s, v in man["shards"].items()
+    }
+    assert reg == wrote
