@@ -524,6 +524,40 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def cmd_drift(args) -> int:
+    """Corpus drift between two persisted quantile-sketch states
+    (operators/sketch.py:sketch_drift): per key, percentile deltas
+    (distribution shift) + KMV cardinality / Jaccard / containment
+    over the row-id sets (membership churn). STATE_A / STATE_B are
+    _SnapshotStore roots written by IncrementalQuantileSketch (or any
+    quantile_prune-shaped parquet relation) — neither corpus is
+    re-read; the report joins two few-KB sketches."""
+    from ramen_spark.operators.sketch import sketch_drift
+    from ramen_spark.session import get_spark
+    from ramen_spark.streaming.sketch import _SnapshotStore
+
+    spark = get_spark("ramen_cli")
+
+    def load_state(root: str):
+        st = _SnapshotStore(spark, root).read()
+        if st is None:
+            # plain parquet relation (a batch quantile_prune dump)
+            st = spark.read.parquet(root)
+        return st
+
+    a, b = load_state(args.state_a), load_state(args.state_b)
+    keys = args.by or []
+    ps = [float(x) for x in args.quantiles.split(",") if x.strip()]
+    out = sketch_drift(a, b, keys, ps, args.k)
+    from pyspark.sql import functions as F
+
+    hdr = out.columns
+    print("\t".join(hdr))
+    for r in out.orderBy(*(keys or [F.lit(1)])).collect():
+        print("\t".join(str(r[c]) for c in hdr))
+    return 0
+
+
 def cmd_export_wds(args) -> int:
     """Export a parquet table as WebDataset tar shards
     (sources/export.py:write_webdataset): --member col=ext maps
@@ -799,6 +833,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default=None,
                    help="write the sample as parquet instead of printing")
     p.set_defaults(fn=cmd_sample)
+
+    p = sub.add_parser(
+        "drift",
+        help="corpus drift report from two persisted sketch states",
+    )
+    p.add_argument("state_a", help="_SnapshotStore root (or parquet) A")
+    p.add_argument("state_b", help="_SnapshotStore root (or parquet) B")
+    p.add_argument(
+        "--by", action="append", default=None,
+        help="group-by key column (repeatable); omit for global",
+    )
+    p.add_argument("--quantiles", default="0.5,0.9",
+                   help="comma-separated fractions (default 0.5,0.9)")
+    p.add_argument("--k", type=int, default=1024,
+                   help="sketch k BOTH states were built with")
+    p.set_defaults(fn=cmd_drift)
 
     p = sub.add_parser(
         "export-wds",

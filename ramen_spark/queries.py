@@ -4661,6 +4661,151 @@ def corpus_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_drift",
+    f"""
+    WITH tb AS (
+      SELECT lang,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               AS h,
+             len({_WORDS_SQL})::DOUBLE AS v
+      FROM documents d WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    ta AS (
+      SELECT lang,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               AS h,
+             len({_WORDS_SQL})::DOUBLE AS v
+      FROM documents d
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 3 <> 0
+    ),
+    sa AS (
+      SELECT lang, h, v FROM (
+        SELECT lang, h, v,
+               row_number() OVER (PARTITION BY lang ORDER BY h, v) AS rn
+        FROM (SELECT DISTINCT lang, h, v FROM ta)
+      ) WHERE rn <= 64
+    ),
+    sb AS (
+      SELECT lang, h, v FROM (
+        SELECT lang, h, v,
+               row_number() OVER (PARTITION BY lang ORDER BY h, v) AS rn
+        FROM (SELECT DISTINCT lang, h, v FROM tb)
+      ) WHERE rn <= 64
+    ),
+    qa AS (
+      SELECT lang, list(v ORDER BY v) AS vs, count(*)::BIGINT AS n
+      FROM sa GROUP BY lang
+    ),
+    qb AS (
+      SELECT lang, list(v ORDER BY v) AS vs, count(*)::BIGINT AS n
+      FROM sb GROUP BY lang
+    ),
+    ga AS (SELECT lang, count(*)::BIGINT AS n_a, max(h) AS kth_a
+           FROM sa GROUP BY lang),
+    gb AS (SELECT lang, count(*)::BIGINT AS n_b, max(h) AS kth_b
+           FROM sb GROUP BY lang),
+    u AS (SELECT lang, h FROM sa UNION SELECT lang, h FROM sb),
+    l AS (
+      SELECT lang, h FROM (
+        SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+        FROM u
+      ) WHERE rn <= 64
+    ),
+    gl AS (SELECT lang, count(*)::BIGINT AS n_l, max(h) AS kth
+           FROM l GROUP BY lang),
+    i AS (
+      SELECT l.lang, count(*)::BIGINT AS n_i
+      FROM l
+      JOIN (SELECT DISTINCT lang, h FROM sa) ha USING (lang, h)
+      JOIN (SELECT DISTINCT lang, h FROM sb) hb USING (lang, h)
+      GROUP BY l.lang
+    ),
+    s AS (
+      SELECT gl.lang,
+             CASE WHEN ga.n_a IS NULL THEN 0
+                  WHEN ga.n_a < 64 THEN ga.n_a
+                  ELSE CAST(floor(CAST(63 AS DOUBLE)
+                                  * CAST(281474976710656 AS DOUBLE)
+                                  / CAST(ga.kth_a AS DOUBLE)) AS BIGINT)
+             END AS est_a,
+             CASE WHEN gb.n_b IS NULL THEN 0
+                  WHEN gb.n_b < 64 THEN gb.n_b
+                  ELSE CAST(floor(CAST(63 AS DOUBLE)
+                                  * CAST(281474976710656 AS DOUBLE)
+                                  / CAST(gb.kth_b AS DOUBLE)) AS BIGINT)
+             END AS est_b,
+             gl.n_l,
+             CASE WHEN gl.n_l < 64 THEN gl.n_l
+                  ELSE CAST(floor(CAST(63 AS DOUBLE)
+                                  * CAST(281474976710656 AS DOUBLE)
+                                  / CAST(gl.kth AS DOUBLE)) AS BIGINT)
+             END AS est_union,
+             COALESCE(i.n_i, 0)::BIGINT AS n_i
+      FROM gl LEFT JOIN ga USING (lang) LEFT JOIN gb USING (lang)
+              LEFT JOIN i USING (lang)
+    ),
+    f AS (
+      SELECT lang, est_a, est_b,
+             CAST(floor(CAST(n_i AS DOUBLE) * CAST(est_union AS DOUBLE)
+                        / CAST(n_l AS DOUBLE)) AS BIGINT) AS est_i,
+             round(CAST(n_i AS DOUBLE) / CAST(n_l AS DOUBLE), 6) AS jaccard
+      FROM s
+    )
+    SELECT f.lang,
+           qa.vs[CAST(round((qa.n - 1) * 0.5) AS INT) + 1] AS p50_a,
+           qb.vs[CAST(round((qb.n - 1) * 0.5) AS INT) + 1] AS p50_b,
+           qa.vs[CAST(round((qa.n - 1) * 0.9) AS INT) + 1] AS p90_a,
+           qb.vs[CAST(round((qb.n - 1) * 0.9) AS INT) + 1] AS p90_b,
+           round(qb.vs[CAST(round((qb.n - 1) * 0.5) AS INT) + 1]
+                 - qa.vs[CAST(round((qa.n - 1) * 0.5) AS INT) + 1], 6)
+             AS p50_delta,
+           round(qb.vs[CAST(round((qb.n - 1) * 0.9) AS INT) + 1]
+                 - qa.vs[CAST(round((qa.n - 1) * 0.9) AS INT) + 1], 6)
+             AS p90_delta,
+           f.est_a, f.est_b, f.jaccard,
+           CASE WHEN f.est_a = 0 THEN 0.0
+                ELSE round(least(CAST(f.est_i AS DOUBLE)
+                                 / CAST(f.est_a AS DOUBLE), 1.0), 6)
+           END AS containment_a_in_b,
+           CASE WHEN f.est_b = 0 THEN 0.0
+                ELSE round(least(CAST(f.est_i AS DOUBLE)
+                                 / CAST(f.est_b AS DOUBLE), 1.0), 6)
+           END AS containment_b_in_a
+    FROM f LEFT JOIN qa ON f.lang IS NOT DISTINCT FROM qa.lang
+           LEFT JOIN qb ON f.lang IS NOT DISTINCT FROM qb.lang
+    """,
+)
+def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot corpus drift computed PURELY from two
+    persisted quantile-sketch states (operators.sketch.sketch_drift —
+    round-10 agenda #3): snapshot A is the 2/3 crawl (doc_id % 3 ≠ 0),
+    snapshot B the full corpus; per language, token-length percentile
+    DELTAS (distribution shift) plus KMV cardinality / Jaccard /
+    Broder containment over the row-ID sets (membership churn —
+    containment_a_in_b is A's retention rate in B). One persisted
+    bottom-k-by-row-hash state answers both questions: its values are
+    a uniform sample, its hashes a KMV sketch of the id set. Neither
+    corpus is re-read — the report joins two ≤ k-per-key relations
+    (the `ramen drift` CLI reads the same function off two
+    _SnapshotStore roots). Oracle: both sketches replayed naively
+    (bottom-64 pairs per side, nearest-rank percentiles, union-sketch
+    overlap algebra) — exact while under-full AND at saturation."""
+    from ramen_spark.operators.sketch import quantile_prune, sketch_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "lang", "doc_id",
+        Tx.token_count(F.col("text")).cast("double").alias("n_tok"),
+    )
+    pa = quantile_prune(
+        toks.filter(F.col("doc_id") % 3 != 0), ["lang"], "n_tok",
+        "doc_id", 64,
+    )
+    pb = quantile_prune(toks, ["lang"], "n_tok", "doc_id", 64)
+    return sketch_drift(pa, pb, ["lang"], [0.5, 0.9], 64)
+
+
+@register(
     "cross_snapshot_dedup",
     f"""
     WITH words AS ({_SHINGLES_SQL}),

@@ -493,3 +493,114 @@ def test_streaming_kmv_overlap_with(spark, tmp_path):
 
     with _pt.raises(ValueError, match="matching keys and k"):
         a.overlap_with(c)
+
+
+def test_sketch_drift_from_persisted_states(spark, tmp_path):
+    """Round-10 agenda #3: the drift report computed PURELY from two
+    persisted quantile-sketch states — percentile deltas equal the
+    per-side quantile_sketch finalizations, membership churn equals
+    kmv_overlap over the raw ID relations (both exact here: k=64 >
+    per-group distinct counts), and a drifted group shows a non-zero
+    delta + sub-1 retention."""
+    from ramen_spark.operators.sketch import (
+        kmv_overlap,
+        quantile_sketch,
+        sketch_drift,
+    )
+    from ramen_spark.streaming.sketch import IncrementalQuantileSketch
+
+    # snapshot A: values v = i % 40; snapshot B drops a third of A's
+    # rows, adds new rows, and shifts g1's distribution upward
+    a = spark.createDataFrame(
+        [(i, f"g{i % 2}", float(i % 40)) for i in range(120)],
+        "rid long, grp string, v double",
+    )
+    b_rows = [
+        (i, f"g{i % 2}", float(i % 40) + (10.0 if i % 2 == 1 else 0.0))
+        for i in range(120) if i % 3 != 0
+    ] + [
+        (1000 + i, f"g{i % 2}", float(i % 40)) for i in range(30)
+    ]
+    b = spark.createDataFrame(b_rows, "rid long, grp string, v double")
+
+    ska = IncrementalQuantileSketch(
+        spark, str(tmp_path / "a"), ["grp"], "v", "rid", k=64
+    )
+    skb = IncrementalQuantileSketch(
+        spark, str(tmp_path / "b"), ["grp"], "v", "rid", k=64
+    )
+    for i in range(2):  # two micro-batches each — real fold machinery
+        ska.update(a.filter(F.col("rid") % 2 == i))
+        skb.update(b.filter(F.col("rid") % 2 == i))
+
+    drift = {
+        r["grp"]: r
+        for r in sketch_drift(
+            ska._state(), skb._state(), ["grp"], [0.5, 0.9], 64
+        ).collect()
+    }
+    qa = {r["grp"]: r for r in
+          quantile_sketch(a, ["grp"], "v", "rid", [0.5, 0.9], 64).collect()}
+    qb = {r["grp"]: r for r in
+          quantile_sketch(b, ["grp"], "v", "rid", [0.5, 0.9], 64).collect()}
+    ov = {r["grp"]: r for r in
+          kmv_overlap(a.withColumnRenamed("grp", "grp_"),
+                      b.withColumnRenamed("grp", "grp_"),
+                      ["grp_"], "rid", 64)
+          .withColumnRenamed("grp_", "grp").collect()}
+    for g in ("g0", "g1"):
+        d = drift[g]
+        assert d["p50_a"] == qa[g]["p50"] and d["p50_b"] == qb[g]["p50"]
+        assert d["p90_a"] == qa[g]["p90"] and d["p90_b"] == qb[g]["p90"]
+        assert d["p50_delta"] == round(d["p50_b"] - d["p50_a"], 6)
+        assert d["est_a"] == ov[g]["est_a"] == 60  # exact: under-full
+        assert d["est_b"] == ov[g]["est_b"]
+        assert d["jaccard"] == ov[g]["jaccard"]
+        assert d["containment_a_in_b"] == ov[g]["containment_a_in_b"]
+    # the engineered drift is visible: g1 shifted up, retention < 1
+    assert drift["g1"]["p50_delta"] > 0
+    assert 0 < drift["g1"]["containment_a_in_b"] < 1
+
+    import pytest
+
+    # k-fidelity: states built at k=64 refuse a k=128 drift query
+    with pytest.raises(Exception, match="built with k="):
+        sketch_drift(
+            ska._state(), skb._state(), ["grp"], [0.5], 128
+        ).collect()
+
+    # malformed state fails loudly
+    with pytest.raises(ValueError, match="not a quantile sketch state"):
+        sketch_drift(a, b, ["grp"], [0.5], 64)
+
+
+def test_cli_drift_reads_snapshot_roots(spark, tmp_path, capsys):
+    """`ramen drift A B --by grp` — the always-on observability
+    surface: two _SnapshotStore roots in, one drift report out."""
+    from ramen_spark.cli import main
+    from ramen_spark.streaming.sketch import IncrementalQuantileSketch
+
+    a = spark.createDataFrame(
+        [(i, f"g{i % 2}", float(i)) for i in range(50)],
+        "rid long, grp string, v double",
+    )
+    b = spark.createDataFrame(
+        [(i, f"g{i % 2}", float(i) * 2) for i in range(25, 75)],
+        "rid long, grp string, v double",
+    )
+    ska = IncrementalQuantileSketch(
+        spark, str(tmp_path / "a"), ["grp"], "v", "rid", k=64
+    )
+    skb = IncrementalQuantileSketch(
+        spark, str(tmp_path / "b"), ["grp"], "v", "rid", k=64
+    )
+    ska.update(a)
+    skb.update(b)
+    assert main([
+        "drift", str(tmp_path / "a"), str(tmp_path / "b"),
+        "--by", "grp", "--k", "64",
+    ]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    hdr = out[0].split("\t")
+    assert "p50_delta" in hdr and "containment_a_in_b" in hdr
+    assert len(out) == 3  # header + g0 + g1
