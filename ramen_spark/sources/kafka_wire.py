@@ -368,11 +368,33 @@ def decode_fetch_response_body(r: _Reader) -> list[FetchPartitionResult]:
 # ---------------------------------------------------------------------------
 
 
+def connect_kafka(
+    host: str,
+    port: int,
+    client_id: str = "ramen-spark",
+    timeout_s: float = 10.0,
+) -> "KafkaWireClient":
+    """THE TCP DIAL: open a real socket to ``host:port`` and wrap it
+    in a :class:`KafkaWireClient`. ``socket.socket`` natively exposes
+    the ``sendall``/``recv`` duplex contract the client speaks, so
+    this is the entire live-broker integration surface — exercised in
+    tests against a loopback server fronting the same spec-following
+    broker core the conversation fixtures use (DNS is blocked in this
+    container, loopback is not). TCP_NODELAY because the protocol is
+    strict request/response — Nagle would add 40 ms per roundtrip."""
+    import socket
+
+    s = socket.create_connection((host, port), timeout=timeout_s)
+    s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    return KafkaWireClient(s, client_id=client_id)
+
+
 class KafkaWireClient:
     """Produce/Fetch over any duplex byte transport (``sendall`` /
-    ``recv``): a plain TCP socket where the network exists, an
-    in-memory loopback in the fixture tests. Correlation ids are
-    checked on every response — a desynced stream fails loudly."""
+    ``recv``): a plain TCP socket where the network exists
+    (:func:`connect_kafka` is the dial), an in-memory loopback in the
+    fixture tests. Correlation ids are checked on every response — a
+    desynced stream fails loudly."""
 
     def __init__(self, transport, client_id: str = "ramen-spark"):
         self._t = transport
