@@ -482,17 +482,21 @@ def token_budget_select(
          the cumsum window over it is bounded the same way);
          priority values that fit whole are selected wholesale, and
          at most ONE boundary value remains;
-      2. inside the boundary value only: per-id-RANGE totals
-         (``id div id_range`` — monotone in the id, so range order =
-         priority order there), a second bounded cumsum, wholesale
-         ranges, and a final per-row window over the at-most-one
-         boundary RANGE — ≤ ``id_range`` rows by uniqueness of ids.
+      2. inside the boundary value only: a FIXED LADDER of id-range
+         levels (buckets of id_range³, id_range², id_range ids —
+         trunc-div is monotone in the id, so bucket order = the
+         (pri, id) order there), each level a bounded cumsum +
+         wholesale buckets + at most ONE boundary bucket for the next
+         level; a final per-row window over the last boundary bucket
+         — ≤ ``id_range`` rows by uniqueness of ids.
 
-    Level-2's relation has one row per OCCUPIED id range; with dense
-    ids that's n_boundary_docs / id_range. Pathologically sparse ids
-    (every doc alone in its range) degrade level 2 to one row per doc
-    — tiny (rng, w) rows, and a third level would bound it again;
-    not needed at any plausible id layout.
+    The ladder's bound is UNCONDITIONAL (round-11, closing the old
+    sparse-id degradation): the top level has ≤ id_space/id_range³
+    occupied buckets (2^16 at the 2^16 default over 64-bit ids) no
+    matter how sparse or adversarial the id layout — random 63-bit
+    hash ids included — and every later level enumerates one parent's
+    ≤ id_range children. Pinned by the adversarially-sparse property
+    test (ids spaced ≥ id_range² apart, plus random 62-bit ids).
 
     Output: the selected rows of ``df`` (all original columns).
 
@@ -565,49 +569,79 @@ def token_budget_select(
 
     keep_whole = nsjoin(rows, full_p, [*K, "_p"], "leftsemi")
 
-    # level 2, boundary priority only (≤ one boundary priority PER
-    # KEY): per-id-range totals
-    b = nsjoin(rows, boundary, [*K, "_p"], "inner")
-    rng = F.expr(f"CAST(`{id_col}` AS BIGINT) div {int(id_range)}")
-    b = b.withColumn("_rng", rng)
-    per_r = b.groupBy(*K, "_rem", "_rng").agg(F.sum("_w").alias("_rw"))
-    w2 = (
-        Window.partitionBy(*K)
-        .orderBy(F.col("_rng").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum2 = per_r.withColumn(
-        "_rbefore", F.coalesce(F.sum("_rw").over(w2), F.lit(0))
-    )
-    full_r = cum2.filter(
-        F.col("_rbefore") + F.col("_rw") <= F.col("_rem")
-    ).select(*K, "_rng")
-    bound_r = cum2.filter(
-        (F.col("_rbefore") <= F.col("_rem"))  # <=: same zero-weight
-        # exact-exhaustion case as level 1
-        & (F.col("_rbefore") + F.col("_rw") > F.col("_rem"))
-    ).select(*K, "_rng", (F.col("_rem") - F.col("_rbefore")).alias("_rrem"))
+    # levels 2-4: a FIXED id-range LADDER over the boundary priority
+    # (round-10 agenda #7 — the old single range level degraded to one
+    # row per doc under sparse ids, e.g. random 63-bit hash ids).
+    # Buckets of id_range^3, then id_range^2, then id_range ids: the
+    # top level has ≤ id_space/id_range^3 occupied buckets (2^16 for
+    # the 2^16 default over 64-bit ids) NO MATTER how the ids are laid
+    # out, and each later level enumerates the children of exactly ONE
+    # boundary bucket — ≤ id_range buckets; the final per-row window
+    # holds ≤ id_range rows by id uniqueness. Every window is bounded
+    # by max(id_range, id_space/id_range^3) per key UNCONDITIONALLY —
+    # trunc-div is monotone in the id, so bucket-asc order is id-asc
+    # order and the prefix semantics are unchanged (value-identical to
+    # the naive global cumsum, pinned by the sparse-id property test).
+    out_cols = df.columns
+    cur = nsjoin(rows, boundary, [*K, "_p"], "inner")
+    rem_col = "_rem"
+    parts = [keep_whole.select(*out_cols)]
+    # clamp: a huge caller id_range could overflow the long literal at
+    # ^3 — 2^62 caps the bucket width, which only makes the top level
+    # COARSER (fewer buckets), never unbounded
+    for li, width in enumerate(
+        min(int(id_range) ** e, 1 << 62) for e in (3, 2, 1)
+    ):
+        lvl = cur.withColumn(
+            "_rng", F.expr(f"CAST(`{id_col}` AS BIGINT) div {width}")
+        )
+        per_r = lvl.groupBy(*K, rem_col, "_rng").agg(
+            F.sum("_w").alias("_rw")
+        )
+        w2 = (
+            Window.partitionBy(*K)
+            .orderBy(F.col("_rng").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum2 = per_r.withColumn(
+            "_rbefore", F.coalesce(F.sum("_rw").over(w2), F.lit(0))
+        )
+        full_r = cum2.filter(
+            F.col("_rbefore") + F.col("_rw") <= F.col(rem_col)
+        ).select(*K, "_rng")
+        next_rem = f"_rem{li}"
+        bound_r = cum2.filter(
+            (F.col("_rbefore") <= F.col(rem_col))  # <=: same zero-weight
+            # exact-exhaustion case as level 1
+            & (F.col("_rbefore") + F.col("_rw") > F.col(rem_col))
+        ).select(
+            *K, "_rng",
+            (F.col(rem_col) - F.col("_rbefore")).alias(next_rem),
+        )
+        parts.append(
+            nsjoin(lvl, full_r, [*K, "_rng"], "leftsemi").select(*out_cols)
+        )
+        cur = (
+            nsjoin(lvl, bound_r, [*K, "_rng"], "inner")
+            .drop("_rng", rem_col)
+        )
+        rem_col = next_rem
 
-    keep_ranges = nsjoin(b, full_r, [*K, "_rng"], "leftsemi")
-
-    # final: per-row cumsum inside the ONE boundary range per key
-    # (≤ id_range rows each by id uniqueness)
-    br = nsjoin(b, bound_r, [*K, "_rng"], "inner")
+    # final: per-row cumsum inside the ONE boundary id_range bucket
+    # per key (≤ id_range rows each by id uniqueness)
     w3 = (
         Window.partitionBy(*K)
         .orderBy(F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    keep_tail = br.withColumn(
+    keep_tail = cur.withColumn(
         "_dbefore", F.coalesce(F.sum("_w").over(w3), F.lit(0))
-    ).filter(F.col("_dbefore") + F.col("_w") <= F.col("_rrem"))
+    ).filter(F.col("_dbefore") + F.col("_w") <= F.col(rem_col))
 
-    out_cols = df.columns
-    return (
-        keep_whole.select(*out_cols)
-        .unionByName(keep_ranges.select(*out_cols))
-        .unionByName(keep_tail.select(*out_cols))
-    )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.unionByName(keep_tail.select(*out_cols))
 
 
 def _prefilter_top_n(keys: list[str], n: int, id_col: str):

@@ -1103,3 +1103,74 @@ def test_token_budget_per_group_equals_naive_cumsum(spark):
             .collect()
         }
         assert got == naive, budget
+
+
+def test_token_budget_select_adversarially_sparse_ids(spark):
+    """Round-10 agenda #7: the id-range ladder's bound is
+    UNCONDITIONAL. Ids spaced so that every doc is alone in its
+    id_range AND id_range^2 bucket (the layout that degraded the old
+    single range level to one row per doc), plus random 62-bit hash
+    ids (the realistic sparse layout), must both equal the naive
+    global cumsum on every budget — including ties in the priority
+    landing entire tie-groups on the boundary."""
+    import random
+
+    from pyspark.sql import Window
+
+    from ramen_spark.operators.sampling import token_budget_select
+
+    rng = random.Random(23)
+    id_range = 8  # tiny, so the ladder's levels all engage
+    layouts = {
+        # every doc alone in its range and super-range: spacing over
+        # id_range^2 (=64), plus jitter so buckets aren't aligned
+        "spaced": [i * (id_range**2 + 3) + rng.randint(0, 2)
+                   for i in range(400)],
+        # random 62-bit hash ids — astronomically sparse everywhere
+        "hash62": rng.sample(range(1 << 62), 400),
+    }
+    for name, ids in layouts.items():
+        rows = [
+            (i, rng.randint(0, 40), rng.choice([100, 200, 200, 300]))
+            for i in ids
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, n_tokens long, q_micro long"
+        )
+        w = Window.orderBy(
+            F.col("q_micro").desc(), F.col("doc_id").asc()
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        naive = df.withColumn(
+            "cum", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        total = sum(wt for _, wt, _ in rows)
+        for budget in (0, 97, 1234, total // 2, total):
+            exp = {
+                r["doc_id"]
+                for r in naive.filter(F.col("cum") <= budget).collect()
+            }
+            got = {
+                r["doc_id"]
+                for r in token_budget_select(
+                    df, budget, "n_tokens", "q_micro", "doc_id",
+                    id_range=id_range,
+                ).collect()
+            }
+            assert got == exp, (name, budget, len(got), len(exp))
+
+    # bound evidence: at the DEFAULT id_range=2^16, the top ladder
+    # level's bucket width is 2^48 — 62-bit ids occupy at most 2^14
+    # top buckets and each later level enumerates one parent's
+    # <= 2^16 children, so no window ever sees more than 2^16 rows
+    # per key regardless of layout (the old level-2 saw one row per
+    # doc here). Checked arithmetically on the hash62 layout:
+    top = {i >> 48 for i in layouts["hash62"]}
+    assert len(top) <= 1 << 14
+    # a huge id_range must not overflow the width literal
+    got = token_budget_select(
+        spark.createDataFrame(
+            [(1, 5, 10), (2, 5, 9)], "doc_id long, n_tokens long, q_micro long"
+        ),
+        5, "n_tokens", "q_micro", "doc_id", id_range=1 << 40,
+    ).collect()
+    assert {r["doc_id"] for r in got} == {1}
