@@ -323,6 +323,14 @@ def main() -> None:
                                         # per-lang rank window
             "token_budget_per_lang",    # r10b: keyed two-level prefix —
                                         # per-lang budgets, no funnel
+            "prepare_training_corpus_v2",  # r11: composed pipeline with
+                                        # A-ES + per-lang budget mixing
+                                        # and manifest-sum output
+            "corpus_drift",             # r11: two sketches + overlap —
+                                        # should be corpus-size-bound
+                                        # only at the prune scans
+            "raql_cms_membership",      # r11: shared CMS branch feeding
+                                        # LIST + IS IN + RANK OF kinds
         ]
         try:
             from tools.scale_testdata import scale, tier_is_current
@@ -497,15 +505,27 @@ def main() -> None:
 
             if not tier_is_current(sf100_dir, SF_DIR, 1000):
                 scale(spark, SF_DIR, sf100_dir, factor=1000)
+            # physical metrics at the 1000x tier too (round-10 "what's
+            # wrong #3": ngram swung 293->730 s here with NO shuffle/
+            # spill/CPU row to adjudicate it — the one tier where a
+            # real scale regression matters most was the one without
+            # evidence). Default single run (these are the heaviest
+            # queries); SPARK_GRAFT_BENCH_SF100_RUNS=2 buys min-of-2
+            # CPU at ~2x the tier's wall. shuffle/spill bytes are
+            # byte-stable across runs either way — the hard signal.
+            sf100_runs = int(
+                os.environ.get("SPARK_GRAFT_BENCH_SF100_RUNS", "1")
+            )
             t100: dict[str, float] = {}
+            m100: dict[str, dict] = {}
             for name in probe:
-                t0 = time.perf_counter()
-                QUERIES[name](spark, sf100_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                t100[name] = round(time.perf_counter() - t0, 3)
+                t100[name] = round(
+                    run_query(name, sf100_dir, sf100_runs, m100), 3
+                )
             result["queries_sf100"] = t100
             result["sf100_total"] = round(sum(t100.values()), 3)
+            if m100:
+                result["query_metrics_sf100"] = m100
         except Exception as e:  # pragma: no cover — bench must not die
             result["sf100_error"] = repr(e)
         emit()
