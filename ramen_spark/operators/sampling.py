@@ -529,19 +529,13 @@ def token_budget_select(
         return rel if K else F.broadcast(rel)
 
     def nsjoin(left: DataFrame, rel: DataFrame, on: list[str], how: str) -> DataFrame:
-        # null-SAFE equi-join on renamed right-side columns: NULL keys
-        # and NULL priorities are real groups (sort worst); a plain
-        # equi-join would never match them back
-        ren = {c: f"_r_{c}" for c in on}
-        r = rel
-        for c, rc in ren.items():
-            r = r.withColumnRenamed(c, rc)
-        cond = None
-        for c, rc in ren.items():
-            e = F.col(c).eqNullSafe(F.col(rc))
-            cond = e if cond is None else cond & e
-        out = left.join(bcast(r), cond, how)
-        return out if how == "leftsemi" else out.drop(*ren.values())
+        # null-SAFE equi-join (operators.joins — the shared house
+        # implementation): NULL keys and NULL priorities are real
+        # groups (sort worst); a plain equi-join would never match
+        # them back. `on` always contains the level column, never [].
+        from ramen_spark.operators.joins import null_safe_join
+
+        return null_safe_join(left, bcast(rel), on, how)
 
     # level 1: totals per (keys…, priority value) — bounded per group
     # by the score domain

@@ -354,29 +354,14 @@ def kmv_overlap_pruned(
     mb = _kmv_minset(pruned_b, keys, k).select(
         *keys, F.col("_mins").alias("_mb")
     )
-    if keys:
-        # NULL group keys are real groups (the prefilter keeps them,
-        # dropna=False) — the join must be null-safe or a NULL-keyed
-        # group present on BOTH sides splits into two half-blind rows
-        # (the raql.py _join_branch convention). eqNullSafe condition
-        # + coalesce of the two key sides.
-        bk = [f"_b_{kn}" for kn in keys]
-        for kn, bn in zip(keys, bk):
-            mb = mb.withColumnRenamed(kn, bn)
-        cond = None
-        for kn, bn in zip(keys, bk):
-            c = F.col(kn).eqNullSafe(F.col(bn))
-            cond = c if cond is None else cond & c
-        joined = ma.join(mb, cond, "full_outer").select(
-            *[
-                F.coalesce(F.col(kn), F.col(bn)).alias(kn)
-                for kn, bn in zip(keys, bk)
-            ],
-            "_ma",
-            "_mb",
-        )
-    else:
-        joined = ma.crossJoin(mb)
+    # NULL group keys are real groups (the prefilter keeps them,
+    # dropna=False) — the join must be null-safe or a NULL-keyed
+    # group present on BOTH sides splits into two half-blind rows;
+    # coalesce_keys keeps one-sided keys' values (operators.joins —
+    # the shared house implementation). keys=[] is the 1x1 crossJoin.
+    from ramen_spark.operators.joins import null_safe_join
+
+    joined = null_safe_join(ma, mb, keys, "full_outer", coalesce_keys=True)
     a = F.coalesce(F.col("_ma"), F.array().cast("array<long>"))
     b = F.coalesce(F.col("_mb"), F.array().cast("array<long>"))
     union_mins = F.slice(F.array_sort(F.array_union(a, b)), 1, k)
@@ -474,6 +459,11 @@ def sketch_drift(
     """
     if k < 2:
         raise ValueError("sketch_drift needs k >= 2")
+    if not ps or any(not (0.0 <= p <= 1.0) for p in ps):
+        # same contract as quantile_sketch — an out-of-range p would
+        # otherwise die mid-job with ANSI INVALID_ARRAY_INDEX (or
+        # silently read from the array END for a negative p)
+        raise ValueError("ps must be fractions in [0, 1]")
     for side, pruned in (("a", pruned_a), ("b", pruned_b)):
         missing = [c for c in (*keys, "_h", "_v") if c not in pruned.columns]
         if missing:
@@ -498,24 +488,12 @@ def sketch_drift(
         "containment_a_in_b", "containment_b_in_a",
     )
 
-    def nsjoin(left: DataFrame, right: DataFrame) -> DataFrame:
-        # the overlap relation's key set IS the union of the two
-        # snapshots' key sets (it full-outers the minsets), so both
-        # percentile sides left-join onto it null-safely (NULL keys
-        # are real groups — the _join_branch convention)
-        if not keys:
-            return left.crossJoin(right)
-        bk = [f"_b_{kn}" for kn in keys]
-        r = right
-        for kn, bn in zip(keys, bk):
-            r = r.withColumnRenamed(kn, bn)
-        cond = None
-        for kn, bn in zip(keys, bk):
-            c = F.col(kn).eqNullSafe(F.col(bn))
-            cond = c if cond is None else cond & c
-        return left.join(r, cond, "left").drop(*bk)
+    # the overlap relation's key set IS the union of the two
+    # snapshots' key sets (it full-outers the minsets), so both
+    # percentile sides left-join onto it null-safely
+    from ramen_spark.operators.joins import null_safe_join
 
-    out = nsjoin(nsjoin(ov, qa), qb)
+    out = null_safe_join(null_safe_join(ov, qa, keys), qb, keys)
     delta_cols = [
         F.round(F.col(f"{n}_b") - F.col(f"{n}_a"), 6).alias(f"{n}_delta")
         for n in pnames

@@ -3525,19 +3525,11 @@ def _compile_grouped_with_sketches(df, op, params, src_arrays):
     def _join_branch(spine_df, branch):
         # NULL group keys are real groups (base.groupBy keeps them and
         # so do the sketch branches) — the join must be null-safe or a
-        # NULL-keyed group silently coalesces to 0/[]. The branch keys
-        # are renamed first so the post-join drop is unambiguous by
-        # NAME (Column-identity drop resolves unreliably through the
-        # coalesce/withColumn lineage and can drop the spine's side).
-        bk = [f"_b{kn}" for kn in knames]
-        b = branch
-        for kn, bn in zip(knames, bk):
-            b = b.withColumnRenamed(kn, bn)
-        cond = None
-        for kn, bn in zip(knames, bk):
-            c = F.col(kn).eqNullSafe(F.col(bn))
-            cond = c if cond is None else cond & c
-        return spine_df.join(b, cond, "left").drop(*bk)
+        # NULL-keyed group silently coalesces to 0/[]
+        # (operators.joins — the shared house implementation)
+        from ramen_spark.operators.joins import null_safe_join
+
+        return null_safe_join(spine_df, branch, knames)
 
     # identical CMS specs share ONE branch: `CMS TOP n x BY w` beside
     # `IS c IN CMS TOP n x BY w` and `RANK OF c IN CMS TOP n x BY w`

@@ -4512,9 +4512,12 @@ def _prepare_corpus_v2(
                       1, 12))::BIGINT)
                 % 2305843009213693951 AS BIGINT) AS content_sum,
            CAST(sum(('0x' || substring(md5(
-                  CAST(doc_id AS VARCHAR) || chr(31) ||
-                  CAST(n_tok AS VARCHAR) || chr(31) ||
-                  CAST(pack_seq AS VARCHAR)), 1, 12))::BIGINT)
+                  CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':'
+                    || CAST(doc_id AS VARCHAR) ||
+                  CAST(length(CAST(n_tok AS VARCHAR)) AS VARCHAR) || ':'
+                    || CAST(n_tok AS VARCHAR) ||
+                  CAST(length(CAST(pack_seq AS VARCHAR)) AS VARCHAR) || ':'
+                    || CAST(pack_seq AS VARCHAR)), 1, 12))::BIGINT)
                 % 2305843009213693951 AS BIGINT) AS payload_sum
     FROM packr2 GROUP BY shard
     """,

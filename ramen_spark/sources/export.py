@@ -47,20 +47,25 @@ def _hash48_sum(expr) -> F.Column:
 def _row_repr(df: DataFrame, cols: list[str]) -> F.Column:
     # canonical per-row string over the content columns: binary → hex
     # (a raw cast-to-string UTF-8-decodes and corrupts), everything
-    # else → cast string; NULL → a sentinel that cannot collide with a
-    # real value (concat_ws silently DROPS nulls, conflating NULL with
-    # absent — hence the coalesce BEFORE the concat).
+    # else → cast string. Each cell is LENGTH-PREFIXED (netstring
+    # style, `len:value`; NULL → the bare token `N`) and the tokens
+    # concatenated — an INJECTIVE encoding: a separator character
+    # occurring inside a value, or a value that happens to spell a
+    # NULL sentinel, cannot collide with a different row (the round-11
+    # review refuted the previous separator+sentinel scheme with
+    # exactly those two collisions).
     binary = {
         f.name for f in df.schema.fields if f.dataType.simpleString() == "binary"
     }
-    parts = [
-        F.coalesce(
-            F.hex(F.col(c)) if c in binary else F.col(c).cast("string"),
-            F.lit("\x00NULL\x00"),
+    parts = []
+    for c in cols:
+        s = F.hex(F.col(c)) if c in binary else F.col(c).cast("string")
+        parts.append(
+            F.when(F.col(c).isNull(), F.lit("N")).otherwise(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s)
+            )
         )
-        for c in cols
-    ]
-    return F.concat_ws("\x1f", *parts)
+    return F.concat(*parts)
 
 
 def _shard_stats(
@@ -101,6 +106,13 @@ def export_shards(
     columns (e.g. exclude a re-derivable score)."""
     if content_cols is None:
         content_cols = [c for c in df.columns if c != shard_col]
+    if not content_cols:
+        # an empty list would silently skip payload_sum and then crash
+        # building the manifest AFTER the data write (review finding)
+        raise ValueError(
+            "content_cols must name at least one column "
+            "(omit it to cover every non-shard column)"
+        )
     # canonical order BEFORE hashing — verify_export re-derives from
     # the manifest's (sorted) list, so the concat order must match
     content_cols = sorted(content_cols)
@@ -175,6 +187,24 @@ def verify_export(spark: SparkSession, out_dir: str) -> list[str]:
 # ---------------------------------------------------------------------------
 
 
+def _recover_generation(out_dir: str) -> None:
+    """Close write_webdataset's swap crash window: a kill between
+    `rename(data, data.old-*)` and `rename(data.next-*, data)` leaves
+    NO live 'data' dir even though the old generation survives intact
+    under data.old-<token>. Restore it (at most one can exist — every
+    successful export deletes its predecessor). Called by the writer
+    AND both readers, so a crashed-mid-swap directory reads fine; the
+    protocol assumes a single writer (as any rename-swap does)."""
+    live = os.path.join(out_dir, "data")
+    if os.path.isdir(live) or not os.path.isdir(out_dir):
+        return
+    olds = sorted(
+        n for n in os.listdir(out_dir) if n.startswith("data.old-")
+    )
+    if olds:
+        os.rename(os.path.join(out_dir, olds[-1]), live)
+
+
 def write_webdataset(
     df: DataFrame,
     out_dir: str,
@@ -241,11 +271,21 @@ def write_webdataset(
         raise ValueError("n_shards must be >= 1")
 
     os.makedirs(out_dir, exist_ok=True)
-    # reap crash leftovers from prior interrupted exports (never the
-    # live 'data' dir) before staging a new generation
+    _recover_generation(out_dir)
+    # reap crash leftovers from prior interrupted exports. Staging
+    # dirs and staged manifests are always safe to drop; an old
+    # generation is dropped ONLY when a live 'data' exists — after a
+    # crash inside the swap window it may be the only surviving copy,
+    # and _recover_generation above has just restored it in that case
+    # (review finding: the old unconditional reap deleted it).
+    has_live = os.path.isdir(os.path.join(out_dir, "data"))
     for stale in os.listdir(out_dir):
-        if stale.startswith(("data.next-", "data.old-")):
+        if stale.startswith("data.next-") or (
+            has_live and stale.startswith("data.old-")
+        ):
             shutil.rmtree(os.path.join(out_dir, stale), ignore_errors=True)
+        elif stale.startswith("webdataset_manifest.json.next-"):
+            os.remove(os.path.join(out_dir, stale))
     token = uuid.uuid4().hex[:12]
     data_dir = os.path.join(out_dir, f"data.next-{token}")
     os.makedirs(data_dir)
@@ -428,6 +468,7 @@ def read_webdataset(spark: SparkSession, out_dir: str) -> DataFrame:
     import io
     import tarfile
 
+    _recover_generation(out_dir)
     files = spark.read.format("binaryFile").load(
         os.path.join(out_dir, "data", "shard-*.tar")
     )
@@ -485,6 +526,7 @@ def verify_webdataset(spark: SparkSession, out_dir: str) -> list[str]:
     re-run's reproducibility proof."""
     import hashlib
 
+    _recover_generation(out_dir)
     with open(os.path.join(out_dir, "webdataset_manifest.json")) as f:
         manifest = json.load(f)
     errs: list[str] = []

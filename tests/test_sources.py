@@ -806,3 +806,95 @@ def test_prepare_training_corpus_v2_export_integration(spark, tmp_path):
         for s, v in man["shards"].items()
     }
     assert reg == wrote
+
+
+def test_export_payload_repr_is_injective(spark, tmp_path):
+    """Round-11 review: the old separator+sentinel row encoding
+    collided on (a) a cell spelling the NULL sentinel and (b) a
+    separator character inside a value. The length-prefixed netstring
+    encoding is injective — both tamper shapes must now fail
+    verification."""
+    import os
+
+    from ramen_spark.sources.export import export_shards, verify_export
+
+    # (b) separator-shuffle: ('a\x1fb', 'c') vs ('a', 'b\x1fc')
+    df = spark.createDataFrame(
+        [(1, 0, "a\x1fb", "c"), (2, 0, "x", "y")],
+        "doc_id long, shard int, s1 string, s2 string",
+    )
+    out = str(tmp_path / "sep")
+    export_shards(df, out, shard_col="shard", id_col="doc_id")
+    tampered = spark.createDataFrame(
+        [(1, 0, "a", "b\x1fc"), (2, 0, "x", "y")],
+        "doc_id long, shard int, s1 string, s2 string",
+    )
+    tampered.write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(out, "data")
+    )
+    assert any("payload_sum" in e for e in verify_export(spark, out))
+
+    # (a) NULL vs a value spelling any sentinel-ish token
+    df2 = spark.createDataFrame(
+        [(1, 0, "\x00NULL\x00"), (2, 0, "z")],
+        "doc_id long, shard int, s1 string",
+    )
+    out2 = str(tmp_path / "nul")
+    export_shards(df2, out2, shard_col="shard", id_col="doc_id")
+    t2 = spark.createDataFrame(
+        [(1, 0, None), (2, 0, "z")],
+        "doc_id long, shard int, s1 string",
+    )
+    t2.write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(out2, "data")
+    )
+    assert any("payload_sum" in e for e in verify_export(spark, out2))
+
+    # explicit empty content_cols fails BEFORE any data is written
+    with pytest.raises(ValueError, match="content_cols"):
+        export_shards(df2, str(tmp_path / "e"), shard_col="shard",
+                      id_col="doc_id", content_cols=[])
+    assert not (tmp_path / "e").exists()
+
+
+def test_webdataset_swap_crash_window_recovers(spark, tmp_path):
+    """Round-11 review: a kill between the two swap renames leaves no
+    live 'data' dir; readers and the next writer must restore the
+    surviving old generation instead of deleting it."""
+    import os
+    import shutil
+
+    from ramen_spark.sources.export import (
+        read_webdataset,
+        verify_webdataset,
+        write_webdataset,
+    )
+
+    df = _wds_fixture(spark)
+    out = str(tmp_path / "wds")
+    man = write_webdataset(df, out, "key", {"payload": "wav"}, n_shards=2)
+
+    # simulate the crash window: data renamed aside, next staged
+    os.rename(os.path.join(out, "data"), os.path.join(out, "data.old-dead"))
+    os.makedirs(os.path.join(out, "data.next-dead"))
+    with open(os.path.join(out, "webdataset_manifest.json.next-dead"),
+              "w") as f:
+        f.write("{}")
+
+    # a reader recovers the old generation and verifies green
+    assert verify_webdataset(spark, out) == []
+    assert read_webdataset(spark, out).count() > 0
+
+    # ...and a writer starting from the same crashed state keeps the
+    # old generation through its own failed job
+    os.rename(os.path.join(out, "data"), os.path.join(out, "data.old-dead"))
+    dup = df.unionByName(df.limit(1))
+    with pytest.raises(Exception, match="duplicate"):
+        write_webdataset(dup, out, "key", {"payload": "wav"}, n_shards=2)
+    assert verify_webdataset(spark, out) == []
+    import json as _json
+
+    with open(os.path.join(out, "webdataset_manifest.json")) as f:
+        assert _json.load(f)["shards"] == man["shards"]
+    # staged leftovers were reaped
+    assert not [n for n in os.listdir(out) if ".next-dead" in n]
