@@ -493,6 +493,10 @@ def main() -> None:
             "neardup_clusters",
             "clean_corpus",
             "prepare_training_corpus",
+            # r11: the full probe must SUPERSET the heavy3 default —
+            # round 10's only unexplained number was ngram at exactly
+            # this tier, and the full-probe run didn't include it
+            "ngram_jaccard_pairs",
         ]
         if sf100_mode != "1":
             probe = [
