@@ -4093,6 +4093,168 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "packing_efficiency",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, (doc_id % 8)::INT AS shard,
+             len({_WORDS_SQL}) AS n_tok,
+             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+               AS rn,
+             row_number() OVER (PARTITION BY doc_id % 8
+                                ORDER BY len({_WORDS_SQL}) DESC, doc_id)
+               AS rnd
+      FROM documents
+    ),
+    r_id AS (
+      SELECT shard, rn, n_tok, 0::BIGINT AS pack_seq, n_tok AS cum
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.shard, t.rn, t.n_tok,
+             CASE WHEN r_id.cum + t.n_tok > 512
+                  THEN r_id.pack_seq + 1 ELSE r_id.pack_seq END,
+             CASE WHEN r_id.cum + t.n_tok > 512
+                  THEN t.n_tok ELSE r_id.cum + t.n_tok END
+      FROM r_id JOIN t ON t.shard = r_id.shard AND t.rn = r_id.rn + 1
+    ),
+    r_nfd AS (
+      SELECT shard, rnd, n_tok, 0::BIGINT AS pack_seq, n_tok AS cum
+      FROM t WHERE rnd = 1
+      UNION ALL
+      SELECT t.shard, t.rnd, t.n_tok,
+             CASE WHEN r_nfd.cum + t.n_tok > 512
+                  THEN r_nfd.pack_seq + 1 ELSE r_nfd.pack_seq END,
+             CASE WHEN r_nfd.cum + t.n_tok > 512
+                  THEN t.n_tok ELSE r_nfd.cum + t.n_tok END
+      FROM r_nfd JOIN t ON t.shard = r_nfd.shard AND t.rnd = r_nfd.rnd + 1
+    ),
+    p AS (
+      SELECT 'id' AS strategy, shard, pack_seq, sum(n_tok) AS toks
+      FROM r_id GROUP BY 1, 2, 3
+      UNION ALL
+      SELECT 'length_desc', shard, pack_seq, sum(n_tok)
+      FROM r_nfd GROUP BY 1, 2, 3
+    )
+    SELECT strategy,
+           count(*)::BIGINT AS n_packs,
+           sum(toks)::BIGINT AS total_tokens,
+           sum(greatest(512 - toks, 0))::BIGINT AS total_pad,
+           round(sum(greatest(512 - toks, 0))::DOUBLE
+                 / (count(*) * 512), 6) AS pad_pct
+    FROM p GROUP BY strategy
+    """,
+)
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding waste of the two packing disciplines at the same
+    512-token budget — pad tokens are wasted FLOPs, the number a
+    training team actually optimizes (round 11). ``id`` is stream-
+    order next-fit; ``length_desc`` is next-fit-DECREASING. The
+    report EXISTS because intuition misleads here — on this corpus
+    NFD is measurably WORSE than stream order (0.144 vs 0.116 pad:
+    with one open pack, a long doc closes it on a large gap), and
+    the winning discipline is true FFD (ffd_sequence_packing,
+    rows-only). One shuffle + one Arrow fold per shard per strategy;
+    pads count per pack as max(budget − pack_tokens, 0) so oversize
+    single-doc packs waste nothing. The oracle replays BOTH greedy
+    recurrences as recursive CTEs — the pad accounting is value-exact,
+    not a simulation."""
+    from ramen_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    parts = []
+    for strat in ("id", "length_desc"):
+        packed = pack_sequences(docs, budget=512, shards=8, order=strat)
+        toks = packed.groupBy("shard", "pack_seq").agg(
+            F.sum("n_tok").alias("toks")
+        )
+        parts.append(
+            toks.agg(
+                F.count(F.lit(1)).cast("long").alias("n_packs"),
+                F.sum("toks").cast("long").alias("total_tokens"),
+                F.sum(F.greatest(F.lit(512) - F.col("toks"), F.lit(0)))
+                .cast("long")
+                .alias("total_pad"),
+            ).select(
+                F.lit(strat).alias("strategy"),
+                "n_packs",
+                "total_tokens",
+                "total_pad",
+            )
+        )
+    out = parts[0].unionByName(parts[1])
+    return out.select(
+        "strategy", "n_packs", "total_tokens", "total_pad",
+        F.round(
+            F.col("total_pad").cast("double")
+            / (F.col("n_packs") * F.lit(512)).cast("double"),
+            6,
+        ).alias("pad_pct"),
+    )
+
+
+@register(
+    "grouped_sequence_packing",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT lang, doc_id, (doc_id % 8)::INT AS shard,
+             len({_WORDS_SQL}) AS n_tok,
+             row_number() OVER (PARTITION BY doc_id % 8, lang
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    r AS (
+      SELECT lang, shard, rn, doc_id, n_tok,
+             0::BIGINT AS pack_seq, n_tok AS cum
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.lang, t.shard, t.rn, t.doc_id, t.n_tok,
+             CASE WHEN r.cum + t.n_tok > 512
+                  THEN r.pack_seq + 1 ELSE r.pack_seq END,
+             CASE WHEN r.cum + t.n_tok > 512
+                  THEN t.n_tok ELSE r.cum + t.n_tok END
+      FROM r JOIN t ON t.shard = r.shard
+                   AND t.lang IS NOT DISTINCT FROM r.lang
+                   AND t.rn = r.rn + 1
+    )
+    SELECT lang, doc_id, shard, pack_seq, n_tok FROM r
+    """,
+)
+def grouped_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware packing: packs never mix languages (many recipes
+    forbid cross-domain attention inside one training row — round
+    11). ``pack_sequences(group_cols=["lang"])`` keys the Arrow fold
+    by (shard, lang), so the constraint ADDS fold parallelism (8
+    shards × |langs| independent folds) while each fold's state stays
+    one counter; pack ids restart per (shard, lang). The oracle's
+    recursive CTE rank-chains per (shard, lang) with a null-safe
+    group match."""
+    from ramen_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=512, shards=8,
+        group_cols=["lang"],
+    ).select("lang", "doc_id", "shard", "pack_seq", "n_tok")
+
+
+@register("ffd_sequence_packing")  # rows-only: FFD's open-bin list
+# state (which pack has room?) has no bounded SQL recurrence — the
+# reference test replays the identical pure-Python FFD
+def ffd_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing packing (round 11): longest docs first,
+    each placed in the FIRST open pack with room — the classic
+    11/9·OPT+1 bin-packer, run independently per shard (the fold
+    keeps the open packs' loads; bounded by ONE shard's pack count).
+    The discipline that actually reduces padding on this corpus
+    (packing_efficiency showed next-fit-decreasing makes it WORSE);
+    the reference test pins pack ids against a pure-Python FFD and
+    asserts total pad <= the stream-order packer's."""
+    from ramen_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=512, shards=8, order="ffd"
+    )
+
+
+@register(
     "prepare_training_corpus",
     f"""
     WITH RECURSIVE pairs AS ({{MINHASH}}),

@@ -22,6 +22,7 @@ from tests.conftest import SF_ORACLE
 # registry below
 COVERED = {
     "bpe_learn_merges",
+    "ffd_sequence_packing",
     "holt_winters_smoothing",
     "multilinreg_fit",
     "prepare_training_corpus_classifier",
@@ -312,3 +313,51 @@ def test_rows_only_reference_zlib_compressibility(spark):
         assert g["low_ratio"] == (ratio < 0.10)
         checked += 1
     assert checked == len(got) > 0
+
+
+def test_rows_only_reference_ffd_sequence_packing(spark):
+    """The FFD packer vs a pure-Python first-fit-decreasing replay:
+    identical (doc_id -> shard, pack_seq) assignment, and the
+    discipline demonstrably pays — total pad must be <= the oracle-
+    checked stream-order packer's on the same corpus/budget."""
+    from ramen_spark.catalog import load_table
+    from ramen_spark.functions import text as Tx
+    from ramen_spark.queries import QUERIES
+
+    got = {
+        r["doc_id"]: (r["shard"], r["pack_seq"], r["n_tok"])
+        for r in QUERIES["ffd_sequence_packing"](spark, SF_ORACLE).collect()
+    }
+
+    docs = load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", Tx.token_count(F.col("text")).cast("long").alias("n_tok")
+    ).collect()
+    budget = 512
+    by_shard: dict[int, list] = {}
+    for r in docs:
+        by_shard.setdefault(int(r["doc_id"]) % 8, []).append(
+            (int(r["doc_id"]), int(r["n_tok"]))
+        )
+    expect = {}
+    pad_ffd = 0
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        loads: list[int] = []
+        for did, n in rows:
+            for i, ld in enumerate(loads):
+                if ld + n <= budget:
+                    loads[i] = ld + n
+                    expect[did] = (shard, i, n)
+                    break
+            else:
+                loads.append(n)
+                expect[did] = (shard, len(loads) - 1, n)
+        pad_ffd += sum(max(budget - ld, 0) for ld in loads)
+    assert got == expect
+
+    # FFD actually reduces waste vs the stream-order packer
+    eff = {
+        r["strategy"]: r["total_pad"]
+        for r in QUERIES["packing_efficiency"](spark, SF_ORACLE).collect()
+    }
+    assert pad_ffd <= eff["id"], (pad_ffd, eff)
