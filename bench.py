@@ -331,6 +331,8 @@ def main() -> None:
                                         # only at the prune scans
             "raql_cms_membership",      # r11: shared CMS branch feeding
                                         # LIST + IS IN + RANK OF kinds
+            "packing_efficiency",       # r11: two shard-parallel pack
+                                        # folds + pad accounting
         ]
         try:
             from tools.scale_testdata import scale, tier_is_current

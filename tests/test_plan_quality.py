@@ -646,6 +646,21 @@ def test_prepare_training_corpus_plan_shape(spark):
     )
 
 
+def test_prepare_training_corpus_v2_plan_shape(spark):
+    """The v2 pipeline (A-ES + per-lang token-budget mixing, manifest
+    output) keeps the id-joined discipline: no cross product, text
+    never a shuffle key, and exactly ONE Arrow fold (the per-shard
+    packer — weighted sampling and the budget ladder are windows and
+    bounded joins, not Python)."""
+    df = QUERIES["prepare_training_corpus_v2"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(text" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan.count(
+        "FlatMapGroupsInPandas"
+    )
+
+
 def test_simhash_construction_fires_no_job(spark):
     """VERDICT r5/r6: ``bits=None`` used to run ``df.count()`` while
     BUILDING the query — an eager full action at plan time (at 100 TB,
