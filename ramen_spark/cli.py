@@ -524,6 +524,50 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def cmd_pack(args) -> int:
+    """Pack a parquet table into token-budget training rows
+    (operators/packing.py:pack_sequences): --order picks the
+    discipline (id / length_desc / ffd), --by packs only within
+    matching groups. Writes parquet when --out is given; always
+    prints the pad-waste report per (the number a training team
+    optimizes — padding is wasted FLOPs)."""
+    from pyspark.sql import functions as F
+
+    from ramen_spark.operators.packing import pack_sequences
+    from ramen_spark.session import get_spark
+
+    spark = get_spark("ramen_cli")
+    df = spark.read.parquet(args.path)
+    packed = pack_sequences(
+        df, text_col=args.text_col, id_col=args.id_col,
+        budget=args.budget, shards=args.shards, order=args.order,
+        group_cols=args.by or [],
+    )
+    if args.out:
+        packed.write.mode("overwrite").parquet(args.out)
+        packed = spark.read.parquet(args.out)
+    toks = packed.groupBy("shard", *(args.by or []), "pack_seq").agg(
+        F.sum("n_tok").alias("t")
+    )
+    r = toks.agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("t").alias("total_tokens"),
+        F.sum(F.greatest(F.lit(args.budget) - F.col("t"), F.lit(0)))
+        .alias("total_pad"),
+    ).collect()[0]
+    pad_pct = (
+        r["total_pad"] / (r["n_packs"] * args.budget) if r["n_packs"] else 0.0
+    )
+    print(
+        f"order={args.order} budget={args.budget} shards={args.shards} "
+        f"packs={r['n_packs']} tokens={r['total_tokens']} "
+        f"pad={r['total_pad']} pad_pct={pad_pct:.4f}"
+    )
+    if args.out:
+        print(f"wrote {args.out}")
+    return 0
+
+
 def cmd_drift(args) -> int:
     """Corpus drift between two persisted quantile-sketch states
     (operators/sketch.py:sketch_drift): per key, percentile deltas
@@ -833,6 +877,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default=None,
                    help="write the sample as parquet instead of printing")
     p.set_defaults(fn=cmd_sample)
+
+    p = sub.add_parser(
+        "pack",
+        help="pack a table into token-budget training rows + pad report",
+    )
+    p.add_argument("path", help="parquet table")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--budget", type=int, default=512)
+    p.add_argument("--shards", type=int, default=8)
+    p.add_argument("--order", default="id",
+                   choices=["id", "length_desc", "ffd"])
+    p.add_argument(
+        "--by", action="append", default=None,
+        help="pack only within matching group column (repeatable)",
+    )
+    p.add_argument("--out", default=None,
+                   help="write packed rows as parquet")
+    p.set_defaults(fn=cmd_pack)
 
     p = sub.add_parser(
         "drift",

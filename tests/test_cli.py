@@ -454,3 +454,34 @@ def test_cli_export_and_verify_wds(spark, tmp_path, capsys):
     assert main(
         ["export-wds", src, out, "--key-col", "k", "--member", "text"]
     ) == 2
+
+
+def test_cli_pack_reports_pad_and_writes(spark, tmp_path, capsys):
+    """`ramen pack TABLE --order ffd --by lang --out DIR` — the
+    packing final mile from the CLI: pad report printed, parquet
+    written, group constraint honored (no pack mixes languages)."""
+    from ramen_spark.cli import main
+
+    rows = [(i, f"l{i % 2}", "tok " * (5 + i % 37)) for i in range(80)]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).write.parquet(src)
+    out = str(tmp_path / "packed")
+    assert main([
+        "pack", src, "--order", "ffd", "--by", "lang",
+        "--budget", "64", "--shards", "2", "--out", out,
+    ]) == 0
+    rep = capsys.readouterr().out
+    assert "order=ffd" in rep and "pad_pct=" in rep
+    back = spark.read.parquet(out)
+    assert back.count() == 80
+    # group constraint: one lang per (shard, lang, pack_seq) is
+    # trivially true — the real check is that pack ids restart per
+    # group (both langs have a pack 0 in some shard)
+    langs_with_p0 = {
+        r["lang"]
+        for r in back.filter("pack_seq = 0").select("lang").distinct()
+        .collect()
+    }
+    assert langs_with_p0 == {"l0", "l1"}
