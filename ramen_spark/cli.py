@@ -619,7 +619,8 @@ def cmd_export_wds(args) -> int:
         members[col] = ext
     df = spark.read.parquet(args.path)
     man = write_webdataset(
-        df, args.out, args.key_col, members, n_shards=args.shards
+        df, args.out, args.key_col, members, n_shards=args.shards,
+        target_shard_bytes=args.target_shard_bytes,
     )
     print(
         f"wrote {man['total_samples']} samples in "
@@ -925,6 +926,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="column → member extension (repeatable)",
     )
     p.add_argument("--shards", type=int, default=8)
+    p.add_argument(
+        "--target-shard-bytes", type=int, default=None,
+        help="derive the shard count from a byte target instead "
+             "of --shards (loader convention: ~100 MB-1 GB)",
+    )
     p.set_defaults(fn=cmd_export_wds)
 
     p = sub.add_parser(

@@ -573,9 +573,11 @@ def token_budget_select(
     # boundary bucket — ≤ id_range buckets; the final per-row window
     # holds ≤ id_range rows by id uniqueness. Every window is bounded
     # by max(id_range, id_space/id_range^3) per key UNCONDITIONALLY —
-    # trunc-div is monotone in the id, so bucket-asc order is id-asc
+    # floor-div is monotone in the id, so bucket-asc order is id-asc
     # order and the prefix semantics are unchanged (value-identical to
-    # the naive global cumsum, pinned by the sparse-id property test).
+    # the naive global cumsum, pinned by the sparse-id property test,
+    # which now includes ids straddling zero — exact-width buckets
+    # need FLOOR, not trunc, division; see the level loop below).
     out_cols = df.columns
     cur = nsjoin(rows, boundary, [*K, "_p"], "inner")
     rem_col = "_rem"
@@ -586,8 +588,22 @@ def token_budget_select(
     for li, width in enumerate(
         min(int(id_range) ** e, 1 << 62) for e in (3, 2, 1)
     ):
+        # FLOOR division, in pure bigint arithmetic (a float detour
+        # would lose precision past 2^53): SQL `div` truncates toward
+        # zero, so for ids straddling zero bucket 0 would span
+        # (-width, width) — twice the intended width, weakening the
+        # documented per-level bounds by up to 2× (round-11 advice).
+        # floor = trunc − 1 exactly when the remainder is negative
+        # (Spark's % follows the dividend sign); no intermediate can
+        # overflow. Floor-div stays monotone in the id, so bucket-asc
+        # order is still id-asc order and prefix semantics hold.
         lvl = cur.withColumn(
-            "_rng", F.expr(f"CAST(`{id_col}` AS BIGINT) div {width}")
+            "_rng",
+            F.expr(
+                f"CAST(`{id_col}` AS BIGINT) div {width} - "
+                f"(CASE WHEN CAST(`{id_col}` AS BIGINT) % {width} < 0 "
+                "THEN 1 ELSE 0 END)"
+            ),
         )
         per_r = lvl.groupBy(*K, rem_col, "_rng").agg(
             F.sum("_w").alias("_rw")

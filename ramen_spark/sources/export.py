@@ -192,9 +192,11 @@ def _recover_generation(out_dir: str) -> None:
     `rename(data, data.old-*)` and `rename(data.next-*, data)` leaves
     NO live 'data' dir even though the old generation survives intact
     under data.old-<token>. Restore it (at most one can exist — every
-    successful export deletes its predecessor). Called by the writer
-    AND both readers, so a crashed-mid-swap directory reads fine; the
-    protocol assumes a single writer (as any rename-swap does)."""
+    successful export deletes its predecessor). WRITER-ONLY since
+    round 12: readers resolve via :func:`_live_data_dir` without
+    renaming (a rename in a read path fails on read-only mounts and
+    races concurrent readers — round-11 advice); the protocol assumes
+    a single writer (as any rename-swap does)."""
     live = os.path.join(out_dir, "data")
     if os.path.isdir(live) or not os.path.isdir(out_dir):
         return
@@ -205,12 +207,45 @@ def _recover_generation(out_dir: str) -> None:
         os.rename(os.path.join(out_dir, olds[-1]), live)
 
 
+def _live_data_dir(out_dir: str) -> str:
+    """Reader-side generation resolution, with NO repair: prefer the
+    live ``data`` dir; inside the swap crash window fall back to the
+    surviving ``data.old-*`` generation IN PLACE. Returns the live
+    path when neither exists so the downstream open fails loudly with
+    the real path in the message."""
+    live = os.path.join(out_dir, "data")
+    if os.path.isdir(live):
+        return live
+    if os.path.isdir(out_dir):
+        olds = sorted(
+            n for n in os.listdir(out_dir) if n.startswith("data.old-")
+        )
+        if olds:
+            return os.path.join(out_dir, olds[-1])
+    return live
+
+
+def _manifest_path(out_dir: str, data_dir: str) -> str:
+    """The manifest lives INSIDE the generation dir since round 12
+    (one rename publishes data + manifest atomically — the round-11
+    advice crash window paired new data with an old manifest);
+    pre-round-12 snapshots keep it at the top level. Prefer the
+    in-generation copy, fall back to legacy."""
+    in_gen = os.path.join(data_dir, "webdataset_manifest.json")
+    return (
+        in_gen
+        if os.path.exists(in_gen)
+        else os.path.join(out_dir, "webdataset_manifest.json")
+    )
+
+
 def write_webdataset(
     df: DataFrame,
     out_dir: str,
     key_col: str,
     member_cols: dict[str, str],
     n_shards: int = 8,
+    target_shard_bytes: int | None = None,
 ) -> dict:
     """Export samples as WebDataset-style tar shards (the POSIX-tar
     convention the WebDataset/torchdata loaders stream: each sample's
@@ -244,8 +279,17 @@ def write_webdataset(
     streams through ONE applyInPandas task that writes its tar
     executor-side — no driver materialization; the returned manifest
     rows are n_shards tiny tuples. Size shards via ``n_shards`` to the
-    loader convention (~100 MB–1 GB each); the tar is STREAMED member
-    by member to disk with an incremental md5, so a shard need NOT fit
+    loader convention (~100 MB–1 GB each), or pass
+    ``target_shard_bytes`` and the shard count is DERIVED from one
+    cheap pre-write aggregation over estimated member tar footprints
+    (payload + 512-byte header + 512-padding per member) — loaders
+    specify shard BYTES, not counts (round-11 agenda #6). The
+    estimate treats non-binary/string members as their string cast
+    (±a few bytes vs the JSON dump), so realized shards track the
+    target within the usual hash-balance spread, not exactly. The
+    derived count is deterministic for a given input, so re-run
+    byte-determinism is preserved. The tar is STREAMED member by
+    member to disk with an incremental md5, so a shard need NOT fit
     in task memory — only its largest single member must. ``out_dir``
     must be a path every executor can write and the driver can list
     (local/NFS here; the snapshot-store pattern covers object stores).
@@ -269,6 +313,38 @@ def write_webdataset(
             )
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    binary_cols = {
+        f.name for f in df.schema.fields if f.dataType.simpleString() == "binary"
+    }
+    string_cols = {
+        f.name for f in df.schema.fields if f.dataType.simpleString() == "string"
+    }
+    if target_shard_bytes is not None:
+        if target_shard_bytes < 1:
+            raise ValueError("target_shard_bytes must be >= 1")
+        # one cheap agg: estimated tar footprint of every member
+        # (payload rounded up to the 512-byte tar block + one 512-byte
+        # header; NULL members write nothing). Single-member payloads
+        # are far below 2^53, so the float floor is exact.
+        import math
+
+        def member_size(c: str) -> F.Column:
+            sz = (
+                F.octet_length(F.col(c))
+                if c in binary_cols or c in string_cols
+                else F.octet_length(F.col(c).cast("string"))
+            )
+            pad = F.floor((sz + F.lit(511)) / F.lit(512)) * 512
+            return F.when(F.col(c).isNull(), F.lit(0)).otherwise(
+                (pad + F.lit(512)).cast("long")
+            )
+
+        total = df.agg(
+            F.sum(
+                sum((member_size(c) for c in sorted(member_cols)), F.lit(0))
+            ).alias("b")
+        ).collect()[0]["b"] or 0
+        n_shards = max(1, math.ceil(total / target_shard_bytes))
 
     os.makedirs(out_dir, exist_ok=True)
     _recover_generation(out_dir)
@@ -289,12 +365,6 @@ def write_webdataset(
     token = uuid.uuid4().hex[:12]
     data_dir = os.path.join(out_dir, f"data.next-{token}")
     os.makedirs(data_dir)
-    binary_cols = {
-        f.name for f in df.schema.fields if f.dataType.simpleString() == "binary"
-    }
-    string_cols = {
-        f.name for f in df.schema.fields if f.dataType.simpleString() == "string"
-    }
     cols = sorted(member_cols)
     exts = dict(member_cols)
 
@@ -431,10 +501,18 @@ def write_webdataset(
             },
             "total_samples": int(sum(r["n_samples"] for r in stats)),
         }
-        man_tmp = os.path.join(
-            out_dir, f"webdataset_manifest.json.next-{token}"
-        )
-        with open(man_tmp, "w") as f:
+        if target_shard_bytes is not None:
+            manifest["target_shard_bytes"] = int(target_shard_bytes)
+        # the manifest is STAGED INSIDE the generation dir so the one
+        # `rename(data.next-*, data)` below publishes data + manifest
+        # atomically — the old two-step (rename data, then replace a
+        # top-level manifest) had a crash window pairing NEW data with
+        # the OLD manifest, after which the next writer's reap deleted
+        # the only data matching the on-disk manifest (round-11
+        # advice). Readers resolve via _manifest_path.
+        with open(
+            os.path.join(data_dir, "webdataset_manifest.json"), "w"
+        ) as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
     except BaseException:
         # failed export: the previous generation (data + manifest) is
@@ -448,72 +526,112 @@ def write_webdataset(
     old = os.path.join(out_dir, f"data.old-{token}")
     if os.path.isdir(live):
         os.rename(live, old)
-    os.rename(data_dir, live)
+    os.rename(data_dir, live)  # publishes data + manifest in one step
+    # convenience mirror for pre-round-12 readers; NON-authoritative
+    # (readers prefer the in-generation copy), so a crash before the
+    # replace leaves a stale mirror but never an inconsistent read
+    man_tmp = os.path.join(out_dir, f"webdataset_manifest.json.next-{token}")
+    with open(man_tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(man_tmp, os.path.join(out_dir, "webdataset_manifest.json"))
     shutil.rmtree(old, ignore_errors=True)
     return manifest
 
 
-def read_webdataset(spark: SparkSession, out_dir: str) -> DataFrame:
+def _known_exts(out_dir: str, data_dir: str) -> tuple[str, ...]:
+    """Member extensions pinned by our own manifest, longest first —
+    so keys containing '.' survive the (key, ext) split. Empty for
+    foreign corpora without a manifest (last-dot convention applies;
+    write_webdataset rejects dotted extensions, so the fallback is
+    only ever ambiguous for foreign tars, where last-dot IS the
+    convention)."""
+    man_path = _manifest_path(out_dir, data_dir)
+    if not os.path.exists(man_path):
+        return ()
+    with open(man_path) as f:
+        member_cols = json.load(f).get("member_cols", {})
+    return tuple(sorted(set(member_cols.values()), key=len, reverse=True))
+
+
+def _shard_tars(data_dir: str) -> list[str]:
+    """Sorted shard tar paths of a generation dir (local listing —
+    metadata only, no data read)."""
+    if not os.path.isdir(data_dir):
+        raise FileNotFoundError(f"no webdataset data dir at {data_dir}")
+    return [
+        os.path.join(data_dir, n)
+        for n in sorted(os.listdir(data_dir))
+        if n.endswith(".tar")
+    ]
+
+
+_WDS_BATCH_BYTES = 64 << 20  # member-row flush threshold per task
+
+
+def read_webdataset(
+    spark: SparkSession,
+    out_dir: str,
+    batch_bytes: int = _WDS_BATCH_BYTES,
+) -> DataFrame:
     """Read WebDataset tar shards back as (shard, key, ext, data) —
     one row per member, binary payloads intact. The inverse of
     :func:`write_webdataset` (roundtrip pinned by test), and the
     ingest path for externally-produced WebDataset corpora.
 
-    100 TB shape: binaryFile gives file-level parallelism (one shard =
-    one task, the WARC-reader pattern); the tar walk is a stdlib pass
-    over the in-memory shard inside Arrow-batched mapInPandas. Member
-    rows compose with the multimodal lanes (audio_stats/image_headers
-    take the binary column directly)."""
-    import io
+    100 TB shape: file-level parallelism (one shard ≈ one task, the
+    WARC-reader pattern), but the tasks receive PATHS, not contents —
+    each opens its tar in stdlib STREAMING mode (``tarfile.open(path,
+    'r|')``), so only one MEMBER is in memory at a time and output
+    rows flush every ~64 MB: the read path now has the same
+    one-member memory ceiling as the round-11 streaming writer
+    (round-11 'what's wrong' #2 — an externally-produced 10 GB shard
+    no longer OOMs the reader). Member rows compose with the
+    multimodal lanes (audio_stats/image_headers take the binary
+    column directly). Non-local ``out_dir`` schemes are out of scope
+    here, as for the writer (local/NFS; the snapshot-store pattern
+    covers object stores)."""
     import tarfile
 
-    _recover_generation(out_dir)
-    files = spark.read.format("binaryFile").load(
-        os.path.join(out_dir, "data", "shard-*.tar")
-    )
-    # our own manifests pin the member extensions — split by the KNOWN
-    # extension (longest match) so keys containing '.' survive the
-    # roundtrip; external corpora without a manifest fall back to the
-    # WebDataset last-dot convention (write_webdataset rejects dotted
-    # extensions, so the fallback is only ever ambiguous for foreign
-    # tars, where last-dot IS the convention)
-    known_exts: tuple[str, ...] = ()
-    man_path = os.path.join(out_dir, "webdataset_manifest.json")
-    if os.path.exists(man_path):
-        with open(man_path) as f:
-            member_cols = json.load(f).get("member_cols", {})
-        known_exts = tuple(
-            sorted(set(member_cols.values()), key=len, reverse=True)
-        )
-
-    def split_name(name: str) -> tuple[str, str]:
-        for ext in known_exts:
-            if name.endswith("." + ext) and len(name) > len(ext) + 1:
-                return name[: -len(ext) - 1], ext
-        stem, dot, ext = name.rpartition(".")
-        return (stem, ext) if dot else (name, "")
+    data_dir = _live_data_dir(out_dir)
+    tars = _shard_tars(data_dir)
+    known = _known_exts(out_dir, data_dir)
 
     def walk(batches):
         import pandas as pd
 
+        def split_name(name: str) -> tuple[str, str]:
+            for ext in known:
+                if name.endswith("." + ext) and len(name) > len(ext) + 1:
+                    return name[: -len(ext) - 1], ext
+            stem, dot, ext = name.rpartition(".")
+            return (stem, ext) if dot else (name, "")
+
+        cols = ["shard_file", "key", "ext", "data"]
         for pdf in batches:
-            rows = []
-            for path, blob in zip(pdf["path"], pdf["content"]):
+            rows, nbytes = [], 0
+            for path in pdf["path"]:
                 name = os.path.basename(path)
-                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
+                # 'r|' = forward-only streaming: tarfile holds ONE
+                # member block at a time; extractfile must be consumed
+                # before advancing, which the immediate read() does
+                with tarfile.open(path, "r|") as tar:
                     for m in tar:
                         if not m.isfile():
                             continue
                         stem, ext = split_name(m.name)
                         data = tar.extractfile(m).read()
                         rows.append((name, stem, ext, data))
+                        nbytes += len(data)
+                        if nbytes >= batch_bytes:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows, nbytes = [], 0
             if rows:
-                yield pd.DataFrame(
-                    rows, columns=["shard_file", "key", "ext", "data"]
-                )
+                yield pd.DataFrame(rows, columns=cols)
 
-    return files.select("path", "content").mapInPandas(
+    paths = spark.createDataFrame(
+        [(p,) for p in tars], "path string"
+    ).repartition(max(len(tars), 1))
+    return paths.mapInPandas(
         walk, "shard_file string, key string, ext string, data binary"
     )
 
@@ -523,16 +641,49 @@ def verify_webdataset(spark: SparkSession, out_dir: str) -> list[str]:
     byte-level tar md5 + sample counts (distinct keys per shard).
     Returns human-readable discrepancies (empty = verified) — the
     loader's trust check, and byte-determinism makes it double as the
-    re-run's reproducibility proof."""
-    import hashlib
+    re-run's reproducibility proof.
 
-    _recover_generation(out_dir)
-    with open(os.path.join(out_dir, "webdataset_manifest.json")) as f:
+    100 TB shape: the md5s are computed EXECUTOR-SIDE, one shard per
+    task, streaming 4 MB chunks through an incremental hash — the
+    driver sees only the shard listing (metadata) and n_shards tiny
+    (name, bytes, md5) tuples. Round 11 left this as the repo's last
+    driver-side full-data path (a sequential ``open().read()`` loop);
+    for a 100 TB corpus the trust check is now as distributed as the
+    write that produced it."""
+    data_dir = _live_data_dir(out_dir)
+    with open(_manifest_path(out_dir, data_dir)) as f:
         manifest = json.load(f)
     errs: list[str] = []
-    data_dir = os.path.join(out_dir, "data")
-    found = {n for n in os.listdir(data_dir) if n.endswith(".tar")}
+    tars = _shard_tars(data_dir)
+    found = {os.path.basename(p) for p in tars}
     want = manifest["shards"]
+
+    def hash_shards(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                md5, n = hashlib.md5(), 0
+                with open(path, "rb") as fh:
+                    for chunk in iter(lambda: fh.read(4 << 20), b""):
+                        md5.update(chunk)
+                        n += len(chunk)
+                rows.append((os.path.basename(path), n, md5.hexdigest()))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["name", "tar_bytes", "tar_md5"]
+                )
+
+    got_hashes = {
+        r["name"]: (r["tar_bytes"], r["tar_md5"])
+        for r in spark.createDataFrame([(p,) for p in tars], "path string")
+        .repartition(max(len(tars), 1))
+        .mapInPandas(hash_shards, "name string, tar_bytes long, tar_md5 string")
+        .collect()
+    }
     for name in sorted(set(want) | found):
         if name not in found:
             errs.append(f"{name}: missing from data")
@@ -540,12 +691,11 @@ def verify_webdataset(spark: SparkSession, out_dir: str) -> list[str]:
         if name not in want:
             errs.append(f"{name}: not in manifest")
             continue
-        with open(os.path.join(data_dir, name), "rb") as fh:
-            blob = fh.read()
-        if hashlib.md5(blob).hexdigest() != want[name]["tar_md5"]:
+        nbytes, md5hex = got_hashes[name]
+        if md5hex != want[name]["tar_md5"]:
             errs.append(f"{name}: tar md5 mismatch")
-        if len(blob) != want[name]["tar_bytes"]:
-            errs.append(f"{name}: size {len(blob)} != {want[name]['tar_bytes']}")
+        if nbytes != want[name]["tar_bytes"]:
+            errs.append(f"{name}: size {nbytes} != {want[name]['tar_bytes']}")
     got_samples = (
         read_webdataset(spark, out_dir)
         .select("shard_file", "key")

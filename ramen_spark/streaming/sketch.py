@@ -129,6 +129,19 @@ class _SnapshotStore:
             pass
 
 
+def _merged_kmv_k() -> F.Column:
+    """Merged build-k of a state ∪ batch union. A NULL ``_kmv_k``
+    marks pre-round-11 'unchecked legacy' rows whose build k is
+    UNKNOWN; ``F.min`` alone would skip the NULLs and stamp the merged
+    sketch as checked at the batch k even though the legacy portion
+    may have been built with a smaller k (round-11 advice). Any NULL
+    in the group ⇒ the merged ``_kmv_k`` stays NULL — the sketch
+    remains in documented pass-unchecked mode until a fresh rebuild."""
+    return F.when(
+        F.count(F.lit(1)) == F.count("_kmv_k"), F.min("_kmv_k")
+    ).alias("_kmv_k")
+
+
 class _IncrementalMinKBase:
     """Shared fold machinery for min-k-shaped persisted sketches
     (KMV distinct, bottom-k quantile sample): a micro-batch is pruned,
@@ -222,7 +235,7 @@ class IncrementalKmvSketch(_IncrementalMinKBase):
             .alias("_mins")
         ]
         if has_k:
-            aggs.append(F.min("_kmv_k").alias("_kmv_k"))
+            aggs.append(_merged_kmv_k())
         return (
             merged.groupBy(*self.keys)
             .agg(*aggs)
@@ -305,7 +318,7 @@ class IncrementalQuantileSketch(_IncrementalMinKBase):
             .alias("_mins")
         ]
         if has_k:
-            aggs.append(F.min("_kmv_k").alias("_kmv_k"))
+            aggs.append(_merged_kmv_k())
         return (
             merged.groupBy(*self.keys)
             .agg(*aggs)

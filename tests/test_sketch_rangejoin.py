@@ -1128,6 +1128,12 @@ def test_token_budget_select_adversarially_sparse_ids(spark):
                    for i in range(400)],
         # random 62-bit hash ids — astronomically sparse everywhere
         "hash62": rng.sample(range(1 << 62), 400),
+        # ids straddling zero: SQL `div` truncates toward zero, so a
+        # trunc-div bucketing gives bucket 0 double width around the
+        # origin (round-11 advice) — the ladder now floor-divides;
+        # signed ids must stay value-identical to the naive cumsum
+        "signed": [i * (id_range**2 + 3) + rng.randint(0, 2) - 13_000
+                   for i in range(400)],
     }
     for name, ids in layouts.items():
         rows = [

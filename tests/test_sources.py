@@ -881,13 +881,17 @@ def test_webdataset_swap_crash_window_recovers(spark, tmp_path):
               "w") as f:
         f.write("{}")
 
-    # a reader recovers the old generation and verifies green
+    # readers fall back to the surviving generation IN PLACE — no
+    # rename in a read path (round-11 advice: renames fail on
+    # read-only mounts and race concurrent readers); repair is the
+    # next writer's job
     assert verify_webdataset(spark, out) == []
     assert read_webdataset(spark, out).count() > 0
+    assert not os.path.isdir(os.path.join(out, "data"))
+    assert os.path.isdir(os.path.join(out, "data.old-dead"))
 
     # ...and a writer starting from the same crashed state keeps the
     # old generation through its own failed job
-    os.rename(os.path.join(out, "data"), os.path.join(out, "data.old-dead"))
     dup = df.unionByName(df.limit(1))
     with pytest.raises(Exception, match="duplicate"):
         write_webdataset(dup, out, "key", {"payload": "wav"}, n_shards=2)
@@ -898,3 +902,82 @@ def test_webdataset_swap_crash_window_recovers(spark, tmp_path):
         assert _json.load(f)["shards"] == man["shards"]
     # staged leftovers were reaped
     assert not [n for n in os.listdir(out) if ".next-dead" in n]
+
+
+def test_webdataset_target_shard_bytes_derives_count(spark, tmp_path):
+    """Round-11 agenda #6: loaders specify shard BYTES — the shard
+    count is derived from one pre-write agg over estimated member tar
+    footprints, recorded in the manifest, and deterministic across
+    re-runs (byte-identical tars)."""
+    import math
+
+    from ramen_spark.sources.export import (
+        verify_webdataset,
+        write_webdataset,
+    )
+
+    df = _wds_fixture(spark)
+    # estimated footprint: per non-NULL member 512 header + payload
+    # padded to 512 — recompute the expectation independently
+    est = sum(
+        512 + 512 * math.ceil(max(n, 1) / 512) if n else 512
+        for r in df.collect()
+        for n in (len(bytes(r["payload"])), len(r["meta"].encode()))
+    )
+    target = 4096
+    out = str(tmp_path / "wds")
+    man = write_webdataset(
+        df, out, "key", {"payload": "wav", "meta": "json"},
+        target_shard_bytes=target,
+    )
+    assert man["target_shard_bytes"] == target
+    assert man["n_shards"] == math.ceil(est / target) > 1
+    assert len(man["shards"]) <= man["n_shards"]  # md5 may leave gaps
+    assert verify_webdataset(spark, out) == []
+    # realized shard sizes track the target within hash-balance
+    # spread plus tarfile's 10 KiB record blocking (each archive pads
+    # to a RECORDSIZE multiple — dominant at toy targets like this)
+    sizes = [s["tar_bytes"] for s in man["shards"].values()]
+    assert max(sizes) < 4 * target + 20480
+    # deterministic: a re-run derives the same count and bytes
+    man2 = write_webdataset(
+        df, str(tmp_path / "wds2"), "key",
+        {"payload": "wav", "meta": "json"}, target_shard_bytes=target,
+    )
+    assert man2["n_shards"] == man["n_shards"]
+    assert man2["shards"] == man["shards"]
+
+    with pytest.raises(ValueError, match="target_shard_bytes"):
+        write_webdataset(df, str(tmp_path / "x"), "key",
+                         {"payload": "wav"}, target_shard_bytes=0)
+
+
+def test_webdataset_streaming_read_chunked_flush(spark, tmp_path):
+    """The round-12 streaming reader opens tars in 'r|' mode (one
+    member in memory) and flushes output rows every ``batch_bytes`` —
+    a tiny threshold must force many flushes and still return every
+    member byte-exactly, including a FOREIGN tar not produced by
+    write_webdataset (no manifest: last-dot split convention)."""
+    import os
+    import tarfile
+
+    from ramen_spark.sources.export import read_webdataset
+
+    out = tmp_path / "foreign"
+    ddir = out / "data"
+    os.makedirs(ddir)
+    members = {f"sample.{i:03d}.bin": bytes([i % 251]) * (1000 + i)
+               for i in range(50)}
+    with tarfile.open(ddir / "shard-000000.tar", "w") as tar:
+        for name, payload in sorted(members.items()):
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            import io as _io
+
+            tar.addfile(info, _io.BytesIO(payload))
+
+    back = read_webdataset(spark, str(out), batch_bytes=2048).collect()
+    got = {f"{r['key']}.{r['ext']}": bytes(r["data"]) for r in back}
+    assert got == members
+    # foreign tar, no manifest: last-dot convention splits the ext
+    assert {r["ext"] for r in back} == {"bin"}

@@ -604,3 +604,41 @@ def test_cli_drift_reads_snapshot_roots(spark, tmp_path, capsys):
     hdr = out[0].split("\t")
     assert "p50_delta" in hdr and "containment_a_in_b" in hdr
     assert len(out) == 3  # header + g0 + g1
+
+
+def test_legacy_null_kmv_k_stays_null_after_merge(spark, tmp_path):
+    """Round-11 advice: a legacy persisted state (no _kmv_k column)
+    unions into a new fold as NULL; min() would SKIP the NULLs and
+    stamp the merged sketch as checked at the batch k even though the
+    legacy build k is unknown. Any NULL in a group must NULL the
+    merged _kmv_k — the sketch stays in documented pass-unchecked
+    mode. Groups introduced ONLY by post-legacy batches (no legacy
+    rows) keep their exact build k."""
+    from ramen_spark.operators.sketch import kmv_prune
+    from ramen_spark.streaming.sketch import (
+        IncrementalKmvSketch,
+        _SnapshotStore,
+    )
+
+    legacy_rows = spark.createDataFrame(
+        [("a", i) for i in range(50)], "g string, v long"
+    )
+    # simulate a pre-round-11 snapshot: pruned rows WITHOUT _kmv_k
+    legacy = kmv_prune(legacy_rows, ["g"], "v", 8).drop("_kmv_k")
+    _SnapshotStore(spark, str(tmp_path / "state")).commit(legacy)
+
+    sk = IncrementalKmvSketch(spark, str(tmp_path / "state"), ["g"], "v", k=8)
+    batch = spark.createDataFrame(
+        [("a", 100 + i) for i in range(20)]
+        + [("b", 200 + i) for i in range(20)],
+        "g string, v long",
+    )
+    sk.update(batch)
+
+    state = sk.store.read()
+    ks = {r["g"]: r["_kmv_k"] for r in
+          state.select("g", "_kmv_k").distinct().collect()}
+    assert ks["a"] is None      # legacy portion: build k unknown
+    assert ks["b"] == 8         # fresh group: exact build k
+    # and the state still finalizes (pass-unchecked mode)
+    assert sk.estimate().count() == 2
