@@ -401,6 +401,14 @@ class KafkaWireClient:
         self._client_id = client_id
         self._corr = 0
 
+    def close(self) -> None:
+        """Close the underlying transport if it can be closed (a TCP
+        socket from :func:`connect_kafka`); in-memory loopbacks without
+        a close are fine to leave."""
+        close = getattr(self._t, "close", None)
+        if close is not None:
+            close()
+
     def _recv_exact(self, n: int) -> bytes:
         chunks = bytearray()
         while len(chunks) < n:

@@ -61,9 +61,12 @@ def file_tail(
 def kafka_source(
     spark: SparkSession, brokers: str, topic: str, starting: str = "earliest"
 ) -> DataFrame:
-    """READ FROM KAFKA TOPIC (src/raql_operation.type:87-113). Requires
-    the spark-sql-kafka package on the classpath (not in this
-    container — raises a clear error otherwise)."""
+    """READ FROM KAFKA TOPIC (src/raql_operation.type:87-113) via the
+    native Structured Streaming connector. Requires the
+    spark-sql-kafka package on the classpath (not in this container —
+    raises a clear error otherwise). Without the jar, use
+    :func:`kafka_live_source` — the wire-client polling lane that
+    needs only a TCP-reachable broker."""
     return (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
@@ -71,6 +74,25 @@ def kafka_source(
         .option("startingOffsets", starting)
         .load()
     )
+
+
+def kafka_live_source(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    assignments: list[tuple[str, int]],
+    root_dir: str,
+    **kwargs,
+):
+    """READ FROM KAFKA with NO connector jar: the micro-batch polling
+    source built on the tested wire client (Produce/Fetch over raw TCP,
+    offsets checkpointed in a _SnapshotStore, records spooled to
+    parquet executor-side) — ``sources/kafka_live.KafkaLiveSource``.
+    The live twin of the offline log-segment lane; both decode through
+    the same ``decode_kafka_segment``."""
+    from ramen_spark.sources.kafka_live import KafkaLiveSource
+
+    return KafkaLiveSource(spark, host, port, assignments, root_dir, **kwargs)
 
 
 # Fixed protocol schemas (LISTEN FOR ..., src/raql_operation.type:139-145)

@@ -1,0 +1,188 @@
+"""Jar-free live Kafka source (sources/kafka_live.py — round-11
+verdict #1): the tested wire client + TCP dial + RecordBatch decoder
+composed into a polling micro-batch source with _SnapshotStore-
+checkpointed offsets, exercised END-TO-END against the loopback TCP
+broker (a real reachable broker as far as every layer of the client
+stack is concerned — executors dial it over actual sockets from their
+own worker processes)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_broker import BrokerServer, FakeBroker
+
+from ramen_spark.sources.binary import encode_kafka_record_batch
+from ramen_spark.sources.kafka_live import KafkaLiveSource
+
+
+def _produce(host, port, topic, partition, recs, compression=None):
+    from ramen_spark.sources.kafka_wire import connect_kafka
+
+    client = connect_kafka(host, port, timeout_s=5.0)
+    try:
+        kwargs = {"compression": compression} if compression else {}
+        return client.produce(
+            topic, partition, encode_kafka_record_batch(recs, **kwargs)
+        )
+    finally:
+        client.close()
+
+
+def _rows(df):
+    return sorted(
+        (r["topic"], r["partition"], r["offset"], r["timestamp_ms"],
+         bytes(r["key"]) if r["key"] is not None else None,
+         bytes(r["value"]) if r["value"] is not None else None)
+        for r in df.collect()
+    )
+
+
+def test_live_source_e2e_multibatch_multipartition(spark, tmp_path):
+    """Produce multi-batch (incl. gzip) topics across two partitions;
+    poll drains them through executor-side dials; a second poll after
+    more produces returns ONLY the new records; the spool holds the
+    full replayable log."""
+    broker = FakeBroker()
+    with BrokerServer(broker) as (host, port):
+        _produce(host, port, "events", 0,
+                 [(1000 + i, f"k{i}".encode(), f"v{i}".encode())
+                  for i in range(5)])
+        _produce(host, port, "events", 0,
+                 [(2000 + i, None, f"w{i}".encode()) for i in range(3)],
+                 compression="gzip")
+        _produce(host, port, "events", 1, [(3000, b"solo", None)])
+
+        src = KafkaLiveSource(
+            spark, host, port, [("events", 0), ("events", 1)],
+            str(tmp_path / "kafka"),
+        )
+        batch1 = src.poll()
+        got = _rows(batch1)
+        assert len(got) == 9
+        assert [(o, k, v) for t, p, o, _ts, k, v in got if p == 0] == [
+            (i, f"k{i}".encode(), f"v{i}".encode()) for i in range(5)
+        ] + [(5 + i, None, f"w{i}".encode()) for i in range(3)]
+        assert [(o, k, v) for t, p, o, _ts, k, v in got if p == 1] == [
+            (0, b"solo", None)
+        ]
+        assert src.committed_offsets() == {
+            ("events", 0): 8, ("events", 1): 1,
+        }
+
+        # idle poll: no offset churn, no spool dirs minted
+        assert src.poll().isEmpty()
+        dirs_before = src._spool_dirs()
+
+        _produce(host, port, "events", 1, [(4000, b"k9", b"late")])
+        batch2 = src.poll()
+        assert _rows(batch2) == [
+            ("events", 1, 1, 4000, b"k9", b"late")
+        ]
+        assert src.committed_offsets()[("events", 1)] == 2
+        assert len(src._spool_dirs()) == len(dirs_before) + 1
+
+        # spool = the full durable log, duplicate-free
+        assert len(_rows(src.spool())) == 10
+
+
+def test_live_source_restart_resumes_from_checkpoint(spark, tmp_path):
+    """A NEW source object over the same root (process restart) fetches
+    nothing old — offsets resume from the committed snapshot."""
+    broker = FakeBroker()
+    with BrokerServer(broker) as (host, port):
+        _produce(host, port, "t", 0, [(1, b"a", b"1"), (2, b"b", b"2")])
+        root = str(tmp_path / "kafka")
+        src1 = KafkaLiveSource(spark, host, port, [("t", 0)], root)
+        assert src1.poll().count() == 2
+
+        src2 = KafkaLiveSource(spark, host, port, [("t", 0)], root)
+        assert src2.poll().isEmpty()  # nothing new after restart
+        _produce(host, port, "t", 0, [(3, b"c", b"3")])
+        got = _rows(src2.poll())
+        assert [o for _t, _p, o, _ts, _k, _v in got] == [2]
+        assert len(_rows(src2.spool())) == 3
+
+
+def test_live_source_crash_between_spool_and_commit(spark, tmp_path):
+    """Crash AFTER the spool write but BEFORE the offset commit: the
+    re-poll reaps the orphan batch dir and re-fetches — at-least-once
+    against the broker, duplicate-free in the spool."""
+    broker = FakeBroker()
+    with BrokerServer(broker) as (host, port):
+        _produce(host, port, "t", 0, [(1, b"a", b"x"), (2, b"b", b"y")])
+        root = str(tmp_path / "kafka")
+        src = KafkaLiveSource(spark, host, port, [("t", 0)], root)
+
+        real_commit = src.offsets_store.commit
+        src.offsets_store.commit = lambda df: (_ for _ in ()).throw(
+            OSError("simulated crash before offset commit")
+        )
+        with pytest.raises(OSError, match="simulated crash"):
+            src.poll()
+        # the spool batch IS on disk (durable-first) but unacknowledged
+        assert len(src._spool_dirs()) == 1
+        src.offsets_store.commit = real_commit
+
+        fresh = KafkaLiveSource(spark, host, port, [("t", 0)], root)
+        assert fresh.poll().count() == 2  # re-fetched, not resumed
+        assert len(_rows(fresh.spool())) == 2  # orphan reaped: no dups
+        assert fresh.committed_offsets() == {("t", 0): 2}
+
+
+def test_live_source_bounded_poll_and_starting_offsets(spark, tmp_path):
+    """max_records bounds one poll (backlog drains across polls);
+    starting_offsets skips history for unseen partitions."""
+    broker = FakeBroker()
+    with BrokerServer(broker) as (host, port):
+        _produce(host, port, "t", 0,
+                 [(i, None, str(i).encode()) for i in range(10)])
+        root = str(tmp_path / "kafka")
+        src = KafkaLiveSource(
+            spark, host, port, [("t", 0)], root, max_records=4
+        )
+        assert src.poll().count() == 4
+        assert src.committed_offsets() == {("t", 0): 4}
+        assert src.poll().count() == 4
+        assert src.poll().count() == 2
+        assert src.committed_offsets() == {("t", 0): 10}
+        assert src.spool().count() == 10
+
+        late = KafkaLiveSource(
+            spark, host, port, [("t", 0)], str(tmp_path / "kafka2"),
+            starting_offsets={("t", 0): 8},
+        )
+        got = _rows(late.poll())
+        assert [o for _t, _p, o, _ts, _k, _v in got] == [8, 9]
+
+    with pytest.raises(ValueError, match="assignment"):
+        KafkaLiveSource(spark, "h", 1, [], str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="duplicate"):
+        KafkaLiveSource(spark, "h", 1, [("t", 0), ("t", 0)],
+                        str(tmp_path / "x"))
+
+
+def test_live_source_feeds_shared_decoders(spark, tmp_path):
+    """The live path and the offline log-segment lane share ONE
+    decoder stack by construction: RowBinary-encoded values fetched
+    live decode through the same decode_rowbinary the offline READ
+    ... AS ROWBINARY lane uses."""
+    from ramen_spark.sources.binary import decode_rowbinary, encode_rowbinary
+
+    spec = [("metric", "String"), ("value", "Float64")]
+    payloads = [
+        encode_rowbinary([(f"m{i}", float(i) / 2)], spec) for i in range(6)
+    ]
+    broker = FakeBroker()
+    with BrokerServer(broker) as (host, port):
+        _produce(host, port, "metrics", 0,
+                 [(100 + i, None, payloads[i]) for i in range(6)])
+        src = KafkaLiveSource(
+            spark, host, port, [("metrics", 0)], str(tmp_path / "kafka")
+        )
+        batch = src.poll()
+        decoded = decode_rowbinary(
+            batch.select(batch["value"].alias("blob")), spec
+        )
+        got = {(r["metric"], r["value"]) for r in decoded.collect()}
+        assert got == {(f"m{i}", i / 2) for i in range(6)}

@@ -49,51 +49,9 @@ def test_fetch_request_golden_bytes():
     assert r.done()
 
 
-class _FakeBroker:
-    """Spec-following single-node broker core: per-(topic, partition)
-    logs of RecordBatches with broker-assigned base offsets (the first
-    8 bytes of each appended batch are rewritten to the log-end
-    offset, exactly what a real broker's offset assignment does)."""
-
-    def __init__(self):
-        self.logs: dict[tuple[str, int], list[bytes]] = {}
-        self.ends: dict[tuple[str, int], int] = {}
-
-    def handle(self, frame: bytes) -> bytes:
-        api, ver, corr, _cid, r = kw.decode_request(frame)
-        if api == kw.API_PRODUCE:
-            assert ver == kw.PRODUCE_VERSION
-            _tid, _acks, _timeout, topic_data = kw.decode_produce_request_body(r)
-            results = []
-            for (t, p), rs in topic_data.items():
-                base = self.ends.get((t, p), 0)
-                n = len(decode_kafka_segment(rs))
-                patched = struct.pack(">q", base) + rs[8:]
-                self.logs.setdefault((t, p), []).append(patched)
-                self.ends[(t, p)] = base + n
-                results.append(kw.ProducePartitionResult(t, p, 0, base))
-            body = kw.encode_produce_response_body(results)
-        elif api == kw.API_FETCH:
-            assert ver == kw.FETCH_VERSION
-            offsets = kw.decode_fetch_request_body(r)
-            results = []
-            for (t, p), off in offsets.items():
-                batches = [
-                    b
-                    for b in self.logs.get((t, p), [])
-                    if any(rec[1] >= off for rec in decode_kafka_segment(b))
-                ]
-                results.append(
-                    kw.FetchPartitionResult(
-                        t, p, 0, self.ends.get((t, p), 0),
-                        b"".join(batches) or None,
-                    )
-                )
-            body = kw.encode_fetch_response_body(results)
-        else:  # pragma: no cover
-            raise AssertionError(f"unexpected api {api}")
-        assert r.done(), "request body not fully consumed"
-        return kw.encode_response(corr, body)
+# the spec-following broker core is shared with the live-source e2e
+# lane (test_kafka_live) — one broker definition, two test surfaces
+from kafka_broker import BrokerServer, FakeBroker as _FakeBroker
 
 
 class _Loopback:
@@ -214,36 +172,7 @@ def test_tcp_dial_against_loopback_broker():
     broker core, and a full produce → fetch conversation flows over
     actual TCP frames — DNS is blocked in this container, loopback
     is not."""
-    import socketserver
-    import threading
-
-    broker = _FakeBroker()
-
-    class _Handler(socketserver.BaseRequestHandler):
-        def handle(self):
-            buf = bytearray()
-            while True:
-                try:
-                    got = self.request.recv(65536)
-                except OSError:  # client closed
-                    return
-                if not got:
-                    return
-                buf += got
-                while len(buf) >= 4:
-                    (size,) = struct.unpack(">i", buf[:4])
-                    if len(buf) < 4 + size:
-                        break
-                    frame = bytes(buf[4 : 4 + size])
-                    del buf[: 4 + size]
-                    self.request.sendall(broker.handle(frame))
-
-    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _Handler)
-    srv.daemon_threads = True
-    t = threading.Thread(target=srv.serve_forever, daemon=True)
-    t.start()
-    try:
-        host, port = srv.server_address
+    with BrokerServer() as (host, port):
         client = kw.connect_kafka(host, port, timeout_s=5.0)
         recs = [(0, b"k0", b"v0"), (1, None, b"v1"), (2, b"k2", None)]
         res = client.produce("events", 0, encode_kafka_record_batch(recs))
@@ -263,7 +192,4 @@ def test_tcp_dial_against_loopback_broker():
         # mid-stream offset over the same live socket
         got2, _ = client.fetch_records("events", 0, 3)
         assert [o for _b, o, _ts, _k, _v in got2] == [3]
-        client._t.close()
-    finally:
-        srv.shutdown()
-        srv.server_close()
+        client.close()
