@@ -589,10 +589,24 @@ def cmd_drift(args) -> int:
             st = spark.read.parquet(root)
         return st
 
-    a, b = load_state(args.state_a), load_state(args.state_b)
     keys = args.by or []
-    ps = [float(x) for x in args.quantiles.split(",") if x.strip()]
-    out = sketch_drift(a, b, keys, ps, args.k)
+    if args.cms_top:
+        # third drift family (round-11 agenda #4): heavy-hitter churn
+        # between two persisted IncrementalCmsTop roots (cells+cands)
+        from ramen_spark.operators.sketch import cms_drift
+
+        pairs = []
+        for root in (args.state_a, args.state_b):
+            cells = load_state(root.rstrip("/") + "/cells")
+            cands = load_state(root.rstrip("/") + "/cands")
+            pairs += [cells, cands]
+        out = cms_drift(
+            *pairs, keys, args.cms_top, args.cms_depth, args.cms_width
+        )
+    else:
+        a, b = load_state(args.state_a), load_state(args.state_b)
+        ps = [float(x) for x in args.quantiles.split(",") if x.strip()]
+        out = sketch_drift(a, b, keys, ps, args.k)
     from pyspark.sql import functions as F
 
     hdr = out.columns
@@ -912,6 +926,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated fractions (default 0.5,0.9)")
     p.add_argument("--k", type=int, default=1024,
                    help="sketch k BOTH states were built with")
+    p.add_argument(
+        "--cms-top", type=int, default=None, metavar="N",
+        help="heavy-hitter churn mode: states are IncrementalCmsTop "
+             "roots (cells/ + cands/); report entered/left of the "
+             "top-N with estimate deltas",
+    )
+    p.add_argument("--cms-depth", type=int, default=4,
+                   help="CMS depth BOTH states were built with")
+    p.add_argument("--cms-width", type=int, default=2048,
+                   help="CMS width BOTH states were built with")
     p.set_defaults(fn=cmd_drift)
 
     p = sub.add_parser(

@@ -944,3 +944,99 @@ def cms_rank_top(
             lambda s_: s_["v"],
         ).alias(out_col)
     )
+
+
+def cms_drift(
+    cells_a: DataFrame,
+    cands_a: DataFrame,
+    cells_b: DataFrame,
+    cands_b: DataFrame,
+    keys: list[str],
+    n: int,
+    depth: int,
+    width: int,
+) -> DataFrame:
+    """Heavy-hitter CHURN between two persisted CMS-top states — the
+    third sketch family of the drift report (round-11 agenda #4,
+    beside :func:`sketch_drift`'s percentile deltas and KMV churn):
+    which values entered/left the per-key top-``n`` list between
+    snapshot A and snapshot B, with estimate deltas. Computed PURELY
+    from the two persisted state pairs (``IncrementalCmsTop``'s
+    ``cells`` + ``cands`` relations — cells are ≤ depth × width per
+    key, candidate lists ≤ m per key); neither corpus is re-read.
+
+    Output, one row per (keys…, value in top_a ∪ top_b):
+    (keys…, value, est_a, est_b, weight_delta = est_b − est_a,
+    rank_a, rank_b (NULL when outside that side's top-n; ordering is
+    cms_rank_top's total (est desc, value asc)), top_entered,
+    top_left). A value in only one side's top list still gets BOTH
+    estimates — a CMS answers point queries for any value, so the
+    delta says whether it left the list by shrinking or by being
+    outgrown.
+
+    Exactness: deterministic md5 hash families — with m ≥ distinct
+    values the result is value-exact in DuckDB (the oracle replays the
+    same cell algebra, collisions included). Both sides must be built
+    at the SAME (depth, width): cell estimates at different geometries
+    are not comparable, so mismatched inputs are the caller's contract
+    to avoid (the CLI checks the snapshot metadata).
+
+    Plan shape: two candidate-grain estimate joins (broadcast-sized:
+    ≤ m·|keys| rows vs ≤ depth·width·|keys| cells), one union, two
+    rank windows over ≤ m rows per key, three null-safe joins on
+    (keys, value) — nothing scales with the corpora."""
+    if n < 1:
+        raise ValueError("cms_drift needs n >= 1")
+    if depth < 1 or width < 1:
+        raise ValueError("cms_drift needs depth >= 1 and width >= 1")
+    from pyspark.sql import Window
+
+    from ramen_spark.operators.joins import null_safe_join
+
+    def side_top(cells: DataFrame, cands: DataFrame, rank_col: str) -> DataFrame:
+        est = cms_estimate_candidates(
+            cells.select(*keys, "row", "col", "cnt"), cands, keys, depth, width
+        )
+        win = Window.partitionBy(*keys).orderBy(
+            F.col("_est").desc(), F.col("_v").asc()
+        )
+        # ≤ m candidates per key (the persisted-state bound), so the
+        # rank window is bounded — no salted level needed here
+        return (
+            est.withColumn(rank_col, F.row_number().over(win).cast("long"))
+            .filter(F.col(rank_col) <= n)
+            .select(*keys, "_v", rank_col)
+        )
+
+    top_a = side_top(cells_a, cands_a, "rank_a")
+    top_b = side_top(cells_b, cands_b, "rank_b")
+    union_vals = (
+        top_a.select(*keys, "_v").unionByName(top_b.select(*keys, "_v"))
+        .distinct()
+    )
+    est_a = cms_estimate_candidates(
+        cells_a.select(*keys, "row", "col", "cnt"), union_vals, keys,
+        depth, width,
+    ).withColumnRenamed("_est", "est_a")
+    est_b = cms_estimate_candidates(
+        cells_b.select(*keys, "row", "col", "cnt"), union_vals, keys,
+        depth, width,
+    ).withColumnRenamed("_est", "est_b")
+
+    on = [*keys, "_v"]
+    out = null_safe_join(est_a, est_b, on, "inner")
+    out = null_safe_join(out, top_a, on, "left")
+    out = null_safe_join(out, top_b, on, "left")
+    return out.select(
+        *keys,
+        F.col("_v").alias("value"),
+        F.col("est_a").cast("long").alias("est_a"),
+        F.col("est_b").cast("long").alias("est_b"),
+        (F.col("est_b") - F.col("est_a")).cast("long").alias("weight_delta"),
+        "rank_a",
+        "rank_b",
+        (F.col("rank_b").isNotNull() & F.col("rank_a").isNull())
+        .alias("top_entered"),
+        (F.col("rank_a").isNotNull() & F.col("rank_b").isNull())
+        .alias("top_left"),
+    )

@@ -6852,3 +6852,130 @@ def token_budget_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["token_budget_per_lang"] = ORACLES["token_budget_per_lang"].replace(
     "{QUALITY}", ORACLES["quality_scores"]
 )
+
+
+_CMS_COL_SQL = (
+    "(('0x' || substring(md5(CAST(row AS VARCHAR) || '#' || "
+    "CAST(user_id AS VARCHAR)), 1, 12))::BIGINT) % 2048"
+)
+
+
+@register(
+    "cms_topk_drift",
+    f"""
+    WITH d AS (SELECT unnest([0, 1, 2, 3]) AS row),
+    a AS (
+      SELECT event_type, user_id FROM events
+      WHERE user_id IS NOT NULL AND user_id % 3 <> 0
+    ),
+    b AS (
+      SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL
+    ),
+    cells_a AS (
+      SELECT event_type, row, {_CMS_COL_SQL} AS col, count(*)::BIGINT AS cnt
+      FROM a CROSS JOIN d GROUP BY 1, 2, 3
+    ),
+    cells_b AS (
+      SELECT event_type, row, {_CMS_COL_SQL} AS col, count(*)::BIGINT AS cnt
+      FROM b CROSS JOIN d GROUP BY 1, 2, 3
+    ),
+    fan_a AS (
+      SELECT event_type, user_id, row, {_CMS_COL_SQL} AS col
+      FROM (SELECT DISTINCT event_type, user_id FROM a) CROSS JOIN d
+    ),
+    fan_b AS (
+      SELECT event_type, user_id, row, {_CMS_COL_SQL} AS col
+      FROM (SELECT DISTINCT event_type, user_id FROM b) CROSS JOIN d
+    ),
+    sest_a AS (
+      SELECT f.event_type, f.user_id, min(coalesce(c.cnt, 0)) AS e
+      FROM fan_a f LEFT JOIN cells_a c USING (event_type, row, col)
+      GROUP BY 1, 2
+    ),
+    sest_b AS (
+      SELECT f.event_type, f.user_id, min(coalesce(c.cnt, 0)) AS e
+      FROM fan_b f LEFT JOIN cells_b c USING (event_type, row, col)
+      GROUP BY 1, 2
+    ),
+    top_a AS (
+      SELECT event_type, user_id, rank_a FROM (
+        SELECT event_type, user_id,
+               row_number() OVER (
+                 PARTITION BY event_type ORDER BY e DESC, user_id ASC
+               )::BIGINT AS rank_a
+        FROM sest_a
+      ) WHERE rank_a <= 5
+    ),
+    top_b AS (
+      SELECT event_type, user_id, rank_b FROM (
+        SELECT event_type, user_id,
+               row_number() OVER (
+                 PARTITION BY event_type ORDER BY e DESC, user_id ASC
+               )::BIGINT AS rank_b
+        FROM sest_b
+      ) WHERE rank_b <= 5
+    ),
+    u AS (
+      SELECT event_type, user_id FROM top_a
+      UNION
+      SELECT event_type, user_id FROM top_b
+    ),
+    ufan AS (
+      SELECT event_type, user_id, row, {_CMS_COL_SQL} AS col
+      FROM u CROSS JOIN d
+    ),
+    uest_a AS (
+      SELECT f.event_type, f.user_id, min(coalesce(c.cnt, 0))::BIGINT AS est_a
+      FROM ufan f LEFT JOIN cells_a c USING (event_type, row, col)
+      GROUP BY 1, 2
+    ),
+    uest_b AS (
+      SELECT f.event_type, f.user_id, min(coalesce(c.cnt, 0))::BIGINT AS est_b
+      FROM ufan f LEFT JOIN cells_b c USING (event_type, row, col)
+      GROUP BY 1, 2
+    )
+    SELECT ea.event_type, ea.user_id AS value, ea.est_a, eb.est_b,
+           (eb.est_b - ea.est_a)::BIGINT AS weight_delta,
+           ta.rank_a, tb.rank_b,
+           (tb.rank_b IS NOT NULL AND ta.rank_a IS NULL) AS top_entered,
+           (ta.rank_a IS NOT NULL AND tb.rank_b IS NULL) AS top_left
+    FROM uest_a ea
+    JOIN uest_b eb
+      ON ea.event_type IS NOT DISTINCT FROM eb.event_type
+     AND ea.user_id = eb.user_id
+    LEFT JOIN top_a ta
+      ON ea.event_type IS NOT DISTINCT FROM ta.event_type
+     AND ea.user_id = ta.user_id
+    LEFT JOIN top_b tb
+      ON ea.event_type IS NOT DISTINCT FROM tb.event_type
+     AND ea.user_id = tb.user_id
+    """,
+)
+def cms_topk_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter churn between two corpus snapshots, computed from
+    their CMS-top sketch states (operators.sketch.cms_drift — round-11
+    agenda #4, the third drift family beside sketch_drift's
+    percentiles + KMV): snapshot A = events with user_id % 3 ≠ 0,
+    snapshot B = the full stream; per event_type, which users
+    entered/left the top-5 and by how much each estimate moved. The
+    batch builders stand in for the persisted IncrementalCmsTop state
+    pair here (candidates = all distinct values, the m ≥ distinct
+    regime the oracle pins); at deployment both states are already on
+    disk and NEITHER corpus is re-read. The oracle replays the full
+    md5 cell algebra on both sides, so the comparison is value-exact
+    including any cell collisions."""
+    from ramen_spark.operators.sketch import cms_build_keyed, cms_drift
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    a = ev.filter(F.col("user_id") % 3 != 0)
+    b = ev
+    keys, depth, width = ["event_type"], 4, 2048
+
+    def state(side: DataFrame):
+        cells = cms_build_keyed(side, keys, "user_id", depth, width)
+        cands = side.select(*keys, F.col("user_id").alias("_v")).distinct()
+        return cells, cands
+
+    ca, na = state(a)
+    cb, nb = state(b)
+    return cms_drift(ca, na, cb, nb, keys, n=5, depth=depth, width=width)

@@ -722,6 +722,32 @@ class IncrementalCmsTop:
         )
         return cms_rank_top(est, self.keys, n, "top")
 
+    def drift_vs(self, other: "IncrementalCmsTop", n: int) -> DataFrame:
+        """Heavy-hitter churn report between THIS state (snapshot A)
+        and ``other`` (snapshot B) — ``operators.sketch.cms_drift``
+        over the two persisted (cells, cands) pairs: which values
+        entered/left the per-key top-n, with estimate deltas. Both
+        corpora stay unread; geometries must match (estimates at
+        different (depth, width) are not comparable)."""
+        from ramen_spark.operators.sketch import cms_drift
+
+        if (self.keys, self.depth, self.width) != (
+            other.keys, other.depth, other.width
+        ):
+            raise ValueError(
+                "cms drift needs matching keys and sketch geometry: "
+                f"{self.keys}/{self.depth}x{self.width} vs "
+                f"{other.keys}/{other.depth}x{other.width}"
+            )
+        pairs = []
+        for side in (self, other):
+            cells = side.cells_store.read()
+            cands = side.cands_store.read()
+            if cells is None or cands is None:
+                raise ValueError(f"no sketch state at {side.state_dir}")
+            pairs += [cells, cands]
+        return cms_drift(*pairs, self.keys, n, self.depth, self.width)
+
 
 def cms_top_stream(
     stream: DataFrame,

@@ -642,3 +642,86 @@ def test_legacy_null_kmv_k_stays_null_after_merge(spark, tmp_path):
     assert ks["b"] == 8         # fresh group: exact build k
     # and the state still finalizes (pass-unchecked mode)
     assert sk.estimate().count() == 2
+
+
+def test_cms_drift_from_persisted_states(spark, tmp_path):
+    """Round-11 agenda #4: heavy-hitter churn computed purely from two
+    persisted IncrementalCmsTop state pairs. With m ≥ distinct values
+    the entered/left/delta report equals ground truth computed from
+    exact counts (ranks use the same (est desc, value asc) total
+    order, and estimates are exact when no cells collide at this
+    tiny domain)."""
+    from ramen_spark.streaming.sketch import IncrementalCmsTop
+
+    # snapshot A: u0 dominant, u9 in top-3; snapshot B: u9 gone from
+    # the top (shrank), u7 surges in
+    rows_a = (
+        [("g", 0)] * 30 + [("g", 1)] * 20 + [("g", 9)] * 10 + [("g", 7)] * 1
+        + [("h", 5)] * 4
+    )
+    rows_b = (
+        [("g", 0)] * 31 + [("g", 1)] * 22 + [("g", 9)] * 11 + [("g", 7)] * 40
+        + [("h", 5)] * 6
+    )
+    geo = dict(max_candidates=64, depth=4, width=2048)
+    ska = IncrementalCmsTop(spark, str(tmp_path / "a"), ["k"], "v", **geo)
+    skb = IncrementalCmsTop(spark, str(tmp_path / "b"), ["k"], "v", **geo)
+    ska.update(spark.createDataFrame(rows_a, "k string, v long"), batch_id=0)
+    for i in range(2):  # B accumulates across two batches
+        skb.update(
+            spark.createDataFrame(
+                rows_b[i::2], "k string, v long"
+            ),
+            batch_id=i,
+        )
+
+    rep = {
+        (r["k"], r["value"]): r for r in ska.drift_vs(skb, n=3).collect()
+    }
+    assert rep[("g", 7)]["top_entered"] and not rep[("g", 7)]["top_left"]
+    assert rep[("g", 7)]["weight_delta"] == 39
+    assert rep[("g", 9)]["top_left"] and rep[("g", 9)]["rank_b"] is None
+    assert rep[("g", 9)]["est_a"] == 10 and rep[("g", 9)]["est_b"] == 11
+    assert rep[("g", 0)]["rank_a"] == 1 and rep[("g", 0)]["rank_b"] == 2
+    assert rep[("g", 7)]["rank_a"] is None and rep[("g", 7)]["rank_b"] == 1
+    assert rep[("h", 5)]["weight_delta"] == 2
+    # mismatched geometry fails loudly
+    import pytest as _pytest
+
+    skc = IncrementalCmsTop(
+        spark, str(tmp_path / "c"), ["k"], "v", max_candidates=64,
+        depth=2, width=64,
+    )
+    with _pytest.raises(ValueError, match="geometry"):
+        ska.drift_vs(skc, n=3)
+
+
+def test_cli_drift_cms_top_mode(spark, tmp_path, capsys):
+    """`ramen drift A B --by k --cms-top 3`: the CLI's heavy-hitter
+    churn mode over two IncrementalCmsTop roots."""
+    from ramen_spark.cli import main
+    from ramen_spark.streaming.sketch import IncrementalCmsTop
+
+    geo = dict(max_candidates=32, depth=4, width=2048)
+    ska = IncrementalCmsTop(spark, str(tmp_path / "a"), ["k"], "v", **geo)
+    skb = IncrementalCmsTop(spark, str(tmp_path / "b"), ["k"], "v", **geo)
+    ska.update(
+        spark.createDataFrame(
+            [("g", 1)] * 5 + [("g", 2)] * 3, "k string, v long"
+        ),
+        batch_id=0,
+    )
+    skb.update(
+        spark.createDataFrame(
+            [("g", 1)] * 2 + [("g", 3)] * 9, "k string, v long"
+        ),
+        batch_id=0,
+    )
+    assert main([
+        "drift", str(tmp_path / "a"), str(tmp_path / "b"),
+        "--by", "k", "--cms-top", "3",
+    ]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    hdr = out[0].split("\t")
+    assert {"value", "weight_delta", "top_entered", "top_left"} <= set(hdr)
+    assert len(out) >= 3
