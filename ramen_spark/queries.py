@@ -6979,3 +6979,161 @@ def cms_topk_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca, na = state(a)
     cb, nb = state(b)
     return cms_drift(ca, na, cb, nb, keys, n=5, depth=depth, width=width)
+
+
+_PACK_RECURSION = """
+      SELECT shard, rn, doc_id, n_tok, 0::BIGINT AS pack_seq, n_tok AS cum
+      FROM {t} WHERE rn = 1
+      UNION ALL
+      SELECT t.shard, t.rn, t.doc_id, t.n_tok,
+             CASE WHEN {r}.cum + t.n_tok > 512
+                  THEN {r}.pack_seq + 1 ELSE {r}.pack_seq END,
+             CASE WHEN {r}.cum + t.n_tok > 512
+                  THEN t.n_tok ELSE {r}.cum + t.n_tok END
+      FROM {r} JOIN {t} t ON t.shard = {r}.shard AND t.rn = {r}.rn + 1
+"""
+
+_NETSTRING3_SQL = (
+    "CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' "
+    "|| CAST(doc_id AS VARCHAR) || "
+    "CAST(length(CAST(n_tok AS VARCHAR)) AS VARCHAR) || ':' "
+    "|| CAST(n_tok AS VARCHAR) || "
+    "CAST(length(CAST(pack_seq AS VARCHAR)) AS VARCHAR) || ':' "
+    "|| CAST(pack_seq AS VARCHAR)"
+)
+
+
+@register(
+    "chunked_packing",
+    f"""
+    WITH RECURSIVE
+    w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    dt AS (
+      SELECT doc_id, (doc_id % 8)::INT AS shard, len(w) AS n_tok,
+             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+               AS rn
+      FROM w
+    ),
+    r_docs AS ({_PACK_RECURSION.format(t="dt", r="r_docs")}),
+    ch AS (
+      SELECT doc_id * 1023 + g.i AS doc_id,
+             len(w[g.i * 256 + 1 : g.i * 256 + 256]) AS n_tok
+      FROM w,
+           unnest(generate_series(
+             0, greatest((len(w) + 255) // 256, 1) - 1)) AS g(i)
+    ),
+    ct AS (
+      SELECT doc_id, (doc_id % 8)::INT AS shard, n_tok,
+             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+               AS rn
+      FROM ch
+    ),
+    r_ch AS ({_PACK_RECURSION.format(t="ct", r="r_ch")}),
+    u AS (
+      SELECT 'docs' AS scenario, shard, doc_id, n_tok, pack_seq FROM r_docs
+      UNION ALL
+      SELECT 'chunked', shard, doc_id, n_tok, pack_seq FROM r_ch
+    ),
+    packs AS (
+      SELECT scenario, shard, pack_seq, sum(n_tok) AS toks
+      FROM u GROUP BY 1, 2, 3
+    ),
+    padsh AS (
+      SELECT scenario, shard, count(*)::BIGINT AS n_packs,
+             sum(greatest(512 - toks, 0))::BIGINT AS total_pad,
+             count_if(toks > 512)::BIGINT AS n_oversize
+      FROM packs GROUP BY 1, 2
+    ),
+    mansh AS (
+      SELECT scenario, shard, count(*)::BIGINT AS n_rows,
+             CAST(sum(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                        1, 12))::BIGINT)
+                  % 2305843009213693951 AS BIGINT) AS content_sum,
+             CAST(sum(('0x' || substring(md5({_NETSTRING3_SQL}),
+                        1, 12))::BIGINT)
+                  % 2305843009213693951 AS BIGINT) AS payload_sum
+      FROM u GROUP BY 1, 2
+    )
+    SELECT m.scenario, m.shard, m.n_rows, m.content_sum, m.payload_sum,
+           p.n_packs, p.total_pad, p.n_oversize
+    FROM mansh m JOIN padsh p USING (scenario, shard)
+    """,
+)
+def chunked_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunk→pack→export-manifest seam (round-11 agenda #5) —
+    three green operators composed end-to-end: long documents split
+    into DISJOINT 256-token chunks (doc_chunks' slicing with stride =
+    window; overlap would double-train tokens), chunks greedily packed
+    into 512-token training rows (operators.packing.pack_sequences),
+    and the per-shard EXPORT MANIFEST sums over the packed relation
+    (sources/export._shard_stats) — beside the same pipeline WITHOUT
+    chunking on the same corpus. Output per (scenario, shard):
+    manifest rows (n_rows, content_sum, payload_sum) + pad accounting
+    (n_packs, total_pad, n_oversize). Chunking's point is visible in
+    the numbers: n_oversize drops to 0 (no doc longer than the budget
+    survives as an oversize singleton pack) at a small total_pad
+    price. Chunk ids pack as doc_id·1023 + idx — the multiplier is
+    ODD on purpose: a power-of-two multiplier makes chunk_id mod
+    n_shards collapse to idx mod n_shards, funneling every
+    single-chunk doc into ONE pack shard (measured: 8 shards → 1);
+    with 1023 the shard varies with the doc again. A LOUD guard fires
+    at 1023 chunks (≥ 256Ki-token docs need a wider id scheme — the
+    assert rides a CASE with differing branches so Catalyst keeps
+    it). The oracle replays the ENTIRE chain — chunk slicing, both
+    greedy recursions, manifest algebra — value-exactly."""
+    from ramen_spark.operators.packing import pack_sequences
+    from ramen_spark.sources.export import _shard_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select("doc_id", Tx.tokens(F.col("text")).alias("w"))
+    n_chunks = F.greatest(
+        F.floor((F.size("w") + F.lit(255)) / F.lit(256)).cast("long"),
+        F.lit(1),
+    )
+    chunks = w.select(
+        "doc_id", "w",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("_i"),
+    )
+    guarded_idx = F.when(
+        F.assert_true(
+            F.col("_i") < 1023,
+            "chunked_packing: >=1023 chunks in one doc — widen the "
+            "chunk-id scheme",
+        ).isNotNull(),
+        F.lit(None).cast("long"),
+    ).otherwise(F.col("_i"))
+    chunk_rel = chunks.select(
+        (F.col("doc_id") * 1023 + guarded_idx).alias("doc_id"),
+        F.array_join(
+            F.slice(F.col("w"), F.col("_i") * 256 + 1, 256), " "
+        ).alias("text"),
+    )
+
+    def report(packed: DataFrame, scenario: str) -> DataFrame:
+        man = _shard_stats(
+            packed, "shard", "doc_id",
+            sorted(c for c in packed.columns if c != "shard"),
+        )
+        pad = (
+            packed.groupBy("shard", "pack_seq")
+            .agg(F.sum("n_tok").alias("toks"))
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_packs"),
+                F.sum(F.greatest(F.lit(512) - F.col("toks"), F.lit(0)))
+                .cast("long").alias("total_pad"),
+                F.sum(F.when(F.col("toks") > 512, 1).otherwise(0))
+                .cast("long").alias("n_oversize"),
+            )
+        )
+        return man.join(pad, "shard").select(
+            F.lit(scenario).alias("scenario"),
+            "shard", "n_rows", "content_sum", "payload_sum",
+            "n_packs", "total_pad", "n_oversize",
+        )
+
+    packed_docs = pack_sequences(docs, budget=512, shards=8, order="id")
+    packed_ch = pack_sequences(chunk_rel, budget=512, shards=8, order="id")
+    return report(packed_docs, "docs").unionByName(
+        report(packed_ch, "chunked")
+    )
