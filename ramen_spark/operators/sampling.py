@@ -698,6 +698,7 @@ def topn_by_aes_key(
     weight_col: str,
     extra_group: list[str] | None = None,
     dedup: bool = False,
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-group top-n of (keys…, id, weight, skey_micro) rows by
     (skey desc, id asc) as ONE partial-aggregable groupBy — the
@@ -707,11 +708,20 @@ def topn_by_aes_key(
     the batch and always-on lanes). ``extra_group`` adds transient
     group columns (the salt) that are dropped from the output;
     ``dedup=True`` collects a SET (the streaming merge path, where a
-    replayed row's identical struct must vanish)."""
+    replayed row's identical struct must vanish). ``payload_cols``
+    ride INSIDE the sort struct after (_negk, id) — which is already a
+    total order, so payloads never affect ranking — letting a
+    reservoir carry row metadata (e.g. n_tok) that a downstream
+    finalize needs when the stream is no longer joinable (the
+    round-11 agenda-#8 mixing twin). A replayed id with a DIFFERENT
+    payload violates the id-uniqueness contract exactly like a
+    changed weight does (both structs would survive dedup)."""
+    pcols = list(payload_cols or [])
     st = F.struct(
         (-F.col("skey_micro")).alias("_negk"),
         F.col(id_col).alias("_i"),
         F.col(weight_col).alias("_w"),
+        *[F.col(c).alias(f"_p_{c}") for c in pcols],
     )
     coll = F.collect_set(st) if dedup else F.collect_list(st)
     return (
@@ -723,6 +733,7 @@ def topn_by_aes_key(
             F.col("_i").alias(id_col),
             F.col("_w").alias(weight_col),
             (-F.col("_negk")).alias("skey_micro"),
+            *[F.col(f"_p_{c}").alias(c) for c in pcols],
         )
     )
 
@@ -735,6 +746,7 @@ def weighted_sample(
     id_col: str = "doc_id",
     seed: int = 42,
     salt_above_partitions: int = 64,
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement — per group
     (or globally with ``keys=[]``), pick ``n`` rows with inclusion
@@ -755,9 +767,11 @@ def weighted_sample(
     hazard). Ties break (key desc, id asc). Rows with NULL or
     non-positive weight are excluded (zero inclusion probability).
 
-    Output: (keys…, id_col, weight_col, skey_micro, rn) — the sample
-    with its rank; join back on ``id_col`` for payload columns (ids
-    travel, text doesn't).
+    Output: (keys…, id_col, weight_col, skey_micro[, payload_cols…],
+    rn) — the sample with its rank; join back on ``id_col`` for heavy
+    columns (ids travel, text doesn't), or name small metadata columns
+    in ``payload_cols`` to carry them through (what the always-on
+    reservoir does for n_tok — there is no stream left to join).
 
     100 TB shape: the sort key is row-local; grouped selection is one
     hash Exchange + bounded row_number window per key (the
@@ -799,7 +813,10 @@ def weighted_sample(
             & F.col(weight_col).isNotNull()
             & (w > 0)
         )
-        .select(*keys, id_col, weight_col, skey.alias("skey_micro"))
+        .select(
+            *keys, id_col, weight_col, skey.alias("skey_micro"),
+            *(payload_cols or []),
+        )
     )
     if keys:
         if df.rdd.getNumPartitions() > salt_above_partitions:
@@ -819,6 +836,7 @@ def weighted_sample(
                     "_salt", md5_hash48(F.col(id_col)) % s
                 ),
                 keys, n, id_col, weight_col, extra_group=["_salt"],
+                payload_cols=payload_cols,
             )
         win = Window.partitionBy(*keys).orderBy(
             F.col("skey_micro").desc(), F.col(id_col).asc()

@@ -375,6 +375,7 @@ class IncrementalWeightedSample(_IncrementalMinKBase):
         id_col: str,
         seed: int = 42,
         driver_state_max_rows: int = 100_000,
+        payload_cols: list[str] | None = None,
     ) -> None:
         if n < 1:
             raise ValueError("IncrementalWeightedSample needs n >= 1")
@@ -384,13 +385,17 @@ class IncrementalWeightedSample(_IncrementalMinKBase):
         self.weight_col = weight_col
         self.id_col = id_col
         self.seed = seed
+        # metadata columns carried INSIDE the reservoir rows (e.g.
+        # n_tok) — a finalize stage can't join back to a stream that
+        # is gone; see topn_by_aes_key's payload contract
+        self.payload_cols = list(payload_cols or [])
 
     def _prune_batch(self, batch_df: DataFrame) -> DataFrame:
         from ramen_spark.operators.sampling import weighted_sample
 
         return weighted_sample(
             batch_df, self.n, self.weight_col, self.keys, self.id_col,
-            self.seed,
+            self.seed, payload_cols=self.payload_cols,
         ).drop("rn")
 
     def _reprune(self, merged: DataFrame) -> DataFrame:
@@ -402,7 +407,7 @@ class IncrementalWeightedSample(_IncrementalMinKBase):
 
         return topn_by_aes_key(
             merged, self.keys, self.n, self.id_col, self.weight_col,
-            dedup=True,
+            dedup=True, payload_cols=self.payload_cols,
         )
 
     def sample(self) -> DataFrame:
@@ -440,6 +445,91 @@ def weighted_sample_stream(
         IncrementalWeightedSample(
             batch_df.sparkSession, state_dir, keys, n, weight_col, id_col,
             seed,
+        ).update(batch_df)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+class IncrementalCorpusMix:
+    """Always-on twin of the v2 MIXING stage (round-11 agenda #8) —
+    the one composed lane that was still batch-only: per-key A-ES
+    weighted reservoir (quality-proportional, capped at n docs/key)
+    feeding a keyed token-budget prefix. The batch chain is
+    ``weighted_sample → token_budget_select`` as composed by
+    queries._prepare_corpus_v2; this class maintains the SAME result
+    incrementally: the reservoir folds micro-batches (replay-
+    idempotent set max-n, versioned snapshots), carrying the budget
+    column (n_tok) as reservoir payload — the stream is gone by
+    finalize time, so metadata must ride the state. ``mixed(budget)``
+    then runs the keyed budget prefix on the ≤ n-rows-per-key state:
+    stream ≡ batch whenever the same rows were folded, pinned by the
+    parity test (3 batches + restart + replay).
+
+    100 TB shape: everything the corpus's size touches is the
+    reservoir fold (bounded state, one executor-side snapshot write
+    per batch); the finalize runs on ≤ n·|keys| rows."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        keys: list[str],
+        n: int,
+        weight_col: str,
+        id_col: str,
+        budget_col: str,
+        seed: int = 42,
+    ) -> None:
+        self.keys = list(keys)
+        self.id_col = id_col
+        self.budget_col = budget_col
+        self.sample = IncrementalWeightedSample(
+            spark, state_dir, keys, n, weight_col, id_col, seed,
+            payload_cols=[budget_col],
+        )
+
+    def update(self, batch_df: DataFrame) -> None:
+        self.sample.update(batch_df)
+
+    def mixed(self, budget: int) -> DataFrame:
+        """The current mixture selection: per key, the A-ES-ordered
+        prefix of the reservoir whose ``budget_col`` sum fits
+        ``budget`` — identical to the batch chain over everything
+        seen. → (keys…, id, weight, skey_micro, budget_col)."""
+        from ramen_spark.operators.sampling import token_budget_select
+
+        state = self.sample._state()
+        if state is None:
+            raise ValueError(f"no sample state at {self.sample.state_dir}")
+        return token_budget_select(
+            state, budget, self.budget_col, "skey_micro", self.id_col,
+            keys=self.keys,
+        )
+
+
+def corpus_mix_stream(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    n: int,
+    weight_col: str,
+    id_col: str,
+    budget_col: str,
+    seed: int = 42,
+):
+    """Maintain the v2 mixing stage always-on; any batch job (or
+    ``IncrementalCorpusMix.mixed(budget)``) reads the live mixture
+    off ``state_dir``. Returns the started StreamingQuery."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        IncrementalCorpusMix(
+            batch_df.sparkSession, state_dir, keys, n, weight_col, id_col,
+            budget_col, seed,
         ).update(batch_df)
 
     return (

@@ -725,3 +725,108 @@ def test_cli_drift_cms_top_mode(spark, tmp_path, capsys):
     hdr = out[0].split("\t")
     assert {"value", "weight_delta", "top_entered", "top_left"} <= set(hdr)
     assert len(out) >= 3
+
+
+def test_incremental_corpus_mix_equals_batch_v2_chain(spark, tmp_path):
+    """Round-11 agenda #8: the v2 MIXING stage always-on. Three
+    micro-batches (plus a mid-stream RESTART — a fresh object over the
+    same state root — plus a replayed batch) must finalize to exactly
+    the batch weighted_sample → token_budget_select chain over the
+    concatenated input, for several budgets including boundary 0."""
+    from ramen_spark.catalog import load_table
+    from ramen_spark.functions import text as Tx
+    from ramen_spark.operators.sampling import (
+        token_budget_select,
+        weighted_sample,
+    )
+    from ramen_spark.streaming.sketch import IncrementalCorpusMix
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    cand = docs.select(
+        "doc_id", "lang",
+        Tx.token_count(F.col("text")).cast("long").alias("n_tok"),
+        F.round(Tx.quality_score(F.col("text")) * 1e6)
+        .cast("long").alias("q_micro"),
+    )
+
+    args = dict(keys=["lang"], n=10, weight_col="q_micro",
+                id_col="doc_id", budget_col="n_tok", seed=42)
+    root = str(tmp_path / "mix")
+    mix = IncrementalCorpusMix(spark, root, **args)
+    mix.update(cand.filter(F.col("doc_id") % 3 == 0))
+    mix.update(cand.filter(F.col("doc_id") % 3 == 1))
+    mix = IncrementalCorpusMix(spark, root, **args)  # restart
+    mix.update(cand.filter(F.col("doc_id") % 3 == 2))
+    mix.update(cand.filter(F.col("doc_id") % 3 == 1))  # replay
+
+    samp = weighted_sample(
+        cand, n=10, weight_col="q_micro", keys=["lang"], id_col="doc_id",
+        seed=42, payload_cols=["n_tok"],
+    ).drop("rn")
+    for budget in (0, 400, 1_500, 10_000_000):
+        got = {
+            tuple(r)
+            for r in mix.mixed(budget)
+            .select("lang", "doc_id", "n_tok", "skey_micro")
+            .collect()
+        }
+        exp = {
+            tuple(r)
+            for r in token_budget_select(
+                samp, budget, "n_tok", "skey_micro", "doc_id",
+                keys=["lang"],
+            )
+            .select("lang", "doc_id", "n_tok", "skey_micro")
+            .collect()
+        }
+        assert got == exp, budget
+    # a real budget selects a non-trivial subset
+    n_all = mix.sample.sample().count()
+    n_sel = mix.mixed(400).count()
+    assert 0 < n_sel < n_all
+
+
+def test_corpus_mix_stream_lane(spark, tmp_path):
+    """The foreachBatch lane end-to-end over a file stream."""
+    from ramen_spark.catalog import load_table
+    from ramen_spark.functions import text as Tx
+    from ramen_spark.streaming.sketch import (
+        IncrementalCorpusMix,
+        corpus_mix_stream,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    cand = docs.select(
+        "doc_id", "lang",
+        Tx.token_count(F.col("text")).cast("long").alias("n_tok"),
+        F.round(Tx.quality_score(F.col("text")) * 1e6)
+        .cast("long").alias("q_micro"),
+    )
+    src = tmp_path / "src"
+    for i in range(3):
+        cand.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(cand.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/b*")
+    )
+    q = corpus_mix_stream(
+        stream, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        keys=["lang"], n=10, weight_col="q_micro", id_col="doc_id",
+        budget_col="n_tok",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    mix = IncrementalCorpusMix(
+        spark, str(tmp_path / "state"), keys=["lang"], n=10,
+        weight_col="q_micro", id_col="doc_id", budget_col="n_tok",
+    )
+    sel = mix.mixed(1_500)
+    assert sel.count() > 0
+    # per-lang budget respected
+    sums = sel.groupBy("lang").agg(F.sum("n_tok").alias("s")).collect()
+    assert all(r["s"] <= 1_500 for r in sums)
