@@ -333,6 +333,10 @@ def main() -> None:
                                         # LIST + IS IN + RANK OF kinds
             "packing_efficiency",       # r11: two shard-parallel pack
                                         # folds + pad accounting
+            "cms_topk_drift",           # r12: two CMS builds + candidate
+                                        # union churn joins
+            "chunked_packing",          # r12: chunk explode + two pack
+                                        # folds + manifest sums
         ]
         try:
             from tools.scale_testdata import scale, tier_is_current
@@ -516,11 +520,14 @@ def main() -> None:
             # spill/CPU row to adjudicate it — the one tier where a
             # real scale regression matters most was the one without
             # evidence). Default single run (these are the heaviest
-            # queries); SPARK_GRAFT_BENCH_SF100_RUNS=2 buys min-of-2
-            # CPU at ~2x the tier's wall. shuffle/spill bytes are
+            # queries). Default min-of-2 since round 12 (round-11
+            # "what's wrong #3": the tier whose evidence took three
+            # rounds to obtain recorded the noisiest metric
+            # un-minimized); SPARK_GRAFT_BENCH_SF100_RUNS=1 buys the
+            # old half-cost probe back. shuffle/spill bytes are
             # byte-stable across runs either way — the hard signal.
             sf100_runs = int(
-                os.environ.get("SPARK_GRAFT_BENCH_SF100_RUNS", "1")
+                os.environ.get("SPARK_GRAFT_BENCH_SF100_RUNS", "2")
             )
             t100: dict[str, float] = {}
             m100: dict[str, dict] = {}

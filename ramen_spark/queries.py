@@ -7082,7 +7082,6 @@ def chunked_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     it). The oracle replays the ENTIRE chain — chunk slicing, both
     greedy recursions, manifest algebra — value-exactly."""
     from ramen_spark.operators.packing import pack_sequences
-    from ramen_spark.sources.export import _shard_stats
 
     docs = _t(spark, sf_dir, "documents")
     w = docs.select("doc_id", Tx.tokens(F.col("text")).alias("w"))
@@ -7110,23 +7109,42 @@ def chunked_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def report(packed: DataFrame, scenario: str) -> DataFrame:
-        man = _shard_stats(
-            packed, "shard", "doc_id",
-            sorted(c for c in packed.columns if c != "shard"),
+        # ONE two-level aggregation per scenario: manifest sums and
+        # pad accounting both fold in the same pass over the packed
+        # relation — a separate _shard_stats + pad branch re-executes
+        # the Arrow pack fold (no subtree sharing), doubling the
+        # pipeline at 100 TB (the plan gate pins exactly one fold per
+        # scenario). The md5 content sums are COMMUTATIVE partial
+        # sums, so pack-grain partials combine per shard exactly
+        # (sum of partials ≡ total, then one mod — the
+        # export._hash48_sum algebra, staged).
+        from ramen_spark.sources.export import _MERSENNE61, _row_repr
+
+        def h48(expr) -> Column:
+            return F.conv(
+                F.substring(F.md5(expr), 1, 12), 16, 10
+            ).cast("decimal(38,0)")
+
+        payload = _row_repr(packed, sorted(
+            c for c in packed.columns if c != "shard"
+        ))
+        per_pack = packed.groupBy("shard", "pack_seq").agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum(h48(F.col("doc_id").cast("string"))).alias("_hc"),
+            F.sum(h48(payload)).alias("_hp"),
+            F.sum("n_tok").alias("_toks"),
         )
-        pad = (
-            packed.groupBy("shard", "pack_seq")
-            .agg(F.sum("n_tok").alias("toks"))
-            .groupBy("shard")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_packs"),
-                F.sum(F.greatest(F.lit(512) - F.col("toks"), F.lit(0)))
-                .cast("long").alias("total_pad"),
-                F.sum(F.when(F.col("toks") > 512, 1).otherwise(0))
-                .cast("long").alias("n_oversize"),
-            )
-        )
-        return man.join(pad, "shard").select(
+        prime = F.lit(_MERSENNE61).cast("decimal(38,0)")
+        return per_pack.groupBy("shard").agg(
+            F.sum("_cnt").cast("long").alias("n_rows"),
+            F.pmod(F.sum("_hc"), prime).cast("long").alias("content_sum"),
+            F.pmod(F.sum("_hp"), prime).cast("long").alias("payload_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_packs"),
+            F.sum(F.greatest(F.lit(512) - F.col("_toks"), F.lit(0)))
+            .cast("long").alias("total_pad"),
+            F.sum(F.when(F.col("_toks") > 512, 1).otherwise(0))
+            .cast("long").alias("n_oversize"),
+        ).select(
             F.lit(scenario).alias("scenario"),
             "shard", "n_rows", "content_sum", "payload_sum",
             "n_packs", "total_pad", "n_oversize",

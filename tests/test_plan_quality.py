@@ -1278,3 +1278,29 @@ def test_raql_sketch_aggregates_plan_shape(spark):
     assert "BroadcastNestedLoop" not in plan, plan
     assert "SinglePartition" not in plan, plan
     assert "MapInPandas" in plan, plan  # kmv_prune's bounded prefilter
+
+
+def test_chunked_packing_plan_shape(spark):
+    """The chunk→pack→manifest composition (round 12): no cross
+    product, text never a shuffle key, and exactly TWO Arrow folds —
+    one packer per scenario; chunking itself stays whole-stage-codegen
+    built-ins (split/sequence/explode/slice), never Python."""
+    df = QUERIES["chunked_packing"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(text" not in plan
+    assert "hashpartitioning(w" not in plan  # token arrays neither
+    assert plan.count("FlatMapGroupsInPandas") == 2, plan.count(
+        "FlatMapGroupsInPandas"
+    )
+
+
+def test_cms_topk_drift_plan_shape(spark):
+    """CMS drift (round 12) must stay candidate/cell-grain: no cross
+    product and ZERO Python lanes — every stage (cell build, estimate
+    joins, rank windows, churn joins) is JVM built-ins."""
+    df = QUERIES["cms_topk_drift"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" not in plan
