@@ -590,19 +590,54 @@ def cmd_drift(args) -> int:
         return st
 
     keys = args.by or []
-    if args.cms_top:
+    if args.cms_top is not None:  # NOT truthiness: --cms-top 0 must
+        # reach the validation below, not fall through to quantiles
+        if args.cms_top < 1:
+            print("--cms-top must be >= 1")
+            return 2
         # third drift family (round-11 agenda #4): heavy-hitter churn
         # between two persisted IncrementalCmsTop roots (cells+cands)
+        from pyspark.sql import functions as F
+
         from ramen_spark.operators.sketch import cms_drift
 
-        pairs = []
+        pairs, geometry = [], None
         for root in (args.state_a, args.state_b):
             cells = load_state(root.rstrip("/") + "/cells")
             cands = load_state(root.rstrip("/") + "/cands")
+            if "_geo_depth" in cells.columns:
+                # round-12 states stamp their build geometry — trust
+                # it over the flags and require both sides to agree
+                g = cells.select("_geo_depth", "_geo_width").first()
+                geo = (g[0], g[1]) if g is not None else None
+            else:
+                # pre-stamp state: the flags are the only geometry
+                # claim; sanity-check what the cells can refute (depth
+                # is exact — rows are 0..depth-1; a width SMALLER than
+                # the build width shows cols beyond it). A larger
+                # width claim is undetectable without the stamp.
+                m = cells.agg(
+                    F.max("row").alias("r"), F.max("col").alias("c")
+                ).first()
+                if m["r"] is not None and (
+                    m["r"] + 1 != args.cms_depth or m["c"] >= args.cms_width
+                ):
+                    print(
+                        f"state {root}: cells span depth {m['r'] + 1} / "
+                        f"col max {m['c']}, inconsistent with --cms-depth "
+                        f"{args.cms_depth} --cms-width {args.cms_width}"
+                    )
+                    return 2
+                geo = (args.cms_depth, args.cms_width)
+            if geometry is not None and geo != geometry:
+                print(
+                    f"state geometries differ: {geometry} vs {geo} — "
+                    "estimates are not comparable"
+                )
+                return 2
+            geometry = geo
             pairs += [cells, cands]
-        out = cms_drift(
-            *pairs, keys, args.cms_top, args.cms_depth, args.cms_width
-        )
+        out = cms_drift(*pairs, keys, args.cms_top, *geometry)
     else:
         a, b = load_state(args.state_a), load_state(args.state_b)
         ps = [float(x) for x in args.quantiles.split(",") if x.strip()]

@@ -978,8 +978,12 @@ def cms_drift(
     values the result is value-exact in DuckDB (the oracle replays the
     same cell algebra, collisions included). Both sides must be built
     at the SAME (depth, width): cell estimates at different geometries
-    are not comparable, so mismatched inputs are the caller's contract
-    to avoid (the CLI checks the snapshot metadata).
+    are not comparable. This function trusts its arguments; the
+    stateful callers enforce the contract — IncrementalCmsTop stamps
+    its build geometry into the cells (``_geo_depth``/``_geo_width``)
+    and both ``drift_vs`` and the CLI ``drift --cms-top`` refuse a
+    mismatch (pre-stamp states: the CLI falls back to a row/col-span
+    sanity check).
 
     Plan shape: two candidate-grain estimate joins (broadcast-sized:
     ≤ m·|keys| rows vs ≤ depth·width·|keys| cells), one union, two

@@ -322,6 +322,14 @@ def write_webdataset(
     if target_shard_bytes is not None:
         if target_shard_bytes < 1:
             raise ValueError("target_shard_bytes must be >= 1")
+        # the sizing agg + the tar write are TWO passes over df, and
+        # Spark shares no subtrees between jobs — an expensive
+        # upstream (quality scoring, the v2 chain) would run twice
+        # (review finding; the token_budget_select localCheckpoint
+        # discipline). One eager materialization pins the lineage;
+        # cost = one local write of the export rows, which the export
+        # was about to read in full anyway.
+        df = df.localCheckpoint(eager=True)
         # one cheap agg: estimated tar footprint of every member
         # (payload rounded up to the 512-byte tar block + one 512-byte
         # header; NULL members write nothing). Single-member payloads
@@ -527,14 +535,22 @@ def write_webdataset(
     if os.path.isdir(live):
         os.rename(live, old)
     os.rename(data_dir, live)  # publishes data + manifest in one step
-    # convenience mirror for pre-round-12 readers; NON-authoritative
-    # (readers prefer the in-generation copy), so a crash before the
-    # replace leaves a stale mirror but never an inconsistent read
-    man_tmp = os.path.join(out_dir, f"webdataset_manifest.json.next-{token}")
-    with open(man_tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(man_tmp, os.path.join(out_dir, "webdataset_manifest.json"))
     shutil.rmtree(old, ignore_errors=True)
+    # convenience mirror for pre-round-12 readers; NON-authoritative
+    # (readers prefer the in-generation copy) and BEST-EFFORT: the
+    # export is already published, so a failed mirror write (ENOSPC,
+    # permissions) must not turn a successful export into an exception
+    # (review finding) — the mirror just goes stale, which readers
+    # tolerate by design
+    try:
+        man_tmp = os.path.join(
+            out_dir, f"webdataset_manifest.json.next-{token}"
+        )
+        with open(man_tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(man_tmp, os.path.join(out_dir, "webdataset_manifest.json"))
+    except OSError:
+        pass
     return manifest
 
 
@@ -568,6 +584,53 @@ def _shard_tars(data_dir: str) -> list[str]:
 _WDS_BATCH_BYTES = 64 << 20  # member-row flush threshold per task
 
 
+def _is_local(path: str) -> bool:
+    from urllib.parse import urlparse
+
+    return urlparse(path).scheme in ("", "file")
+
+
+def _read_webdataset_remote(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Non-local-scheme ingest lane (hdfs://, s3a://…): the pre-round-12
+    binaryFile reader — whole-shard content per task (the documented
+    memory ceiling the LOCAL lane no longer has), last-dot member
+    split (no driver-readable manifest on these schemes). Kept so
+    foreign corpora on Hadoop filesystems stay ingestable (review
+    finding: the streaming-path rewrite silently dropped them)."""
+    import io
+    import tarfile
+
+    files = spark.read.format("binaryFile").load(
+        os.path.join(out_dir, "data", "shard-*.tar")
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                name = os.path.basename(path)
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
+                    for m in tar:
+                        if not m.isfile():
+                            continue
+                        stem, dot, ext = m.name.rpartition(".")
+                        if not dot:
+                            stem, ext = m.name, ""
+                        rows.append(
+                            (name, stem, ext, tar.extractfile(m).read())
+                        )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["shard_file", "key", "ext", "data"]
+                )
+
+    return files.select("path", "content").mapInPandas(
+        walk, "shard_file string, key string, ext string, data binary"
+    )
+
+
 def read_webdataset(
     spark: SparkSession,
     out_dir: str,
@@ -587,11 +650,14 @@ def read_webdataset(
     (round-11 'what's wrong' #2 — an externally-produced 10 GB shard
     no longer OOMs the reader). Member rows compose with the
     multimodal lanes (audio_stats/image_headers take the binary
-    column directly). Non-local ``out_dir`` schemes are out of scope
-    here, as for the writer (local/NFS; the snapshot-store pattern
-    covers object stores)."""
+    column directly). Non-local ``out_dir`` schemes (hdfs://, s3a://)
+    route to :func:`_read_webdataset_remote` — the binaryFile lane
+    with the whole-shard memory ceiling — so foreign corpora on
+    Hadoop filesystems stay ingestable."""
     import tarfile
 
+    if not _is_local(out_dir):
+        return _read_webdataset_remote(spark, out_dir)
     data_dir = _live_data_dir(out_dir)
     tars = _shard_tars(data_dir)
     known = _known_exts(out_dir, data_dir)
@@ -649,7 +715,15 @@ def verify_webdataset(spark: SparkSession, out_dir: str) -> list[str]:
     (name, bytes, md5) tuples. Round 11 left this as the repo's last
     driver-side full-data path (a sequential ``open().read()`` loop);
     for a 100 TB corpus the trust check is now as distributed as the
-    write that produced it."""
+    write that produced it. Local/NFS paths only, like the writer —
+    a non-local scheme fails loudly here instead of with a confusing
+    FileNotFoundError."""
+    if not _is_local(out_dir):
+        raise ValueError(
+            f"verify_webdataset supports local/NFS paths, got {out_dir!r} "
+            "(the writer has the same scope; the snapshot-store pattern "
+            "covers object stores)"
+        )
     data_dir = _live_data_dir(out_dir)
     with open(_manifest_path(out_dir, data_dir)) as f:
         manifest = json.load(f)

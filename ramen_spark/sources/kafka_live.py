@@ -191,7 +191,16 @@ class KafkaLiveSource:
             .agg(F.max("offset").alias("m"))
             .collect()  # bounded: one row per assignment
         }
-        next_offsets = {tp: ends.get(tp, off) for tp, off in starts.items()}
+        # MERGE with the full committed map, not just current
+        # assignments: a partition absent from this source's assignment
+        # list must keep its committed offset — rebuilding the snapshot
+        # from assignments alone would erase it, and a later re-added
+        # assignment would re-fetch from scratch and duplicate the
+        # spool (review finding)
+        next_offsets = dict(self.committed_offsets())
+        next_offsets.update(
+            {tp: ends.get(tp, off) for tp, off in starts.items()}
+        )
         self.offsets_store.commit(
             self.spark.createDataFrame(
                 [(t, p, off) for (t, p), off in sorted(next_offsets.items())],

@@ -184,9 +184,15 @@ class _IncrementalMinKBase:
     def _state(self) -> DataFrame | None:
         return self.store.read()
 
+    def _check_state_compat(self, state: DataFrame) -> None:
+        """Hook: subclasses veto resuming from an incompatible
+        persisted state (loudly, before any union)."""
+
     def update(self, batch_df: DataFrame) -> None:
         pruned = self._prune_batch(batch_df)
         state = self._state()
+        if state is not None:
+            self._check_state_compat(state)
         # allowMissingColumns: a pre-round-11 persisted state has no
         # _kmv_k metadata column — it unions as NULL (the k guard
         # treats NULL as unchecked-legacy) instead of failing resume
@@ -389,6 +395,24 @@ class IncrementalWeightedSample(_IncrementalMinKBase):
         # n_tok) — a finalize stage can't join back to a stream that
         # is gone; see topn_by_aes_key's payload contract
         self.payload_cols = list(payload_cols or [])
+
+    def _check_state_compat(self, state: DataFrame) -> None:
+        # the _kmv_k NULL-as-legacy treatment does NOT extend to
+        # payloads: allowMissingColumns would union a pre-payload
+        # state as NULL payloads, which (a) defeats the collect_set
+        # replay dedup (a replayed row's real-payload struct differs
+        # from the state's NULL-payload one — same id twice) and
+        # (b) feeds NULL-as-0 costs into downstream budget stages
+        # (review finding). Resuming a payload-less state under
+        # payload_cols must fail loudly instead.
+        missing = [c for c in self.payload_cols if c not in state.columns]
+        if missing:
+            raise ValueError(
+                f"persisted sample state at {self.state_dir} lacks "
+                f"payload column(s) {missing} — it was built without "
+                "payload_cols; rebuild the reservoir (or drop "
+                "payload_cols) instead of silently unioning NULLs"
+            )
 
     def _prune_batch(self, batch_df: DataFrame) -> DataFrame:
         from ramen_spark.operators.sampling import weighted_sample
@@ -733,6 +757,23 @@ class IncrementalCmsTop:
         self.cells_store = _SnapshotStore(spark, self.state_dir + "/cells")
         self.cands_store = _SnapshotStore(spark, self.state_dir + "/cands")
 
+    def _check_geometry(self, cells: DataFrame) -> None:
+        """Cell estimates are only comparable at ONE (depth, width) —
+        folding or querying a state at a different geometry silently
+        yields wrong estimates (wrong-width hashes miss every cell →
+        all-zero). States stamp their build geometry since round 12;
+        pre-stamp states pass unchecked (documented legacy mode, like
+        the KMV _kmv_k column)."""
+        if "_geo_depth" not in cells.columns:
+            return
+        row = cells.select("_geo_depth", "_geo_width").first()
+        if row is not None and (row[0], row[1]) != (self.depth, self.width):
+            raise ValueError(
+                f"CMS state at {self.state_dir} was built at "
+                f"depth={row[0]} width={row[1]}, not the requested "
+                f"depth={self.depth} width={self.width}"
+            )
+
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
         from ramen_spark.operators.sketch import (
             cms_build_keyed,
@@ -741,6 +782,7 @@ class IncrementalCmsTop:
 
         cells = self.cells_store.read()
         if cells is not None:
+            self._check_geometry(cells)
             last = cells.agg(F.max("_b")).collect()[0][0]
             if last is not None and batch_id <= last:
                 return  # replayed micro-batch: already folded in
@@ -785,10 +827,14 @@ class IncrementalCmsTop:
             .select(*self.keys, F.inline("_m"))
             .select(*self.keys, F.col("v").alias("_v"))
         )
-        # cands first, then cells-with-batch-id (see class docstring)
+        # cands first, then cells-with-batch-id (see class docstring);
+        # the geometry stamp makes a depth/width mismatch on resume or
+        # drift a loud error instead of an all-zero report
         self.cands_store.commit(kept)
         self.cells_store.commit(
             merged_cells.withColumn("_b", F.lit(batch_id).cast("long"))
+            .withColumn("_geo_depth", F.lit(self.depth))
+            .withColumn("_geo_width", F.lit(self.width))
         )
         self.last_commit_path = "distributed"
 
@@ -806,6 +852,7 @@ class IncrementalCmsTop:
         cands = self.cands_store.read()
         if cells is None or cands is None:
             raise ValueError(f"no sketch state at {self.state_dir}")
+        self._check_geometry(cells)
         est = cms_estimate_candidates(
             cells.select(*self.keys, "row", "col", "cnt"),
             cands, self.keys, self.depth, self.width,
@@ -835,6 +882,7 @@ class IncrementalCmsTop:
             cands = side.cands_store.read()
             if cells is None or cands is None:
                 raise ValueError(f"no sketch state at {side.state_dir}")
+            side._check_geometry(cells)
             pairs += [cells, cands]
         return cms_drift(*pairs, self.keys, n, self.depth, self.width)
 

@@ -186,3 +186,29 @@ def test_live_source_feeds_shared_decoders(spark, tmp_path):
         )
         got = {(r["metric"], r["value"]) for r in decoded.collect()}
         assert got == {(f"m{i}", i / 2) for i in range(6)}
+
+
+def test_live_source_keeps_offsets_of_unassigned_partitions(spark, tmp_path):
+    """Review finding: the offsets snapshot must MERGE with the full
+    committed map — a partition dropped from the assignment list and
+    later re-added resumes from its committed offset instead of
+    re-fetching history into duplicate spool rows."""
+    broker = FakeBroker()
+    with BrokerServer(broker) as (host, port):
+        root = str(tmp_path / "kafka")
+        _produce(host, port, "t", 0, [(1, b"a", b"1")])
+        _produce(host, port, "t", 1, [(2, b"b", b"2"), (3, b"c", b"3")])
+        both = KafkaLiveSource(spark, host, port, [("t", 0), ("t", 1)], root)
+        assert both.poll().count() == 3
+
+        only0 = KafkaLiveSource(spark, host, port, [("t", 0)], root)
+        _produce(host, port, "t", 0, [(4, b"d", b"4")])
+        assert only0.poll().count() == 1
+        # (t,1)'s committed offset survived the narrowed assignment
+        assert only0.committed_offsets() == {("t", 0): 2, ("t", 1): 2}
+
+        again = KafkaLiveSource(spark, host, port, [("t", 0), ("t", 1)], root)
+        _produce(host, port, "t", 1, [(5, b"e", b"5")])
+        got = _rows(again.poll())
+        assert [(p, o) for _t, p, o, _ts, _k, _v in got] == [(1, 2)]
+        assert len(_rows(again.spool())) == 5  # no duplicates

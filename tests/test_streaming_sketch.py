@@ -830,3 +830,58 @@ def test_corpus_mix_stream_lane(spark, tmp_path):
     # per-lang budget respected
     sums = sel.groupBy("lang").agg(F.sum("n_tok").alias("s")).collect()
     assert all(r["s"] <= 1_500 for r in sums)
+
+
+def test_payload_cols_refuse_legacy_state(spark, tmp_path):
+    """Review finding: resuming a payload-less reservoir state under
+    payload_cols must fail loudly — allowMissingColumns would union
+    NULL payloads that defeat replay dedup and read as zero-cost rows
+    in downstream budget stages."""
+    import pytest as _pytest
+
+    from ramen_spark.streaming.sketch import IncrementalWeightedSample
+
+    rows = spark.createDataFrame(
+        [("a", i, 10 + i, 5) for i in range(20)],
+        "lang string, doc_id long, q long, n_tok long",
+    )
+    old = IncrementalWeightedSample(
+        spark, str(tmp_path / "s"), ["lang"], 8, "q", "doc_id"
+    )
+    old.update(rows)
+
+    new = IncrementalWeightedSample(
+        spark, str(tmp_path / "s"), ["lang"], 8, "q", "doc_id",
+        payload_cols=["n_tok"],
+    )
+    with _pytest.raises(ValueError, match="payload column"):
+        new.update(rows)
+
+
+def test_cms_geometry_stamp_guards_mismatch(spark, tmp_path):
+    """Review finding: CMS states stamp (depth, width); folding,
+    querying, or drifting a state at a different geometry errors
+    instead of silently producing an all-zero report."""
+    import pytest as _pytest
+
+    from ramen_spark.streaming.sketch import IncrementalCmsTop
+
+    rows = spark.createDataFrame(
+        [("g", i % 7) for i in range(50)], "k string, v long"
+    )
+    sk = IncrementalCmsTop(
+        spark, str(tmp_path / "a"), ["k"], "v", max_candidates=16,
+        depth=4, width=2048,
+    )
+    sk.update(rows, batch_id=0)
+
+    wrong = IncrementalCmsTop(
+        spark, str(tmp_path / "a"), ["k"], "v", max_candidates=16,
+        depth=4, width=4096,
+    )
+    with _pytest.raises(ValueError, match="built at"):
+        wrong.update(rows, batch_id=1)
+    with _pytest.raises(ValueError, match="built at"):
+        wrong.top(3)
+    with _pytest.raises(ValueError, match="geometry"):
+        sk.drift_vs(wrong, n=3)  # constructor-level geometry check
