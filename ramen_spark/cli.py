@@ -651,6 +651,47 @@ def cmd_drift(args) -> int:
     return 0
 
 
+def cmd_kafka_tail(args) -> int:
+    """Live tail of a Kafka topic with NO connector jar
+    (sources/kafka_live.py:KafkaLiveSource — the wire-client polling
+    lane): poll once, print the new records, leave offsets
+    checkpointed under --root so the next invocation resumes where
+    this one stopped (the `ramen tail` lifecycle against a live
+    broker). --decode utf8 prints values as text; raw prints hex."""
+    from ramen_spark.session import get_spark
+    from ramen_spark.sources.kafka_live import KafkaLiveSource
+
+    spark = get_spark("ramen_cli")
+    assignments = []
+    for spec in args.partition:
+        t, _, p = spec.rpartition(":")
+        if not t or not p.isdigit():
+            print(f"--partition needs topic:partition, got {spec!r}")
+            return 2
+        assignments.append((t, int(p)))
+    src = KafkaLiveSource(
+        spark, args.host, args.port, assignments, args.root,
+        max_records=args.max_records,
+    )
+    batch = src.poll()
+    rows = batch.orderBy("topic", "partition", "offset").collect()
+    for r in rows:
+        v = bytes(r["value"]) if r["value"] is not None else None
+        if v is not None:
+            shown = (
+                v.decode("utf-8", "replace") if args.decode == "utf8"
+                else v.hex()
+            )
+        else:
+            shown = "NULL"
+        print(
+            f"{r['topic']}\t{r['partition']}\t{r['offset']}\t"
+            f"{r['timestamp_ms']}\t{shown}"
+        )
+    print(f"# {len(rows)} new records; offsets checkpointed in {args.root}")
+    return 0
+
+
 def cmd_export_wds(args) -> int:
     """Export a parquet table as WebDataset tar shards
     (sources/export.py:write_webdataset): --member col=ext maps
@@ -972,6 +1013,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cms-width", type=int, default=2048,
                    help="CMS width BOTH states were built with")
     p.set_defaults(fn=cmd_drift)
+
+    p = sub.add_parser(
+        "kafka-tail",
+        help="live-tail a Kafka topic via the jar-free wire client",
+    )
+    p.add_argument("host", help="broker host")
+    p.add_argument("port", type=int, help="broker port")
+    p.add_argument("root", help="offsets+spool checkpoint root")
+    p.add_argument(
+        "--partition", action="append", required=True,
+        metavar="TOPIC:PARTITION",
+        help="assignment (repeatable), e.g. events:0",
+    )
+    p.add_argument("--max-records", type=int, default=10_000)
+    p.add_argument("--decode", choices=["utf8", "raw"], default="utf8")
+    p.set_defaults(fn=cmd_kafka_tail)
 
     p = sub.add_parser(
         "export-wds",

@@ -212,3 +212,28 @@ def test_live_source_keeps_offsets_of_unassigned_partitions(spark, tmp_path):
         got = _rows(again.poll())
         assert [(p, o) for _t, p, o, _ts, _k, _v in got] == [(1, 2)]
         assert len(_rows(again.spool())) == 5  # no duplicates
+
+
+def test_cli_kafka_tail_live(spark, tmp_path, capsys):
+    """`ramen kafka-tail HOST PORT ROOT --partition t:0` — the live
+    tail lifecycle over the jar-free source: first call drains, the
+    second resumes from the checkpoint and prints only new records."""
+    from ramen_spark.cli import main
+
+    broker = FakeBroker()
+    with BrokerServer(broker) as (host, port):
+        _produce(host, port, "t", 0, [(10, b"k", b"hello"), (11, None, b"bye")])
+        root = str(tmp_path / "kafka")
+        argv = ["kafka-tail", host, str(port), root, "--partition", "t:0"]
+        assert main(argv) == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert [l.split("\t")[4] for l in out[:-1]] == ["hello", "bye"]
+        assert "2 new records" in out[-1]
+
+        _produce(host, port, "t", 0, [(12, b"k", b"again")])
+        assert main(argv) == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert [l.split("\t")[4] for l in out[:-1]] == ["again"]
+
+        assert main(["kafka-tail", host, str(port), root,
+                     "--partition", "nocolon"]) == 2
