@@ -220,17 +220,128 @@ class KafkaLiveSource:
             return self.spark.createDataFrame([], KAFKA_LIVE_SCHEMA)
         return self.spark.read.parquet(*dirs)
 
-    def _spool_dirs(self) -> list[str]:
+    def compact_spool(self) -> int:
+        """Merge the STABLE spool batches (everything below the
+        current offsets version — a dir at the current version can
+        still be reaped by a crashed-poll retry) into one span dir.
+        An always-on cadence mints one small parquet dir per non-idle
+        poll; unmerged, a day of 1 s polls is ~86k directories whose
+        listing alone dominates ``spool()`` at scale.
+
+        Crash-safe by PUBLISH-THEN-SHADOW, the write_webdataset
+        generation discipline adapted to an append-only log: the
+        merged data is written to an unlisted ``compacting-*`` staging
+        dir, renamed to ``span-v{a}-v{b}-*`` in ONE step, and only
+        then are the covered dirs best-effort deleted. Readers treat
+        a span as superseding every ``from-v{n}`` with a ≤ n ≤ b and
+        any span it fully contains, so every crash point reads
+        duplicate-free: before the rename only the originals are
+        listed; after it only the span is. Returns the number of dirs
+        merged (0 = nothing to do)."""
+        cur = self.offsets_store.current_version() or 0
+        # reap crash leftovers first: unlisted compacting-* staging
+        # dirs, and anything a live span already shadows (a compact
+        # that crashed between publish and cleanup)
         from ramen_spark.streaming.sketch import _fs
 
         fs, rp = _fs(self.spark, self.root_dir + "/spool")
+        if fs.exists(rp):
+            effective = set(self._spool_dirs())
+            for st in fs.listStatus(rp):
+                nm = st.getPath().getName()
+                path = f"{self.root_dir}/spool/{nm}"
+                if st.isDirectory() and (
+                    nm.startswith("compacting-")
+                    or (
+                        nm.startswith(("from-v", "span-v"))
+                        and path not in effective
+                    )
+                ):
+                    self._delete_dir(path)
+        spans, plains = self._spool_entries()
+        stable_spans = [e for e in spans if e[1] < cur]
+        stable_plains = [e for e in plains if e[0] < cur]
+        merged = [(a, b, p) for a, b, p in stable_spans] + [
+            (n, n, p) for n, p in stable_plains
+        ]
+        if len(merged) < 2:
+            return 0
+        lo = min(a for a, _b, _p in merged)
+        hi = max(b for _a, b, _p in merged)
+        import uuid as _uuid
+
+        token = _uuid.uuid4().hex[:12]
+        staging = f"{self.root_dir}/spool/compacting-{token}"
+        self.spark.read.parquet(*[p for _a, _b, p in merged]).coalesce(
+            max(1, min(len(merged) // 8, 32))
+        ).write.mode("overwrite").parquet(staging)
+        _fs2, sp = _fs(self.spark, staging)
+        ok = _fs2.rename(
+            sp,
+            self.spark._jvm.org.apache.hadoop.fs.Path(
+                f"{self.root_dir}/spool/span-v{lo}-v{hi}-{token}"
+            ),
+        )  # ← the publish: from here on the originals are shadowed
+        if not ok:
+            self._delete_dir(staging)
+            raise OSError(
+                f"spool compaction publish rename failed under "
+                f"{self.root_dir}/spool"
+            )
+        for _a, _b, p in merged:
+            self._delete_dir(p)  # best-effort; leftovers stay shadowed
+        return len(merged)
+
+    def _spool_entries(
+        self,
+    ) -> tuple[list[tuple[int, int, str]], list[tuple[int, str]]]:
+        """Raw spool listing → (spans [(a, b, path)], plains
+        [(version, path)]). ``compacting-*`` staging dirs are invisible
+        by design (crash leftovers; reaped by the next compact)."""
+        from ramen_spark.streaming.sketch import _fs
+
+        fs, rp = _fs(self.spark, self.root_dir + "/spool")
+        spans: list[tuple[int, int, str]] = []
+        plains: list[tuple[int, str]] = []
         if not fs.exists(rp):
-            return []
-        out = []
+            return spans, plains
         for st in fs.listStatus(rp):
             nm = st.getPath().getName()
-            if st.isDirectory() and nm.startswith("from-v"):
-                out.append(f"{self.root_dir}/spool/{nm}")
+            path = f"{self.root_dir}/spool/{nm}"
+            if not st.isDirectory():
+                continue
+            if nm.startswith("from-v") and nm[6:].isdigit():
+                plains.append((int(nm[6:]), path))
+            elif nm.startswith("span-v"):
+                body = nm[5:].split("-")
+                if (
+                    len(body) >= 2
+                    and body[0][1:].isdigit()
+                    and body[1][1:].isdigit()
+                ):
+                    spans.append((int(body[0][1:]), int(body[1][1:]), path))
+        return spans, plains
+
+    def _spool_dirs(self) -> list[str]:
+        """The EFFECTIVE spool dirs: spans supersede the plain batch
+        dirs they cover and any span they fully contain — so a crash
+        between a compaction's publish rename and its cleanup deletes
+        never double-reads."""
+        spans, plains = self._spool_entries()
+        live_spans = [
+            (a, b, p)
+            for a, b, p in spans
+            if not any(
+                (a2 <= a and b <= b2) and (a2, b2, p2) != (a, b, p)
+                # ties between identical ranges (two crashed compacts
+                # of the same window) break by path so exactly one wins
+                and ((a2, b2) != (a, b) or p2 > p)
+                for a2, b2, p2 in spans
+            )
+        ]
+        covered = lambda n: any(a <= n <= b for a, b, _p in live_spans)
+        out = [p for _a, _b, p in live_spans]
+        out += [p for n, p in plains if not covered(n)]
         return sorted(out)
 
     def _delete_dir(self, path: str) -> None:

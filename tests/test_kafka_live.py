@@ -237,3 +237,62 @@ def test_cli_kafka_tail_live(spark, tmp_path, capsys):
 
         assert main(["kafka-tail", host, str(port), root,
                      "--partition", "nocolon"]) == 2
+
+
+def test_spool_compaction_merges_and_survives_crashes(spark, tmp_path):
+    """compact_spool merges stable per-poll batch dirs into one span
+    dir (an always-on cadence mints one dir per poll — listing cost),
+    duplicate-free at EVERY crash point of the publish-then-shadow
+    protocol: staging leftovers are invisible, a published span
+    shadows the dirs it covers until cleanup, and later polls append
+    past the span."""
+    import os
+
+    broker = FakeBroker()
+    with BrokerServer(broker) as (host, port):
+        root = str(tmp_path / "kafka")
+        src = KafkaLiveSource(spark, host, port, [("t", 0)], root)
+        for i in range(4):
+            _produce(host, port, "t", 0, [(100 + i, None, str(i).encode())])
+            assert src.poll().count() == 1
+        assert len(src._spool_dirs()) == 4
+        before = _rows(src.spool())
+
+        # crash BEFORE publish: a dangling compacting-* staging dir
+        # is invisible to readers and reaped by the next compact
+        os.makedirs(os.path.join(root, "spool", "compacting-deadbeef"))
+        assert len(src._spool_dirs()) == 4
+        assert _rows(src.spool()) == before
+
+        # the real compaction: every poll committed, so current
+        # version is 4 and all four from-v0..3 dirs are stable (only
+        # a dir AT the current version is a crashed-poll reap
+        # candidate) — all 4 merge into one span
+        assert src.compact_spool() == 4
+        assert not os.path.isdir(
+            os.path.join(root, "spool", "compacting-deadbeef")
+        )
+        dirs = src._spool_dirs()
+        assert len(dirs) == 1 and "span-v0-v3-" in dirs[0]
+        assert _rows(src.spool()) == before
+
+        # crash AFTER publish, before cleanup: resurrect a covered
+        # plain dir beside the span — it stays shadowed (no dup) and
+        # the next compact reaps it
+        span = dirs[0]
+        spark.read.parquet(span).filter("offset = 0").write.parquet(
+            os.path.join(root, "spool", "from-v1")
+        )
+        assert _rows(src.spool()) == before  # shadowed, not re-read
+        assert src.compact_spool() == 0  # nothing new stable to merge
+        assert not os.path.isdir(os.path.join(root, "spool", "from-v1"))
+
+        # later polls append past the span; a second compact contains
+        # the first span and the tail batch
+        _produce(host, port, "t", 0, [(200, b"k", b"new")])
+        assert src.poll().count() == 1
+        assert len(_rows(src.spool())) == 5
+        assert src.compact_spool() == 2  # span-v0-v3 + from-v4
+        dirs2 = src._spool_dirs()
+        assert len(dirs2) == 1 and "span-v0-v4-" in dirs2[0]
+        assert len(_rows(src.spool())) == 5
