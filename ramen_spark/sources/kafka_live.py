@@ -323,26 +323,8 @@ class KafkaLiveSource:
         return spans, plains
 
     def _spool_dirs(self) -> list[str]:
-        """The EFFECTIVE spool dirs: spans supersede the plain batch
-        dirs they cover and any span they fully contain — so a crash
-        between a compaction's publish rename and its cleanup deletes
-        never double-reads."""
         spans, plains = self._spool_entries()
-        live_spans = [
-            (a, b, p)
-            for a, b, p in spans
-            if not any(
-                (a2 <= a and b <= b2) and (a2, b2, p2) != (a, b, p)
-                # ties between identical ranges (two crashed compacts
-                # of the same window) break by path so exactly one wins
-                and ((a2, b2) != (a, b) or p2 > p)
-                for a2, b2, p2 in spans
-            )
-        ]
-        covered = lambda n: any(a <= n <= b for a, b, _p in live_spans)
-        out = [p for _a, _b, p in live_spans]
-        out += [p for n, p in plains if not covered(n)]
-        return sorted(out)
+        return _effective_spool(spans, plains)
 
     def _delete_dir(self, path: str) -> None:
         from ramen_spark.streaming.sketch import _fs
@@ -350,3 +332,32 @@ class KafkaLiveSource:
         fs, p = _fs(self.spark, path)
         if fs.exists(p):
             fs.delete(p, True)
+
+
+def _effective_spool(
+    spans: list[tuple[int, int, str]], plains: list[tuple[int, str]]
+) -> list[str]:
+    """The EFFECTIVE spool dirs: spans supersede the plain batch dirs
+    they cover and any span they fully contain — so a crash between a
+    compaction's publish rename and its cleanup deletes never
+    double-reads. Pure function (property-tested against simulated
+    compaction/crash histories): ties between identical ranges (two
+    crashed compacts of the same window) break by path so exactly one
+    wins."""
+    live_spans = [
+        (a, b, p)
+        for a, b, p in spans
+        if not any(
+            (a2 <= a and b <= b2)
+            and (a2, b2, p2) != (a, b, p)
+            and ((a2, b2) != (a, b) or p2 > p)
+            for a2, b2, p2 in spans
+        )
+    ]
+
+    def covered(n: int) -> bool:
+        return any(a <= n <= b for a, b, _p in live_spans)
+
+    out = [p for _a, _b, p in live_spans]
+    out += [p for n, p in plains if not covered(n)]
+    return sorted(out)

@@ -296,3 +296,68 @@ def test_spool_compaction_merges_and_survives_crashes(spark, tmp_path):
         dirs2 = src._spool_dirs()
         assert len(dirs2) == 1 and "span-v0-v4-" in dirs2[0]
         assert len(_rows(src.spool())) == 5
+
+
+def test_effective_spool_resolution_property():
+    """Property: for ANY crash history the compaction protocol can
+    produce — plain dirs 0..N, a chain of compactions each merging a
+    prefix of the effective set into a containing span, each crashing
+    at any point after its publish rename (covered dirs deleted or
+    not, earlier spans deleted or not) — the effective dir set reads
+    every version exactly once. Pure function, no Spark."""
+    import random
+
+    from ramen_spark.sources.kafka_live import _effective_spool
+
+    rng = random.Random(7)
+    for trial in range(300):
+        n = rng.randint(1, 12)
+        # surviving plains: some deleted by successful cleanups
+        plains = {v: f"from-v{v}" for v in range(n)}
+        spans = []  # published spans, newest last, each containing
+        hi_prev = -1
+        for ci in range(rng.randint(0, 4)):
+            hi = rng.randint(hi_prev, n - 1) if hi_prev >= 0 else rng.randint(0, n - 1)
+            spans.append((0, hi, f"span-v0-v{hi}-{ci:03d}"))
+            # crashed-or-not cleanup: each covered plain/span survives
+            # with p=1/2 (a successful compact deletes all of them)
+            for v in list(plains):
+                if v <= hi and rng.random() < 0.5:
+                    del plains[v]
+            spans = [
+                s for s in spans[:-1] if not (s[1] <= hi and rng.random() < 0.5)
+            ] + [spans[-1]]
+            hi_prev = hi
+        # duplicate-range crash twin occasionally
+        if spans and rng.random() < 0.3:
+            a, b, p = spans[-1]
+            spans.append((a, b, p[:-3] + "zzz"))
+
+        eff = _effective_spool(
+            spans, [(v, p) for v, p in plains.items()]
+        )
+        # reconstruct which versions each effective dir contributes
+        seen: dict[int, list[str]] = {}
+        for p in eff:
+            if p.startswith("from-v"):
+                vs = [int(p[6:])]
+            else:
+                body = p[5:].split("-")
+                vs = list(range(int(body[0][1:]), int(body[1][1:]) + 1))
+            for v in vs:
+                seen.setdefault(v, []).append(p)
+        dups = {v: ps for v, ps in seen.items() if len(ps) > 1}
+        assert not dups, (trial, dups, spans, plains)
+        # completeness: every version 0..max published is present
+        # exactly once (spans always start at 0 in this protocol)
+        expect = set(range(n)) if spans or plains else set()
+        # versions deleted from plains AND not covered by a surviving
+        # span were lost only if every covering span was deleted —
+        # the protocol never deletes a span before a containing span
+        # is published, so versions under the NEWEST span are always
+        # covered; check those
+        if spans:
+            newest_hi = max(b for _a, b, _p in spans)
+            assert set(range(0, newest_hi + 1)) <= set(seen), (
+                trial, sorted(seen), spans, plains,
+            )
