@@ -82,11 +82,27 @@ def mean_word_length(text: Column) -> Column:
 def quality_score(text: Column) -> Column:
     """Composite heuristic quality in [0,1]: rewards moderate length,
     presence of stopwords, sane word lengths; punishes punctuation
-    spam. Deterministic and SQL-expressible (oracle-checkable)."""
+    spam. Deterministic and SQL-expressible (oracle-checkable).
+
+    One tokenization, not two (round 12): the stopword ratio used to
+    split tokens(lower(text)) while the word-length ratio split
+    tokens(text) — two full regex \\s+ passes per document. Lowercase
+    never adds or removes whitespace, so the k-th token of
+    lower(text) IS lower(k-th token of text): filtering on lower(t)
+    over the single raw token array gives the identical stopword
+    count (values oracle-checked unchanged; the SQL oracles keep
+    their original two-split form)."""
     ln = F.octet_length(text).cast("double")
     len_score = F.least(ln / F.lit(200.0), F.lit(1.0))
-    sw_score = F.least(stopword_ratio(text) * 4, F.lit(1.0))
-    wl = mean_word_length(text)
+    toks = tokens(text)
+    n = F.size(toks)
+    sw = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS_EN))
+    )
+    swr = F.when(n > 0, sw.cast("double") / n).otherwise(F.lit(0.0))
+    sw_score = F.least(swr * 4, F.lit(1.0))
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    wl = F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
     wl_score = F.when((wl >= 3) & (wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
     punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 3)
     return F.round((len_score + sw_score + wl_score + punct_pen) / 4, 6)

@@ -554,7 +554,22 @@ def connected_components(
     # (GraphFrames' iterative pattern).
     edges = edges.localCheckpoint(eager=True)
     labels = edges.select("v").distinct().withColumn("label", F.col("v"))
-    changed = -1
+    # Convergence probe: per-vertex labels are MONOTONE NON-INCREASING
+    # (new = min(old, neighbours)), so Σ label is strictly decreasing
+    # until the fixpoint — one scan-aggregate over the freshly
+    # checkpointed relation detects convergence. Replaces the
+    # round-11 probe (a new-vs-old equi-join + count), which paid an
+    # extra join + shuffle EVERY round just to count changes
+    # (guide §2.4; r12 measurement in OPTIMIZATION_r12.md). decimal
+    # sum: vertex ids are arbitrary longs — Σ over billions of
+    # 63-bit ids must not wrap.
+    def _label_sum(lb: DataFrame) -> object:
+        return lb.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = None
+    converged = False
     for _ in range(max_iter):
         neigh = (
             edges.join(labels.withColumnRenamed("v", "n"), "n")
@@ -566,21 +581,18 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("nw")
-            .join(labels.alias("old"), "v")
-            .filter(F.col("nw.label") != F.col("old.label"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
+            converged = True
             break
-    if changed != 0:
+        prev_sum = new_sum
+    if not converged:
         # a silent early exit would return WRONG cluster ids for any
         # component whose diameter exceeds max_iter
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); raise max_iter — near-dup "
+            "(label sum still decreasing); raise max_iter — near-dup "
             "components are normally shallow, so this suggests a "
             "pathological chain of LSH buckets"
         )

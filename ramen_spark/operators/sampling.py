@@ -230,12 +230,22 @@ def lm_perplexity_buckets(
     )
     h1, _ = md5_hash_pair(F.col("_bg"))
     bucketed = big.select(id_col, lang_col, "_is_t", (h1 % B).alias("_bk"))
+    # cnt feeds BOTH the per-bucket weights and (by summation) the
+    # target-bigram total — localCheckpoint so the token stream is
+    # exploded/hashed ONCE for the model side instead of twice
+    # (round 12; tot was previously a second full pass over
+    # ``bucketed`` — Σ cnt._c IS the target-bigram count).
     cnt = (
         bucketed.filter(F.col("_is_t") == 1)
         .groupBy("_bk")
         .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint()
     )
-    tot = bucketed.agg(F.sum("_is_t").alias("_t"))
+    # coalesce: an all-non-target corpus must yield _t = 0 (what
+    # sum(_is_t) over the stream gave), not NULL from the empty agg
+    tot = cnt.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint").alias("_t")
+    )
     # weight EVERY bucket (unseen buckets get the add-one floor), so
     # the doc-side join is a plain inner join on a complete table
     weights = (

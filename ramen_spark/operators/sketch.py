@@ -765,7 +765,11 @@ def _cms_cells(value: Column, depth: int, width: int) -> Column:
 
 
 def count_min_build(
-    df: DataFrame, value_col: str, depth: int = 4, width: int = 2048
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build a count-min sketch over a value column → (row, col, cnt)
     cell relation, depth × width cells total.
@@ -783,13 +787,30 @@ def count_min_build(
     data volume, and the result is a fixed-size mergeable summary
     (union of corpora = cell-wise sum), the same persistable-index
     contract as the banded dedup indexes. No key, however hot, can
-    skew it: every row lands on depth cells of a FIXED keyspace."""
+    skew it: every row lands on depth cells of a FIXED keyspace.
+
+    ``weight_col``: build from a PRE-COUNTED relation — each row
+    contributes ``weight_col`` occurrences of its value instead of 1.
+    Cell values are identical to feeding the raw stream (a cell is a
+    sum of per-value counts), but the md5 fan-out runs once per
+    DISTINCT value row instead of once per occurrence — use it when a
+    (value, count) aggregate is already in hand (round 12:
+    cms_token_counts computes exact per-token counts for its probes
+    anyway; reusing them cut the build from 4 md5/occurrence to
+    4 md5/distinct token — see OPTIMIZATION_r12.md)."""
     if depth < 1 or width < 1:
         raise ValueError("count_min_build needs depth >= 1 and width >= 1")
-    cells = df.select(_cms_cells(F.col(value_col), depth, width).alias("c"))
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col is not None
+        else F.lit(1).cast("bigint")
+    )
+    cells = df.select(
+        _cms_cells(F.col(value_col), depth, width).alias("c"), w.alias("_w")
+    )
     return cells.groupBy(
         F.col("c.row").alias("row"), F.col("c.col").alias("col")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    ).agg(F.sum("_w").cast("bigint").alias("cnt"))
 
 
 def count_min_lookup(
@@ -854,12 +875,37 @@ def cms_top(
         raise ValueError("cms_top needs n >= 1")
     if depth < 1 or width < 1:
         raise ValueError("cms_top needs depth >= 1 and width >= 1")
-    cms = cms_build_keyed(df, keys, value_col, depth, width, weight_col)
-    cand = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(*keys, F.col(value_col).alias("_v"))
-        .distinct()
-    )
+    if weight_col is None:
+        # COUNT path (round 12): candidates and cells both derive from
+        # ONE distinct-(key, value) aggregate — the candidate shuffle
+        # already paid — so the two consumers share a single Exchange
+        # (ReuseExchange) and the cell build hashes depth md5s per
+        # DISTINCT value instead of per occurrence. The weighted path
+        # keeps the per-occurrence build: regrouping a DOUBLE sum
+        # reorders additions and could flip last-ulp bits.
+        counted = (
+            df.filter(F.col(value_col).isNotNull())
+            .groupBy(*keys, F.col(value_col).alias("_v"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+        )
+        if not df.isStreaming:
+            # materialize so cells + candidates truly share ONE pair
+            # aggregation: column pruning makes the two lazy subtrees
+            # differ (cand drops _n), so ReuseExchange never fires and
+            # the pair relation would shuffle twice (measured: drift
+            # 193→350 MB sf10 shuffle without this). Streaming
+            # micro-batch callers keep the lazy twin-agg form —
+            # localCheckpoint is batch-only.
+            counted = counted.localCheckpoint()
+        cms = cms_build_keyed_counted(counted, keys, "_v", "_n", depth, width)
+        cand = counted.select(*keys, "_v")
+    else:
+        cms = cms_build_keyed(df, keys, value_col, depth, width, weight_col)
+        cand = (
+            df.filter(F.col(value_col).isNotNull())
+            .select(*keys, F.col(value_col).alias("_v"))
+            .distinct()
+        )
     est = cms_estimate_candidates(cms, cand, keys, depth, width)
     return cms_rank_top(
         est, keys, n, out_col,
@@ -892,6 +938,37 @@ def cms_build_keyed(
     return cells.groupBy(
         *keys, F.col("c.row").alias("row"), F.col("c.col").alias("col")
     ).agg(F.sum("_w").alias("cnt"))
+
+
+def cms_build_keyed_counted(
+    counted: DataFrame,
+    keys: list[str],
+    value_col: str,
+    count_col: str,
+    depth: int,
+    width: int,
+) -> DataFrame:
+    """Per-key CMS cells from a PRE-COUNTED (keys…, value, n)
+    relation: each row contributes n occurrences. Cell values are
+    identical to :func:`cms_build_keyed`'s count path (a cell is an
+    integer sum of per-value counts — regrouping exact), and cnt stays
+    BIGINT. Use when the distinct (key, value) aggregate already
+    exists — e.g. cms_top's candidate enumeration: deriving BOTH the
+    cells and the candidate list from one counted relation lets Spark
+    reuse the single pair-grain Exchange (ReuseExchange) and cuts the
+    md5 fan-out from depth per occurrence to depth per distinct value
+    (round 12; a first attempt that pre-aggregated INSIDE
+    cms_build_keyed instead shuffled the pair relation twice — cand
+    and counted were different exchanges — and regressed drift
+    shuffle 193→350 MB at sf10; numbers in OPTIMIZATION_r12.md)."""
+    cells = counted.select(
+        *keys,
+        _cms_cells(F.col(value_col), depth, width).alias("c"),
+        F.col(count_col).cast("bigint").alias("_w"),
+    )
+    return cells.groupBy(
+        *keys, F.col("c.row").alias("row"), F.col("c.col").alias("col")
+    ).agg(F.sum("_w").cast("bigint").alias("cnt"))
 
 
 def cms_estimate_candidates(

@@ -1398,58 +1398,96 @@ def _dup_ngram_sql(n: int, thresh: float) -> str:
     """
 
 
-def _ngram_counts(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, word_chars, gram, n_occurrences) for raw word n-grams:
-    explode -> ONE partial-combined groupBy whose key contains doc_id
-    (skew-free by construction). The shared engine of the Gopher
-    top-n-gram and duplicate-n-gram rules."""
+def _sorted_grams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, word_chars, _sg) where ``_sg`` is the doc's word
+    n-gram multiset as a SORTED array — every n-gram of a document
+    lives in its own row, so gram counting is row-local: runs of
+    equal grams in the sorted array are the per-doc counts. Replaces
+    the round-11 explode → groupBy(doc, gram) engine, whose Exchange
+    carried every distinct gram row (1.07 GB shuffle at sf10) only to
+    re-group rows that started co-located. Docs with fewer than n
+    words vanish here, exactly like the explode used to drop them."""
     toks = docs.select("doc_id", Tx.tokens(F.col("text")).alias("w")).filter(
         F.size("w") >= n
     )
     w = F.col("w")
-    staged = toks.select(
+    return toks.select(
         "doc_id",
         F.aggregate(
             F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
         ).alias("word_chars"),
-        F.transform(
-            Tx.window_starts(F.size(w), n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(w, i + j) for j in range(n)]
-            ),
-        ).alias("grams"),
-    )
-    exploded = staged.select(
-        "doc_id", "word_chars", F.explode("grams").alias("gram")
-    )
-    return exploded.groupBy("doc_id", "word_chars", "gram").agg(
-        F.count("*").alias("n_occurrences")
+        F.array_sort(
+            F.transform(
+                Tx.window_starts(F.size(w), n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, i + j) for j in range(n)]
+                ),
+            )
+        ).alias("_sg"),
     )
 
 
 def _top_ngram(docs: DataFrame, n: int, thresh: float) -> DataFrame:
     """Gopher top-n-gram coverage: fraction of word characters inside
     occurrences of the document's MOST FREQUENT word n-gram (published
-    thresholds: 0.20 / 0.18 / 0.16 for n = 2 / 3 / 4). Needs a per-doc
-    mode: counts + per-doc row_number window, ties (count desc, gram
-    asc)."""
-    counts = _ngram_counts(docs, n)
-    wdw = Window.partitionBy("doc_id").orderBy(
-        F.col("n_occurrences").desc(), F.col("gram").asc()
+    thresholds: 0.20 / 0.18 / 0.16 for n = 2 / 3 / 4). The per-doc
+    mode (ties: count desc, gram asc) is a single run-length fold over
+    the sorted gram array — runs arrive in ascending gram order and
+    promotion into the best slot is strict (``>``), so the FIRST run
+    of the maximal count wins, which IS the gram-asc tiebreak of the
+    old row_number window. ZERO Exchange (round 12; was explode →
+    count shuffle → window sort shuffle — sf10: 1.07 GB shuffle,
+    1170 s CPU → 0 B, see OPTIMIZATION_r12.md)."""
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("bg"),
+        zero.alias("bn"),
+        F.element_at(F.col("_sg"), 1).alias("cg"),
+        zero.alias("cn"),
     )
-    top = counts.withColumn("rn", F.row_number().over(wdw)).filter(
-        F.col("rn") == 1
+
+    def step(acc, x):
+        same = x == acc["cg"]
+        promote = acc["cn"] > acc["bn"]
+        return F.struct(
+            F.when(same, acc["bg"])
+            .otherwise(F.when(promote, acc["cg"]).otherwise(acc["bg"]))
+            .alias("bg"),
+            F.when(same, acc["bn"])
+            .otherwise(F.when(promote, acc["cn"]).otherwise(acc["bn"]))
+            .alias("bn"),
+            F.when(same, acc["cg"]).otherwise(x).alias("cg"),
+            F.when(same, acc["cn"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("cn"),
+        )
+
+    best = F.aggregate(
+        F.col("_sg"),
+        init,
+        step,
+        lambda acc: F.struct(
+            F.when(acc["cn"] > acc["bn"], acc["cg"])
+            .otherwise(acc["bg"])
+            .alias("gram"),
+            F.when(acc["cn"] > acc["bn"], acc["cn"])
+            .otherwise(acc["bn"])
+            .alias("n"),
+        ),
+    )
+    top = _sorted_grams(docs, n).select(
+        "doc_id", "word_chars", best.alias("_best")
     )
     cov = F.round(
-        F.col("n_occurrences")
-        * (F.length(F.col("gram")) - (n - 1)).cast("double")
+        F.col("_best.n")
+        * (F.length(F.col("_best.gram")) - (n - 1)).cast("double")
         / F.col("word_chars"),
         6,
     )
     return top.select(
         "doc_id",
-        F.col("gram").alias("top_gram"),
-        "n_occurrences",
+        F.col("_best.gram").alias("top_gram"),
+        F.col("_best.n").alias("n_occurrences"),
         cov.alias(f"top_{n}gram_char_frac"),
         (cov < thresh).alias("keep"),
     )
@@ -1461,28 +1499,55 @@ def _dup_ngram(docs: DataFrame, n: int, thresh: float) -> DataFrame:
     chars (published thresholds 0.15 -> 0.10 for n = 5 -> 10).
     Overlapping occurrences count their chars each time (the stated
     definition — the ratio can exceed 1 on degenerate loops, which is
-    exactly when the rule should fire). Same counts engine, then one
-    more partial-combined per-doc aggregate — no window needed."""
-    counts = _ngram_counts(docs, n)
-    dup_chars = F.sum(
-        F.when(
-            F.col("n_occurrences") > 1,
-            F.col("n_occurrences") * (F.length(F.col("gram")) - (n - 1)),
-        ).otherwise(F.lit(0))
+    exactly when the rule should fire). Same run-length fold as
+    _top_ngram over the sorted gram array, accumulating duplicate-run
+    counts/chars at each run close — ZERO Exchange (round 12; was the
+    explode → groupBy counts engine + a second per-doc aggregate)."""
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        zero.alias("nd"),
+        zero.alias("dc"),
+        F.element_at(F.col("_sg"), 1).alias("cg"),
+        zero.alias("cn"),
     )
-    frac = F.round(dup_chars.cast("double") / F.col("word_chars"), 6)
-    return (
-        counts.groupBy("doc_id", "word_chars")
-        .agg(
-            F.sum(
-                F.when(F.col("n_occurrences") > 1, 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_dup_grams"),
-            frac.alias(f"dup_{n}gram_char_frac"),
-            (frac < thresh).alias("keep"),
+
+    def close(acc):
+        # fold the finished run into (n_dup_grams, dup_chars)
+        dup = acc["cn"] > 1
+        chars = acc["cn"] * (F.length(acc["cg"]) - (n - 1)).cast("long")
+        return (
+            F.when(dup, acc["nd"] + 1).otherwise(acc["nd"]),
+            F.when(dup, acc["dc"] + chars).otherwise(acc["dc"]),
         )
-        .drop("word_chars")
+
+    def step(acc, x):
+        same = x == acc["cg"]
+        nd, dc = close(acc)
+        return F.struct(
+            F.when(same, acc["nd"]).otherwise(nd).alias("nd"),
+            F.when(same, acc["dc"]).otherwise(dc).alias("dc"),
+            F.when(same, acc["cg"]).otherwise(x).alias("cg"),
+            F.when(same, acc["cn"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("cn"),
+        )
+
+    def finish(acc):
+        nd, dc = close(acc)
+        return F.struct(nd.alias("nd"), dc.alias("dc"))
+
+    stats = F.aggregate(F.col("_sg"), init, step, finish)
+    base = _sorted_grams(docs, n).select(
+        "doc_id", "word_chars", stats.alias("_st")
+    )
+    frac = F.round(
+        F.col("_st.dc").cast("double") / F.col("word_chars"), 6
+    )
+    return base.select(
+        "doc_id",
+        F.col("_st.nd").alias("n_dup_grams"),
+        frac.alias(f"dup_{n}gram_char_frac"),
+        (frac < thresh).alias("keep"),
     )
 
 
@@ -4435,9 +4500,14 @@ def _clean_corpus(
             ),
         )
     )
+    # localCheckpoint: qualities feeds BOTH canonicalize and the
+    # 'score' gate — without it the text scan + scoring subtree is
+    # duplicated into each consumer (r12, guide §3.3/§5: one scan
+    # instead of two, and downstream joins see real relation sizes
+    # instead of unknown-estimate subtrees)
     qualities = docs.select(
         "doc_id", Tx.quality_score(F.col("text")).alias("quality")
-    )
+    ).localCheckpoint()
     canon_keep = D.canonicalize(clusters, qualities).select("doc_id")
     contam_drop = (
         D.decontaminate(
@@ -4480,7 +4550,15 @@ def _clean_corpus(
     s2 = s1.join(canon_keep, "doc_id", "left_semi")
     s3 = s2.filter(F.col("doc_id") % 97 != 0)
     s4 = s3.join(contam_drop, "doc_id", "left_anti")
-    clean = s4.join(gate_keep, "doc_id", "left_semi")
+    # localCheckpoint: clean is the (doc_id, lang) survivor set every
+    # downstream mixing stage hangs off. In v2 the whole stages-1-4
+    # DAG was otherwise DUPLICATED into each consumer (cand is read
+    # twice, packed re-reads docs⋈chosen): the uncheckpointed v2 plan
+    # carried ~169 Exchanges and planned ALL its id joins sort-merge
+    # because the subtree sizes were unknown; truncating here shrinks
+    # the plan and restores broadcast id-joins (guide §3.3 — numbers
+    # in OPTIMIZATION_r12.md).
+    clean = s4.join(gate_keep, "doc_id", "left_semi").localCheckpoint()
     if stages is not None:
         stages.update(
             raw=docs,
@@ -4631,6 +4709,9 @@ def _prepare_corpus_v2(
     )
 
     docs, clean = _clean_corpus(spark, sf_dir, gate="score", stages=stages)
+    # localCheckpoint: cand (one metadata row per survivor) feeds the
+    # A-ES sample AND the budget join — truncate so the docs⋈clean
+    # scan-and-score subtree runs once, not twice (guide §3.3)
     cand = (
         docs.join(clean.select("doc_id"), "doc_id", "left_semi")
         .select(
@@ -4641,6 +4722,7 @@ def _prepare_corpus_v2(
             .cast("long")
             .alias("q_micro"),
         )
+        .localCheckpoint()
     )
     samp = weighted_sample(
         cand, n=40, weight_col="q_micro", keys=["lang"], id_col="doc_id",
@@ -4649,10 +4731,12 @@ def _prepare_corpus_v2(
     sel_in = samp.select("lang", "doc_id", "skey_micro").join(
         cand.select("doc_id", "n_tok"), "doc_id"
     )
+    # localCheckpoint: chosen is tiny (budget-capped) and consumed by
+    # the packing semi-join here plus twice by corpus_datacard_v2
     chosen = token_budget_select(
         sel_in, budget=1_500, weight_col="n_tok", pri_col="skey_micro",
         keys=["lang"],
-    )
+    ).localCheckpoint()
     packed = pack_sequences(
         docs.join(chosen.select("doc_id"), "doc_id", "left_semi"),
         budget=512, shards=8,
@@ -6367,13 +6451,25 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(Tx.tokens(F.col("text"))).alias("token"))
-    exact = toks.groupBy("token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("exact_n")
+    # ONE pass over the token stream: the exact per-token counts are
+    # needed for the probe set anyway, and a CMS cell is a sum of
+    # per-token counts — so the sketch builds from the counted
+    # relation (weight_col), 4 md5s per DISTINCT token instead of per
+    # occurrence (round 12; the round-11 form scanned toks twice and
+    # hashed every occurrence — numbers in OPTIMIZATION_r12.md).
+    # localCheckpoint: exact feeds both branches without recompute
+    # (the tfidf/bloom precedent; eager job, inside the timed region).
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .localCheckpoint()
     )
     probes = exact.orderBy(
         F.col("exact_n").desc(), F.col("token").asc()
     ).limit(15)
-    cms = count_min_build(toks, "token", depth=4, width=2048)
+    cms = count_min_build(
+        exact, "token", depth=4, width=2048, weight_col="exact_n"
+    )
     est = count_min_lookup(
         cms, probes.select("token"), "token", depth=4, width=2048
     )
@@ -6964,7 +7060,10 @@ def cms_topk_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     disk and NEITHER corpus is re-read. The oracle replays the full
     md5 cell algebra on both sides, so the comparison is value-exact
     including any cell collisions."""
-    from ramen_spark.operators.sketch import cms_build_keyed, cms_drift
+    from ramen_spark.operators.sketch import (
+        cms_build_keyed_counted,
+        cms_drift,
+    )
 
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     a = ev.filter(F.col("user_id") % 3 != 0)
@@ -6972,8 +7071,19 @@ def cms_topk_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, depth, width = ["event_type"], 4, 2048
 
     def state(side: DataFrame):
-        cells = cms_build_keyed(side, keys, "user_id", depth, width)
-        cands = side.select(*keys, F.col("user_id").alias("_v")).distinct()
+        # cells + candidates from ONE distinct-(key, value) aggregate
+        # (round 12): the two consumers share the Exchange and the
+        # cell build hashes per DISTINCT user, not per event — cell
+        # values identical (integer regrouping)
+        counted = (
+            side.groupBy(*keys, F.col("user_id").alias("_v"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+            .localCheckpoint()
+        )
+        cells = cms_build_keyed_counted(
+            counted, keys, "_v", "_n", depth, width
+        )
+        cands = counted.select(*keys, "_v")
         return cells, cands
 
     ca, na = state(a)

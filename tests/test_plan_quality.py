@@ -469,16 +469,19 @@ def test_repetition_battery_no_shuffle(spark):
         assert "Exchange" not in plan, (name, plan)
 
 
-def test_top_2gram_two_exchange_shape(spark):
-    """Top-2-gram coverage needs a per-doc mode: exactly one partial-
-    combined groupBy exchange on (doc, gram) plus one window exchange
-    on doc — never a SinglePartition funnel (the partition key always
-    contains doc_id, so the shuffle is skew-free by construction)."""
-    df = QUERIES["top_2gram_coverage"](spark, SF_ORACLE)
-    plan = _plan(df)
-    assert plan.count("Exchange hashpartitioning") == 2, plan
-    assert "SinglePartition" not in plan, plan
-    assert plan.count("HashAggregate") == 2, plan  # partial + final
+def test_ngram_battery_no_shuffle(spark):
+    """The Gopher top-n-gram and duplicate-n-gram rules are per-doc
+    computations over grams that start co-located in the doc's own
+    row, so since round 12 both run as a row-local run-length fold
+    over the sorted gram array — single scan, ZERO Exchange at any
+    corpus size (the round-11 shape shuffled every distinct gram row
+    into a groupBy and re-shuffled into a per-doc window: 1.07 GB
+    shuffle / 1170 s CPU at sf10 for top_2gram alone)."""
+    for name in ("top_2gram_coverage", "dup_5gram_coverage"):
+        df = QUERIES[name](spark, SF_ORACLE)
+        plan = _plan(df)
+        assert "Exchange" not in plan, (name, plan)
+        assert "Window" not in plan, (name, plan)
 
 
 def test_corpus_datacard_partial_agg(spark):
