@@ -54,6 +54,24 @@ def get_spark(
             str(max(256, 8 * cpus)),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE sizes post-shuffle partitions from the MAP-side bytes of
+        # the shuffle feeding them — but fan-out stages (the posting
+        # self-joins: candidate pairs ≈ Σdf² of a 64 MB posting
+        # partition) explode 10-40× AFTER the exchange, so 64 MB-sized
+        # inputs build multi-GB aggregation state per task and spill.
+        # Measured round 12 on the adversarial-skew ngram tier:
+        # advisory 64m → 14.6 GB spill / 1000 s CPU (warm); 16m →
+        # ZERO spill / 892 s; 8m → zero spill / 616 s. 16 MB is the
+        # local default (32-core single node: task-scheduling overhead
+        # is negligible, memory per concurrent task is the binding
+        # constraint); on a large cluster the shuffle-block count
+        # grows with partition count (guide §2.2), so deployments
+        # should revisit via SPARK_GRAFT_ADVISORY_PARTITION ("64m",
+        # "256m") rather than edit code.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "16m"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
