@@ -225,7 +225,11 @@ def lm_perplexity_buckets(
             " ", F.element_at(w, i), F.element_at(w, i + 1)
         ),
     )
-    big = toks.select(
+    # model pass: only TARGET docs are exploded (round 12 — the
+    # non-target slice never contributes to cnt/tot, so hashing it
+    # here was pure waste; the scoring side no longer reads this
+    # relation at all, see below)
+    big = toks.filter(F.col("_is_t") == 1).select(
         id_col, lang_col, "_is_t", F.explode(bigram).alias("_bg")
     )
     h1, _ = md5_hash_pair(F.col("_bg"))
@@ -236,8 +240,7 @@ def lm_perplexity_buckets(
     # (round 12; tot was previously a second full pass over
     # ``bucketed`` — Σ cnt._c IS the target-bigram count).
     cnt = (
-        bucketed.filter(F.col("_is_t") == 1)
-        .groupBy("_bk")
+        bucketed.groupBy("_bk")
         .agg(F.count(F.lit(1)).alias("_c"))
         .localCheckpoint()
     )
@@ -266,19 +269,62 @@ def lm_perplexity_buckets(
             .alias("_wm"),
         )
     )
-    per_doc = (
-        bucketed.join(weights, "_bk")
-        .groupBy(id_col, lang_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            (-F.sum("_wm")).cast("bigint").alias("_ce_micro"),
+    # scoring pass (round 12): the weight table is bounded at B rows
+    # by construction, so it collects to an ARRAY LITERAL (the
+    # kmeans-centroid bounded-driver-traffic precedent; B ≤ 2^16
+    # guard below) and per-document cross-entropy becomes a ROW-LOCAL
+    # integer fold over the doc's own bigrams — no second explode of
+    # the token stream, no broadcast-join probe, no per-doc
+    # aggregation Exchange. Exact: _wm values are integer micro-nats,
+    # so the fold's sum is order-independent (the dsir determinism
+    # rule); n_bigrams = max(|w|−1, 0) is what the explode counted.
+    # The token array is LET-BOUND via a single-element transform so
+    # CollapseProject cannot re-inline tokens(text) per element_at
+    # (the tf-fold lesson, measured 60× — OPTIMIZATION_r12.md).
+    if B > (1 << 16):  # pragma: no cover — keep driver traffic bounded
+        raise ValueError(
+            f"n_buckets={B} exceeds the collectable weight-table bound "
+            "(65536); shrink the bucket space or restore the join path"
         )
-        .withColumn(
-            "avg_nats",
-            F.round(
-                F.col("_ce_micro").cast("double") / 1e6 / F.col("n_bigrams"),
-                6,
+    wvals = [int(r["_wm"]) for r in weights.orderBy("_bk").collect()]
+    arr = F.array(*[F.lit(v).cast("long") for v in wvals])
+
+    def _score(wv):
+        nb = F.greatest(F.size(wv) - 1, F.lit(0))
+        ce = F.aggregate(
+            window_starts(F.size(wv), 2),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            - F.element_at(
+                arr,
+                (
+                    md5_hash_pair(
+                        F.concat_ws(
+                            " ",
+                            F.element_at(wv, i),
+                            F.element_at(wv, i + 1),
+                        )
+                    )[0]
+                    % B
+                    + 1
+                ).cast("int"),
             ),
+        )
+        return F.struct(
+            nb.cast("bigint").alias("nb"), ce.cast("bigint").alias("ce")
+        )
+
+    stat = F.element_at(F.transform(F.array(w), _score), 1)
+    per_doc = (
+        toks.select(id_col, lang_col, stat.alias("_st"))
+        .filter(F.col("_st.nb") > 0)
+        .select(
+            id_col,
+            lang_col,
+            F.col("_st.nb").alias("n_bigrams"),
+            F.round(
+                F.col("_st.ce").cast("double") / 1e6 / F.col("_st.nb"), 6
+            ).alias("avg_nats"),
         )
     )
     tert = Window.partitionBy(lang_col).orderBy(

@@ -484,6 +484,33 @@ def test_ngram_battery_no_shuffle(spark):
         assert "Window" not in plan, (name, plan)
 
 
+def test_ccnet_scoring_rowlocal(spark):
+    """CCNet perplexity scoring (round 12): the weight table collects
+    to a bounded array literal, so the SCORING side is a row-local
+    integer fold — the final plan carries no join of the bigram
+    stream and exactly one Exchange (the per-language tertile
+    window); the model build runs as its own checkpoint job."""
+    df = QUERIES["ccnet_perplexity_buckets"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_ccnet_bucket_bound(spark):
+    """The collectable weight-table guard: n_buckets beyond 2^16 must
+    raise loudly (bounded driver traffic), not silently collect."""
+    import pytest
+
+    from ramen_spark.catalog import load_table
+    from ramen_spark.operators.sampling import lm_perplexity_buckets
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    with pytest.raises(ValueError, match="n_buckets"):
+        lm_perplexity_buckets(
+            docs, target_pred=F.col("lang") == "en", n_buckets=1 << 17
+        )
+
+
 def test_corpus_datacard_partial_agg(spark):
     """The data-card report is one distinct-expand aggregate: two
     hash exchanges (distinct rewrite), partial aggregation below each,
