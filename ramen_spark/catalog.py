@@ -155,6 +155,18 @@ def load_table(
         )
         target = spark.sparkContext.defaultParallelism
         if size >= _REBALANCE_MIN_BYTES and size < max_split * target:
+            # Round 12 measured (and REJECTED) skipping this exchange
+            # when the scan already yields ~core-count splits: the
+            # repartition is not only balance — identical load_table
+            # subtrees below it ReuseExchange, so every fan-out query
+            # (tf×df, posting self-joins, pipeline stages) reads the
+            # decoded text ONCE. With the exchange gated off, those
+            # plans re-scan + re-decode per consumer: sf10 tfidf CPU
+            # 150→459 s, ngram 607→999 s, skew entropy 113→239 s and
+            # walls grew straggler tails (minhash 10.3→24.1 s). The
+            # ~107 MB text shuffle is the cheaper side of that trade
+            # at every measured tier (OPTIMIZATION_r12.md, negative
+            # results).
             df = df.repartition(target)
     return df
 

@@ -484,6 +484,32 @@ def test_ngram_battery_no_shuffle(spark):
         assert "Window" not in plan, (name, plan)
 
 
+def test_catalog_rebalance_always_fires_under_split_cap(spark, tmp_path):
+    """load_table's round-robin repartition must fire for every
+    NARROW_HEAVY input under the maxPartitionBytes×cores cap — even
+    when the scan already yields ~core-count splits. Round 12 measured
+    the split-count gate and rejected it: the exchange doubles as the
+    ReuseExchange materialization point for fan-out plans (tfidf CPU
+    150→459 s without it) and as the balance step for skewed inputs
+    (skew entropy wall 16.6→36.4 s). This test pins the exchange ON
+    for a wide multi-file scan so the gate cannot silently return."""
+    from ramen_spark.catalog import load_table
+
+    target = spark.sparkContext.defaultParallelism
+    # uuid text so parquet can't compress under the 256 KB size gate
+    rows = spark.range(20_000).selectExpr(
+        "id AS doc_id", "concat(uuid(), ' ', uuid()) AS text", "'en' AS lang"
+    )
+    one = str(tmp_path / "one")
+    many = str(tmp_path / "many")
+    rows.coalesce(1).write.parquet(one + "/documents.parquet")
+    rows.repartition(target).write.parquet(many + "/documents.parquet")
+    plan_one = load_table(spark, one, "documents")._jdf.queryExecution().executedPlan().toString()
+    plan_many = load_table(spark, many, "documents")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan_one, plan_one
+    assert "Exchange" in plan_many, plan_many
+
+
 def test_ccnet_scoring_rowlocal(spark):
     """CCNet perplexity scoring (round 12): the weight table collects
     to a bounded array literal, so the SCORING side is a row-local
