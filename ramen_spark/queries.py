@@ -5042,15 +5042,25 @@ def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ramen_spark.operators.sketch import quantile_prune, sketch_drift
 
     docs = _t(spark, sf_dir, "documents")
+    # localCheckpoint (round 12): sketch_drift consumes each state in
+    # FOUR subtrees (percentile arrays, KMV group stats, the union
+    # sketch, the intersection probe) — unshared, the tokenize pass
+    # inlined 8× (8 parquet scans of documents in the before plan).
+    # One narrow (lang, doc_id, n_tok) checkpoint = ONE text pass;
+    # the two pruned states are ≤ k rows per lang, so their
+    # checkpoints are report-sized. Matches deployment, where the
+    # states are PERSISTED snapshots read off disk, not rebuilt.
     toks = docs.filter(F.col("text").isNotNull()).select(
         "lang", "doc_id",
         Tx.token_count(F.col("text")).cast("double").alias("n_tok"),
-    )
+    ).localCheckpoint()
     pa = quantile_prune(
         toks.filter(F.col("doc_id") % 3 != 0), ["lang"], "n_tok",
         "doc_id", 64,
-    )
-    pb = quantile_prune(toks, ["lang"], "n_tok", "doc_id", 64)
+    ).localCheckpoint()
+    pb = quantile_prune(
+        toks, ["lang"], "n_tok", "doc_id", 64
+    ).localCheckpoint()
     return sketch_drift(pa, pb, ["lang"], [0.5, 0.9], 64)
 
 
