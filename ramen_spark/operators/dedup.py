@@ -343,18 +343,33 @@ def decontaminate(
     if eval_shingles is None:
         eval_shingles = shingle_rows(eval_df).select("_s").distinct()
     # Join on xxhash64 of the shingle, not the string (round 12; the
-    # ngram_jaccard_pairs 'hash64' re-key, same birthday-bound
-    # argument): the eval build side broadcasts 8-byte longs instead
-    # of 20-40-byte text and every train probe hashes/compares a
-    # fixed-width key. A 64-bit collision could only ADD a false hit
-    # (expected collisions ≪ 1 below ~10⁹ distinct shingles); the
-    # string-joining DuckDB oracle stays value-exact green.
-    eval_keys = eval_shingles.select(
-        F.xxhash64("_s").alias("_sh")
-    ).distinct()
-    marked = shingle_rows(train_df).select(
-        F.col(id_col), F.xxhash64("_s").alias("_sh")
-    ).join(eval_keys.withColumn("_hit", F.lit(1)), "_sh", "left")
+    # ngram_jaccard_pairs 'hash64' re-key argument): every train probe
+    # hashes/compares a fixed-width 8-byte key instead of 20-40-byte
+    # text. Round 13 (VERDICT r12 #2) restores STRING-EXACT semantics:
+    # the build side groups the eval strings BY their hash, and a hash
+    # hit is confirmed row-locally with array_contains before it
+    # counts — a 64-bit collision (expected ≳1 only past ~10⁹ distinct
+    # shingles, i.e. the 100 TB design point) now costs one wasted
+    # array probe instead of a falsely-dropped document. Hits are rare,
+    # so the string compare runs on almost no rows; the join key and
+    # probe-side hashing keep the round-12 fixed-width compare.
+    eval_rel = (
+        eval_shingles.select("_s")
+        .distinct()
+        .groupBy(F.xxhash64("_s").alias("_sh"))
+        .agg(F.collect_list("_s").alias("_evs"))
+    )
+    marked = (
+        shingle_rows(train_df)
+        .select(F.col(id_col), F.col("_s"), F.xxhash64("_s").alias("_sh"))
+        .join(eval_rel, "_sh", "left")
+        .select(
+            F.col(id_col),
+            F.when(F.array_contains(F.col("_evs"), F.col("_s")), 1).alias(
+                "_hit"
+            ),
+        )
+    )
     per_doc = marked.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_shingles"),
         F.count("_hit").alias("n_hit"),

@@ -212,6 +212,16 @@ def lm_perplexity_buckets(
     from ramen_spark.functions.text import md5_hash_pair, tokens, window_starts
 
     B = int(n_buckets)
+    # guard FIRST (round 13, ADVICE r12): the weight table below is
+    # collected to a driver-side literal, so the bound must hold — and
+    # it must be checked before any DataFrame work, because cnt's
+    # localCheckpoint fires a full corpus scan at construction time
+    # (an invalid B used to pay that job just to raise).
+    if B > (1 << 16):
+        raise ValueError(
+            f"n_buckets={B} exceeds the collectable weight-table bound "
+            "(65536); shrink the bucket space or restore the join path"
+        )
     toks = docs.select(
         F.col(id_col),
         F.col(lang_col),
@@ -281,13 +291,13 @@ def lm_perplexity_buckets(
     # The token array is LET-BOUND via a single-element transform so
     # CollapseProject cannot re-inline tokens(text) per element_at
     # (the tf-fold lesson, measured 60× — OPTIMIZATION_r12.md).
-    if B > (1 << 16):  # pragma: no cover — keep driver traffic bounded
-        raise ValueError(
-            f"n_buckets={B} exceeds the collectable weight-table bound "
-            "(65536); shrink the bucket space or restore the join path"
-        )
+    # ONE array literal, not B per-element F.lit nodes (round 13,
+    # VERDICT r12 #4): near the 65536 guard bound the per-element form
+    # builds a Catalyst tree with 2^16 Literal children — O(B) to
+    # analyze/serialize per use; F.lit(list) is a single
+    # Literal(ArrayData) node of O(1) tree size at any B.
     wvals = [int(r["_wm"]) for r in weights.orderBy("_bk").collect()]
-    arr = F.array(*[F.lit(v).cast("long") for v in wvals])
+    arr = F.lit(wvals).cast("array<long>")
 
     def _score(wv):
         nb = F.greatest(F.size(wv) - 1, F.lit(0))
