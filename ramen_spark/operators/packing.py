@@ -49,6 +49,7 @@ def pack_sequences(
     shards: int = 8,
     order: str = "id",
     group_cols: list[str] | None = None,
+    n_tok_col: str | None = None,
 ) -> DataFrame:
     """→ (group_cols…, doc_id, shard, pack_seq, n_tok): greedy
     next-fit packing of whitespace-token counts into ``budget``-token
@@ -56,7 +57,15 @@ def pack_sequences(
     ``group_cols`` is given — pack ids restart per (shard, groups)).
     A doc longer than the budget gets its own pack (standard oversize
     handling). One shuffle (by shard + groups), one Arrow-batched
-    sequential fold per fold key. ``order``: see module docstring."""
+    sequential fold per fold key. ``order``: see module docstring.
+
+    ``n_tok_col`` (round 13): a PRECOMPUTED whitespace-token-count
+    column to pack by, instead of tokenizing ``text_col`` here. The
+    composed pipelines already tokenize every surviving document for
+    the quality score — passing that count through means packing
+    never decodes text at all (guide §1.2: one pass, not two). The
+    caller owns the contract that the column equals
+    ``functions.text.token_count(text)`` of the same rows."""
     if order not in ("id", "length_desc", "ffd"):
         raise ValueError(
             f"order must be 'id', 'length_desc' or 'ffd', got {order!r}"
@@ -69,11 +78,16 @@ def pack_sequences(
     missing = [c for c in gcols if c not in gtypes]
     if missing:
         raise ValueError(f"group_cols not in df: {missing}")
+    n_tok = (
+        F.col(n_tok_col)
+        if n_tok_col is not None
+        else Tx.token_count(F.col(text_col))
+    )
     base = df.select(
         *gcols,
         F.col(id_col).alias("doc_id"),
         F.pmod(F.col(id_col), F.lit(shards)).cast("int").alias("shard"),
-        Tx.token_count(F.col(text_col)).cast("long").alias("n_tok"),
+        n_tok.cast("long").alias("n_tok"),
     )
     by, asc = (
         (["doc_id"], [True])

@@ -4457,12 +4457,20 @@ def _prepare_corpus(
     from ramen_spark.operators.packing import pack_sequences
     from ramen_spark.operators.sampling import temperature_mix
 
-    docs, clean = _clean_corpus(spark, sf_dir, gate, stages, gate_keep)
+    docs, clean, qualities = _clean_corpus(
+        spark, sf_dir, gate, stages, gate_keep
+    )
     mixed = temperature_mix(
         clean, group_col="lang", alpha=0.5, target_frac=0.5
     ).select("doc_id")
+    # pack from the checkpointed per-doc token counts (round 13): the
+    # packer used to semi-join docs and re-decode + re-tokenize every
+    # mixed survivor's text — n_tok already exists in qualities from
+    # the stage-4 scoring pass, so packing is now a pure metadata join
+    # (guide §1.2/§2.3: ids and counts travel, text doesn't).
     packed = pack_sequences(
-        docs.join(mixed, "doc_id", "left_semi"), budget=512, shards=8
+        mixed.join(qualities.select("doc_id", "n_tok"), "doc_id"),
+        budget=512, shards=8, n_tok_col="n_tok",
     )
     if stages is not None:
         stages.update(
@@ -4478,12 +4486,16 @@ def _clean_corpus(
     gate: str,
     stages: dict | None = None,
     gate_keep: DataFrame | None = None,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Stages 1-4 of the composed pipeline (exact dedup → canonical
     near-dup → eval holdout → decontamination → quality gate),
     shared by the v1 (temperature mix) and v2 (A-ES + per-lang token
-    budget) mixing stages. Returns (docs, clean) where clean is the
-    surviving (doc_id, lang) relation."""
+    budget) mixing stages. Returns (docs, clean, qualities) where
+    clean is the surviving (doc_id, lang) relation and qualities is
+    the checkpointed per-doc (doc_id, quality, n_tok) metadata — the
+    ONE tokenize pass the mixing/packing stages reuse (round 13,
+    guide §1.2: the v1/v2 packers and the v2 candidate scoring used
+    to re-decode and re-tokenize the surviving documents)."""
     docs = _t(spark, sf_dir, "documents")
     keep_fp = D.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
     pairs = D.minhash_lsh_pairs(
@@ -4500,13 +4512,19 @@ def _clean_corpus(
             ),
         )
     )
-    # localCheckpoint: qualities feeds BOTH canonicalize and the
-    # 'score' gate — without it the text scan + scoring subtree is
-    # duplicated into each consumer (r12, guide §3.3/§5: one scan
-    # instead of two, and downstream joins see real relation sizes
-    # instead of unknown-estimate subtrees)
+    # localCheckpoint: qualities feeds canonicalize, the 'score' gate,
+    # AND (round 13) the mixing/packing stages — without it the text
+    # scan + scoring subtree is duplicated into each consumer (r12,
+    # guide §3.3/§5: one scan instead of two, and downstream joins see
+    # real relation sizes instead of unknown-estimate subtrees).
+    # n_tok rides the same pass: quality_score already tokenizes the
+    # document, and the whitespace token count is what the v2
+    # candidate scoring and both packers recomputed from text (two
+    # full decode+tokenize passes over the survivors, now zero).
     qualities = docs.select(
-        "doc_id", Tx.quality_score(F.col("text")).alias("quality")
+        "doc_id",
+        Tx.quality_score(F.col("text")).alias("quality"),
+        Tx.token_count(F.col("text")).cast("long").alias("n_tok"),
     ).localCheckpoint()
     canon_keep = D.canonicalize(clusters, qualities).select("doc_id")
     contam_drop = (
@@ -4568,7 +4586,7 @@ def _clean_corpus(
             decontaminated=s4,
             quality_gate=clean,
         )
-    return docs, clean
+    return docs, clean, qualities
 
 
 _GATE_SCORE_SQL = "SELECT doc_id FROM qual WHERE quality >= 0.5"
@@ -4708,19 +4726,28 @@ def _prepare_corpus_v2(
         weighted_sample,
     )
 
-    docs, clean = _clean_corpus(spark, sf_dir, gate="score", stages=stages)
-    # localCheckpoint: cand (one metadata row per survivor) feeds the
-    # A-ES sample AND the budget join — truncate so the docs⋈clean
-    # scan-and-score subtree runs once, not twice (guide §3.3)
+    docs, clean, qualities = _clean_corpus(
+        spark, sf_dir, gate="score", stages=stages
+    )
+    # cand (one metadata row per survivor) used to re-decode and
+    # re-score every surviving document's text (token_count +
+    # quality_score — a second full tokenize pass over the corpus);
+    # round 13 derives it by JOINING the two checkpointed relations
+    # instead: clean (doc_id, lang) ⋈ qualities (doc_id, quality,
+    # n_tok) — q_micro = round(quality·1e6) is bit-identical because
+    # quality is the same deterministic column the old path recomputed
+    # (guide §1.2: one pass; the v2 after-plan decodes `documents`
+    # once less). localCheckpoint kept: cand feeds the A-ES sample AND
+    # the budget join.
     cand = (
-        docs.join(clean.select("doc_id"), "doc_id", "left_semi")
-        .select(
+        clean.select("doc_id", "lang")
+        .join(
+            qualities.select(
+                "doc_id",
+                "n_tok",
+                F.round(F.col("quality") * 1e6).cast("long").alias("q_micro"),
+            ),
             "doc_id",
-            "lang",
-            Tx.token_count(F.col("text")).cast("long").alias("n_tok"),
-            F.round(Tx.quality_score(F.col("text")) * 1e6)
-            .cast("long")
-            .alias("q_micro"),
         )
         .localCheckpoint()
     )
@@ -4737,9 +4764,11 @@ def _prepare_corpus_v2(
         sel_in, budget=1_500, weight_col="n_tok", pri_col="skey_micro",
         keys=["lang"],
     ).localCheckpoint()
+    # chosen already carries n_tok (the same checkpointed count) — the
+    # packer needs no text and no join at all (round 13, guide §1.2)
     packed = pack_sequences(
-        docs.join(chosen.select("doc_id"), "doc_id", "left_semi"),
-        budget=512, shards=8,
+        chosen.select("doc_id", "n_tok"),
+        budget=512, shards=8, n_tok_col="n_tok",
     )
     if stages is not None:
         stages.update(
@@ -6827,32 +6856,35 @@ def error_window_purchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The aggregated form of events_in_error_windows — per-incident
     purchase count + revenue inside the 10-minute window. This is
     what a pipeline actually materializes (the raw pair set is an
-    intermediate); the aggregation sits directly on the bucketed
-    equi-join, so the pairs are partial-combined per task and never
-    land anywhere. The bench runs THIS form at the stress tiers —
-    the pair query's wall there measures noop-writing O(n²)
-    replicated-timestamp pairs, not the join."""
-    from ramen_spark.operators.rangejoin import interval_join
+    intermediate). Round 13 (VERDICT r12 #5): the bucketed equi-join
+    — which still evaluated every candidate (purchase, incident) pair
+    before the partial aggregate, ~1e9 residual checks at the 100×
+    tier — is replaced by interval_count_sum's two prefix scans:
+    n = prefix(hi) − prefix(lo−1) per incident, with the value sums
+    carried in DECIMAL(38,18) so the prefix difference is exact (no
+    double cancellation) and the rounded result stays hash-identical
+    to the oracle's per-window double sum. Inner-join parity: only
+    incidents containing ≥1 purchase are emitted."""
+    from ramen_spark.operators.rangejoin import interval_count_sum
 
     ev = _t(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
     pts = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        us.alias("t_us"),
-        F.col("value").alias("p_value"),
+        us.alias("t_us"), F.col("value").alias("p_value")
     )
     ivs = ev.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("incident_id"),
         us.alias("lo_us"),
         (us + 600_000_000).alias("hi_us"),
     )
-    return (
-        interval_join(pts, ivs, "t_us", "lo_us", "hi_us", bucket=600_000_000)
-        .groupBy("incident_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
-            F.round(F.sum("p_value"), 6).alias("sum_value"),
-        )
+    stats = interval_count_sum(
+        pts, ivs, "t_us", "lo_us", "hi_us", "incident_id", "p_value",
+        bucket=600_000_000,
+    )
+    return stats.filter(F.col("n_points") > 0).select(
+        "incident_id",
+        F.col("n_points").alias("n_purchases"),
+        F.round(F.col("sum_val"), 6).cast("double").alias("sum_value"),
     )
 
 

@@ -255,6 +255,115 @@ def test_interval_join_rejects_column_collision(spark):
 
 
 # ---------------------------------------------------------------------------
+# interval_count_sum (round 13: the prefix-scan aggregated form)
+# ---------------------------------------------------------------------------
+
+
+def _count_sum_fixture(spark):
+    # doubles near 2-decimal currency values; a point at t=0 and an
+    # interval with lo=0 exercise the lo-1 = -1 probe bucket
+    pts = spark.createDataFrame(
+        [(i * 7 % 1000, (i * 37 % 997) / 100.0) for i in range(500)]
+        + [(0, 1.23)],
+        "t long, v double",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (j, j * 13 % 900, j * 13 % 900 + (j * 7) % 120)
+            for j in range(80)
+        ]
+        + [(990, 0, 50), (999, 500, 400)],  # lo=0 edge; inverted: dropped
+        "iid long, lo long, hi long",
+    )
+    return pts, ivs
+
+
+def _naive_count_sum(spark, pts, ivs):
+    j = pts.join(
+        ivs.filter(F.col("lo") <= F.col("hi")),
+        (pts["t"] >= ivs["lo"]) & (pts["t"] <= ivs["hi"]),
+    )
+    return {
+        r["iid"]: (r["n"], r["s"])
+        for r in j.groupBy("iid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 6).alias("s"),
+        )
+        .collect()
+    }
+
+
+def test_interval_count_sum_matches_naive_join(spark):
+    """The prefix-scan form must reproduce interval_join + groupBy
+    exactly: same per-interval counts, same 6-dp-rounded sums
+    (DECIMAL prefix differences vs direct double sums), zero-match
+    intervals reported with n_points = 0, inverted intervals
+    dropped."""
+    from ramen_spark.operators.rangejoin import interval_count_sum
+
+    pts, ivs = _count_sum_fixture(spark)
+    got = {
+        r["iid"]: (r["n_points"], r["sum_val"])
+        for r in interval_count_sum(
+            pts, ivs, "t", "lo", "hi", "iid", "v", bucket=64
+        ).collect()
+    }
+    naive = _naive_count_sum(spark, pts, ivs)
+    assert 999 not in got  # inverted interval dropped
+    matched = {i: v for i, v in got.items() if v[0] > 0}
+    assert set(matched) == set(naive)
+    for i, (n, s) in naive.items():
+        gn, gs = got[i]
+        assert gn == n, (i, gn, n)
+        assert round(float(gs), 6) == s, (i, gs, s)
+    # zero-match intervals still present (left-complete contract)
+    zeros = [i for i, (n, _) in got.items() if n == 0]
+    assert all(
+        got[i][1] == 0 for i in zeros
+    ) and len(got) == len(naive) + len(zeros)
+
+
+def test_interval_count_sum_bucket_width_invariance(spark):
+    """Bucket width is a performance knob, never a semantics knob —
+    same contract as interval_join."""
+    from ramen_spark.operators.rangejoin import interval_count_sum
+
+    pts, ivs = _count_sum_fixture(spark)
+    runs = [
+        {
+            (r["iid"], r["n_points"], str(r["sum_val"]))
+            for r in interval_count_sum(
+                pts, ivs, "t", "lo", "hi", "iid", "v", bucket=b
+            ).collect()
+        }
+        for b in (1, 7, 64, 1000, 10**6)
+    ]
+    assert all(s == runs[0] for s in runs)
+
+
+def test_interval_count_sum_no_pair_join_plan(spark):
+    """The point of the rewrite: the plan carries the two prefix
+    window scans and NO join of points against intervals — the only
+    join is the tiny bucket-offset attach, and there is never a
+    nested-loop/cartesian pair enumeration."""
+    from ramen_spark.operators.rangejoin import interval_count_sum
+
+    pts, ivs = _count_sum_fixture(spark)
+    plan = (
+        interval_count_sum(pts, ivs, "t", "lo", "hi", "iid", "v", bucket=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan, plan
+    assert "Cartesian" not in plan, plan
+    assert "Window" in plan, plan
+    with pytest.raises(ValueError):
+        interval_count_sum(pts, ivs, "t", "lo", "hi", "iid", "v", bucket=0)
+
+
+# ---------------------------------------------------------------------------
 # quantile sketch
 # ---------------------------------------------------------------------------
 
