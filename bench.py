@@ -9,6 +9,17 @@ Prints ONE JSON line:
 Yardstick (BASELINE.md): the reference streams ~21k rows/s end-to-end
 (CSV) and ~500k tuples/s in-memory. Our tumbling-aggregate headline at
 sf0.1 covers 100k events; lineitem queries cover 600k rows.
+
+Low-core scaling runs (round 13, VERDICT r12 #8): at reduced core
+counts the heavy tiers do not fit a bounded wall-clock window — the
+round-12 8-core run timed out (rc=124) mid-skew-tier. The intended
+low-core invocation measures the tiers that fit:
+
+  SPARK_GRAFT_CPUS=8 SPARK_GRAFT_BENCH_SKEW=0 SPARK_GRAFT_BENCH_SF100=0 \
+      python bench.py          # headline + sf1 + sf10, completes rc=0
+
+Every tier also emit()s as it finishes, so even a timed-out run
+leaves the last completed tier's JSON as the parseable stdout tail.
 """
 
 from __future__ import annotations

@@ -1406,7 +1406,16 @@ def _sorted_grams(docs: DataFrame, n: int) -> DataFrame:
     the round-11 explode → groupBy(doc, gram) engine, whose Exchange
     carried every distinct gram row (1.07 GB shuffle at sf10) only to
     re-group rows that started co-located. Docs with fewer than n
-    words vanish here, exactly like the explode used to drop them."""
+    words vanish here, exactly like the explode used to drop them.
+
+    Per-row memory bound (ADVICE r12): the sorted gram array holds
+    the document's ENTIRE n-gram multiset in one row — ~n× the token
+    array's footprint (each token appears in up to n grams), so a
+    pathological single document bounds executor memory where the
+    old explode distributed it. At the documented corpus shape
+    (documents ≤ ~1 MB of text) the worst row is ~10 MB at n=10 —
+    far under task memory; corpora with unbounded single documents
+    should length-cap upstream or fall back to the exploded engine."""
     toks = docs.select("doc_id", Tx.tokens(F.col("text")).alias("w")).filter(
         F.size("w") >= n
     )

@@ -1,8 +1,12 @@
 #!/usr/bin/env python
 """A/B measurement helper for optimization rounds: time a list of
-queries (noop sink, min-of-N wall, min executor CPU, final-run
-shuffle/spill) from a given repo checkout. Mirrors bench.py's
-run_query methodology so numbers are comparable with bench_full.json.
+queries (noop sink, min-of-N wall, min executor CPU, and the LAST
+run's shuffle/spill summed over ALL of its SQL executions — including
+construction-time localCheckpoint/collect jobs, which bench.py's
+final-execution metric excludes by design) from a given repo checkout.
+Wall/CPU mirror bench.py's run_query methodology; shuffle/spill are
+the like-for-like A/B definition (ADVICE r12), so they can read HIGHER
+than bench_full.json for checkpoint-heavy queries.
 
 Usage:
   python tools/ab_measure.py <repo_path> <sf_dir> <runs> <query,query,...>
@@ -34,7 +38,7 @@ def main() -> None:
     from ramen_spark.queries import QUERIES
     from tools.query_metrics import (
         cpu_time_since,
-        last_execution_metrics,
+        executions_metrics_since,
         latest_execution_id,
         stage_cpu_snapshot,
     )
@@ -56,10 +60,19 @@ def main() -> None:
 
     for name in names:
         spark.sparkContext.setJobDescription(f"ab:{name}")
-        before_id = latest_execution_id(spark)
         best = None
         cpus = []
+        run_before = -1
         for _ in range(runs):
+            # per-run execution watermark: shuffle/spill are summed
+            # over ALL executions of the LAST run — round-12 query
+            # shapes move real shuffle into construction-time
+            # localCheckpoint/collect jobs (separate executions), and
+            # the old final-execution read under-reported them
+            # (ADVICE r12). bench.py keeps the final-execution
+            # definition so its ratchet stays comparable round-over-
+            # round; A/B comparisons within one round use this.
+            run_before = latest_execution_id(spark)
             before_cpu = stage_cpu_snapshot(spark)
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
@@ -70,7 +83,7 @@ def main() -> None:
             cpu_ns = cpu_time_since(spark, before_cpu)
             if cpu_ns is not None:
                 cpus.append(cpu_ns)
-        m = last_execution_metrics(spark, after_id=before_id) or {}
+        m = executions_metrics_since(spark, after_id=run_before) or {}
         row = {
             "query": name,
             "wall_s": round(best, 3),

@@ -5,8 +5,14 @@ Usage:
   python tools/dump_plans.py <out_dir> <suffix> <sf_dir> <query,query,...>
 
 Writes <out_dir>/<query>_<suffix>.txt for each query. Plans only —
-no action is executed (AQE plans show isFinalPlan=false; the shape,
-Exchange count, join strategy and PushedFilters are all visible).
+no terminal action is executed (AQE plans show isFinalPlan=false; the
+shape, Exchange count, join strategy and PushedFilters are all
+visible). CAVEAT (round 13, ADVICE r12): queries whose CONSTRUCTION
+is eager — localCheckpoint seams (_clean_corpus, _prepare_corpus_v2,
+corpus_drift, the CMS counted builds) and collected model tables
+(lm_perplexity_buckets' weights) — fire those upstream jobs while the
+DataFrame is being built, so dumping their plans executes real work
+and needs a real SF_DIR sized accordingly.
 """
 
 from __future__ import annotations

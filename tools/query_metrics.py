@@ -173,3 +173,60 @@ def last_execution_metrics(
         return out
     except Exception:  # pragma: no cover — telemetry only
         return {}
+
+
+def executions_metrics_since(
+    spark, after_id: int, timeout_s: float = 2.0
+) -> dict[str, int]:
+    """Like :func:`last_execution_metrics`, but SUMMED over every SQL
+    execution with executionId > ``after_id`` (round 13, ADVICE r12):
+    several query shapes now run part of their shuffle in
+    construction-time jobs — localCheckpoint of a shared relation, a
+    collected model table — which are separate executions that the
+    final-action metric silently excludes, under-reporting those
+    queries' physical footprint in A/B comparisons. peak stays a MAX
+    across executions (it is a per-operator high-water mark, not a
+    volume). Returns {} when the store is unreadable or nothing newer
+    than ``after_id`` appears within the timeout."""
+    import time as _time
+
+    try:
+        store = spark._jsparkSession.sharedState().statusStore()
+        deadline = _time.monotonic() + timeout_s
+        while True:
+            execs = store.executionsList()
+            if (
+                execs.size() > 0
+                and execs.apply(execs.size() - 1).executionId() > after_id
+            ):
+                break
+            if _time.monotonic() > deadline:
+                return {}
+            _time.sleep(0.05)
+        shuffle = spill = peak = 0
+        for i in range(execs.size()):
+            e = execs.apply(i)
+            if e.executionId() <= after_id:
+                continue
+            names = {}
+            mit = e.metrics().iterator()
+            while mit.hasNext():
+                m = mit.next()
+                names[m.accumulatorId()] = m.name()
+            vals = store.executionMetrics(e.executionId())
+            it = vals.iterator()
+            while it.hasNext():
+                kv = it.next()
+                nm = names.get(kv._1())
+                if nm == "shuffle bytes written":
+                    shuffle += _parse_bytes(kv._2())
+                elif nm == "spill size":
+                    spill += _parse_bytes(kv._2())
+                elif nm == "peak memory":
+                    peak = max(peak, _parse_bytes(kv._2()))
+        out = {"shuffle_bytes": shuffle, "spill_bytes": spill}
+        if peak:
+            out["peak_op_memory_bytes"] = peak
+        return out
+    except Exception:  # pragma: no cover — telemetry only
+        return {}
